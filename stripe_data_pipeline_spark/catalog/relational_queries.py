@@ -1,0 +1,691 @@
+"""Relational operator queries (SURVEY.md §2.2-2.8).
+
+One oracle-checked query per operator row of the survey inventory,
+over the driver's TPC-H-ish tables. Each docstring cites the
+reference construct it re-expresses (file:line into /root/reference/).
+
+Determinism rules used throughout (see functions.money):
+- money/double sums go through integer cents;
+- per-row double arithmetic keeps identical expression trees on both
+  engines (IEEE 754 makes those bit-identical);
+- every LIMIT query carries a total order with a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.functions.money import (
+    sum_usd_cents,
+    sum_usd_cents_sql,
+    to_cents,
+)
+from stripe_data_pipeline_spark.io import read_table
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rename_cast",
+    oracle="""
+SELECT o_orderkey AS invoice_id,
+       o_custkey AS customer_id,
+       o_orderstatus AS status,
+       o_totalprice / 100 AS total_usd,
+       CAST(epoch(o_orderdate) AS BIGINT) AS created_at_epoch,
+       CAST(o_orderdate AS DATE) AS created_at_date
+FROM orders
+""",
+    doc="P2 rename-and-cast projection: id renames, cents->dollars "
+    "division, unix->date derivation (curated/invoices.sql:16-52).",
+)
+def q_orders_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("invoice_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("status"),
+        (F.col("o_totalprice") / 100).alias("total_usd"),
+        F.unix_timestamp("o_orderdate").alias("created_at_epoch"),
+        F.to_date("o_orderdate").alias("created_at_date"),
+    )
+
+
+@register(
+    "orders_status_filter",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="P3 equality filter WHERE status = 'paid' "
+    "(curated/invoice_line_items.sql:32); pushed to the parquet scan.",
+)
+def q_orders_status_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+    )
+
+
+@register(
+    "orders_high_watermark",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+WHERE o_orderdate > (SELECT MAX(o_orderdate) FROM orders WHERE o_orderstatus = 'F')
+""",
+    doc="P4/S2 incremental high-watermark filter: uncorrelated scalar "
+    "subquery MAX (curated/invoices.sql:11-13; extract_stripe_data.py:43-59). "
+    "Spark side resolves the HWM driver-side then filters — the filter "
+    "lands on the scan and prunes date partitions at scale.",
+)
+def q_orders_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    hwm = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .agg(F.max("o_orderdate"))
+        .first()[0]
+    )
+    return orders.filter(F.col("o_orderdate") > F.lit(hwm)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+
+
+@register(
+    "events_in_list",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE event_type IN ('signup', 'purchase')
+GROUP BY event_type
+""",
+    doc="P7 IN-list predicate (curated/calendar.sql:15).",
+)
+def q_events_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_chain_join",
+    oracle="""
+SELECT r.r_name AS region_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    doc="J1 small-dimension equi-joins, explicitly broadcast "
+    "(marts/deferred_revenue.sql:52-56 FX-join pattern, chained).",
+)
+def q_dim_chain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            sum_usd_cents(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "orders_lineitem_join",
+    oracle=f"""
+SELECT o.o_orderstatus AS status,
+       {sum_usd_cents_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+""",
+    doc="Fact-to-fact equi-join on the natural key (invoice -> line "
+    "items, curated/invoice_line_items.sql:30 parent-child). Shuffle "
+    "hash/sort-merge territory at scale — co-partition or bucket both "
+    "sides on orderkey to avoid one of the shuffles.",
+)
+def q_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            sum_usd_cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customer_orders_left_join",
+    oracle="""
+SELECT c.c_custkey AS customer_id, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+    doc="Left outer join preserving order-less customers (extension "
+    "beyond the reference's inner/cross-only joins, SURVEY.md §2.3).",
+)
+def q_customer_orders_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(F.col("c_custkey").alias("customer_id"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "customers_with_open_orders_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+""",
+    doc="Left-semi join (EXISTS) — SURVEY.md §2.3 notes semi/anti as "
+    "implementation devices for the merge sink and orphan tests "
+    "(README.md:164-168).",
+)
+def q_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left-anti join (NOT EXISTS) — the 'orphaned line items' test "
+    "shape from README.md:164-168.",
+)
+def q_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "doc_words_exploded_top20",
+    oracle="""
+SELECT w.word, COUNT(*) AS n
+FROM documents d, LATERAL UNNEST(string_split(d.text, ' ')) AS w(word)
+GROUP BY w.word
+ORDER BY n DESC, w.word
+LIMIT 20
+""",
+    doc="J2 correlated lateral array join (UNNEST) — one row per array "
+    "element with parent columns repeated "
+    "(curated/invoice_line_items.sql:30-31).",
+)
+def q_doc_words_exploded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_cursor",
+    oracle="""
+SELECT MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS last_timestamp
+FROM orders
+""",
+    doc="A1/S2 ungrouped MAX incremental cursor "
+    "(extract_stripe_data.py:14,22,30 'SELECT MAX(CAST(created AS INT64))').",
+)
+def q_max_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .agg(F.max(F.unix_timestamp("o_orderdate")).alias("last_timestamp"))
+    )
+
+
+@register(
+    "grouped_stats",
+    oracle="""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       MIN(c_acctbal) AS min_bal,
+       MAX(c_acctbal) AS max_bal,
+       (CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0)
+           / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="A3 grouped aggregation + DISTINCT count (extension; reference "
+    "has only SUM/MAX/COUNT). avg computed from integer cents for "
+    "order-independence.",
+)
+def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            (
+                (F.sum(to_cents(F.col("c_acctbal"))).cast("double") / F.lit(100.0))
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sum_usd_cents_sql("l_quantity")} AS sum_qty,
+       {sum_usd_cents_sql("l_extendedprice")} AS sum_base_price,
+       {sum_usd_cents_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       {sum_usd_cents_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary: the canonical wide grouped "
+    "aggregation (A3) with multiple derived-measure sums; partial "
+    "aggregation map-side, one shuffle on the tiny group key.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_usd_cents(F.col("l_quantity")).alias("sum_qty"),
+            sum_usd_cents(F.col("l_extendedprice")).alias("sum_base_price"),
+            sum_usd_cents(disc_price).alias("sum_disc_price"),
+            sum_usd_cents(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window functions (+ §2.10 batch analogues)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, event_type, value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) t WHERE rn = 1
+""",
+    doc="Latest-state per key via ROW_NUMBER — the batch analogue of "
+    "the subscription-updates changelog compaction (SURVEY.md §2.10; "
+    "stg_subscription_updates has no downstream consumer in the "
+    "reference — this completes it).",
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        read_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "running_value_per_user",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 100.0 AS running_value
+FROM events
+""",
+    doc="Ordered-frame running SUM (extension; the reference computes "
+    "running totals closed-form instead — SURVEY.md §2.5 note).",
+)
+def q_running_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.sum(to_cents(F.col("value"))).over(w).cast("double") / F.lit(100.0)).alias(
+            "running_value"
+        ),
+    )
+
+
+@register(
+    "top3_orders_per_status",
+    oracle="""
+SELECT o_orderstatus, o_orderkey, o_totalprice
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) t WHERE rn <= 3
+""",
+    doc="Ranking window (row_number top-N per group; extension — "
+    "SURVEY.md §2.5 'not present' list).",
+)
+def q_top3_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "event_gaps",
+    oracle="""
+SELECT event_id, user_id,
+       CAST(epoch(ts) AS BIGINT)
+         - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+         AS gap_seconds
+FROM events
+""",
+    doc="LAG over ordered partition: inter-event gaps per user "
+    "(extension; sessionization building block).",
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (ep - F.lag(ep).over(w)).alias("gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits, §2.7 Set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top20_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="O1 global ORDER BY DESC + LIMIT (README.md:192,202). Spark "
+    "executes as TakeOrderedAndProject — no global sort materialized.",
+)
+def q_top20_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "union_all_slices",
+    oracle=f"""
+SELECT bucket,
+       COUNT(*) AS n,
+       {sum_usd_cents_sql("o_totalprice")} AS total
+FROM (
+    SELECT 'high' AS bucket, o_totalprice FROM orders WHERE o_totalprice >= 200000
+    UNION ALL
+    SELECT 'low' AS bucket, o_totalprice FROM orders WHERE o_totalprice < 50000
+) t
+GROUP BY bucket
+""",
+    doc="U1 UNION ALL chain (curated/exchange_rates.sql:12-28).",
+)
+def q_union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") >= 200000).select(
+        F.lit("high").alias("bucket"), "o_totalprice"
+    )
+    low = o.filter(F.col("o_totalprice") < 50000).select(
+        F.lit("low").alias("bucket"), "o_totalprice"
+    )
+    return (
+        high.unionAll(low)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            sum_usd_cents(F.col("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@register(
+    "custkey_set_ops",
+    oracle="""
+SELECT 'both' AS which, COUNT(*) AS n FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) t
+UNION ALL
+SELECT 'f_only' AS which, COUNT(*) AS n FROM (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+) t
+""",
+    doc="INTERSECT / EXCEPT set operations (extension; SURVEY.md §2.7 "
+    "'not present' list).",
+)
+def q_custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f_keys.intersect(o_keys).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("which"), "n"
+    )
+    f_only = (
+        f_keys.subtract(o_keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("f_only").alias("which"), "n")
+    )
+    return both.unionAll(f_only)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(quarter(o_orderdate) AS VARCHAR) AS order_quarter,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       monthname(CAST(o_orderdate AS DATE)) AS order_month_name,
+       CAST(isodow(o_orderdate) AS INT) AS order_dow,
+       dayname(CAST(o_orderdate AS DATE)) AS order_dow_name,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS age_days,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start
+FROM orders
+""",
+    doc="§2.8 date/time scalar-function table: EXTRACT/FORMAT_DATE/"
+    "DATE_ADD/DATE_DIFF equivalents (curated/calendar.sql:5-20, "
+    "curated/invoices.sql:39-46).",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.to_date("o_orderdate")
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.quarter(d).cast("string").alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.date_format(d, "MMMM").alias("order_month_name"),
+        (F.weekday(d) + 1).alias("order_dow"),
+        F.date_format(d, "EEEE").alias("order_dow_name"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("age_days"),
+        F.trunc(d, "month").alias("order_month_start"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       COUNT(json_extract_string(props, '$.missing')) AS n_missing_key
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+""",
+    doc="JSON_EXTRACT_SCALAR on schema-on-read documents "
+    "(curated/invoice_line_items.sql:40-61) + P5 null semantics for "
+    "absent paths.",
+)
+def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        read_table(spark, sf_dir, "events")
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.get_json_object("props", "$.missing")).alias("n_missing_key"),
+        )
+    )
+
+
+@register(
+    "conditional_functions",
+    oracle="""
+SELECT CASE WHEN p_retailprice >= 1500 THEN 'premium'
+            WHEN p_retailprice >= 1000 THEN 'standard'
+            ELSE 'budget' END AS tier,
+       COUNT(*) AS n,
+       COUNT(NULLIF(p_size, 1)) AS n_size_not_1,
+       COALESCE(NULL, 'x') AS coalesced
+FROM part
+GROUP BY CASE WHEN p_retailprice >= 1500 THEN 'premium'
+              WHEN p_retailprice >= 1000 THEN 'standard'
+              ELSE 'budget' END
+""",
+    doc="CASE WHEN / IF / COALESCE / NULLIF conditional family "
+    "(curated/invoice_line_items.sql:102-113, calendar.sql:15,17).",
+)
+def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tier = (
+        F.when(F.col("p_retailprice") >= 1500, "premium")
+        .when(F.col("p_retailprice") >= 1000, "standard")
+        .otherwise("budget")
+    )
+    return (
+        read_table(spark, sf_dir, "part")
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.nullif(F.col("p_size"), F.lit(1))).alias("n_size_not_1"),
+            F.first(F.coalesce(F.lit(None), F.lit("x"))).alias("coalesced"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation (extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_qty_by_status",
+    oracle=f"""
+SELECT l_returnflag,
+       {sum_usd_cents_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O,
+       {sum_usd_cents_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="PIVOT (conditional aggregation; extension).",
+)
+def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(sum_usd_cents(F.col("l_quantity")))
+    )
+
+
+@register(
+    "cube_counts",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE grouping sets (extension; SURVEY.md §2.4 'not present' list).",
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

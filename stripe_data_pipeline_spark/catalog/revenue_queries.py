@@ -1,0 +1,206 @@
+"""Flagship revenue-recognition queries (SURVEY.md §2.9 + §3.3).
+
+The four analyst entry points from the reference README
+(/root/reference/README.md:174-213) plus the curated models they
+read, mapped onto the driver's TPC-H-ish tables (FIXTURES.md §B).
+
+Money sums go through integer cents (functions.money) so results are
+order-independent and hash-match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.functions.money import sum_usd_cents, sum_usd_cents_sql
+from stripe_data_pipeline_spark.models.calendar import calendar, calendar_sql
+from stripe_data_pipeline_spark.models.exchange_rates import exchange_rates
+from stripe_data_pipeline_spark.models.line_items import (
+    LINE_ITEMS_SQL,
+    curated_line_items,
+)
+from stripe_data_pipeline_spark.models.revenue import (
+    DAILY_FACTS_SQL,
+    daily_revenue_facts,
+    with_usd_amounts,
+)
+
+AS_OF = dt.date(1998, 6, 1)  # pinned analyst as-of date (mid data range)
+
+_DEF = sum_usd_cents_sql("deferred_revenue_usd")
+_REC = sum_usd_cents_sql("recognized_revenue_usd")
+
+
+def facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = curated_line_items(spark, sf_dir)
+    usd = with_usd_amounts(li, exchange_rates(spark))
+    return daily_revenue_facts(usd)
+
+
+@register(
+    "curated_line_items",
+    oracle=f"SELECT * FROM ({LINE_ITEMS_SQL}) t",
+    doc="P2 rename-and-cast projection + A5 tax extraction + period_end "
+    "fallback (curated/invoice_line_items.sql:36-118).",
+)
+def q_curated_line_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curated_line_items(spark, sf_dir)
+
+
+@register(
+    "calendar_dim",
+    oracle=calendar_sql(),
+    doc="S11 date spine + W1/W2 partition windows + P7 IN-list flag "
+    "(curated/calendar.sql:5-20).",
+)
+def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return calendar(spark)
+
+
+@register(
+    "revenue_trend_daily",
+    oracle=DAILY_FACTS_SQL
+    + f"""
+SELECT as_of_date,
+       {_DEF} AS deferred_usd,
+       {_REC} AS recognized_usd,
+       COUNT(*) AS n_line_items
+FROM facts
+GROUP BY as_of_date
+ORDER BY as_of_date
+""",
+    doc="Flagship §2.9: per-day deferred/recognized totals — analyst "
+    "query #3 'trend over time' (README.md:196-203). J3 via "
+    "sequence+explode, J1 broadcast FX, A3 grouped sums.",
+)
+def q_revenue_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        facts(spark, sf_dir)
+        .groupBy("as_of_date")
+        .agg(
+            sum_usd_cents(F.col("deferred_revenue_usd")).alias("deferred_usd"),
+            sum_usd_cents(F.col("recognized_revenue_usd")).alias("recognized_usd"),
+            F.count(F.lit(1)).alias("n_line_items"),
+        )
+        .orderBy("as_of_date")
+    )
+
+
+@register(
+    "deferred_total_asof",
+    oracle=DAILY_FACTS_SQL
+    + f"""
+SELECT {_DEF} AS deferred_usd,
+       {_REC} AS recognized_usd,
+       COUNT(*) AS n_line_items
+FROM facts
+WHERE as_of_date = DATE '{AS_OF}'
+""",
+    doc="Analyst query #1 (README.md:178-182): total deferred revenue "
+    "as of a pinned date. P8 partition-pruning filter + A2 ungrouped sum.",
+)
+def q_deferred_total_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        facts(spark, sf_dir)
+        .filter(F.col("as_of_date") == F.lit(AS_OF))
+        .agg(
+            sum_usd_cents(F.col("deferred_revenue_usd")).alias("deferred_usd"),
+            sum_usd_cents(F.col("recognized_revenue_usd")).alias("recognized_usd"),
+            F.count(F.lit(1)).alias("n_line_items"),
+        )
+    )
+
+
+@register(
+    "deferred_by_customer_asof",
+    oracle=DAILY_FACTS_SQL
+    + f"""
+SELECT customer_id,
+       {_DEF} AS deferred_usd,
+       COUNT(*) AS n_line_items
+FROM facts
+WHERE as_of_date = DATE '{AS_OF}'
+GROUP BY customer_id
+ORDER BY deferred_usd DESC, customer_id
+LIMIT 10
+""",
+    doc="Analyst query #2 (README.md:185-193): deferred by customer, "
+    "top-10. A3 grouped sum + O1 deterministic order + limit.",
+)
+def q_deferred_by_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        facts(spark, sf_dir)
+        .filter(F.col("as_of_date") == F.lit(AS_OF))
+        .groupBy("customer_id")
+        .agg(
+            sum_usd_cents(F.col("deferred_revenue_usd")).alias("deferred_usd"),
+            F.count(F.lit(1)).alias("n_line_items"),
+        )
+        .orderBy(F.desc("deferred_usd"), "customer_id")
+        .limit(10)
+    )
+
+
+@register(
+    "recognized_quarter_calendar",
+    oracle=DAILY_FACTS_SQL
+    + f""",
+cal AS ({calendar_sql()})
+SELECT cal.month_of_year,
+       {_REC} AS recognized_usd,
+       COUNT(*) AS n_facts
+FROM facts
+JOIN cal ON facts.as_of_date = cal.date_day
+WHERE cal.year = 1998 AND cal.quarter_of_year = '2'
+GROUP BY cal.month_of_year
+ORDER BY cal.month_of_year
+""",
+    doc="Analyst query #4 (README.md:207-213): recognized revenue for a "
+    "quarter via J5 equi-join to the calendar dim (broadcast).",
+)
+def q_recognized_quarter_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = calendar(spark).filter(
+        (F.col("year") == 1998) & (F.col("quarter_of_year") == "2")
+    )
+    return (
+        facts(spark, sf_dir)
+        .join(F.broadcast(cal), F.col("as_of_date") == cal["date_day"])
+        .groupBy("month_of_year")
+        .agg(
+            sum_usd_cents(F.col("recognized_revenue_usd")).alias("recognized_usd"),
+            F.count(F.lit(1)).alias("n_facts"),
+        )
+        .orderBy("month_of_year")
+    )
+
+
+@register(
+    "missing_period_end_threshold",
+    oracle=f"""
+WITH line_items AS ({LINE_ITEMS_SQL})
+SELECT COUNT(*) AS n_missing,
+       CAST(COUNT(*) * 100.0
+            / (SELECT COUNT(*) FROM line_items) AS DOUBLE) AS missing_pct
+FROM line_items
+WHERE period_end_date IS NULL
+HAVING COUNT(*) * 100.0 / (SELECT COUNT(*) FROM line_items) > 3.0
+""",
+    doc="The reference's data-quality test (dbt/stripe/tests/"
+    "missing_period_end_threshold.sql:1-6): P5 null predicate, A6 "
+    "count+percentage, A7 HAVING on aggregate.",
+)
+def q_missing_period_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = curated_line_items(spark, sf_dir)
+    total = li.count()
+    return (
+        li.filter(F.col("period_end_date").isNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_missing"),
+            (F.count(F.lit(1)) * 100.0 / F.lit(total)).alias("missing_pct"),
+        )
+        .filter(F.col("missing_pct") > 3.0)
+    )

@@ -1,0 +1,90 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Spark-first equivalents of the reference's storage layer:
+
+- S4 JSON external-table scan  -> read_json
+- S5 table scan via ref()      -> read_table (parquet)
+- S3 NDJSON overwrite sink     -> write_ndjson
+- S7 full-refresh table sink   -> write_table
+- S8 partitioned write         -> write_table(partition_by=...)
+- S9 clustered write           -> write_table(cluster_by=...) via
+  sortWithinPartitions (the open-format analogue of BigQuery clustering;
+  ref: /root/reference/dbt/stripe/models/curated/invoices.sql:5-6)
+
+At 100 TB these writers matter more than the readers: date-partitioned
+layout gives partition pruning on every incremental/as-of filter, and
+sort-within-partition on the cluster keys gives parquet row-group
+min/max pruning on customer/subscription point lookups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S5: scan one of the driver-generated parquet tables."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S4: schema-on-read NDJSON scan (external-table equivalent).
+
+    Prefer an explicit schema at scale: schema inference is a full
+    extra pass over 100 TB of JSON.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_ndjson(df: DataFrame, path: str) -> None:
+    """S3: newline-delimited JSON, full overwrite per run.
+
+    Mirrors the reference's GCS drop (extract_stripe_data.py:105-116 —
+    'Big Query expects Newline-delimited JSON!'); the overwrite
+    semantics are the reference's snapshot model (README.md:102-105).
+    """
+    df.write.mode("overwrite").json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str] | None = None,
+    cluster_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S7/S8/S9: full-refresh parquet sink with optional date
+    partitioning and clustering-by-sort."""
+    if cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        df = df.sortWithinPartitions(*cols)
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        writer = writer.partitionBy(*cols)
+    writer.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TESTDATA_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
