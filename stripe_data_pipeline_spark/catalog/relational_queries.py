@@ -441,8 +441,8 @@ def q_top3_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_gaps",
     oracle="""
 SELECT event_id, user_id,
-       CAST(epoch(ts) AS BIGINT)
-         - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS BIGINT)
+       CAST(FLOOR(epoch(ts)) AS BIGINT)
+         - CAST(FLOOR(epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
          AS gap_seconds
 FROM events
 """,

@@ -37,8 +37,19 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S5: scan one of the driver-generated parquet tables."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """S5: scan one of the driver-generated parquet tables.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as nanosecond
+    longs, which we truncate to microseconds — the same truncation a
+    micros-native engine (DuckDB) applies on read.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def read_json(
