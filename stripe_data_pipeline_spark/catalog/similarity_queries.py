@@ -1,1 +1,118 @@
-"""Similarity-search extension queries — populated incrementally."""
+"""Similarity-search queries over the embeddings table (north-star).
+
+The query vector is embeddings[vec_id=0]; Spark resolves it
+driver-side into literal doubles, the oracle reads it via subquery —
+both sides then run the identical left-fold dot-product tree
+(F.aggregate == list_reduce), so cosines are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.io import read_table
+from stripe_data_pipeline_spark.operators import similarity as S
+
+_QID = 0
+
+# dot(e, q) with the same fold shape as F.aggregate(zip_with(...)):
+# ((0 + p1) + p2) + ... — list_reduce starts at p1, and 0.0 + p1 == p1.
+_DOT = """list_reduce(
+    list_transform(generate_series(1, len({a})), i ->
+        CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+    (acc, v) -> acc + v)"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+_COSINE_SCORED = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID}),
+scored AS (
+    SELECT e.vec_id,
+           {_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QID}
+)
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=_COSINE_SCORED
+    + """
+SELECT vec_id, cosine_sim
+FROM scored
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="Brute-force exact cosine top-k (the ANN correctness baseline): "
+    "left-fold dot product via F.aggregate/zip_with, "
+    "TakeOrderedAndProject top-k — no shuffle of the corpus.",
+)
+def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, _QID)
+    return S.cosine_topk(emb, vec, k=10, exclude_id=_QID)
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+WITH exploded AS (
+    SELECT label, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+cents AS (
+    SELECT label, pos,
+           (CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM exploded GROUP BY label, pos
+),
+q AS (
+    SELECT g.i - 1 AS pos, CAST(qv.embedding[g.i] AS DOUBLE) AS qval
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = {_QID}) qv,
+         UNNEST(generate_series(1, len(qv.embedding))) AS g(i)
+),
+scored_labels AS (
+    SELECT c.label,
+           CAST(SUM(CAST(FLOOR(c.c * q.qval * 1e12 + 5e-1) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS dot_cq,
+           CAST(SUM(CAST(FLOOR(c.c * c.c * 1e12 + 5e-1) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS sq_c
+    FROM cents c JOIN q ON c.pos = q.pos
+    GROUP BY c.label
+),
+probe AS (
+    SELECT label FROM scored_labels
+    ORDER BY dot_cq / sqrt(sq_c) DESC, label
+    LIMIT 2
+),
+qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID}),
+scored AS (
+    SELECT e.vec_id,
+           {_dot_sql('e.embedding', 'qq.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('qq.qv', 'qq.qv')})) AS cosine_sim
+    FROM embeddings e, qq
+    WHERE e.vec_id <> {_QID} AND e.label IN (SELECT label FROM probe)
+)
+SELECT vec_id, cosine_sim
+FROM scored
+ORDER BY cosine_sim DESC, vec_id
+LIMIT 10
+""",
+    doc="IVF approximate nearest neighbors: label column as coarse "
+    "quantizer, fixed-point (order-independent) centroid means, probe "
+    "top-2 centroids, brute-force within probed partitions. The 100 TB "
+    "scale path — probes read nprobe/K of the corpus, and partitioning "
+    "by cluster id turns that into file-level pruning.",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, _QID)
+    return S.ivf_topk(emb, vec, k=10, nprobe=2, exclude_id=_QID)

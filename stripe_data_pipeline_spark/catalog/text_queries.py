@@ -1,1 +1,226 @@
-"""Text-analysis and dedup extension queries — populated incrementally."""
+"""Text-analysis and deduplication queries (north-star extensions).
+
+Oracle notes (DuckDB parity): ``length`` counts chars (not
+``strlen``); ``regexp_replace`` needs the 'g' flag; numeric literals
+use e-notation (``5e-1``) because plain decimals are DECIMAL-typed in
+DuckDB and would change the floating-point arithmetic; Spark ``size``
+is INT so DuckDB ``len`` results are cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.io import read_table
+from stripe_data_pipeline_spark.operators import dedup as D
+from stripe_data_pipeline_spark.operators import text as X
+
+_TOKS = "string_split(text, ' ')"
+_STOP_IN = "('the', 'a', 'of', 'and', 'to', 'in')"
+
+
+@register(
+    "doc_text_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS n_tokens,
+       CAST(len(list_distinct({_TOKS})) AS INT) AS n_distinct_tokens,
+       CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS INT) AS total_token_chars,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) AS type_token_ratio,
+       CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio
+FROM documents
+""",
+    doc="Token counting + lexical stats over the documents table "
+    "(north-star text analysis); array higher-order functions, no UDF.",
+)
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "documents")
+    return X.with_text_stats(df).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "total_token_chars",
+        "type_token_ratio",
+        "stopword_ratio",
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle="""
+SELECT lang_pred, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(vowel_ratio * 1e6 + 5e-1) AS BIGINT)) AS DOUBLE) / 1e6
+           AS sum_vowel_ratio
+FROM (
+    SELECT CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) AS vowel_ratio,
+           CASE WHEN CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) >= 36e-2 THEN 'en_like'
+                WHEN CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE) >= 3e-1 THEN 'romance_like'
+                ELSE 'other' END AS lang_pred
+    FROM documents
+) t
+GROUP BY lang_pred
+""",
+    doc="Language-ID heuristic (deterministic vowel-density scorer — "
+    "the stand-in for a char-trigram model) bucketed per class.",
+)
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = X.with_lang_id(read_table(spark, sf_dir, "documents"))
+    return df.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.floor(F.col("vowel_ratio") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("sum_vowel_ratio"),
+    )
+
+
+@register(
+    "doc_regex_tokens",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]+')) AS INT) AS n_regex_tokens
+FROM documents
+""",
+    doc="BPE-ish regex token counting (words + punctuation runs).",
+)
+def q_doc_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = X.with_regex_token_count(read_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "n_regex_tokens")
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+SELECT doc_id, len_score, type_token_ratio, stopword_ratio,
+       len_score * 5e-1 + type_token_ratio * 3e-1 + stop_score * 2e-1 AS quality_score
+FROM (
+    SELECT doc_id,
+           least(CAST(length(text) AS DOUBLE) / 5e2, 1e0) AS len_score,
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS type_token_ratio,
+           CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+               / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+           least(CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+                 / CAST(len({_TOKS}) AS DOUBLE) * 5e0, 1e0) AS stop_score
+    FROM documents
+) t
+""",
+    doc="Composite document-quality score (length/diversity/stopword "
+    "components, fixed weights).",
+)
+def q_doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = X.with_quality_score(read_table(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id", "len_score", "type_token_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       CAST(('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))
+            AS BIGINT) AS fingerprint_prefix
+FROM documents
+""",
+    doc="Document fingerprinting: md5 over normalized text + 60-bit "
+    "numeric prefix for compact sketch joins.",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = X.with_fingerprint(read_table(spark, sf_dir, "documents"))
+    return df.select("doc_id", "fingerprint", "fingerprint_prefix")
+
+
+@register(
+    "dedup_exact_summary",
+    oracle=r"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+           AS n_duplicates
+FROM documents
+""",
+    doc="Exact dedup (hash-groupBy on normalized content key): corpus "
+    "summary counts.",
+)
+def q_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_summary(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_keepers",
+    oracle=r"""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+""",
+    doc="Exact dedup keeper selection: min doc_id per content group "
+    "(the unique-key semantics of the reference's merge sink, "
+    "stg_invoices.sql:2-4, applied to content).",
+)
+def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_keepers(read_table(spark, sf_dir, "documents")).select(
+        "keep_id", "n_copies"
+    )
+
+
+@register(
+    "near_dup_jaccard_pairs",
+    oracle="""
+WITH base AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+           list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           AS jaccard
+FROM base a
+JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+           AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      >= 35e-2
+""",
+    doc="n-gram (token-set) Jaccard near-dup pairs with lang × "
+    "length-bucket blocking — quadratic only within blocks.",
+)
+def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_candidate_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.35
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=None,  # xxhash64 signatures are Spark-native; rows-only check
+    doc="MinHash(16 hashes, 3-token shingles) + LSH(8 bands of 2): "
+    "candidate near-dup pairs from band-bucket collisions. "
+    "xxhash64 is engine-specific, so no cross-engine oracle.",
+)
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(read_table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "simhash_signatures",
+    oracle=None,  # xxhash64-based; rows-only check
+    doc="64-bit SimHash signatures per document (bitwise-majority over "
+    "token hashes; 64 codegen'd conditional sums, no UDF).",
+)
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(read_table(spark, sf_dir, "documents"))

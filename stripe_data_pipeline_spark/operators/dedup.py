@@ -1,0 +1,199 @@
+"""Deduplication operators (north-star).
+
+Four escalating strategies, all shuffle-conscious:
+
+- exact:     hash-groupBy on a normalized key. One shuffle on the
+             md5 key; at 100 TB the key is 16 bytes/row, not the text.
+- n-gram Jaccard: candidate pairs via cheap blocking (lang × length
+             bucket), token-set Jaccard verify. The block self-join is
+             quadratic *within a block only* — block keys must keep
+             per-block cardinality bounded (salt large blocks at scale).
+- MinHash + LSH: per-doc signature via xxhash64 over shingles
+             (JVM built-in, no UDF), banded into LSH buckets; only
+             bucket-collisions become candidate pairs — near-linear.
+- SimHash:   64-bit weighted-majority signature; hamming-close pairs
+             are near-dups. Signature is 64 bitwise aggregations over
+             exploded tokens (codegen'd, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+
+def exact_dedup_keepers(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the minimum id per normalized-text group.
+
+    Returns (keep_id, n_copies). Equivalent semantics to the merge
+    sink's unique-key dedup (stg_invoices.sql:2-4) applied to content.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text()).alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_summary(df: DataFrame) -> DataFrame:
+    return df.select(F.md5(normalized_text()).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("k").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("k")).alias("n_duplicates"),
+    )
+
+
+def _block_key() -> list[Column]:
+    # lang × 100-char length bucket: cheap, high-recall blocking
+    return [F.col("lang"), F.floor(F.col("n_chars") / 100).alias("len_bucket")]
+
+
+def jaccard_candidate_pairs(
+    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Blocked token-set Jaccard near-dup pairs.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) on distinct token sets,
+    computed with array built-ins (JVM) after a block-key self-join.
+    """
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    base = df.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+        toks.alias("toks"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """k-token shingles as strings (for MinHash)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: min over shingles of
+    xxhash64(seed, shingle) for each of ``num_hashes`` seeds.
+
+    xxhash64 is a Spark built-in (JVM, codegen) — the whole signature
+    computation is one projection, no shuffle, no Python.
+    """
+    sh = shingles(k=k).alias("shingles")
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the MinHash signature
+    become candidate pairs. Returns (doc_a, doc_b, n_shared_bands).
+
+    Scale shape: explode to (band_key, doc) — one shuffle on band_key;
+    bucket self-join is quadratic only within identical-band buckets.
+    """
+    sigs = minhash_signatures(df, id_col, num_hashes, k)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over tokens: bit i of the signature is the sign
+    of sum over tokens of (+1 if bit i of xxhash64(token) else -1).
+
+    Computed as 64 conditional-sum aggregations over exploded tokens —
+    all JVM, one shuffle on doc id.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))

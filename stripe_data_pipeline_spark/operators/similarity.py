@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (north-star).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  O(N·d) per query with no shuffle (TakeOrderedAndProject keeps only
+  k rows per partition); right answer at any scale, linear cost.
+- ``ivf_topk``: inverted-file ANN — partition the corpus by a cluster
+  id (here the ``label`` column stands in for a trained coarse
+  quantizer), rank centroids against the query, probe only the best
+  ``nprobe`` partitions. At 100 TB this is the scale path: the probe
+  reads ``nprobe/K`` of the data, and with the corpus bucketed/
+  partitioned by cluster id the scan prunes to those files only.
+
+Determinism: dot products fold left-to-right via ``F.aggregate``
+(matching DuckDB ``list_reduce``); centroid components aggregate
+scaled integers so grouped sums are order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1e9  # centroid fixed-point scale
+PROD_SCALE = 1e12  # centroid-dot fixed-point scale
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product: ((0 + a1*b1) + a2*b2) + ... — the same
+    association order as the oracle's list_reduce."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def query_vector(df: DataFrame, vec_id: int) -> list[float]:
+    """Resolve a query vector driver-side (tiny, one row)."""
+    row = df.filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)).cast("double") for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame, vec: list[float], k: int = 10, exclude_id: int | None = None
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector."""
+    q = _lit_vec(vec)
+    emb = _as_double(F.col("embedding"))
+    cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+    out = df.select(F.col("vec_id"), cos.alias("cosine_sim"))
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
+
+
+def centroids(df: DataFrame) -> DataFrame:
+    """Per-label centroids via order-independent fixed-point sums.
+
+    posexplode -> groupBy(label, pos) -> scaled-integer mean. Output:
+    (label, pos, c) with c the centroid component as double.
+    """
+    exploded = df.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (
+            (
+                F.sum(F.floor(F.col("v") * F.lit(SCALE) + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.lit(SCALE)
+        ).alias("c")
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF ANN: rank label-centroids by cosine to the query (via
+    order-independent fixed-point dot), probe the top ``nprobe``
+    labels, brute-force within them."""
+    cents = centroids(df)
+    qcomp = [(i + 1 - 1, float(v)) for i, v in enumerate(vec)]  # 0-based pos
+    # centroid · query and ||centroid|| via scaled-int sums (order-free)
+    q_map = F.create_map(
+        *[x for i, v in qcomp for x in (F.lit(i), F.lit(v).cast("double"))]
+    )
+    scored = cents.withColumn("qv", q_map[F.col("pos")]).groupBy("label").agg(
+        (
+            F.sum(
+                F.floor(
+                    F.col("c") * F.col("qv") * F.lit(PROD_SCALE) + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(PROD_SCALE)
+        ).alias("dot_cq"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("c") * F.col("c") * F.lit(PROD_SCALE) + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(PROD_SCALE)
+        ).alias("sq_c"),
+    )
+    scored = scored.withColumn(
+        "centroid_score", F.col("dot_cq") / F.sqrt(F.col("sq_c"))
+    )
+    probe_labels = [
+        r["label"]
+        for r in scored.orderBy(F.desc("centroid_score"), "label")
+        .limit(nprobe)
+        .collect()
+    ]
+    return cosine_topk(
+        df.filter(F.col("label").isin(probe_labels)), vec, k, exclude_id
+    )
