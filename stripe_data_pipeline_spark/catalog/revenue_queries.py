@@ -26,6 +26,7 @@ from stripe_data_pipeline_spark.models.line_items import (
 from stripe_data_pipeline_spark.models.revenue import (
     DAILY_FACTS_SQL,
     daily_revenue_facts,
+    revenue_asof,
     with_usd_amounts,
 )
 
@@ -39,6 +40,14 @@ def facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = curated_line_items(spark, sf_dir)
     usd = with_usd_amounts(li, exchange_rates(spark))
     return daily_revenue_facts(usd)
+
+
+def asof_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-day facts via the closed-form plan (no per-day explode) —
+    identical values to facts().filter(as_of_date = AS_OF)."""
+    li = curated_line_items(spark, sf_dir)
+    usd = with_usd_amounts(li, exchange_rates(spark))
+    return revenue_asof(usd, AS_OF)
 
 
 @register(
@@ -101,12 +110,13 @@ FROM facts
 WHERE as_of_date = DATE '{AS_OF}'
 """,
     doc="Analyst query #1 (README.md:178-182): total deferred revenue "
-    "as of a pinned date. P8 partition-pruning filter + A2 ungrouped sum.",
+    "as of a pinned date. P8 filter + A2 ungrouped sum; executed "
+    "closed-form (no explode) — the oracle defines semantics over the "
+    "facts view, the Spark plan computes the same values linearly.",
 )
 def q_deferred_total_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        facts(spark, sf_dir)
-        .filter(F.col("as_of_date") == F.lit(AS_OF))
+        asof_facts(spark, sf_dir)
         .agg(
             sum_usd_cents(F.col("deferred_revenue_usd")).alias("deferred_usd"),
             sum_usd_cents(F.col("recognized_revenue_usd")).alias("recognized_usd"),
@@ -129,12 +139,12 @@ ORDER BY deferred_usd DESC, customer_id
 LIMIT 10
 """,
     doc="Analyst query #2 (README.md:185-193): deferred by customer, "
-    "top-10. A3 grouped sum + O1 deterministic order + limit.",
+    "top-10. A3 grouped sum + O1 deterministic order + limit; "
+    "closed-form as-of plan.",
 )
 def q_deferred_by_customer_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        facts(spark, sf_dir)
-        .filter(F.col("as_of_date") == F.lit(AS_OF))
+        asof_facts(spark, sf_dir)
         .groupBy("customer_id")
         .agg(
             sum_usd_cents(F.col("deferred_revenue_usd")).alias("deferred_usd"),

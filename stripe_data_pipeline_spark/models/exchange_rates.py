@@ -35,10 +35,18 @@ DEFAULT_RATE_DATE = dt.date(2024, 1, 1)
 def exchange_rates(
     spark: SparkSession, rate_date: dt.date = DEFAULT_RATE_DATE
 ) -> DataFrame:
-    rows = [(f, t, r, rate_date) for f, t, r in RATES]
-    return spark.createDataFrame(
-        rows,
-        "from_currency string, to_currency string, exchange_rate double, rate_date date",
+    """Built with a SQL VALUES literal, not ``createDataFrame(rows)``:
+    Python-object rows become a ``Scan ExistingRDD`` that drags Python
+    workers into every downstream query, while VALUES folds to a
+    JVM-side LocalRelation that broadcasts for free."""
+    rows = ", ".join(
+        f"('{f}', '{t}', CAST({r!r} AS DOUBLE), DATE '{rate_date}')"
+        for f, t, r in RATES
+    )
+    return spark.sql(
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS fx(from_currency, to_currency, exchange_rate, rate_date)"
     )
 
 

@@ -100,6 +100,39 @@ def daily_revenue_facts(usd_line_items: DataFrame) -> DataFrame:
     )
 
 
+def revenue_asof(usd_line_items: DataFrame, as_of) -> DataFrame:
+    """Closed-form deferred/recognized at a single as-of date — no
+    per-day explode at all.
+
+    The facts table filtered to ``as_of_date = D`` contains exactly
+    the line items whose day domain covers D, each valued by the same
+    CASE expressions — so computing those expressions directly on the
+    line items is semantically identical and linear in line items
+    (SURVEY.md §7 'prefer on-demand computation at 100 TB': the
+    explode-then-filter plan materializes period_days× more rows only
+    to discard all but one day).
+    """
+    df = with_daily_rate(usd_line_items)
+    d = F.lit(as_of)
+    s, e = F.col("period_start_date"), F.col("period_end_date_inferred")
+    m = F.col("amount_without_tax_usd")
+    daily = F.col("daily_revenue_usd")
+    df = df.filter((s <= d) & (d <= e))
+    deferred = (
+        F.when(d < s, m).when(d >= e, F.lit(0.0)).otherwise(daily * F.datediff(e, d))
+    )
+    recognized = (
+        F.when(d < s, F.lit(0.0)).when(d >= e, m).otherwise(daily * F.datediff(d, s))
+    )
+    return df.withColumns(
+        {
+            "as_of_date": d,
+            "deferred_revenue_usd": deferred,
+            "recognized_revenue_usd": recognized,
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle renderings (same arithmetic, same expression trees).
 # ---------------------------------------------------------------------------
