@@ -192,14 +192,14 @@ JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
            AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      >= 35e-2
+      >= 8e-1
 """,
     doc="n-gram (token-set) Jaccard near-dup pairs with lang × "
     "length-bucket blocking — quadratic only within blocks.",
 )
 def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_candidate_pairs(
-        read_table(spark, sf_dir, "documents"), threshold=0.35
+        read_table(spark, sf_dir, "documents"), threshold=0.8
     )
 
 

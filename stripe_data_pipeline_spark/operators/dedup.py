@@ -56,12 +56,18 @@ def _block_key() -> list[Column]:
 
 
 def jaccard_candidate_pairs(
-    df: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+    df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
 ) -> DataFrame:
     """Blocked token-set Jaccard near-dup pairs.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) on distinct token sets,
     computed with array built-ins (JVM) after a block-key self-join.
+
+    Plan shape matters: the intersection size is projected ONCE into
+    scalar columns (i, s) and jaccard derived from those — writing the
+    full jaccard expression into the post-join filter lets Catalyst
+    push it into the join condition where the array_intersect gets
+    re-evaluated (interpreted) several times per candidate pair.
     """
     toks = F.array_distinct(F.split(F.col("text"), " "))
     base = df.select(
@@ -79,14 +85,19 @@ def jaccard_candidate_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    stats = pairs.select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        inter.alias("i"),
+        (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).alias("s"),
+    )
     return (
-        pairs.select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        stats.withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("s") - F.col("i")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -123,14 +134,20 @@ def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    band_size: int = 2,
+    band_size: int = 4,
     k: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the MinHash signature
     become candidate pairs. Returns (doc_a, doc_b, n_shared_bands).
 
     Scale shape: explode to (band_key, doc) — one shuffle on band_key;
     bucket self-join is quadratic only within identical-band buckets.
+    Buckets larger than ``max_bucket`` are dropped (degenerate-bucket
+    guard: a band key shared by thousands of docs adds quadratic work
+    while contributing near-zero dedup information — the standard LSH
+    hot-bucket cap; band_size trades the same way: wider bands = fewer
+    false collisions on high-self-similarity corpora).
     """
     sigs = minhash_signatures(df, id_col, num_hashes, k)
     n_bands = num_hashes // band_size
@@ -154,6 +171,16 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bucket_sizes = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    # no broadcast hint: bucket_sizes is one row per distinct bucket —
+    # small here, but at corpus scale AQE should pick the strategy.
+    bands = bands.join(
+        bucket_sizes.filter(F.col("bucket_n") <= max_bucket),
+        ["band", "key"],
+        "inner",
+    ).drop("bucket_n")
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -1,0 +1,132 @@
+"""Extension-operator unit tests: dedup family, text analysis,
+similarity, multimodal plumbing — on planted fixtures with known
+answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.operators import dedup as D
+from stripe_data_pipeline_spark.operators import multimodal as M
+from stripe_data_pipeline_spark.operators import similarity as S
+from stripe_data_pipeline_spark.operators import text as X
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different content with no overlap whatsoever here friend"
+
+
+def docs_fixture(spark):
+    rows = [
+        (1, BASE, "en", "s", len(BASE)),
+        (2, BASE, "en", "s", len(BASE)),  # exact dup of 1
+        (3, NEAR, "en", "s", len(NEAR)),  # near dup of 1
+        (4, OTHER, "en", "s", len(OTHER)),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup_keepers(docs_fixture(spark)).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups == {1: 2, 3: 1, 4: 1}
+    summary = D.exact_dedup_summary(docs_fixture(spark)).first()
+    assert (summary["n_docs"], summary["n_unique"], summary["n_duplicates"]) == (4, 3, 1)
+
+
+def test_jaccard_pairs_find_near_dup(spark):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_candidate_pairs(docs_fixture(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates(docs_fixture(spark)).collect()
+    }
+    assert (1, 2) in cands  # identical docs share every band
+    assert (1, 3) in cands  # near-dup shares most shingles
+    assert (1, 4) not in cands and (2, 4) not in cands and (3, 4) not in cands
+
+
+def test_simhash_similarity_orders_hamming(spark):
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signatures(docs_fixture(spark)).collect()
+    }
+    assert sigs[1] == sigs[2]
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+
+
+def test_text_stats(spark):
+    row = (
+        X.with_text_stats(docs_fixture(spark)).filter(F.col("doc_id") == 1).first()
+    )
+    assert row["n_tokens"] == 13
+    assert row["n_distinct_tokens"] == 11  # 'the' and 'again' repeat
+    assert row["stopword_ratio"] == pytest.approx(3 / 13)  # 'the' x2 + 'and'
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in X.with_fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_cosine_topk_ranks_identical_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),  # identical direction
+        (2, [0.9, 0.1, 0.0], 0),  # close
+        (3, [0.0, 1.0, 0.0], 1),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    vec = S.query_vector(emb, 0)
+    out = S.cosine_topk(emb, vec, k=3, exclude_id=0).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_ivf_probes_right_cluster(spark, sf_dir):
+    from stripe_data_pipeline_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, 0)
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, vec, 10, exclude_id=0).collect()]
+    approx = [r["vec_id"] for r in S.ivf_topk(emb, vec, 10, nprobe=2, exclude_id=0).collect()]
+    # ANN recall: the probed partitions must contain a decent share of
+    # the true top-10 (label clusters are only a weak quantizer).
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = docs_fixture(spark)
+    media = M.documents_as_media(docs)
+    assert [(f.name, f.dataType) for f in media.schema.fields] == [
+        (f.name, f.dataType) for f in M.MEDIA_SCHEMA.fields
+    ]
+    a = {r["doc_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    b = {r["doc_id"]: r["feature"] for r in M.extract_features(media).collect()}
+    assert a == b
+    assert all(len(v) == M.FEATURE_DIM for v in a.values())
+    assert a[1] == a[2]  # same payload -> same features
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"bytes", fake=False)
