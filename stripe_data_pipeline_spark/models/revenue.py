@@ -67,19 +67,29 @@ def with_daily_rate(df: DataFrame) -> DataFrame:
     )
 
 
-def daily_revenue_facts(usd_line_items: DataFrame) -> DataFrame:
+def daily_revenue_facts(
+    usd_line_items: DataFrame, domain_start_col: str | None = None
+) -> DataFrame:
     """Explode each line item into one row per as_of day and compute the
     deferred/recognized split (deferred_revenue.sql:74-123).
 
-    invoice_created_date == period_start_date in the testdata mapping,
-    so the day domain [created, period_end] (J3, closed interval) is
-    [start, end_inferred].
+    The day domain is [domain_start, period_end_inferred] (J3, closed
+    interval) with domain_start = invoice_created_date in the reference
+    (:118-122). ``domain_start_col`` defaults to period_start_date —
+    correct for the TPC-H mapping where created == start; the Stripe
+    pipeline passes "invoice_created_date".
     """
+    domain_start_col = domain_start_col or "period_start_date"
     df = with_daily_rate(usd_line_items)
     # J3 rewritten: sequence+explode instead of calendar cross-join.
     df = df.withColumn(
         "as_of_date",
-        F.explode(F.sequence("period_start_date", "period_end_date_inferred")),
+        F.explode(
+            F.sequence(
+                F.least(F.col(domain_start_col), F.col("period_end_date_inferred")),
+                F.col("period_end_date_inferred"),
+            )
+        ),
     )
 
     s, e = F.col("period_start_date"), F.col("period_end_date_inferred")

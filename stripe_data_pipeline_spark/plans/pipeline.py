@@ -1,0 +1,147 @@
+"""End-to-end pipeline runner: raw NDJSON -> staging -> curated ->
+marts (the Spark analogue of the reference's two DAGs, SURVEY.md §3.2).
+
+Topology (stripe_update_dag.py:7-42 is a linear Bash-dbt chain; ours
+is plain topological Python over model functions):
+
+    raw invoices.json ──> stg_invoices ──> invoices
+                                      └──> invoice_line_items ──┐
+    exchange_rates (literal dim) ───────────────────────────────┤
+                                                                ├──> deferred/recognized facts
+    calendar (generated dim) ───────────────────────────────────┘
+
+Every layer lands via the idempotent merge sink (incremental.py), so
+re-running the pipeline over the same drop is a no-op — the
+reference's core guarantee (README.md:93-129).
+
+Determinism: ``as_of`` and ``loaded_at`` are explicit parameters
+everywhere the reference calls CURRENT_DATE/CURRENT_TIMESTAMP
+(SURVEY.md §7 risk list).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.incremental import merge_upsert
+from stripe_data_pipeline_spark.models.exchange_rates import exchange_rates
+from stripe_data_pipeline_spark.models.invoice_line_items import (
+    curated_invoice_line_items,
+)
+from stripe_data_pipeline_spark.models.invoices import curated_invoices
+from stripe_data_pipeline_spark.models.revenue import (
+    daily_revenue_facts,
+    with_usd_amounts,
+)
+from stripe_data_pipeline_spark.models.staging import stage
+from stripe_data_pipeline_spark.sources.stripe_schema import (
+    EVENT_SCHEMA,
+    INVOICE_SCHEMA,
+    SUBSCRIPTION_SCHEMA,
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_dir: str,
+    warehouse_dir: str,
+    loaded_at: dt.datetime | None = None,
+) -> dict[str, DataFrame]:
+    """One scheduled run (the '30 1 * * *' tick): drain the raw drop
+    through every layer; returns the materialized tables."""
+    loaded_at = loaded_at or dt.datetime(2024, 6, 1)
+    w = lambda name: os.path.join(warehouse_dir, name)  # noqa: E731
+
+    # --- staging (P1 + S6 merge on id, partitioned by created_at_date)
+    raw_inv = spark.read.schema(INVOICE_SCHEMA).json(
+        os.path.join(raw_dir, "invoices.json")
+    )
+    merge_upsert(
+        spark,
+        w("stg_invoices"),
+        stage(raw_inv).dropDuplicates(["id"]),
+        keys=["id"],
+        partition_by="created_at_date",
+    )
+    raw_sub = spark.read.schema(SUBSCRIPTION_SCHEMA).json(
+        os.path.join(raw_dir, "subscriptions.json")
+    )
+    merge_upsert(
+        spark, w("stg_subscriptions"), stage(raw_sub).dropDuplicates(["id"]), keys=["id"]
+    )
+    raw_upd = spark.read.schema(EVENT_SCHEMA).json(
+        os.path.join(raw_dir, "subscription_updates.json")
+    )
+    merge_upsert(
+        spark,
+        w("stg_subscription_updates"),
+        stage(raw_upd).dropDuplicates(["id"]),
+        keys=["id"],
+    )
+
+    # --- curated
+    stg_inv = spark.read.parquet(w("stg_invoices"))
+    invoices = curated_invoices(stg_inv, loaded_at)
+    merge_upsert(
+        spark,
+        w("invoices"),
+        invoices,
+        keys=["invoice_id"],
+        partition_by="created_at_date",
+    )
+    line_items = curated_invoice_line_items(stg_inv, loaded_at)
+    merge_upsert(
+        spark,
+        w("invoice_line_items"),
+        line_items,
+        keys=["line_item_id"],
+        partition_by="invoice_created_date",
+    )
+
+    # --- marts: deferred/recognized daily facts
+    li = spark.read.parquet(w("invoice_line_items"))
+    usd = with_usd_amounts(li, exchange_rates(spark))
+    facts = daily_revenue_facts(usd, domain_start_col="invoice_created_date").withColumn(
+        "_loaded_at", F.lit(loaded_at)
+    )
+    out_cols = [
+        "line_item_id",
+        "invoice_id",
+        "customer_id",
+        "subscription_id",
+        "as_of_date",
+        "currency",
+        "amount_without_tax",
+        "amount_without_tax_usd",
+        "period_start_date",
+        "period_end_date_inferred",
+        "service_period_days",
+        "daily_revenue_usd",
+        "deferred_revenue_usd",
+        "recognized_revenue_usd",
+        "invoice_created_date",
+        "_loaded_at",
+    ]
+    merge_upsert(
+        spark,
+        w("deferred_revenue"),
+        facts.select(*out_cols),
+        keys=["line_item_id", "as_of_date"],  # deferred_revenue.sql:3
+        partition_by="as_of_date",
+    )
+
+    return {
+        name: spark.read.parquet(w(name))
+        for name in (
+            "stg_invoices",
+            "stg_subscriptions",
+            "stg_subscription_updates",
+            "invoices",
+            "invoice_line_items",
+            "deferred_revenue",
+        )
+    }

@@ -1,0 +1,100 @@
+"""End-to-end pipeline test on the Stripe-shaped fixture: raw nested
+NDJSON through staging -> curated -> marts, idempotency included
+(SURVEY.md §5 items 2-3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.plans.pipeline import run_pipeline
+from stripe_data_pipeline_spark.sources.fixtures import write_fixture
+
+LOADED_AT = dt.datetime(2024, 6, 1)
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    raw = str(tmp_path_factory.mktemp("raw"))
+    wh = str(tmp_path_factory.mktemp("wh"))
+    write_fixture(raw, n_invoices=40)
+    tables = run_pipeline(spark, raw, wh, LOADED_AT)
+    return raw, wh, tables
+
+
+def _snapshot(tables):
+    return {
+        name: sorted(map(repr, df.collect())) for name, df in tables.items()
+    }
+
+
+def test_staging_dedups_redelivery(warehouse):
+    _, _, t = warehouse
+    stg = t["stg_invoices"]
+    assert stg.count() == 40  # duplicates in the drop collapsed by id
+    assert stg.filter(F.col("created_at_date").isNull()).count() == 0
+
+
+def test_curated_invoices_shape(warehouse):
+    _, _, t = warehouse
+    inv = t["invoices"]
+    assert inv.count() == 40
+    row = inv.filter(F.col("invoice_id") == "in_1").first()
+    assert row["customer_id"] == "cus_1"
+    assert row["amount_due"] == row["total"]
+    # money became double dollars (cents/100)
+    assert isinstance(row["total"], float)
+
+
+def test_line_items_explode_and_tax(warehouse):
+    _, _, t = warehouse
+    li = t["invoice_line_items"]
+    # only paid invoices (P3), exploded per line
+    assert li.select("invoice_id").distinct().count() == li.filter(
+        F.col("invoice_status") == "paid"
+    ).select("invoice_id").distinct().count()
+    # multi-line invoice fan-out: in_2 is paid and has 3 lines
+    assert li.filter(F.col("invoice_id") == "in_2").count() == 3
+    # A4/A5: inclusive tax line
+    row = li.filter(F.col("line_item_id") == "il_1_0").first()
+    assert row["tax_behavior"] == "inclusive"
+    assert row["is_tax_inclusive"] is True
+    assert row["tax_amount"] == pytest.approx(2.0)  # 200 cents
+    # missing period end -> inferred start+1 (invoice_line_items.sql:102-116)
+    missing = li.filter(F.col("is_missing_period_end")).first()
+    assert missing is not None
+    assert (
+        missing["period_end_date_inferred"]
+        == missing["period_start_date"] + dt.timedelta(days=1)
+    )
+
+
+def test_marts_deferred_facts(warehouse):
+    _, _, t = warehouse
+    facts = t["deferred_revenue"]
+    assert facts.count() > 0
+    # composite key is unique (deferred_revenue.sql:3)
+    assert (
+        facts.groupBy("line_item_id", "as_of_date").count().filter("count > 1").count()
+        == 0
+    )
+    # conservation: deferred + recognized == amount on every day
+    bad = facts.filter(
+        F.abs(
+            F.col("deferred_revenue_usd")
+            + F.col("recognized_revenue_usd")
+            - F.col("amount_without_tax_usd")
+        )
+        > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_pipeline_idempotent(spark, warehouse):
+    raw, wh, tables = warehouse
+    before = _snapshot(tables)
+    tables2 = run_pipeline(spark, raw, wh, LOADED_AT)  # rerun, same drop
+    after = _snapshot(tables2)
+    assert before == after
