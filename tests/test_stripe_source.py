@@ -1,0 +1,77 @@
+"""Stripe connector (S1) tests: Python Data Source registration,
+time-window partitioning, pagination, downstream from_json parse."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.sources.fixtures import DAY, EPOCH_2024
+from stripe_data_pipeline_spark.sources.stripe_schema import INVOICE_SCHEMA
+from stripe_data_pipeline_spark.sources.stripe_source import (
+    StripeDataSource,
+    StripeReader,
+    TimeWindowPartition,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def register(spark):
+    spark.dataSource.register(StripeDataSource)
+
+
+def test_full_fetch_roundtrip(spark):
+    df = (
+        spark.read.format("stripe")
+        .option("endpoint", "invoices")
+        .option("fake_items", "50")
+        .load()
+    )
+    assert df.columns == ["id", "created", "payload"]
+    assert df.count() == 50
+    parsed = df.select(F.from_json("payload", INVOICE_SCHEMA).alias("doc"))
+    lines = parsed.select(F.explode("doc.lines.data").alias("li"))
+    assert lines.count() > 50  # multi-line fan-out survived the wire
+
+
+def test_time_window_partitions_cover_range():
+    r = StripeReader(
+        {
+            "created_gte": str(EPOCH_2024),
+            "created_lt": str(EPOCH_2024 + 8 * DAY),
+            "num_partitions": "4",
+        }
+    )
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert parts[0].gte == EPOCH_2024 and parts[-1].lt == EPOCH_2024 + 8 * DAY
+    for a, b in zip(parts, parts[1:]):
+        assert a.lt == b.gte  # no gaps, no overlap
+
+
+def test_windowed_read_equals_full_read(spark):
+    full = (
+        spark.read.format("stripe").option("fake_items", "60").load().collect()
+    )
+    windowed = (
+        spark.read.format("stripe")
+        .option("fake_items", "60")
+        .option("created_gte", str(EPOCH_2024))
+        .option("created_lt", str(EPOCH_2024 + 60 * 3600))
+        .option("num_partitions", "6")
+        .load()
+        .collect()
+    )
+    assert sorted(r["id"] for r in windowed) == sorted(r["id"] for r in full)
+
+
+def test_pagination_is_exhaustive(spark):
+    # page_size smaller than the corpus forces multiple pages per window
+    df = (
+        spark.read.format("stripe")
+        .option("fake_items", "40")
+        .option("page_size", "7")
+        .load()
+    )
+    assert df.count() == 40
+    assert df.select("id").distinct().count() == 40
