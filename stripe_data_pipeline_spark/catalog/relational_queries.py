@@ -55,6 +55,21 @@ def q_orders_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_star_plus",
+    oracle="""
+SELECT *, CAST(o_orderdate AS DATE) AS created_at_date
+FROM orders
+""",
+    doc="P1 star-plus staging projection: SELECT s.*, derived "
+    "partition date (stg_invoices.sql:10-13).",
+)
+def q_orders_star_plus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").withColumn(
+        "created_at_date", F.to_date("o_orderdate")
+    )
+
+
+@register(
     "orders_status_filter",
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
@@ -671,6 +686,108 @@ def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(sum_usd_cents(F.col("l_quantity")))
+    )
+
+
+@register(
+    "events_hourly_windows",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+    doc="Tumbling 1-hour window aggregation — the batch/streaming-"
+    "unified rollup (SURVEY.md §2.10: F.window works identically on "
+    "readStream).",
+)
+def q_events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.streaming.events import windowed_event_counts
+
+    return windowed_event_counts(
+        read_table(spark, sf_dir, "events"), "1 hour"
+    )
+
+
+@register(
+    "events_rolling_hour_count",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id
+                      ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+           AS n_last_hour
+FROM events
+""",
+    doc="RANGE-framed window over event time: per-user count of events "
+    "in the trailing hour (extension; SURVEY.md §2.5 'not present' "
+    "list — ordered range frames).",
+)
+def q_events_rolling_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep = F.unix_timestamp("ts")
+    w = Window.partitionBy("user_id").orderBy(ep).rangeBetween(-3600, 0)
+    return read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )
+
+
+@register(
+    "approx_distinct_parts",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per returnflag — the "
+    "sketch path for count-distinct at 100 TB (exact countDistinct "
+    "is a full shuffle of the distinct keys; HLL is a constant-size "
+    "mergeable sketch).",
+)
+def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+@register(
+    "sql_api_segment_revenue",
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       o.o_orderpriority AS priority,
+       {sum_usd_cents_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+GROUP BY c.c_mktsegment, o.o_orderpriority
+""",
+    doc="SQL-API surface (§3.3): the same Catalyst plans are reachable "
+    "via spark.sql over registered views — this query is textual SQL "
+    "end-to-end (TPC-H Q3-ish shape: dim->fact->fact join chain).",
+)
+def q_sql_api_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               o.o_orderpriority AS priority,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        GROUP BY c.c_mktsegment, o.o_orderpriority
+        """
     )
 
 

@@ -25,7 +25,9 @@ from stripe_data_pipeline_spark.models.line_items import (
 )
 from stripe_data_pipeline_spark.models.revenue import (
     DAILY_FACTS_SQL,
+    USD_LINE_ITEMS_SQL,
     daily_revenue_facts,
+    recognized_daily_facts_halfopen,
     revenue_asof,
     with_usd_amounts,
 )
@@ -185,6 +187,57 @@ def q_recognized_quarter_calendar(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_facts"),
         )
         .orderBy("month_of_year")
+    )
+
+
+@register(
+    "recognized_monthly_halfopen",
+    oracle=USD_LINE_ITEMS_SQL
+    + f""",
+rated AS (
+    SELECT *,
+           CASE WHEN service_period_days > 0
+                THEN amount_without_tax_usd / service_period_days
+                ELSE amount_without_tax_usd END AS daily_revenue_usd
+    FROM usd_line_items
+    WHERE period_end_date_inferred > period_start_date
+),
+rec AS (
+    SELECT r.*, CAST(g.d AS DATE) AS recognition_date,
+           r.daily_revenue_usd
+             * datediff('day', r.period_start_date, CAST(g.d AS DATE))
+             AS recognized_revenue_usd
+    FROM rated r,
+         LATERAL UNNEST(generate_series(r.period_start_date,
+                                        r.period_end_date_inferred - 1,
+                                        INTERVAL 1 DAY)) AS g(d)
+)
+SELECT CAST(year(recognition_date) AS INT) AS rec_year,
+       CAST(month(recognition_date) AS INT) AS rec_month,
+       {_REC} AS recognized_usd,
+       COUNT(*) AS n_facts
+FROM rec
+GROUP BY year(recognition_date), month(recognition_date)
+""",
+    doc="J4 range join, half-open interval [start, end) — the "
+    "recognized_revenue mart's deliberately different day domain "
+    "(recognized_revenue.sql:92-94; the J3/J4 closed-vs-half-open "
+    "asymmetry is a documented reference quirk). sequence+explode "
+    "rewrite with end-1 upper bound.",
+)
+def q_recognized_monthly_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = curated_line_items(spark, sf_dir)
+    usd = with_usd_amounts(li, exchange_rates(spark))
+    rec = recognized_daily_facts_halfopen(usd)
+    return (
+        rec.groupBy(
+            F.year("recognition_date").alias("rec_year"),
+            F.month("recognition_date").alias("rec_month"),
+        )
+        .agg(
+            sum_usd_cents(F.col("recognized_revenue_usd")).alias("recognized_usd"),
+            F.count(F.lit(1)).alias("n_facts"),
+        )
     )
 
 

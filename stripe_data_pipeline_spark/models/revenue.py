@@ -110,6 +110,35 @@ def daily_revenue_facts(
     )
 
 
+def recognized_daily_facts_halfopen(usd_line_items: DataFrame) -> DataFrame:
+    """The recognized_revenue mart's day domain (J4): half-open
+    [period_start, period_end) — note the deliberate asymmetry vs
+    deferred's closed interval (recognized_revenue.sql:92-94 vs
+    deferred_revenue.sql:118-122; SURVEY.md §7 quirk list).
+
+    Zero-length periods produce no recognition days (the reference's
+    range join yields no calendar rows), so they're filtered before
+    the sequence — which also keeps Spark's sequence() from generating
+    a *descending* range when end-1 < start.
+    """
+    df = with_daily_rate(usd_line_items)
+    df = df.filter(F.col("period_end_date_inferred") > F.col("period_start_date"))
+    df = df.withColumn(
+        "recognition_date",
+        F.explode(
+            F.sequence(
+                F.col("period_start_date"),
+                F.date_sub(F.col("period_end_date_inferred"), 1),
+            )
+        ),
+    )
+    s = F.col("period_start_date")
+    d = F.col("recognition_date")
+    return df.withColumn(
+        "recognized_revenue_usd", F.col("daily_revenue_usd") * F.datediff(d, s)
+    )
+
+
 def revenue_asof(usd_line_items: DataFrame, as_of) -> DataFrame:
     """Closed-form deferred/recognized at a single as-of date — no
     per-day explode at all.
