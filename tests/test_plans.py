@@ -1,0 +1,77 @@
+"""Physical-plan audits: the plan *shape* is part of the contract.
+
+Each assertion pins a scale property from ARCHITECTURE.md: filters
+reach the parquet scan, small dims broadcast, calendar expansion never
+becomes a nested-loop join, top-k never global-sorts, and the Python
+boundary stays out of JVM-only pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stripe_data_pipeline_spark.catalog import QUERIES
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "orders_status_filter")
+    assert "PushedFilters: [" in p
+    assert "EqualTo(o_orderstatus,F)" in p
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    p = plan(spark, sf_dir, "top20_orders")
+    # ReadSchema carries only the 3 projected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in p
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = plan(spark, sf_dir, "dim_chain_join")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_flagship_no_nested_loop_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "revenue_trend_daily")
+    assert "BroadcastNestedLoopJoin" not in p  # sequence+explode, not cross join
+    assert "CartesianProduct" not in p
+    assert "Generate explode(sequence" in p  # the linear expansion
+    assert "BroadcastHashJoin" in p  # FX dim
+    assert "Scan ExistingRDD" not in p  # no Python-RDD dims
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "top20_orders")
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p  # no global sort materialized
+
+
+def test_asof_closed_form_has_no_generate(spark, sf_dir):
+    p = plan(spark, sf_dir, "deferred_total_asof")
+    assert "Generate" not in p  # closed-form: no per-day explode
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    p = plan(spark, sf_dir, "pricing_summary")
+    assert "partial_sum" in p  # map-side combine
+    assert p.count("Exchange") <= 2  # agg shuffle (+ order) only
+
+
+def test_text_pipeline_stays_jvm(spark, sf_dir):
+    for name in ("doc_text_stats", "doc_fingerprints", "near_dup_jaccard_pairs",
+                 "minhash_lsh_candidates", "simhash_signatures"):
+        p = plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+
+
+def test_multimodal_is_arrow_not_row_python(spark, sf_dir):
+    p = plan(spark, sf_dir, "media_features")
+    assert "MapInPandas" in p  # Arrow-batched
+    assert "BatchEvalPython" not in p  # never row-at-a-time
