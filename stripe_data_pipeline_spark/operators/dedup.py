@@ -76,7 +76,13 @@ def jaccard_candidate_pairs(
         F.floor(F.col("n_chars") / 100).alias("len_bucket"),
         toks.alias("toks"),
     )
-    a = base.alias("a")
+    # The build side broadcasts; the probe side's partitioning is what
+    # parallelizes the quadratic pair work. A small corpus in one
+    # parquet file scans as ONE partition — and a broadcast join keeps
+    # it — so every pair computation lands on a single core. Spread it
+    # explicitly (a many-file 100 TB scan gets this for free).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(parallelism).alias("a")
     b = base.alias("b")
     pairs = a.join(
         b,
@@ -118,8 +124,11 @@ def minhash_signatures(
     xxhash64(seed, shingle) for each of ``num_hashes`` seeds.
 
     xxhash64 is a Spark built-in (JVM, codegen) — the whole signature
-    computation is one projection, no shuffle, no Python.
+    computation is one projection, no shuffle, no Python. The input is
+    repartitioned first: signature hashing is the CPU-heavy stage and
+    a single-file scan would otherwise pin it to one core.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = shingles(k=k).alias("shingles")
     sig_cols = [
         F.array_min(
@@ -171,6 +180,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Three consumers read this relation (bucket histogram + both join
+    # sides); without materialization each re-runs the whole signature
+    # pipeline. At corpus scale you'd land signatures in a table; the
+    # in-session analogue is an eager local checkpoint.
+    bands = bands.localCheckpoint(eager=True)
     bucket_sizes = bands.groupBy("band", "key").agg(
         F.count(F.lit(1)).alias("bucket_n")
     )

@@ -53,7 +53,13 @@ def _lit_vec(vec: list[float]) -> Column:
 def cosine_topk(
     df: DataFrame, vec: list[float], k: int = 10, exclude_id: int | None = None
 ) -> DataFrame:
-    """Brute-force cosine top-k against a literal query vector."""
+    """Brute-force cosine top-k against a literal query vector.
+
+    Repartitioned first: the O(N·d) scoring must spread across cores
+    even when the corpus scans as one small file; TakeOrdered then
+    keeps only k rows per partition.
+    """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     q = _lit_vec(vec)
     emb = _as_double(F.col("embedding"))
     cos = _dot(emb, q) / (_norm(emb) * _norm(q))
@@ -69,7 +75,7 @@ def centroids(df: DataFrame) -> DataFrame:
     posexplode -> groupBy(label, pos) -> scaled-integer mean. Output:
     (label, pos, c) with c the centroid component as double.
     """
-    exploded = df.select(
+    exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
     )
     return exploded.groupBy("label", "pos").agg(
