@@ -23,10 +23,29 @@ if _REPO_ROOT not in sys.path:
 
 from stripe_data_pipeline_spark.catalog import QUERIES  # noqa: E402
 
+# Runtime-settable confs the engine depends on, applied defensively in
+# case the driver's session was built without them:
+# - UTC: all epoch<->date math assumes it (SURVEY.md §7 determinism).
+# - nanosAsLong: the testdata events table is parquet TIMESTAMP(NANOS),
+#   which Spark's reader rejects natively; io.read_table converts the
+#   resulting longs to microsecond timestamps.
+_REQUIRED_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def _apply_conf(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — never fail the harness on a conf
+            pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY.md §2.9 daily revenue recognition) on sf0.001."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _apply_conf(spark)
     fn = QUERIES["revenue_trend_daily"].fn
     return fn(spark, "/root/testdata/sf0.001")
 
@@ -36,7 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            _apply_conf(spark)
             return fn(spark, sf_dir)
 
         return run

@@ -54,6 +54,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # Isolate queries from each other's GC debt (broadcast/shuffle
+        # cleanup is weak-ref driven; lazy collection skews later timings).
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(

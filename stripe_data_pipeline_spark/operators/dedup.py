@@ -97,6 +97,12 @@ def jaccard_candidate_pairs(
         inter.alias("i"),
         (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).alias("s"),
     )
+    # The repartition is a deliberate optimization barrier: without it
+    # Catalyst pushes the jaccard filter back into the join condition,
+    # where the array_intersect is re-evaluated (twice, interpreted)
+    # for every candidate pair. The barrier costs one shuffle of tiny
+    # scalar rows and guarantees exactly one intersect per pair.
+    stats = stats.repartition(parallelism)
     return (
         stats.withColumn(
             "jaccard",

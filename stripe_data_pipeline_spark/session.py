@@ -47,6 +47,10 @@ def get_spark(
         # read as long and convert in io.read_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Weak-ref-driven cleanup (broadcasts, shuffle files) only runs
+        # on driver GC; long sessions accumulate debt that skews later
+        # queries. Default is 30min — far too lazy for local mode.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if extra_conf:
