@@ -690,6 +690,68 @@ def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_skew_join",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       {sum_usd_cents_sql("c.c_acctbal")} AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="Salted equi-join (operators/skew.py): hot-key shuffle spread "
+    "over salt buckets; semantics identical to the plain join, which "
+    "is what the oracle checks.",
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.skew import salted_join
+
+    c = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    return (
+        salted_join(c, n, on=["nationkey"], buckets=4)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            sum_usd_cents(F.col("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "string_functions",
+    oracle="""
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       concat(p_brand, ':', p_type) AS brand_type,
+       CAST(length(p_name) AS INT) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake,
+       CASE WHEN p_type LIKE '%BRASS%' THEN TRUE ELSE FALSE END AS is_brass,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded
+FROM part
+""",
+    doc="String scalar family (extension — the reference uses only "
+    "literals/equality, SURVEY.md §2.8): upper/substr/concat/length/"
+    "replace/LIKE/lpad.",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+    )
+
+
+@register(
     "events_hourly_windows",
     oracle="""
 SELECT date_trunc('hour', ts) AS window_start,
