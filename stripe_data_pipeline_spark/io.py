@@ -95,6 +95,31 @@ def write_table(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    num_buckets: int = 16,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (Hive-style bucketing).
+
+    Both sides of a join bucketed on the join key with the same bucket
+    count need NO shuffle at join time — the partitioning is baked
+    into the files. This is the 100 TB answer for repeated fact-fact
+    joins (orders ⋈ lineitem on orderkey): pay one shuffle at write,
+    amortize it over every downstream join/aggregation on that key
+    (tests/test_bucketing.py proves the Exchange disappears).
+    """
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    writer = df.write.mode(mode).bucketBy(num_buckets, *cols)
+    if sort_by:
+        s = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*s)
+    writer.format("parquet").saveAsTable(table)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:
