@@ -1,0 +1,117 @@
+"""applyInPandasWithState: running latest-state over a file stream,
+converging across micro-batches to the batch compaction's answer."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.streaming.events import EVENT_SCHEMA
+from stripe_data_pipeline_spark.streaming.stateful import streaming_latest_state
+
+
+def _write_ndjson(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _event(i, ts, user=1, typ="click", value=1.0):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": typ,
+        "value": value,
+        "props": "{}",
+    }
+
+
+def _drain(spark, inbox, ckpt, target):
+    """Drain the drop through the stateful operator into a parquet
+    state table (update-mode merge by key) — a sink that supports
+    checkpoint recovery, unlike the memory sink."""
+    from stripe_data_pipeline_spark.incremental import merge_upsert
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inbox))
+
+    def merge(batch, _id):
+        if not batch.isEmpty():
+            merge_upsert(batch.sparkSession, str(target), batch, keys=["user_id"])
+
+    q = (
+        streaming_latest_state(stream)
+        .writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(str(target)).collect()
+    }
+
+
+def test_latest_state_converges_across_batches(spark, tmp_path):
+    inbox, ckpt, target = tmp_path / "inbox", tmp_path / "ckpt", tmp_path / "state"
+
+    _write_ndjson(
+        inbox / "b1.json",
+        [
+            _event(1, "2024-01-01T00:00:00Z", user=1, typ="a"),
+            _event(2, "2024-01-01T02:00:00Z", user=1, typ="b"),
+            _event(3, "2024-01-01T01:00:00Z", user=2, typ="c"),
+        ],
+    )
+    got = _drain(spark, inbox, ckpt, target)
+    assert got == {1: 2, 2: 3}
+
+    # second drop: out-of-order (older event) must NOT displace state;
+    # newer event for user 2 must
+    _write_ndjson(
+        inbox / "b2.json",
+        [
+            _event(4, "2024-01-01T01:30:00Z", user=1, typ="late"),
+            _event(5, "2024-01-01T03:00:00Z", user=2, typ="new"),
+        ],
+    )
+    got = _drain(spark, inbox, ckpt, target)
+    # user 1's state survived (event 2 still newest); user 2 advanced
+    assert got == {1: 2, 2: 5}
+
+
+def test_stateful_matches_batch_compaction(spark, sf_dir, tmp_path):
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.streaming.events import latest_state_per_key
+
+    events = read_table(spark, sf_dir, "events")
+    # batch path
+    batch = {
+        r["user_id"]: r["event_id"] for r in latest_state_per_key(events).collect()
+    }
+    # stream path: one drop containing everything
+    inbox, ckpt = tmp_path / "inbox", tmp_path / "ckpt"
+    inbox.mkdir(parents=True)
+    events.withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).coalesce(
+        1
+    ).write.mode("overwrite").json(str(inbox / "all"))
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inbox / "all"))
+    q = (
+        streaming_latest_state(stream)
+        .writeStream.format("memory")
+        .queryName("latest_all")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["user_id"]: r["event_id"]
+        for r in spark.sql("SELECT * FROM latest_all").collect()
+    }
+    assert streamed == batch
