@@ -38,6 +38,9 @@ from stripe_data_pipeline_spark.models.revenue import (
     with_usd_amounts,
 )
 from stripe_data_pipeline_spark.models.staging import stage
+from stripe_data_pipeline_spark.models.subscription_states import (
+    curated_subscription_states,
+)
 from stripe_data_pipeline_spark.sources.stripe_schema import (
     EVENT_SCHEMA,
     INVOICE_SCHEMA,
@@ -102,6 +105,15 @@ def run_pipeline(
         partition_by="invoice_created_date",
     )
 
+    # --- curated: subscription changelog compaction (the completion of
+    # stg_subscription_updates — no downstream ref() in the reference)
+    sub_states = curated_subscription_states(
+        spark.read.parquet(w("stg_subscription_updates")), loaded_at
+    )
+    merge_upsert(
+        spark, w("subscription_states"), sub_states, keys=["subscription_id"]
+    )
+
     # --- marts: deferred/recognized daily facts
     li = spark.read.parquet(w("invoice_line_items"))
     usd = with_usd_amounts(li, exchange_rates(spark))
@@ -142,6 +154,7 @@ def run_pipeline(
             "stg_subscription_updates",
             "invoices",
             "invoice_line_items",
+            "subscription_states",
             "deferred_revenue",
         )
     }
