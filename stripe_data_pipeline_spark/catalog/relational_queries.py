@@ -690,6 +690,93 @@ def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionized_events",
+    oracle="""
+WITH gapped AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                     OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, event_id,
+           SUM(is_new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM gapped
+)
+SELECT user_id, session_no, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    doc="Gap-based sessionization (30-min inactivity): lag -> new-"
+    "session flag -> running sum = session id. The standard "
+    "training-data event-grouping operator, all window built-ins.",
+)
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_timestamp("ts")
+    gap = ep - F.lag(ep).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessions = ev.withColumn("is_new_session", is_new).withColumn(
+        "session_no",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "regional_revenue_q5ish",
+    oracle=f"""
+SELECT r.r_name AS region,
+       CAST(year(o.o_orderdate) AS INT) AS order_year,
+       {sum_usd_cents_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN supplier s ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY r.r_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q5-shaped five-table join chain (region->nation->"
+    "supplier->lineitem->orders): Catalyst reorders, dims broadcast, "
+    "only the fact-fact edge shuffles.",
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    s = read_table(spark, sf_dir, "supplier")
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        F.broadcast(r)
+        .join(n, n["n_regionkey"] == r["r_regionkey"])
+        .join(s, s["s_nationkey"] == n["n_nationkey"])
+        .join(li, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            sum_usd_cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "salted_skew_join",
     oracle=f"""
 SELECT n.n_name AS nation,

@@ -69,6 +69,42 @@ def cosine_topk(
     return out.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.9, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
+    (the coarse cluster id — pairs across clusters can't be near-dups
+    by construction of the quantizer).
+
+    Norms are precomputed per row so the pair stage evaluates exactly
+    one dot product; the repartition barrier before the threshold
+    filter keeps Catalyst from pushing the fold into the join
+    condition (same lesson as dedup.jaccard_candidate_pairs).
+    """
+    emb = _as_double(F.col("embedding"))
+    base = df.select(
+        "vec_id", F.col(block_col).alias("blk"), emb.alias("e"), _norm(emb).alias("nrm")
+    )
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    a = base.repartition(parallelism).alias("a")
+    b = base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    stats = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        _dot(F.col("a.e"), F.col("b.e")).alias("dot"),
+        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
+    ).repartition(parallelism)
+    return (
+        stats.withColumn("cosine_sim", F.col("dot") / F.col("nn"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
 def centroids(df: DataFrame) -> DataFrame:
     """Per-label centroids via order-independent fixed-point sums.
 
