@@ -73,7 +73,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine_sim
 FROM base a
 JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= 9e-1
+WHERE {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= 3e-1
 """,
     doc="Embedding-cosine near-dup pairs blocked by cluster id "
     "(north-star dedup family): per-row norms precomputed, one dot "
@@ -81,7 +81,7 @@ WHERE {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= 9e-1
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs(emb, threshold=0.9)
+    return S.cosine_near_dup_pairs(emb, threshold=0.3)
 
 
 @register(

@@ -70,7 +70,7 @@ def cosine_topk(
 
 
 def cosine_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.9, block_col: str = "label"
+    df: DataFrame, threshold: float = 0.3, block_col: str = "label"
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
     (the coarse cluster id — pairs across clusters can't be near-dups
