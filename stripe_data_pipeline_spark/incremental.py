@@ -107,6 +107,10 @@ def merge_upsert(
         merged.write.mode("overwrite").parquet(staging)
         shutil.rmtree(target_path)
         shutil.move(staging, target_path)
+    # Spark's shared FileStatusCache may hold the pre-swap listing for
+    # this path (infinite TTL by default); a later read would hit
+    # deleted part files. Invalidate explicitly.
+    spark.catalog.refreshByPath(target_path)
 
 
 def incremental_merge_run(

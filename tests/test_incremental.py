@@ -20,7 +20,7 @@ def _rows(spark, data):
 def _read_sorted(spark, path):
     return [
         (r["id"], r["day"], r["v"])
-        for r in spark.read.parquet(path).orderBy("id").collect()
+        for r in spark.read.parquet(path).orderBy("id", "day").collect()
     ]
 
 

@@ -98,3 +98,30 @@ def test_pipeline_idempotent(spark, warehouse):
     tables2 = run_pipeline(spark, raw, wh, LOADED_AT)  # rerun, same drop
     after = _snapshot(tables2)
     assert before == after
+
+
+def test_pipeline_day_two_increment(spark, warehouse):
+    """A second day's (larger) snapshot drop: existing rows merge
+    idempotently, new invoices append — the reference's daily
+    overwrite-snapshot + MERGE accumulation model (README.md:102-129)."""
+    raw, wh, t = warehouse
+    # re-read: DataFrames captured before a merge rewrite hold the old
+    # file listing (the engine swaps files; stale handles are expected)
+    n_li_before = spark.read.parquet(f"{wh}/invoice_line_items").count()
+    write_fixture(raw, n_invoices=55)  # supersedes the day-1 drop of 40
+    t2 = run_pipeline(spark, raw, wh, LOADED_AT)
+    assert t2["stg_invoices"].count() == 55
+    assert t2["invoices"].count() == 55
+    assert t2["invoice_line_items"].count() > n_li_before
+    # day-1 rows are unchanged (same ids, same values)
+    row = t2["invoices"].filter(F.col("invoice_id") == "in_1").first()
+    assert row["customer_id"] == "cus_1"
+    # facts keep the composite-key invariant after the second merge
+    assert (
+        t2["deferred_revenue"]
+        .groupBy("line_item_id", "as_of_date")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
