@@ -9,6 +9,8 @@ is INT so DuckDB ``len`` results are cast.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,6 +141,79 @@ FROM documents
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = X.with_fingerprint(read_table(spark, sf_dir, "documents"))
     return df.select("doc_id", "fingerprint", "fingerprint_prefix")
+
+
+@register(
+    "pandas_udf_normalize",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm_text,
+       CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS INT)
+           AS norm_len
+FROM documents
+""",
+    doc="Vectorized @pandas_udf text normalization (SURVEY.md §2.11): "
+    "the Arrow-batched UDF path, held to the same oracle bar as the "
+    "JVM operators — the UDF's pandas string ops must reproduce the "
+    "SQL semantics exactly. Prefer builtins in hot paths; this proves "
+    "the escape hatch is correctness-gated too.",
+)
+def q_pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def normalize(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    df = read_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        normalize("text").alias("norm_text"),
+        F.length(normalize("text")).alias("norm_len"),
+    )
+
+
+@register(
+    "rollup_counts",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    doc="ROLLUP grouping sets (extension; hierarchical subtotals).",
+)
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "array_agg_sorted",
+    oracle="""
+SELECT o_custkey AS customer_id,
+       list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+       CAST(len(list(o_orderkey)) AS INT) AS n_orders
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_custkey
+""",
+    doc="Sorted array aggregation (collect_list + sort_array == "
+    "DuckDB list(... ORDER BY)): the grouped-materialization shape "
+    "used for per-entity training examples.",
+)
+def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+        )
+    )
 
 
 @register(
