@@ -25,10 +25,13 @@ from stripe_data_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "revenue_trend_daily",
     "deferred_total_asof",
+    "recognized_monthly_halfopen",
     "curated_line_items",
     "pricing_summary",
     "orders_lineitem_join",
+    "regional_revenue_q5ish",
     "latest_event_per_user",
+    "sessionized_events",
     "top20_orders",
     "doc_text_stats",
     "dedup_exact_keepers",
@@ -36,6 +39,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "cosine_topk_bruteforce",
     "ivf_topk",
+    "embedding_near_dup_pairs",
 ]
 
 
