@@ -47,14 +47,6 @@ def incremental_filter(src: DataFrame, cursor_col: str, hwm) -> DataFrame:
     return src.filter(F.col(cursor_col) > F.lit(hwm))
 
 
-def _delta_available(spark: SparkSession) -> bool:
-    try:
-        spark._jvm.io.delta.tables.DeltaTable  # noqa: SLF001
-        return True
-    except Exception:  # noqa: BLE001
-        return False
-
-
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -64,9 +56,16 @@ def merge_upsert(
 ) -> None:
     """S6: upsert ``updates`` into ``target_path`` by composite key.
 
-    Matched rows are replaced (whenMatchedUpdateAll), unmatched
-    inserted — the dbt incremental 'merge' strategy. Composite keys
-    supported (deferred_revenue.sql:3 uses [line_item_id, as_of_date]).
+    Matched rows are replaced, unmatched inserted — the dbt
+    incremental 'merge' strategy. Composite keys supported
+    (deferred_revenue.sql:3 uses [line_item_id, as_of_date]).
+
+    Implementation is the plain-parquet strategy (anti-join + union +
+    staging swap, partition-scoped when partitioned). On a deployment
+    with an ACID table format (Delta/Iceberg), swap this body for
+    ``DeltaTable.merge().whenMatchedUpdateAll().whenNotMatchedInsertAll()``
+    — the call sites and semantics (verified by tests/test_incremental.py)
+    are format-agnostic by design.
     """
     exists = os.path.exists(target_path) and any(
         f.endswith(".parquet") or f.startswith(("part-", "_SUCCESS"))
