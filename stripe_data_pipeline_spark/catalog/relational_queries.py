@@ -690,6 +690,46 @@ def q_pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_events_orders",
+    oracle="""
+WITH compacted AS (
+    SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+    FROM orders
+    GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS last_order_key
+FROM events e
+ASOF LEFT JOIN compacted o
+    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+    doc="As-of (backward) join — an operator Spark lacks natively "
+    "(SURVEY.md §2.3 'not present' list), built as union + keyed "
+    "window last-non-null: one shuffle on the key instead of a "
+    "nested-loop range join. Oracle is DuckDB's native ASOF JOIN.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    compacted = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        events,
+        compacted,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderkey").alias("last_order_key")
+    )
+
+
+@register(
     "sessionized_events",
     oracle="""
 WITH gapped AS (
