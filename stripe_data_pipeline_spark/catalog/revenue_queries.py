@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from stripe_data_pipeline_spark.catalog.registry import register
 from stripe_data_pipeline_spark.functions.money import sum_usd_cents, sum_usd_cents_sql
 from stripe_data_pipeline_spark.models.calendar import calendar, calendar_sql
-from stripe_data_pipeline_spark.models.exchange_rates import exchange_rates
+from stripe_data_pipeline_spark.models.exchange_rates import (
+    exchange_rates,
+    exchange_rates_sql,
+)
 from stripe_data_pipeline_spark.models.line_items import (
     LINE_ITEMS_SQL,
     curated_line_items,
@@ -50,6 +53,16 @@ def asof_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = curated_line_items(spark, sf_dir)
     usd = with_usd_amounts(li, exchange_rates(spark))
     return revenue_asof(usd, AS_OF)
+
+
+@register(
+    "fx_literal_dim",
+    oracle=exchange_rates_sql(),
+    doc="S10 inline literal relation: the 9-row FX dimension "
+    "(curated/exchange_rates.sql:11-29) as a JVM VALUES LocalRelation.",
+)
+def q_fx_literal_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exchange_rates(spark)
 
 
 @register(

@@ -144,6 +144,27 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_first_last_token",
+    oracle=f"""
+SELECT doc_id,
+       {_TOKS}[1] AS first_token,
+       {_TOKS}[-1] AS last_token
+FROM documents
+""",
+    doc="A5/O2: first-element extraction from an array (the "
+    "`... LIMIT 1` scalar-subquery pattern, invoice_line_items.sql:"
+    "73-86) via try_element_at — NULL-safe under ANSI mode.",
+)
+def q_doc_first_last_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    return read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.try_element_at(toks, F.lit(1)).alias("first_token"),
+        F.try_element_at(toks, F.lit(-1)).alias("last_token"),
+    )
+
+
+@register(
     "pandas_udf_normalize",
     oracle=r"""
 SELECT doc_id,

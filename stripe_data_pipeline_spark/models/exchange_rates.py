@@ -51,9 +51,15 @@ def exchange_rates(
 
 
 def exchange_rates_sql(rate_date: dt.date = DEFAULT_RATE_DATE) -> str:
-    """The same relation as a DuckDB/ANSI VALUES clause (oracle side)."""
+    """The same relation as a DuckDB/ANSI VALUES clause (oracle side).
+
+    Rates are CAST to DOUBLE: bare decimal literals are DECIMAL-typed
+    in DuckDB, which would change both the output schema and the FP
+    arithmetic downstream.
+    """
     rows = ", ".join(
-        f"('{f}', '{t}', {r!r}, DATE '{rate_date}')" for f, t, r in RATES
+        f"('{f}', '{t}', CAST({r!r} AS DOUBLE), DATE '{rate_date}')"
+        for f, t, r in RATES
     )
     return (
         "SELECT * FROM (VALUES "
