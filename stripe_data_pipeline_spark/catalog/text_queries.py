@@ -299,6 +299,56 @@ def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_EDGES_SQL = """
+WITH RECURSIVE base AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+           list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+),
+edges AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM base a
+    JOIN base b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+               AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 8e-1
+)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_JACCARD_EDGES_SQL
+    + """,
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM edges
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM edges
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id
+FROM reach
+GROUP BY src
+""",
+    doc="Dedup cluster resolution: connected components over the "
+    "Jaccard near-dup edges (iterative min-label propagation; the "
+    "oracle is a DuckDB recursive-CTE transitive closure). The step "
+    "that turns pairwise similarity into keep/drop decisions.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.cluster import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = D.jaccard_candidate_pairs(docs, threshold=0.8)
+    return connected_components(docs.select("doc_id"), edges)
+
+
 @register(
     "minhash_lsh_candidates",
     oracle=None,  # xxhash64 signatures are Spark-native; rows-only check

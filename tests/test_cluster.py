@@ -1,0 +1,32 @@
+"""Connected-components dedup clustering on known graphs."""
+
+from __future__ import annotations
+
+from stripe_data_pipeline_spark.operators.cluster import connected_components
+
+
+def _run(spark, node_ids, edge_pairs):
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "doc_id long")
+    edges = spark.createDataFrame(
+        edge_pairs or [(None, None)], "doc_a long, doc_b long"
+    )
+    if not edge_pairs:
+        edges = edges.filter("doc_a IS NOT NULL")
+    out = connected_components(nodes, edges)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_chain_transitivity(spark):
+    # 1-2, 2-3, 3-4: one cluster rooted at 1, even though 1~4 never scored
+    got = _run(spark, [1, 2, 3, 4, 9], [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9}
+
+
+def test_two_components_and_singletons(spark):
+    got = _run(spark, [1, 2, 3, 10, 11, 42], [(2, 3), (10, 11), (1, 2)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 42: 42}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _run(spark, [5, 6], [])
+    assert got == {5: 5, 6: 6}
