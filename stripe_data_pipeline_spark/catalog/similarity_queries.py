@@ -85,6 +85,42 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids_applyinpandas",
+    oracle="""
+SELECT label, g.i - 1 AS pos,
+       (CAST(SUM(CAST(FLOOR(CAST(embedding[g.i] AS DOUBLE) * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS centroid
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+GROUP BY label, g.i - 1
+""",
+    doc="applyInPandas grouped operator (SURVEY.md §2.11): per-label "
+    "embedding centroids computed in numpy — held to exact oracle "
+    "parity via fixed-point integer sums (order-independent on both "
+    "engines, so even the Python path is bit-checked).",
+)
+def q_label_centroids_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        scaled = np.floor(mat * 1e9 + 0.5).astype(np.int64)
+        cent = (scaled.sum(axis=0).astype(np.float64) / float(len(mat))) / 1e9
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "pos": np.arange(mat.shape[1], dtype=np.int64),
+                "centroid": cent,
+            }
+        )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").applyInPandas(
+        centroid, schema="label int, pos long, centroid double"
+    )
+
+
+@register(
     "ivf_topk",
     oracle=f"""
 WITH exploded AS (
