@@ -255,6 +255,53 @@ def q_recognized_monthly_halfopen(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "active_periods_per_month_start",
+    oracle=f"""
+WITH line_items AS ({LINE_ITEMS_SQL}),
+month_starts AS (
+    SELECT CAST(g.d AS DATE) AS month_start
+    FROM UNNEST(generate_series(DATE '1995-01-01', DATE '2002-12-01',
+                                INTERVAL 1 MONTH)) AS g(d)
+)
+SELECT m.month_start, COUNT(*) AS n_active
+FROM month_starts m
+JOIN line_items li
+  ON m.month_start >= li.period_start_date
+ AND m.month_start <= li.period_end_date_inferred
+GROUP BY m.month_start
+""",
+    doc="Bucketized range join (operators/range_join.py): month-bucket "
+    "equi-join + exact post-filter instead of the BroadcastNestedLoop "
+    "plan a naive point-in-interval join gets (SURVEY.md §4 'the one "
+    "real physical decision'). Oracle states the plain range-join "
+    "semantics; the Spark plan computes it shuffle-hash style.",
+)
+def q_active_periods_per_month_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from stripe_data_pipeline_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(dt.date(1995, 1, 1)),
+                F.lit(dt.date(2002, 12, 1)),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month_start")
+    )
+    li = curated_line_items(spark, sf_dir).select(
+        "line_item_id", "period_start_date", "period_end_date_inferred"
+    )
+    joined = point_in_interval_join(
+        months, li, "month_start", "period_start_date", "period_end_date_inferred"
+    )
+    return joined.groupBy("month_start").agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
     "missing_period_end_threshold",
     oracle=f"""
 WITH line_items AS ({LINE_ITEMS_SQL})

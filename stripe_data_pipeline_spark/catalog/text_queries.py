@@ -275,7 +275,7 @@ def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH base AS (
     SELECT doc_id, lang,
-           CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+           CAST(FLOOR(n_chars / 50) AS BIGINT) AS len_bucket,
            list_distinct(string_split(text, ' ')) AS toks
     FROM documents
 )
@@ -302,7 +302,7 @@ def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_EDGES_SQL = """
 WITH RECURSIVE base AS (
     SELECT doc_id, lang,
-           CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+           CAST(FLOOR(n_chars / 50) AS BIGINT) AS len_bucket,
            list_distinct(string_split(text, ' ')) AS toks
     FROM documents
 ),

@@ -51,8 +51,8 @@ def exact_dedup_summary(df: DataFrame) -> DataFrame:
 
 
 def _block_key() -> list[Column]:
-    # lang × 100-char length bucket: cheap, high-recall blocking
-    return [F.col("lang"), F.floor(F.col("n_chars") / 100).alias("len_bucket")]
+    # lang × 50-char length bucket: cheap, high-recall blocking
+    return [F.col("lang"), F.floor(F.col("n_chars") / 50).alias("len_bucket")]
 
 
 def jaccard_candidate_pairs(
@@ -73,7 +73,7 @@ def jaccard_candidate_pairs(
     base = df.select(
         F.col(id_col),
         F.col("lang"),
-        F.floor(F.col("n_chars") / 100).alias("len_bucket"),
+        F.floor(F.col("n_chars") / 50).alias("len_bucket"),
         toks.alias("toks"),
     )
     # The build side broadcasts; the probe side's partitioning is what
