@@ -8,7 +8,6 @@ boundary stays out of JVM-only pipelines.
 
 from __future__ import annotations
 
-import pytest
 
 from stripe_data_pipeline_spark.catalog import QUERIES
 

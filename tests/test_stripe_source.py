@@ -11,7 +11,6 @@ from stripe_data_pipeline_spark.sources.stripe_schema import INVOICE_SCHEMA
 from stripe_data_pipeline_spark.sources.stripe_source import (
     StripeDataSource,
     StripeReader,
-    TimeWindowPartition,
 )
 
 
