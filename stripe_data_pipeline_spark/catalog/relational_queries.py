@@ -743,9 +743,10 @@ WITH gapped AS (
 ),
 sessions AS (
     SELECT user_id, event_id,
-           SUM(is_new_session) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) AS session_no
+           CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
     FROM gapped
 )
 SELECT user_id, session_no, COUNT(*) AS n_events
