@@ -670,6 +670,35 @@ def q_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "price_percentiles",
+    oracle="""
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.95) AS p95,
+       MAX(o_totalprice) AS p_max
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="Exact percentiles with linear interpolation (Spark "
+    "`percentile` == DuckDB `quantile_cont`, verified bit-exact). At "
+    "scale prefer approx_percentile (t-digest sketch) — the exact "
+    "version sorts each group.",
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+    )
+
+
+@register(
     "pivot_qty_by_status",
     oracle=f"""
 SELECT l_returnflag,
