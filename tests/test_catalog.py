@@ -23,6 +23,10 @@ FAST_SUBSET = [
     "doc_text_stats",
     "dedup_exact_summary",
     "cosine_topk_bruteforce",
+    "asof_join_events_orders",
+    "dedup_clusters",
+    "price_percentiles",
+    "sessionized_events",
 ]
 
 

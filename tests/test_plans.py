@@ -74,3 +74,18 @@ def test_multimodal_is_arrow_not_row_python(spark, sf_dir):
     p = plan(spark, sf_dir, "media_features")
     assert "MapInPandas" in p  # Arrow-batched
     assert "BatchEvalPython" not in p  # never row-at-a-time
+
+
+def test_asof_join_is_not_nested_loop(spark, sf_dir):
+    p = plan(spark, sf_dir, "asof_join_events_orders")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p  # the union+window composition
+
+
+def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
+    p = plan(spark, sf_dir, "active_periods_per_month_start")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # bucket equi-join resolved as a hash join
+    assert "HashJoin" in p
