@@ -82,16 +82,38 @@ def merge_upsert(
     old = spark.read.parquet(target_path)
 
     if partition_by:
-        # Rewrite only partitions touched by the update batch.
-        touched = updates.select(partition_by).distinct()
-        old_touched = old.join(F.broadcast(touched), partition_by, "left_semi")
-        kept = old_touched.join(updates.select(*keys), keys, "left_anti")
+        # Rewrite only partitions touched by the update batch — but match
+        # keys GLOBALLY, like the reference's MERGE: an update that moves a
+        # key to a new partition value must also displace the stale row
+        # from its old partition, so touched = partitions of the updates
+        # UNION partitions of old rows whose key is being updated.
+        update_keys = updates.select(*keys).distinct()
+        updates_parts = {
+            r[0] for r in updates.select(partition_by).distinct().collect()
+        }
+        displaced_parts = {
+            r[0]
+            for r in old.join(F.broadcast(update_keys), keys, "left_semi")
+            .select(partition_by)
+            .distinct()
+            .collect()
+        }
+        part_vals = updates_parts | displaced_parts
+        # Filter by literal partition values (small driver-side list) so the
+        # scan partition-prunes; isin is null-hostile, handle NULL explicitly
+        # (Spark stores it as __HIVE_DEFAULT_PARTITION__).
+        non_null = [v for v in part_vals if v is not None]
+        cond = F.col(partition_by).isin(non_null) if non_null else F.lit(False)
+        if None in part_vals:
+            cond = cond | F.col(partition_by).isNull()
+        old_touched = old.filter(cond)
+        kept = old_touched.join(update_keys, keys, "left_anti")
         merged = kept.unionByName(updates)
         staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
-        part_vals = [r[0] for r in touched.collect()]
         for v in part_vals:
-            part_dir = f"{partition_by}={v}"
+            dir_val = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+            part_dir = f"{partition_by}={dir_val}"
             src_dir = os.path.join(staging, part_dir)
             dst_dir = os.path.join(target_path, part_dir)
             if os.path.exists(dst_dir):

@@ -22,13 +22,19 @@ from pyspark.sql import functions as F
 
 
 def check_missing_period_end(line_items: DataFrame, threshold_pct: float = 3.0) -> DataFrame:
-    """Violation row iff >threshold% of line items lack period_end."""
-    total = line_items.count()
+    """Violation row iff >threshold% of line items lack period_end.
+
+    Single-pass conditional aggregation (no separate .count() action);
+    try_divide keeps the empty-input case a pass instead of an ANSI
+    DIVIDE_BY_ZERO error.
+    """
     return (
-        line_items.filter(F.col("period_end_date").isNull())
-        .agg(
-            F.count(F.lit(1)).alias("n_missing"),
-            (F.count(F.lit(1)) * 100.0 / F.lit(total)).alias("missing_pct"),
+        line_items.agg(
+            F.count(F.when(F.col("period_end_date").isNull(), 1)).alias("n_missing"),
+            F.try_divide(
+                F.count(F.when(F.col("period_end_date").isNull(), 1)) * 100.0,
+                F.count(F.lit(1)),
+            ).alias("missing_pct"),
         )
         .filter(F.col("missing_pct") > threshold_pct)
     )

@@ -28,10 +28,19 @@ def point_in_interval_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join each point date to every interval [start, end] (closed)
-    containing it, via month-bucket equi-join + exact post-filter."""
-    p = points.withColumn("__bucket", F.trunc(F.col(point_col), "month"))
+    containing it, via month-bucket equi-join with the exact range
+    predicate inside the join condition.
+
+    Keeping the range predicate in the condition (not a post-filter)
+    makes outer joins correct: a left join keeps unmatched points as
+    NULL-padded rows instead of dropping them through the filter.
+    Only inner and left are meaningful here.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"unsupported join type for range join: {how!r}")
+    p = points.withColumn("__pb", F.trunc(F.col(point_col), "month"))
     i = intervals.withColumn(
-        "__bucket",
+        "__ib",
         F.explode(
             F.sequence(
                 F.trunc(F.col(start_col), "month"),
@@ -40,7 +49,9 @@ def point_in_interval_join(
             )
         ),
     )
-    joined = p.join(i, "__bucket", how)
-    return joined.filter(
-        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col))
-    ).drop("__bucket")
+    cond = (
+        (p["__pb"] == i["__ib"])
+        & (p[point_col] >= i[start_col])
+        & (p[point_col] <= i[end_col])
+    )
+    return p.join(i, cond, how).drop("__pb", "__ib")

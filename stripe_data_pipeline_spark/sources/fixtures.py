@@ -77,6 +77,25 @@ def make_invoice(i: int, rng: random.Random) -> dict:
     } | {"lines": {"data": lines}}
 
 
+def make_subscription(i: int) -> dict:
+    return {
+        "id": f"sub_{i}",
+        "created": EPOCH_2024 + i * DAY,
+        "status": "active" if i % 4 else "canceled",
+        "customer": f"cus_{i % 37}",
+        "metadata": {},
+    }
+
+
+def make_subscription_event(i: int) -> dict:
+    return {
+        "id": f"evt_{i}",
+        "created": EPOCH_2024 + i * 1800,
+        "type": "customer.subscription.updated",
+        "data": json.dumps({"object": {"id": f"sub_{i % 20}", "status": "active"}}),
+    }
+
+
 def write_fixture(
     raw_dir: str, n_invoices: int = 50, seed: int = 7, duplicate_every: int = 10
 ) -> dict[str, str]:
@@ -99,35 +118,12 @@ def write_fixture(
     sub_path = os.path.join(raw_dir, "subscriptions.json")
     with open(sub_path, "w") as f:
         for i in range(20):
-            f.write(
-                json.dumps(
-                    {
-                        "id": f"sub_{i}",
-                        "created": EPOCH_2024 + i * DAY,
-                        "status": "active" if i % 4 else "canceled",
-                        "customer": f"cus_{i % 37}",
-                        "metadata": {},
-                    }
-                )
-                + "\n"
-            )
+            f.write(json.dumps(make_subscription(i)) + "\n")
     paths["subscriptions"] = sub_path
 
     ev_path = os.path.join(raw_dir, "subscription_updates.json")
     with open(ev_path, "w") as f:
         for i in range(100):
-            f.write(
-                json.dumps(
-                    {
-                        "id": f"evt_{i}",
-                        "created": EPOCH_2024 + i * 1800,
-                        "type": "customer.subscription.updated",
-                        "data": json.dumps(
-                            {"object": {"id": f"sub_{i % 20}", "status": "active"}}
-                        ),
-                    }
-                )
-                + "\n"
-            )
+            f.write(json.dumps(make_subscription_event(i)) + "\n")
     paths["subscription_updates"] = ev_path
     return paths

@@ -28,7 +28,11 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 from pyspark.sql import types as T
 
-from stripe_data_pipeline_spark.sources.fixtures import make_invoice
+from stripe_data_pipeline_spark.sources.fixtures import (
+    make_invoice,
+    make_subscription,
+    make_subscription_event,
+)
 
 RAW_SCHEMA = T.StructType(
     [
@@ -40,6 +44,18 @@ RAW_SCHEMA = T.StructType(
 
 MAX_RETRIES = 50  # extract_stripe_data.py:62
 
+# The reference's three resource configs (extract_stripe_data.py:11-36):
+# endpoint -> (Stripe SDK resource name, fixed list params). The fake and
+# the real client both key off this table.
+RESOURCE_CONFIGS: dict[str, dict] = {
+    "subscriptions": {"resource": "Subscription", "params": {"status": "all"}},
+    "subscription_updates": {
+        "resource": "Event",
+        "params": {"type": "customer.subscription.*"},
+    },
+    "invoices": {"resource": "Invoice", "params": {"status": "paid"}},
+}
+
 
 @dataclass(frozen=True)
 class TimeWindowPartition(InputPartition):
@@ -49,19 +65,46 @@ class TimeWindowPartition(InputPartition):
 
 class FakeStripeClient:
     """Deterministic stand-in for the Stripe SDK: serves pages of
-    invoice documents with ``created`` uniformly spread so time-window
-    sharding has data in every partition."""
+    documents for all three reference endpoints
+    (extract_stripe_data.py:11-36) with ``created`` uniformly spread so
+    time-window sharding has data in every partition."""
 
     def __init__(self, n_items: int = 200):
         self.n_items = n_items
 
-    def list_page(
-        self, endpoint: str, gte: int, lt: int, starting_after: str | None, limit: int
-    ) -> list[dict]:
+    def _corpus(self, endpoint: str) -> list[dict]:
         import random
 
         rng = random.Random(0)
-        docs = [make_invoice(i, rng) for i in range(self.n_items)]
+        if endpoint == "invoices":
+            return [make_invoice(i, rng) for i in range(self.n_items)]
+        if endpoint == "subscriptions":
+            return [make_subscription(i) for i in range(self.n_items)]
+        if endpoint == "subscription_updates":
+            return [make_subscription_event(i) for i in range(self.n_items)]
+        raise ValueError(f"unknown endpoint: {endpoint!r}")
+
+    def list_page(
+        self,
+        endpoint: str,
+        gte: int,
+        lt: int,
+        starting_after: str | None,
+        limit: int,
+        params: dict | None = None,
+    ) -> list[dict]:
+        docs = self._corpus(endpoint)
+        params = params or {}
+        status = params.get("status")
+        if status and status != "all":
+            docs = [d for d in docs if d.get("status") == status]
+        type_pat = params.get("type")
+        if type_pat:  # Stripe's trailing-glob event filter
+            if type_pat.endswith("*"):
+                prefix = type_pat[:-1]
+                docs = [d for d in docs if d.get("type", "").startswith(prefix)]
+            else:
+                docs = [d for d in docs if d.get("type") == type_pat]
         docs = [d for d in docs if gte <= d["created"] < lt]
         docs.sort(key=lambda d: (d["created"], d["id"]))
         if starting_after is not None:
@@ -70,15 +113,49 @@ class FakeStripeClient:
         return docs[:limit]
 
 
-def _real_client(api_key: str):
-    try:
-        import stripe  # noqa: F401
-    except ImportError as e:  # pragma: no cover — no SDK in container
-        raise ImportError(
-            "stripe SDK not installed; omit api_key to use the offline fake"
-        ) from e
-    stripe.api_key = api_key
-    return stripe
+class _RealStripeClient:
+    """Adapter over the stripe SDK, selected when ``api_key`` is set.
+
+    Mirrors the reference's per-resource list params
+    (extract_stripe_data.py:11-36) and exposes the same ``list_page``
+    surface as the offline fake, so retry/pagination logic is shared.
+    """
+
+    def __init__(self, api_key: str):
+        try:
+            import stripe
+        except ImportError as e:  # pragma: no cover — no SDK in container
+            raise ImportError(
+                "stripe SDK not installed; omit api_key to use the offline fake"
+            ) from e
+        stripe.api_key = api_key
+        self._stripe = stripe
+
+    def list_page(
+        self,
+        endpoint: str,
+        gte: int,
+        lt: int,
+        starting_after: str | None,
+        limit: int,
+        params: dict | None = None,
+    ) -> list[dict]:  # pragma: no cover — needs network + SDK
+        cfg = RESOURCE_CONFIGS.get(endpoint)
+        if cfg is None:
+            raise ValueError(f"unknown endpoint: {endpoint!r}")
+        resource = getattr(self._stripe, cfg["resource"])
+        call = dict(cfg["params"], **(params or {}))
+        call["limit"] = limit
+        created: dict[str, int] = {"gte": gte}
+        if lt < 2**62:
+            created["lt"] = lt
+        call["created"] = created
+        if starting_after is not None:
+            call["starting_after"] = starting_after
+        page = resource.list(**call)
+        return [
+            d.to_dict() if hasattr(d, "to_dict") else dict(d) for d in page.data
+        ]
 
 
 class StripeReader(DataSourceReader):
@@ -90,6 +167,14 @@ class StripeReader(DataSourceReader):
         self.num_partitions = int(options.get("num_partitions", "8"))
         self.api_key = options.get("api_key")
         self.fake_items = int(options.get("fake_items", "200"))
+        # Server-side list filters, mirroring the reference's params
+        # (status=paid for invoices, type=customer.subscription.* for
+        # events). Opt-in: option("status", ...) / option("event_type", ...).
+        self.params: dict = {}
+        if options.get("status"):
+            self.params["status"] = options["status"]
+        if options.get("event_type"):
+            self.params["type"] = options["event_type"]
 
     def partitions(self) -> list[TimeWindowPartition]:
         lo, hi = self.created_gte, self.created_lt
@@ -103,7 +188,11 @@ class StripeReader(DataSourceReader):
         ]
 
     def read(self, partition: TimeWindowPartition) -> Iterator[tuple]:
-        client = FakeStripeClient(self.fake_items)
+        client = (
+            _RealStripeClient(self.api_key)
+            if self.api_key
+            else FakeStripeClient(self.fake_items)
+        )
         starting_after = None
         while True:
             page = self._fetch_with_retry(client, partition, starting_after)
@@ -128,6 +217,7 @@ class StripeReader(DataSourceReader):
                     partition.lt,
                     starting_after,
                     self.page_size,
+                    params=self.params,
                 )
             except Exception as e:  # noqa: BLE001
                 is_rate_limit = type(e).__name__ == "RateLimitError"

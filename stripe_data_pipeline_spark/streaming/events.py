@@ -47,15 +47,21 @@ def stream_events_to_table(
 ) -> None:
     """Drain the event drop into the staging table, exactly-once-ish.
 
-    Late/duplicate delivery handling: watermarked dropDuplicates on
+    Late/duplicate delivery handling: dropDuplicatesWithinWatermark on
     the event id (the streaming equivalent of the reference's MERGE
     unique_key idempotency, stg_*.sql:1-6); the foreachBatch merge
-    makes redelivery across restarts idempotent too.
+    makes redelivery across restarts idempotent too. Plain
+    dropDuplicates([id]) would never evict dedup state (the watermark
+    only bounds state when the event-time column is in the subset) —
+    WithinWatermark keeps the state store bounded across daily
+    AvailableNow drains on a persistent checkpoint.
     """
     stream = (
         spark.readStream.schema(EVENT_SCHEMA).format(fmt).load(input_dir)
     )
-    deduped = stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
     def merge_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():

@@ -63,6 +63,31 @@ def test_composite_key_merge(spark, tmp_path):
     assert _read_sorted(spark, target) == [(1, "a", 1.0), (1, "b", 20.0)]
 
 
+def test_partitioned_merge_moves_key_across_partitions(spark, tmp_path):
+    # An update that changes a key's partition value must displace the
+    # stale row from its old partition — the reference's MERGE matches
+    # unique_key globally, not per-partition.
+    target = str(tmp_path / "t6")
+    base = _rows(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+    merge_upsert(spark, target, base, keys=["id"], partition_by="day")
+    moved = _rows(spark, [(1, "c", 10.0)])  # id=1 moves day a -> c
+    merge_upsert(spark, target, moved, keys=["id"], partition_by="day")
+    assert _read_sorted(spark, target) == [(1, "c", 10.0), (2, "b", 2.0)]
+    # the emptied partition directory is gone, not just empty
+    assert not (tmp_path / "t6" / "day=a").exists()
+
+
+def test_partitioned_merge_null_partition_value(spark, tmp_path):
+    target = str(tmp_path / "t7")
+    base = spark.createDataFrame(
+        [(1, None, 1.0), (2, "b", 2.0)], "id long, day string, v double"
+    )
+    merge_upsert(spark, target, base, keys=["id"], partition_by="day")
+    upd = spark.createDataFrame([(1, None, 10.0)], "id long, day string, v double")
+    merge_upsert(spark, target, upd, keys=["id"], partition_by="day")
+    assert _read_sorted(spark, target) == [(1, None, 10.0), (2, "b", 2.0)]
+
+
 def test_high_watermark_run(spark, tmp_path):
     target = str(tmp_path / "t5")
     src1 = _rows(spark, [(1, "a", 1.0), (2, "a", 2.0)])

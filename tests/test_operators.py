@@ -130,3 +130,28 @@ def test_multimodal_features_deterministic(spark):
 def test_multimodal_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"bytes", fake=False)
+
+
+def test_range_join_left_outer_keeps_unmatched_points(spark):
+    import datetime as dt
+
+    from stripe_data_pipeline_spark.operators.range_join import (
+        point_in_interval_join,
+    )
+
+    points = spark.createDataFrame(
+        [(dt.date(2024, 1, 15),), (dt.date(2024, 6, 1),)], "d date"
+    )
+    intervals = spark.createDataFrame(
+        [("i1", dt.date(2024, 1, 1), dt.date(2024, 1, 31))],
+        "iid string, s date, e date",
+    )
+    out = point_in_interval_join(points, intervals, "d", "s", "e", how="left")
+    rows = {r["d"]: r["iid"] for r in out.collect()}
+    assert rows[dt.date(2024, 1, 15)] == "i1"
+    assert rows[dt.date(2024, 6, 1)] is None  # kept, NULL-padded
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        point_in_interval_join(points, intervals, "d", "s", "e", how="full")

@@ -78,3 +78,9 @@ def test_subscription_states_compaction(spark, warehouse):
     # arrive in id order per subscription)
     row = states.filter(F.col("subscription_id") == "sub_0").first()
     assert row["last_event_id"] == "evt_80"
+
+
+def test_missing_period_end_empty_input_is_pass(spark):
+    # empty input must be a pass (no ANSI DIVIDE_BY_ZERO)
+    empty = spark.createDataFrame([], "line_item_id string, period_end_date date")
+    assert Q.check_missing_period_end(empty).count() == 0

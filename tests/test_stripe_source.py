@@ -64,6 +64,53 @@ def test_windowed_read_equals_full_read(spark):
     assert sorted(r["id"] for r in windowed) == sorted(r["id"] for r in full)
 
 
+def test_three_endpoints_through_datasource(spark):
+    # extract_stripe_data.py:11-36 pulls three resources; the connector
+    # serves all of them through the same DataSource surface.
+    for endpoint, expect_field in [
+        ("invoices", "lines"),
+        ("subscriptions", "status"),
+        ("subscription_updates", "type"),
+    ]:
+        df = (
+            spark.read.format("stripe")
+            .option("endpoint", endpoint)
+            .option("fake_items", "30")
+            .load()
+        )
+        rows = df.collect()
+        assert len(rows) == 30, endpoint
+        import json as _json
+
+        assert expect_field in _json.loads(rows[0]["payload"]), endpoint
+
+
+def test_server_side_list_filters(spark):
+    # status=paid for invoices / type glob for events, mirroring the
+    # reference's list params.
+    paid = (
+        spark.read.format("stripe")
+        .option("endpoint", "invoices")
+        .option("fake_items", "35")
+        .option("status", "paid")
+        .load()
+        .collect()
+    )
+    assert 0 < len(paid) < 35  # i % 7 == 0 invoices are 'open'
+    import json as _json
+
+    assert all(_json.loads(r["payload"])["status"] == "paid" for r in paid)
+    evs = (
+        spark.read.format("stripe")
+        .option("endpoint", "subscription_updates")
+        .option("fake_items", "10")
+        .option("event_type", "customer.subscription.*")
+        .load()
+        .collect()
+    )
+    assert len(evs) == 10  # every fake event matches the glob
+
+
 def test_pagination_is_exhaustive(spark):
     # page_size smaller than the corpus forces multiple pages per window
     df = (
