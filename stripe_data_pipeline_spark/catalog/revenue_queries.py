@@ -327,3 +327,89 @@ def q_missing_period_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("missing_pct") > 3.0)
     )
+
+
+# Session-scoped materialization cache for the mart round-trip check:
+# sf_dir -> parquet path written via the merge sink.
+_MART_CACHE: dict[str, str] = {}
+
+
+def _materialized_recognized_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the recognized_revenue mart (recognized_revenue.sql:
+    1-105 semantics, merge keys [line_item_id, recognition_date]) to
+    parquet through the S6 merge sink, then read it back — the same
+    write -> scan round trip run_pipeline gives the Stripe tables."""
+    import shutil
+    import tempfile
+
+    from stripe_data_pipeline_spark.incremental import merge_upsert
+
+    path = _MART_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="recognized_mart_")
+        shutil.rmtree(path, ignore_errors=True)
+        li = curated_line_items(spark, sf_dir)
+        usd = with_usd_amounts(li, exchange_rates(spark))
+        rec = recognized_daily_facts_halfopen(usd)
+        merge_upsert(
+            spark,
+            path,
+            rec.select(
+                "line_item_id",
+                "recognition_date",
+                "daily_revenue_usd",
+                "recognized_revenue_usd",
+            ),
+            keys=["line_item_id", "recognition_date"],
+        )
+        _MART_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "recognized_revenue_mart_check",
+    oracle=USD_LINE_ITEMS_SQL
+    + f""",
+rated AS (
+    SELECT *,
+           CASE WHEN service_period_days > 0
+                THEN amount_without_tax_usd / service_period_days
+                ELSE amount_without_tax_usd END AS daily_revenue_usd
+    FROM usd_line_items
+    WHERE period_end_date_inferred > period_start_date
+),
+rec AS (
+    SELECT r.*, CAST(g.d AS DATE) AS recognition_date,
+           r.daily_revenue_usd
+             * datediff('day', r.period_start_date, CAST(g.d AS DATE))
+             AS recognized_cum_usd
+    FROM rated r,
+         LATERAL UNNEST(generate_series(r.period_start_date,
+                                        r.period_end_date_inferred - 1,
+                                        INTERVAL 1 DAY)) AS g(d)
+)
+SELECT CAST(year(recognition_date) AS INT) AS rec_year,
+       CAST(month(recognition_date) AS INT) AS rec_month,
+       {sum_usd_cents_sql("daily_revenue_usd")} AS daily_usd,
+       {sum_usd_cents_sql("recognized_cum_usd")} AS recognized_usd,
+       COUNT(*) AS n_facts
+FROM rec
+GROUP BY year(recognition_date), month(recognition_date)
+""",
+    doc="recognized_revenue mart materialized through the merge sink "
+    "and read back (recognized_revenue.sql:1-105): the reference's "
+    "SUM(daily_revenue_usd) quarter-report shape (README.md:207-213) "
+    "plus the cumulative recognized column, grouped monthly. Proves "
+    "the persisted mart — not just the in-flight DataFrame — carries "
+    "the half-open day domain.",
+)
+def q_recognized_revenue_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_recognized_mart(spark, sf_dir)
+    return mart.groupBy(
+        F.year("recognition_date").alias("rec_year"),
+        F.month("recognition_date").alias("rec_month"),
+    ).agg(
+        sum_usd_cents(F.col("daily_revenue_usd")).alias("daily_usd"),
+        sum_usd_cents(F.col("recognized_revenue_usd")).alias("recognized_usd"),
+        F.count(F.lit(1)).alias("n_facts"),
+    )

@@ -15,7 +15,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-MART_TABLES = ("invoices", "invoice_line_items", "deferred_revenue")
+MART_TABLES = (
+    "invoices",
+    "invoice_line_items",
+    "deferred_revenue",
+    "recognized_revenue",
+)
 
 
 def register_mart_views(spark: SparkSession, warehouse_dir: str) -> None:
@@ -23,6 +28,13 @@ def register_mart_views(spark: SparkSession, warehouse_dir: str) -> None:
         spark.read.parquet(os.path.join(warehouse_dir, name)).createOrReplaceTempView(
             name
         )
+    # the generated calendar dim (README.md:210 joins it by name) — span
+    # wide enough to cover both the TPC-H mapping and the Stripe fixtures
+    from stripe_data_pipeline_spark.models.calendar import calendar
+
+    calendar(spark, dt.date(1995, 1, 1), dt.date(2025, 12, 31)).createOrReplaceTempView(
+        "calendar"
+    )
 
 
 def total_deferred_asof(spark: SparkSession, as_of: dt.date) -> DataFrame:
@@ -67,12 +79,15 @@ def deferred_trend(spark: SparkSession) -> DataFrame:
 
 
 def recognized_for_quarter(spark: SparkSession, year: int, quarter: int) -> DataFrame:
-    """README.md:207-213 — recognized revenue for a calendar quarter."""
+    """README.md:207-213 — recognized revenue for a calendar quarter,
+    the reference's exact shape: SUM(daily_revenue_usd) over the
+    recognized_revenue mart joined to the calendar dim."""
     return spark.sql(
         f"""
-        SELECT CAST(SUM(CAST(FLOOR(recognized_revenue_usd * 100.0 + 0.5) AS BIGINT))
+        SELECT CAST(SUM(CAST(FLOOR(f.daily_revenue_usd * 100.0 + 0.5) AS BIGINT))
                     AS DOUBLE) / 100.0 AS recognized_usd
-        FROM deferred_revenue
-        WHERE year(as_of_date) = {year} AND quarter(as_of_date) = {quarter}
+        FROM recognized_revenue f
+        JOIN calendar c ON f.recognition_date = c.date_day
+        WHERE c.year = {year} AND c.quarter_of_year = '{quarter}'
         """
     )

@@ -35,6 +35,7 @@ from stripe_data_pipeline_spark.models.invoice_line_items import (
 from stripe_data_pipeline_spark.models.invoices import curated_invoices
 from stripe_data_pipeline_spark.models.revenue import (
     daily_revenue_facts,
+    recognized_daily_facts_halfopen,
     with_usd_amounts,
 )
 from stripe_data_pipeline_spark.models.staging import stage
@@ -146,6 +147,38 @@ def run_pipeline(
         partition_by="as_of_date",
     )
 
+    # --- marts: recognized_revenue (recognized_revenue.sql:1-105) —
+    # half-open day domain [period_start, period_end), one row per
+    # (line_item, recognition day), merge on [line_item_id,
+    # recognition_date] (:2-4), partitioned by recognition_date (:5).
+    recognized = recognized_daily_facts_halfopen(usd).withColumn(
+        "_loaded_at", F.lit(loaded_at)
+    )
+    rec_cols = [
+        "line_item_id",
+        "invoice_id",
+        "customer_id",
+        "subscription_id",
+        "recognition_date",
+        "currency",
+        "amount_without_tax",
+        "amount_without_tax_usd",
+        "period_start_date",
+        "period_end_date_inferred",
+        "service_period_days",
+        "daily_revenue_usd",
+        "recognized_revenue_usd",
+        "invoice_created_date",
+        "_loaded_at",
+    ]
+    merge_upsert(
+        spark,
+        w("recognized_revenue"),
+        recognized.select(*rec_cols),
+        keys=["line_item_id", "recognition_date"],
+        partition_by="recognition_date",
+    )
+
     return {
         name: spark.read.parquet(w(name))
         for name in (
@@ -156,5 +189,6 @@ def run_pipeline(
             "invoice_line_items",
             "subscription_states",
             "deferred_revenue",
+            "recognized_revenue",
         )
     }

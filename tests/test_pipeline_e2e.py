@@ -92,6 +92,37 @@ def test_marts_deferred_facts(warehouse):
     assert bad.count() == 0
 
 
+def test_marts_recognized_halfopen(warehouse):
+    _, _, t = warehouse
+    rec = t["recognized_revenue"]
+    assert rec.count() > 0
+    # composite key is unique (recognized_revenue.sql:2-4)
+    assert (
+        rec.groupBy("line_item_id", "recognition_date")
+        .count()
+        .filter("count > 1")
+        .count()
+        == 0
+    )
+    # half-open domain: days in [start, end) only — never the end date
+    assert rec.filter(F.col("recognition_date") >= F.col("period_end_date_inferred")).count() == 0
+    assert rec.filter(F.col("recognition_date") < F.col("period_start_date")).count() == 0
+    # per-line-item day count == service period length (half-open)
+    bad = (
+        rec.groupBy("line_item_id", "service_period_days")
+        .count()
+        .filter(F.col("count") != F.col("service_period_days"))
+    )
+    assert bad.count() == 0
+    # full recognition sums to the net amount: sum(daily) == amount
+    tot = (
+        rec.groupBy("line_item_id", "amount_without_tax_usd")
+        .agg(F.sum("daily_revenue_usd").alias("s"))
+        .filter(F.abs(F.col("s") - F.col("amount_without_tax_usd")) > 1e-6)
+    )
+    assert tot.count() == 0
+
+
 def test_pipeline_idempotent(spark, warehouse):
     raw, wh, tables = warehouse
     before = _snapshot(tables)
