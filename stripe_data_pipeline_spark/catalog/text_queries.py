@@ -273,11 +273,18 @@ def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "near_dup_jaccard_pairs",
     oracle="""
-WITH base AS (
+WITH raw_base AS (
     SELECT doc_id, lang,
            CAST(FLOOR(n_chars / 50) AS BIGINT) AS len_bucket,
            list_distinct(string_split(text, ' ')) AS toks
     FROM documents
+),
+blocks AS (
+    SELECT lang, len_bucket FROM raw_base
+    GROUP BY lang, len_bucket HAVING COUNT(*) <= 1000
+),
+base AS (
+    SELECT raw_base.* FROM raw_base JOIN blocks USING (lang, len_bucket)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
@@ -291,7 +298,9 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       >= 8e-1
 """,
     doc="n-gram (token-set) Jaccard near-dup pairs with lang × "
-    "length-bucket blocking — quadratic only within blocks.",
+    "length-bucket blocking — quadratic only within blocks, and blocks "
+    "over the max_block cap dropped entirely (hot-block guard; "
+    "lsh_verified_near_dups is the overflow path).",
 )
 def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_candidate_pairs(
@@ -299,12 +308,33 @@ def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jaccard_verify_lsh",
+    doc="The 100 TB near-dup path: MinHash+LSH candidates (near-linear, "
+    "banded xxhash64 signatures) verified with exact token-set Jaccard "
+    "— no quadratic block self-join anywhere. rows-only: xxhash64 is "
+    "engine-specific; recall vs the exact blocked join is asserted by "
+    "tests/test_operators.py planted-pair tests.",
+)
+def q_jaccard_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_verified_near_dups(
+        read_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 _JACCARD_EDGES_SQL = """
-WITH RECURSIVE base AS (
+WITH RECURSIVE raw_base AS (
     SELECT doc_id, lang,
            CAST(FLOOR(n_chars / 50) AS BIGINT) AS len_bucket,
            list_distinct(string_split(text, ' ')) AS toks
     FROM documents
+),
+blocks AS (
+    SELECT lang, len_bucket FROM raw_base
+    GROUP BY lang, len_bucket HAVING COUNT(*) <= 1000
+),
+base AS (
+    SELECT raw_base.* FROM raw_base JOIN blocks USING (lang, len_bucket)
 ),
 edges AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -56,12 +56,23 @@ def _block_key() -> list[Column]:
 
 
 def jaccard_candidate_pairs(
-    df: DataFrame, threshold: float = 0.8, id_col: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_block: int = 1000,
 ) -> DataFrame:
     """Blocked token-set Jaccard near-dup pairs.
 
     jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|) on distinct token sets,
     computed with array built-ins (JVM) after a block-key self-join.
+
+    Per-block work is quadratic, so blocks larger than ``max_block``
+    are dropped entirely — the same hot-bucket guard as LSH's
+    ``max_bucket``. A (lang, len_bucket) block grows linearly with the
+    corpus, so an uncapped self-join is a 100 TB scale-killer; when a
+    corpus overflows the cap, the right tool is
+    :func:`lsh_verified_near_dups` (near-linear candidates, exact
+    verify), not a bigger cap.
 
     Plan shape matters: the intersection size is projected ONCE into
     scalar columns (i, s) and jaccard derived from those — writing the
@@ -76,6 +87,14 @@ def jaccard_candidate_pairs(
         F.floor(F.col("n_chars") / 50).alias("len_bucket"),
         toks.alias("toks"),
     )
+    block_sizes = base.groupBy("lang", "len_bucket").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    base = base.join(
+        block_sizes.filter(F.col("block_n") <= max_block),
+        ["lang", "len_bucket"],
+        "inner",
+    ).drop("block_n")
     # The build side broadcasts; the probe side's partitioning is what
     # parallelizes the quadratic pair work. A small corpus in one
     # parquet file scans as ONE partition — and a broadcast join keeps
@@ -215,6 +234,65 @@ def minhash_lsh_candidates(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard over a (doc_a, doc_b) candidate relation.
+
+    Linear in candidates: two equi-joins to fetch token sets, one
+    projection per pair for the intersection — no self-join anywhere.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(F.split(F.col("text"), " ")).alias("toks")
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    paired = candidates.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    stats = paired.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("i"),
+        (F.size("toks_a") + F.size("toks_b")).alias("s"),
+    )
+    # optimization barrier as in jaccard_candidate_pairs: one intersect
+    # evaluation per pair, never re-derived inside a join condition
+    stats = stats.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        stats.withColumn(
+            "jaccard",
+            F.col("i").cast("double") / (F.col("s") - F.col("i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def lsh_verified_near_dups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The 100 TB near-dup pipeline: MinHash+LSH candidate generation
+    (near-linear, one shuffle on band key) followed by exact Jaccard
+    verification (linear in candidates). Same output contract as
+    :func:`jaccard_candidate_pairs` restricted to pairs LSH surfaces —
+    the standard recall/cost trade (tune num_hashes/band_size for
+    recall, not the block cap)."""
+    candidates = minhash_lsh_candidates(
+        df, id_col, num_hashes=num_hashes, band_size=band_size, k=k,
+        max_bucket=max_bucket,
+    )
+    return jaccard_verify(df, candidates, threshold, id_col)
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

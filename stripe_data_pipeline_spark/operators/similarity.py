@@ -126,6 +126,33 @@ def centroids(df: DataFrame) -> DataFrame:
     )
 
 
+def build_ivf_index(df: DataFrame, index_path: str) -> None:
+    """IVF build step: train the coarse quantizer ONCE and persist the
+    centroid table. At 100 TB the quantizer must be a precomputed
+    artifact — recomputing centroids from a full-corpus posexplode on
+    every query would scan everything the index exists to avoid. The
+    centroid table is K×d rows (tiny, broadcastable); the big win is
+    corpus-side: with the corpus bucketed/partitioned by label, a probe
+    reads only ``nprobe/K`` of the data files."""
+    centroids(df).write.mode("overwrite").parquet(index_path)
+
+
+def ivf_topk_from_index(
+    df: DataFrame,
+    index_path: str,
+    vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF probe step against a persisted centroid table (see
+    :func:`build_ivf_index`): rank stored centroids vs the query,
+    brute-force only the top ``nprobe`` labels."""
+    cents = df.sparkSession.read.parquet(index_path)
+    labels = _probe_labels(cents, vec, nprobe)
+    return cosine_topk(df.filter(F.col("label").isin(labels)), vec, k, exclude_id)
+
+
 def ivf_topk(
     df: DataFrame,
     vec: list[float],
@@ -133,11 +160,22 @@ def ivf_topk(
     nprobe: int = 2,
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """IVF ANN: rank label-centroids by cosine to the query (via
-    order-independent fixed-point dot), probe the top ``nprobe``
-    labels, brute-force within them."""
-    cents = centroids(df)
-    qcomp = [(i + 1 - 1, float(v)) for i, v in enumerate(vec)]  # 0-based pos
+    """IVF ANN with an in-flight quantizer: rank label-centroids by
+    cosine to the query (via order-independent fixed-point dot), probe
+    the top ``nprobe`` labels, brute-force within them.
+
+    Trains the quantizer inline — fine for one-shot/ad-hoc use; for
+    repeated queries use :func:`build_ivf_index` +
+    :func:`ivf_topk_from_index` so the corpus is scanned only by the
+    probe."""
+    labels = _probe_labels(centroids(df), vec, nprobe)
+    return cosine_topk(df.filter(F.col("label").isin(labels)), vec, k, exclude_id)
+
+
+def _probe_labels(cents: DataFrame, vec: list[float], nprobe: int) -> list:
+    """Rank centroids by cosine against the query; return the top
+    ``nprobe`` labels (tiny driver-side list — K rows in, nprobe out)."""
+    qcomp = [(i, float(v)) for i, v in enumerate(vec)]  # 0-based pos
     # centroid · query and ||centroid|| via scaled-int sums (order-free)
     q_map = F.create_map(
         *[x for i, v in qcomp for x in (F.lit(i), F.lit(v).cast("double"))]
@@ -163,12 +201,9 @@ def ivf_topk(
     scored = scored.withColumn(
         "centroid_score", F.col("dot_cq") / F.sqrt(F.col("sq_c"))
     )
-    probe_labels = [
+    return [
         r["label"]
         for r in scored.orderBy(F.desc("centroid_score"), "label")
         .limit(nprobe)
         .collect()
     ]
-    return cosine_topk(
-        df.filter(F.col("label").isin(probe_labels)), vec, k, exclude_id
-    )

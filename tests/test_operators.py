@@ -57,6 +57,38 @@ def test_minhash_lsh_finds_near_dup(spark):
     assert (1, 4) not in cands and (2, 4) not in cands and (3, 4) not in cands
 
 
+def test_jaccard_hot_block_cap_bounds_work(spark):
+    # a block over max_block contributes NO pairs (bounded per-block
+    # work at scale); small blocks are unaffected
+    rows = [(i, BASE, "en", "s", len(BASE)) for i in range(1, 6)] + [
+        (10, OTHER, "de", "s", len(OTHER)),
+        (11, OTHER, "de", "s", len(OTHER)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.jaccard_candidate_pairs(df, threshold=0.5, max_block=4).collect()
+    }
+    assert pairs == {(10, 11)}  # the 5-doc 'en' block was dropped whole
+
+
+def test_lsh_verified_near_dups_matches_exact(spark):
+    # the scale path (LSH candidates + exact verify) finds the same
+    # planted pairs as the exact blocked join, with true jaccard values
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_candidate_pairs(docs_fixture(spark), threshold=0.5).collect()
+    }
+    via_lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.lsh_verified_near_dups(docs_fixture(spark), threshold=0.5).collect()
+    }
+    assert via_lsh == exact  # full recall on the planted fixture
+    assert via_lsh[(1, 2)] == 1.0
+
+
 def test_simhash_similarity_orders_hamming(spark):
     sigs = {
         r["doc_id"]: r["simhash"]
@@ -155,3 +187,17 @@ def test_range_join_left_outer_keeps_unmatched_points(spark):
 
     with _pytest.raises(ValueError):
         point_in_interval_join(points, intervals, "d", "s", "e", how="full")
+
+
+def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
+    from stripe_data_pipeline_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, 0)
+    idx = str(tmp_path / "ivf_index")
+    S.build_ivf_index(emb, idx)
+    inline = S.ivf_topk(emb, vec, 10, nprobe=2, exclude_id=0).collect()
+    persisted = S.ivf_topk_from_index(emb, idx, vec, 10, nprobe=2, exclude_id=0).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in inline] == [
+        (r["vec_id"], r["cosine_sim"]) for r in persisted
+    ]
