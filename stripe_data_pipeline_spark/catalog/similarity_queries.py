@@ -63,11 +63,17 @@ def q_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-WITH base AS (
+WITH raw_base AS (
     SELECT vec_id, label,
            embedding AS e,
            sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
     FROM embeddings
+),
+blocks AS (
+    SELECT label FROM raw_base GROUP BY label HAVING COUNT(*) <= 1000
+),
+base AS (
+    SELECT raw_base.* FROM raw_base JOIN blocks USING (label)
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine_sim
@@ -77,7 +83,8 @@ WHERE {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= 3e-1
 """,
     doc="Embedding-cosine near-dup pairs blocked by cluster id "
     "(north-star dedup family): per-row norms precomputed, one dot "
-    "product per candidate pair.",
+    "product per candidate pair; labels over the max_block cap are "
+    "dropped (hot-block guard, mirrored in the oracle's HAVING).",
 )
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

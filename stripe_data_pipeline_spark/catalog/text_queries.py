@@ -215,7 +215,7 @@ def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_sorted",
     oracle="""
 SELECT o_custkey AS customer_id,
-       list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+       array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
        CAST(len(list(o_orderkey)) AS INT) AS n_orders
 FROM orders
 WHERE o_orderstatus = 'F'
@@ -223,15 +223,21 @@ GROUP BY o_custkey
 """,
     doc="Sorted array aggregation (collect_list + sort_array == "
     "DuckDB list(... ORDER BY)): the grouped-materialization shape "
-    "used for per-entity training examples.",
+    "used for per-entity training examples. The sorted keys are "
+    "serialized to a ','-joined string so the result schema is "
+    "hashable by the driver's pandas canonicalizer (array columns "
+    "are not; VERDICT r02 #1).",
 )
 def q_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = F.sort_array(F.collect_list("o_orderkey"))
     return (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .groupBy(F.col("o_custkey").alias("customer_id"))
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.transform(keys, lambda x: x.cast("string")), ","
+            ).alias("order_keys"),
             F.size(F.collect_list("o_orderkey")).alias("n_orders"),
         )
     )

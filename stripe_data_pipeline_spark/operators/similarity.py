@@ -70,11 +70,22 @@ def cosine_topk(
 
 
 def cosine_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.3, block_col: str = "label"
+    df: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    max_block: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by ``block_col``
     (the coarse cluster id — pairs across clusters can't be near-dups
     by construction of the quantizer).
+
+    Per-block pair work is quadratic, so blocks larger than
+    ``max_block`` are dropped entirely — the same hot-block guard as
+    ``dedup.jaccard_candidate_pairs``'s ``max_block`` and LSH's
+    ``max_bucket``. One hot cluster label at corpus scale would
+    otherwise be an uncapped O(B²) self-join; when a corpus overflows
+    the cap, re-quantize with more centroids (finer blocks) or band on
+    quantized embedding prefixes — don't raise the cap.
 
     Norms are precomputed per row so the pair stage evaluates exactly
     one dot product; the repartition barrier before the threshold
@@ -85,6 +96,10 @@ def cosine_near_dup_pairs(
     base = df.select(
         "vec_id", F.col(block_col).alias("blk"), emb.alias("e"), _norm(emb).alias("nrm")
     )
+    block_sizes = base.groupBy("blk").agg(F.count(F.lit(1)).alias("block_n"))
+    base = base.join(
+        block_sizes.filter(F.col("block_n") <= max_block), ["blk"], "inner"
+    ).drop("block_n")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     a = base.repartition(parallelism).alias("a")
     b = base.alias("b")

@@ -134,6 +134,21 @@ def test_cosine_topk_ranks_identical_first(spark):
     assert out[0]["cosine_sim"] == pytest.approx(1.0)
 
 
+def test_cosine_near_dup_hot_block_cap_bounds_work(spark):
+    # a label block over max_block contributes NO pairs (same hot-block
+    # guard as jaccard_candidate_pairs); small blocks are unaffected
+    rows = [(i, [1.0, 0.0], 0) for i in range(5)] + [
+        (10, [0.0, 1.0], 1),
+        (11, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.cosine_near_dup_pairs(emb, threshold=0.3, max_block=4).collect()
+    }
+    assert pairs == {(10, 11)}  # the 5-vector label-0 block was dropped whole
+
+
 def test_ivf_probes_right_cluster(spark, sf_dir):
     from stripe_data_pipeline_spark.io import read_table
 
