@@ -330,8 +330,18 @@ def q_missing_period_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session-scoped materialization cache for the mart round-trip check:
-# sf_dir -> parquet path written via the merge sink.
+# sf_dir -> parquet path written via the merge sink. Keyed by sf_dir
+# PATH only — if the parquet under an sf_dir changes mid-process the
+# cached mart is stale (fine for the immutable driver test data).
+# Dirs are removed at interpreter exit via atexit.
 _MART_CACHE: dict[str, str] = {}
+
+
+def _cleanup_mart_cache() -> None:
+    import shutil
+
+    for p in _MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _materialized_recognized_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,8 +349,12 @@ def _materialized_recognized_mart(spark: SparkSession, sf_dir: str) -> DataFrame
     1-105 semantics, merge keys [line_item_id, recognition_date]) to
     parquet through the S6 merge sink, then read it back — the same
     write -> scan round trip run_pipeline gives the Stripe tables."""
+    import atexit
     import shutil
     import tempfile
+
+    if not _MART_CACHE:
+        atexit.register(_cleanup_mart_cache)
 
     from stripe_data_pipeline_spark.incremental import merge_upsert
 

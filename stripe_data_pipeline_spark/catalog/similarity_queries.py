@@ -189,7 +189,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session-scoped IVF index cache: sf_dir -> persisted centroid table.
+# Keyed by sf_dir PATH only — stale if the embeddings under an sf_dir
+# change mid-process (fine for the immutable driver test data). Dirs
+# are removed at interpreter exit via atexit.
 _IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _cleanup_ivf_cache() -> None:
+    import shutil
+
+    for p in _IVF_INDEX_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
 
 
 @register(
@@ -204,12 +214,15 @@ _IVF_INDEX_CACHE: dict[str, str] = {}
     "results.",
 )
 def q_ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
     import tempfile
 
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.query_vector(emb, _QID)
     index_path = _IVF_INDEX_CACHE.get(sf_dir)
     if index_path is None:
+        if not _IVF_INDEX_CACHE:
+            atexit.register(_cleanup_ivf_cache)
         index_path = tempfile.mkdtemp(prefix="ivf_index_")
         S.build_ivf_index(emb, index_path)
         _IVF_INDEX_CACHE[sf_dir] = index_path

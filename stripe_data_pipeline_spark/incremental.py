@@ -10,13 +10,15 @@ Spark-first mapping:
 - high-watermark: engine-level (not Catalyst) — resolve MAX(cursor)
   from the target, inject a filter on the source; with date-partitioned
   targets the filter prunes partitions for free.
-- merge sink: Delta Lake ``MERGE INTO`` when deltalake is importable;
-  otherwise an anti-join + union rewrite. On a partitioned target the
-  fallback rewrites only the partitions the update batch touches
-  (the dynamic-partition-overwrite strategy). The fallback stages to a
-  sibling directory and swaps — on real cloud storage you'd use an
-  ACID table format (Delta/Iceberg) instead; the *semantics* here are
-  what the reference's BigQuery MERGE provides.
+- merge sink: an anti-join + union rewrite over plain parquet. On a
+  partitioned target it rewrites only the partitions the update batch
+  touches (the dynamic-partition-overwrite strategy), staging to a
+  sibling directory and swapping the touched partition dirs. The swap
+  is idempotent but NOT crash-atomic — a production deployment would
+  point ``merge_upsert`` at an ACID table format (Delta/Iceberg
+  ``MERGE INTO``), which this container does not ship; the call-site
+  *semantics* (verified by tests/test_incremental.py) are what the
+  reference's BigQuery MERGE provides and are format-agnostic.
 """
 
 from __future__ import annotations
@@ -45,6 +47,28 @@ def incremental_filter(src: DataFrame, cursor_col: str, hwm) -> DataFrame:
     if hwm is None:
         return src
     return src.filter(F.col(cursor_col) > F.lit(hwm))
+
+
+def _spark_partition_dir_value(spark: SparkSession, v) -> str:
+    """Render a partition VALUE the way Spark renders it in a partition
+    directory name: None -> __HIVE_DEFAULT_PARTITION__, booleans
+    lowercased, and special path chars percent-escaped via the same
+    JVM routine Spark's writer uses (ExternalCatalogUtils.escapePathName),
+    so ``ts=2024-01-01 10:00:00`` becomes ``ts=2024-01-01 10%3A00%3A00``.
+    """
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        raw = "true" if v else "false"
+    else:
+        raw = str(v)
+    try:
+        jvm = spark._jvm  # noqa: SLF001 — py4j access to Spark's own escaper
+        return jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+            raw
+        )
+    except Exception:  # noqa: BLE001 — Connect/older builds: best-effort
+        return raw
 
 
 def merge_upsert(
@@ -86,19 +110,22 @@ def merge_upsert(
         # keys GLOBALLY, like the reference's MERGE: an update that moves a
         # key to a new partition value must also displace the stale row
         # from its old partition, so touched = partitions of the updates
-        # UNION partitions of old rows whose key is being updated.
+        # UNION partitions of old rows whose key is being updated. One
+        # collect for both sets; the semi join is left to AQE (it will
+        # broadcast update_keys when the batch is small — no unconditional
+        # driver-side broadcast of an unbounded key set).
         update_keys = updates.select(*keys).distinct()
-        updates_parts = {
-            r[0] for r in updates.select(partition_by).distinct().collect()
-        }
-        displaced_parts = {
+        part_vals = {
             r[0]
-            for r in old.join(F.broadcast(update_keys), keys, "left_semi")
-            .select(partition_by)
+            for r in updates.select(F.col(partition_by).alias("pv"))
+            .unionByName(
+                old.join(update_keys, keys, "left_semi").select(
+                    F.col(partition_by).alias("pv")
+                )
+            )
             .distinct()
             .collect()
         }
-        part_vals = updates_parts | displaced_parts
         # Filter by literal partition values (small driver-side list) so the
         # scan partition-prunes; isin is null-hostile, handle NULL explicitly
         # (Spark stores it as __HIVE_DEFAULT_PARTITION__).
@@ -111,15 +138,31 @@ def merge_upsert(
         merged = kept.unionByName(updates)
         staging = f"{target_path}.staging-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
-        for v in part_vals:
-            dir_val = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-            part_dir = f"{partition_by}={dir_val}"
-            src_dir = os.path.join(staging, part_dir)
+        # Move the partition dirs Spark ACTUALLY wrote (os.listdir), not
+        # names reconstructed from values — Spark escapes special chars
+        # (':' ' ' '=' ...) and renders types (true/false) in dir names,
+        # and a reconstructed name that mismatches would silently drop
+        # the freshly-written partition with the staging dir.
+        prefix = f"{partition_by}="
+        staged_dirs = {
+            d
+            for d in os.listdir(staging)
+            if d.startswith(prefix)
+            and os.path.isdir(os.path.join(staging, d))
+        }
+        for part_dir in staged_dirs:
             dst_dir = os.path.join(target_path, part_dir)
             if os.path.exists(dst_dir):
                 shutil.rmtree(dst_dir)
-            if os.path.exists(src_dir):
-                shutil.move(src_dir, dst_dir)
+            shutil.move(os.path.join(staging, part_dir), dst_dir)
+        # A touched partition can come out EMPTY (every old row displaced,
+        # no update lands there): staging has no dir for it, but the stale
+        # target dir must still go. Render those names the way Spark does
+        # (JVM escapePathName) so e.g. ':' in timestamp values matches.
+        for v in part_vals:
+            part_dir = prefix + _spark_partition_dir_value(spark, v)
+            if part_dir not in staged_dirs:
+                shutil.rmtree(os.path.join(target_path, part_dir), ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
     else:
         kept = old.join(updates.select(*keys), keys, "left_anti")

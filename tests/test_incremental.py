@@ -88,6 +88,32 @@ def test_partitioned_merge_null_partition_value(spark, tmp_path):
     assert _read_sorted(spark, target) == [(1, None, 10.0), (2, "b", 2.0)]
 
 
+def test_partitioned_merge_escaped_partition_values(spark, tmp_path):
+    # Spark percent-escapes special chars in partition DIR names
+    # (':' -> %3A etc.); reconstructing dirs from str(value) would miss
+    # the staged dir and silently drop the new partition data. The merge
+    # must move what Spark actually wrote and still purge emptied dirs.
+    target = str(tmp_path / "t8")
+    base = _rows(spark, [(1, "shard:a", 1.0), (2, "shard:b", 2.0)])
+    merge_upsert(spark, target, base, keys=["id"], partition_by="day")
+    assert (tmp_path / "t8" / "day=shard%3Aa").exists()
+    # update inside an escaped partition
+    upd = _rows(spark, [(1, "shard:a", 10.0)])
+    merge_upsert(spark, target, upd, keys=["id"], partition_by="day")
+    assert _read_sorted(spark, target) == [
+        (1, "shard:a", 10.0),
+        (2, "shard:b", 2.0),
+    ]
+    # move a key OUT of an escaped partition: stale dir must be purged
+    moved = _rows(spark, [(1, "shard:c", 100.0)])
+    merge_upsert(spark, target, moved, keys=["id"], partition_by="day")
+    assert _read_sorted(spark, target) == [
+        (1, "shard:c", 100.0),
+        (2, "shard:b", 2.0),
+    ]
+    assert not (tmp_path / "t8" / "day=shard%3Aa").exists()
+
+
 def test_high_watermark_run(spark, tmp_path):
     target = str(tmp_path / "t5")
     src1 = _rows(spark, [(1, "a", 1.0), (2, "a", 2.0)])
