@@ -51,40 +51,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Order the registry so every *component family* lands a driver verdict:
-# the LLM-pipeline operators (dedup / similarity / multimodal / text) and
-# this round's additions go first, then the flagship revenue marts, then
-# one representative per relational operator family. Redundant relational
-# demos (all locally oracle-green, see tools/check_oracle.py) sort last.
+# Round-3 rotation (VERDICT r02 #4): lead with the 21 queries that got
+# no r2 driver verdict (green in r1 and/or judge-verified via
+# tools/check_oracle.py, but external verification should cover every
+# registered query across r2∪r3), then everything r3 touched, then the
+# flagship + north-star representatives already green in r2. Queries
+# past position 50 remain covered by CI (tests/test_oracle_catalog.py
+# runs the full catalog against DuckDB at sf0.001).
 _PRIORITY = [
-    # LLM-data-pipeline north-star operators (VERDICT r01 #1).
-    "dedup_exact_summary",
-    "dedup_exact_keepers",
-    "near_dup_jaccard_pairs",
-    "dedup_clusters",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "cosine_topk_bruteforce",
-    "embedding_near_dup_pairs",
-    "label_centroids_applyinpandas",
-    "ivf_topk",
-    "media_metadata",
-    "media_features",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_regex_tokens",
-    "doc_quality_scores",
-    "doc_fingerprints",
-    "doc_first_last_token",
-    "pandas_udf_normalize",
-    "rollup_counts",
+    # --- no driver verdict in r2 (r1/judge-green) ---
+    "sessionized_events",
+    "salted_skew_join",
+    "events_hourly_windows",
+    "json_extraction",
+    "orders_star_plus",
+    "events_in_list",
+    "grouped_stats",
+    "running_value_per_user",
+    "union_all_slices",
+    "custkey_set_ops",
+    "date_functions",
+    "conditional_functions",
+    "price_percentiles",
+    "pivot_qty_by_status",
+    "regional_revenue_q5ish",
+    "string_functions",
+    "events_rolling_hour_count",
+    "approx_distinct_parts",
+    "sql_api_segment_revenue",
+    "cube_counts",
+    # --- changed or added in r3 ---
     "array_agg_sorted",
-    # Round-2 additions (registered below if present).
-    "jaccard_verify_lsh",
+    "embedding_near_dup_pairs",
     "approx_percentile_prices",
     "recognized_revenue_mart_check",
     "ivf_topk_persisted",
-    # Flagship revenue recognition (SURVEY.md §2.9) + marts.
+    "streaming_merge_mart_check",
+    "embedding_lsh_near_dups",
+    # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",
     "deferred_by_customer_asof",
@@ -95,27 +99,20 @@ _PRIORITY = [
     "calendar_dim",
     "fx_literal_dim",
     "missing_period_end_threshold",
-    # One representative per relational operator family.
-    "max_cursor",
-    "orders_high_watermark",
-    "orders_status_filter",
-    "orders_rename_cast",
-    "dim_chain_join",
-    "orders_lineitem_join",
-    "customer_orders_left_join",
-    "customers_with_open_orders_semi",
-    "customers_without_orders_anti",
-    "doc_words_exploded_top20",
-    "pricing_summary",
-    "latest_event_per_user",
-    "top3_orders_per_status",
-    "event_gaps",
-    "top20_orders",
-    "asof_join_events_orders",
-    "sessionized_events",
-    "salted_skew_join",
-    "events_hourly_windows",
-    "json_extraction",
+    # --- LLM-pipeline north-star representatives, green in r2 ---
+    "dedup_exact_keepers",
+    "near_dup_jaccard_pairs",
+    "dedup_clusters",
+    "minhash_lsh_candidates",
+    "jaccard_verify_lsh",
+    "cosine_topk_bruteforce",
+    "label_centroids_applyinpandas",
+    "ivf_topk",
+    "media_metadata",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "pandas_udf_normalize",
 ]
 
 

@@ -699,6 +699,45 @@ def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_percentile_prices",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+       quantile_cont(l_extendedprice, 0.95) AS p95_exact,
+       TRUE AS sketch_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Sketch percentiles (approx_percentile, the GK quantile "
+    "summary) — the 100 TB replacement for the exact sort-based "
+    "price_percentiles: mergeable fixed-size per-partition summaries, "
+    "no per-group sort. The sketch itself is engine-specific, so the "
+    "oracle contract is: exact percentiles (bit-matched to DuckDB "
+    "quantile_cont) PLUS a Spark-side assertion that the sketch "
+    "landed within 2% relative of exact, emitted as a column the "
+    "oracle pins to TRUE. accuracy=1000 bounds rank error at 0.1%, "
+    "far inside the 2% value tolerance.",
+)
+def q_approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
+    ap = F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)")
+    agg = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(ex.alias("ex"), ap.alias("ap"))
+    )
+    within = (
+        F.abs(F.col("ap")[0] - F.col("ex")[0]) <= F.col("ex")[0] * F.lit(2e-2)
+    ) & (F.abs(F.col("ap")[1] - F.col("ex")[1]) <= F.col("ex")[1] * F.lit(2e-2))
+    return agg.select(
+        "l_returnflag",
+        F.col("ex")[0].alias("p50_exact"),
+        F.col("ex")[1].alias("p95_exact"),
+        within.alias("sketch_within_tol"),
+    )
+
+
+@register(
     "pivot_qty_by_status",
     oracle=f"""
 SELECT l_returnflag,

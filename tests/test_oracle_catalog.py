@@ -1,0 +1,28 @@
+"""Full-catalog oracle parity at sf0.001 — CI coverage for EVERY
+registered query, including the ones the driver's 50-query
+CORRECTNESS window rotates out in a given round (ADVICE r02 #1).
+
+Parametrized per query so a failure names the query; the whole sweep
+runs a few minutes on local[4]. The driver-window ordering lives in
+``__spark_entry__._PRIORITY``; this test is what keeps the
+deprioritized tail under automated verification regardless of the
+rotation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stripe_data_pipeline_spark.catalog import QUERIES
+from stripe_data_pipeline_spark.testing import check_query, duck_con
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duck_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_full_catalog_oracle_parity(spark, con, sf_dir, name):
+    errs = check_query(spark, con, QUERIES[name], sf_dir)
+    assert not errs, errs
