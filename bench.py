@@ -40,7 +40,36 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "approx_percentile_prices",
 ]
+
+BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
+
+
+def load_baseline(path: str = BASELINE_PATH) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def check_regressions(
+    timings: dict[str, float], baseline: dict | None
+) -> list[str]:
+    """Regression guard: names of queries slower than
+    ``regression_factor`` x their pinned baseline seconds. Queries
+    without a pinned number (new this round) are skipped. Pure
+    function so tests can fire it with fabricated timings."""
+    if not baseline:
+        return []
+    factor = float(baseline.get("regression_factor", 2.0))
+    pinned = baseline.get("queries", {})
+    return [
+        name
+        for name, sec in timings.items()
+        if name in pinned and sec > factor * float(pinned[name])
+    ]
 
 
 def main() -> None:
@@ -63,6 +92,14 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    baseline = load_baseline()
+    regressions = check_regressions(timings, baseline)
+    if regressions:
+        factor = (baseline or {}).get("regression_factor", 2.0)
+        print(
+            f"bench REGRESSION (> {factor}x pinned baseline): {regressions}",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -71,6 +108,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "regressions": regressions,
             }
         )
     )

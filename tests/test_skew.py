@@ -38,3 +38,51 @@ def test_hot_key_spreads_over_buckets(spark):
     hot = spark.createDataFrame([(1, f"v{i}") for i in range(200)], "k long, v string")
     n_salts = salt_left(hot, 8).select(SALT_COL).distinct().count()
     assert n_salts == 8  # the single hot key fans out across all buckets
+
+
+def test_salting_bounds_max_partition_size(spark):
+    # The PAYOFF, not just equivalence (VERDICT r02 #7): plant a hot key
+    # owning half the rows and measure rows per shuffle-join output
+    # partition. Plain join co-locates every hot-key row in one task;
+    # salted spreads them. AQE skew-splitting and broadcast are disabled
+    # so the test observes raw hash partitioning, i.e. what a
+    # 1000-executor shuffle would do per task.
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # enough shuffle partitions that salt buckets don't collide into
+        # the same handful of tasks (the session fixture uses 4)
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n_hot, n_rest = 1000, 1000
+        left = spark.createDataFrame(
+            [(1, i) for i in range(n_hot)]
+            + [(2 + i % 50, i) for i in range(n_rest)],
+            "k long, v long",
+        )
+        right = spark.createDataFrame(
+            [(k,) for k in range(1, 60)], "k long"
+        ).withColumn("w", F.col("k") * 10)
+
+        def max_partition_rows(df):
+            sizes = (
+                df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in sizes)
+
+        plain_max = max_partition_rows(left.join(right, ["k"]))
+        salted_max = max_partition_rows(
+            salted_join(left, right, on=["k"], buckets=32)
+        )
+        assert plain_max >= n_hot  # hot key lands whole in one task
+        assert salted_max <= plain_max // 3  # salting bounds the hot task
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
