@@ -229,3 +229,20 @@ def q_ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk_from_index(
         emb, index_path, vec, k=10, nprobe=2, exclude_id=_QID
     )
+
+
+@register(
+    "embedding_lsh_near_dups",
+    doc="Hyperplane (signed-random-projection) LSH near-dup over "
+    "embeddings — the label-free corpus-scale path the capped "
+    "cosine_near_dup_pairs overflow route points at: band-key shuffle "
+    "for candidates (quadratic only inside ≤200-row buckets, hot "
+    "buckets dropped), exact cosine verify per distinct pair "
+    "(precision 1 by construction). The hyperplane signatures are "
+    "engine-specific, so no SQL oracle — rows-only here; recall/"
+    "precision/subset-of-truth are pytest-gated against the exact "
+    "all-pairs operator (tests/test_operators.py).",
+)
+def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.srp_lsh_near_dups(emb, threshold=0.3).orderBy("vec_a", "vec_b")

@@ -36,19 +36,24 @@ TESTDATA_TABLES = (
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S5: scan one of the driver-generated parquet tables.
-
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """``events.ts`` is parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as nanosecond
     longs, which we truncate to microseconds — the same truncation a
-    micros-native engine (DuckDB) applies on read.
-    """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    micros-native engine (DuckDB) applies on read. No-op when the
+    column already reads as a timestamp."""
+    if dict(df.dtypes).get(col) == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S5: scan one of the driver-generated parquet tables."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = convert_nanos_ts(df)
     return df
 
 

@@ -120,6 +120,141 @@ def cosine_near_dup_pairs(
     )
 
 
+def srp_band_keys(
+    df: DataFrame, bands: int = 24, band_bits: int = 4, seed: int = 42
+) -> DataFrame:
+    """Signed-random-projection (hyperplane) LSH banding — the
+    corpus-scale path for embedding near-dup when no quality cluster
+    label exists (the overflow route :func:`cosine_near_dup_pairs`'s
+    ``max_block`` cap points at).
+
+    Each of ``bands*band_bits`` fixed pseudo-random hyperplanes
+    contributes one sign bit (P[bit_a == bit_b] = 1 - angle/pi, the
+    SimHash property for vectors); ``band_bits`` bits pack into one
+    integer band key. Two vectors collide in a band iff all its bits
+    agree, so collision probability rises sharply with cosine — the
+    same band/bucket geometry as MinHash LSH (dedup.minhash_lsh).
+
+    Hyperplanes are generated driver-side from a seeded RNG and enter
+    the plan as LITERAL arrays (K×d doubles — a few KiB) rendered as a
+    SINGLE SQL expression string: one py4j call, not K×d Column-object
+    round trips (which dominate wall time), and scoring stays pure JVM
+    arithmetic — no Python in the hot path, no Python-RDD scan.
+    Output: (vec_id, e, nrm, band, band_key), exploded one row per
+    band.
+    """
+    import numpy as np
+
+    d = len(df.select("embedding").first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bands * band_bits, d))
+    planes_sql = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v):.8g}D" for v in row) + ")"
+            for row in planes
+        )
+        + ")"
+    )
+    emb = _as_double(F.col("embedding"))
+    base = df.select("vec_id", emb.alias("e"), _norm(emb).alias("nrm"))
+    bits_sql = (
+        f"transform({planes_sql}, p -> "
+        "aggregate(zip_with(e, p, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        " >= 0.0D)"
+    )
+    keys_sql = (
+        f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+        f"aggregate(sequence(0, {band_bits - 1}), 0, "
+        f"(acc, i) -> acc + IF(__bits[b * {band_bits} + i], shiftleft(1, i), 0)"
+        ") AS band_key))"
+    )
+    return (
+        base.withColumn("__bits", F.expr(bits_sql))
+        .select("vec_id", "e", "nrm", F.explode(F.expr(keys_sql)).alias("bk"))
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+
+
+def srp_lsh_near_dups(
+    df: DataFrame,
+    threshold: float = 0.3,
+    bands: int = 24,
+    band_bits: int = 4,
+    max_bucket: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup via hyperplane LSH + exact cosine verify.
+
+    candidates: self-join within (band, band_key) buckets — near-linear
+    (one shuffle on the band key, quadratic only inside ≤``max_bucket``
+    buckets, hot buckets dropped like dedup.minhash_lsh's cap); verify:
+    exactly one dot product per distinct candidate pair. Identical
+    vectors always share all signatures, so exact-dup recall is 1;
+    near-dup recall is tuned by (bands, band_bits): a bit agrees with
+    probability 1 - angle/pi, a band collides when all its bits agree,
+    and a pair is a candidate if ANY band collides. The 24x4 default
+    gives ~0.96 recall at cosine 0.3 (test-gated at 0.85 on the real
+    table); for a tighter threshold (true near-dup, cosine >= 0.8)
+    fewer/wider bands suffice and candidate volume drops sharply.
+    Every emitted pair is exact-verified ``cosine >= threshold``
+    (precision 1).
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    keyed = srp_band_keys(df, bands, band_bits, seed).repartition(
+        parallelism, "band", "band_key"
+    )
+    # drop hot buckets before the quadratic stage
+    sizes = keyed.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    keyed = keyed.join(
+        sizes.filter(F.col("n") <= max_bucket), ["band", "band_key"]
+    ).drop("n")
+    keyed = keyed.localCheckpoint(eager=False)
+    slim = keyed.select("band", "band_key", "vec_id")
+    cand = (
+        slim.alias("a")
+        .join(slim.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = keyed.select("vec_id", "e", "nrm").dropDuplicates(["vec_id"])
+    pairs = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("e").alias("ea"),
+                F.col("nrm").alias("na"),
+            ),
+            ["vec_a"],
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            ["vec_b"],
+        )
+        .repartition(parallelism)
+    )
+    return (
+        pairs.withColumn(
+            "cosine_sim", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
 def centroids(df: DataFrame) -> DataFrame:
     """Per-label centroids via order-independent fixed-point sums.
 

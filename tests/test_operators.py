@@ -149,6 +149,75 @@ def test_cosine_near_dup_hot_block_cap_bounds_work(spark):
     assert pairs == {(10, 11)}  # the 5-vector label-0 block was dropped whole
 
 
+def test_srp_lsh_planted_exact_dups_recall_one(spark):
+    # identical vectors share every hyperplane signature -> always
+    # collide in every band; orthogonal pairs must not be emitted
+    base = [0.0] * 63
+    rows = [
+        (1, [1.0] + base, 0),
+        (2, [1.0] + base, 0),           # exact dup of 1
+        (3, base + [1.0], 1),           # orthogonal to 1/2
+        (4, [-1.0] + base, 1),          # anti-parallel to 1/2
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = S.srp_lsh_near_dups(emb, threshold=0.3).collect()
+    pairs = {(r["vec_a"], r["vec_b"]): r["cosine_sim"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(1.0)
+    assert all(p == (1, 2) for p in pairs)  # nothing below threshold leaks
+
+
+def test_srp_lsh_subset_of_truth_with_high_recall(spark, sf_dir):
+    # On the real embeddings table: every emitted pair must appear in
+    # the exact all-pairs truth (precision 1), and recall vs the truth
+    # must be high — LSH is allowed to miss, but not to be useless.
+    from stripe_data_pipeline_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+
+    def fold_dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    def dbl(c):
+        return F.transform(c, lambda x: x.cast("double"))
+
+    ea, eb = dbl(F.col("a.embedding")), dbl(F.col("b.embedding"))
+    cos = fold_dot(ea, eb) / (
+        F.sqrt(fold_dot(ea, ea)) * F.sqrt(fold_dot(eb, eb))
+    )
+    truth = {
+        (r["va"], r["vb"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cos.alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.srp_lsh_near_dups(emb, threshold=0.3).collect()
+    }
+    assert got <= truth  # exact-verify stage guarantees precision 1
+    assert truth, "test data should contain near-dup pairs"
+    recall = len(got) / len(truth)
+    assert recall >= 0.85, f"LSH recall {recall:.2f} too low ({len(got)}/{len(truth)})"
+
+
+def test_srp_lsh_hot_bucket_cap(spark):
+    # a bucket larger than max_bucket is dropped whole: 5 identical
+    # vectors all share every bucket -> with max_bucket=4 no pairs
+    base = [0.0] * 63
+    rows = [(i, [1.0] + base, 0) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    assert S.srp_lsh_near_dups(emb, threshold=0.3, max_bucket=4).count() == 0
+
+
 def test_ivf_probes_right_cluster(spark, sf_dir):
     from stripe_data_pipeline_spark.io import read_table
 
