@@ -88,6 +88,12 @@ _PRIORITY = [
     "ivf_topk_persisted",
     "streaming_merge_mart_check",
     "embedding_lsh_near_dups",
+    "dataset_split_assign",
+    "dataset_split_counts",
+    "deterministic_sample_docs",
+    "per_group_sample_docs",
+    "doc_tfidf_top_terms",
+    "corpus_mix_summary",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",
@@ -104,12 +110,15 @@ _PRIORITY = [
     "near_dup_jaccard_pairs",
     "dedup_clusters",
     "minhash_lsh_candidates",
-    "jaccard_verify_lsh",
     "cosine_topk_bruteforce",
-    "label_centroids_applyinpandas",
     "ivf_topk",
+    "doc_text_stats",]
+
+# Green in r2, re-checked only if window space allows (tail):
+_PRIORITY += [
+    "jaccard_verify_lsh",
+    "label_centroids_applyinpandas",
     "media_metadata",
-    "doc_text_stats",
     "doc_lang_id",
     "doc_quality_scores",
     "pandas_udf_normalize",

@@ -1,0 +1,108 @@
+"""Deterministic sampling / split queries over the documents table
+(north-star: training-data pipelines).
+
+Every query here is fully oracled: the hash primitive is md5 (byte-
+identical across engines), so Spark and DuckDB independently compute
+the same buckets, splits, samples and per-stratum picks — proving the
+selection is engine- and layout-independent, which is the whole point
+of deterministic sampling at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.io import read_table
+from stripe_data_pipeline_spark.operators import sampling as SA
+
+# DuckDB rendering of operators.sampling.hash_bucket (md5 hex -> int).
+_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "dataset_split_assign",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    doc="Deterministic train/val/test assignment by md5 hash-range of "
+    "doc_id (80/10/10). Stable under corpus growth (a key's split "
+    "never changes when other rows appear) and engine-independent — "
+    "the oracle recomputes the same assignment from scratch in DuckDB. "
+    "Pure projection: fuses into the scan, no shuffle at any scale.",
+)
+def q_dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return SA.assign_split(docs, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "dataset_split_counts",
+    oracle=f"""
+SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+    doc="Split-size audit: doc and char counts per train/val/test "
+    "split — the sanity report a data pipeline emits before training.",
+)
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        SA.assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "deterministic_sample_docs",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_BUCKET} < 10
+""",
+    doc="Deterministic ~10% sample by key hash: a reproducible "
+    "TABLESAMPLE that selects the same rows on any engine, any run, "
+    "any partition layout. Map-side filter — pushes to the scan.",
+)
+def q_deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return SA.deterministic_sample(docs, "doc_id", rate_pct=10).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "per_group_sample_docs",
+    oracle="""
+SELECT lang, doc_id
+FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+""",
+    doc="k-per-stratum deterministic sample (5 docs per language) by "
+    "md5-of-key order — reservoir-sampling semantics without state or "
+    "randomness; one bounded window over the stratum key.",
+)
+def q_per_group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return SA.per_group_sample(docs, "lang", "doc_id", k=5).select("lang", "doc_id")

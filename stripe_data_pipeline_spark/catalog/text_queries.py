@@ -406,3 +406,78 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+    SELECT d.doc_id, w.term
+    FROM documents d, LATERAL UNNEST(string_split(d.text, ' ')) AS w(term)
+    WHERE w.term <> ''
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(FLOOR(CAST(tf.tf AS DOUBLE)
+                      * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                      * 1e9 + 5e-1) AS BIGINT) AS score_fp
+    FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, score_fp
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_fp DESC, term
+    ) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+""",
+    doc="Top-3 TF-IDF terms per document — the classic rare-term "
+    "salience feature for corpus analysis/keyword extraction. Scores "
+    "emitted as 1e-9 fixed-point (score_fp) so libm ln() ULP "
+    "differences can't break cross-engine bit-parity; two shuffles "
+    "(term agg + doc window), no collect of corpus data.",
+)
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(read_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "corpus_mix_summary",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT))
+           AS total_tokens,
+       CAST(FLOOR(COUNT(*) * 1e4 / SUM(COUNT(*)) OVER () + 5e-1) AS BIGINT)
+           AS doc_share_bp
+FROM documents
+GROUP BY lang, source
+""",
+    doc="Corpus mixture report: per (lang, source) doc counts, token "
+    "totals, and share of corpus in basis points — the mixing-ratio "
+    "audit a pretraining pipeline runs before weighting sources. "
+    "Share emitted as integer basis points (fixed-point) for "
+    "cross-engine parity.",
+)
+def q_corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("total_tokens"),
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.withColumn(
+        "doc_share_bp",
+        F.floor(F.col("n_docs") * F.lit(1e4) / total + F.lit(0.5)).cast("bigint"),
+    )

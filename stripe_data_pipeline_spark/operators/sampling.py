@@ -1,0 +1,83 @@
+"""Deterministic sampling & split assignment (north-star: training-data
+pipelines).
+
+A 100 TB corpus needs reproducible row selection: train/val/test
+assignment, rate sampling, and k-examples-per-stratum — all stable
+across engines, runs, partition layouts and cluster sizes. The
+primitive is an md5-derived hash bucket (md5 is identical in every
+engine, unlike xxhash64/murmur which differ between Spark and DuckDB),
+so every operator here is a pure map-side filter/projection: no
+shuffle for split/sample, one bounded window for per-group top-k.
+
+- ``hash_bucket``: stable bucket in [0, buckets) from any key column.
+- ``assign_split``: train/val/test by bucket range — adding data never
+  reassigns existing keys (the property random() sampling lacks).
+- ``deterministic_sample``: keep keys with bucket < rate — a
+  TABLESAMPLE the planner can push to the scan, reproducible anywhere.
+- ``per_group_sample``: k examples per stratum, chosen by hash order —
+  reservoir-sampling semantics without state or randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars of
+    the (salted) key parsed as an integer, mod buckets. Engine-portable
+    by construction (DuckDB: CAST('0x'||substr(md5(..),1,8) AS BIGINT))."""
+    key = col.cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    buckets: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column (train/val/test) keyed on ``key_col``.
+
+    Hash-range assignment is stable under corpus growth: a key's split
+    never changes when rows are added/removed elsewhere, and the same
+    key lands in the same split on any engine or cluster size."""
+    b = hash_bucket(F.col(key_col), buckets, salt)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate_pct: int, buckets: int = 100, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate_pct% of rows, deterministically by key hash. A pure
+    map-side filter — at 100 TB it fuses into the scan stage with no
+    shuffle, and re-running (or running on another engine) selects
+    exactly the same rows."""
+    return df.filter(hash_bucket(F.col(key_col), buckets, salt) < rate_pct)
+
+
+def per_group_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """k examples per ``group_col`` stratum, picked by md5-of-key order
+    (plus key tiebreak): deterministic reservoir-sample semantics. The
+    window partitions by stratum, so the shuffle is one hash exchange
+    on the (low-cardinality) stratum key; row_number short-circuits
+    after k per partition."""
+    order = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -97,6 +97,50 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    explode -> per-(doc,term) TF -> per-term DF -> score = tf *
+    ln(N/df) -> windowed top-k. Two shuffles (term agg, doc window),
+    both on keys with corpus-proportional cardinality — no collect, no
+    cross join; N is the one driver-side scalar (same pattern as the
+    high-watermark lookup).
+
+    The score is emitted as FLOOR(score*1e9 + 0.5) fixed-point
+    (``score_fp``) so cross-engine libm ln() ULP differences cannot
+    break bit-parity — the same trick functions/money.py uses for sums.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.floor(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("score_fp"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_fp"), "term")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized (lowercased,
     whitespace-collapsed) text, plus a 60-bit numeric prefix for

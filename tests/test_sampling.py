@@ -1,0 +1,79 @@
+"""Deterministic sampling / split operators: the properties that make
+them usable at 100 TB — stability under corpus growth, partition-layout
+independence, and exact reproducibility."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.io import read_table
+from stripe_data_pipeline_spark.operators import sampling as SA
+
+
+def _splits(df):
+    return {r["doc_id"]: r["split"] for r in df.select("doc_id", "split").collect()}
+
+
+def test_split_assignment_stable_under_growth(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    full = _splits(SA.assign_split(docs, "doc_id"))
+    # assigning on a half-corpus subset must give the same split per key
+    subset = docs.filter(F.col("doc_id") % 2 == 0)
+    sub = _splits(SA.assign_split(subset, "doc_id"))
+    assert sub == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_split_ratios_roughly_80_10_10(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    counts = {
+        r["split"]: r["n"]
+        for r in SA.assign_split(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 <= counts["train"] / total <= 0.9
+
+
+def test_deterministic_sample_reproducible_and_layout_independent(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    ids1 = {r["doc_id"] for r in SA.deterministic_sample(docs, "doc_id", 10).collect()}
+    # same selection after an arbitrary repartition (layout independence)
+    ids2 = {
+        r["doc_id"]
+        for r in SA.deterministic_sample(docs.repartition(7), "doc_id", 10).collect()
+    }
+    assert ids1 == ids2
+    assert 0 < len(ids1) < docs.count()
+
+
+def test_salt_changes_selection_but_stays_deterministic(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in SA.deterministic_sample(docs, "doc_id", 50, salt="a").collect()}
+    b = {r["doc_id"] for r in SA.deterministic_sample(docs, "doc_id", 50, salt="b").collect()}
+    assert a != b  # different salt, different (deterministic) subset
+    a2 = {r["doc_id"] for r in SA.deterministic_sample(docs, "doc_id", 50, salt="a").collect()}
+    assert a == a2
+
+
+def test_per_group_sample_exact_k_and_layout_independent(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = SA.per_group_sample(docs, "lang", "doc_id", k=5)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    group_sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(5, group_sizes[lang])
+    picked1 = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    picked2 = {
+        (r["lang"], r["doc_id"])
+        for r in SA.per_group_sample(docs.repartition(7), "lang", "doc_id", k=5).collect()
+    }
+    assert picked1 == picked2
