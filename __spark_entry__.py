@@ -94,6 +94,11 @@ _PRIORITY = [
     "per_group_sample_docs",
     "doc_tfidf_top_terms",
     "corpus_mix_summary",
+    "doc_chunks",
+    "packed_sequences",
+    "heldout_contamination",
+    "pii_scrub",
+    "embedding_quantize",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",
@@ -107,15 +112,15 @@ _PRIORITY = [
     "missing_period_end_threshold",
     # --- LLM-pipeline north-star representatives, green in r2 ---
     "dedup_exact_keepers",
-    "near_dup_jaccard_pairs",
+    "near_dup_jaccard_pairs",]
+
+# Green in r2, re-checked only if window space allows (tail):
+_PRIORITY += [
     "dedup_clusters",
     "minhash_lsh_candidates",
     "cosine_topk_bruteforce",
     "ivf_topk",
-    "doc_text_stats",]
-
-# Green in r2, re-checked only if window space allows (tail):
-_PRIORITY += [
+    "doc_text_stats",
     "jaccard_verify_lsh",
     "label_centroids_applyinpandas",
     "media_metadata",

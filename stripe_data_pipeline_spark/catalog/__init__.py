@@ -16,5 +16,6 @@ from stripe_data_pipeline_spark.catalog import similarity_queries  # noqa: E402,
 from stripe_data_pipeline_spark.catalog import multimodal_queries  # noqa: E402,F401
 from stripe_data_pipeline_spark.catalog import streaming_queries  # noqa: E402,F401
 from stripe_data_pipeline_spark.catalog import sampling_queries  # noqa: E402,F401
+from stripe_data_pipeline_spark.catalog import corpus_queries  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,187 @@
+"""Corpus-preparation queries (north-star: training-data pipelines).
+
+Chunking, packing, decontamination, PII scrubbing and embedding
+quantization over the documents/embeddings tables — the steps between
+"deduped corpus" and "token stream". Every query here is fully
+oracled: each operator is deterministic and engine-independent by
+construction (md5 buckets, integer/fixed-point arithmetic, regex
+subset common to Java and RE2), so DuckDB recomputes the identical
+relation from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.io import read_table
+from stripe_data_pipeline_spark.operators import corpus as C
+
+_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, UNNEST(range(0, len(toks), 24)) AS st
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       st // 24 AS chunk_id,
+       array_to_string(toks[st + 1 : st + 32], ' ') AS chunk_text,
+       CAST(least(32, len(toks) - st) AS BIGINT) AS chunk_tokens
+FROM s
+""",
+    doc="Context-window chunking: each doc split into 32-token windows "
+    "every 24 tokens (8-token overlap), trailing chunk short. "
+    "explode(sequence) over window starts — a Generate that fuses "
+    "into the scan: no shuffle at any scale, output ~ tokens/stride.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.chunk_documents(
+        read_table(spark, sf_dir, "documents"), size=32, stride=24
+    )
+
+
+@register(
+    "packed_sequences",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 8 AS pack_group,
+           md5(CAST(doc_id AS VARCHAR)) AS ord_key
+    FROM documents
+), c AS (
+    SELECT doc_id, pack_group, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY pack_group ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS st
+    FROM t
+)
+SELECT doc_id, pack_group,
+       CAST(st // 1024 AS BIGINT) AS seq_id,
+       n_tokens,
+       CAST(st % 1024 AS BIGINT) AS seq_offset
+FROM c
+""",
+    doc="Concatenate-then-split sequence packing: docs hashed into 8 "
+    "independent pack groups, ordered by md5(key) within the group, "
+    "running token sum cut every 1024 tokens -> (group, seq_id, "
+    "offset) per doc. One window shuffle on the group key; n_groups "
+    "is the parallelism knob at 100 TB. All-integer arithmetic, "
+    "bit-identical on any engine.",
+)
+def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pack_sequences(
+        read_table(spark, sf_dir, "documents"), budget=1024, n_groups=8
+    )
+
+
+@register(
+    "heldout_contamination",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, {_BUCKET} AS b
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, b,
+           array_to_string(toks[i : i + 7], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 6, 2))) AS r(i)
+)
+SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared_ngrams
+FROM sh s
+WHERE s.b >= 90
+  AND s.shingle IN (SELECT shingle FROM sh WHERE b < 80)
+GROUP BY s.doc_id
+""",
+    doc="Held-out decontamination report: test-split docs sharing an "
+    "8-token shingle with any train-split doc, with distinct shared-"
+    "shingle counts. Composes the md5 hash-range split with dedup-"
+    "family shingles; joins on shingle strings so DuckDB can verify "
+    "(the 100 TB variant swaps in xxhash64(shingle) keys, same plan). "
+    "Two linear shuffles, no quadratic surface.",
+)
+def q_heldout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.ngram_contamination(read_table(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-0' || CAST(doc_id AS VARCHAR)
+                || ' end' AS t
+    FROM documents
+), cleaned AS (
+    SELECT doc_id, t,
+           regexp_replace(
+               regexp_replace(t, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{C.PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM aug
+)
+SELECT doc_id, clean_text,
+       CAST(length(t) - length(clean_text) AS BIGINT) AS n_redacted_chars
+FROM cleaned
+""",
+    doc="PII scrubbing: email + phone redaction via regexp_replace "
+    "(patterns in the Java/RE2-common subset, so both engines agree "
+    "char-for-char). Inputs are augmented with synthetic per-doc "
+    "email/phone substrings so the oracle proves real redactions, "
+    "not just no-op parity. Pure projection - fuses into the scan.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0"),
+            F.col("doc_id").cast("string"),
+            F.lit(" end"),
+        ),
+    )
+    return C.scrub_pii(aug)
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH m AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+    FROM embeddings
+)
+SELECT vec_id,
+       CAST(FLOOR((maxabs / 1.27e2) * 1e9 + 5e-1) AS BIGINT) AS scale_fp,
+       array_to_string(
+           list_transform(embedding, x ->
+               CAST(CASE WHEN maxabs = 0 THEN 0
+                    ELSE CAST(FLOOR((CAST(x AS DOUBLE) * 1.27e2) / maxabs
+                                    + 5e-1) AS INTEGER)
+                    END AS VARCHAR)),
+           ',') AS codes
+FROM m
+""",
+    doc="Symmetric int8 embedding quantization (scale = max|x|/127, "
+    "code = floor(x*127/max|x| + 0.5)): the 4x-smaller form an ANN "
+    "index stores at scale. Fixed IEEE evaluation order makes codes "
+    "bit-identical across engines; scale emitted 1e-9 fixed-point; "
+    "codes serialized comma-joined (hashable schema). Per-row "
+    "projection, no shuffle.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,241 @@
+"""Corpus-preparation operators (north-star: training-data pipelines).
+
+The steps between "raw deduped corpus" and "token stream a trainer can
+consume": chunking long documents into overlapping context windows,
+packing variable-length docs into fixed token budgets, decontaminating
+train splits against held-out data, scrubbing PII, and quantizing
+embeddings for a compact ANN index.
+
+All five are expressed with built-in DataFrame ops (explode/sequence,
+windows, joins, regexp, higher-order array functions) — no Python in
+the hot path — and all are deterministic/engine-independent so DuckDB
+oracles can bit-check them:
+
+- ``chunk_documents``: explode(sequence) over token offsets → one row
+  per (doc, window). Linear in output size, no shuffle at all — the
+  Generate fuses into the scan stage (same plan shape as the calendar
+  expansion in models/revenue.py).
+- ``pack_sequences``: concatenate-then-split packing. Docs are hashed
+  into ``n_groups`` independent pack groups (parallelism knob), ordered
+  deterministically by md5(key) within the group, and a running token
+  sum assigns each doc a (group, seq_id, offset). One window shuffle on
+  the group key; at 100 TB groups ≈ cluster cores keeps every partition
+  bounded at corpus_tokens/n_groups.
+- ``ngram_contamination``: held-out docs sharing an n-gram shingle with
+  the train split. Joins on shingle STRINGS so DuckDB can verify; the
+  100 TB variant joins on xxhash64(shingle) (8-byte keys, same plan) —
+  that one-line swap is deliberately left to the caller so the oracled
+  path and the scale path share all other code.
+- ``scrub_pii``: regexp redaction of emails/phone numbers. Pure
+  per-row projection; patterns restricted to the regex subset where
+  Java (Spark) and RE2 (DuckDB) agree.
+- ``quantize_embeddings``: symmetric per-vector int8 quantization.
+  All arithmetic in IEEE double with a fixed evaluation order, so the
+  quantized codes are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.operators.sampling import assign_split, hash_bucket
+
+# Conservative patterns valid (and identical) in both Java regex and
+# RE2: no backrefs, no lookaround.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+def _tokens(text_col: str) -> Column:
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into token windows of ``size`` tokens every
+    ``stride`` tokens (overlap = size - stride).
+
+    explode(sequence(0, n_tokens-1, stride)) generates the window
+    starts per row — a Generate, not a join, so the whole operator is
+    a single narrow stage that fuses into the scan: no shuffle at any
+    scale, output rows ~ corpus_tokens/stride. The trailing chunk is
+    allowed to be short (standard context-window prep).
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = df.select(
+        F.col(id_col), _tokens(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    starts = toks.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(stride))
+        ).alias("__start"),
+    )
+    return starts.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("bigint").alias("chunk_id"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("__start") + 1, F.lit(size))
+        ).alias("chunk_text"),
+        F.least(F.lit(size), F.size("__toks") - F.col("__start"))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 1024,
+    n_groups: int = 32,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-then-split packing: assign each doc a (pack_group,
+    seq_id, seq_offset) so that concatenating docs in md5(key) order
+    within a group and cutting every ``budget`` tokens yields the
+    training sequences.
+
+    Docs are hashed into ``n_groups`` independent groups, so the only
+    shuffle is one window exchange on the group key and each group
+    packs independently — at 100 TB set n_groups ≈ total cores and no
+    partition ever holds more than corpus/n_groups. All-integer
+    arithmetic → bit-identical on any engine.
+    """
+    n_tokens = F.size(_tokens(text_col)).cast("bigint")
+    d = df.select(
+        F.col(key_col),
+        n_tokens.alias("n_tokens"),
+        hash_bucket(F.col(key_col), n_groups).alias("pack_group"),
+        F.md5(F.col(key_col).cast("string")).alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("__ord", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("__start")
+    d = d.select(key_col, "pack_group", "n_tokens", start)
+    return d.select(
+        key_col,
+        "pack_group",
+        F.floor(F.col("__start") / budget).cast("bigint").alias("seq_id"),
+        "n_tokens",
+        (F.col("__start") % budget).cast("bigint").alias("seq_offset"),
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Held-out-contamination report: test-split docs that share at
+    least one n-token shingle with any train-split doc, with the count
+    of distinct shared shingles.
+
+    Splits come from the deterministic md5 hash-range assignment
+    (operators/sampling.py), shingles are the dedup family's k-token
+    windows. The join key here is the shingle STRING so the whole
+    report is oracle-checkable; at corpus scale substitute
+    xxhash64(shingle) for the key (8-byte shuffle keys, identical
+    plan) — the reason the reference-scale variant isn't the default
+    is only that xxhash64 is engine-specific.
+
+    Plan shape: per-doc shingles deduped MAP-SIDE via array_distinct
+    (no wide distinct anywhere), then one LEFT SEMI join of test
+    shingles against train shingles and a per-doc count. Three linear
+    shuffles total (semi-join both sides + final agg), all on keys
+    with corpus-proportional cardinality; the semi join never
+    duplicates rows, so no quadratic surface even for shingles that
+    occur in millions of train docs.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_t = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n_t - (n - 1), F.lit(1)))
+    shingle = F.explode(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+    ).alias("shingle")
+
+    sh = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).select(
+        F.col(id_col), F.col("split"), shingle
+    )
+    train_shingles = sh.filter(F.col("split") == "train").select("shingle")
+    test = sh.filter(F.col("split") == "test")
+    return (
+        test.join(train_shingles, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact email addresses and phone-number-shaped substrings.
+
+    Pure per-row projection (regexp_replace is codegen'd JVM-side) —
+    fuses into the scan, no shuffle, trivially parallel at any scale.
+    Emits the scrubbed text plus the net character delta as a cheap
+    audit signal (0 delta rows = nothing redacted).
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("clean_text"),
+        (F.length(F.col(text_col)) - F.length(cleaned))
+        .cast("bigint")
+        .alias("n_redacted_chars"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    code_i = floor(x_i*127/max|x| + 0.5).
+
+    The compact form an ANN index stores at scale (4× smaller than
+    float32, SIMD-friendly distance kernels). Per-row projection, no
+    shuffle. Every step is an exactly-rounded IEEE double op in a
+    fixed order, so codes are bit-identical across engines; the scale
+    is emitted 1e-9 fixed-point for the same reason. Codes are
+    serialized to a comma-joined string (hashable schema — array
+    columns break row canonicalization downstream; same lesson as
+    array_agg_sorted). Zero vectors get scale 0 and all-zero codes.
+    """
+    maxabs = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    d = df.select(F.col(id_col), F.col(vec_col), maxabs.alias("__maxabs"))
+    code = lambda x: F.when(  # noqa: E731
+        F.col("__maxabs") == 0.0, F.lit(0)
+    ).otherwise(
+        F.floor((x.cast("double") * 127.0) / F.col("__maxabs") + 0.5).cast("int")
+    )
+    return d.select(
+        F.col(id_col),
+        F.floor((F.col("__maxabs") / 127.0) * 1e9 + 0.5)
+        .cast("bigint")
+        .alias("scale_fp"),
+        F.concat_ws(
+            ",", F.transform(F.col(vec_col), lambda x: code(x).cast("string"))
+        ).alias("codes"),
+    )

@@ -1,0 +1,146 @@
+"""Corpus-prep operators: the properties that make chunking, packing,
+decontamination, scrubbing and quantization usable at 100 TB —
+coverage/invertibility, bounded bins, layout independence, and
+reconstruction-error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.io import read_table
+from stripe_data_pipeline_spark.operators import corpus as C
+from stripe_data_pipeline_spark.operators.sampling import assign_split
+
+
+def test_chunks_cover_every_token_and_overlap(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    chunks = C.chunk_documents(docs, size=32, stride=24)
+    rows = chunks.collect()
+    toks = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in docs.collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, ts in toks.items():
+        if not ts:
+            assert doc_id not in by_doc
+            continue
+        got = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # chunk k starts at k*stride; its text is exactly that token window
+        for k, r in enumerate(got):
+            assert r["chunk_id"] == k
+            window = ts[k * 24 : k * 24 + 32]
+            assert r["chunk_text"] == " ".join(window)
+            assert r["chunk_tokens"] == len(window)
+        # windows cover every token index
+        assert (len(got) - 1) * 24 < len(ts)
+        assert (len(got) - 1) * 24 + 32 >= len(ts)
+
+
+def test_pack_offsets_bounded_and_layout_independent(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    packed = C.pack_sequences(docs, budget=1024, n_groups=8)
+    bad = packed.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 1024)
+    ).count()
+    assert bad == 0
+    # same assignment regardless of input partitioning
+    a = {r["doc_id"]: (r["pack_group"], r["seq_id"], r["seq_offset"])
+         for r in packed.collect()}
+    b = {
+        r["doc_id"]: (r["pack_group"], r["seq_id"], r["seq_offset"])
+        for r in C.pack_sequences(
+            docs.repartition(13), budget=1024, n_groups=8
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pack_sequences_are_dense_prefixes(spark, sf_dir):
+    """Within a pack group, doc start offsets in md5 order are exactly
+    the running token sum — no gaps, no overlaps."""
+    docs = read_table(spark, sf_dir, "documents").limit(500)
+    packed = C.pack_sequences(docs, budget=1024, n_groups=4).collect()
+    import hashlib
+
+    def md5key(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()
+
+    by_group: dict[int, list] = {}
+    for r in packed:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for rows in by_group.values():
+        rows.sort(key=lambda r: (md5key(r["doc_id"]), r["doc_id"]))
+        cum = 0
+        for r in rows:
+            assert r["seq_id"] * 1024 + r["seq_offset"] == cum
+            cum += r["n_tokens"]
+
+
+def test_contamination_matches_bruteforce(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    got = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in C.ngram_contamination(docs, n=8).collect()
+    }
+    rows = assign_split(docs, "doc_id").select(
+        "doc_id", "split", "text"
+    ).collect()
+
+    def sh(text, n=8):
+        ts = text.split(" ")
+        k = max(len(ts) - (n - 1), 1)
+        return {" ".join(ts[i : i + n]) for i in range(k)}
+
+    train = set()
+    for r in rows:
+        if r["split"] == "train":
+            train |= sh(r["text"])
+    want = {}
+    for r in rows:
+        if r["split"] == "test":
+            shared = sh(r["text"]) & train
+            if shared:
+                want[r["doc_id"]] = len(shared)
+    assert got == want
+
+
+def test_scrub_pii_redacts_and_preserves(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp.example.org today"),
+            (2, "call +1 (555) 010-0199 after five"),
+            (3, "no personal data in this row at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in C.scrub_pii(df).collect()}
+    assert got[1]["clean_text"] == "mail me at <EMAIL> today"
+    assert got[2]["clean_text"] == "call <PHONE> after five"
+    assert got[3]["clean_text"] == "no personal data in this row at all"
+    assert got[3]["n_redacted_chars"] == 0
+
+
+def test_quantize_roundtrip_error_bounded(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings").limit(100)
+    out = {r["vec_id"]: r for r in C.quantize_embeddings(emb).collect()}
+    for r in emb.collect():
+        q = out[r["vec_id"]]
+        scale = q["scale_fp"] / 1e9
+        codes = [int(c) for c in q["codes"].split(",")]
+        assert len(codes) == len(r["embedding"])
+        assert all(-127 <= c <= 127 for c in codes)
+        for x, c in zip(r["embedding"], codes):
+            # |x - c*scale| <= scale/2 plus fixed-point slack on scale
+            assert abs(x - c * scale) <= scale / 2 + 1e-6
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = C.quantize_embeddings(df).collect()[0]
+    assert row["scale_fp"] == 0
+    assert row["codes"] == "0,0,0"
