@@ -99,6 +99,9 @@ _PRIORITY = [
     "heldout_contamination",
     "pii_scrub",
     "embedding_quantize",
+    "doc_repetition_metrics",
+    "decontaminated_train_docs",
+    "lang_rebalanced_sample",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

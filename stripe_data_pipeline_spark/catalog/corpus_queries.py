@@ -185,3 +185,33 @@ FROM m
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.quantize_embeddings(read_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "decontaminated_train_docs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks, {_BUCKET} AS b
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, b,
+           array_to_string(toks[i : i + 7], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 6, 2))) AS r(i)
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM sh
+    WHERE b < 80
+      AND shingle IN (SELECT shingle FROM sh WHERE b >= 80)
+)
+SELECT doc_id, lang FROM t
+WHERE b < 80 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+    doc="Decontaminated train set: train-split docs sharing NO 8-token "
+    "shingle with any held-out (val/test) doc - the actionable anti-"
+    "join counterpart of the heldout_contamination report. Semi join "
+    "marks contaminated ids, anti join drops them; both linear "
+    "shuffles, shingles deduped map-side per doc.",
+)
+def q_decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.decontaminate_train(
+        read_table(spark, sf_dir, "documents"), n=8
+    ).select("doc_id", "lang")

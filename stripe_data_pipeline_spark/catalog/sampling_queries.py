@@ -106,3 +106,34 @@ WHERE rn <= 5
 def q_per_group_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return SA.per_group_sample(docs, "lang", "doc_id", k=5).select("lang", "doc_id")
+
+
+@register(
+    "lang_rebalanced_sample",
+    oracle="""
+WITH c AS (
+    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1
+), m AS (
+    SELECT MIN(cnt) AS mn FROM c
+), r AS (
+    SELECT lang,
+           CAST(FLOOR(sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e4)
+                AS BIGINT) AS rate_bp
+    FROM c, m
+)
+SELECT d.doc_id, d.lang, r.rate_bp
+FROM documents d JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5('rebal' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) % 10000 < r.rate_bp
+""",
+    doc="Temperature-style language rebalancing: each language keeps "
+    "sqrt(min_count/count) of its docs (smallest keeps 100%), rows "
+    "chosen by salted md5 bucket. Rates broadcast back onto the scan; "
+    "the corpus itself is never shuffled. sqrt/divide are exactly-"
+    "rounded IEEE ops, so selection is bit-identical cross-engine.",
+)
+def q_lang_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return SA.rebalanced_sample(docs, "lang", "doc_id").select(
+        "doc_id", "lang", "rate_bp"
+    )

@@ -481,3 +481,41 @@ def q_corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_share_bp",
         F.floor(F.col("n_docs") * F.lit(1e4) / total + F.lit(0.5)).cast("bigint"),
     )
+
+
+@register(
+    "doc_repetition_metrics",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), base AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, toks
+    FROM t WHERE len(toks) >= 2
+), gc AS (
+    SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram, COUNT(*) AS c
+    FROM base, UNNEST(range(1, len(toks))) AS r(i)
+    GROUP BY 1, 2
+), agg AS (
+    SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+    FROM gc GROUP BY 1
+)
+SELECT b.doc_id, b.n_tokens, b.n_distinct,
+       b.n_distinct * 10000 // b.n_tokens AS distinct_bp,
+       a.top_c * 10000 // a.total AS top_ngram_bp,
+       a.dup_c * 10000 // a.total AS dup_ngram_bp,
+       (b.n_distinct * 10000 // b.n_tokens >= 3500
+        AND a.top_c * 10000 // a.total <= 2000
+        AND a.dup_c * 10000 // a.total <= 1000) AS keep
+FROM base b JOIN agg a USING (doc_id)
+""",
+    doc="Gopher-style repetition quality filter: type-token ratio, "
+    "most-frequent-bigram share, duplicated-bigram share (basis "
+    "points, exact integer division) and a keep flag. One explode + "
+    "two partial-combined aggs + a doc-key join - two linear "
+    "shuffles, no quadratic surface.",
+)
+def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_metrics(read_table(spark, sf_dir, "documents"), n=2)

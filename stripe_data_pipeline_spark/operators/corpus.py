@@ -26,6 +26,10 @@ oracles can bit-check them:
   100 TB variant joins on xxhash64(shingle) (8-byte keys, same plan) —
   that one-line swap is deliberately left to the caller so the oracled
   path and the scale path share all other code.
+- ``decontaminate_train``: the actionable form of the contamination
+  report — drop every train doc sharing a shingle with held-out data
+  and return the clean train set (semi join to mark, anti join to
+  drop; both linear).
 - ``scrub_pii``: regexp redaction of emails/phone numbers. Pure
   per-row projection; patterns restricted to the regex subset where
   Java (Spark) and RE2 (DuckDB) agree.
@@ -133,6 +137,21 @@ def pack_sequences(
     )
 
 
+def shingle_array(text_col: str, n: int) -> Column:
+    """Distinct n-token shingles of a document as an array column.
+
+    array_distinct runs MAP-SIDE inside the projection, so downstream
+    consumers explode an already-deduped per-doc set — the wide
+    DISTINCT over (doc, shingle) pairs never happens.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_t = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n_t - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
 def ngram_contamination(
     df: DataFrame,
     n: int = 8,
@@ -161,14 +180,7 @@ def ngram_contamination(
     duplicates rows, so no quadratic surface even for shingles that
     occur in millions of train docs.
     """
-    toks = F.split(F.col(text_col), " ")
-    n_t = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n_t - (n - 1), F.lit(1)))
-    shingle = F.explode(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        )
-    ).alias("shingle")
+    shingle = F.explode(shingle_array(text_col, n)).alias("shingle")
 
     sh = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).select(
         F.col(id_col), F.col("split"), shingle
@@ -180,6 +192,44 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
+
+
+def decontaminate_train(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """The actionable counterpart of ``ngram_contamination``: the
+    decontaminated TRAIN SET — train-split docs that share no n-token
+    shingle with ANY held-out doc (val or test), all input columns
+    preserved.
+
+    Plan shape: one semi join of train shingles against held-out
+    shingles marks contaminated train doc ids, then an ANTI join
+    removes them from the train slice. Both joins are linear shuffles
+    on corpus-proportional keys; the per-doc distinct() before the
+    anti join keeps its build side at most one row per contaminated
+    doc. Same engine-portable md5 split and shingle construction as
+    the report query, so oracle and scale path share the whole plan.
+    """
+    shingle = F.explode(shingle_array(text_col, n)).alias("shingle")
+    sh = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).select(
+        F.col(id_col), F.col("split"), shingle
+    )
+    heldout = sh.filter(F.col("split") != "train").select("shingle")
+    contaminated = (
+        sh.filter(F.col("split") == "train")
+        .join(heldout, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    train = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).filter(
+        F.col("split") == "train"
+    )
+    return train.join(contaminated, id_col, "left_anti").drop("split")
 
 
 def scrub_pii(

@@ -81,3 +81,42 @@ def per_group_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rebalanced_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    buckets: int = 10000,
+    salt: str = "rebal",
+) -> DataFrame:
+    """Temperature-style group rebalancing: downsample each stratum to
+    a keep-rate of sqrt(min_count / count) — the sqrt flattening used
+    to rebalance language/domain mixes without dropping rare strata
+    (the smallest group keeps 100%, a 100x-larger group keeps 10%).
+
+    Rates derive only from group counts, and row selection is the
+    md5-bucket filter, so the sampled set is identical on any engine,
+    run, or partition layout. sqrt and double division are exactly
+    rounded IEEE ops, so even the rate computation is bit-portable.
+
+    Plan shape: one partial-combined count agg over the (tiny) stratum
+    key, a broadcast of the per-group rates back onto the fact scan,
+    and a map-side filter — the corpus itself is never shuffled.
+    Adds a ``rate_bp`` column (keep-rate in 1/100 bp units of
+    ``buckets``) for auditability.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    mn = counts.agg(F.min("__cnt").alias("__mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.floor(
+            F.sqrt(F.col("__mn").cast("double") / F.col("__cnt").cast("double"))
+            * F.lit(float(buckets))
+        )
+        .cast("bigint")
+        .alias("rate_bp"),
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(F.col(key_col), buckets, salt) < F.col("rate_bp")
+    )

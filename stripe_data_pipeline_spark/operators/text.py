@@ -153,3 +153,78 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint_prefix": F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint"),
         }
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_distinct_bp: int = 3500,
+    max_top_bp: int = 2000,
+    max_dup_bp: int = 1000,
+) -> DataFrame:
+    """Gopher-style repetition quality metrics + keep flag.
+
+    Per document: type-token ratio, most-frequent-n-gram share, and
+    duplicated-n-gram share (all in basis points, floor integer
+    division — exact on every engine), plus a ``keep`` flag under the
+    given thresholds. The repetition filters from the Gopher/MassiveText
+    data pipeline, re-expressed relationally.
+
+    Plan shape: n-grams are exploded once and aggregated twice
+    ((doc, gram) count with map-side partial combine, then per-doc
+    max/sum), joined back to the per-doc token stats on the doc key.
+    Two linear shuffles on corpus-proportional keys; per-gram state is
+    one (16-byte-ish gram, count) pair, so no row ever materializes a
+    quadratic structure. Survives 100x: the explode is linear in
+    corpus tokens and both aggs partial-combine before exchange.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__toks"),
+        )
+        .select(
+            id_col,
+            F.size("__toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("__toks")).cast("bigint").alias("n_distinct"),
+            "__toks",
+        )
+        .filter(F.col("n_tokens") >= n)
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+            )
+        ).alias("gram"),
+    )
+    gc = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = gc.groupBy(id_col).agg(
+        F.max("c").alias("__top"),
+        F.sum("c").alias("__total"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+            "__dup"
+        ),
+    )
+    out = base.drop("__toks").join(agg, id_col)
+    distinct_bp = F.expr("n_distinct * 10000 div n_tokens")
+    top_bp = F.expr("__top * 10000 div __total")
+    dup_bp = F.expr("__dup * 10000 div __total")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        distinct_bp.alias("distinct_bp"),
+        top_bp.alias("top_ngram_bp"),
+        dup_bp.alias("dup_ngram_bp"),
+        (
+            (distinct_bp >= min_distinct_bp)
+            & (top_bp <= max_top_bp)
+            & (dup_bp <= max_dup_bp)
+        ).alias("keep"),
+    )

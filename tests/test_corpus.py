@@ -144,3 +144,74 @@ def test_quantize_zero_vector(spark):
     row = C.quantize_embeddings(df).collect()[0]
     assert row["scale_fp"] == 0
     assert row["codes"] == "0,0,0"
+
+
+def test_decontaminate_train_drops_exactly_contaminated_docs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    kept = {r["doc_id"] for r in C.decontaminate_train(docs, n=8).collect()}
+    rows = assign_split(docs, "doc_id").select("doc_id", "split", "text").collect()
+
+    def sh(text, n=8):
+        ts = text.split(" ")
+        k = max(len(ts) - (n - 1), 1)
+        return {" ".join(ts[i : i + n]) for i in range(k)}
+
+    heldout = set()
+    for r in rows:
+        if r["split"] != "train":
+            heldout |= sh(r["text"])
+    want = {
+        r["doc_id"]
+        for r in rows
+        if r["split"] == "train" and not (sh(r["text"]) & heldout)
+    }
+    assert kept == want
+    # sanity: the operator actually dropped something AND kept something
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert 0 < len(kept) < n_train
+
+
+def test_repetition_metrics_flags_repetitive_docs(spark):
+    from stripe_data_pipeline_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "a b a b a b a b a b a b"),
+            (4, "x"),  # below the n-gram minimum -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_metrics(df, n=2).collect()}
+    assert 4 not in got
+    assert not got[1]["keep"]  # one token repeated: distinct_bp = 1000
+    assert got[1]["distinct_bp"] == 1000
+    assert got[1]["top_ngram_bp"] == 10000
+    assert got[2]["keep"]  # all-distinct doc passes every threshold
+    assert got[2]["distinct_bp"] == 10000
+    assert got[2]["dup_ngram_bp"] == 0
+    assert not got[3]["keep"]  # alternating bigram: huge dup fraction
+    assert got[3]["dup_ngram_bp"] == 10000
+
+
+def test_repetition_metrics_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from stripe_data_pipeline_spark.operators.text import repetition_metrics
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    got = {r["doc_id"]: r for r in repetition_metrics(docs, n=2).collect()}
+    for r in docs.collect():
+        ts = [t for t in r["text"].split(" ") if t]
+        if len(ts) < 2:
+            assert r["doc_id"] not in got
+            continue
+        grams = Counter(" ".join(ts[i : i + 2]) for i in range(len(ts) - 1))
+        total = sum(grams.values())
+        g = got[r["doc_id"]]
+        assert g["distinct_bp"] == len(set(ts)) * 10000 // len(ts)
+        assert g["top_ngram_bp"] == max(grams.values()) * 10000 // total
+        assert g["dup_ngram_bp"] == (
+            sum(c for c in grams.values() if c >= 2) * 10000 // total
+        )

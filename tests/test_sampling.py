@@ -77,3 +77,41 @@ def test_per_group_sample_exact_k_and_layout_independent(spark, sf_dir):
         for r in SA.per_group_sample(docs.repartition(7), "lang", "doc_id", k=5).collect()
     }
     assert picked1 == picked2
+
+
+def test_rebalanced_sample_flattens_mix_and_keeps_rare_group(spark, sf_dir):
+    from stripe_data_pipeline_spark.operators.sampling import rebalanced_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    before = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    out = rebalanced_sample(docs, "lang", "doc_id")
+    after = {r["lang"]: r["cnt"] for r in
+             out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    mn = min(before.values())
+    import math
+
+    for lang, cnt in before.items():
+        rate = math.floor(math.sqrt(mn / cnt) * 10000) / 10000
+        # kept count is binomial-ish around rate*cnt; the hash is
+        # uniform so allow wide-but-bounding slack
+        assert after.get(lang, 0) <= cnt
+        assert abs(after.get(lang, 0) - rate * cnt) <= 0.5 * cnt * rate + 10
+    # smallest group keeps 100% (rate_bp = 10000, every bucket passes)
+    rare = min(before, key=before.get)
+    assert after[rare] == before[rare]
+    # ratio between any two groups is flattened toward sqrt
+    big = max(before, key=before.get)
+    assert after[big] / after[rare] < before[big] / before[rare]
+
+
+def test_rebalanced_sample_layout_independent(spark, sf_dir):
+    from stripe_data_pipeline_spark.operators.sampling import rebalanced_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in rebalanced_sample(docs, "lang", "doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in rebalanced_sample(docs.repartition(17), "lang", "doc_id").collect()
+    }
+    assert a == b and a
