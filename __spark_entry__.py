@@ -102,6 +102,7 @@ _PRIORITY = [
     "doc_repetition_metrics",
     "decontaminated_train_docs",
     "lang_rebalanced_sample",
+    "quantized_topk",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

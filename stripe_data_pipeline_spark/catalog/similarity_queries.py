@@ -246,3 +246,57 @@ def q_ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return S.srp_lsh_near_dups(emb, threshold=0.3).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "quantized_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID}),
+m AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+    FROM embeddings
+),
+codes AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               CASE WHEN maxabs = 0 THEN 0
+                    ELSE CAST(FLOOR((CAST(x AS DOUBLE) * 1.27e2) / maxabs
+                                    + 5e-1) AS INTEGER) END) AS c
+    FROM m
+),
+approx AS (
+    SELECT codes.vec_id,
+           CASE WHEN sqrt({_dot_sql('codes.c', 'codes.c')}) = 0 THEN -2e0
+                ELSE {_dot_sql('codes.c', 'q.qv')}
+                     / (sqrt({_dot_sql('codes.c', 'codes.c')})
+                        * sqrt({_dot_sql('q.qv', 'q.qv')})) END AS approx_sim
+    FROM codes, q
+    WHERE codes.vec_id <> {_QID}
+),
+cand AS (
+    SELECT vec_id, approx_sim FROM approx
+    ORDER BY approx_sim DESC, vec_id
+    LIMIT 40
+)
+SELECT e.vec_id, cand.approx_sim,
+       CASE WHEN sqrt({_dot_sql('e.embedding', 'e.embedding')}) = 0 THEN -2e0
+            ELSE {_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})) END AS cosine_sim
+FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, q
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT 10
+""",
+    doc="Asymmetric-distance top-k over symmetric int8 codes with "
+    "exact refine: the candidate scan reads only the 4x-compressed "
+    "integer codes (per-vector scale cancels in cosine, so no "
+    "dequantization), TakeOrdered keeps refine*k=40 candidates, and "
+    "the exact rescore touches full-precision vectors for those rows "
+    "only (broadcast id set). Both stages bit-checked by the oracle.",
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, _QID)
+    return S.quantized_topk(emb, vec, k=10, refine=4, exclude_id=_QID)

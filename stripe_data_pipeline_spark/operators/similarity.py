@@ -357,3 +357,75 @@ def _probe_labels(cents: DataFrame, vec: list[float], nprobe: int) -> list:
         .limit(nprobe)
         .collect()
     ]
+
+
+def int8_code_table(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes) in symmetric int8 form — the 4x-compressed array
+    the same arithmetic as :func:`operators.corpus.quantize_embeddings`
+    produces (code = floor(x*127/max|x| + 0.5), zero vectors -> all-0).
+    In production this is a persisted artifact next to the IVF
+    centroids; here it is derived in-flight for the oracle-checked
+    demo (same ad-hoc-vs-persisted split as ivf_topk)."""
+    emb = _as_double(F.col(vec_col))
+    d = df.select(
+        F.col(id_col),
+        emb.alias("__e"),
+        F.array_max(F.transform(emb, lambda x: F.abs(x))).alias("__m"),
+    )
+    codes = F.transform(
+        F.col("__e"),
+        lambda x: F.when(F.col("__m") == 0.0, F.lit(0)).otherwise(
+            F.floor((x * 127.0) / F.col("__m") + 0.5).cast("int")
+        ),
+    )
+    return d.select(id_col, codes.alias("codes"))
+
+
+def quantized_topk(
+    df: DataFrame,
+    vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over int8 codes + exact refine — how a
+    quantized ANN index actually answers queries at 100 TB.
+
+    Candidate stage touches ONLY the compressed codes: under symmetric
+    quantization x ~ code*scale the per-vector scale cancels in
+    cosine, so approx_sim = dot(code, q) / (||code||*||q||) needs no
+    dequantization — integer-array scan, TakeOrdered keeps refine*k
+    rows, no shuffle. Refine stage broadcasts the tiny candidate id
+    set back onto the full-precision table and rescores exactly; the
+    expensive float vectors are read for refine*k rows only (with the
+    corpus sorted by id, file-level pruning). Every arithmetic step is
+    a fixed IEEE tree, so both stages are bit-checkable against the
+    oracle.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    df = df.repartition(parallelism)
+    q = _lit_vec(vec)
+    nq = _norm(q)
+    codes = int8_code_table(df)
+    cd = _as_double(F.col("codes"))
+    ncode = _norm(cd)
+    approx = F.when(ncode == 0.0, F.lit(-2.0)).otherwise(
+        _dot(cd, q) / (ncode * nq)
+    )
+    cand = codes.select(F.col("vec_id"), approx.alias("approx_sim"))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_id)
+    cand = cand.orderBy(F.desc("approx_sim"), "vec_id").limit(refine * k)
+    emb = _as_double(F.col("embedding"))
+    nemb = _norm(emb)
+    exact_sim = F.when(nemb == 0.0, F.lit(-2.0)).otherwise(
+        _dot(emb, q) / (nemb * nq)
+    )
+    exact = df.join(F.broadcast(cand), "vec_id").select(
+        F.col("vec_id"),
+        F.col("approx_sim"),
+        exact_sim.alias("cosine_sim"),
+    )
+    return exact.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)

@@ -285,3 +285,43 @@ def test_ivf_persisted_index_matches_inline(spark, sf_dir, tmp_path):
     assert [(r["vec_id"], r["cosine_sim"]) for r in inline] == [
         (r["vec_id"], r["cosine_sim"]) for r in persisted
     ]
+
+
+def test_quantized_topk_high_recall_and_exact_scores(spark, sf_dir):
+    """ADC candidates + exact refine: emitted scores are the TRUE
+    cosines (refine stage rescores full-precision), and recall vs the
+    brute-force baseline is high (perfect on this table at refine=4)."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        quantized_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, 0)
+    exact = {r["vec_id"]: r["cosine_sim"]
+             for r in cosine_topk(emb, vec, k=10, exclude_id=0).collect()}
+    quant = {r["vec_id"]: r["cosine_sim"]
+             for r in quantized_topk(emb, vec, k=10, refine=4, exclude_id=0).collect()}
+    recall = len(set(exact) & set(quant)) / 10
+    assert recall >= 0.8
+    for vid in set(exact) & set(quant):
+        assert quant[vid] == exact[vid]  # bit-equal: same IEEE tree
+
+
+def test_quantized_topk_zero_vector_excluded_gracefully(spark):
+    from stripe_data_pipeline_spark.operators.similarity import quantized_topk
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector: approx_sim pinned to -2
+            (3, [0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantized_topk(df, [1.0, 0.0], k=2, refine=2, exclude_id=0).collect()
+    ids = [r["vec_id"] for r in rows]
+    assert ids[0] == 1
+    assert 2 not in ids  # NaN-free: the zero vector never surfaces
