@@ -41,6 +41,12 @@ HEADLINE = [
     "ivf_topk",
     "embedding_near_dup_pairs",
     "approx_percentile_prices",
+    # corpus-prep family (added round 3; unpinned until BENCH_r03)
+    "doc_chunks",
+    "packed_sequences",
+    "heldout_contamination",
+    "doc_repetition_metrics",
+    "quantized_topk",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

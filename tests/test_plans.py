@@ -89,3 +89,41 @@ def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in p
     # bucket equi-join resolved as a hash join
     assert "HashJoin" in p
+
+
+def test_corpus_projections_have_no_exchange(spark, sf_dir):
+    """Chunking / scrubbing / quantization are scan-fused narrow
+    stages: zero shuffles at any scale."""
+    for name in ("doc_chunks", "pii_scrub", "embedding_quantize"):
+        p = plan(spark, sf_dir, name)
+        assert "Exchange" not in p, name
+        assert "BatchEvalPython" not in p, name
+    # chunking is a Generate (linear expansion), not a join
+    assert "Generate explode(sequence" in plan(spark, sf_dir, "doc_chunks")
+
+
+def test_packed_sequences_single_group_exchange(spark, sf_dir):
+    """Packing shuffles exactly once — the window exchange on the
+    pack-group key (the parallelism knob at 100 TB)."""
+    p = plan(spark, sf_dir, "packed_sequences")
+    assert p.count("Exchange hashpartitioning(pack_group") == 1
+    assert p.count("Exchange") == 1
+
+
+def test_repetition_metrics_partial_aggregates(spark, sf_dir):
+    """Both aggs partial-combine before their exchange, and the n-gram
+    explode is a Generate, not a join."""
+    p = plan(spark, sf_dir, "doc_repetition_metrics")
+    assert "partial_count" in p or "partial_max" in p or "partial_sum" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_quantized_topk_take_ordered_both_stages(spark, sf_dir):
+    """ADC candidates and the exact refine both keep top-k per
+    partition (TakeOrderedAndProject) — the corpus is never globally
+    sorted, and the candidate id set joins back via broadcast."""
+    p = plan(spark, sf_dir, "quantized_topk")
+    assert p.count("TakeOrderedAndProject") == 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
