@@ -10,10 +10,12 @@ Deviations from the reference, replicated-or-documented per SURVEY.md §7:
   replicated faithfully.
 - ``is_leap_year`` = (days in year != 365) — wrong for the trailing
   partial year (calendar.sql:17 quirk) — replicated faithfully.
-- ``week_of_year``: the reference's BigQuery EXTRACT(WEEK) is
-  Sunday-anchored 0-53; we use ISO weeks (Spark ``weekofyear`` ==
-  DuckDB ``week``) since BQ semantics are not portably expressible in
-  either engine without a hand-rolled formula.
+- ``week_of_year`` replicates BigQuery EXTRACT(WEEK) exactly
+  (Sunday-anchored, 0-53: dates before the year's first Sunday are
+  week 0) via the closed form (doy - first_sunday_doy + 7) div 7 —
+  pure integer arithmetic, so Spark and the DuckDB oracle agree
+  bit-for-bit. Neither engine's built-in week function has BQ
+  semantics (Spark/DuckDB ``weekofyear`` are ISO).
 - spine bounds are parameters pinned by the caller (the reference uses
   CURRENT_DATE — nondeterministic, SURVEY.md §7 risk list).
 
@@ -41,10 +43,18 @@ def calendar(
         F.explode(F.sequence(F.lit(start), F.lit(end))).alias("date_day")
     )
     d = F.col("date_day")
+    # BigQuery EXTRACT(WEEK): Sunday-anchored week number in [0, 53]
+    # (calendar.sql:8). first_sunday_doy = 1 + ((8 - dayofweek(jan1)) % 7)
+    # with Spark dayofweek() Sunday=1; the week is then how many Sundays
+    # fall on-or-before the date — all-integer, engine-portable.
+    first_sunday = F.lit(1) + (F.lit(8) - F.dayofweek(F.trunc(d, "year"))) % 7
+    bq_week = F.floor(
+        (F.dayofyear(d) - first_sunday + F.lit(7)) / F.lit(7)
+    ).cast("int")
     df = spine.select(
         d,
         F.year(d).alias("year"),
-        F.weekofyear(d).alias("week_of_year"),
+        bq_week.alias("week_of_year"),
         F.dayofmonth(d).alias("day_of_year"),  # sic — calendar.sql:9 misnomer
         F.quarter(d).cast("string").alias("quarter_of_year"),
         F.month(d).alias("month_of_year"),
@@ -83,7 +93,9 @@ WITH spine AS (
 parts AS (
     SELECT date_day,
            CAST(year(date_day) AS INT) AS year,
-           CAST(week(date_day) AS INT) AS week_of_year,
+           CAST(FLOOR((dayofyear(date_day)
+                       - (1 + ((8 - (dayofweek(date_trunc('year', date_day)) + 1)) % 7))
+                       + 7) / 7e0) AS INT) AS week_of_year,
            CAST(day(date_day) AS INT) AS day_of_year,
            CAST(quarter(date_day) AS VARCHAR) AS quarter_of_year,
            CAST(month(date_day) AS INT) AS month_of_year,

@@ -84,3 +84,17 @@ def test_missing_period_end_empty_input_is_pass(spark):
     # empty input must be a pass (no ANSI DIVIDE_BY_ZERO)
     empty = spark.createDataFrame([], "line_item_id string, period_end_date date")
     assert Q.check_missing_period_end(empty).count() == 0
+
+
+def test_week_of_year_is_bigquery_sunday_anchored(spark):
+    """BigQuery EXTRACT(WEEK) parity (reference calendar.sql:8): weeks
+    start Sunday; dates before the year's first Sunday are week 0."""
+    cal = calendar(spark, dt.date(2022, 1, 1), dt.date(2023, 12, 31))
+    got = {r["date_day"]: r["week_of_year"] for r in cal.collect()}
+    assert got[dt.date(2022, 1, 1)] == 0  # Saturday, before first Sunday
+    assert got[dt.date(2022, 1, 2)] == 1  # the first Sunday of 2022
+    assert got[dt.date(2022, 1, 8)] == 1  # Saturday, still week 1
+    assert got[dt.date(2022, 1, 9)] == 2
+    assert got[dt.date(2023, 1, 1)] == 1  # Jan 1 IS a Sunday -> week 1
+    assert got[dt.date(2023, 12, 31)] == 53  # Sunday, 53rd of 2023
+    assert got[dt.date(2022, 12, 31)] == 52
