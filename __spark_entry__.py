@@ -103,6 +103,7 @@ _PRIORITY = [
     "decontaminated_train_docs",
     "lang_rebalanced_sample",
     "quantized_topk",
+    "corpus_curation_funnel",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

@@ -215,3 +215,89 @@ def q_decontaminated_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate_train(
         read_table(spark, sf_dir, "documents"), n=8
     ).select("doc_id", "lang")
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=rf"""
+WITH keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), tk AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), rbase AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, toks
+    FROM tk WHERE len(toks) >= 2
+), gc AS (
+    SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram, COUNT(*) AS c
+    FROM rbase, UNNEST(range(1, len(toks))) AS r(i)
+    GROUP BY 1, 2
+), ragg AS (
+    SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+    FROM gc GROUP BY 1
+), quality AS (
+    SELECT b.doc_id FROM rbase b JOIN ragg a USING (doc_id)
+    WHERE b.n_distinct * 10000 // b.n_tokens >= 3500
+      AND a.top_c * 10000 // a.total <= 2000
+      AND a.dup_c * 10000 // a.total <= 1000
+), t AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks, {_BUCKET} AS b
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, b,
+           array_to_string(toks[i : i + 7], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 6, 2))) AS r(i)
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM sh
+    WHERE b < 80 AND shingle IN (SELECT shingle FROM sh WHERE b >= 80)
+), clean AS (
+    SELECT doc_id FROM t
+    WHERE b < 80 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), flags AS (
+    SELECT d.doc_id, d.lang,
+           d.doc_id IN (SELECT doc_id FROM keepers) AS s_dedup,
+           (d.doc_id IN (SELECT doc_id FROM keepers)
+            AND d.doc_id IN (SELECT doc_id FROM quality)) AS s_quality,
+           (d.doc_id IN (SELECT doc_id FROM keepers)
+            AND d.doc_id IN (SELECT doc_id FROM quality)
+            AND d.doc_id IN (SELECT doc_id FROM clean)) AS s_clean
+    FROM documents d
+), c4 AS (
+    SELECT lang,
+           CAST(SUM(CASE WHEN s_clean THEN 1 ELSE 0 END) AS BIGINT) AS c4
+    FROM flags GROUP BY 1
+), m AS (
+    SELECT MIN(c4) AS mn FROM c4 WHERE c4 > 0
+), rates AS (
+    SELECT lang,
+           CASE WHEN c4 = 0 THEN 0
+                ELSE CAST(FLOOR(sqrt(CAST(mn AS DOUBLE) / CAST(c4 AS DOUBLE))
+                                * 1e4) AS BIGINT) END AS rate
+    FROM c4, m
+)
+SELECT f.lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN f.s_dedup THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN f.s_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN f.s_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_train,
+       CAST(SUM(CASE WHEN f.s_clean
+                      AND CAST(('0x' || substr(md5('rebal' || CAST(f.doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 10000 < r.rate
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM flags f JOIN rates r USING (lang)
+GROUP BY f.lang
+""",
+    doc="The whole curation pipeline as one declarative plan: per-"
+    "language counts through raw -> exact-dedup keepers -> repetition-"
+    "quality pass -> decontaminated train split -> sqrt-rebalanced "
+    "final sample. Monotonic stage flags reuse the already-oracled "
+    "operators, so this is also an integration proof that the corpus "
+    "operators compose; only doc_id/lang-key exchanges, nothing "
+    "materialized beyond corpus row count.",
+)
+def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.curation_funnel(read_table(spark, sf_dir, "documents"))

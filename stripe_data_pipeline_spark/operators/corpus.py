@@ -289,3 +289,89 @@ def quantize_embeddings(
             ",", F.transform(F.col(vec_col), lambda x: code(x).cast("string"))
         ).alias("codes"),
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    buckets: int = 10000,
+    salt: str = "rebal",
+) -> DataFrame:
+    """The whole training-data curation pipeline as ONE declarative
+    plan, reported as per-language stage counts: raw -> exact-dedup
+    keepers -> repetition-quality keepers -> decontaminated train
+    split -> sqrt-rebalanced final sample. The funnel audit every
+    corpus build emits before training.
+
+    Stages are monotonic by construction (each ANDs the previous
+    flag), and every stage reuses the already-oracled operator it
+    audits (dedup.exact_dedup_keepers, text.repetition_metrics,
+    decontaminate_train, sampling's rebalancing arithmetic over the
+    CLEAN-TRAIN population) — so the funnel doubles as an integration
+    check that the operators compose.
+
+    Plan shape: three linear flag joins on the doc key, one tiny
+    per-lang count agg whose min feeds broadcast rebalance rates, and
+    a final conditional aggregation — no stage materializes anything
+    bigger than the corpus row count, and the only wide exchanges are
+    on doc_id / lang. Catalyst runs the independent flag pipelines in
+    parallel stages.
+    """
+    from stripe_data_pipeline_spark.operators.dedup import exact_dedup_keepers
+    from stripe_data_pipeline_spark.operators.text import repetition_metrics
+
+    keep_ids = exact_dedup_keepers(df, id_col).select(
+        F.col("keep_id").alias(id_col), F.lit(True).alias("__keeper")
+    )
+    rep = repetition_metrics(df, id_col=id_col).select(
+        id_col, F.col("keep").alias("__q")
+    )
+    clean = decontaminate_train(df, id_col=id_col).select(
+        F.col(id_col), F.lit(True).alias("__clean")
+    )
+    flags = (
+        df.select(id_col, lang_col)
+        .join(keep_ids, id_col, "left")
+        .join(rep, id_col, "left")
+        .join(clean, id_col, "left")
+    )
+    s_dedup = F.coalesce("__keeper", F.lit(False))
+    s_quality = s_dedup & F.coalesce("__q", F.lit(False))
+    s_clean = s_quality & F.coalesce("__clean", F.lit(False))
+    flags = flags.select(
+        id_col,
+        lang_col,
+        s_dedup.alias("s_dedup"),
+        s_quality.alias("s_quality"),
+        s_clean.alias("s_clean"),
+    )
+    c4 = flags.groupBy(lang_col).agg(
+        F.sum(F.col("s_clean").cast("bigint")).alias("__c4")
+    )
+    mn = c4.filter(F.col("__c4") > 0).agg(F.min("__c4").alias("__mn"))
+    rates = c4.crossJoin(F.broadcast(mn)).select(
+        lang_col,
+        F.when(F.col("__c4") == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.sqrt(
+                    F.col("__mn").cast("double") / F.col("__c4").cast("double")
+                )
+                * F.lit(float(buckets))
+            ).cast("bigint")
+        )
+        .alias("__rate"),
+    )
+    sel = hash_bucket(F.col(id_col), buckets, salt) < F.col("__rate")
+    return (
+        flags.join(F.broadcast(rates), lang_col)
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("s_dedup").cast("bigint")).alias("n_dedup"),
+            F.sum(F.col("s_quality").cast("bigint")).alias("n_quality"),
+            F.sum(F.col("s_clean").cast("bigint")).alias("n_clean_train"),
+            F.sum((F.col("s_clean") & sel).cast("bigint")).alias("n_final"),
+        )
+    )

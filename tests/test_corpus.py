@@ -215,3 +215,42 @@ def test_repetition_metrics_matches_bruteforce(spark, sf_dir):
         assert g["dup_ngram_bp"] == (
             sum(c for c in grams.values() if c >= 2) * 10000 // total
         )
+
+
+def test_curation_funnel_monotonic_and_consistent(spark, sf_dir):
+    """Funnel counts are monotone per stage and agree with the
+    individual operators they audit."""
+    docs = read_table(spark, sf_dir, "documents")
+    rows = {r["lang"]: r for r in C.curation_funnel(docs).collect()}
+    assert rows
+    for lang, r in rows.items():
+        assert (
+            r["n_total"]
+            >= r["n_dedup"]
+            >= r["n_quality"]
+            >= r["n_clean_train"]
+            >= r["n_final"]
+            >= 0
+        )
+    # stage-1 totals match the raw per-lang counts
+    raw = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["n_total"] for k, v in rows.items()} == raw
+    # stage-2 totals match the dedup operator (keepers per lang)
+    from stripe_data_pipeline_spark.operators.dedup import exact_dedup_keepers
+
+    keep = exact_dedup_keepers(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    per_lang = {
+        r["lang"]: r["c"]
+        for r in docs.join(keep, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {k: v["n_dedup"] for k, v in rows.items()} == per_lang
+    # the funnel actually narrows somewhere (corpus has dups/low-quality)
+    assert any(v["n_final"] < v["n_total"] for v in rows.values())
