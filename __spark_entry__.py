@@ -104,6 +104,7 @@ _PRIORITY = [
     "lang_rebalanced_sample",
     "quantized_topk",
     "corpus_curation_funnel",
+    "streaming_dedup_mart_check",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

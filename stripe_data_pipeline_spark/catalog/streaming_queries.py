@@ -121,3 +121,96 @@ def q_streaming_merge_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def _materialized_streaming_dedup_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest: drain the documents table through readStream →
+    per-batch content fingerprinting → ``foreachBatch``
+    merge_upsert(content_key) — the streaming form of
+    dedup.exact_dedup_keepers. Whichever copy of a duplicated content
+    wins the merge is arrival-order-dependent, so the CHECK aggregates
+    order-insensitively (unique-content counts); at 100 TB this is the
+    standard dedup-on-arrival pattern: state is the mart itself, keyed
+    by a 16-byte content hash, and each micro-batch merges only its
+    own keys."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.operators.dedup import normalized_text
+
+    cache_key = sf_dir + "#dedup"
+    path = _STREAM_MART_CACHE.get(cache_key)
+    if path is not None:
+        return spark.read.parquet(os.path.join(path, "mart"))
+
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="streaming_dedup_mart_")
+    mart_path = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    import glob as _glob
+
+    schema = spark.read.parquet(
+        sorted(_glob.glob(f"{sf_dir}/documents*.parquet"))[0]
+    ).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents*.parquet")
+        .parquet(sf_dir)
+    )
+    staged = raw.select(
+        F.md5(normalized_text()).alias("content_key"),
+        "doc_id",
+        "lang",
+        "n_chars",
+    )
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merge_upsert(
+            batch.sparkSession,
+            mart_path,
+            batch.dropDuplicates(["content_key"]),
+            keys=["content_key"],
+        )
+
+    (
+        staged.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart_path)
+
+
+@register(
+    "streaming_dedup_mart_check",
+    oracle=r"""
+SELECT COUNT(DISTINCT k) AS n_rows,
+       COUNT(DISTINCT k) AS n_unique_contents
+FROM (
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS k
+    FROM documents
+)
+""",
+    doc="Streaming dedup-on-ingest round trip: documents drained via "
+    "readStream + per-batch content fingerprint + foreachBatch "
+    "merge_upsert(content_key), then the MERGED mart is counted — "
+    "row count must equal distinct-content count (one survivor per "
+    "content) and both must equal the batch oracle's unique-content "
+    "count. The check aggregates order-insensitively because which "
+    "duplicate copy survives is arrival-order-dependent; the unique "
+    "content SET is not.",
+)
+def q_streaming_dedup_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_streaming_dedup_mart(spark, sf_dir)
+    return mart.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("content_key").alias("n_unique_contents"),
+    )

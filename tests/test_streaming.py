@@ -79,3 +79,49 @@ def test_windowed_counts_match_batch_groupby(spark, sf_dir):
     win = windowed_event_counts(events, "1 hour")
     total = win.agg(F.sum("n_events")).first()[0]
     assert total == events.count()
+
+
+def test_streaming_dedup_mart_collapses_planted_duplicates(spark, tmp_path):
+    """Dedup-on-ingest: exact-duplicate contents planted across TWO
+    source files (two micro-batches under maxFilesPerTrigger=1) must
+    collapse to one mart row per content — including cross-batch dups,
+    which only the merge sink (not per-batch dropDuplicates) catches."""
+    from stripe_data_pipeline_spark.catalog.streaming_queries import (
+        _materialized_streaming_dedup_mart,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", 19),
+            (2, "unique doc alpha", "en", 16),
+            (3, "THE  QUICK   brown fox ", "en", 23),  # dup of 1 after norm
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    b = spark.createDataFrame(
+        [
+            (4, "the quick brown fox", "en", 19),  # cross-batch dup of 1
+            (5, "unique doc beta", "en", 15),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    # the source globs documents*.parquet: materialize each batch as a
+    # single plain parquet FILE so maxFilesPerTrigger=1 yields two
+    # micro-batches with the dup split across them
+    import glob
+    import shutil
+
+    for name, df in (("documents_a.parquet", a), ("documents_b.parquet", b)):
+        ds = src / ("_ds_" + name)
+        df.coalesce(1).write.parquet(str(ds))
+        part = glob.glob(str(ds / "part-*.parquet"))[0]
+        shutil.move(part, src / name)
+        shutil.rmtree(ds)
+    mart = _materialized_streaming_dedup_mart(spark, str(src))
+    rows = mart.collect()
+    keys = [r["content_key"] for r in rows]
+    # 5 docs; docs 1, 3 (same batch) and 4 (cross-batch) share one
+    # normalized content -> 3 unique contents survive
+    assert len(keys) == len(set(keys)) == 3
