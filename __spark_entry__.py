@@ -105,6 +105,7 @@ _PRIORITY = [
     "quantized_topk",
     "corpus_curation_funnel",
     "streaming_dedup_mart_check",
+    "boilerplate_ngrams",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

@@ -301,3 +301,42 @@ GROUP BY f.lang
 )
 def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.curation_funnel(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 3, 2))) AS r(i)
+)
+SELECT shingle, COUNT(*) AS df
+FROM sh
+GROUP BY shingle
+HAVING COUNT(*) >= 5
+ORDER BY df DESC, shingle
+LIMIT 50
+""",
+    doc="Boilerplate n-gram report: 4-token shingles "
+    "appearing in >= 5 distinct documents, top-50 by document "
+    "frequency - the repeated-substring signal used to strip "
+    "headers/footers/licenses from web corpora. Shingles dedupe "
+    "map-side per doc (array_distinct before explode), one "
+    "partial-combined agg on the shingle key, TakeOrdered top-50; "
+    "no quadratic surface.",
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(C.shingle_array("text", 4)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+        .orderBy(F.desc("df"), "shingle")
+        .limit(50)
+    )
