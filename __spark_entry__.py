@@ -106,6 +106,7 @@ _PRIORITY = [
     "corpus_curation_funnel",
     "streaming_dedup_mart_check",
     "boilerplate_ngrams",
+    "heldout_contamination_hashed",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

@@ -86,9 +86,7 @@ def q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "heldout_contamination",
-    oracle=f"""
+_CONTAM_ORACLE = f"""
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks, {_BUCKET} AS b
     FROM documents
@@ -102,7 +100,12 @@ FROM sh s
 WHERE s.b >= 90
   AND s.shingle IN (SELECT shingle FROM sh WHERE b < 80)
 GROUP BY s.doc_id
-""",
+"""
+
+
+@register(
+    "heldout_contamination",
+    oracle=_CONTAM_ORACLE,
     doc="Held-out decontamination report: test-split docs sharing an "
     "8-token shingle with any train-split doc, with distinct shared-"
     "shingle counts. Composes the md5 hash-range split with dedup-"
@@ -112,6 +115,23 @@ GROUP BY s.doc_id
 )
 def q_heldout_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.ngram_contamination(read_table(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "heldout_contamination_hashed",
+    oracle=_CONTAM_ORACLE,
+    doc="The corpus-scale decontamination path: identical plan to "
+    "heldout_contamination but every shuffle/join key is "
+    "xxhash64(shingle) - 8 bytes instead of a 49+-char string. "
+    "Shares the string variant's oracle: absent 64-bit collisions "
+    "the report is bit-identical, and the driver check proves it "
+    "(same persisted-artifact-must-not-change-results pattern as "
+    "ivf_topk_persisted).",
+)
+def q_heldout_contamination_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.ngram_contamination(
+        read_table(spark, sf_dir, "documents"), n=8, hash_keys=True
+    )
 
 
 @register(

@@ -159,6 +159,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     train_pct: int = 80,
     val_pct: int = 10,
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Held-out-contamination report: test-split docs that share at
     least one n-token shingle with any train-split doc, with the count
@@ -166,11 +167,12 @@ def ngram_contamination(
 
     Splits come from the deterministic md5 hash-range assignment
     (operators/sampling.py), shingles are the dedup family's k-token
-    windows. The join key here is the shingle STRING so the whole
-    report is oracle-checkable; at corpus scale substitute
-    xxhash64(shingle) for the key (8-byte shuffle keys, identical
-    plan) — the reason the reference-scale variant isn't the default
-    is only that xxhash64 is engine-specific.
+    windows. With ``hash_keys=False`` the join key is the shingle
+    STRING, so the whole report is oracle-checkable; ``hash_keys=True``
+    is the corpus-scale path — xxhash64(shingle) turns every shuffle/
+    join key into 8 bytes while the plan (and, absent 64-bit hash
+    collisions, the output) is IDENTICAL, so the hashed variant shares
+    the string variant's oracle.
 
     Plan shape: per-doc shingles deduped MAP-SIDE via array_distinct
     (no wide distinct anywhere), then one LEFT SEMI join of test
@@ -185,6 +187,10 @@ def ngram_contamination(
     sh = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).select(
         F.col(id_col), F.col("split"), shingle
     )
+    if hash_keys:
+        sh = sh.select(
+            id_col, "split", F.xxhash64(F.col("shingle")).alias("shingle")
+        )
     train_shingles = sh.filter(F.col("split") == "train").select("shingle")
     test = sh.filter(F.col("split") == "test")
     return (

@@ -254,3 +254,14 @@ def test_curation_funnel_monotonic_and_consistent(spark, sf_dir):
     assert {k: v["n_dedup"] for k, v in rows.items()} == per_lang
     # the funnel actually narrows somewhere (corpus has dups/low-quality)
     assert any(v["n_final"] < v["n_total"] for v in rows.values())
+
+
+def test_hashed_contamination_identical_to_string_keyed(spark, sf_dir):
+    """The 8-byte xxhash64 scale path must produce the exact report
+    the oracle-checkable string-keyed path produces."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = {(r["doc_id"], r["n_shared_ngrams"])
+         for r in C.ngram_contamination(docs, n=8).collect()}
+    b = {(r["doc_id"], r["n_shared_ngrams"])
+         for r in C.ngram_contamination(docs, n=8, hash_keys=True).collect()}
+    assert a == b and a
