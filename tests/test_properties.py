@@ -99,3 +99,93 @@ def test_revenue_conservation(spark, amount, days):
             )
             < 1e-6
         )
+
+
+doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd"),  # spaces included -> multi-token
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_texts, size=st.integers(2, 9), stride=st.integers(1, 9))
+def test_chunking_reconstructs_every_document(spark, texts, size, stride):
+    """For any corpus and any (size, stride<=size): stride-th tokens of
+    the chunk sequence reconstruct the document exactly, chunk_ids are
+    dense from 0, and every chunk has 1..size tokens."""
+    from stripe_data_pipeline_spark.operators.corpus import chunk_documents
+
+    if stride > size:
+        stride = size
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(df, size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        got = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in got] == list(range(len(got)))
+        # reconstruction: first `stride` tokens of each chunk, then the
+        # final chunk's tail, concatenate to the original token stream
+        rebuilt: list[str] = []
+        for r in got[:-1]:
+            rebuilt.extend(r["chunk_text"].split(" ")[:stride])
+        rebuilt.extend(got[-1]["chunk_text"].split(" "))
+        assert rebuilt == toks
+        for r in got:
+            n = len(r["chunk_text"].split(" "))
+            assert 1 <= n <= size and r["chunk_tokens"] == n
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_texts, budget=st.integers(1, 16), groups=st.integers(1, 4))
+def test_packing_is_gapless_for_any_corpus(spark, texts, budget, groups):
+    """For any corpus: within each pack group, offsets in md5 order
+    form an exact gapless running sum, and every seq_offset < budget."""
+    import hashlib
+
+    from stripe_data_pipeline_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = pack_sequences(df, budget=budget, n_groups=groups).collect()
+    by_group: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < budget
+        by_group.setdefault(r["pack_group"], []).append(r)
+    for grp in by_group.values():
+        grp.sort(key=lambda r: (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(), r["doc_id"]))
+        cum = 0
+        for r in grp:
+            assert r["seq_id"] * budget + r["seq_offset"] == cum
+            cum += r["n_tokens"]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=10))
+def test_pii_scrub_is_idempotent(spark, texts):
+    """scrub(scrub(x)) == scrub(x) for arbitrary text: the redaction
+    markers themselves never re-match either pattern."""
+    from stripe_data_pipeline_spark.operators.corpus import scrub_pii
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = scrub_pii(df).select(
+        F.col("doc_id"), F.col("clean_text").alias("text")
+    )
+    twice = scrub_pii(once)
+    for r in twice.collect():
+        assert r["n_redacted_chars"] == 0
