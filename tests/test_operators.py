@@ -325,3 +325,31 @@ def test_quantized_topk_zero_vector_excluded_gracefully(spark):
     ids = [r["vec_id"] for r in rows]
     assert ids[0] == 1
     assert 2 not in ids  # NaN-free: the zero vector never surfaces
+
+
+def test_ivf_probe_prunes_label_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB IVF claim made concrete: with the corpus written
+    partitioned by cluster label, the probe's filter becomes a
+    PARTITION filter — the scan plans only nprobe/K of the files, it
+    does not read-then-discard."""
+    from stripe_data_pipeline_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus_path = str(tmp_path / "emb_by_label")
+    emb.write.partitionBy("label").parquet(corpus_path)
+    part = spark.read.parquet(corpus_path)
+
+    vec = S.query_vector(emb, 0)
+    probed = part.filter(F.col("label").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "label" in plan.split("PartitionFilters")[1][:120]
+
+    # and the pruned probe returns the same top-k as probing the
+    # unpartitioned table with the same labels
+    a = [r["vec_id"] for r in S.cosine_topk(
+        probed, vec, 10, exclude_id=0).collect()]
+    b = [r["vec_id"] for r in S.cosine_topk(
+        emb.filter(F.col("label").isin([0, 1])), vec, 10, exclude_id=0
+    ).collect()]
+    assert a == b
