@@ -107,6 +107,7 @@ _PRIORITY = [
     "streaming_dedup_mart_check",
     "boilerplate_ngrams",
     "heldout_contamination_hashed",
+    "hll_mergeable_user_counts",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

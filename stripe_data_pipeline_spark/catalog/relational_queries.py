@@ -1064,3 +1064,36 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "hll_mergeable_user_counts",
+    oracle=None,  # datasketches HLL binary — engine-specific; rows-only
+    doc="MERGEABLE HLL sketches (hll_sketch_agg / hll_union_agg): "
+    "per-event-type user sketches, each estimated, then UNIONED into "
+    "one corpus-wide sketch whose estimate ships in every row. The "
+    "100 TB pattern this proves: constant-size partial sketches built "
+    "per partition/day merge into exact-union estimates without ever "
+    "re-shuffling raw keys (register maxima are commutative), unlike "
+    "exact countDistinct which shuffles every distinct key. "
+    "Mergeability law (union-of-sketches == sketch-of-union) is "
+    "pytest-gated (tests/test_operators.py).",
+)
+def q_hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all_types")
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+            "exact_users",
+        )
+        .crossJoin(F.broadcast(merged))
+        .orderBy("event_type")
+    )

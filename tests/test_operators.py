@@ -353,3 +353,33 @@ def test_ivf_probe_prunes_label_partitions(spark, sf_dir, tmp_path):
         emb.filter(F.col("label").isin([0, 1])), vec, 10, exclude_id=0
     ).collect()]
     assert a == b
+
+
+def test_hll_sketches_merge_exactly_and_estimate_tightly(spark, sf_dir):
+    """Mergeability law: union of per-group sketches estimates the
+    SAME value as one global sketch (register maxima are order-
+    independent), and estimates sit within HLL error of exact."""
+    from pyspark.sql import functions as FF
+
+    from stripe_data_pipeline_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type")
+        .agg(FF.hll_sketch_agg("user_id").alias("sk"))
+        .agg(FF.hll_sketch_estimate(FF.hll_union_agg("sk")).alias("e"))
+        .first()["e"]
+    )
+    direct = ev.agg(
+        FF.hll_sketch_estimate(FF.hll_sketch_agg("user_id")).alias("e")
+    ).first()["e"]
+    assert merged == direct  # sketch-of-union == union-of-sketches
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+    # partitioning cannot change the estimate
+    repart = (
+        ev.repartition(13)
+        .agg(FF.hll_sketch_estimate(FF.hll_sketch_agg("user_id")).alias("e"))
+        .first()["e"]
+    )
+    assert repart == direct
