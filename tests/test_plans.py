@@ -127,3 +127,45 @@ def test_quantized_topk_take_ordered_both_stages(spark, sf_dir):
     assert p.count("TakeOrderedAndProject") == 2
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the 100 TB shuffle-join
+    guard): with a selective dim filter and a non-broadcast join, the
+    optimizer injects a might_contain(bloom) pre-filter on the FACT
+    side, so most fact rows die at the scan instead of shuffling.
+    Size thresholds are production-scale by default (10 GB application
+    side) — lowered here only to let the tiny fixture trigger the same
+    rewrite a real cluster sees."""
+    import pyspark.sql.functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_th = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p
+        # the bloom probe sits on the lineitem (fact) branch
+        fact_branch = p.split("lineitem.parquet")[0]
+        assert "might_contain" in fact_branch
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_th,
+        )
