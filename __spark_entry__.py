@@ -108,6 +108,7 @@ _PRIORITY = [
     "boilerplate_ngrams",
     "heldout_contamination_hashed",
     "hll_mergeable_user_counts",
+    "incremental_doc_mart_check",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

@@ -360,3 +360,79 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "shingle")
         .limit(50)
     )
+
+
+# Session-scoped cache for the incremental corpus-mart round trip
+# (same pattern + caveats as revenue_queries._MART_CACHE).
+_DOC_MART_CACHE: dict[str, str] = {}
+
+
+def _cleanup_doc_mart_cache() -> None:
+    import shutil
+
+    for p in _DOC_MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _materialized_incremental_doc_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: the reference's daily
+    watermark+MERGE contract applied to the documents table. Two
+    'daily' batches (hash buckets standing in for arrival days) are
+    pushed through the S6 merge sink keyed by doc_id — and the batches
+    OVERLAP (buckets 40-59 are re-delivered), so the final mart also
+    proves the upsert is idempotent under re-delivery, exactly the
+    at-least-once guarantee a 100 TB crawl pipeline needs."""
+    import atexit
+    import tempfile
+
+    from stripe_data_pipeline_spark.incremental import merge_upsert
+    from stripe_data_pipeline_spark.operators.sampling import hash_bucket
+
+    path = _DOC_MART_CACHE.get(sf_dir)
+    if path is not None:
+        return spark.read.parquet(path)
+    if not _DOC_MART_CACHE:
+        atexit.register(_cleanup_doc_mart_cache)
+    path = tempfile.mkdtemp(prefix="doc_mart_")
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        hash_bucket(F.col("doc_id"), 100, salt="ingest").alias("__b"),
+    )
+    day1 = feats.filter(F.col("__b") < 60).drop("__b")
+    day2 = feats.filter(F.col("__b") >= 40).drop("__b")  # overlaps day1
+    for batch in (day1, day2):
+        merge_upsert(spark, path, batch, keys=["doc_id"])
+    _DOC_MART_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "incremental_doc_mart_check",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT)) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+    doc="Incremental corpus-feature mart round trip: documents arrive "
+    "as two OVERLAPPING hash-bucket batches (re-delivery included) "
+    "through the merge sink keyed by doc_id; the merged mart's "
+    "per-language doc/token totals must bit-match one batch query "
+    "over the full table - proving the watermark+MERGE contract "
+    "(the reference's core incremental guarantee) holds for corpus "
+    "ingestion, idempotently under at-least-once delivery.",
+)
+def q_incremental_doc_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_incremental_doc_mart(spark, sf_dir)
+    return mart.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
