@@ -41,6 +41,40 @@ def _apply_conf(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:  # noqa: BLE001 — never fail the harness on a conf
             pass
+    _ship_package(spark)
+
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine importable on PYTHON WORKERS regardless of the
+    driver's cwd/PYTHONPATH: the Arrow-batched stages (mapInPandas /
+    applyInPandas / pandas_udf) pickle their closures BY REFERENCE to
+    module globals, so the worker process must be able to import
+    ``stripe_data_pipeline_spark`` itself. Shipping a zip via
+    ``addPyFile`` works after session start and on real clusters
+    (sys.path hacks in the driver process don't propagate)."""
+    try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _SHIPPED:
+            return
+        import shutil
+        import tempfile
+
+        zip_base = os.path.join(
+            tempfile.mkdtemp(prefix="sdps_pkg_"), "stripe_data_pipeline_spark"
+        )
+        archive = shutil.make_archive(
+            zip_base,
+            "zip",
+            root_dir=_REPO_ROOT,
+            base_dir="stripe_data_pipeline_spark",
+        )
+        spark.sparkContext.addPyFile(archive)
+        _SHIPPED.add(app_id)
+    except Exception:  # noqa: BLE001 — never fail the harness on shipping
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -109,6 +143,7 @@ _PRIORITY = [
     "heldout_contamination_hashed",
     "hll_mergeable_user_counts",
     "incremental_doc_mart_check",
+    "media_frame_samples",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

@@ -45,3 +45,25 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "payload_sha256", "width", "height", F.size("feature").alias("dim")
     )
+
+
+@register(
+    "media_frame_samples",
+    oracle=None,  # mapInPandas + numpy fake video decoder; rows-only
+    doc="Frame sampling over video-like binaries (every 2nd frame): "
+    "the mapInPandas iterator EMITS MORE ROWS THAN IT RECEIVES (one "
+    "per sampled frame) - the batch-level explode a real video "
+    "pipeline uses; frame features are fixed-dim so output rows stay "
+    "bounded regardless of payload size. Decode honestly stubbed "
+    "(no ffmpeg in container); frame counts/coverage pytest-gated.",
+)
+def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    frames = M.sample_frames(M.documents_as_media(docs), every_k=2, fake=True)
+    return frames.select(
+        "doc_id",
+        "payload_sha256",
+        "n_frames",
+        "frame_idx",
+        F.size("frame_feature").alias("dim"),
+    )

@@ -124,3 +124,106 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_sha256", T.StringType()),
+        T.StructField("resized_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_video_frames(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode a video payload -> (n_frames, H, W, 3) array. STUB: real
+    decoding needs ffmpeg/pyav (absent here); the fake path derives a
+    deterministic frame stack from the payload hash (4-11 frames)."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode requires ffmpeg/pyav; run with fake=True for the "
+            "deterministic test double"
+        )
+    h = hashlib.sha256(payload).digest()
+    n = 4 + int(h[2]) % 8
+    base = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+    return np.stack([np.resize(base + i, (4, 4, 3)) for i in range(n)])
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, fake: bool = True) -> DataFrame:
+    """Frame sampling over video-like binaries: one OUTPUT ROW per
+    sampled frame (frames 0, k, 2k, ...) — the mapInPandas iterator
+    emits more rows than it receives, the batch-level explode shape a
+    real video pipeline uses. Python is crossed once per Arrow batch;
+    frame features are tiny fixed-dim vectors, so output row size is
+    bounded no matter how large the source payload."""
+    if every_k <= 0:
+        raise ValueError("every_k must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "payload_sha256": [], "n_frames": [],
+                "frame_idx": [], "frame_feature": [],
+            }
+            for doc_id, sha, payload in zip(
+                pdf["doc_id"], pdf["payload_sha256"], pdf["payload"]
+            ):
+                frames = decode_video_frames(bytes(payload), fake=fake)
+                for idx in range(0, len(frames), every_k):
+                    flat = frames[idx].reshape(-1, 3)
+                    feat = np.concatenate(
+                        [flat.mean(axis=0), flat.std(axis=0)]
+                    ).astype(np.float32)
+                    out["doc_id"].append(doc_id)
+                    out["payload_sha256"].append(sha)
+                    out["n_frames"].append(len(frames))
+                    out["frame_idx"].append(idx)
+                    out["frame_feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int = 8, height: int = 8, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: decode -> resample to (height, width) -> emit
+    the resized buffer's size + content hash (the buffer itself would
+    be written to a sidecar store at scale, not carried through
+    shuffles). Deterministic end-to-end with the fake decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas, sizes = [], []
+            for payload in pdf["payload"]:
+                img, _, _ = decode_image(bytes(payload), fake=fake)
+                resized = np.resize(img, (height, width, 3)).astype(np.float32)
+                buf = resized.tobytes()
+                shas.append(hashlib.sha256(buf).hexdigest())
+                sizes.append(len(buf))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_sha256": pdf["payload_sha256"],
+                    "width": width,
+                    "height": height,
+                    "resized_sha256": shas,
+                    "resized_bytes": sizes,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

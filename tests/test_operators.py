@@ -383,3 +383,33 @@ def test_hll_sketches_merge_exactly_and_estimate_tightly(spark, sf_dir):
         .first()["e"]
     )
     assert repart == direct
+
+
+def test_frame_sampling_covers_every_kth_frame_deterministically(spark):
+    media = M.documents_as_media(docs_fixture(spark))
+    a = M.sample_frames(media, every_k=2).collect()
+    b = M.sample_frames(media, every_k=2).collect()
+    key = lambda r: (r["doc_id"], r["frame_idx"])  # noqa: E731
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    by_doc: dict[int, list] = {}
+    for r in a:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        n = rows[0]["n_frames"]
+        assert 4 <= n <= 11
+        assert sorted(r["frame_idx"] for r in rows) == list(range(0, n, 2))
+        assert all(len(r["frame_feature"]) == 6 for r in rows)
+
+
+def test_resize_media_deterministic_and_sized(spark):
+    media = M.documents_as_media(docs_fixture(spark))
+    out = {r["doc_id"]: r for r in M.resize_media(media, 8, 8).collect()}
+    again = {r["doc_id"]: r for r in M.resize_media(media, 8, 8).collect()}
+    for doc_id, r in out.items():
+        assert r["resized_bytes"] == 8 * 8 * 3 * 4  # float32 HxWx3
+        assert again[doc_id]["resized_sha256"] == r["resized_sha256"]
+
+
+def test_video_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        M.decode_video_frames(b"bytes", fake=False)
