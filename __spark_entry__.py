@@ -85,13 +85,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-3 rotation (VERDICT r02 #4): lead with the 21 queries that got
+# Round-3 rotation (VERDICT r02 #4): lead with the queries that got
 # no r2 driver verdict (green in r1 and/or judge-verified via
 # tools/check_oracle.py, but external verification should cover every
-# registered query across r2∪r3), then everything r3 touched, then the
-# flagship + north-star representatives already green in r2. Queries
-# past position 50 remain covered by CI (tests/test_oracle_catalog.py
-# runs the full catalog against DuckDB at sf0.001).
+# registered query across r2∪r3), then everything r3 added or touched,
+# then the flagship + north-star representatives already green in r2.
+# The window is zero-sum: 20 r2-unchecked + 33 r3-changed/new = 53, so
+# the 3 simplest r1-unchanged relational queries (union_all_slices,
+# custkey_set_ops, string_functions — each driver-green in r1 AND
+# judge-re-verified in r2) sit just past the cutoff. Queries past
+# position 50 remain covered by CI (tests/test_oracle_catalog.py runs
+# the full catalog against DuckDB at sf0.001).
 _PRIORITY = [
     # --- no driver verdict in r2 (r1/judge-green) ---
     "sessionized_events",
@@ -102,19 +106,20 @@ _PRIORITY = [
     "events_in_list",
     "grouped_stats",
     "running_value_per_user",
-    "union_all_slices",
-    "custkey_set_ops",
     "date_functions",
     "conditional_functions",
     "price_percentiles",
     "pivot_qty_by_status",
     "regional_revenue_q5ish",
-    "string_functions",
     "events_rolling_hour_count",
     "approx_distinct_parts",
     "sql_api_segment_revenue",
     "cube_counts",
     # --- changed or added in r3 ---
+    "domain_capped_docs",
+    "cross_doc_novelty",
+    "cross_doc_novelty_hashed",
+    "token_length_histogram",
     "array_agg_sorted",
     "embedding_near_dup_pairs",
     "approx_percentile_prices",
@@ -144,6 +149,12 @@ _PRIORITY = [
     "hll_mergeable_user_counts",
     "incremental_doc_mart_check",
     "media_frame_samples",
+    # --- cutoff: window is the 50 entries above. Below: r1-green +
+    # judge-re-verified (r2) relational queries demoted to make room,
+    # then r2-green flagship/north-star representatives. ---
+    "union_all_slices",
+    "custkey_set_ops",
+    "string_functions",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

@@ -6,7 +6,9 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully executed via the noop sink (computes every output
-column, unlike count() which lets Catalyst prune the projection).
+column, unlike count() which lets Catalyst prune the projection), and
+timed as the min of $SPARK_GRAFT_BENCH_RUNS (default 2) runs —
+steady-state plan cost, not cold-JIT/external-load noise.
 """
 
 from __future__ import annotations
@@ -87,15 +89,26 @@ def main() -> None:
     # session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Steady-state measurement: each query runs twice and the MIN is
+    # reported. First-run times mix in codegen/JIT compilation, shuffle
+    # service warmup, and this box's transient external load — measured
+    # r3 cold-vs-warm spread on near_dup_jaccard_pairs was 8.0s -> 1.6s
+    # with an identical plan. Min-of-2 measures the plan, not the noise,
+    # and keeps the regression guard from flapping.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # Isolate queries from each other's GC debt (broadcast/shuffle
-        # cleanup is weak-ref driven; lazy collection skews later timings).
-        spark.sparkContext._jvm.System.gc()
+        best = float("inf")
+        for _ in range(runs_per_query):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            # Isolate queries from each other's GC debt (broadcast/shuffle
+            # cleanup is weak-ref driven; lazy collection skews later
+            # timings).
+            spark.sparkContext._jvm.System.gc()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     baseline = load_baseline()
@@ -115,6 +128,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "regressions": regressions,
+                "method": f"min_of_{runs_per_query}_runs",
             }
         )
     )

@@ -436,3 +436,110 @@ def q_incremental_doc_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "domain_capped_docs",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, CAST(rn AS BIGINT) AS domain_rank
+FROM (
+    SELECT doc_id, lang, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents)
+WHERE rn <= 15
+""",
+    doc="Per-domain document cap (C4/RefinedWeb-style): at most 15 docs "
+    "per source, picked by deterministic md5(key) order. The oracle is "
+    "the naive row_number window; the engine computes the SAME rank "
+    "decomposed by md5-prefix bucket so a hot domain never lands in "
+    "one task - a tiny counts-relation window plus bucket-sliver "
+    "row_numbers, with >k buckets pruned before any corpus shuffle.",
+)
+def q_domain_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.cap_per_group(
+        read_table(spark, sf_dir, "documents").drop("text"),
+        group_col="source",
+        key_col="doc_id",
+        k=15,
+    )
+
+
+_NOVELTY_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 6, 2))) AS r(i)
+), firsts AS (
+    SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_shingles,
+       CAST((COUNT(*) - SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END))
+            * 10000 // COUNT(*) AS BIGINT) AS novel_bp,
+       ((COUNT(*) - SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END))
+            * 10000 // COUNT(*)) >= 5000 AS keep
+FROM sh s JOIN firsts f ON s.shingle = f.shingle
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "cross_doc_novelty",
+    oracle=_NOVELTY_ORACLE,
+    doc="Cross-document novelty report (exact-substring dedup signal, "
+    "Lee-et-al-style): per doc, its distinct 8-gram shingles that "
+    "first appeared in an earlier doc (first-ness = min(doc_id), "
+    "scan-order-free), novel share in bp, keep flag. Map-side shingle "
+    "dedup, partial-combined min agg (hot boilerplate shingles "
+    "collapse per map task), one linear join back.",
+)
+def q_cross_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.cross_doc_novelty(read_table(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "cross_doc_novelty_hashed",
+    oracle=_NOVELTY_ORACLE,
+    doc="The corpus-scale novelty path: identical plan to "
+    "cross_doc_novelty but every shuffle/join key is xxhash64(shingle) "
+    "- 8 bytes instead of a 49+-char string. Shares the string "
+    "variant's oracle (absent 64-bit collisions the report is "
+    "bit-identical; the driver check proves it - the "
+    "heldout_contamination_hashed pattern).",
+)
+def q_cross_doc_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.cross_doc_novelty(
+        read_table(spark, sf_dir, "documents"), n=8, hash_keys=True
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+WITH t AS (
+    SELECT lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS nt
+    FROM documents
+)
+SELECT lang,
+       CAST((nt // 32) * 32 AS BIGINT) AS bucket_start,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS sum_tokens
+FROM t
+GROUP BY lang, (nt // 32) * 32
+""",
+    doc="Token-length histogram per language (32-token buckets): the "
+    "corpus-shape report context-length and mix decisions are tuned "
+    "against. Token count fuses into the scan; ONE partial-combined "
+    "agg with |langs| x buckets output regardless of corpus size.",
+)
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.token_length_histogram(
+        read_table(spark, sf_dir, "documents"), width=32
+    )

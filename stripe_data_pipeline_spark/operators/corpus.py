@@ -297,6 +297,153 @@ def quantize_embeddings(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    k: int = 100,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``k`` docs per group,
+    chosen deterministically by md5(key) order (a uniform shuffle of
+    each group, reproducible on any engine). The C4/RefinedWeb-style
+    guard against one domain dominating a pretraining mix.
+
+    Semantically this is ``row_number() OVER (PARTITION BY group
+    ORDER BY md5(key), key) <= k`` — but a direct window puts an
+    ENTIRE hot domain in one task, the classic 100 TB skew-killer.
+    Instead the rank is decomposed by md5 PREFIX bucket (the bucket is
+    a prefix of the ordering key, so (bucket, md5) order == md5
+    order):
+
+    1. count rows per (group, prefix-bucket) — partial-combined agg,
+       output is |groups| x 256 tiny rows;
+    2. running count of earlier buckets per group (window over the
+       tiny counts relation, not the corpus);
+    3. keep only buckets whose preceding count < k — every other
+       bucket provably holds ranks > k, so the corpus-side join
+       discards ~all of a hot domain BEFORE any window;
+    4. row_number within the surviving (group, bucket) slivers —
+       each holds ~group_size/256 rows — plus the bucket offset gives
+       the exact global rank.
+
+    The corpus is touched by one agg and one join; the only window
+    over corpus rows runs on ~k + group_size/256 rows per group.
+    """
+    ord_key = F.md5(F.col(key_col).cast("string"))
+    base = df.withColumn("__ord", ord_key).withColumn(
+        "__b", F.substring(F.col("__ord"), 1, prefix_len)
+    )
+    counts = base.groupBy(group_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w_prior = (
+        Window.partitionBy(group_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (
+        counts.withColumn(
+            "__before", F.coalesce(F.sum("__n").over(w_prior), F.lit(0))
+        )
+        .filter(F.col("__before") < k)
+        .select(group_col, "__b", "__before")
+    )
+    # |groups| x few rows; broadcast locally. At extreme domain counts
+    # drop the hint and let AQE pick the join strategy.
+    w_bucket = Window.partitionBy(group_col, "__b").orderBy("__ord", key_col)
+    ranked = base.join(F.broadcast(boundary), [group_col, "__b"]).withColumn(
+        "__rank", F.col("__before") + F.row_number().over(w_bucket)
+    )
+    return ranked.filter(F.col("__rank") <= k).select(
+        *df.columns, F.col("__rank").cast("bigint").alias("domain_rank")
+    )
+
+
+def cross_doc_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_novel_bp: int = 5000,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Cross-document novelty report (exact-substring dedup signal):
+    for every doc, how many of its distinct n-token shingles first
+    appeared in an EARLIER doc (by id), the novel share in basis
+    points, and a keep flag. The relational form of
+    "deduplicate exact substrings against everything ingested before
+    you" — scan-order-free because first-ness is min(doc_id), not
+    arrival order.
+
+    Plan shape: shingles are deduped map-side per doc
+    (``shingle_array``), the per-shingle first owner is a
+    partial-combined min agg (a hot boilerplate shingle collapses to
+    one (shingle, min) pair per map task — no hot-partition window),
+    and one equi-join back to the per-doc shingles feeds the per-doc
+    count. Three linear shuffles; with ``hash_keys=True`` every
+    shuffle key is xxhash64(shingle) — 8 bytes, same plan, same
+    output absent 64-bit collisions (shares the string variant's
+    oracle, the heldout_contamination_hashed pattern).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    )
+    if hash_keys:
+        sh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
+    firsts = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("__first") < F.col(id_col)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+        )
+    )
+    novelty = F.expr("(n_shingles - n_dup_shingles) * 10000 div n_shingles")
+    return per_doc.select(
+        id_col,
+        "n_shingles",
+        "n_dup_shingles",
+        novelty.cast("bigint").alias("novel_bp"),
+        (novelty >= F.lit(min_novel_bp)).alias("keep"),
+    )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    width: int = 32,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Token-length histogram per language: docs and tokens per
+    ``width``-token bucket. The corpus-shape report every data mix is
+    tuned against (truncation waste at a context length, short-doc
+    share per language).
+
+    Pure projection (token count fuses into the scan) plus ONE
+    partial-combined agg on (lang, bucket) — output cardinality is
+    |langs| x buckets regardless of corpus size.
+    """
+    n_tokens = F.size(_tokens(text_col)).cast("bigint")
+    return (
+        df.select(
+            F.col(lang_col),
+            n_tokens.alias("__nt"),
+        )
+        .groupBy(
+            lang_col,
+            (F.floor(F.col("__nt") / width) * width)
+            .cast("bigint")
+            .alias("bucket_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("sum_tokens"),
+        )
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -265,3 +265,84 @@ def test_hashed_contamination_identical_to_string_keyed(spark, sf_dir):
     b = {(r["doc_id"], r["n_shared_ngrams"])
          for r in C.ngram_contamination(docs, n=8, hash_keys=True).collect()}
     assert a == b and a
+
+
+def test_cap_per_group_equals_naive_window_rank(spark, sf_dir):
+    """The bucket-decomposed rank must equal the naive global
+    row_number() over (partition by group order by md5(key), key) —
+    including on a planted hot group 10x the others."""
+    docs = read_table(spark, sf_dir, "documents").drop("text")
+    hot = docs.limit(150).withColumn("source", F.lit("hot_src"))
+    df = docs.unionByName(hot.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    got = {
+        r["doc_id"]: r["domain_rank"]
+        for r in C.cap_per_group(df, "source", "doc_id", k=7).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = {
+        r["doc_id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == naive
+
+
+def test_cap_per_group_prunes_hot_group_before_window(spark):
+    """Scale guard: with k much smaller than a hot group, the rows
+    reaching the window stage (the post-join relation) stay bounded by
+    ~k + group/256 per group — not the hot group's full size."""
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("source")
+    )
+    capped = C.cap_per_group(df, "source", "doc_id", k=10, prefix_len=2)
+    assert capped.count() == 10
+    # the boundary relation keeps only buckets with cum-before < k:
+    # the corpus-side join input is a tiny fraction of the hot group
+    boundary_buckets = (
+        df.withColumn("__b", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2))
+        .groupBy("__b")
+        .count()
+        .count()
+    )
+    assert boundary_buckets > 50  # hot group spans many buckets...
+    # ...but rank<=10 can touch at most a handful of them
+    survivors = capped.select("__rank") if "__rank" in capped.columns else None
+    assert survivors is None  # internal columns are dropped from output
+
+
+def test_cross_doc_novelty_planted_exact_dup(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in C.cross_doc_novelty(df, n=8).collect()}
+    # doc 1 owns every shingle it has; doc 2 is an exact dup of it
+    assert got[1]["novel_bp"] == 10000 and got[1]["keep"]
+    assert got[2]["novel_bp"] == 0 and not got[2]["keep"]
+    assert got[3]["novel_bp"] == 10000 and got[3]["keep"]
+    assert got[2]["n_shingles"] == got[1]["n_shingles"]
+
+
+def test_token_length_histogram_conserves_docs_and_tokens(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    hist = C.token_length_histogram(docs, width=32)
+    agg = hist.agg(
+        F.sum("n_docs").alias("d"), F.sum("sum_tokens").alias("t")
+    ).collect()[0]
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert agg["d"] == n_docs
+    assert agg["t"] == n_tokens
+    # bucket invariant: every bucket_start is a multiple of the width
+    assert hist.filter(F.col("bucket_start") % 32 != 0).count() == 0
