@@ -49,6 +49,13 @@ HEADLINE = [
     "heldout_contamination",
     "doc_repetition_metrics",
     "quantized_topk",
+    # round-3 additions (unpinned until the next baseline refresh);
+    # heldout_contamination_hashed is the 8-byte-key scale path of
+    # heldout_contamination — benching both shows the hash swap's win
+    "heldout_contamination_hashed",
+    "domain_capped_docs",
+    "cross_doc_novelty_hashed",
+    "token_length_histogram",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -32,9 +32,20 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iterations: int = 25,
+    check_every: int = 1,
 ) -> DataFrame:
     """Returns (node_col, cluster_id): min reachable id per node.
-    Singletons (no edges) keep their own id."""
+    Singletons (no edges) keep their own id.
+
+    ``check_every`` spaces out the driver-side convergence count:
+    each iteration already runs one job (the eager checkpoint), and
+    the count is a second, cheaper job over checkpointed blocks. On
+    small/diameter-bounded near-dup graphs the default (check every
+    round) minimizes rounds; at massive edge counts set it to 2-3 to
+    trade a few no-op propagation rounds for half the convergence
+    jobs. Extra rounds after convergence are label-stable no-ops, so
+    correctness is unaffected.
+    """
     # undirected: materialize both directions once
     fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
     und = fwd.unionByName(
@@ -46,7 +57,7 @@ def connected_components(
         F.col(node_col).alias("u"), F.col(node_col).alias("label")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             und.join(labels, und["v"] == labels["u"], "inner")
             .select(und["u"].alias("u"), F.col("label"))
@@ -65,9 +76,9 @@ def connected_components(
                 ),
             )
         ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
-        if changed == 0:
-            break
+        if (it + 1) % check_every == 0:
+            if new_labels.filter(F.col("__changed")).count() == 0:
+                break
 
     return labels.select(F.col("u").alias(node_col), F.col("label").alias("cluster_id"))

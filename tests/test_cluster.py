@@ -30,3 +30,23 @@ def test_two_components_and_singletons(spark):
 def test_no_edges_all_singletons(spark):
     got = _run(spark, [5, 6], [])
     assert got == {5: 5, 6: 6}
+
+
+def test_spaced_convergence_checks_same_labels(spark):
+    """check_every>1 (fewer driver convergence jobs at scale) must not
+    change the fixpoint: extra propagation rounds are no-ops."""
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 4, 5, 6, 7]], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "doc_a long, doc_b long"
+    )
+    a = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges, check_every=3).collect()
+    }
+    assert a == b == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}

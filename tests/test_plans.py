@@ -169,3 +169,23 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             old_th,
         )
+
+
+def test_domain_cap_windows_only_bucket_slivers(spark, sf_dir):
+    """cap_per_group's skew guarantee: every corpus-row window is
+    partitioned by (group, md5-prefix bucket), never by the group
+    alone — a hot domain must not collapse into one window task."""
+    import re
+
+    p = plan(spark, sf_dir, "domain_capped_docs")
+    # the corpus-row window (row_number) partitions by BOTH the group
+    # and the md5-prefix bucket...
+    rn_windows = [
+        ln for ln in p.splitlines() if "row_number() windowspecdefinition" in ln
+    ]
+    assert rn_windows, "no row_number Window node found in the plan"
+    for ln in rn_windows:
+        assert re.search(r"windowspecdefinition\(source#\d+, __b#\d+", ln), ln
+    # ...and the corpus exchange feeding it shuffles on (group, bucket),
+    # so a hot domain spreads across 256 partitions instead of one task
+    assert re.search(r"hashpartitioning\(source#\d+, __b#\d+", p), p
