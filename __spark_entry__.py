@@ -114,8 +114,8 @@ _PRIORITY = [
     "events_rolling_hour_count",
     "approx_distinct_parts",
     "sql_api_segment_revenue",
-    "cube_counts",
     # --- changed or added in r3 ---
+    "key_skew_report_events",
     "domain_capped_docs",
     "cross_doc_novelty",
     "cross_doc_novelty_hashed",
@@ -155,6 +155,7 @@ _PRIORITY = [
     "union_all_slices",
     "custkey_set_ops",
     "string_functions",
+    "cube_counts",
     # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
     "revenue_trend_daily",
     "deferred_total_asof",

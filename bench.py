@@ -56,6 +56,9 @@ HEADLINE = [
     "domain_capped_docs",
     "cross_doc_novelty_hashed",
     "token_length_histogram",
+    # the production ANN path: run 1 builds+caches the centroid index,
+    # run 2 is probe-only — min-of-2 reports the steady-state probe
+    "ivf_topk_persisted",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

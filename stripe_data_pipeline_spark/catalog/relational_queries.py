@@ -1097,3 +1097,29 @@ def q_hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(merged))
         .orderBy("event_type")
     )
+
+
+@register(
+    "key_skew_report_events",
+    oracle="""
+WITH c AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       quantile_cont(n, 0.99) AS p99_key_rows,
+       (CAST(MAX(n) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))
+           / CAST(SUM(n) AS DOUBLE) AS skew_factor
+FROM c
+""",
+    doc="Key-skew diagnostic over events.user_id: total rows, distinct "
+    "keys, hottest key's count, p99 per-key count, and skew_factor = "
+    "max/mean rows-per-key — the report that decides salting "
+    "(operators/skew.py) vs plain shuffle. Per-key counts partial-"
+    "combine; the global stage reduces |keys| rows to one.",
+)
+def q_key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.skew import key_skew_report
+
+    return key_skew_report(read_table(spark, sf_dir, "events"), "user_id")

@@ -55,6 +55,16 @@ def _tokens(text_col: str) -> Column:
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a possibly single-file scan across cores before a
+    CPU-heavy projection (shingle/gram construction). A 100 TB
+    many-file scan is already parallel so this costs one extra
+    round-robin exchange of the raw rows; the local one-file fixture
+    otherwise pins the whole build to ONE task (measured 3x on the
+    shingle stage). Same lesson as dedup.minhash_signatures."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def chunk_documents(
     df: DataFrame,
     size: int = 32,
@@ -184,9 +194,9 @@ def ngram_contamination(
     """
     shingle = F.explode(shingle_array(text_col, n)).alias("shingle")
 
-    sh = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).select(
-        F.col(id_col), F.col("split"), shingle
-    )
+    sh = assign_split(
+        _spread(df), id_col, train_pct=train_pct, val_pct=val_pct
+    ).select(F.col(id_col), F.col("split"), shingle)
     if hash_keys:
         sh = sh.select(
             id_col, "split", F.xxhash64(F.col("shingle")).alias("shingle")
@@ -222,9 +232,9 @@ def decontaminate_train(
     the report query, so oracle and scale path share the whole plan.
     """
     shingle = F.explode(shingle_array(text_col, n)).alias("shingle")
-    sh = assign_split(df, id_col, train_pct=train_pct, val_pct=val_pct).select(
-        F.col(id_col), F.col("split"), shingle
-    )
+    sh = assign_split(
+        _spread(df), id_col, train_pct=train_pct, val_pct=val_pct
+    ).select(F.col(id_col), F.col("split"), shingle)
     heldout = sh.filter(F.col("split") != "train").select("shingle")
     contaminated = (
         sh.filter(F.col("split") == "train")
@@ -374,31 +384,42 @@ def cross_doc_novelty(
     you" — scan-order-free because first-ness is min(doc_id), not
     arrival order.
 
-    Plan shape: shingles are deduped map-side per doc
-    (``shingle_array``), the per-shingle first owner is a
-    partial-combined min agg (a hot boilerplate shingle collapses to
-    one (shingle, min) pair per map task — no hot-partition window),
-    and one equi-join back to the per-doc shingles feeds the per-doc
-    count. Three linear shuffles; with ``hash_keys=True`` every
-    shuffle key is xxhash64(shingle) — 8 bytes, same plan, same
-    output absent 64-bit collisions (shares the string variant's
-    oracle, the heldout_contamination_hashed pattern).
+    Plan shape: per-doc totals come straight from the map-side-deduped
+    shingle array (no shuffle); the per-shingle first owner is a
+    partial-combined min+count agg (a hot boilerplate shingle
+    collapses to one (shingle, min, cnt) tuple per map task — no
+    hot-partition window); and the join back to per-doc shingles
+    carries ONLY shingles seen in >= 2 docs — a singleton shingle's
+    first owner is the doc itself, so it can never be a dup. On a
+    mostly-novel corpus that shrinks the join to a sliver of the
+    shingle volume. With ``hash_keys=True`` every shuffle key is
+    xxhash64(shingle) — 8 bytes, same plan, same output absent 64-bit
+    collisions (shares the string variant's oracle, the
+    heldout_contamination_hashed pattern).
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    df = _spread(df)
+    arr = shingle_array(text_col, n)
+    per_doc_total = df.select(
+        F.col(id_col), F.size(arr).cast("bigint").alias("n_shingles")
     )
+    sh = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
     if hash_keys:
         sh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
-    firsts = sh.groupBy("shingle").agg(F.min(id_col).alias("__first"))
-    per_doc = (
-        sh.join(firsts, "shingle")
+    firsts = sh.groupBy("shingle").agg(
+        F.min(id_col).alias("__first"), F.count(F.lit(1)).alias("__cnt")
+    )
+    dup_counts = (
+        sh.join(firsts.filter(F.col("__cnt") >= 2), "shingle")
+        .filter(F.col("__first") < F.col(id_col))
         .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.sum((F.col("__first") < F.col(id_col)).cast("bigint"))
-            .cast("bigint")
-            .alias("n_dup_shingles"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__dups"))
+    )
+    per_doc = per_doc_total.join(dup_counts, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("__dups"), F.lit(0)).cast("bigint").alias(
+            "n_dup_shingles"
+        ),
     )
     novelty = F.expr("(n_shingles - n_dup_shingles) * 10000 div n_shingles")
     return per_doc.select(

