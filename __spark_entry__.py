@@ -90,29 +90,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py, but external verification should cover every
 # registered query across r2∪r3), then everything r3 added or touched,
 # then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 20 r2-unchecked + 33 r3-changed/new = 53, so
-# the 3 simplest r1-unchanged relational queries (union_all_slices,
-# custkey_set_ops, string_functions — each driver-green in r1 AND
-# judge-re-verified in r2) sit just past the cutoff. Queries past
-# position 50 remain covered by CI (tests/test_oracle_catalog.py runs
-# the full catalog against DuckDB at sf0.001).
+# The window is zero-sum: 20 r2-unchecked + 36 r3-changed/new = 56, so
+# the simplest r1-unchanged relational queries (union_all_slices,
+# json_extraction, custkey_set_ops, string_functions,
+# price_percentiles — each driver-green in r1 AND judge-re-verified
+# in r2 — plus
+# approx_distinct_parts, whose driver check is rows-only anyway) sit
+# just past the cutoff. Queries past position 50 remain covered by CI
+# (tests/test_oracle_catalog.py runs the full catalog against DuckDB
+# at sf0.001).
 _PRIORITY = [
     # --- no driver verdict in r2 (r1/judge-green) ---
     "sessionized_events",
     "salted_skew_join",
     "events_hourly_windows",
-    "json_extraction",
     "orders_star_plus",
     "events_in_list",
     "grouped_stats",
     "running_value_per_user",
     "date_functions",
     "conditional_functions",
-    "price_percentiles",
     "pivot_qty_by_status",
     "regional_revenue_q5ish",
     "events_rolling_hour_count",
-    "approx_distinct_parts",
     "sql_api_segment_revenue",
     # --- changed or added in r3 ---
     "key_skew_report_events",
@@ -149,9 +149,15 @@ _PRIORITY = [
     "hll_mergeable_user_counts",
     "incremental_doc_mart_check",
     "media_frame_samples",
+    "duplicate_span_stats",
+    "token_rarity_scores",
+    "semantic_dedup_keepers",
     # --- cutoff: window is the 50 entries above. Below: r1-green +
     # judge-re-verified (r2) relational queries demoted to make room,
     # then r2-green flagship/north-star representatives. ---
+    "price_percentiles",
+    "approx_distinct_parts",
+    "json_extraction",
     "union_all_slices",
     "custkey_set_ops",
     "string_functions",

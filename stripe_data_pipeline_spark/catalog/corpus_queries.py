@@ -543,3 +543,43 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.token_length_histogram(
         read_table(spark, sf_dir, "documents"), width=32
     )
+
+
+@register(
+    "duplicate_span_stats",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), b AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM t
+), g AS (
+    SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS pos,
+           array_to_string(toks[i + 1 : i + 8], ' ') AS gram
+    FROM b, UNNEST(range(0, n_tokens - 7)) AS r(i)
+    WHERE n_tokens >= 8
+), shared AS (
+    SELECT gram FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+), p AS (
+    SELECT g.doc_id, g.n_tokens, g.pos,
+           LEAD(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS nxt
+    FROM g JOIN shared USING (gram)
+), c AS (
+    SELECT doc_id, n_tokens,
+           CAST(SUM(CASE WHEN nxt IS NULL THEN 8
+                         ELSE LEAST(8, nxt - pos) END) AS BIGINT) AS dup_tokens
+    FROM p GROUP BY doc_id, n_tokens
+)
+SELECT doc_id, n_tokens, dup_tokens,
+       CAST(dup_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_fraction
+FROM c
+""",
+    doc="Exact-substring duplication spans (Lee et al. dedup metric): "
+    "per doc, tokens covered by an 8-gram that also occurs in another "
+    "doc, as count + fraction. Positional grams via explode(sequence) "
+    "fused into the scan; cross-doc grams via a min/max-owner agg; "
+    "interval union via one lead() window per doc. Integer arithmetic "
+    "to one final division — bit-exact cross-engine.",
+)
+def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.duplicate_span_stats(read_table(spark, sf_dir, "documents"), n=8)

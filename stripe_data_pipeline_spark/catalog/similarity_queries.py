@@ -9,6 +9,7 @@ both sides then run the identical left-fold dot-product tree
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from stripe_data_pipeline_spark.catalog.registry import register
 from stripe_data_pipeline_spark.io import read_table
@@ -300,3 +301,56 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.query_vector(emb, _QID)
     return S.quantized_topk(emb, vec, k=10, refine=4, exclude_id=_QID)
+
+
+@register(
+    "semantic_dedup_keepers",
+    oracle=f"""
+WITH RECURSIVE raw_base AS (
+    SELECT vec_id, label,
+           embedding AS e,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+blocks AS (
+    SELECT label FROM raw_base GROUP BY label HAVING COUNT(*) <= 1000
+),
+base AS (
+    SELECT raw_base.* FROM raw_base JOIN blocks USING (label)
+),
+edges AS (
+    SELECT a.vec_id AS u, b.vec_id AS v
+    FROM base a
+    JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= 3e-1
+),
+und AS (
+    SELECT u, v FROM edges UNION SELECT v, u FROM edges
+),
+reach(src, dst) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+)
+SELECT src AS vec_id, MIN(dst) AS cluster_id,
+       src = MIN(dst) AS is_keeper
+FROM reach
+GROUP BY src
+""",
+    doc="SemDeDup-style semantic dedup decision: embedding-cosine "
+    "near-dup edges (capped label blocks) -> connected components "
+    "(iterative min-label propagation) -> keep exactly the min-id "
+    "vector per semantic cluster. The operator that turns pairwise "
+    "embedding similarity into keep/drop decisions; oracle is a "
+    "DuckDB recursive-CTE transitive closure over the same edges.",
+)
+def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.cluster import connected_components
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    edges = S.cosine_near_dup_pairs(emb, threshold=0.3)
+    cc = connected_components(
+        emb.select("vec_id"), edges,
+        node_col="vec_id", src_col="vec_a", dst_col="vec_b",
+    )
+    return cc.withColumn("is_keeper", F.col("vec_id") == F.col("cluster_id"))

@@ -519,3 +519,30 @@ FROM base b JOIN agg a USING (doc_id)
 )
 def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.repetition_metrics(read_table(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "token_rarity_scores",
+    oracle="""
+WITH tok AS (
+    SELECT d.doc_id, w.token
+    FROM documents d, LATERAL UNNEST(string_split(d.text, ' ')) AS w(token)
+    WHERE w.token <> ''
+), tf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY token
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf) AS BIGINT) AS sum_tf,
+       CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS mean_tf,
+       CAST(MIN(tf) AS BIGINT) AS rarest_tf
+FROM tok JOIN tf USING (token)
+GROUP BY doc_id
+""",
+    doc="Unigram-LM quality signal (CCNet perplexity-proxy shape): "
+    "per-doc mean + min corpus-wide token frequency. Term-frequency "
+    "agg then a same-key join back; all-integer until one division.",
+)
+def q_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_rarity_scores(read_table(spark, sf_dir, "documents"))

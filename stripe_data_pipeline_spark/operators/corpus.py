@@ -549,3 +549,83 @@ def curation_funnel(
             F.sum((F.col("s_clean") & sel).cast("bigint")).alias("n_final"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication metric: for each doc, how many of
+    its token positions are covered by an ``n``-token gram that also
+    occurs in at least one OTHER document, plus the covered fraction.
+    The per-doc form of "dedupe exact substrings across the corpus"
+    (the span-removal pass run before tokenization); docs above a
+    duplicated-span budget get dropped or trimmed downstream.
+
+    Plan shape: positional grams come from explode(sequence) fused
+    into the scan (one row per (doc, start), no shuffle to build);
+    cross-doc grams are a partial-combined min/max-owner agg on the
+    gram key — the classic term-stats shuffle; and the join back
+    carries only grams whose owner span crosses documents. Coverage
+    is the union of fixed-length intervals, computed with one lead()
+    window per doc: sorted starts, each contributes
+    min(n, next_start - start). Everything is integer arithmetic
+    until the single final division, so the fraction is bit-exact on
+    any engine.
+
+    At 100 TB the gram agg dominates; swap the gram string for
+    xxhash64(gram) to shrink shuffle keys to 8 bytes (the
+    heldout_contamination_hashed pattern — same plan, same result
+    absent 64-bit collisions).
+    """
+    base = _spread(df).select(
+        F.col(id_col),
+        _tokens(text_col).alias("__toks"),
+    ).select(
+        id_col, "__toks", F.size("__toks").cast("bigint").alias("n_tokens")
+    )
+    grams = base.filter(F.col("n_tokens") >= n).select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
+        ).alias("pos"),
+        "__toks",
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("pos") + 1, F.lit(n))
+        ).alias("gram"),
+    )
+    # a gram is "duplicated" iff it appears in >= 2 distinct docs;
+    # min!=max owner is the cheap partial-aggregable form of that.
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("gram")
+    )
+    dup_pos = grams.join(shared, "gram").select(id_col, "n_tokens", "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered = dup_pos.withColumn("__nxt", F.lead("pos").over(w)).select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("__nxt").isNull(), F.lit(n).cast("bigint"))
+        .otherwise(F.least(F.lit(n).cast("bigint"), F.col("__nxt") - F.col("pos")))
+        .alias("__cov"),
+    )
+    return (
+        covered.groupBy(id_col, "n_tokens")
+        .agg(F.sum("__cov").cast("bigint").alias("dup_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_tokens",
+            (F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("dup_fraction"),
+        )
+    )

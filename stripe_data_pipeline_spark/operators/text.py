@@ -228,3 +228,50 @@ def repetition_metrics(
             & (dup_bp <= max_dup_bp)
         ).alias("keep"),
     )
+
+
+def token_rarity_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM quality signal (the CCNet/perplexity-proxy shape):
+    score each doc by how common its tokens are corpus-wide. Returns
+    per doc the token count, the summed global frequency of its
+    tokens, the mean frequency, and the frequency of its rarest
+    token — low mean/rarest values flag OCR garbage, codey noise and
+    boilerplate-free gibberish that a frequency-based LM would
+    perplex on.
+
+    Two passes over the exploded tokens: (1) a partial-combined count
+    agg on the token key builds the term-frequency table (zipf-shaped
+    but combiner-friendly — a hot token collapses to one tuple per
+    map task); (2) the tokens re-join the TF table on the same key —
+    Catalyst reuses the exchange, and AQE broadcasts the TF side when
+    a small vocabulary makes it tiny. All-integer arithmetic until
+    one final division, so the mean is bit-exact cross-engine
+    (unlike a true log-prob, whose libm ln() ULPs differ — the
+    fixed-point tfidf trick covers that variant).
+    """
+    from stripe_data_pipeline_spark.operators.corpus import _spread
+
+    tok = _spread(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__token"),
+    ).filter(F.col("__token") != "")
+    tf = tok.groupBy("__token").agg(F.count(F.lit(1)).alias("__tf"))
+    return (
+        tok.join(tf, "__token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__tf").cast("bigint").alias("sum_tf"),
+            F.min("__tf").cast("bigint").alias("rarest_tf"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_tf",
+            (F.col("sum_tf").cast("double") / F.col("n_tokens").cast("double"))
+            .alias("mean_tf"),
+            "rarest_tf",
+        )
+    )

@@ -50,3 +50,22 @@ def test_spaced_convergence_checks_same_labels(spark):
         for r in connected_components(nodes, edges, check_every=3).collect()
     }
     assert a == b == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_semantic_dedup_keepers_one_keeper_per_cluster(spark, sf_dir):
+    from stripe_data_pipeline_spark.catalog import QUERIES
+
+    out = QUERIES["semantic_dedup_keepers"].fn(spark, sf_dir).cache()
+    rows = out.collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        assert keepers[0]["vec_id"] == cid == min(m["vec_id"] for m in members)
+    # total coverage: every vector got a decision
+    from stripe_data_pipeline_spark.io import read_table
+
+    assert len(rows) == read_table(spark, sf_dir, "embeddings").count()
+    out.unpersist()

@@ -346,3 +346,55 @@ def test_token_length_histogram_conserves_docs_and_tokens(spark, sf_dir):
     assert agg["t"] == n_tokens
     # bucket invariant: every bucket_start is a multiple of the width
     assert hist.filter(F.col("bucket_start") % 32 != 0).count() == 0
+
+
+def test_duplicate_span_stats_planted_spans(spark):
+    # doc 1 and 2 share an 8-gram block; doc 3 is all-novel.
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    rows = [
+        (1, shared + " a1 a2 a3 a4 a5 a6 a7 a8"),
+        (2, "b1 b2 b3 b4 " + shared + " b5 b6 b7 b8"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.duplicate_span_stats(df, n=8).collect()}
+    # only the planted 8-token span is shared: exactly 8 covered tokens
+    assert got[1]["dup_tokens"] == 8 and got[1]["n_tokens"] == 16
+    assert got[1]["dup_fraction"] == 8 / 16
+    assert got[2]["dup_tokens"] == 8 and got[2]["n_tokens"] == 16
+    assert 3 not in got  # no cross-doc gram -> no row
+
+
+def test_duplicate_span_stats_interval_union_overlap(spark):
+    # two docs identical for 10 tokens -> 3 overlapping dup 8-grams
+    # (starts 0,1,2) whose union is the whole 10-token prefix.
+    pre = " ".join(f"p{i}" for i in range(10))
+    rows = [(1, pre + " x1"), (2, pre + " y1")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.duplicate_span_stats(df, n=8).collect()}
+    assert got[1]["dup_tokens"] == 10  # union, not 3*8
+    assert got[2]["dup_tokens"] == 10
+
+
+def test_token_rarity_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from stripe_data_pipeline_spark.operators.text import token_rarity_scores
+
+    docs = read_table(spark, sf_dir, "documents").limit(120).cache()
+    toks = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in docs.collect()
+    }
+    tf = Counter(t for ts in toks.values() for t in ts)
+    got = {r["doc_id"]: r for r in token_rarity_scores(docs).collect()}
+    for doc_id, ts in toks.items():
+        if not ts:
+            assert doc_id not in got
+            continue
+        r = got[doc_id]
+        assert r["n_tokens"] == len(ts)
+        assert r["sum_tf"] == sum(tf[t] for t in ts)
+        assert r["rarest_tf"] == min(tf[t] for t in ts)
+        assert r["mean_tf"] == sum(tf[t] for t in ts) / len(ts)
+    docs.unpersist()
