@@ -57,8 +57,12 @@ HEADLINE = [
     "cross_doc_novelty_hashed",
     "token_length_histogram",
     # the production ANN path: run 1 builds+caches the centroid index,
-    # run 2 is probe-only — min-of-2 reports the steady-state probe
+    # run 2 is probe-only — min-of-N reports the steady-state probe
     "ivf_topk_persisted",
+    # round-3 second batch: exact-substring span metric + unigram-LM
+    # rarity signal (both linear, shingle/token-keyed shuffles)
+    "duplicate_span_stats",
+    "token_rarity_scores",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -99,13 +103,15 @@ def main() -> None:
     # session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Steady-state measurement: each query runs twice and the MIN is
+    # Steady-state measurement: each query runs N times and the MIN is
     # reported. First-run times mix in codegen/JIT compilation, shuffle
     # service warmup, and this box's transient external load — measured
     # r3 cold-vs-warm spread on near_dup_jaccard_pairs was 8.0s -> 1.6s
-    # with an identical plan. Min-of-2 measures the plan, not the noise,
-    # and keeps the regression guard from flapping.
-    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # with an identical plan, and back-to-back full-bench totals swung
+    # 45s -> 35s with zero plan changes. Min-of-3 measures the plan,
+    # not the noise, and keeps the regression guard from flapping (a
+    # min-of-2 run still caught two loaded runs in a row on this box).
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
