@@ -90,7 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py, but external verification should cover every
 # registered query across r2∪r3), then everything r3 added or touched,
 # then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 20 r2-unchecked + 36 r3-changed/new = 56, so
+# The window is zero-sum: 20 r2-unchecked + 37 r3-changed/new = 57, so
 # the simplest r1-unchanged relational queries (union_all_slices,
 # json_extraction, custkey_set_ops, string_functions,
 # price_percentiles — each driver-green in r1 AND judge-re-verified
@@ -110,7 +110,6 @@ _PRIORITY = [
     "running_value_per_user",
     "date_functions",
     "conditional_functions",
-    "pivot_qty_by_status",
     "regional_revenue_q5ish",
     "events_rolling_hour_count",
     "sql_api_segment_revenue",
@@ -150,6 +149,7 @@ _PRIORITY = [
     "incremental_doc_mart_check",
     "media_frame_samples",
     "duplicate_span_stats",
+    "duplicate_span_stats_hashed",
     "token_rarity_scores",
     "semantic_dedup_keepers",
     # --- cutoff: window is the 50 entries above. Below: r1-green +
@@ -157,6 +157,7 @@ _PRIORITY = [
     # then r2-green flagship/north-star representatives. ---
     "price_percentiles",
     "approx_distinct_parts",
+    "pivot_qty_by_status",
     "json_extraction",
     "union_all_slices",
     "custkey_set_ops",

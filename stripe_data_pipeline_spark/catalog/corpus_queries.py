@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.catalog.registry import QUERIES, register
 from stripe_data_pipeline_spark.io import read_table
 from stripe_data_pipeline_spark.operators import corpus as C
 
@@ -583,3 +583,19 @@ FROM c
 )
 def q_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.duplicate_span_stats(read_table(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "duplicate_span_stats_hashed",
+    oracle=QUERIES["duplicate_span_stats"].oracle,
+    doc="The corpus-scale span-dedup path: identical plan to "
+    "duplicate_span_stats but every gram shuffle/join key is "
+    "xxhash64(gram) — 8 bytes instead of a 49+-char string. Shares "
+    "the string variant's oracle (doc-level output is bit-identical "
+    "absent 64-bit collisions; the driver check proves it — the "
+    "cross_doc_novelty_hashed pattern).",
+)
+def q_duplicate_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.duplicate_span_stats(
+        read_table(spark, sf_dir, "documents"), n=8, hash_keys=True
+    )

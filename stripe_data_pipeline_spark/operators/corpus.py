@@ -556,6 +556,7 @@ def duplicate_span_stats(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Exact-substring duplication metric: for each doc, how many of
     its token positions are covered by an ``n``-token gram that also
@@ -575,10 +576,11 @@ def duplicate_span_stats(
     until the single final division, so the fraction is bit-exact on
     any engine.
 
-    At 100 TB the gram agg dominates; swap the gram string for
-    xxhash64(gram) to shrink shuffle keys to 8 bytes (the
-    heldout_contamination_hashed pattern — same plan, same result
-    absent 64-bit collisions).
+    At 100 TB the gram agg dominates; ``hash_keys=True`` swaps the
+    gram string for xxhash64(gram), shrinking every shuffle/join key
+    to 8 bytes (the heldout_contamination_hashed pattern — same plan,
+    same doc-level output absent 64-bit collisions, so the hashed
+    variant shares the string variant's oracle).
     """
     base = _spread(df).select(
         F.col(id_col),
@@ -601,6 +603,8 @@ def duplicate_span_stats(
             " ", F.slice("__toks", F.col("pos") + 1, F.lit(n))
         ).alias("gram"),
     )
+    if hash_keys:
+        grams = grams.withColumn("gram", F.xxhash64(F.col("gram")))
     # a gram is "duplicated" iff it appears in >= 2 distinct docs;
     # min!=max owner is the cheap partial-aggregable form of that.
     shared = (

@@ -244,9 +244,10 @@ def token_rarity_scores(
     Two passes over the exploded tokens: (1) a partial-combined count
     agg on the token key builds the term-frequency table (zipf-shaped
     but combiner-friendly — a hot token collapses to one tuple per
-    map task); (2) the tokens re-join the TF table on the same key —
-    Catalyst reuses the exchange, and AQE broadcasts the TF side when
-    a small vocabulary makes it tiny. All-integer arithmetic until
+    map task; Catalyst prunes this branch's scan to the text column
+    alone); (2) the tokens re-join the TF table on the same key —
+    broadcast while the vocabulary is small, SMJ on the token key at
+    vocabulary scale (AQE decides). All-integer arithmetic until
     one final division, so the mean is bit-exact cross-engine
     (unlike a true log-prob, whose libm ln() ULPs differ — the
     fixed-point tfidf trick covers that variant).

@@ -398,3 +398,12 @@ def test_token_rarity_matches_bruteforce(spark, sf_dir):
         assert r["rarest_tf"] == min(tf[t] for t in ts)
         assert r["mean_tf"] == sum(tf[t] for t in ts) / len(ts)
     docs.unpersist()
+
+
+def test_hashed_span_stats_identical_to_string_keyed(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+         for r in C.duplicate_span_stats(docs, n=8).collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+         for r in C.duplicate_span_stats(docs, n=8, hash_keys=True).collect()}
+    assert a == b
