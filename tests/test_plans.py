@@ -189,3 +189,28 @@ def test_domain_cap_windows_only_bucket_slivers(spark, sf_dir):
     # ...and the corpus exchange feeding it shuffles on (group, bucket),
     # so a hot domain spreads across 256 partitions instead of one task
     assert re.search(r"hashpartitioning\(source#\d+, __b#\d+", p), p
+
+
+def test_duplicate_span_stats_linear_plan(spark, sf_dir):
+    # span dedup must stay linear: gram agg partial-combines before
+    # its exchange, no quadratic join surface, no Python.
+    for name in ("duplicate_span_stats", "duplicate_span_stats_hashed"):
+        p = plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "partial_min" in p and "partial_max" in p, name
+        assert "partial_sum" in p, name  # coverage agg combines map-side
+
+
+def test_token_rarity_tf_branch_prunes_to_text(spark, sf_dir):
+    # the term-frequency branch must not drag doc_id through the
+    # token explode — Catalyst prunes its scan to the text column.
+    p = plan(spark, sf_dir, "token_rarity_scores")
+    assert "struct<text:string>" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_semantic_dedup_keepers_no_cartesian(spark, sf_dir):
+    p = plan(spark, sf_dir, "semantic_dedup_keepers")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
