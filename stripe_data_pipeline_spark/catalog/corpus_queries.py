@@ -599,3 +599,147 @@ def q_duplicate_span_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     return C.duplicate_span_stats(
         read_table(spark, sf_dir, "documents"), n=8, hash_keys=True
     )
+
+
+# Session-scoped cache for the training-sequences mart round trip
+# (same pattern + caveats as _DOC_MART_CACHE above).
+_TRAIN_MART_CACHE: dict[str, str] = {}
+
+
+def _cleanup_train_mart_cache() -> None:
+    import shutil
+
+    for p in _TRAIN_MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _materialized_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus capstone: curation keep-set -> sequence packing ->
+    partitioned + clustered table sink. Kept docs (exact-dedup keeper
+    AND repetition-quality pass AND decontaminated train split — the
+    funnel's s_clean set) are packed into 1024-token sequences and
+    written partitioned by pack_group, clustered by (seq_id,
+    seq_offset) — so a trainer reading one partition streams its
+    sequences in order, and a seq_id range scan prunes row groups.
+    At 100 TB this is the actual layout handed to a dataloader:
+    n_groups ≈ reader parallelism, each partition independently
+    ordered."""
+    import atexit
+    import tempfile
+
+    from stripe_data_pipeline_spark.io import write_table
+    from stripe_data_pipeline_spark.operators.dedup import exact_dedup_keepers
+    from stripe_data_pipeline_spark.operators.text import repetition_metrics
+
+    path = _TRAIN_MART_CACHE.get(sf_dir)
+    if path is not None:
+        return spark.read.parquet(path)
+    if not _TRAIN_MART_CACHE:
+        atexit.register(_cleanup_train_mart_cache)
+    path = tempfile.mkdtemp(prefix="train_seq_mart_")
+
+    docs = read_table(spark, sf_dir, "documents")
+    keep_ids = exact_dedup_keepers(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    quality_ids = repetition_metrics(docs).filter(F.col("keep")).select("doc_id")
+    clean_ids = C.decontaminate_train(docs).select("doc_id")
+    kept = (
+        docs.join(keep_ids, "doc_id", "left_semi")
+        .join(quality_ids, "doc_id", "left_semi")
+        .join(clean_ids, "doc_id", "left_semi")
+    )
+    packed = C.pack_sequences(kept, budget=1024, n_groups=8)
+    write_table(
+        packed,
+        path,
+        partition_by="pack_group",
+        cluster_by=["seq_id", "seq_offset"],
+    )
+    _TRAIN_MART_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "training_sequences_mart_check",
+    oracle=rf"""
+WITH keepers AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), tk AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), rbase AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, toks
+    FROM tk WHERE len(toks) >= 2
+), gc AS (
+    SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram, COUNT(*) AS c
+    FROM rbase, UNNEST(range(1, len(toks))) AS r(i)
+    GROUP BY 1, 2
+), ragg AS (
+    SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+    FROM gc GROUP BY 1
+), quality AS (
+    SELECT b.doc_id FROM rbase b JOIN ragg a USING (doc_id)
+    WHERE b.n_distinct * 10000 // b.n_tokens >= 3500
+      AND a.top_c * 10000 // a.total <= 2000
+      AND a.dup_c * 10000 // a.total <= 1000
+), t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks, {_BUCKET} AS b
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, b,
+           array_to_string(toks[i : i + 7], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 6, 2))) AS r(i)
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM sh
+    WHERE b < 80 AND shingle IN (SELECT shingle FROM sh WHERE b >= 80)
+), clean AS (
+    SELECT doc_id FROM t
+    WHERE b < 80 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), kept AS (
+    SELECT d.doc_id,
+           CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 8 AS pack_group,
+           md5(CAST(d.doc_id AS VARCHAR)) AS ord_key
+    FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+      AND d.doc_id IN (SELECT doc_id FROM quality)
+      AND d.doc_id IN (SELECT doc_id FROM clean)
+), c AS (
+    SELECT doc_id, pack_group, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY pack_group ORDER BY ord_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS st
+    FROM kept
+)
+SELECT doc_id, pack_group,
+       CAST(st // 1024 AS BIGINT) AS seq_id,
+       n_tokens,
+       CAST(st % 1024 AS BIGINT) AS seq_offset
+FROM c
+""",
+    doc="Training-sequences mart round trip (the corpus capstone): "
+    "the funnel's s_clean keep-set (exact-dedup keeper AND repetition-"
+    "quality AND decontaminated train split) packed into 1024-token "
+    "sequences and persisted through the partitioned+clustered table "
+    "sink (S8+S9); the read-back table must bit-match DuckDB "
+    "recomputing keep-set and packing from the raw documents — "
+    "proving curation, packing, AND the sink layout compose "
+    "end-to-end.",
+)
+def q_training_sequences_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_training_sequences(spark, sf_dir)
+    return mart.select(
+        "doc_id",
+        F.col("pack_group").cast("bigint").alias("pack_group"),
+        "seq_id",
+        "n_tokens",
+        "seq_offset",
+    )

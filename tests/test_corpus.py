@@ -407,3 +407,32 @@ def test_hashed_span_stats_identical_to_string_keyed(spark, sf_dir):
     b = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
          for r in C.duplicate_span_stats(docs, n=8, hash_keys=True).collect()}
     assert a == b
+
+
+def test_training_sequences_mart_layout(spark, sf_dir):
+    import glob
+    import os
+
+    import pandas as pd
+
+    from stripe_data_pipeline_spark.catalog.corpus_queries import (
+        _materialized_training_sequences,
+        _TRAIN_MART_CACHE,
+    )
+
+    _materialized_training_sequences(spark, sf_dir)
+    path = _TRAIN_MART_CACHE[sf_dir]
+    part_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("pack_group=")
+    )
+    assert part_dirs  # hive-partitioned by pack_group
+    # clustering contract: every data file is internally sorted by
+    # (seq_id, seq_offset) so a seq range scan prunes row groups
+    for d in part_dirs[:3]:
+        for f in glob.glob(os.path.join(path, d, "*.parquet")):
+            pdf = pd.read_parquet(f)[["seq_id", "seq_offset"]]
+            assert (
+                pdf.sort_values(["seq_id", "seq_offset"])
+                .reset_index(drop=True)
+                .equals(pdf.reset_index(drop=True))
+            ), f
