@@ -90,9 +90,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py, but external verification should cover every
 # registered query across r2∪r3), then everything r3 added or touched,
 # then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 20 r2-unchecked + 39 r3-changed/new = 59,
+# The window is zero-sum: 20 r2-unchecked + 40 r3-changed/new = 60,
 # so the simplest r1-unchanged relational queries (price_percentiles,
-# grouped_stats, pivot_qty_by_status, json_extraction,
+# grouped_stats, pivot_qty_by_status, json_extraction, events_in_list,
 # union_all_slices, custkey_set_ops, string_functions — each
 # driver-green in r1 AND judge-re-verified in r2 — plus
 # approx_distinct_parts, whose driver check is rows-only anyway) sit
@@ -105,7 +105,6 @@ _PRIORITY = [
     "salted_skew_join",
     "events_hourly_windows",
     "orders_star_plus",
-    "events_in_list",
     "running_value_per_user",
     "date_functions",
     "conditional_functions",
@@ -152,6 +151,7 @@ _PRIORITY = [
     "token_rarity_scores",
     "semantic_dedup_keepers",
     "training_sequences_mart_check",
+    "source_mix_plan",
     # --- cutoff: window is the 50 entries above. Below: r1-green +
     # judge-re-verified (r2) relational queries demoted to make room,
     # then r2-green flagship/north-star representatives. ---
@@ -159,6 +159,7 @@ _PRIORITY = [
     "approx_distinct_parts",
     "grouped_stats",
     "pivot_qty_by_status",
+    "events_in_list",
     "json_extraction",
     "union_all_slices",
     "custkey_set_ops",

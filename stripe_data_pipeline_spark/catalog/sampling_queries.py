@@ -137,3 +137,41 @@ def q_lang_rebalanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.rebalanced_sample(docs, "lang", "doc_id").select(
         "doc_id", "lang", "rate_bp"
     )
+
+
+@register(
+    "source_mix_plan",
+    oracle="""
+WITH per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS BIGINT))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source
+), w AS (
+    SELECT *,
+           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6 + 5e-1)
+                AS BIGINT) AS weight_fp
+    FROM per
+), t AS (
+    SELECT CAST(SUM(weight_fp) AS BIGINT) AS tot FROM w
+)
+SELECT source, n_docs, n_tokens, weight_fp,
+       CAST(weight_fp * 1000000 // tot AS BIGINT) AS target_tokens,
+       CAST((weight_fp * 1000000 // tot) * 10000 // n_tokens AS BIGINT)
+           AS repeat_bp
+FROM w, t
+""",
+    doc="Token-budget mixing plan under sqrt-temperature weighting: "
+    "per-source token counts, fixed-point sqrt weights (bit-exact "
+    "cross-engine), integer-division token allocations at a 1e6 "
+    "budget, and the repeat factor in basis points (>10000 = "
+    "upsample). One tiny-key agg + one single-row broadcast; the "
+    "corpus is never shuffled.",
+)
+def q_source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.source_mix_plan(
+        read_table(spark, sf_dir, "documents"), token_budget=1_000_000
+    )

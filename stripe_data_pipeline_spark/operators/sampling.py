@@ -120,3 +120,56 @@ def rebalanced_sample(
     return df.join(F.broadcast(rates), group_col).filter(
         hash_bucket(F.col(key_col), buckets, salt) < F.col("rate_bp")
     )
+
+
+def source_mix_plan(
+    df: DataFrame,
+    token_budget: int = 1_000_000,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixing plan: how many tokens to draw from each
+    source under sqrt-temperature weighting (alpha=0.5), as the
+    repeat/epoch factor a dataloader applies. The policy artifact a
+    training run consumes next to the packed-sequence mart: weights
+    flatten the source distribution so rare domains aren't drowned,
+    and repeat_bp > 10000 marks sources that must be upsampled
+    (epochs > 1) to fill their allocation.
+
+    weight = FLOOR(sqrt(n_tokens) * 1e6 + 0.5) is FIXED-POINT: sqrt
+    and the scale-multiply are exactly-rounded IEEE ops, so the
+    integer weights — and therefore every downstream sum/div — are
+    bit-identical on any engine and any row order (a double-sum of
+    raw sqrt weights would depend on aggregation order). Bound:
+    weight * token_budget must stay under 2^63, which holds through
+    ~1e12 tokens/source at a 1e6-token budget; at corpus scale drop
+    the fixed-point scale to 1e3.
+
+    Plan shape: one partial-combined agg on the (tiny) source key,
+    one single-row total broadcast back — the corpus is scanned once
+    and never shuffled.
+    """
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split(F.col(text_col), " "), lambda t: t != ""))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    per = per.withColumn(
+        "weight_fp",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint"),
+    )
+    tot = per.agg(F.sum("weight_fp").alias("__tot"))
+    target = F.expr(f"weight_fp * CAST({token_budget} AS BIGINT) div __tot")
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "weight_fp",
+        target.cast("bigint").alias("target_tokens"),
+        F.expr(f"(weight_fp * CAST({token_budget} AS BIGINT) div __tot) * 10000 "
+               "div n_tokens").cast("bigint").alias("repeat_bp"),
+    )

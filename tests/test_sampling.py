@@ -115,3 +115,30 @@ def test_rebalanced_sample_layout_independent(spark, sf_dir):
         for r in rebalanced_sample(docs.repartition(17), "lang", "doc_id").collect()
     }
     assert a == b and a
+
+
+def test_source_mix_plan_allocates_budget_sanely(spark, sf_dir):
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.sampling import source_mix_plan
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = source_mix_plan(docs, token_budget=1_000_000).collect()
+    assert rows
+    # floor divisions never over-allocate the budget
+    assert sum(r["target_tokens"] for r in rows) <= 1_000_000
+    # sqrt flattening: allocation order follows token-count order, but
+    # the share RATIO shrinks (bigger source -> smaller tokens-share
+    # relative to its corpus share)
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    targets = [r["target_tokens"] for r in by_tokens]
+    assert targets == sorted(targets)
+    if len(by_tokens) >= 2:
+        small, big = by_tokens[0], by_tokens[-1]
+        if small["n_tokens"] < big["n_tokens"]:
+            assert (
+                small["target_tokens"] * big["n_tokens"]
+                > big["target_tokens"] * small["n_tokens"]
+            )
+    # repeat_bp consistency: floor(target/ n_tokens) in bp
+    for r in rows:
+        assert r["repeat_bp"] == r["target_tokens"] * 10000 // r["n_tokens"]
