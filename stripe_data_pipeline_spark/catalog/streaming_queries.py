@@ -214,3 +214,92 @@ def q_streaming_dedup_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("content_key").alias("n_unique_contents"),
     )
+
+
+def _materialized_windowed_counts_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through the streaming
+    engine into a table: events drain via readStream, flow through
+    ``windowed_event_counts`` (watermark + window(1 hour) groupBy —
+    the §2.10 stateful-agg shape), and ``foreachBatch`` in COMPLETE
+    output mode overwrites the mart each micro-batch, so the final
+    table is every window's final count. Complete mode (rather than
+    append) is what makes an AvailableNow backlog drain exactly equal
+    to the batch rollup: append would hold back windows the watermark
+    hasn't closed when the stream ends. At 100 TB the same topology
+    runs continuously and the overwrite becomes a partition-scoped
+    merge on window_start."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.streaming.events import windowed_event_counts
+
+    cache_key = sf_dir + "#windows"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="streaming_windows_mart_")
+    mart_path = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (LTZ); the session is pinned UTC so
+    # the cast is value-preserving, and the window bounds are cast back
+    # to NTZ below to match the engine's (and the oracle's) ts typing.
+    staged = (
+        convert_nanos_ts(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    windows = windowed_event_counts(staged, window="1 hour").select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n_events",
+    )
+
+    def overwrite(batch: DataFrame, _batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(mart_path)
+
+    (
+        windows.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart_path)
+
+
+@register(
+    "streaming_windowed_counts_mart_check",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+""",
+    doc="Streaming watermarked windowed aggregation -> table: hourly "
+    "tumbling-window event counts computed BY THE STREAMING ENGINE "
+    "(readStream, watermark, window groupBy, AvailableNow drain, "
+    "complete-mode foreachBatch overwrite) must bit-match the batch "
+    "date_trunc rollup — the unified-engine guarantee for the "
+    "stateful-aggregation shape (SURVEY.md §2.10).",
+)
+def q_streaming_windowed_counts_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _materialized_windowed_counts_mart(spark, sf_dir)
