@@ -19,6 +19,8 @@ min/max pruning on customer/subscription point lookups.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -129,3 +131,46 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TESTDATA_TABLES:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    cluster_by: str | list[str] | None = None,
+) -> int:
+    """Small-file compaction for a parquet table dir (maintenance op).
+
+    Incremental merges and streaming micro-batches each leave their
+    own files; after N batches a partition holds N small files and
+    scan planning + task scheduling dominate at 100 TB (the classic
+    small-file problem). Rewrites the table with files sized to
+    ``target_rows_per_file`` (optionally re-sorted by ``cluster_by``
+    so compaction also restores clustering), via a staging directory
+    + atomic-within-a-filesystem swap — the same non-crash-atomic
+    caveat as the merge sink.
+
+    Returns the new file count. At cluster scale run per partition
+    (pass the partition dir as ``path``) so one compaction never
+    rewrites more than a partition.
+    """
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    out = df.repartition(n_files)
+    if cluster_by:
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        out = out.sortWithinPartitions(*cols)
+    staging = tempfile.mkdtemp(
+        prefix=".compact_staging_", dir=os.path.dirname(path.rstrip("/"))
+    )
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + ".compact_old"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+    return n_files

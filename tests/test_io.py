@@ -36,3 +36,34 @@ def test_partitioned_clustered_write(spark, sf_dir, tmp_path):
     pruned = back.filter(F.col("o_orderstatus") == "F")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_compact_table_preserves_content_and_reduces_files(spark, tmp_path):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.io import compact_table
+
+    path = str(tmp_path / "frag")
+    # simulate many micro-batch appends -> many small files
+    for i in range(6):
+        spark.range(i * 100, (i + 1) * 100).withColumn(
+            "v", F.col("id") * 2
+        ).write.mode("append").parquet(path)
+    before_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before_files >= 6
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+    n_files = compact_table(spark, path, target_rows_per_file=300, cluster_by="id")
+    after_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert n_files == 2 and after_files == 2  # ceil(600/300)
+    after_rows = spark.read.parquet(path).collect()
+    assert {(r["id"], r["v"]) for r in after_rows} == before
+    # clustering restored: each file internally sorted by id
+    import pandas as pd
+
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        ids = pd.read_parquet(f)["id"].tolist()
+        assert ids == sorted(ids)
