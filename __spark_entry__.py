@@ -90,10 +90,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py, but external verification should cover every
 # registered query across r2∪r3), then everything r3 added or touched,
 # then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 20 r2-unchecked + 41 r3-changed/new = 61,
+# The window is zero-sum: 20 r2-unchecked + 42 r3-changed/new = 62,
 # so the simplest r1-unchanged relational queries (price_percentiles,
 # grouped_stats, pivot_qty_by_status, json_extraction, events_in_list,
-# date_functions,
+# date_functions, conditional_functions,
 # union_all_slices, custkey_set_ops, string_functions — each
 # driver-green in r1 AND judge-re-verified in r2 — plus
 # approx_distinct_parts, whose driver check is rows-only anyway) sit
@@ -107,7 +107,6 @@ _PRIORITY = [
     "events_hourly_windows",
     "orders_star_plus",
     "running_value_per_user",
-    "conditional_functions",
     "regional_revenue_q5ish",
     "events_rolling_hour_count",
     "sql_api_segment_revenue",
@@ -153,12 +152,14 @@ _PRIORITY = [
     "training_sequences_mart_check",
     "source_mix_plan",
     "streaming_windowed_counts_mart_check",
+    "user_rfm_features",
     # --- cutoff: window is the 50 entries above. Below: r1-green +
     # judge-re-verified (r2) relational queries demoted to make room,
     # then r2-green flagship/north-star representatives. ---
     "price_percentiles",
     "approx_distinct_parts",
     "grouped_stats",
+    "conditional_functions",
     "date_functions",
     "pivot_qty_by_status",
     "events_in_list",

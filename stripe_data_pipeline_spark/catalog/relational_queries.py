@@ -1123,3 +1123,48 @@ def q_key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stripe_data_pipeline_spark.operators.skew import key_skew_report
 
     return key_skew_report(read_table(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "user_rfm_features",
+    oracle=f"""
+SELECT user_id,
+       CAST(date_diff('second', MAX(ts), TIMESTAMP '1998-06-01 00:00:00')
+            AS BIGINT) AS recency_sec,
+       CAST(COUNT(*) AS BIGINT) AS frequency,
+       {sum_usd_cents_sql("value")} AS monetary,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+FROM events
+WHERE ts < TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY user_id
+""",
+    doc="User-level RFM feature mart (the feature-engineering shape a "
+    "training pipeline joins to labels): recency/frequency/monetary + "
+    "type and active-day diversity, as of an explicit reference date "
+    "(never CURRENT_TIMESTAMP — SURVEY.md §7 determinism). One "
+    "partial-combined agg on user_id after a scan-pushed ts filter; "
+    "monetary uses the fixed-point cents contract so the double is "
+    "order-independent.",
+)
+def q_user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.functions.money import sum_usd_cents
+
+    as_of = "1998-06-01 00:00:00"
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(as_of).cast("timestamp_ntz")
+    )
+    return ev.groupBy("user_id").agg(
+        (
+            # NTZ has no direct long cast; the session is pinned UTC so
+            # NTZ -> TIMESTAMP -> epoch seconds is value-preserving
+            F.lit(as_of).cast("timestamp").cast("long")
+            - F.max(F.col("ts").cast("timestamp")).cast("long")
+        )
+        .cast("bigint")
+        .alias("recency_sec"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        sum_usd_cents(F.col("value")).alias("monetary"),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+        F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias("active_days"),
+    )

@@ -189,3 +189,35 @@ def test_pii_scrub_is_idempotent(spark, texts):
     twice = scrub_pii(once)
     for r in twice.collect():
         assert r["n_redacted_chars"] == 0
+
+
+def test_duplicate_span_stats_invariants_random_corpora(spark):
+    """Property: for randomized corpora with planted duplication,
+    0 < dup_tokens <= n_tokens, fractions consistent, and the result
+    is independent of input partitioning."""
+    import random
+
+    from stripe_data_pipeline_spark.operators.corpus import duplicate_span_stats
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    shared_block = " ".join(rng.choice(vocab) for _ in range(12))
+    rows = []
+    for doc_id in range(40):
+        own = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        text = (own + " " + shared_block) if doc_id % 3 == 0 else own
+        rows.append((doc_id, text.strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(df, n=8).collect()}
+    for r in out.values():
+        assert 0 < r["dup_tokens"] <= r["n_tokens"]
+        assert r["dup_fraction"] == r["dup_tokens"] / r["n_tokens"]
+    # every doc carrying the planted 12-token block shares >= one 8-gram
+    planted = {d for d, t in rows if shared_block in t and len(t.split()) >= 8}
+    assert planted <= set(out)
+    # partitioning independence
+    out13 = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+        for r in duplicate_span_stats(df.repartition(13), n=8).collect()
+    }
+    assert out13 == {k: (v["n_tokens"], v["dup_tokens"]) for k, v in out.items()}
