@@ -125,3 +125,67 @@ def test_streaming_dedup_mart_collapses_planted_duplicates(spark, tmp_path):
     # 5 docs; docs 1, 3 (same batch) and 4 (cross-batch) share one
     # normalized content -> 3 unique contents survive
     assert len(keys) == len(set(keys)) == 3
+
+
+def test_windowed_counts_complete_mode_across_batches(spark, sf_dir, tmp_path):
+    """Cross-batch window state: the same window key arriving in
+    DIFFERENT micro-batches must accumulate, and complete mode must
+    emit every window's final count — equal to the batch rollup over
+    the union. (The catalog's streaming_windowed_counts_mart_check
+    runs this topology; at the driver's SF events is a single file /
+    single batch, so this test is what actually exercises multi-batch
+    state.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src = str(tmp_path / "drop")
+    # three overlapping hash slices -> same hour windows span batches
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            os.path.join(src, f"part{i}"),
+        )
+        # flatten: move the part file up as events_<i>.parquet
+        import glob as g
+        import shutil
+
+        f = g.glob(os.path.join(src, f"part{i}", "*.parquet"))[0]
+        shutil.move(f, os.path.join(src, f"events_{i}.parquet"))
+        shutil.rmtree(os.path.join(src, f"part{i}"))
+
+    schema = spark.read.parquet(os.path.join(src, "events_0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events_*.parquet")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    out = windowed_event_counts(stream, window="1 hour")
+    mart = str(tmp_path / "mart")
+
+    def overwrite(batch, _bid):
+        batch.write.mode("overwrite").parquet(mart)
+
+    (
+        out.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(mart).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(events, window="1 hour").collect()
+    }
+    assert got == want
