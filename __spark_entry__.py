@@ -90,10 +90,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py, but external verification should cover every
 # registered query across r2∪r3), then everything r3 added or touched,
 # then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 20 r2-unchecked + 42 r3-changed/new = 62,
+# The window is zero-sum: 20 r2-unchecked + 43 r3-changed/new = 63,
 # so the simplest r1-unchanged relational queries (price_percentiles,
 # grouped_stats, pivot_qty_by_status, json_extraction, events_in_list,
-# date_functions, conditional_functions,
+# date_functions, conditional_functions, running_value_per_user,
 # union_all_slices, custkey_set_ops, string_functions — each
 # driver-green in r1 AND judge-re-verified in r2 — plus
 # approx_distinct_parts, whose driver check is rows-only anyway) sit
@@ -106,7 +106,6 @@ _PRIORITY = [
     "salted_skew_join",
     "events_hourly_windows",
     "orders_star_plus",
-    "running_value_per_user",
     "regional_revenue_q5ish",
     "events_rolling_hour_count",
     "sql_api_segment_revenue",
@@ -153,6 +152,7 @@ _PRIORITY = [
     "source_mix_plan",
     "streaming_windowed_counts_mart_check",
     "user_rfm_features",
+    "semantic_split_leakage",
     # --- cutoff: window is the 50 entries above. Below: r1-green +
     # judge-re-verified (r2) relational queries demoted to make room,
     # then r2-green flagship/north-star representatives. ---
@@ -160,6 +160,7 @@ _PRIORITY = [
     "approx_distinct_parts",
     "grouped_stats",
     "conditional_functions",
+    "running_value_per_user",
     "date_functions",
     "pivot_qty_by_status",
     "events_in_list",

@@ -354,3 +354,72 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         node_col="vec_id", src_col="vec_a", dst_col="vec_b",
     )
     return cc.withColumn("is_keeper", F.col("vec_id") == F.col("cluster_id"))
+
+
+@register(
+    "semantic_split_leakage",
+    oracle=f"""
+WITH raw_base AS (
+    SELECT vec_id, label,
+           embedding AS e,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS b
+    FROM embeddings
+),
+blocks AS (
+    SELECT label FROM raw_base GROUP BY label HAVING COUNT(*) <= 1000
+),
+base AS (
+    SELECT raw_base.* FROM raw_base JOIN blocks USING (label)
+)
+SELECT a.vec_id AS train_vec, b.vec_id AS heldout_vec,
+       {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine_sim
+FROM base a
+JOIN base b ON a.label = b.label AND a.vec_id <> b.vec_id
+WHERE a.b < 80 AND b.b >= 80
+  AND {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= 3e-1
+""",
+    doc="Semantic split-leakage audit: near-duplicate embedding pairs "
+    "that CROSS the train/heldout hash split — the embedding-space "
+    "analogue of heldout_contamination (an eval example semantically "
+    "duplicated in train inflates benchmarks even when no n-gram "
+    "matches). Composes the capped label-blocked cosine pairs with "
+    "the deterministic md5 split; both directions asymmetric "
+    "(train->heldout), linear outside the capped blocks.",
+)
+def q_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.sampling import hash_bucket
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.3)
+    buckets = emb.select(
+        "vec_id", hash_bucket(F.col("vec_id"), 100).alias("__b")
+    )
+    train = buckets.filter(F.col("__b") < 80).select(
+        F.col("vec_id").alias("__train_id")
+    )
+    heldout = buckets.filter(F.col("__b") >= 80).select(
+        F.col("vec_id").alias("__held_id")
+    )
+    # pairs are emitted once with vec_a < vec_b; leakage is directional
+    # (train side, heldout side), so check both orientations
+    ab = (
+        pairs.join(train, pairs.vec_a == train.__train_id)
+        .join(heldout, pairs.vec_b == heldout.__held_id)
+        .select(
+            F.col("vec_a").alias("train_vec"),
+            F.col("vec_b").alias("heldout_vec"),
+            "cosine_sim",
+        )
+    )
+    ba = (
+        pairs.join(train, pairs.vec_b == train.__train_id)
+        .join(heldout, pairs.vec_a == heldout.__held_id)
+        .select(
+            F.col("vec_b").alias("train_vec"),
+            F.col("vec_a").alias("heldout_vec"),
+            "cosine_sim",
+        )
+    )
+    return ab.unionByName(ba)
