@@ -1129,14 +1129,14 @@ def q_key_skew_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_rfm_features",
     oracle=f"""
 SELECT user_id,
-       CAST(date_diff('second', MAX(ts), TIMESTAMP '1998-06-01 00:00:00')
+       CAST(date_diff('second', MAX(ts), TIMESTAMP '2024-01-25 00:00:00')
             AS BIGINT) AS recency_sec,
        CAST(COUNT(*) AS BIGINT) AS frequency,
        {sum_usd_cents_sql("value")} AS monetary,
        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types,
        CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
 FROM events
-WHERE ts < TIMESTAMP '1998-06-01 00:00:00'
+WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
 GROUP BY user_id
 """,
     doc="User-level RFM feature mart (the feature-engineering shape a "
@@ -1150,7 +1150,7 @@ GROUP BY user_id
 def q_user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stripe_data_pipeline_spark.functions.money import sum_usd_cents
 
-    as_of = "1998-06-01 00:00:00"
+    as_of = "2024-01-25 00:00:00"
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("ts") < F.lit(as_of).cast("timestamp_ntz")
     )
