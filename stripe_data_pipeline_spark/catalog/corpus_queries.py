@@ -329,18 +329,20 @@ def q_corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
     SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), sh AS (
-    SELECT DISTINCT doc_id, array_to_string(toks[i : i + 4], ' ') AS shingle
-    FROM t, UNNEST(range(1, greatest(len(toks) - 3, 2))) AS r(i)
+    -- DuckDB list slices are 1-based INCLUSIVE: [i : i+3] is 4 tokens,
+    -- and the last 4-gram starts at len-3 (range end is exclusive)
+    SELECT DISTINCT doc_id, array_to_string(toks[i : i + 3], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 2, 2))) AS r(i)
 )
 SELECT shingle, COUNT(*) AS df
 FROM sh
 GROUP BY shingle
-HAVING COUNT(*) >= 5
+HAVING COUNT(*) >= 2
 ORDER BY df DESC, shingle
 LIMIT 50
 """,
     doc="Boilerplate n-gram report: 4-token shingles "
-    "appearing in >= 5 distinct documents, top-50 by document "
+    "appearing in >= 2 distinct documents, top-50 by document "
     "frequency - the repeated-substring signal used to strip "
     "headers/footers/licenses from web corpora. Shingles dedupe "
     "map-side per doc (array_distinct before explode), one "
@@ -356,7 +358,7 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 5)
+        .filter(F.col("df") >= 2)
         .orderBy(F.desc("df"), "shingle")
         .limit(50)
     )

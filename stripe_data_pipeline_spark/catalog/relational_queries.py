@@ -241,14 +241,18 @@ def q_customers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customers_without_orders_anti",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
 """,
     doc="Left-anti join (NOT EXISTS) — the 'orphaned line items' test "
-    "shape from README.md:164-168.",
+    "shape from README.md:164-168. Anti-joins against P-status orders "
+    "(every customer has SOME order in this data, so the unqualified "
+    "form is vacuously empty and would prove nothing).",
 )
 def q_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -26,3 +26,24 @@ def con(sf_dir):
 def test_full_catalog_oracle_parity(spark, con, sf_dir, name):
     errs = check_query(spark, con, QUERIES[name], sf_dir)
     assert not errs, errs
+
+
+def test_no_oracle_check_is_vacuous():
+    """A 0-row oracle makes the driver's value-hash comparison pass on
+    two empty relations — which is how a 5-token-slice bug hid in the
+    boilerplate_ngrams oracle until the query was de-vacuated. Every
+    oracled query must return rows at the driver's sf0.01 (pure
+    DuckDB, no Spark). orders_high_watermark is data-thin by nature
+    (rows strictly after the last completed load) and allowlisted at
+    tiny SFs only because sf0.01 has rows."""
+    from stripe_data_pipeline_spark.catalog import QUERIES
+    from stripe_data_pipeline_spark.testing import duck_con
+
+    con = duck_con("/root/testdata/sf0.01")
+    empty = [
+        name
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+        and con.sql(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()[0] == 0
+    ]
+    assert empty == [], f"vacuous oracle checks: {empty}"
