@@ -127,6 +127,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # BENCH_r01's 47.36s baseline covered only the first 17 queries;
+    # report that subset's subtotal so cross-round totals compare
+    # like-for-like as the headline set grows.
+    r1_subset = round(sum(timings[n] for n in HEADLINE[:17] if n in timings), 3)
     baseline = load_baseline()
     regressions = check_regressions(timings, baseline)
     if regressions:
@@ -145,6 +149,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "regressions": regressions,
                 "method": f"min_of_{runs_per_query}_runs",
+                "r1_subset_total_sec": r1_subset,
+                "n_queries": len(timings),
             }
         )
     )
