@@ -1172,3 +1172,106 @@ def q_user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
         F.countDistinct(F.col("ts").cast("date")).cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "event_funnel_conversion",
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(ts) AS signup_ts
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id
+), p AS (
+    SELECT s.user_id, MIN(e.ts) AS purchase_ts
+    FROM s JOIN events e
+      ON e.user_id = s.user_id
+     AND e.event_type = 'purchase'
+     AND e.ts >= s.signup_ts
+    GROUP BY s.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_signup_users,
+       CAST(COUNT(p.purchase_ts) AS BIGINT) AS n_purchased,
+       CAST(SUM(CASE WHEN p.purchase_ts < s.signup_ts + INTERVAL 1 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h,
+       CAST(CAST(SUM(CASE WHEN p.purchase_ts < s.signup_ts + INTERVAL 1 DAY
+                          THEN 1 ELSE 0 END) AS BIGINT) * 10000
+            // COUNT(*) AS BIGINT) AS conversion_bp
+FROM s LEFT JOIN p USING (user_id)
+""",
+    doc="Event-funnel conversion (sequence analytics): per user the "
+    "first signup, the first purchase at-or-after it, and the 24h "
+    "conversion rate in basis points. Two partial-combined min aggs "
+    "on user_id + one co-keyed join — Catalyst reuses the user_id "
+    "exchange; no window, no self-join explosion; integer bp output.",
+)
+def q_event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        s.join(ev.filter(F.col("event_type") == "purchase"), "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    j = s.join(p, "user_id", "left")
+    converted = (
+        F.col("purchase_ts")
+        < F.col("signup_ts") + F.expr("INTERVAL 1 DAY")
+    ).cast("bigint")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signup_users"),
+        F.count("purchase_ts").cast("bigint").alias("n_purchased"),
+        F.sum(F.coalesce(converted, F.lit(0))).cast("bigint").alias("n_converted_24h"),
+        F.expr(
+            "CAST(sum(coalesce(CAST(purchase_ts < signup_ts + INTERVAL 1 DAY "
+            "AS BIGINT), 0)) * 10000 div count(1) AS BIGINT)"
+        ).alias("conversion_bp"),
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), active AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS BIGINT)
+           AS offset_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM firsts f JOIN active a USING (user_id)
+GROUP BY 1, 2
+""",
+    doc="Weekly retention cohorts: users grouped by first-seen week, "
+    "counted in each later active week (the cohort-retention matrix). "
+    "One min agg + one distinct on user-week + a user_id-keyed join; "
+    "output cardinality is weeks^2 regardless of event volume.",
+)
+def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(active, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
