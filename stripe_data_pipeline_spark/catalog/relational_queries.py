@@ -1275,3 +1275,61 @@ def q_weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "daily_value_anomalies",
+    oracle="""
+WITH d AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events GROUP BY 1
+), s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(SUM(cents * cents) AS BIGINT) AS total_sq
+    FROM d
+)
+SELECT d.day,
+       CAST(d.cents AS DOUBLE) / 100.0 AS day_value,
+       CAST(d.cents AS DOUBLE)
+           > (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))
+             + 2.0 * sqrt(
+                 CAST(s.total_sq AS DOUBLE) / CAST(s.n AS DOUBLE)
+                 - (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))
+                   * (CAST(s.total AS DOUBLE) / CAST(s.n AS DOUBLE))
+             ) AS is_anomaly
+FROM d, s
+""",
+    doc="Daily-total anomaly flags: days whose event-value total "
+    "exceeds mean + 2 sigma across days. Sums and sums-of-squares are "
+    "integer cents (order-independent), so mean/variance/sqrt are a "
+    "fixed IEEE expression tree over identical integers — the z-score "
+    "is bit-exact cross-engine without any float aggregation. One "
+    "day-key agg + a single-row stats broadcast. cents^2 fits bigint "
+    "through ~90M-dollar days; beyond that move the square to "
+    "DECIMAL(38,0).",
+)
+def q_daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(to_cents(F.col("value"))).cast("bigint").alias("cents")
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("cents").cast("bigint").alias("__total"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("__total_sq"),
+    )
+    mean = F.col("__total").cast("double") / F.col("__n").cast("double")
+    var = (
+        F.col("__total_sq").cast("double") / F.col("__n").cast("double")
+        - mean * mean
+    )
+    return d.crossJoin(F.broadcast(s)).select(
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("day_value"),
+        (F.col("cents").cast("double") > mean + F.lit(2.0) * F.sqrt(var)).alias(
+            "is_anomaly"
+        ),
+    )
