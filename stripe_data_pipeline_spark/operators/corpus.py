@@ -57,12 +57,16 @@ def _tokens(text_col: str) -> Column:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a possibly single-file scan across cores before a
-    CPU-heavy projection (shingle/gram construction). A 100 TB
-    many-file scan is already parallel so this costs one extra
-    round-robin exchange of the raw rows; the local one-file fixture
-    otherwise pins the whole build to ONE task (measured 3x on the
-    shingle stage). Same lesson as dedup.minhash_signatures."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    CPU-heavy projection (shingle/gram construction): the local
+    one-file fixture otherwise pins the whole build to ONE task
+    (measured 3x on the shingle stage). CONDITIONAL: a source that
+    already has >= defaultParallelism partitions (any real many-file
+    corpus scan) passes through untouched — no round-robin exchange
+    of raw rows at scale. Same lesson as dedup.minhash_signatures."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
 
 
 def chunk_documents(

@@ -214,3 +214,18 @@ def test_semantic_dedup_keepers_no_cartesian(spark, sf_dir):
     p = plan(spark, sf_dir, "semantic_dedup_keepers")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_spread_skips_exchange_on_already_parallel_input(spark, sf_dir):
+    # _spread must round-robin a single-file scan but pass an
+    # already-parallel source through untouched (at 100 TB the scan is
+    # many files and the exchange would be a full-corpus shuffle).
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.corpus import _spread
+
+    docs = read_table(spark, sf_dir, "documents")
+    spread_plan = _spread(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in spread_plan  # single file -> spread
+
+    wide = docs.repartition(64)
+    assert _spread(wide) is wide  # no second exchange added
