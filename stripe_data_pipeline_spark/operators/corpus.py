@@ -56,17 +56,11 @@ def _tokens(text_col: str) -> Column:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Spread a possibly single-file scan across cores before a
-    CPU-heavy projection (shingle/gram construction): the local
-    one-file fixture otherwise pins the whole build to ONE task
-    (measured 3x on the shingle stage). CONDITIONAL: a source that
-    already has >= defaultParallelism partitions (any real many-file
-    corpus scan) passes through untouched — no round-robin exchange
-    of raw rows at scale. Same lesson as dedup.minhash_signatures."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p)
+    """See operators.partitioning.spread_scan (conditional: no
+    exchange when the scan is already parallel)."""
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
+    return spread_scan(df)
 
 
 def chunk_documents(

@@ -174,7 +174,9 @@ def minhash_signatures(
     signature hashing is the CPU-heavy stage and a single-file scan
     would otherwise pin it to one core.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
+    df = spread_scan(df)
     sh = shingles(k=k).alias("shingles")
     bases = F.transform(
         F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
@@ -293,7 +295,9 @@ def jaccard_verify(
     )
     # optimization barrier as in jaccard_candidate_pairs: one intersect
     # evaluation per pair, never re-derived inside a join condition
-    stats = stats.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
+    stats = spread_scan(stats)
     return (
         stats.withColumn(
             "jaccard",

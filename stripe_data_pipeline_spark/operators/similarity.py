@@ -59,7 +59,9 @@ def cosine_topk(
     even when the corpus scans as one small file; TakeOrdered then
     keeps only k rows per partition.
     """
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
+    df = spread_scan(df)
     q = _lit_vec(vec)
     emb = _as_double(F.col("embedding"))
     cos = _dot(emb, q) / (_norm(emb) * _norm(q))
@@ -261,7 +263,9 @@ def centroids(df: DataFrame) -> DataFrame:
     posexplode -> groupBy(label, pos) -> scaled-integer mean. Output:
     (label, pos, c) with c the centroid component as double.
     """
-    exploded = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
+    exploded = spread_scan(df).select(
         "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
     )
     return exploded.groupBy("label", "pos").agg(
