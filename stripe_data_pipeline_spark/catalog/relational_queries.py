@@ -1333,3 +1333,55 @@ def q_daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "column_null_audit",
+    oracle="""
+WITH c AS (
+    SELECT CASE WHEN l_linenumber <> 7
+                THEN CAST(CAST(l_shipdate AS DATE)
+                          + INTERVAL ((l_linenumber % 4) * 7 + 1) DAY AS VARCHAR)
+           END AS period_end,
+           CASE WHEN l_partkey % 3 = 0 THEN 'inclusive'
+                WHEN l_partkey % 3 = 1 THEN 'exclusive' END AS tax_behavior,
+           l_returnflag AS return_flag
+    FROM lineitem
+)
+SELECT col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM (
+    SELECT 'period_end' AS col, period_end AS v FROM c
+    UNION ALL
+    SELECT 'tax_behavior', tax_behavior FROM c
+    UNION ALL
+    SELECT 'return_flag', return_flag FROM c
+)
+GROUP BY col
+""",
+    doc="Column-level null audit via UNPIVOT over the curated "
+    "line-item derivation (whose period_end/tax_behavior are "
+    "genuinely nullable — the reference's not_null tests, "
+    "README.md:164-168, as one relation). Spark "
+    "unpivot/melt -> one partial-combined agg on the tiny column-name "
+    "key; the melt is a per-row Expand, no shuffle of the wide table.",
+)
+def q_column_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.when(
+            F.col("l_linenumber") != 7,
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (F.col("l_linenumber") % 4) * 7 + 1,
+            ).cast("string"),
+        ).alias("period_end"),
+        F.when(F.col("l_partkey") % 3 == 0, "inclusive")
+        .when(F.col("l_partkey") % 3 == 1, "exclusive")
+        .alias("tax_behavior"),
+        F.col("l_returnflag").alias("return_flag"),
+    )
+    melted = li.unpivot([], ["period_end", "tax_behavior", "return_flag"], "col", "v")
+    return melted.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("bigint")).cast("bigint").alias("n_null"),
+    )
