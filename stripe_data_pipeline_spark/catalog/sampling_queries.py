@@ -48,7 +48,7 @@ SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
             WHEN {_BUCKET} < 90 THEN 'val'
             ELSE 'test' END AS split,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY 1
 """,

@@ -454,7 +454,7 @@ def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT))
+       CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
            AS total_tokens,
        CAST(FLOOR(COUNT(*) * 1e4 / SUM(COUNT(*)) OVER () + 5e-1) AS BIGINT)
            AS doc_share_bp

@@ -47,3 +47,33 @@ def test_no_oracle_check_is_vacuous():
         and con.sql(f"SELECT COUNT(*) FROM ({spec.oracle})").fetchone()[0] == 0
     ]
     assert empty == [], f"vacuous oracle checks: {empty}"
+
+
+def test_oracle_output_types_are_driver_hashable():
+    """Third occurrence of the same failure class (r2 array_agg_sorted,
+    r3 dataset_split_counts + corpus_mix_summary): DuckDB widens
+    SUM(BIGINT) to HUGEINT, our local norm_cell flattens np ints so the
+    local check passes, but the driver's canonicalizer is
+    type-sensitive and the row hash-mismatches. Lint every registered
+    oracle's compiled output schema (no execution needed) against the
+    set of types the driver is proven to hash correctly — the exact
+    set observed across all currently-green queries. SUM/AVG/ln-style
+    results must be cast (CAST(... AS BIGINT) / fixed-point) in the
+    oracle SQL itself, not post-hoc."""
+    from stripe_data_pipeline_spark.catalog import QUERIES
+    from stripe_data_pipeline_spark.testing import duck_con
+
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN"}
+    con = duck_con("/root/testdata/sf0.01")
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec.oracle is None:
+            continue
+        rel = con.sql(spec.oracle)
+        for col, typ in zip(rel.columns, rel.types):
+            if str(typ) not in allowed:
+                offenders.append(f"{name}.{col}: {typ}")
+    assert offenders == [], (
+        "oracle columns with non-driver-hashable DuckDB types "
+        f"(wrap in CAST): {offenders}"
+    )
