@@ -293,11 +293,14 @@ def jaccard_verify(
         inter.alias("i"),
         (F.size("toks_a") + F.size("toks_b")).alias("s"),
     )
-    # optimization barrier as in jaccard_candidate_pairs: one intersect
-    # evaluation per pair, never re-derived inside a join condition
-    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
-
-    stats = spread_scan(stats)
+    # UNCONDITIONAL optimization barrier (ADVICE r3): `stats` is
+    # post-join, where partition counts are >= parallelism pre-AQE, so a
+    # conditional spread_scan would always skip and let Catalyst collapse
+    # the projections — re-deriving the array_intersect inside the filter
+    # AND the output column. The exchange is on already-shuffled data
+    # (no extra pass over the corpus) and guarantees one intersect
+    # evaluation per pair.
+    stats = stats.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
         stats.withColumn(
             "jaccard",

@@ -12,6 +12,17 @@ def spread_scan(df: DataFrame) -> DataFrame:
     partitions, so at scale this adds NO exchange — while the local
     one-file fixture would otherwise pin hash/shingle stages to one
     task (measured 3x on the shingle stage).
+
+    LEAF SCANS ONLY (ADVICE r3): ``df.rdd.getNumPartitions()`` reports
+    the PRE-AQE partition count and forces an extra physical-plan
+    compile. On a post-shuffle input under adaptive coalescing the
+    count reads >= defaultParallelism even when AQE will execute far
+    fewer tasks, so the spread is skipped exactly when it is needed —
+    and when a genuine barrier is the goal (e.g. pinning one
+    evaluation of an expensive expression, see jaccard_verify /
+    cosine_near_dup_pairs) use an unconditional ``repartition``
+    instead. For file-source leaves the count is the real split count
+    and the decision is sound.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= p:
