@@ -7,7 +7,7 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully executed via the noop sink (computes every output
 column, unlike count() which lets Catalyst prune the projection), and
-timed as the min of $SPARK_GRAFT_BENCH_RUNS (default 2) runs —
+timed as the min of $SPARK_GRAFT_BENCH_RUNS (default 3) runs —
 steady-state plan cost, not cold-JIT/external-load noise.
 """
 
@@ -63,6 +63,15 @@ HEADLINE = [
     # rarity signal (both linear, shingle/token-keyed shuffles)
     "duplicate_span_stats",
     "token_rarity_scores",
+    # round-4 additions (VERDICT r3 task #7): the r3 second-wave
+    # analytics family — oracle-green since r3 but previously unpinned,
+    # so a plan regression would have gone unnoticed
+    "event_funnel_conversion",
+    "weekly_retention_cohorts",
+    "daily_value_anomalies",
+    "column_null_audit",
+    "user_rfm_features",
+    "semantic_split_leakage",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -440,6 +440,92 @@ def q_incremental_doc_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped cache for the ATOMIC (manifest-committed) mart round
+# trip — same pattern + caveats as _DOC_MART_CACHE above.
+_ATOMIC_MART_CACHE: dict[str, str] = {}
+
+
+def _cleanup_atomic_mart_cache() -> None:
+    import shutil
+
+    for p in _ATOMIC_MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _materialized_atomic_doc_mart(spark: SparkSession, sf_dir: str):
+    """Two merges through the crash-atomic manifest sink
+    (manifest_table.merge_upsert_atomic) into a lang-PARTITIONED mart —
+    and batch 1 delivers buckets 40-59 with a WRONG lang ('zz'), which
+    batch 2 corrects: the upsert must displace every stale row out of
+    the zz partition (the reference's global-key MERGE,
+    README.md:110-129), and the commit protocol must leave the mart
+    readable at a consistent snapshot after each merge."""
+    import atexit
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.operators.sampling import hash_bucket
+
+    root = _ATOMIC_MART_CACHE.get(sf_dir)
+    if root is not None:
+        return MT.read_table(spark, root)
+    if not _ATOMIC_MART_CACHE:
+        atexit.register(_cleanup_atomic_mart_cache)
+    root = tempfile.mkdtemp(prefix="atomic_doc_mart_")
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        hash_bucket(F.col("doc_id"), 100, salt="ingest").alias("__b"),
+    )
+    day1 = (
+        feats.filter(F.col("__b") < 60)
+        .withColumn(
+            "lang", F.when(F.col("__b") >= 40, F.lit("zz")).otherwise(F.col("lang"))
+        )
+        .drop("__b")
+    )
+    day2 = feats.filter(F.col("__b") >= 40).drop("__b")
+    for batch in (day1, day2):
+        MT.merge_upsert_atomic(spark, root, batch, keys=["doc_id"], partition_by="lang")
+    MT.vacuum(root)  # superseded zz-partition versions reaped post-commit
+    _ATOMIC_MART_CACHE[sf_dir] = root
+    return MT.read_table(spark, root)
+
+
+@register(
+    "atomic_merge_mart_check",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS BIGINT)) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY lang
+""",
+    doc="Crash-atomic mart round trip: two overlapping batches merge "
+    "through the manifest-committed sink (versioned partition dirs + "
+    "one atomic MANIFEST rename — the reference's atomic-MERGE "
+    "durability, README.md:110-129) into a lang-partitioned mart; "
+    "batch 1 mis-labels buckets 40-59 as lang 'zz' and batch 2 "
+    "corrects them, so the per-language totals only bit-match the "
+    "one-shot batch oracle if the upsert displaced every stale row "
+    "across partitions AND each commit exposed a consistent snapshot. "
+    "Kill-at-every-boundary atomicity is pinned separately by "
+    "tests/test_manifest_table.py.",
+)
+def q_atomic_merge_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_atomic_doc_mart(spark, sf_dir)
+    return mart.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 @register(
     "domain_capped_docs",
     oracle="""

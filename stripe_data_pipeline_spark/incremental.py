@@ -14,11 +14,13 @@ Spark-first mapping:
   partitioned target it rewrites only the partitions the update batch
   touches (the dynamic-partition-overwrite strategy), staging to a
   sibling directory and swapping the touched partition dirs. The swap
-  is idempotent but NOT crash-atomic — a production deployment would
-  point ``merge_upsert`` at an ACID table format (Delta/Iceberg
-  ``MERGE INTO``), which this container does not ship; the call-site
-  *semantics* (verified by tests/test_incremental.py) are what the
-  reference's BigQuery MERGE provides and are format-agnostic.
+  is idempotent but NOT crash-atomic — for the reference's full
+  BigQuery-MERGE durability guarantee (README.md:110-129) use
+  ``manifest_table.merge_upsert_atomic``: identical semantics,
+  committed by a single atomic manifest rename, kill-tested at every
+  crash boundary (tests/test_manifest_table.py). This plain-directory
+  sink remains for targets that must stay readable as a bare parquet
+  path (no MANIFEST indirection).
 """
 
 from __future__ import annotations

@@ -168,9 +168,24 @@ def compact_table(
     staging = tempfile.mkdtemp(
         prefix=".compact_staging_", dir=os.path.dirname(path.rstrip("/"))
     )
-    out.write.mode("overwrite").parquet(staging)
+    try:
+        out.write.mode("overwrite").parquet(staging)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)  # don't leak staging
+        raise
+    # Swap with recovery (ADVICE r3): if the second move fails the table
+    # is restored from .compact_old instead of being left missing; a
+    # hard crash between the moves strands the data at <path>.compact_old
+    # — that name is the documented recovery location. For a
+    # crash-ATOMIC table use manifest_table (compaction there is just a
+    # merge that rewrites a partition's dir + one manifest rename).
     old = path.rstrip("/") + ".compact_old"
     shutil.move(path, old)
-    shutil.move(staging, path)
+    try:
+        shutil.move(staging, path)
+    except Exception:
+        shutil.move(old, path)  # roll back: original table intact
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     shutil.rmtree(old)
     return n_files

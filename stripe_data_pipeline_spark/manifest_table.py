@@ -1,0 +1,290 @@
+"""Crash-atomic MERGE sink: versioned data dirs + one atomic manifest rename.
+
+The reference's MERGE is atomic — BigQuery commits the whole statement
+or none of it (/root/reference/README.md:110-129,
+dbt/stripe/models/staging/stg_invoices.sql:1-6), so a reader never
+observes a half-applied merge. ``merge_upsert`` (incremental.py)
+reproduces the MERGE *semantics* idempotently on plain parquet, but
+commits by multi-step directory swap: a crash between partition-dir
+moves can expose a mix of old and new partitions. This module closes
+that gap with the manifest-pointer protocol (the Iceberg/Delta commit
+idea reduced to its kernel — no container deps):
+
+.. code-block:: text
+
+    table_root/
+      MANIFEST                  <- JSON pointer; the ONLY mutable file
+      parts/<pv>-<uuid8>/       <- immutable versioned data directories
+
+A merge writes NEW versions of the touched partitions as fresh
+directories under ``parts/`` (old versions untouched), then commits by
+writing ``MANIFEST.tmp-*`` and ``os.replace()``-ing it over
+``MANIFEST`` — atomic within a POSIX filesystem; on HDFS or an object
+store the identical protocol commits via atomic rename / conditional
+PUT of the same single small file. Readers resolve MANIFEST to a list
+of immutable directories, so ANY crash leaves them on a complete old
+or complete new snapshot, never a mix; directories a crashed writer
+orphaned are simply unreferenced and reaped by :func:`vacuum`.
+
+Scale shape: the manifest holds one entry per partition (KB-scale JSON
+for thousands of partitions — file-level stats would go in per-part
+sidecars before this became a bottleneck). Merges rewrite only touched
+partitions; readers prune untouched partitions driver-side from the
+manifest (``partition_values=``) before Spark ever lists a file, and
+the partition column is retained INSIDE the data files so engine-side
+filters still get parquet min/max row-group pruning on it.
+
+Single-writer by design — the reference runs one scheduled Airflow DAG
+(dags/stripe_dag.py); concurrent writers would need a lock or
+compare-and-swap rename, out of scope here. ``merge_upsert`` remains
+as the manifest-less fallback for plain-directory tables.
+
+The ``_fault`` hook names every crash boundary in the commit path so
+tests can kill the writer at each one and assert the old-or-new (never
+mixed) guarantee: see tests/test_manifest_table.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from stripe_data_pipeline_spark.incremental import _spark_partition_dir_value
+
+MANIFEST = "MANIFEST"
+_PARTS = "parts"
+_FULL = "__FULL__"  # parts-key for the single dir of an unpartitioned table
+_PV = "__pv"  # duplicated partition column so data files keep the real one
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST)
+
+
+def read_manifest(root: str) -> dict | None:
+    """Current committed snapshot, or None for a missing/empty table."""
+    try:
+        with open(_manifest_path(root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def _commit(root: str, manifest: dict, _fault=None) -> None:
+    """The atomic step: tmp-write + fsync + os.replace over MANIFEST."""
+    tmp = os.path.join(root, f"MANIFEST.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    if _fault:
+        _fault("manifest_tmp_written")
+    os.replace(tmp, _manifest_path(root))
+    if _fault:
+        _fault("committed")
+
+
+def read_table(
+    spark: SparkSession, root: str, partition_values: list | None = None
+) -> DataFrame:
+    """Resolve MANIFEST -> multi-path parquet scan of immutable dirs.
+
+    ``partition_values`` prunes driver-side from the manifest mapping
+    (no file listing for untouched partitions — the manifest IS the
+    file index, as in Iceberg manifest pruning). The partition column
+    is present in the data files, so engine-side filters on it also
+    get parquet min/max pruning.
+    """
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {root}")
+    parts = m["parts"]
+    if partition_values is not None:
+        want = {_spark_partition_dir_value(spark, v) for v in partition_values}
+        parts = {k: v for k, v in parts.items() if k in want}
+    paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
+    if not paths:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*paths)
+
+
+def _stage_versioned(
+    df: DataFrame, root: str, partition_by: str | None, _fault=None
+) -> dict[str, str]:
+    """Write ``df`` as fresh immutable dirs under parts/; return the
+    {partition-dir-value: relpath} mapping for the manifest. One Spark
+    job regardless of partition count (partitionBy on a duplicated
+    column, so data files RETAIN the partition column)."""
+    parts_dir = os.path.join(root, _PARTS)
+    os.makedirs(parts_dir, exist_ok=True)
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+    if partition_by is None:
+        df.write.mode("overwrite").parquet(staging)
+        if _fault:
+            _fault("staged")
+        rel = f"{_PARTS}/{_FULL}-{uuid.uuid4().hex[:8]}"
+        os.replace(staging, os.path.join(root, rel))
+        return {_FULL: rel}
+    df.withColumn(_PV, F.col(partition_by)).write.mode("overwrite").partitionBy(
+        _PV
+    ).parquet(staging)
+    if _fault:
+        _fault("staged")
+    out: dict[str, str] = {}
+    prefix = f"{_PV}="
+    for d in sorted(os.listdir(staging)):
+        if not (d.startswith(prefix) and os.path.isdir(os.path.join(staging, d))):
+            continue
+        pv = d[len(prefix):]
+        rel = f"{_PARTS}/{pv}-{uuid.uuid4().hex[:8]}"
+        # moving a versioned dir is NOT the commit — it is invisible
+        # until MANIFEST references it; a crash here only orphans it
+        os.replace(os.path.join(staging, d), os.path.join(root, rel))
+        if _fault:
+            _fault("moved_one")
+        out[pv] = rel
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+def merge_upsert_atomic(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+    _fault=None,
+) -> None:
+    """Crash-atomic S6 MERGE: same semantics as ``merge_upsert``
+    (matched rows replaced, unmatched inserted, global key matching —
+    an update that moves a key's partition value displaces the stale
+    row from its old partition), committed by one manifest rename.
+
+    Crash at ANY point leaves MANIFEST referencing only complete,
+    immutable directories — readers see the whole old or the whole new
+    snapshot (tests/test_manifest_table.py kills the writer at every
+    ``_fault`` boundary and asserts exactly that).
+    """
+    os.makedirs(root, exist_ok=True)
+    current = read_manifest(root)
+    if current is None:
+        new_parts = _stage_versioned(updates, root, partition_by, _fault)
+        _commit(
+            root,
+            {
+                "version": 1,
+                "partition_by": partition_by,
+                "schema": updates.schema.json(),
+                "parts": new_parts,
+            },
+            _fault,
+        )
+        return
+
+    old = read_table(spark, root)
+    if partition_by is None:
+        kept = old.join(updates.select(*keys), keys, "left_anti")
+        merged = kept.unionByName(updates)
+        new_parts = _stage_versioned(merged, root, None, _fault)
+    else:
+        # Touched = partitions of the updates UNION partitions of old
+        # rows whose key is updated (global key matching; see
+        # merge_upsert for the AQE/broadcast rationale).
+        update_keys = updates.select(*keys).distinct()
+        touched_vals = {
+            r[0]
+            for r in updates.select(F.col(partition_by).alias("pv"))
+            .unionByName(
+                old.join(update_keys, keys, "left_semi").select(
+                    F.col(partition_by).alias("pv")
+                )
+            )
+            .distinct()
+            .collect()
+        }
+        touched_keys = {
+            _spark_partition_dir_value(spark, v) for v in touched_vals
+        }
+        old_touched = read_table(spark, root, partition_values=list(touched_vals))
+        kept = old_touched.join(update_keys, keys, "left_anti")
+        merged = kept.unionByName(updates)
+        staged = _stage_versioned(merged, root, partition_by, _fault)
+        # Untouched partitions keep their committed dirs; touched ones
+        # are re-pointed (or dropped, if every old row was displaced
+        # and no update landed there — staged then has no dir for the
+        # value, and omitting the key IS the delete).
+        new_parts = {
+            k: v for k, v in current["parts"].items() if k not in touched_keys
+        }
+        new_parts.update(staged)
+    _commit(
+        root,
+        {
+            "version": int(current["version"]) + 1,
+            "partition_by": partition_by,
+            "schema": updates.schema.json(),
+            "parts": new_parts,
+        },
+        _fault,
+    )
+    # Post-commit: superseded dirs are unreferenced garbage. Leave them
+    # for vacuum() — deleting here would break a reader that resolved
+    # the old manifest moments ago.
+    spark.catalog.refreshByPath(root)
+
+
+def vacuum(root: str) -> list[str]:
+    """Remove parts/ dirs (and stale staging/tmp) not referenced by the
+    committed MANIFEST. Safe after any crash: referenced dirs are never
+    touched. Returns removed relpaths."""
+    m = read_manifest(root)
+    referenced = set(m["parts"].values()) if m else set()
+    removed: list[str] = []
+    parts_dir = os.path.join(root, _PARTS)
+    if os.path.isdir(parts_dir):
+        for d in sorted(os.listdir(parts_dir)):
+            rel = f"{_PARTS}/{d}"
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(parts_dir, d), ignore_errors=True)
+                removed.append(rel)
+    for f in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        if f.startswith(("MANIFEST.tmp-", ".staging-")):
+            p = os.path.join(root, f)
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
+            removed.append(f)
+    return removed
+
+
+def resolve_high_watermark(spark: SparkSession, root: str, cursor_col: str):
+    """Manifest-aware S2 high-watermark (MAX cursor, None on first run)."""
+    try:
+        target = read_table(spark, root)
+    except FileNotFoundError:
+        return None
+    return target.agg(F.max(cursor_col)).first()[0]
+
+
+def incremental_merge_run_atomic(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    keys: list[str],
+    cursor_col: str,
+    partition_by: str | None = None,
+) -> int:
+    """HWM -> filter -> crash-atomic merge; rows merged (0 == no-op)."""
+    from stripe_data_pipeline_spark.incremental import incremental_filter
+
+    hwm = resolve_high_watermark(spark, root, cursor_col)
+    batch = incremental_filter(source, cursor_col, hwm)
+    n = batch.count()
+    if n:
+        merge_upsert_atomic(spark, root, batch, keys, partition_by)
+    return n

@@ -1,0 +1,173 @@
+"""Crash-atomicity tests for the manifest-committed merge sink
+(VERDICT r3 task #5). The reference's MERGE is atomic
+(README.md:110-129); this kills the writer at EVERY boundary in the
+commit path (the ``_fault`` hook raises mid-merge, exactly where a
+SIGKILL would land) and asserts a reader always sees the complete old
+or complete new snapshot — never a mix, never a broken table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from stripe_data_pipeline_spark import manifest_table as MT
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "id long, day string, v double")
+
+
+def _read_sorted(spark, root):
+    return [
+        (r["id"], r["day"], r["v"])
+        for r in MT.read_table(spark, root).orderBy("id", "day").collect()
+    ]
+
+
+class Kill(RuntimeError):
+    """Stands in for the process dying (SIGKILL) at a fault point."""
+
+
+def _kill_at(point: str, skip: int = 0):
+    """Fault injector: raise at the ``skip``-th occurrence of
+    ``point`` — `moved_one` fires once per partition dir, so skip
+    lets the test die between the first and second move (the exact
+    window where the old swap-based sink exposes a mixed table)."""
+    state = {"n": 0}
+
+    def fault(name: str):
+        if name == point:
+            if state["n"] == skip:
+                raise Kill(point)
+            state["n"] += 1
+
+    return fault
+
+
+OLD = [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 3.0)]
+UPD = [(3, "b", 30.0), (4, "c", 4.0)]
+NEW = [(1, "a", 1.0), (2, "b", 2.0), (3, "b", 30.0), (4, "c", 4.0)]
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    root = str(tmp_path / "mt")
+    MT.merge_upsert_atomic(spark, root, _rows(spark, OLD), ["id"], "day")
+    return root
+
+
+@pytest.mark.parametrize(
+    "point,skip",
+    [
+        ("staged", 0),  # staging written, nothing moved
+        ("moved_one", 0),  # died before the first versioned-dir move landed...
+        ("moved_one", 1),  # ...and between the first and second move
+        ("manifest_tmp_written", 0),  # new manifest written but NOT renamed
+    ],
+)
+def test_kill_before_commit_reader_sees_complete_old(spark, seeded, point, skip):
+    with pytest.raises(Kill):
+        MT.merge_upsert_atomic(
+            spark, seeded, _rows(spark, UPD), ["id"], "day",
+            _fault=_kill_at(point, skip),
+        )
+    # the half-finished merge must be invisible: complete OLD snapshot
+    assert _read_sorted(spark, seeded) == OLD
+    # recovery is just rerunning the merge (idempotent), orphans vacuum away
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    assert _read_sorted(spark, seeded) == NEW
+    removed = MT.vacuum(seeded)
+    assert removed  # the crashed attempt left unreferenced dirs
+    assert _read_sorted(spark, seeded) == NEW  # vacuum never touches referenced data
+
+
+def test_kill_after_commit_reader_sees_complete_new(spark, seeded):
+    with pytest.raises(Kill):
+        MT.merge_upsert_atomic(
+            spark, seeded, _rows(spark, UPD), ["id"], "day",
+            _fault=_kill_at("committed"),
+        )
+    assert _read_sorted(spark, seeded) == NEW
+
+
+def test_kill_during_initial_write_leaves_no_table(spark, tmp_path):
+    root = str(tmp_path / "mt0")
+    with pytest.raises(Kill):
+        MT.merge_upsert_atomic(
+            spark, root, _rows(spark, OLD), ["id"], "day",
+            _fault=_kill_at("staged"),
+        )
+    assert MT.read_manifest(root) is None
+    with pytest.raises(FileNotFoundError):
+        MT.read_table(spark, root)
+    MT.merge_upsert_atomic(spark, root, _rows(spark, OLD), ["id"], "day")
+    assert _read_sorted(spark, root) == OLD
+
+
+def test_merge_semantics_match_plain_sink(spark, tmp_path):
+    """Same S6 contract as merge_upsert: idempotent, key-moves displace
+    stale rows across partitions, NULL partition values survive."""
+    root = str(tmp_path / "mt1")
+    MT.merge_upsert_atomic(spark, root, _rows(spark, OLD), ["id"], "day")
+    MT.merge_upsert_atomic(spark, root, _rows(spark, OLD), ["id"], "day")
+    assert _read_sorted(spark, root) == OLD  # idempotent re-delivery
+    # key 3 moves b -> c; its stale row in day=b must be displaced
+    mv = _rows(spark, [(3, "c", 3.5)])
+    MT.merge_upsert_atomic(spark, root, mv, ["id"], "day")
+    assert _read_sorted(spark, root) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.5)]
+    # NULL partition value round-trips (__HIVE_DEFAULT_PARTITION__)
+    MT.merge_upsert_atomic(spark, root, _rows(spark, [(5, None, 9.0)]), ["id"], "day")
+    got = _read_sorted(spark, root)
+    assert (5, None, 9.0) in got and len(got) == 4
+
+
+def test_emptied_partition_disappears(spark, tmp_path):
+    root = str(tmp_path / "mt2")
+    MT.merge_upsert_atomic(spark, root, _rows(spark, [(1, "a", 1.0)]), ["id"], "day")
+    # the only row of day=a moves to day=b: partition a must vanish
+    MT.merge_upsert_atomic(spark, root, _rows(spark, [(1, "b", 2.0)]), ["id"], "day")
+    assert _read_sorted(spark, root) == [(1, "b", 2.0)]
+    m = MT.read_manifest(root)
+    assert set(m["parts"]) == {"b"}
+
+
+def test_unpartitioned_and_hwm_run(spark, tmp_path):
+    root = str(tmp_path / "mt3")
+    src = _rows(spark, OLD)
+    n = MT.incremental_merge_run_atomic(spark, src, root, ["id"], cursor_col="v")
+    assert n == 3
+    # re-run: everything <= HWM, no-op
+    assert MT.incremental_merge_run_atomic(spark, src, root, ["id"], "v") == 0
+    late = _rows(spark, [(4, "c", 99.0)])
+    assert MT.incremental_merge_run_atomic(
+        spark, src.unionByName(late), root, ["id"], "v"
+    ) == 1
+    assert _read_sorted(spark, root) == OLD + [(4, "c", 99.0)]
+
+
+def test_partition_values_prunes_driver_side(spark, seeded):
+    got = MT.read_table(spark, seeded, partition_values=["b"])
+    assert sorted((r["id"], r["day"]) for r in got.collect()) == [(2, "b"), (3, "b")]
+    # pruning happens at the manifest, before any Spark file listing:
+    # the scan's input paths contain ONLY the b-partition dir
+    files = got.inputFiles()
+    assert files and all("/parts/b-" in f for f in files)
+
+
+def test_manifest_versions_monotone(spark, seeded):
+    assert MT.read_manifest(seeded)["version"] == 1
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    assert MT.read_manifest(seeded)["version"] == 2
+
+
+def test_vacuum_reaps_superseded_versions(spark, seeded):
+    before = MT.read_manifest(seeded)["parts"]
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    removed = MT.vacuum(seeded)
+    # day=b was rewritten: its old dir is superseded and reaped;
+    # day=a was untouched: its dir survives verbatim
+    assert before["b"] in removed
+    assert MT.read_manifest(seeded)["parts"]["a"] == before["a"]
+    assert _read_sorted(spark, seeded) == NEW
+    assert os.path.isdir(os.path.join(seeded, before["a"]))
