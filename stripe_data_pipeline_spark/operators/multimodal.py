@@ -5,12 +5,14 @@ columns plus typed metadata; per-item decode/feature work happens in
 Arrow-batched Pandas iterators (``mapInPandas``) so the Python
 boundary is crossed per-batch, never per-row.
 
-The container has no image/audio libraries, so the actual decode is
-STUBBED: ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic pseudo-decoder (seeded by
-the content hash) produces stable fake features. Everything around
-the stub — schema, batch iteration, partitioning behavior — is real
-and tested.
+``decode_image`` REALLY decodes uncompressed BMP (24/32-bit BI_RGB)
+and binary PPM (P6) in pure numpy — no image library needed — and the
+``fake=False`` feature path is pytest-covered over planted BMP/PPM
+payloads. Compressed formats (JPEG/PNG/WebP) and audio/video decode
+need PIL/libvips/ffmpeg, absent in this container, and raise a
+disclosed NotImplementedError; the ``fake=True`` deterministic
+pseudo-decoder keeps that plumbing exercised end-to-end regardless of
+format.
 
 Scale notes: binary payloads dominate row size; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks hold
@@ -67,24 +69,126 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, int]:
-    """Decode an image payload -> (HxWx3 array, width, height).
-
-    STUB: real decoding needs PIL/libvips (absent in this container).
-    The fake path derives a deterministic tiny image from the payload
-    hash so the downstream plumbing is exercised end-to-end.
-    """
-    if not fake:
+def _decode_bmp(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy decode of an uncompressed BMP (BITMAPINFOHEADER+,
+    24-bit BGR or 32-bit BGRA, BI_RGB): header fields are fixed-offset
+    little-endian ints, pixel rows are 4-byte aligned and bottom-up
+    unless height is negative. No per-pixel Python — one frombuffer +
+    stride reshape."""
+    if len(buf) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(buf[10:14], "little")
+    hdr_size = int.from_bytes(buf[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            "image decode requires PIL/libvips; run with fake=True for the "
-            "deterministic test double"
+            f"only uncompressed 24/32-bit BI_RGB BMPs (got bpp={bpp}, "
+            f"compression={compression})"
         )
-    h = hashlib.sha256(payload).digest()
-    rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-    w = 4 + int(h[0]) % 4
-    ht = 4 + int(h[1]) % 4
-    img = np.resize(rng, (ht, w, 3))
-    return img, w, ht
+    top_down, h = h < 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if data_off + stride * h > len(buf):
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        rows = rows[::-1]
+    img = rows[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
+    return np.ascontiguousarray(img).astype(np.float32), w, h
+
+
+def _decode_ppm(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-numpy decode of binary PPM (P6, maxval <= 255): header is
+    three whitespace/comment-delimited ints after the magic, then one
+    whitespace byte, then raw RGB."""
+    ws = (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C)
+    pos, vals, n = 2, [], len(buf)
+    while len(vals) < 3:
+        while pos < n and (buf[pos] in ws or buf[pos] == 0x23):
+            if buf[pos] == 0x23:  # '#' comment runs to end of line
+                while pos < n and buf[pos] != 0x0A:
+                    pos += 1
+            pos += 1
+        start = pos
+        while pos < n and buf[pos] not in ws:
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1  # exactly one whitespace byte separates header from data
+    if pos + w * h * 3 > n:
+        raise ValueError("truncated PPM pixel data")
+    img = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return img.reshape(h, w, 3).astype(np.float32), w, h
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> 24-bit bottom-up BI_RGB BMP (the inverse of
+    _decode_bmp, used to plant real payloads in tests/fixtures)."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, RGB->BGR
+    pix = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pix
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, _ = a.shape
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, int]:
+    """Decode an image payload -> (HxWx3 float32 array, width, height).
+
+    REAL for uncompressed BMP (24/32-bit BI_RGB) and binary PPM (P6) —
+    pure-numpy, no image library needed. Compressed formats (JPEG/PNG/
+    WebP) still need PIL/libvips, absent in this container, and raise
+    NotImplementedError. The ``fake=True`` path derives a
+    deterministic tiny image from the payload hash so plumbing tests
+    don't depend on payload format at all.
+    """
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        w = 4 + int(h[0]) % 4
+        ht = 4 + int(h[1]) % 4
+        img = np.resize(rng, (ht, w, 3))
+        return img, w, ht
+    buf = bytes(payload)
+    if buf[:2] == b"BM":
+        return _decode_bmp(buf)
+    if buf[:2] == b"P6":
+        return _decode_ppm(buf)
+    raise NotImplementedError(
+        "native decode covers uncompressed BMP and binary PPM; compressed "
+        "formats (JPEG/PNG/...) require PIL/libvips, absent in this container"
+    )
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -4,6 +4,7 @@ answers."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -243,9 +244,71 @@ def test_multimodal_features_deterministic(spark):
     assert a[1] == a[2]  # same payload -> same features
 
 
-def test_multimodal_decode_stub_raises_without_fake():
+def test_multimodal_decode_stub_raises_on_unsupported_format():
     with pytest.raises(NotImplementedError):
-        M.decode_image(b"bytes", fake=False)
+        M.decode_image(b"\x89PNG\r\n...", fake=False)  # compressed formats
+
+
+def test_bmp_ppm_decode_roundtrip():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd W: padding
+    for enc in (M.encode_bmp, M.encode_ppm):
+        got, w, h = M.decode_image(enc(img), fake=False)
+        assert (w, h) == (7, 5)
+        assert np.array_equal(got.astype(np.uint8), img), enc.__name__
+
+
+def test_bmp_decode_32bit_and_topdown():
+    # 32-bit BGRA, top-down (negative height) variant of a known image
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bgra = np.concatenate(
+        [img[:, :, ::-1], np.full((2, 3, 1), 255, np.uint8)], axis=2
+    )
+    pix = bgra.tobytes()  # stride 3*4=12, already 4-aligned; row 0 first
+    header = (
+        b"BM" + (54 + len(pix)).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (3).to_bytes(4, "little", signed=True)
+        + (-2).to_bytes(4, "little", signed=True)  # top-down
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + (0).to_bytes(4, "little") * 2
+    )
+    got, w, h = M.decode_image(header + pix, fake=False)
+    assert (w, h) == (3, 2)
+    assert np.array_equal(got.astype(np.uint8), img)
+
+
+def test_multimodal_real_decode_through_spark_plumbing(spark):
+    """VERDICT r3 task #6 'done' bar: extract_features with fake=False
+    over PLANTED real BMP payloads — the whole Arrow/mapInPandas path
+    runs the genuine decoder, and the features equal the numpy
+    ground-truth computed outside Spark."""
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, (4 + i, 6, 3), dtype=np.uint8) for i in (1, 2, 3)}
+    rows = [(i, "image/bmp", bytearray(M.encode_bmp(img))) for i, img in imgs.items()]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    ).select(
+        "doc_id",
+        "media_type",
+        "payload",
+        F.sha2("payload", 256).alias("payload_sha256"),
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+    )
+    got = {
+        r["doc_id"]: (r["feature"], r["width"], r["height"])
+        for r in M.extract_features(media, fake=False).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for i, img in imgs.items():
+        feat, w, h = got[i]
+        assert (w, h) == (6, 4 + i)
+        flat = img.reshape(-1, 3).astype(np.float32)
+        expect = np.concatenate(
+            [flat.mean(axis=0), flat.std(axis=0), [w, h]]
+        ).astype(np.float32)[: M.FEATURE_DIM]
+        assert np.allclose(feat, expect, rtol=1e-6)
 
 
 def test_range_join_left_outer_keeps_unmatched_points(spark):
