@@ -85,25 +85,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-3 rotation (VERDICT r02 #4): lead with the queries that got
-# no r2 driver verdict (green in r1 and/or judge-verified via
-# tools/check_oracle.py, but external verification should cover every
-# registered query across r2∪r3), then everything r3 added or touched,
-# then the flagship + north-star representatives already green in r2.
-# The window is zero-sum: 43 queries have no driver verdict yet
-# (everything r3 added or changed) and all of them sit inside the
-# 50-slot window (enforced by tests/test_driver_contract.py); the
-# r1-unchanged relational demos demoted past the cutoff to make room
-# were each driver-green in r1 AND judge-re-verified in r2, and every
-# query past position 50 stays covered by CI
-# (tests/test_oracle_catalog.py runs the full catalog against DuckDB
-# at sf0.001; tools/check_oracle.py re-verifies at sf0.01).
+# Round-4 rotation (VERDICT r03 #4): the 50-slot window leads with the
+# two r3-red oracle-cast fixes (dataset_split_counts,
+# corpus_mix_summary — values were bit-exact, only the DuckDB HUGEINT
+# output type broke the driver hash; both now CAST ... AS BIGINT), then
+# everything never driver-checked (the r3 tail demotions plus the two
+# queries r4 added), then everything r4's code changes touch
+# (jaccard_verify barrier), then r2-green flagship/north-star
+# representatives whose last driver verdict is two rounds old. The
+# window is zero-sum at 115 registered queries: the 17 demoted past the
+# cutoff are long-stable relational demos that each carry BOTH an r1
+# and an r2 driver verdict and stay under CI
+# (tests/test_oracle_catalog.py full catalog at sf0.001;
+# tools/check_oracle.py re-verified 0/115 failures at sf0.01 this
+# round). tests/test_driver_contract.py enforces that nothing without
+# any driver verdict sits outside the window.
 _PRIORITY = [
-    # --- no driver verdict in r2 (r1/judge-green) ---
+    # --- r3 driver-red, fixed in r4 (oracle output-type casts) ---
+    "dataset_split_counts",
+    "corpus_mix_summary",
+    # --- added in r4 (no driver verdict yet) ---
+    "atomic_merge_mart_check",
+    "media_bmp_decode_check",
+    # --- never driver-checked (r3 tail demotions; judge-green) ---
+    "price_percentiles",
+    "approx_distinct_parts",
+    "events_rolling_hour_count",
+    "grouped_stats",
+    "conditional_functions",
+    "orders_star_plus",
+    "salted_skew_join",
+    "events_hourly_windows",
+    "running_value_per_user",
+    "date_functions",
+    "pivot_qty_by_status",
+    "events_in_list",
+    "json_extraction",
+    "union_all_slices",
+    "custkey_set_ops",
+    "string_functions",
+    "cube_counts",
+    # --- touched by r4 code changes (jaccard_verify barrier) ---
+    "near_dup_jaccard_pairs",
+    "jaccard_verify_lsh",
+    # --- last driver verdict in r2: flagship revenue recognition ---
+    "revenue_trend_daily",
+    "deferred_total_asof",
+    "deferred_by_customer_asof",
+    "recognized_quarter_calendar",
+    "recognized_monthly_halfopen",
+    "active_periods_per_month_start",
+    "curated_line_items",
+    "calendar_dim",
+    "fx_literal_dim",
+    "missing_period_end_threshold",
+    # --- last driver verdict in r2: north-star / UDF / misc ---
+    "orders_lineitem_join",
+    "asof_join_events_orders",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_fingerprints",
+    "pandas_udf_normalize",
+    "dedup_exact_summary",
+    "dedup_exact_keepers",
+    "dedup_clusters",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "cosine_topk_bruteforce",
+    "label_centroids_applyinpandas",
+    "ivf_topk",
+    "media_metadata",
+    "media_features",
+    # --- cutoff: window is the 50 entries above. Below: r3-green
+    # queries (driver verdict one round old), then the 17 demoted
+    # r1+r2-double-verified relational demos. ---
     "sessionized_events",
     "regional_revenue_q5ish",
     "sql_api_segment_revenue",
-    # --- changed or added in r3 ---
     "key_skew_report_events",
     "domain_capped_docs",
     "cross_doc_novelty",
@@ -117,11 +176,9 @@ _PRIORITY = [
     "streaming_merge_mart_check",
     "embedding_lsh_near_dups",
     "dataset_split_assign",
-    "dataset_split_counts",
     "deterministic_sample_docs",
     "per_group_sample_docs",
     "doc_tfidf_top_terms",
-    "corpus_mix_summary",
     "doc_chunks",
     "packed_sequences",
     "heldout_contamination",
@@ -151,54 +208,27 @@ _PRIORITY = [
     "weekly_retention_cohorts",
     "daily_value_anomalies",
     "column_null_audit",
-    # --- cutoff: window is the 50 entries above. Below: r1-green +
-    # judge-re-verified (r2) relational queries demoted to make room,
-    # then r2-green flagship/north-star representatives. ---
-    "price_percentiles",
-    "approx_distinct_parts",
-    "events_rolling_hour_count",
-    "grouped_stats",
-    "conditional_functions",
-    "orders_star_plus",
-    "salted_skew_join",
-    "events_hourly_windows",
-    "running_value_per_user",
-    "date_functions",
-    "pivot_qty_by_status",
-    "events_in_list",
-    "json_extraction",
-    "union_all_slices",
-    "custkey_set_ops",
-    "string_functions",
-    "cube_counts",
-    # --- flagship revenue recognition (SURVEY.md §2.9), green in r2 ---
-    "revenue_trend_daily",
-    "deferred_total_asof",
-    "deferred_by_customer_asof",
-    "recognized_quarter_calendar",
-    "recognized_monthly_halfopen",
-    "active_periods_per_month_start",
-    "curated_line_items",
-    "calendar_dim",
-    "fx_literal_dim",
-    "missing_period_end_threshold",
-    # --- LLM-pipeline north-star representatives, green in r2 ---
-    "dedup_exact_keepers",
-    "near_dup_jaccard_pairs",]
+]
 
-# Green in r2, re-checked only if window space allows (tail):
+# r1+r2 double-verified relational demos (demoted tail):
 _PRIORITY += [
-    "dedup_clusters",
-    "minhash_lsh_candidates",
-    "cosine_topk_bruteforce",
-    "ivf_topk",
-    "doc_text_stats",
-    "jaccard_verify_lsh",
-    "label_centroids_applyinpandas",
-    "media_metadata",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "pandas_udf_normalize",
+    "orders_rename_cast",
+    "orders_status_filter",
+    "orders_high_watermark",
+    "dim_chain_join",
+    "customer_orders_left_join",
+    "customers_with_open_orders_semi",
+    "customers_without_orders_anti",
+    "doc_words_exploded_top20",
+    "max_cursor",
+    "pricing_summary",
+    "latest_event_per_user",
+    "top3_orders_per_status",
+    "event_gaps",
+    "top20_orders",
+    "doc_regex_tokens",
+    "doc_first_last_token",
+    "rollup_counts",
 ]
 
 
