@@ -15,6 +15,7 @@ idea reduced to its kernel — no container deps):
     table_root/
       MANIFEST                  <- JSON pointer; the ONLY mutable file
       parts/<pv>-<uuid8>/       <- immutable versioned data directories
+      history/v<N>.json         <- per-version snapshots (time travel)
 
 A merge writes NEW versions of the touched partitions as fresh
 directories under ``parts/`` (old versions untouched), then commits by
@@ -33,6 +34,14 @@ partitions; readers prune untouched partitions driver-side from the
 manifest (``partition_values=``) before Spark ever lists a file, and
 the partition column is retained INSIDE the data files so engine-side
 filters still get parquet min/max row-group pruning on it.
+
+The same one-rename commit also buys, for free: time travel
+(``read_table(version=N)`` resolves a historical snapshot whose dirs
+are immutable until vacuumed past the retention window), crash-atomic
+small-file compaction (``compact_partition`` — the continuous
+maintenance job a streaming-merged 100 TB table needs), and additive
+schema evolution (a batch may add columns; older files read them NULL
+via the explicit manifest schema, no footer-merge pass).
 
 Single-writer by design — the reference runs one scheduled Airflow DAG
 (dags/stripe_dag.py); concurrent writers would need a lock or
@@ -59,6 +68,7 @@ from stripe_data_pipeline_spark.incremental import _spark_partition_dir_value
 
 MANIFEST = "MANIFEST"
 _PARTS = "parts"
+_HISTORY = "history"
 _FULL = "__FULL__"  # parts-key for the single dir of an unpartitioned table
 _PV = "__pv"  # duplicated partition column so data files keep the real one
 
@@ -67,8 +77,17 @@ def _manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST)
 
 
-def read_manifest(root: str) -> dict | None:
-    """Current committed snapshot, or None for a missing/empty table."""
+def read_manifest(root: str, version: int | None = None) -> dict | None:
+    """Committed snapshot (current, or a historical ``version`` for
+    time travel), or None for a missing/empty table."""
+    if version is not None:
+        current = read_manifest(root)
+        if current is None or version > int(current["version"]):
+            # history/ may hold an orphan from a crashed writer; only
+            # versions <= the committed pointer ever existed for readers
+            raise FileNotFoundError(f"version {version} was never committed")
+        with open(os.path.join(root, _HISTORY, f"v{version:08d}.json")) as f:
+            return json.load(f)
     try:
         with open(_manifest_path(root)) as f:
             return json.load(f)
@@ -77,7 +96,19 @@ def read_manifest(root: str) -> dict | None:
 
 
 def _commit(root: str, manifest: dict, _fault=None) -> None:
-    """The atomic step: tmp-write + fsync + os.replace over MANIFEST."""
+    """The atomic step: tmp-write + fsync + os.replace over MANIFEST.
+
+    A snapshot copy lands in history/ FIRST (time travel): if the
+    writer dies between the history write and the pointer rename, the
+    history entry is an uncommitted orphan — the next successful commit
+    of that version number overwrites it, and reads of the CURRENT
+    table never consult history at all."""
+    hist_dir = os.path.join(root, _HISTORY)
+    os.makedirs(hist_dir, exist_ok=True)
+    with open(os.path.join(hist_dir, f"v{int(manifest['version']):08d}.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     tmp = os.path.join(root, f"MANIFEST.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -91,7 +122,10 @@ def _commit(root: str, manifest: dict, _fault=None) -> None:
 
 
 def read_table(
-    spark: SparkSession, root: str, partition_values: list | None = None
+    spark: SparkSession,
+    root: str,
+    partition_values: list | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Resolve MANIFEST -> multi-path parquet scan of immutable dirs.
 
@@ -99,20 +133,25 @@ def read_table(
     (no file listing for untouched partitions — the manifest IS the
     file index, as in Iceberg manifest pruning). The partition column
     is present in the data files, so engine-side filters on it also
-    get parquet min/max pruning.
+    get parquet min/max pruning. ``version`` time-travels to an older
+    committed snapshot (its dirs are immutable until vacuumed with
+    ``retain_history`` below their version).
     """
-    m = read_manifest(root)
+    m = read_manifest(root, version)
     if m is None:
         raise FileNotFoundError(f"no MANIFEST at {root}")
     parts = m["parts"]
     if partition_values is not None:
         want = {_spark_partition_dir_value(spark, v) for v in partition_values}
         parts = {k: v for k, v in parts.items() if k in want}
+    schema = StructType.fromJson(json.loads(m["schema"]))
     paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
-        schema = StructType.fromJson(json.loads(m["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    # Explicit manifest schema, not footer inference: deterministic,
+    # skips the mergeSchema footer pass, and makes schema evolution
+    # work — files from before a column was added simply read it NULL.
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def _stage_versioned(
@@ -191,7 +230,9 @@ def merge_upsert_atomic(
     old = read_table(spark, root)
     if partition_by is None:
         kept = old.join(updates.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(updates)
+        # allowMissingColumns == additive schema evolution: a batch may
+        # add columns (old rows read NULL) or omit dropped ones
+        merged = kept.unionByName(updates, allowMissingColumns=True)
         new_parts = _stage_versioned(merged, root, None, _fault)
     else:
         # Touched = partitions of the updates UNION partitions of old
@@ -214,7 +255,7 @@ def merge_upsert_atomic(
         }
         old_touched = read_table(spark, root, partition_values=list(touched_vals))
         kept = old_touched.join(update_keys, keys, "left_anti")
-        merged = kept.unionByName(updates)
+        merged = kept.unionByName(updates, allowMissingColumns=True)
         staged = _stage_versioned(merged, root, partition_by, _fault)
         # Untouched partitions keep their committed dirs; touched ones
         # are re-pointed (or dropped, if every old row was displaced
@@ -229,7 +270,10 @@ def merge_upsert_atomic(
         {
             "version": int(current["version"]) + 1,
             "partition_by": partition_by,
-            "schema": updates.schema.json(),
+            # merged carries the evolved (union) schema; untouched
+            # partitions' older files read added columns as NULL via
+            # the explicit-schema scan in read_table
+            "schema": merged.schema.json(),
             "parts": new_parts,
         },
         _fault,
@@ -240,13 +284,29 @@ def merge_upsert_atomic(
     spark.catalog.refreshByPath(root)
 
 
-def vacuum(root: str) -> list[str]:
+def vacuum(root: str, retain_history: int = 0) -> list[str]:
     """Remove parts/ dirs (and stale staging/tmp) not referenced by the
-    committed MANIFEST. Safe after any crash: referenced dirs are never
+    committed MANIFEST — nor, with ``retain_history=K``, by the newest
+    K historical snapshots (which stay time-travelable; older history
+    files are pruned). Safe after any crash: referenced dirs are never
     touched. Returns removed relpaths."""
     m = read_manifest(root)
     referenced = set(m["parts"].values()) if m else set()
     removed: list[str] = []
+    hist_dir = os.path.join(root, _HISTORY)
+    if os.path.isdir(hist_dir) and m is not None:
+        current_v = int(m["version"])
+        keep_from = current_v - retain_history
+        for f in sorted(os.listdir(hist_dir)):
+            v = int(f[1:-5])  # v%08d.json
+            if keep_from <= v <= current_v:
+                with open(os.path.join(hist_dir, f)) as fh:
+                    referenced |= set(json.load(fh)["parts"].values())
+            else:
+                # older than the retention window, or an uncommitted
+                # orphan from a crashed writer (v > current)
+                os.remove(os.path.join(hist_dir, f))
+                removed.append(f"{_HISTORY}/{f}")
     parts_dir = os.path.join(root, _PARTS)
     if os.path.isdir(parts_dir):
         for d in sorted(os.listdir(parts_dir)):
@@ -260,6 +320,54 @@ def vacuum(root: str) -> list[str]:
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
             removed.append(f)
     return removed
+
+
+def compact_partition(
+    spark: SparkSession,
+    root: str,
+    partition_value,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Crash-atomic small-file compaction: rewrite ONE partition's
+    current dir as fewer larger files and re-point the manifest — the
+    maintenance a 100 TB table needs continuously (streaming merges
+    leave many small files), expressed as just another commit. Unlike
+    io.compact_table's swap, a crash anywhere leaves the table on the
+    old or new file layout, never missing. Returns the new file count.
+    """
+    import math
+
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {root}")
+    key = (
+        _FULL
+        if m.get("partition_by") is None
+        else _spark_partition_dir_value(spark, partition_value)
+    )
+    rel = m["parts"].get(key)
+    if rel is None:
+        raise KeyError(f"partition {partition_value!r} not in manifest")
+    df = spark.read.parquet(os.path.join(root, rel))
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    new_rel = f"{_PARTS}/{key}-{uuid.uuid4().hex[:8]}"
+    os.replace(staging, os.path.join(root, new_rel))
+    new_parts = dict(m["parts"])
+    new_parts[key] = new_rel
+    _commit(
+        root,
+        {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": new_parts,
+        },
+    )
+    spark.catalog.refreshByPath(root)
+    return n_files
 
 
 def resolve_high_watermark(spark: SparkSession, root: str, cursor_col: str):

@@ -171,3 +171,64 @@ def test_vacuum_reaps_superseded_versions(spark, seeded):
     assert MT.read_manifest(seeded)["parts"]["a"] == before["a"]
     assert _read_sorted(spark, seeded) == NEW
     assert os.path.isdir(os.path.join(seeded, before["a"]))
+
+
+def test_time_travel_reads_old_snapshot(spark, seeded):
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    assert _read_sorted(spark, seeded) == NEW
+    v1 = MT.read_table(spark, seeded, version=1).orderBy("id", "day").collect()
+    assert [(r["id"], r["day"], r["v"]) for r in v1] == OLD
+    # a never-committed version (incl. a crashed writer's history
+    # orphan) is not readable
+    with pytest.raises(FileNotFoundError):
+        MT.read_table(spark, seeded, version=9)
+
+
+def test_vacuum_retention_window(spark, seeded):
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    # retain the previous snapshot: time travel to v1 must survive vacuum
+    MT.vacuum(seeded, retain_history=1)
+    assert [
+        (r["id"], r["day"], r["v"])
+        for r in MT.read_table(spark, seeded, version=1).orderBy("id", "day").collect()
+    ] == OLD
+    # default vacuum drops history beyond the current version
+    removed = MT.vacuum(seeded)
+    assert any(r.startswith("history/") for r in removed)
+    with pytest.raises(Exception):
+        MT.read_table(spark, seeded, version=1).collect()
+    assert _read_sorted(spark, seeded) == NEW
+
+
+def test_compact_partition_is_atomic_commit(spark, tmp_path):
+    root = str(tmp_path / "mtc")
+    many = _rows(spark, [(i, "a", float(i)) for i in range(40)]).repartition(8)
+    MT.merge_upsert_atomic(spark, root, many, ["id"], "day")
+    rel_before = MT.read_manifest(root)["parts"]["a"]
+    n_files_before = len(
+        [f for f in os.listdir(os.path.join(root, rel_before)) if f.endswith(".parquet")]
+    )
+    assert n_files_before > 1
+    n = MT.compact_partition(spark, root, "a", target_rows_per_file=1000)
+    assert n == 1
+    m = MT.read_manifest(root)
+    assert m["version"] == 2 and m["parts"]["a"] != rel_before
+    got = sorted(r["id"] for r in MT.read_table(spark, root).collect())
+    assert got == list(range(40))
+    # old layout is still time-travelable until vacuumed
+    assert MT.read_table(spark, root, version=1).count() == 40
+
+
+def test_schema_evolution_adds_column(spark, tmp_path):
+    root = str(tmp_path / "mte")
+    MT.merge_upsert_atomic(spark, root, _rows(spark, OLD), ["id"], "day")
+    evolved = spark.createDataFrame(
+        [(4, "c", 4.0, "eur")], "id long, day string, v double, currency string"
+    )
+    MT.merge_upsert_atomic(spark, root, evolved, ["id"], "day")
+    got = MT.read_table(spark, root).orderBy("id").collect()
+    assert [r["currency"] for r in got] == [None, None, None, "eur"]
+    assert [(r["id"], r["v"]) for r in got] == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+    # untouched partitions' old files read the new column as NULL via
+    # the explicit manifest schema — no mergeSchema footer pass
+    assert "currency" in MT.read_table(spark, root, partition_values=["a"]).columns
