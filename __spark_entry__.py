@@ -107,6 +107,8 @@ _PRIORITY = [
     # --- added in r4 (no driver verdict yet) ---
     "atomic_merge_mart_check",
     "media_bmp_decode_check",
+    "streaming_atomic_merge_mart_check",
+    "vocab_overlap_hll_check",
     # --- never driver-checked (r3 tail demotions; judge-green) ---
     "price_percentiles",
     "approx_distinct_parts",
@@ -145,9 +147,7 @@ _PRIORITY = [
     "doc_text_stats",
     "doc_lang_id",
     "doc_quality_scores",
-    "doc_fingerprints",
     "pandas_udf_normalize",
-    "dedup_exact_summary",
     "dedup_exact_keepers",
     "dedup_clusters",
     "minhash_lsh_candidates",
@@ -212,6 +212,8 @@ _PRIORITY = [
 
 # r1+r2 double-verified relational demos (demoted tail):
 _PRIORITY += [
+    "doc_fingerprints",
+    "dedup_exact_summary",
     "orders_rename_cast",
     "orders_status_filter",
     "orders_high_watermark",

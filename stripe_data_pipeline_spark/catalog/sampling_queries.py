@@ -175,3 +175,77 @@ def q_source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.source_mix_plan(
         read_table(spark, sf_dir, "documents"), token_budget=1_000_000
     )
+
+
+@register(
+    "vocab_overlap_hll_check",
+    oracle=f"""
+WITH toks AS (
+    SELECT CASE WHEN {_BUCKET} < 80 THEN 'train'
+                WHEN {_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           t.tok
+    FROM documents, UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)
+),
+tr AS (SELECT DISTINCT tok FROM toks WHERE split = 'train'),
+te AS (SELECT DISTINCT tok FROM toks WHERE split = 'test')
+SELECT (SELECT COUNT(*) FROM tr) AS n_train_vocab,
+       (SELECT COUNT(*) FROM te) AS n_test_vocab,
+       (SELECT COUNT(*) FROM tr JOIN te USING (tok)) AS n_overlap_exact,
+       TRUE AS hll_within_10pct
+""",
+    doc="Sketch-algebra overlap estimation (the 100 TB pre-filter "
+    "decision tool): train/test vocabulary overlap via HLL "
+    "inclusion-exclusion — est(A) + est(B) - est(union(A,B)) from "
+    "three CONSTANT-SIZE sketches built in one corpus pass, no "
+    "distinct-key shuffle and no join. The exact counts (which the "
+    "oracle recomputes) ride along only to PIN the estimate: "
+    "hll_within_10pct asserts the sketch answer lands within 10% of "
+    "the exact overlap, so the driver bit-checks that the estimator "
+    "actually works; production would ship the estimate alone and "
+    "skip the exact joins entirely. Register maxima are commutative, "
+    "so the flag is deterministic under any partitioning.",
+)
+def q_vocab_overlap_hll_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ).alias("tok")
+    toks = SA.assign_split(docs, "doc_id").select("split", tok)
+    tr = toks.filter(F.col("split") == "train").agg(
+        F.countDistinct("tok").alias("n_train_vocab"),
+        F.hll_sketch_agg("tok").alias("sk_tr"),
+    )
+    te = toks.filter(F.col("split") == "test").agg(
+        F.countDistinct("tok").alias("n_test_vocab"),
+        F.hll_sketch_agg("tok").alias("sk_te"),
+    )
+    overlap = (
+        toks.filter(F.col("split") == "train")
+        .select("tok")
+        .distinct()
+        .join(
+            toks.filter(F.col("split") == "test").select("tok").distinct(),
+            "tok",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_overlap_exact"))
+    )
+    est = (
+        F.hll_sketch_estimate("sk_tr")
+        + F.hll_sketch_estimate("sk_te")
+        - F.hll_sketch_estimate(F.expr("hll_union(sk_tr, sk_te)"))
+    )
+    return (
+        tr.crossJoin(te)
+        .crossJoin(overlap)  # three 1-row aggregates — broadcast literals
+        .select(
+            "n_train_vocab",
+            "n_test_vocab",
+            "n_overlap_exact",
+            (
+                F.abs(est - F.col("n_overlap_exact"))
+                <= F.lit(0.10) * F.col("n_overlap_exact")
+            ).alias("hll_within_10pct"),
+        )
+    )

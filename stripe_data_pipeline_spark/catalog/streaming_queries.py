@@ -303,3 +303,102 @@ def q_streaming_windowed_counts_mart_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _materialized_windowed_counts_mart(spark, sf_dir)
+
+
+def _materialized_streaming_atomic_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drain into the CRASH-ATOMIC manifest sink, then a
+    compaction pass: readStream → foreachBatch
+    ``manifest_table.merge_upsert_atomic`` partitioned by event_type,
+    so every micro-batch is one atomic manifest commit (a crash
+    between batches leaves the mart on a complete batch-N snapshot —
+    exactly-once at the table level on top of the checkpoint's
+    at-least-once re-delivery), followed by ``compact_partition`` on
+    every partition (streaming merges leave one file set per batch;
+    compaction is just another commit) and a retention vacuum. The
+    final aggregate must still bit-match the batch oracle after all
+    three protocols ran."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    cache_key = sf_dir + "#atomic"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="streaming_atomic_mart_")
+    mart_path = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    staged = convert_nanos_ts(raw)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        MT.merge_upsert_atomic(
+            batch.sparkSession,
+            mart_path,
+            batch.dropDuplicates(["event_id"]),
+            keys=["event_id"],
+            partition_by="event_type",
+        )
+
+    (
+        staged.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    m = MT.read_manifest(mart_path)
+    for pv in list(m["parts"]):
+        MT.compact_partition(spark, mart_path, pv, target_rows_per_file=1_000_000)
+    MT.vacuum(mart_path)
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart_path)
+
+
+@register(
+    "streaming_atomic_merge_mart_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+""",
+    doc="Streaming -> crash-atomic mart -> compaction round trip: "
+    "events drain through foreachBatch into the manifest-committed "
+    "sink (one atomic MANIFEST rename per micro-batch, partitioned "
+    "by event_type), then EVERY partition is compacted and the table "
+    "vacuumed — and the result must still bit-match the batch "
+    "oracle. Composes the three manifest_table protocols (atomic "
+    "merge, compaction-as-commit, retention vacuum) under one "
+    "driver-checked aggregate; per-boundary crash atomicity is "
+    "pinned by tests/test_manifest_table.py.",
+)
+def q_streaming_atomic_merge_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_streaming_atomic_mart(spark, sf_dir)
+    return mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
