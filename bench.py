@@ -72,6 +72,11 @@ HEADLINE = [
     "column_null_audit",
     "user_rfm_features",
     "semantic_split_leakage",
+    # round-4 additions: sketch-algebra overlap estimation (one corpus
+    # pass, three constant-size sketches) and the real-BMP decode path
+    # (mapInPandas encode->decode under a checksum oracle)
+    "vocab_overlap_hll_check",
+    "media_bmp_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
