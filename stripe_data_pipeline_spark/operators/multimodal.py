@@ -331,3 +331,126 @@ def resize_media(
             )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# --- audio (RIFF/WAVE PCM): REAL pure-numpy decode, like BMP/PPM ---
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """(n_samples,) or (n_samples, n_channels) int16 -> RIFF/WAVE PCM16
+    bytes (the inverse of _decode_wav; plants real payloads in tests)."""
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    data = a.tobytes()  # interleaved frames, little-endian
+    byte_rate = sample_rate * n_ch * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")     # block align
+        + (16).to_bytes(2, "little")           # bits per sample
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy decode of RIFF/WAVE PCM16: chunk-walk to 'fmt ' and
+    'data' (tolerating extra chunks like LIST/fact), one frombuffer for
+    the interleaved frames. Returns ((n_samples, n_channels) int16
+    array, sample_rate)."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n = 12, len(buf)
+    fmt = data = None
+    while pos + 8 <= n:
+        cid = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV (got format={audio_format}, bits={bits}); "
+            "compressed audio needs ffmpeg/libsndfile"
+        )
+    frames = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * n_ch)) * n_ch)
+    return frames.reshape(-1, n_ch), sample_rate
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
+    """Decode an audio payload -> ((n_samples, n_channels) int16 array,
+    sample_rate). REAL for RIFF/WAVE PCM16 — pure numpy, no audio
+    library. Compressed codecs (MP3/OGG/FLAC) need ffmpeg/libsndfile,
+    absent here, and raise NotImplementedError; ``fake=True`` derives a
+    deterministic tone from the payload hash."""
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        n = 64 + int(h[3]) % 64
+        base = np.frombuffer(h, dtype=np.uint8).astype(np.int32)
+        return ((np.resize(base, n)[:, None] - 128) * 256).astype(np.int16), 16_000
+    buf = bytes(payload)
+    if buf[:4] == b"RIFF":
+        return _decode_wav(buf)
+    raise NotImplementedError(
+        "native decode covers RIFF/WAVE PCM16; compressed codecs require "
+        "ffmpeg/libsndfile, absent in this container"
+    )
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio feature extraction: duration, peak, RMS per
+    payload. Integer sample sums keep peak exact; RMS is
+    sqrt(sum_sq/n) over int64 accumulators (IEEE-exact given exact
+    integer inputs), so even the Python path stays bit-stable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_FEATURES_SCHEMA}
+            for doc_id, sha, payload in zip(
+                pdf["doc_id"], pdf["payload_sha256"], pdf["payload"]
+            ):
+                samples, rate = decode_audio(bytes(payload), fake=fake)
+                flat = samples.astype(np.int64).reshape(-1)
+                n = samples.shape[0]
+                out["doc_id"].append(doc_id)
+                out["payload_sha256"].append(sha)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(samples.shape[1])
+                out["n_samples"].append(n)
+                out["duration_ms"].append(int(n * 1000) // rate)
+                out["peak_abs"].append(int(np.abs(flat).max()) if len(flat) else 0)
+                out["rms"].append(
+                    float(np.sqrt(float((flat * flat).sum()) / len(flat)))
+                    if len(flat)
+                    else 0.0
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -276,3 +276,72 @@ def token_rarity_scores(
             "rarest_tf",
         )
     )
+
+
+def heavy_hitter_tokens(
+    df: DataFrame, k: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """EXACT heavy hitters (tokens with > total/k occurrences) without
+    ever shuffling the vocabulary — the frequent-items pattern for a
+    100 TB corpus where a plain groupBy(token) would shuffle billions
+    of distinct keys to find a few hundred hot ones.
+
+    Stage 1 (mapInPandas, one partition-local pass, NO shuffle):
+    each partition counts its own tokens (pandas value_counts, C speed)
+    and emits only tokens with LOCAL share > 1/k, plus one row carrying
+    the partition's token total. By pigeonhole, any token with GLOBAL
+    share > 1/k exceeds 1/k in at least one partition, so the emitted
+    union is a guaranteed SUPERSET of the true heavy hitters — at most
+    (k-1) candidate rows per partition, the constant-size-summary
+    property that makes the pattern mergeable. (This is the threshold
+    decomposition behind Misra-Gries/SpaceSaving merging; being exact
+    per partition, it needs no error budget.)
+
+    Stage 2 (exact refine): explode the corpus, LEFT SEMI against the
+    broadcast candidate set (<= partitions x k rows), count only those,
+    and keep counts > total/k. The only token-keyed shuffle carries
+    candidate tokens alone.
+
+    Memory note: stage 1 holds one partition's distinct-token counts in
+    the Python worker (bounded by per-task split size, ~128 MB of text
+    => the Zipf tail fits comfortably); the guarantee needs exact LOCAL
+    counts, not exact global state.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        total = 0
+        for pdf in batches:
+            s = pdf[text_col].str.split(" ").explode()
+            s = s[(s != "") & s.notna()]
+            vc = s.value_counts()
+            total += int(vc.sum())
+            for t, n in vc.items():
+                c[t] += int(n)
+        toks = [t for t, n in c.items() if n * k > total]
+        yield pd.DataFrame(
+            {"tok": toks + [None], "part_total": [None] * len(toks) + [total]}
+        )
+
+    summary = df.mapInPandas(gen, "tok string, part_total long")
+    # <= partitions x k rows: cache so candidates + total don't re-scan
+    # the corpus through Python twice
+    summary = summary.cache()
+    cands = summary.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = summary.agg(F.sum("part_total").alias("n_total"))
+    toks = df.select(
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "tok"
+        )
+    )
+    return (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * k > F.col("n_total"))
+        .select("tok", "n_occurrences")
+    )

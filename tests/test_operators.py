@@ -476,3 +476,60 @@ def test_resize_media_deterministic_and_sized(spark):
 def test_video_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         M.decode_video_frames(b"bytes", fake=False)
+
+
+def test_wav_decode_roundtrip_and_chunk_walk():
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, 90, dtype=np.int16)
+    stereo = rng.integers(-32768, 32768, (60, 2), dtype=np.int16)
+    for sig in (mono, stereo):
+        dec, rate = M.decode_audio(M.encode_wav(sig, 8000), fake=False)
+        want = sig[:, None] if sig.ndim == 1 else sig
+        assert rate == 8000 and np.array_equal(dec, want)
+    # chunk-walking must tolerate extra chunks between fmt and data
+    raw = M.encode_wav(mono, 8000)
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = raw[:36] + extra + raw[36:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    dec, rate = M.decode_audio(patched, fake=False)
+    assert np.array_equal(dec[:, 0], mono)
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3\x04...mp3 bytes", fake=False)  # compressed
+
+
+def test_audio_features_real_decode_through_spark(spark):
+    rng = np.random.default_rng(13)
+    sigs = {i: rng.integers(-32768, 32768, 100 + 10 * i, dtype=np.int16) for i in (1, 2)}
+    rows = [(i, bytearray(M.encode_wav(s, 16_000))) for i, s in sigs.items()]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id", "payload", F.sha2("payload", 256).alias("payload_sha256")
+    )
+    got = {r["doc_id"]: r for r in M.extract_audio_features(media, fake=False).collect()}
+    for i, s in sigs.items():
+        flat = s.astype(np.int64)
+        r = got[i]
+        assert r["n_samples"] == len(s) and r["sample_rate"] == 16_000
+        assert r["n_channels"] == 1
+        assert r["peak_abs"] == int(np.abs(flat).max())
+        assert r["duration_ms"] == len(s) * 1000 // 16_000
+        assert r["rms"] == float(np.sqrt(float((flat * flat).sum()) / len(flat)))
+
+
+def test_heavy_hitter_tokens_exact_vs_naive(spark):
+    # 'hot' is globally heavy but spread across partitions; the
+    # per-partition pigeonhole candidates must still surface it, and
+    # the refined output must equal the naive exact answer
+    rows = [(i, "hot common filler%d west" % (i % 7), "en", "s", 10) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(8)
+    got = {
+        (r["tok"], r["n_occurrences"])
+        for r in X.heavy_hitter_tokens(df, k=5).collect()
+    }
+    from collections import Counter
+
+    c = Counter(t for _, txt, *_ in rows for t in txt.split(" "))
+    total = sum(c.values())
+    want = {(t, n) for t, n in c.items() if n * 5 > total}
+    assert got == want and ("hot", 40) in got
