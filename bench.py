@@ -77,6 +77,9 @@ HEADLINE = [
     # (mapInPandas encode->decode under a checksum oracle)
     "vocab_overlap_hll_check",
     "media_bmp_decode_check",
+    # no-vocabulary-shuffle exact frequent items + the WAV decode path
+    "heavy_hitter_tokens",
+    "media_wav_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -232,3 +232,80 @@ def test_schema_evolution_adds_column(spark, tmp_path):
     # untouched partitions' old files read the new column as NULL via
     # the explicit manifest schema — no mergeSchema footer pass
     assert "currency" in MT.read_table(spark, root, partition_values=["a"]).columns
+
+
+# --- model-based property test: random op sequences vs a dict model ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# ops: ("merge", rows, crash_point|None) | ("compact", pv) | ("vacuum",)
+_row = st.tuples(
+    st.integers(min_value=0, max_value=6),          # id
+    st.sampled_from(["a", "b", None]),              # partition day
+    st.integers(min_value=0, max_value=99),         # value
+)
+_merge = st.tuples(
+    st.just("merge"),
+    st.lists(_row, min_size=1, max_size=4),
+    st.sampled_from([None, "staged", "moved_one", "manifest_tmp_written"]),
+)
+_ops = st.lists(
+    st.one_of(_merge, st.just(("compact",)), st.just(("vacuum",))),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_ops)
+def test_random_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
+    """Whatever interleaving of merges (some crashing), compactions and
+    vacuums runs, the table must always read back EXACTLY what the
+    dict-of-committed-upserts model predicts — crashes change nothing,
+    maintenance changes nothing."""
+    root = str(tmp_path_factory.mktemp("mtprop") / "t")
+    model: dict[int, tuple] = {}
+    for op in ops:
+        if op[0] == "merge":
+            _, rows, crash = op
+            batch = spark.createDataFrame(
+                [(i, d, float(v)) for i, d, v in rows],
+                "id long, day string, v double",
+            ).dropDuplicates(["id"])
+            kept = {r["id"]: (r["id"], r["day"], r["v"]) for r in batch.collect()}
+            if crash is None:
+                MT.merge_upsert_atomic(spark, root, batch, ["id"], "day")
+                model.update(kept)
+            else:
+                with pytest.raises(Kill):
+                    MT.merge_upsert_atomic(
+                        spark, root, batch, ["id"], "day",
+                        _fault=_kill_at(crash),
+                    )
+                # crashed pre-commit: model unchanged
+        elif op[0] == "compact" and MT.read_manifest(root):
+            parts = MT.read_manifest(root)["parts"]
+            if parts:
+                pv = sorted(parts)[0]
+                val = None if pv == "__HIVE_DEFAULT_PARTITION__" else pv
+                MT.compact_partition(spark, root, val, 1000)
+        elif op[0] == "vacuum":
+            MT.vacuum(root)
+        # invariant after EVERY op: table == model
+        if model or MT.read_manifest(root):
+            got = sorted(
+                (r["id"], r["day"], r["v"])
+                for r in MT.read_table(spark, root).collect()
+            )
+            assert got == sorted(model.values())
+
+
+def test_reader_resolved_before_merge_survives_commit(spark, seeded):
+    """Snapshot isolation for in-flight readers: a DataFrame resolved
+    against the old manifest still collects correctly after a new
+    commit, because superseded dirs are immutable until vacuum()."""
+    old_df = MT.read_table(spark, seeded)  # resolves v1 paths lazily
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    assert sorted((r["id"], r["day"], r["v"]) for r in old_df.collect()) == OLD
+    assert _read_sorted(spark, seeded) == NEW  # fresh resolve sees v2
