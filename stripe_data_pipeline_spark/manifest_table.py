@@ -121,11 +121,59 @@ def _commit(root: str, manifest: dict, _fault=None) -> None:
         _fault("committed")
 
 
+def _json_native(v):
+    return v is None or isinstance(v, (bool, int, float, str))
+
+
+def _collect_stats(
+    spark: SparkSession,
+    root: str,
+    new_parts: dict[str, str],
+    partition_by: str | None,
+    stats_cols: list[str],
+) -> dict[str, dict]:
+    """Per-new-dir [min, max] for ``stats_cols``, computed from the
+    freshly committed parquet (column-pruned scan of only the stats
+    columns). Non-JSON-native values (timestamps, decimals) are
+    skipped — readers fall back to scanning for those columns."""
+    paths = [os.path.join(root, rel) for rel in new_parts.values()]
+    if not paths or not stats_cols:
+        return {}
+    df = spark.read.parquet(*paths)
+    cols = [c for c in stats_cols if c in df.columns]
+    if not cols:
+        return {}
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    if partition_by is None:
+        rows = [(None, df.agg(*aggs).first())]
+    else:
+        rows = [
+            (r[partition_by], r)
+            for r in df.groupBy(partition_by).agg(*aggs).collect()
+        ]
+    out: dict[str, dict] = {}
+    for pv, r in rows:
+        key = _FULL if partition_by is None else _spark_partition_dir_value(spark, pv)
+        if key not in new_parts:
+            continue
+        st = {
+            c: [r[f"__lo_{c}"], r[f"__hi_{c}"]]
+            for c in cols
+            if _json_native(r[f"__lo_{c}"]) and _json_native(r[f"__hi_{c}"])
+        }
+        if st:
+            out[key] = st
+    return out
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     partition_values: list | None = None,
     version: int | None = None,
+    stats_filter: dict | None = None,
 ) -> DataFrame:
     """Resolve MANIFEST -> multi-path parquet scan of immutable dirs.
 
@@ -135,7 +183,11 @@ def read_table(
     is present in the data files, so engine-side filters on it also
     get parquet min/max pruning. ``version`` time-travels to an older
     committed snapshot (its dirs are immutable until vacuumed with
-    ``retain_history`` below their version).
+    ``retain_history`` below their version). ``stats_filter``
+    ({col: (lo, hi)}) additionally drops dirs whose manifest-recorded
+    [min, max] cannot overlap the wanted range — Iceberg-style file
+    skipping on NON-partition columns (dirs without stats for a column
+    are conservatively kept).
     """
     m = read_manifest(root, version)
     if m is None:
@@ -144,6 +196,21 @@ def read_table(
     if partition_values is not None:
         want = {_spark_partition_dir_value(spark, v) for v in partition_values}
         parts = {k: v for k, v in parts.items() if k in want}
+    if stats_filter:
+        stats = m.get("stats", {})
+
+        def may_match(key: str) -> bool:
+            for col, (lo, hi) in stats_filter.items():
+                rng = stats.get(key, {}).get(col)
+                if rng is None or rng[0] is None or rng[1] is None:
+                    continue  # no stats -> cannot prune
+                if (hi is not None and rng[0] > hi) or (
+                    lo is not None and rng[1] < lo
+                ):
+                    return False
+            return True
+
+        parts = {k: v for k, v in parts.items() if may_match(k)}
     schema = StructType.fromJson(json.loads(m["schema"]))
     paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
@@ -199,6 +266,7 @@ def merge_upsert_atomic(
     updates: DataFrame,
     keys: list[str],
     partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
     _fault=None,
 ) -> None:
     """Crash-atomic S6 MERGE: same semantics as ``merge_upsert``
@@ -210,21 +278,30 @@ def merge_upsert_atomic(
     immutable directories — readers see the whole old or the whole new
     snapshot (tests/test_manifest_table.py kills the writer at every
     ``_fault`` boundary and asserts exactly that).
+
+    ``stats_cols`` records per-dir [min, max] of those columns in the
+    manifest (one column-pruned agg over only the rewritten dirs;
+    untouched dirs carry their stats forward). Readers use them for
+    file skipping (``read_table(stats_filter=...)``) and
+    ``resolve_high_watermark`` answers from the manifest alone — the
+    cursor lookup that opens every incremental run costs ZERO Spark
+    jobs at any table size.
     """
     os.makedirs(root, exist_ok=True)
     current = read_manifest(root)
     if current is None:
         new_parts = _stage_versioned(updates, root, partition_by, _fault)
-        _commit(
-            root,
-            {
-                "version": 1,
-                "partition_by": partition_by,
-                "schema": updates.schema.json(),
-                "parts": new_parts,
-            },
-            _fault,
-        )
+        manifest = {
+            "version": 1,
+            "partition_by": partition_by,
+            "schema": updates.schema.json(),
+            "parts": new_parts,
+        }
+        if stats_cols:
+            manifest["stats"] = _collect_stats(
+                spark, root, new_parts, partition_by, stats_cols
+            )
+        _commit(root, manifest, _fault)
         return
 
     old = read_table(spark, root)
@@ -265,19 +342,25 @@ def merge_upsert_atomic(
             k: v for k, v in current["parts"].items() if k not in touched_keys
         }
         new_parts.update(staged)
-    _commit(
-        root,
-        {
-            "version": int(current["version"]) + 1,
-            "partition_by": partition_by,
-            # merged carries the evolved (union) schema; untouched
-            # partitions' older files read added columns as NULL via
-            # the explicit-schema scan in read_table
-            "schema": merged.schema.json(),
-            "parts": new_parts,
-        },
-        _fault,
-    )
+    manifest = {
+        "version": int(current["version"]) + 1,
+        "partition_by": partition_by,
+        # merged carries the evolved (union) schema; untouched
+        # partitions' older files read added columns as NULL via
+        # the explicit-schema scan in read_table
+        "schema": merged.schema.json(),
+        "parts": new_parts,
+    }
+    if stats_cols:
+        fresh = staged if partition_by is not None else new_parts
+        stats = {
+            k: v
+            for k, v in current.get("stats", {}).items()
+            if k in new_parts and k not in fresh  # carry-forward, untouched only
+        }
+        stats.update(_collect_stats(spark, root, fresh, partition_by, stats_cols))
+        manifest["stats"] = stats
+    _commit(root, manifest, _fault)
     # Post-commit: superseded dirs are unreferenced garbage. Leave them
     # for vacuum() — deleting here would break a reader that resolved
     # the old manifest moments ago.
@@ -357,21 +440,36 @@ def compact_partition(
     os.replace(staging, os.path.join(root, new_rel))
     new_parts = dict(m["parts"])
     new_parts[key] = new_rel
-    _commit(
-        root,
-        {
-            "version": int(m["version"]) + 1,
-            "partition_by": m.get("partition_by"),
-            "schema": m["schema"],
-            "parts": new_parts,
-        },
-    )
+    manifest = {
+        "version": int(m["version"]) + 1,
+        "partition_by": m.get("partition_by"),
+        "schema": m["schema"],
+        "parts": new_parts,
+    }
+    if "stats" in m:
+        manifest["stats"] = m["stats"]  # row set unchanged -> stats carry over
+    _commit(root, manifest)
     spark.catalog.refreshByPath(root)
     return n_files
 
 
 def resolve_high_watermark(spark: SparkSession, root: str, cursor_col: str):
-    """Manifest-aware S2 high-watermark (MAX cursor, None on first run)."""
+    """Manifest-aware S2 high-watermark (MAX cursor, None on first run).
+
+    When every referenced dir carries manifest stats for
+    ``cursor_col`` (merges run with ``stats_cols=[cursor_col]``), the
+    answer is max-of-maxes from the JSON alone — ZERO Spark jobs, no
+    file listing, no scan. That turns the lookup that opens every
+    incremental run from a full-column scan into an O(partitions)
+    driver-side fold; falls back to the scan when any dir lacks stats
+    (pre-stats snapshots, non-JSON-native cursor types)."""
+    m = read_manifest(root)
+    if m is None:
+        return None
+    stats = m.get("stats", {})
+    his = [stats.get(k, {}).get(cursor_col) for k in m["parts"]]
+    if his and all(h is not None and h[1] is not None for h in his):
+        return max(h[1] for h in his)
     try:
         target = read_table(spark, root)
     except FileNotFoundError:
@@ -387,12 +485,16 @@ def incremental_merge_run_atomic(
     cursor_col: str,
     partition_by: str | None = None,
 ) -> int:
-    """HWM -> filter -> crash-atomic merge; rows merged (0 == no-op)."""
+    """HWM -> filter -> crash-atomic merge; rows merged (0 == no-op).
+    Merges record cursor stats, so every run after the first resolves
+    its high watermark from the manifest without touching data."""
     from stripe_data_pipeline_spark.incremental import incremental_filter
 
     hwm = resolve_high_watermark(spark, root, cursor_col)
     batch = incremental_filter(source, cursor_col, hwm)
     n = batch.count()
     if n:
-        merge_upsert_atomic(spark, root, batch, keys, partition_by)
+        merge_upsert_atomic(
+            spark, root, batch, keys, partition_by, stats_cols=[cursor_col]
+        )
     return n

@@ -309,3 +309,75 @@ def test_reader_resolved_before_merge_survives_commit(spark, seeded):
     MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
     assert sorted((r["id"], r["day"], r["v"]) for r in old_df.collect()) == OLD
     assert _read_sorted(spark, seeded) == NEW  # fresh resolve sees v2
+
+
+def test_stats_recorded_and_hwm_resolves_without_scan(spark, tmp_path):
+    root = str(tmp_path / "mts")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, OLD), ["id"], "day", stats_cols=["v", "id"]
+    )
+    m = MT.read_manifest(root)
+    assert m["stats"]["a"]["v"] == [1.0, 1.0]
+    assert m["stats"]["b"]["v"] == [2.0, 3.0] and m["stats"]["b"]["id"] == [2, 3]
+    # zero-Spark-job proof: HWM must come from the manifest alone even
+    # when scanning is impossible (read_table sabotaged)
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        MT, "read_table", side_effect=AssertionError("scanned!")
+    ):
+        assert MT.resolve_high_watermark(spark, root, "v") == 3.0
+    # untouched partitions carry stats forward; touched recompute
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, UPD), ["id"], "day", stats_cols=["v", "id"]
+    )
+    m2 = MT.read_manifest(root)
+    assert m2["stats"]["a"] == m["stats"]["a"]
+    assert m2["stats"]["b"]["v"] == [2.0, 30.0]
+    assert m2["stats"]["c"]["v"] == [4.0, 4.0]
+    with mock.patch.object(MT, "read_table", side_effect=AssertionError):
+        assert MT.resolve_high_watermark(spark, root, "v") == 30.0
+
+
+def test_stats_filter_skips_dirs(spark, tmp_path):
+    root = str(tmp_path / "mtf")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, OLD), ["id"], "day", stats_cols=["v"]
+    )
+    got = MT.read_table(spark, root, stats_filter={"v": (2.5, None)})
+    # day=a has v in [1,1]: its dir cannot contain v >= 2.5 -> skipped
+    files = got.inputFiles()
+    assert files and all("/parts/b-" in f for f in files)
+    assert sorted(r["id"] for r in got.filter("v >= 2.5").collect()) == [3]
+    # dirs without stats are conservatively kept
+    MT.merge_upsert_atomic(spark, root, _rows(spark, UPD), ["id"], "day")  # no stats
+    all_rows = MT.read_table(spark, root, stats_filter={"v": (2.5, None)})
+    assert sorted(r["id"] for r in all_rows.filter("v >= 2.5").collect()) == [3, 4]
+
+
+def test_incremental_run_uses_manifest_hwm(spark, tmp_path):
+    root = str(tmp_path / "mth")
+    src = _rows(spark, OLD)
+    assert MT.incremental_merge_run_atomic(spark, src, root, ["id"], "v", "day") == 3
+    import unittest.mock as mock
+
+    # second run: HWM from stats; the no-op path never scans the table
+    with mock.patch.object(MT, "read_table", side_effect=AssertionError("scanned!")):
+        assert (
+            MT.incremental_merge_run_atomic(spark, src, root, ["id"], "v", "day") == 0
+        )
+    assert _read_sorted(spark, root) == OLD
+
+
+def test_compaction_preserves_stats(spark, tmp_path):
+    root = str(tmp_path / "mtcs")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, OLD), ["id"], "day", stats_cols=["v"]
+    )
+    MT.compact_partition(spark, root, "b", 1000)
+    m = MT.read_manifest(root)
+    assert m["stats"]["b"]["v"] == [2.0, 3.0]
+    import unittest.mock as mock
+
+    with mock.patch.object(MT, "read_table", side_effect=AssertionError):
+        assert MT.resolve_high_watermark(spark, root, "v") == 3.0
