@@ -193,3 +193,66 @@ def q_media_wav_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, sample_rate int, "
         "sample_sum long, sample_checksum long",
     )
+
+
+@register(
+    "media_resize_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           4 + (doc_id // 5) % 5 AS h
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(6 AS INT) AS width,
+       CAST(8 AS INT) AS height,
+       CAST(SUM(
+           (g.i + 1) * ((d.doc_id * 37
+               + (((g.i // 18) * d.h // 8) * d.w
+                  + (((g.i // 3) % 6) * d.w // 6)) * 3
+               + g.i % 3) % 256)
+       ) AS BIGINT) AS resized_checksum
+FROM dims d, UNNEST(generate_series(0, 8 * 6 * 3 - 1)) AS g(i)
+GROUP BY d.doc_id
+""",
+    doc="REAL spatial resize under a bit-exact oracle: the closed-form "
+    "BMP from media_bmp_decode_check is decoded, resized to 8x6 by "
+    "nearest-neighbor floor sampling (dst[y,x] = src[y*H//8, x*W//6] "
+    "— integer index math, no interpolation floats), and the resized "
+    "buffer's position-weighted checksum must match the oracle "
+    "recomputing the same sampling arithmetic symbolically. Any "
+    "off-by-one in the index mapping, axis swap, or channel reorder "
+    "breaks parity.",
+)
+def q_media_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "resized_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 5
+                h = 4 + (doc_id // 5) % 5
+                n = w * h * 3
+                gen = (doc_id * 37 + np.arange(n, dtype=np.int64)) % 256
+                payload = M.encode_bmp(gen.astype(np.uint8).reshape(h, w, 3))
+                img, _, _ = M.decode_image(payload, fake=False)
+                small = M.resize_nearest(img, width=6, height=8)
+                flat = small.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(6)
+                out["height"].append(8)
+                out["resized_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run, schema="doc_id long, width int, height int, resized_checksum long"
+    )

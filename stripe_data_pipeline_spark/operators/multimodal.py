@@ -454,3 +454,15 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """REAL spatial resize (nearest-neighbor, floor sampling):
+    dst[y, x] = src[y*H//height, x*W//width]. Integer index math only,
+    so the result is bit-reproducible and closed-form checkable —
+    unlike np.resize, which repeats the flat buffer and has no spatial
+    meaning. Pure-numpy fancy indexing, no per-pixel Python."""
+    src_h, src_w = img.shape[0], img.shape[1]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return img[ys[:, None], xs[None, :]]

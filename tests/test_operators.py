@@ -533,3 +533,16 @@ def test_heavy_hitter_tokens_exact_vs_naive(spark):
     total = sum(c.values())
     want = {(t, n) for t, n in c.items() if n * 5 > total}
     assert got == want and ("hot", 40) in got
+
+
+def test_resize_nearest_semantics():
+    img = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    # identity
+    assert np.array_equal(M.resize_nearest(img, 6, 4), img)
+    # 2x downscale keeps every other row/col (floor sampling)
+    half = M.resize_nearest(img, 3, 2)
+    assert np.array_equal(half, img[::2, ::2])
+    # upscale repeats source pixels, never interpolates
+    up = M.resize_nearest(img, 12, 8)
+    assert set(np.unique(up)) <= set(np.unique(img))
+    assert np.array_equal(up[::2, ::2], img)

@@ -156,3 +156,50 @@ def test_pipeline_day_two_increment(spark, warehouse):
         .count()
         == 0
     )
+
+
+def test_stripe_source_to_atomic_manifest_mart(spark):
+    """The production composition: REST connector (S1, time-window
+    partitioned + paginated) -> incremental HWM filter -> crash-atomic
+    manifest merge with cursor stats -> zero-job HWM on the next run.
+    Every protocol in the ingest path, one test."""
+    import unittest.mock as mock
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.sources.stripe_source import StripeDataSource
+
+    spark.dataSource.register(StripeDataSource)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="stripe_atomic_") + "/mart"
+
+    def fetch(n_items):
+        return (
+            spark.read.format("stripe")
+            .option("endpoint", "invoices")
+            .option("fake_items", str(n_items))
+            .load()
+            .select("id", F.col("created").cast("long").alias("created"), "payload")
+        )
+
+    # day 1: 30 invoices land
+    n1 = MT.incremental_merge_run_atomic(
+        spark, fetch(30), root, keys=["id"], cursor_col="created"
+    )
+    assert n1 == 30 and MT.read_table(spark, root).count() == 30
+    # day 2: backlog re-delivered plus 10 new — HWM (from manifest
+    # stats, no scan) keeps the merge to the 10 genuinely new rows
+    with mock.patch.object(MT, "read_table", side_effect=AssertionError("scan!")):
+        hwm = MT.resolve_high_watermark(spark, root, "created")
+    assert hwm is not None
+    n2 = MT.incremental_merge_run_atomic(
+        spark, fetch(40), root, keys=["id"], cursor_col="created"
+    )
+    assert n2 == 10
+    mart = MT.read_table(spark, root)
+    assert mart.count() == 40
+    assert mart.select("id").distinct().count() == 40
+    # third run with no new data is a no-op
+    assert MT.incremental_merge_run_atomic(
+        spark, fetch(40), root, keys=["id"], cursor_col="created"
+    ) == 0
