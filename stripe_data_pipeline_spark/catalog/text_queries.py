@@ -572,3 +572,23 @@ WHERE c.n_occ * 500 > tot.n
 )
 def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.heavy_hitter_tokens(read_table(spark, sf_dir, "documents"), k=500)
+
+
+@register(
+    "bpe_merges_learned",
+    oracle=None,  # iterative fixpoint — no SQL equivalent; exactness is
+    # pytest-pinned against a pure-Python reference (tests/test_bpe.py)
+    doc="Distributed BPE tokenizer training (Sennrich et al. 2016, "
+    "public): learn the first 10 merge rules over the corpus. The "
+    "corpus is shuffled ONCE into a word-frequency table (vocabulary-"
+    "sized, cached); every merge iteration then runs pair-count agg + "
+    "argmax + an Arrow-batched merge rewrite over that small table — "
+    "at 100 TB the iterations never re-read the data. Deterministic "
+    "tie-break (count DESC, pair ASC) makes the merge list a pure "
+    "function of the corpus; rows-only at the driver, bit-pinned vs "
+    "a reference implementation in pytest.",
+)
+def q_bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.bpe import bpe_merge_table
+
+    return bpe_merge_table(read_table(spark, sf_dir, "documents"), n_merges=10)
