@@ -1385,3 +1385,38 @@ def q_column_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum(F.col("v").isNull().cast("bigint")).cast("bigint").alias("n_null"),
     )
+
+
+from stripe_data_pipeline_spark.operators.layout import zorder_key_sql as _zsql
+
+_ZKEY_ORACLE = _zsql(
+    "(o_custkey % 65536)",
+    "(date_diff('day', DATE '1992-01-01', o_orderdate) % 65536)",
+)
+
+
+@register(
+    "zorder_key_check",
+    oracle=f"""
+SELECT o_orderkey,
+       {_ZKEY_ORACLE} AS z_key
+FROM orders
+""",
+    doc="Z-order (Morton) clustering key over (customer, order-day): "
+    "16-bit magic-number bit interleaving as a pure JVM expression "
+    "tree (shiftleft/and/or inside whole-stage codegen, no UDF), "
+    "bit-exact vs DuckDB computing the same arithmetic. Range-sorting "
+    "files on this key gives every file a tight min/max box in BOTH "
+    "columns, so stats-based skipping prunes on either predicate — "
+    "the multi-dimensional layout a 100 TB fact table needs "
+    "(operators/layout.py; file-box tightness pytest-measured).",
+)
+def q_zorder_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.layout import zorder_key
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        zorder_key(F.col("o_custkey") % 65536, day % 65536).alias("z_key"),
+    )

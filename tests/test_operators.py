@@ -546,3 +546,52 @@ def test_resize_nearest_semantics():
     up = M.resize_nearest(img, 12, 8)
     assert set(np.unique(up)) <= set(np.unique(img))
     assert np.array_equal(up[::2, ::2], img)
+
+
+def test_zorder_clustered_write_tightens_file_boxes(spark, tmp_path):
+    """The point of Z-order: after range-sorting files on the Morton
+    key, each file's (min,max) box is tight in BOTH columns, so stats
+    prune on either predicate. Measure per-file range coverage vs a
+    round-robin layout — clustered must cover a small fraction of each
+    domain per file on average."""
+    import pyarrow.parquet as pq
+
+    from stripe_data_pipeline_spark.operators import layout as L
+
+    n = 4096
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") * 2654435761 % 256).alias("a"),
+            (F.col("id") * 40503 % 256).alias("b"),
+        )
+        .repartition(8)  # scrambled input
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    df.write.mode("overwrite").parquet(plain)
+    L.write_zorder_clustered(df, zed, F.col("a"), F.col("b"), n_files=8)
+
+    def avg_box_coverage(path):
+        import glob
+
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo_a = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+            hi_a = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+            lo_b = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+            hi_b = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+            spans.append(((hi_a - lo_a) / 255, (hi_b - lo_b) / 255))
+        cov_a = sum(s[0] for s in spans) / len(spans)
+        cov_b = sum(s[1] for s in spans) / len(spans)
+        return cov_a, cov_b, len(spans)
+
+    pa_, pb, nfiles_p = avg_box_coverage(plain)
+    za, zb, nfiles_z = avg_box_coverage(zed)
+    assert nfiles_z >= 4
+    # round-robin files each span ~the full domain in both columns
+    assert pa_ > 0.9 and pb > 0.9
+    # z-ordered files cover a strictly smaller box in BOTH dimensions
+    assert za < 0.6 and zb < 0.6, (za, zb)
+    # and the data survived intact
+    assert spark.read.parquet(zed).count() == n
