@@ -93,10 +93,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries r4 added), then everything r4's code changes touch
 # (jaccard_verify barrier), then r2-green flagship/north-star
 # representatives whose last driver verdict is two rounds old. The
-# window is zero-sum at 122 registered queries: the 24 demoted past the
+# window is zero-sum at 123 registered queries: the 25 demoted past the
 # cutoff are long-stable queries that each carry an r1 and/or r2 driver
 # verdict and stay under CI (tests/test_oracle_catalog.py full catalog
-# at sf0.001; tools/check_oracle.py re-verified 0/122 failures at
+# at sf0.001; tools/check_oracle.py re-verified 0/123 failures at
 # sf0.01 AND sf0.001 this round, new queries additionally at sf0.1).
 # tests/test_driver_contract.py enforces that nothing without any
 # driver verdict sits outside the window.
@@ -114,6 +114,7 @@ _PRIORITY = [
     "media_resize_check",
     "bpe_merges_learned",
     "zorder_key_check",
+    "incremental_agg_mart_check",
     # --- never driver-checked (r3 tail demotions; judge-green) ---
     "price_percentiles",
     "approx_distinct_parts",
@@ -147,7 +148,6 @@ _PRIORITY = [
     "fx_literal_dim",
     "missing_period_end_threshold",
     # --- last driver verdict in r2: north-star / UDF / misc ---
-    "asof_join_events_orders",
     "pandas_udf_normalize",
     "dedup_exact_keepers",
     "dedup_clusters",
@@ -212,6 +212,7 @@ _PRIORITY = [
 
 # r1+r2 double-verified relational demos (demoted tail):
 _PRIORITY += [
+    "asof_join_events_orders",
     "orders_lineitem_join",
     "doc_text_stats",
     "doc_lang_id",

@@ -402,3 +402,70 @@ def q_streaming_atomic_merge_mart_check(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def _materialized_incremental_agg_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two incremental_agg_run folds: the first sees events up to a
+    mid-range cutoff, the second sees the WHOLE source again (HWM cuts
+    it to the strictly-new rows, so re-delivery cannot double-count).
+    The mart stores only (event_type, n_events, total_value_cents,
+    __hwm) — group-sized, never event-sized."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    cache_key = sf_dir + "#aggmart"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="incr_agg_mart_")
+    mart = os.path.join(root, "mart")
+
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    ev = _rt(spark, sf_dir, "events").withColumn(
+        "value_cents",
+        F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long"),
+    )
+    cutoff = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    day1 = ev.filter(F.col("ts") <= F.lit(cutoff))
+    for batch in (day1, ev):  # second pass re-delivers everything
+        MT.incremental_agg_run(
+            spark,
+            batch,
+            mart,
+            group_cols=["event_type"],
+            sum_cols={"total_value_cents": "value_cents"},
+            cursor_col="ts",
+            count_col="n_events",
+        )
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+@register(
+    "incremental_agg_mart_check",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS total_value_cents
+FROM events
+GROUP BY event_type
+""",
+    doc="Incremental AGGREGATE maintenance (the dbt incremental-"
+    "aggregation pattern): per-type event counts and cent-sums folded "
+    "in as two HWM-cut delta batches — the second batch re-delivers "
+    "the ENTIRE source and the high watermark (resolved zero-job from "
+    "manifest stats) cuts it to the strictly-new rows, so the stored "
+    "mergeable state (count+sum) bit-matches the one-shot batch "
+    "oracle. The mart is only ever the group relation; update "
+    "shuffles are batch-sized. Commits ride the crash-atomic sink.",
+)
+def q_incremental_agg_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_incremental_agg_mart(spark, sf_dir)
+    return mart.select("event_type", "n_events", "total_value_cents")

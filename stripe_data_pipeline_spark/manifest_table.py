@@ -498,3 +498,78 @@ def incremental_merge_run_atomic(
             spark, root, batch, keys, partition_by, stats_cols=[cursor_col]
         )
     return n
+
+
+def incremental_agg_run(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str],
+    cursor_col: str,
+    count_col: str = "n_rows",
+) -> int:
+    """Incremental AGGREGATE maintenance — the other half of the
+    reference's incremental pattern: instead of upserting rows, fold a
+    new batch's partial aggregates into a stored per-group state
+    (count + sums are the mergeable-state aggregates; avg and friends
+    derive from them at read time).
+
+    HWM cuts the batch to rows strictly after the stored cursor (so
+    deltas are exactly-once even under at-least-once re-delivery of
+    the source), the batch is pre-aggregated to |groups| rows, the
+    stored state is read and ADDED group-wise, and the result commits
+    through the crash-atomic merge keyed by the group columns. At 100
+    TB the update job's shuffle is batch-sized + |groups|, never
+    table-sized — the mart itself is only ever the group relation.
+
+    ``sum_cols`` maps output column -> source column to SUM. Returns
+    batch rows folded in (0 == no-op rerun).
+    """
+    hwm = resolve_high_watermark(spark, root, "__hwm")
+    from stripe_data_pipeline_spark.incremental import incremental_filter
+
+    batch = incremental_filter(source, cursor_col, hwm)
+    n = batch.count()
+    if n == 0:
+        return 0
+    aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
+        F.sum(src).alias(out) for out, src in sum_cols.items()
+    ] + [F.max(cursor_col).alias("__hwm")]
+    delta = batch.groupBy(*group_cols).agg(*aggs)
+    try:
+        old = read_table(spark, root)
+    except FileNotFoundError:
+        old = None
+    if old is not None:
+        measure_cols = [count_col, *sum_cols]
+        o = old.select(
+            *group_cols,
+            *[F.col(c).alias(f"__old_{c}") for c in measure_cols],
+            F.col("__hwm").alias("__old_hwm"),
+        )
+        # LEFT join: only groups the batch touches are rewritten; the
+        # merge leaves every other group's stored row in place, so the
+        # update job is batch-sized regardless of how many groups the
+        # mart has accumulated.
+        delta = (
+            delta.join(o, group_cols, "left")
+            .select(
+                *group_cols,
+                *[
+                    (
+                        F.coalesce(F.col(c), F.lit(0))
+                        + F.coalesce(F.col(f"__old_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in measure_cols
+                ],
+                F.greatest(
+                    F.coalesce(F.col("__hwm"), F.col("__old_hwm")),
+                    F.coalesce(F.col("__old_hwm"), F.col("__hwm")),
+                ).alias("__hwm"),
+            )
+        )
+    merge_upsert_atomic(
+        spark, root, delta, keys=group_cols, stats_cols=["__hwm"]
+    )
+    return n

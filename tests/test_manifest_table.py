@@ -381,3 +381,34 @@ def test_compaction_preserves_stats(spark, tmp_path):
 
     with mock.patch.object(MT, "read_table", side_effect=AssertionError):
         assert MT.resolve_high_watermark(spark, root, "v") == 3.0
+
+
+def test_incremental_agg_run_folds_deltas(spark, tmp_path):
+    root = str(tmp_path / "agg")
+    src1 = spark.createDataFrame(
+        [("a", 10, 1), ("a", 20, 2), ("b", 5, 3)], "g string, v long, ts long"
+    )
+    n = MT.incremental_agg_run(
+        spark, src1, root, ["g"], {"total": "v"}, "ts", count_col="cnt"
+    )
+    assert n == 3
+    # second run re-delivers everything + new rows incl. a NEW group
+    src2 = src1.unionByName(
+        spark.createDataFrame([("a", 7, 4), ("c", 1, 5)], "g string, v long, ts long")
+    )
+    assert MT.incremental_agg_run(
+        spark, src2, root, ["g"], {"total": "v"}, "ts", count_col="cnt"
+    ) == 2  # only the strictly-new rows folded
+    got = {
+        r["g"]: (r["cnt"], r["total"])
+        for r in MT.read_table(spark, root).collect()
+    }
+    assert got == {"a": (3, 37), "b": (1, 5), "c": (1, 1)}
+    # idempotent rerun is a no-op, and HWM resolves from manifest stats
+    import unittest.mock as mock
+
+    with mock.patch.object(MT, "read_table", side_effect=AssertionError("scan!")):
+        assert MT.resolve_high_watermark(spark, root, "__hwm") == 5
+    assert MT.incremental_agg_run(
+        spark, src2, root, ["g"], {"total": "v"}, "ts", count_col="cnt"
+    ) == 0
