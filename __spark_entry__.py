@@ -93,10 +93,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries r4 added), then everything r4's code changes touch
 # (jaccard_verify barrier), then r2-green flagship/north-star
 # representatives whose last driver verdict is two rounds old. The
-# window is zero-sum at 124 registered queries: the 26 demoted past the
+# window is zero-sum at 125 registered queries: the 27 demoted past the
 # cutoff are long-stable queries that each carry an r1 and/or r2 driver
 # verdict and stay under CI (tests/test_oracle_catalog.py full catalog
-# at sf0.001; tools/check_oracle.py re-verified 0/124 failures at
+# at sf0.001; tools/check_oracle.py re-verified 0/125 failures at
 # sf0.01 AND sf0.001 this round, new queries additionally at sf0.1).
 # tests/test_driver_contract.py enforces that nothing without any
 # driver verdict sits outside the window.
@@ -116,6 +116,7 @@ _PRIORITY = [
     "zorder_key_check",
     "incremental_agg_mart_check",
     "scd2_customer_segments",
+    "atomic_mart_change_feed",
     # --- never driver-checked (r3 tail demotions; judge-green) ---
     "price_percentiles",
     "approx_distinct_parts",
@@ -152,7 +153,6 @@ _PRIORITY = [
     "pandas_udf_normalize",
     "dedup_exact_keepers",
     "dedup_clusters",
-    "minhash_lsh_candidates",
     "cosine_topk_bruteforce",
     "label_centroids_applyinpandas",
     "ivf_topk",
@@ -212,6 +212,7 @@ _PRIORITY = [
 
 # r1+r2 double-verified relational demos (demoted tail):
 _PRIORITY += [
+    "minhash_lsh_candidates",
     "simhash_signatures",
     "asof_join_events_orders",
     "orders_lineitem_join",

@@ -492,7 +492,9 @@ def _materialized_atomic_doc_mart(spark: SparkSession, sf_dir: str):
     day2 = feats.filter(F.col("__b") >= 40).drop("__b")
     for batch in (day1, day2):
         MT.merge_upsert_atomic(spark, root, batch, keys=["doc_id"], partition_by="lang")
-    MT.vacuum(root)  # superseded zz-partition versions reaped post-commit
+    # retain v1 so the change-feed query can diff v1 -> v2; the reaped
+    # set is everything the crashed/superseded dirs beyond that window
+    MT.vacuum(root, retain_history=1)
     _ATOMIC_MART_CACHE[sf_dir] = root
     return MT.read_table(spark, root)
 
@@ -830,4 +832,50 @@ def q_training_sequences_mart_check(spark: SparkSession, sf_dir: str) -> DataFra
         "seq_id",
         "n_tokens",
         "seq_offset",
+    )
+
+
+@register(
+    "atomic_mart_change_feed",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5('ingest' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bkt
+    FROM documents
+)
+SELECT * FROM (
+    SELECT 'insert' AS _change_type, lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b WHERE bkt >= 40
+    GROUP BY lang
+    UNION ALL
+    SELECT 'delete' AS _change_type, 'zz' AS lang,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM b WHERE bkt >= 40 AND bkt < 60
+)
+""",
+    doc="Change data feed between two committed snapshots of the "
+    "atomic doc mart (v1 = first batch with buckets 40-59 mislabeled "
+    "lang 'zz'; v2 = corrected + extended): read_changes diffs ONLY "
+    "the partitions whose versioned dirs differ (manifest-pruned — "
+    "untouched dirs are byte-identical and never scanned), emitting "
+    "delete rows for the displaced zz versions and insert rows for "
+    "the corrections and arrivals. The oracle derives the exact "
+    "expected change set from the bucket assignment — bit parity "
+    "proves the diff is exactly the merge's effect, nothing more.",
+)
+def q_atomic_mart_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    _materialized_atomic_doc_mart(spark, sf_dir)  # ensures v1+v2 committed
+    root = _ATOMIC_MART_CACHE[sf_dir]
+    changes = MT.read_changes(spark, root, from_version=1, to_version=2)
+    return changes.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_tokens").alias("total_tokens"),
     )

@@ -412,3 +412,22 @@ def test_incremental_agg_run_folds_deltas(spark, tmp_path):
     assert MT.incremental_agg_run(
         spark, src2, root, ["g"], {"total": "v"}, "ts", count_col="cnt"
     ) == 0
+
+
+def test_read_changes_diffs_only_touched_dirs(spark, seeded):
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    ch = MT.read_changes(spark, seeded, from_version=1, to_version=2)
+    got = sorted(
+        (r["_change_type"], r["id"], r["day"], r["v"]) for r in ch.collect()
+    )
+    # update of 3 = delete(old)+insert(new); 4 is a pure insert; 1 and 2
+    # are unchanged (2 lives in the touched b-partition but cancels in
+    # the row diff; 1's a-partition dir is identical and never scanned)
+    assert got == [
+        ("delete", 3, "b", 3.0),
+        ("insert", 3, "b", 30.0),
+        ("insert", 4, "c", 4.0),
+    ]
+    # manifest pruning: the untouched a-partition contributes no input
+    files = ch.inputFiles()
+    assert files and not any("/parts/a-" in f for f in files)
