@@ -80,6 +80,8 @@ HEADLINE = [
     # no-vocabulary-shuffle exact frequent items + the WAV decode path
     "heavy_hitter_tokens",
     "media_wav_decode_check",
+    # Morton-interleave clustering key (pure codegen expression tree)
+    "zorder_key_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

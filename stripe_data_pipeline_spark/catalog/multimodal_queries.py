@@ -120,8 +120,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the mapInPandas iterator EMITS MORE ROWS THAN IT RECEIVES (one "
     "per sampled frame) - the batch-level explode a real video "
     "pipeline uses; frame features are fixed-dim so output rows stay "
-    "bounded regardless of payload size. Decode honestly stubbed "
-    "(no ffmpeg in container); frame counts/coverage pytest-gated.",
+    "bounded regardless of payload size. Real decode for uncompressed-"
+    "DIB AVI is oracle-checked by media_avi_decode_check; compressed "
+    "codecs honestly stubbed (no ffmpeg). Counts/coverage pytest-gated.",
 )
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -255,4 +256,75 @@ def q_media_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(
         run, schema="doc_id long, width int, height int, resized_checksum long"
+    )
+
+
+@register(
+    "media_avi_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           2 + doc_id % 3 AS nf,
+           4 + doc_id % 3 AS w,
+           3 + (doc_id // 3) % 3 AS h
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.nf AS INT) AS n_frames,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(SUM(
+           (g.t + 1) * ((d.doc_id * 41
+               + (g.t // (d.h * d.w * 3)) * 131
+               + g.t % (d.h * d.w * 3)) % 256)
+       ) AS BIGINT) AS frames_checksum
+FROM dims d,
+     UNNEST(generate_series(0, d.nf * d.h * d.w * 3 - 1)) AS g(t)
+GROUP BY d.doc_id, d.nf, d.w, d.h
+""",
+    doc="REAL video decode under a bit-exact oracle (the AVI analogue "
+    "of media_bmp/media_wav): each doc gets a deterministic frame "
+    "stack (frame f pixel g = (doc_id*41 + 131f + g) mod 256), "
+    "encoded to an actual RIFF/AVI with uncompressed DIB frames and "
+    "decoded back by the pure-numpy chunk-walking decoder INSIDE "
+    "mapInPandas; the position-weighted checksum over ALL frames "
+    "must match the oracle's closed form — frame order, per-frame "
+    "row flip, BGR swap and stride padding are all on the hook. "
+    "Compressed codecs stay honestly stubbed (no ffmpeg).",
+)
+def q_media_avi_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "width": [], "height": [],
+                   "frames_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 2 + doc_id % 3
+                w = 4 + doc_id % 3
+                h = 3 + (doc_id // 3) % 3
+                per = h * w * 3
+                t = np.arange(nf * per, dtype=np.int64)
+                pix = (doc_id * 41 + (t // per) * 131 + t % per) % 256
+                vid = pix.astype(np.uint8).reshape(nf, h, w, 3)
+                dec = M.decode_video_frames(M.encode_avi(vid), fake=False)
+                flat = dec.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(dec.shape[0])
+                out["width"].append(dec.shape[2])
+                out["height"].append(dec.shape[1])
+                out["frames_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_frames int, width int, height int, "
+        "frames_checksum long",
     )

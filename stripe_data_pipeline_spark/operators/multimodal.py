@@ -5,14 +5,16 @@ columns plus typed metadata; per-item decode/feature work happens in
 Arrow-batched Pandas iterators (``mapInPandas``) so the Python
 boundary is crossed per-batch, never per-row.
 
-``decode_image`` REALLY decodes uncompressed BMP (24/32-bit BI_RGB)
-and binary PPM (P6) in pure numpy — no image library needed — and the
-``fake=False`` feature path is pytest-covered over planted BMP/PPM
-payloads. Compressed formats (JPEG/PNG/WebP) and audio/video decode
-need PIL/libvips/ffmpeg, absent in this container, and raise a
-disclosed NotImplementedError; the ``fake=True`` deterministic
-pseudo-decoder keeps that plumbing exercised end-to-end regardless of
-format.
+All three modalities REALLY decode one uncompressed format each, in
+pure numpy with no media library: images (BMP 24/32-bit BI_RGB, PPM
+P6), audio (RIFF/WAVE PCM16), video (RIFF/AVI uncompressed DIB
+frames) — each held to a bit-exact position-weighted-checksum oracle
+at the driver (media_{bmp,wav,avi}_decode_check) and pytest-covered
+through the Spark plumbing with fake=False. Compressed formats
+(JPEG/PNG/H.264/MP3/...) need PIL/libvips/ffmpeg, absent in this
+container, and raise a disclosed NotImplementedError; the
+``fake=True`` deterministic pseudo-decoder keeps the plumbing
+exercised regardless of payload format.
 
 Scale notes: binary payloads dominate row size; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks hold
@@ -253,18 +255,23 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def decode_video_frames(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode a video payload -> (n_frames, H, W, 3) array. STUB: real
-    decoding needs ffmpeg/pyav (absent here); the fake path derives a
+    """Decode a video payload -> (n_frames, H, W, 3) array. REAL for
+    RIFF/AVI with uncompressed 24-bit DIB frames (pure numpy — see
+    _decode_avi); compressed codecs (H.264/VP9/MJPEG) need ffmpeg/pyav,
+    absent here, and raise NotImplementedError. The fake path derives a
     deterministic frame stack from the payload hash (4-11 frames)."""
-    if not fake:
-        raise NotImplementedError(
-            "video decode requires ffmpeg/pyav; run with fake=True for the "
-            "deterministic test double"
-        )
-    h = hashlib.sha256(payload).digest()
-    n = 4 + int(h[2]) % 8
-    base = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-    return np.stack([np.resize(base + i, (4, 4, 3)) for i in range(n)])
+    if fake:
+        h = hashlib.sha256(payload).digest()
+        n = 4 + int(h[2]) % 8
+        base = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
+        return np.stack([np.resize(base + i, (4, 4, 3)) for i in range(n)])
+    buf = bytes(payload)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return _decode_avi(buf)
+    raise NotImplementedError(
+        "native decode covers uncompressed-DIB RIFF/AVI; compressed codecs "
+        "require ffmpeg/pyav, absent in this container"
+    )
 
 
 def sample_frames(media: DataFrame, every_k: int = 2, fake: bool = True) -> DataFrame:
@@ -466,3 +473,117 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * src_h) // height
     xs = (np.arange(width) * src_w) // width
     return img[ys[:, None], xs[None, :]]
+
+
+# --- video (RIFF/AVI, uncompressed DIB frames): REAL decode ---
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n_frames, H, W, 3) uint8 RGB -> minimal RIFF/AVI with
+    uncompressed bottom-up BGR DIB frames ('00db' chunks) — the
+    inverse of _decode_avi; plants real payloads in tests/fixtures."""
+    a = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for f in a:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+        frame_bytes.append(rows.tobytes())
+    fsize = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")  # usec per frame
+        + (fsize * fps).to_bytes(4, "little")     # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")               # flags
+        + n.to_bytes(4, "little")                 # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")               # streams
+        + fsize.to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + bytes(16)
+    )
+    strh = (
+        b"vids" + b"DIB " + bytes(12)
+        + (1).to_bytes(4, "little")               # scale
+        + fps.to_bytes(4, "little")               # rate
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")                 # length
+        + fsize.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")
+        + bytes(8)
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + fsize.to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_avi(buf: bytes) -> np.ndarray:
+    """Pure-numpy decode of RIFF/AVI with uncompressed DIB ('00db')
+    frames: chunk-walk to strf (BITMAPINFOHEADER -> dims/bpp) and the
+    movi LIST, then one frombuffer + stride reshape per frame.
+    Returns (n_frames, H, W, 3) float32 RGB."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    strf = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal strf
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strf":
+                strf = buf[body_start : body_start + size]
+            elif cid[2:4] == b"db":  # '00db' uncompressed DIB frame
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(buf))
+    if strf is None or not frames:
+        raise ValueError("missing strf header or DIB frames")
+    w = int.from_bytes(strf[4:8], "little", signed=True)
+    h = int.from_bytes(strf[8:12], "little", signed=True)
+    bpp = int.from_bytes(strf[14:16], "little")
+    comp = int.from_bytes(strf[16:20], "little")
+    if comp != 0 or bpp != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB AVI (got bpp={bpp}, compression={comp})"
+        )
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    out = []
+    for fb in frames:
+        raw = np.frombuffer(fb, dtype=np.uint8, count=stride * h)
+        rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            rows = rows[::-1]
+        out.append(rows[..., ::-1])  # BGR -> RGB
+    return np.stack(out).astype(np.float32)

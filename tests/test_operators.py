@@ -595,3 +595,26 @@ def test_zorder_clustered_write_tightens_file_boxes(spark, tmp_path):
     assert za < 0.6 and zb < 0.6, (za, zb)
     # and the data survived intact
     assert spark.read.parquet(zed).count() == n
+
+
+def test_avi_decode_roundtrip_and_frame_sampling(spark):
+    rng = np.random.default_rng(17)
+    vid = rng.integers(0, 256, (6, 5, 7, 3), dtype=np.uint8)
+    dec = M.decode_video_frames(M.encode_avi(vid), fake=False)
+    assert dec.shape == (6, 5, 7, 3)
+    assert np.array_equal(dec.astype(np.uint8), vid)
+    with pytest.raises(NotImplementedError):
+        M.decode_video_frames(b"\x00\x00\x00 ftypmp42...", fake=False)  # mp4
+    # the sampling operator runs the REAL decoder through Spark
+    rows = [(1, bytearray(M.encode_avi(vid)))]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id", "payload", F.sha2("payload", 256).alias("payload_sha256")
+    )
+    got = M.sample_frames(media, every_k=2, fake=False).collect()
+    assert sorted(r["frame_idx"] for r in got) == [0, 2, 4]
+    assert all(r["n_frames"] == 6 for r in got)
+    # sampled-frame features equal numpy ground truth
+    for r in got:
+        flat = vid[r["frame_idx"]].reshape(-1, 3).astype(np.float32)
+        expect = np.concatenate([flat.mean(axis=0), flat.std(axis=0)]).astype(np.float32)
+        assert np.allclose(list(r["frame_feature"]), expect, rtol=1e-6)
