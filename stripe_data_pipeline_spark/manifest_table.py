@@ -69,12 +69,60 @@ from stripe_data_pipeline_spark.incremental import _spark_partition_dir_value
 MANIFEST = "MANIFEST"
 _PARTS = "parts"
 _HISTORY = "history"
+_LOCK = ".writer.lock"
 _FULL = "__FULL__"  # parts-key for the single dir of an unpartitioned table
 _PV = "__pv"  # duplicated partition column so data files keep the real one
 
 
 def _manifest_path(root: str) -> str:
     return os.path.join(root, MANIFEST)
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to commit while a lock is held."""
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def _writer_lock(root: str, stale_sec: float = 3600.0):
+    """Advisory single-writer guard: O_CREAT|O_EXCL lock file (atomic
+    on POSIX and most object-store shims). The table stays single-
+    writer BY DESIGN (one DAG — see module docstring); this makes a
+    misconfigured second writer FAIL FAST instead of silently lost-
+    updating the manifest pointer. A lock older than ``stale_sec`` is
+    from a dead writer (a crash between fault points leaves it behind)
+    and is broken — the protocol stays correct either way because the
+    actual commit is the manifest rename, not the lock."""
+    import time
+
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, _LOCK)
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except FileNotFoundError:
+                continue  # holder just released; retry
+            if age > stale_sec:
+                with _contextlib.suppress(FileNotFoundError):
+                    os.remove(lock)
+                continue
+            raise ConcurrentWriterError(
+                f"another writer holds {lock} (age {age:.0f}s); manifest "
+                "tables are single-writer — serialize merges/compactions"
+            )
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with _contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
 
 
 def read_manifest(root: str, version: int | None = None) -> dict | None:
@@ -286,8 +334,26 @@ def merge_upsert_atomic(
     ``resolve_high_watermark`` answers from the manifest alone — the
     cursor lookup that opens every incremental run costs ZERO Spark
     jobs at any table size.
+
+    Holds the advisory writer lock for the whole merge: a concurrent
+    writer fails fast with ConcurrentWriterError instead of racing the
+    pointer rename.
     """
-    os.makedirs(root, exist_ok=True)
+    with _writer_lock(root):
+        _merge_upsert_atomic_locked(
+            spark, root, updates, keys, partition_by, stats_cols, _fault
+        )
+
+
+def _merge_upsert_atomic_locked(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+    _fault=None,
+) -> None:
     current = read_manifest(root)
     if current is None:
         new_parts = _stage_versioned(updates, root, partition_by, _fault)
@@ -418,6 +484,20 @@ def compact_partition(
     io.compact_table's swap, a crash anywhere leaves the table on the
     old or new file layout, never missing. Returns the new file count.
     """
+    import math
+
+    with _writer_lock(root):
+        return _compact_partition_locked(
+            spark, root, partition_value, target_rows_per_file
+        )
+
+
+def _compact_partition_locked(
+    spark: SparkSession,
+    root: str,
+    partition_value,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
     import math
 
     m = read_manifest(root)

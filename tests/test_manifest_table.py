@@ -431,3 +431,20 @@ def test_read_changes_diffs_only_touched_dirs(spark, seeded):
     # manifest pruning: the untouched a-partition contributes no input
     files = ch.inputFiles()
     assert files and not any("/parts/a-" in f for f in files)
+
+
+def test_writer_lock_fails_fast_and_breaks_stale(spark, seeded):
+    import os as _os
+    import time as _time
+
+    lock = _os.path.join(seeded, MT._LOCK)
+    with open(lock, "w") as f:
+        f.write("424242")  # a live second writer
+    with pytest.raises(MT.ConcurrentWriterError):
+        MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    assert _read_sorted(spark, seeded) == OLD  # nothing committed
+    # a stale lock (dead writer) is broken and the merge proceeds
+    _os.utime(lock, (_time.time() - 7200, _time.time() - 7200))
+    MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
+    assert _read_sorted(spark, seeded) == NEW
+    assert not _os.path.exists(lock)  # released on exit
