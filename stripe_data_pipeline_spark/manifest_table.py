@@ -362,6 +362,7 @@ def _merge_upsert_atomic_locked(
             "partition_by": partition_by,
             "schema": updates.schema.json(),
             "parts": new_parts,
+            "operation": {"type": "initial", "touched": sorted(new_parts)},
         }
         if stats_cols:
             manifest["stats"] = _collect_stats(
@@ -416,6 +417,13 @@ def _merge_upsert_atomic_locked(
         # the explicit-schema scan in read_table
         "schema": merged.schema.json(),
         "parts": new_parts,
+        # commit audit line (Delta-style operation info, no extra jobs)
+        "operation": {
+            "type": "merge",
+            "touched": sorted(
+                staged if partition_by is not None else new_parts
+            ),
+        },
     }
     if stats_cols:
         fresh = staged if partition_by is not None else new_parts
@@ -497,13 +505,14 @@ def _compact_partition_locked(
     root: str,
     partition_value,
     target_rows_per_file: int = 1_000_000,
+    _key: str | None = None,
 ) -> int:
     import math
 
     m = read_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no MANIFEST at {root}")
-    key = (
+    key = _key or (
         _FULL
         if m.get("partition_by") is None
         else _spark_partition_dir_value(spark, partition_value)
@@ -525,6 +534,7 @@ def _compact_partition_locked(
         "partition_by": m.get("partition_by"),
         "schema": m["schema"],
         "parts": new_parts,
+        "operation": {"type": "compact", "touched": [key]},
     }
     if "stats" in m:
         manifest["stats"] = m["stats"]  # row set unchanged -> stats carry over
@@ -699,3 +709,62 @@ def read_changes(
         )
         .select("_change_type", *cols)
     )
+
+
+def history(root: str) -> list[dict]:
+    """Commit log: one entry per retained snapshot (oldest first) with
+    version, operation type, and touched partitions — the audit trail
+    a scheduled pipeline reads to answer "what did last night's run
+    do". Purely manifest metadata; no Spark, no data reads."""
+    hist_dir = os.path.join(root, _HISTORY)
+    current = read_manifest(root)
+    if current is None or not os.path.isdir(hist_dir):
+        return []
+    out = []
+    for f in sorted(os.listdir(hist_dir)):
+        v = int(f[1:-5])
+        if v > int(current["version"]):
+            continue  # uncommitted orphan from a crashed writer
+        with open(os.path.join(hist_dir, f)) as fh:
+            m = json.load(fh)
+        op = m.get("operation", {})
+        out.append(
+            {
+                "version": int(m["version"]),
+                "type": op.get("type", "unknown"),
+                "touched": op.get("touched", []),
+                "n_parts": len(m["parts"]),
+            }
+        )
+    return out
+
+
+def maintain(
+    spark: SparkSession,
+    root: str,
+    target_rows_per_file: int = 1_000_000,
+    max_files_per_partition: int = 4,
+    retain_history: int = 3,
+) -> dict:
+    """The scheduled maintenance pass a continuously-merged table
+    needs: compact partitions whose file count exceeds the threshold
+    (each compaction is one atomic commit), then vacuum past the
+    retention window. Returns {"compacted": [...], "vacuumed": [...]}.
+    """
+    m = read_manifest(root)
+    if m is None:
+        return {"compacted": [], "vacuumed": []}
+    compacted = []
+    for key, rel in sorted(m["parts"].items()):
+        d = os.path.join(root, rel)
+        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if n_files > max_files_per_partition:
+            # pass the manifest key directly — partition dir values are
+            # already Spark-escaped; re-escaping would corrupt them
+            with _writer_lock(root):
+                _compact_partition_locked(
+                    spark, root, None, target_rows_per_file, _key=key
+                )
+            compacted.append(key)
+    removed = vacuum(root, retain_history=retain_history)
+    return {"compacted": compacted, "vacuumed": removed}

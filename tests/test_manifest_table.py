@@ -448,3 +448,26 @@ def test_writer_lock_fails_fast_and_breaks_stale(spark, seeded):
     MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
     assert _read_sorted(spark, seeded) == NEW
     assert not _os.path.exists(lock)  # released on exit
+
+
+def test_history_and_maintain(spark, tmp_path):
+    root = str(tmp_path / "mthx")
+    # many-file partition via repartitioned merges
+    b1 = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(30)], "id long, day string, v double"
+    ).repartition(6)
+    MT.merge_upsert_atomic(spark, root, b1, ["id"], "day")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(100, "b", 1.0)]), ["id"], "day"
+    )
+    hist = MT.history(root)
+    assert [(h["version"], h["type"]) for h in hist] == [(1, "initial"), (2, "merge")]
+    assert hist[1]["touched"] == ["b"]
+    report = MT.maintain(spark, root, max_files_per_partition=2, retain_history=0)
+    assert report["compacted"] == ["a"]  # 6-file partition compacted; b untouched
+    hist2 = MT.history(root)
+    assert hist2[-1]["type"] == "compact" and hist2[-1]["touched"] == ["a"]
+    got = sorted(r["id"] for r in MT.read_table(spark, root).collect())
+    assert got == list(range(30)) + [100]
+    # second maintain pass is a no-op for compaction
+    assert MT.maintain(spark, root, max_files_per_partition=2)["compacted"] == []
