@@ -173,6 +173,54 @@ def _json_native(v):
     return v is None or isinstance(v, (bool, int, float, str))
 
 
+def _file_stats(
+    root: str, new_parts: dict[str, str], stats_cols: list[str]
+) -> dict[str, dict]:
+    """Per-FILE [min, max] for ``stats_cols``, read from the freshly
+    written parquet FOOTERS driver-side (pyarrow; no Spark job). File
+    granularity tightens skipping well beyond per-dir stats — a
+    range-sorted (e.g. Z-ordered) partition has nearly disjoint
+    per-file ranges, so a point predicate keeps ~one file. Footer
+    reads happen once at commit, amortized over every future read."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for key, rel in new_parts.items():
+        d = os.path.join(root, rel)
+        per_file: dict[str, dict] = {}
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            except Exception:  # noqa: BLE001 — unreadable footer: no stats
+                continue
+            idx = {
+                md.schema.column(i).name: i for i in range(md.num_columns)
+            }
+            st: dict[str, list] = {}
+            for c in stats_cols:
+                if c not in idx:
+                    continue
+                los, his = [], []
+                for rg in range(md.num_row_groups):
+                    cs = md.row_group(rg).column(idx[c]).statistics
+                    if cs is None or cs.min is None or cs.max is None:
+                        los = []
+                        break
+                    los.append(cs.min)
+                    his.append(cs.max)
+                if los and all(
+                    _json_native(v) for v in (min(los), max(his))
+                ):
+                    st[c] = [min(los), max(his)]
+            if st:
+                per_file[fname] = st
+        if per_file:
+            out[key] = per_file
+    return out
+
+
 def _collect_stats(
     spark: SparkSession,
     root: str,
@@ -247,20 +295,48 @@ def read_table(
     if stats_filter:
         stats = m.get("stats", {})
 
-        def may_match(key: str) -> bool:
-            for col, (lo, hi) in stats_filter.items():
-                rng = stats.get(key, {}).get(col)
-                if rng is None or rng[0] is None or rng[1] is None:
-                    continue  # no stats -> cannot prune
-                if (hi is not None and rng[0] > hi) or (
-                    lo is not None and rng[1] < lo
-                ):
-                    return False
+        def _overlaps(rng, lo, hi) -> bool:
+            if rng is None or rng[0] is None or rng[1] is None:
+                return True  # no stats -> cannot prune
+            if hi is not None and rng[0] > hi:
+                return False
+            if lo is not None and rng[1] < lo:
+                return False
             return True
+
+        def may_match(key: str) -> bool:
+            return all(
+                _overlaps(stats.get(key, {}).get(col), lo, hi)
+                for col, (lo, hi) in stats_filter.items()
+            )
 
         parts = {k: v for k, v in parts.items() if may_match(k)}
     schema = StructType.fromJson(json.loads(m["schema"]))
-    paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
+    if stats_filter and m.get("file_stats"):
+        # file-granular skipping: within surviving dirs, keep only the
+        # FILES whose footer ranges can overlap (files without recorded
+        # stats are conservatively kept). Range-sorted layouts (Z-order,
+        # clustered writes) make per-file ranges nearly disjoint, so a
+        # point predicate resolves to ~one file per partition.
+        fstats = m["file_stats"]
+        paths = []
+        for key, rel in sorted(parts.items()):
+            d = os.path.join(root, rel)
+            per_file = fstats.get(key)
+            if per_file is None:
+                paths.append(d)
+                continue
+            for fname in sorted(os.listdir(d)):
+                if not fname.endswith(".parquet"):
+                    continue
+                st = per_file.get(fname)
+                if st is None or all(
+                    _overlaps(st.get(col), lo, hi)
+                    for col, (lo, hi) in stats_filter.items()
+                ):
+                    paths.append(os.path.join(d, fname))
+    else:
+        paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
         return spark.createDataFrame([], schema)
     # Explicit manifest schema, not footer inference: deterministic,
@@ -368,6 +444,7 @@ def _merge_upsert_atomic_locked(
             manifest["stats"] = _collect_stats(
                 spark, root, new_parts, partition_by, stats_cols
             )
+            manifest["file_stats"] = _file_stats(root, new_parts, stats_cols)
         _commit(root, manifest, _fault)
         return
 
@@ -434,6 +511,13 @@ def _merge_upsert_atomic_locked(
         }
         stats.update(_collect_stats(spark, root, fresh, partition_by, stats_cols))
         manifest["stats"] = stats
+        fstats = {
+            k: v
+            for k, v in current.get("file_stats", {}).items()
+            if k in new_parts and k not in fresh
+        }
+        fstats.update(_file_stats(root, fresh, stats_cols))
+        manifest["file_stats"] = fstats
     _commit(root, manifest, _fault)
     # Post-commit: superseded dirs are unreferenced garbage. Leave them
     # for vacuum() — deleting here would break a reader that resolved

@@ -471,3 +471,26 @@ def test_history_and_maintain(spark, tmp_path):
     assert got == list(range(30)) + [100]
     # second maintain pass is a no-op for compaction
     assert MT.maintain(spark, root, max_files_per_partition=2)["compacted"] == []
+
+
+def test_file_level_stats_prune_individual_files(spark, tmp_path):
+    """Range-sorted files within a partition + per-file footer stats in
+    the manifest: a narrow stats_filter must keep roughly ONE file, not
+    the whole partition."""
+    root = str(tmp_path / "mtfile")
+    df = (
+        spark.createDataFrame(
+            [(i, "a", float(i)) for i in range(400)], "id long, day string, v double"
+        )
+        .repartitionByRange(4, "id")
+        .sortWithinPartitions("id")
+    )
+    MT.merge_upsert_atomic(spark, root, df, ["id"], "day", stats_cols=["id"])
+    m = MT.read_manifest(root)
+    assert m["file_stats"]["a"]  # per-file ranges recorded
+    narrow = MT.read_table(spark, root, stats_filter={"id": (10, 20)})
+    files = narrow.inputFiles()
+    assert len(files) == 1, files  # 4 range-sorted files -> one survives
+    assert sorted(r["id"] for r in narrow.filter("id BETWEEN 10 AND 20").collect()) == list(range(10, 21))
+    # full read unaffected
+    assert MT.read_table(spark, root).count() == 400
