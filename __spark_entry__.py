@@ -93,10 +93,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries r4 added), then everything r4's code changes touch
 # (jaccard_verify barrier), then r2-green flagship/north-star
 # representatives whose last driver verdict is two rounds old. The
-# window is zero-sum at 126 registered queries: the 28 demoted past the
+# window is zero-sum at 127 registered queries: the 29 demoted past the
 # cutoff are long-stable queries that each carry an r1 and/or r2 driver
 # verdict and stay under CI (tests/test_oracle_catalog.py full catalog
-# at sf0.001; tools/check_oracle.py re-verified 0/126 failures at
+# at sf0.001; tools/check_oracle.py re-verified 0/127 failures at
 # sf0.01 AND sf0.001 this round, new queries additionally at sf0.1).
 # tests/test_driver_contract.py enforces that nothing without any
 # driver verdict sits outside the window.
@@ -118,6 +118,7 @@ _PRIORITY = [
     "scd2_customer_segments",
     "atomic_mart_change_feed",
     "media_avi_decode_check",
+    "stats_pruned_scan_check",
     # --- never driver-checked (r3 tail demotions; judge-green) ---
     "price_percentiles",
     "approx_distinct_parts",
@@ -153,7 +154,6 @@ _PRIORITY = [
     # --- last driver verdict in r2: north-star / UDF / misc ---
     "pandas_udf_normalize",
     "dedup_exact_keepers",
-    "dedup_clusters",
     "cosine_topk_bruteforce",
     "ivf_topk",
     "media_features",
@@ -212,6 +212,7 @@ _PRIORITY = [
 
 # r1+r2 double-verified relational demos (demoted tail):
 _PRIORITY += [
+    "dedup_clusters",
     "label_centroids_applyinpandas",
     "minhash_lsh_candidates",
     "simhash_signatures",

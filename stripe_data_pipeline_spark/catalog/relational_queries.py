@@ -1526,3 +1526,83 @@ FROM hist
 def q_scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mart = _materialized_scd2_mart(spark, sf_dir)
     return mart.select("c_custkey", "seg", "valid_from", "valid_to", "is_current")
+
+
+_STATS_MART_CACHE: dict[str, str] = {}
+
+
+def _cleanup_stats_mart_cache() -> None:
+    import shutil
+
+    for p in _STATS_MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@register(
+    "stats_pruned_scan_check",
+    oracle="""
+SELECT CAST(o_orderdate AS VARCHAR)[1:7] AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-03-01' AND DATE '1995-09-30'
+GROUP BY 1
+""",
+    doc="Manifest stats skipping proven correct under the driver: "
+    "orders land in a month-partitioned manifest table with per-dir "
+    "AND per-file [min,max] stats on the order-day integer; the scan "
+    "resolves via read_table(stats_filter=...) — untouched months are "
+    "dropped from the path list driver-side, range-sorted files "
+    "inside surviving months are dropped by footer ranges — and the "
+    "remaining exact filter + rollup must bit-match the plain "
+    "full-scan SQL oracle. Skipping that changed an answer would "
+    "show here first.",
+)
+def q_stats_pruned_scan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import datetime as dt
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    root = _STATS_MART_CACHE.get(sf_dir)
+    if root is None:
+        if not _STATS_MART_CACHE:
+            atexit.register(_cleanup_stats_mart_cache)
+        root = tempfile.mkdtemp(prefix="stats_scan_mart_") + "/orders"
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias(
+                "order_day"
+            ),
+        )
+        # range-sort within the write so per-file day ranges are tight
+        MT.merge_upsert_atomic(
+            spark,
+            root,
+            orders.repartitionByRange(4, "order_day").sortWithinPartitions(
+                "order_day"
+            ),
+            keys=["o_orderkey"],
+            partition_by="order_month",
+            stats_cols=["order_day"],
+        )
+        _STATS_MART_CACHE[sf_dir] = root
+
+    lo = (dt.date(1995, 3, 1) - dt.date(1992, 1, 1)).days
+    hi = (dt.date(1995, 9, 30) - dt.date(1992, 1, 1)).days
+    pruned = MT.read_table(spark, root, stats_filter={"order_day": (lo, hi)})
+    return (
+        pruned.filter(F.col("order_day").between(lo, hi))
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )
