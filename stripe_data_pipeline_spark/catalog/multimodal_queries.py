@@ -99,30 +99,85 @@ def q_media_bmp_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "media_features",
-    oracle=None,  # mapInPandas + numpy fake-decoder; rows-only check
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, sha256(text) AS sha,
+           4 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 4 AS w,
+           4 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 4 AS h
+    FROM documents
+)
+SELECT d.doc_id, d.sha AS payload_sha256,
+       CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+       CAST(8 AS INT) AS dim,
+       CAST(SUM(CAST(('0x' || substr(d.sha, 1 + 2 * (g.i % 32), 2)) AS INT))
+            AS BIGINT) AS pixel_sum,
+       CAST(SUM((g.i + 1)
+                * CAST(('0x' || substr(d.sha, 1 + 2 * (g.i % 32), 2)) AS INT))
+            AS BIGINT) AS pixel_checksum
+FROM dims d, UNNEST(generate_series(0, d.w * d.h * 3 - 1)) AS g(i)
+GROUP BY d.doc_id, d.sha, d.w, d.h
+""",
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas with the deterministic fake decoder (keeps the "
     "plumbing payload-format-agnostic; the real BMP/PPM decode path "
-    "is oracle-checked by media_bmp_decode_check).",
+    "is additionally oracle-checked by media_bmp_decode_check). "
+    "Exactly oracled (was rows-only; VERDICT r4 #1): the fake decoder "
+    "derives dims and pixels from the payload's sha256 — pixel j = "
+    "digest byte j mod 32 — which DuckDB recomputes in closed form, "
+    "so dims, plain and position-weighted pixel sums all bit-match; "
+    "any batching, hash, or resize-cycling bug in the Python path "
+    "breaks parity.",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     feats = M.extract_features(M.documents_as_media(docs), fake=True)
     return feats.select(
-        "doc_id", "payload_sha256", "width", "height", F.size("feature").alias("dim")
+        "doc_id",
+        "payload_sha256",
+        "width",
+        "height",
+        F.size("feature").alias("dim"),
+        "pixel_sum",
+        "pixel_checksum",
     )
 
 
 @register(
     "media_frame_samples",
-    oracle=None,  # mapInPandas + numpy fake video decoder; rows-only
+    oracle="""
+WITH v AS (
+    SELECT doc_id, sha256(text) AS sha,
+           4 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) % 8 AS nf
+    FROM documents
+),
+frames AS (
+    SELECT doc_id, sha, nf, g.fi AS fi
+    FROM v, UNNEST(generate_series(0, nf - 1)) AS g(fi)
+    WHERE g.fi % 2 = 0
+)
+SELECT f.doc_id, f.sha AS payload_sha256,
+       CAST(f.nf AS INT) AS n_frames, CAST(f.fi AS INT) AS frame_idx,
+       CAST(6 AS INT) AS dim,
+       CAST(SUM(CAST(('0x' || substr(f.sha, 1 + 2 * (g.j % 32), 2)) AS INT)
+                + f.fi) AS BIGINT) AS frame_sum,
+       CAST(SUM((g.j + 1)
+                * (CAST(('0x' || substr(f.sha, 1 + 2 * (g.j % 32), 2)) AS INT)
+                   + f.fi)) AS BIGINT) AS frame_checksum
+FROM frames f, UNNEST(generate_series(0, 47)) AS g(j)
+GROUP BY 1, 2, 3, 4
+""",
     doc="Frame sampling over video-like binaries (every 2nd frame): "
     "the mapInPandas iterator EMITS MORE ROWS THAN IT RECEIVES (one "
     "per sampled frame) - the batch-level explode a real video "
     "pipeline uses; frame features are fixed-dim so output rows stay "
-    "bounded regardless of payload size. Real decode for uncompressed-"
-    "DIB AVI is oracle-checked by media_avi_decode_check; compressed "
-    "codecs honestly stubbed (no ffmpeg). Counts/coverage pytest-gated.",
+    "bounded regardless of payload size. Exactly oracled (was "
+    "rows-only; VERDICT r4 #2): the fake video decoder derives frame "
+    "count and pixels from the payload sha256 (frame f pixel j = "
+    "digest byte j mod 32 + f), which DuckDB replays in closed form — "
+    "sampled-frame indices, per-frame plain and position-weighted "
+    "sums all bit-match. Real decode for uncompressed-DIB AVI is "
+    "oracle-checked by media_avi_decode_check; compressed codecs "
+    "honestly stubbed (no ffmpeg). Counts/coverage pytest-gated.",
 )
 def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
@@ -133,6 +188,8 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "frame_idx",
         F.size("frame_feature").alias("dim"),
+        "frame_sum",
+        "frame_checksum",
     )
 
 

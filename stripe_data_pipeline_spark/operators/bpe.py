@@ -73,30 +73,32 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every symbol array, merging adjacent (left, right) into
-    one symbol. Sequential adjacent scan per word -> Arrow-batched
-    mapInPandas (greedy left-to-right, matching the reference
-    algorithm's non-overlapping semantics)."""
+def _apply_merges(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Rewrite every symbol array, applying ``merges`` in order — each
+    merge a greedy left-to-right non-overlapping adjacent scan,
+    matching the reference algorithm. One Arrow-batched mapInPandas
+    pass regardless of how many merges are applied (the point of the
+    batched trainer: k merges cost one vocab rewrite, not k)."""
     import pandas as pd
-
-    merged = left + right
 
     def run(batches):
         for pdf in batches:
             out = []
             for syms in pdf["syms"]:
                 s = list(syms)
-                res = []
-                i = 0
-                while i < len(s):
-                    if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
-                        res.append(merged)
-                        i += 2
-                    else:
-                        res.append(s[i])
-                        i += 1
-                out.append(res)
+                for left, right in merges:
+                    merged = left + right
+                    res: list[str] = []
+                    i = 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                            res.append(merged)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                out.append(s)
             yield pd.DataFrame(
                 {"word": pdf["word"], "n": pdf["n"], "syms": out}
             )
@@ -133,7 +135,108 @@ def train_bpe(
                 break
             left, right = top[0]["l"], top[0]["r"]
             merges.append((left, right))
-            new_vocab = _apply_merge(vocab, left, right).cache()
+            new_vocab = _apply_merges(vocab, [(left, right)]).cache()
+            new_vocab.count()
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return merges
+
+
+def _select_batch(
+    top: list[tuple[str, str, int]], floor_cnt: int
+) -> list[tuple[str, str, int]]:
+    """Pick a prefix of the (count DESC, pair ASC)-sorted pair list
+    that is PROVABLY safe to merge in one pass — i.e. sequential
+    1-merge training learns exactly the same sequence.
+
+    Rank 1 is always admitted: it is the global argmax verbatim.
+    Admitting p_j (j >= 2) requires showing nothing can beat p_j at
+    sequential step j after merges p_1..p_{j-1}. A pair q's count
+    changes ONLY if q contains one of the touched symbols {l_i, r_i,
+    l_i r_i}: destroyed occurrences contain l_i or r_i, created ones
+    contain the merged symbol. Every post-merge occurrence of q maps
+    injectively to a pre-merge occurrence of q or of one of <= 4
+    boundary pairs (expand q's merged symbols back to their halves),
+    each itself containing a touched symbol. Hence rules:
+
+    - mutual disjointness: the candidate's {left, right, merged}
+      must not intersect the admitted pairs' touched-symbol set —
+      then one pass == sequential passes and p_j's own count is
+      unchanged at its turn; first violation stops the batch (the
+      list is sorted, nothing later can be proved either);
+    - no other VISIBLE (top-m) pair may contain an admitted touched
+      symbol: its count at step j is not provably below c_j. First
+      such row stops the batch;
+    - c_j > 5*floor_cnt: every UNSEEN pair is <= floor_cnt (the
+      truncated list's last count, 0 when the list is complete), so a
+      changed unseen pair is <= old + 4 boundary counts <= 5*floor
+      < c_j strictly — it cannot beat or tie p_j;
+    - untouched pairs keep their counts: visible ones rank behind
+      p_j by (count, lex) order, unseen ones are <= floor < c_j.
+    """
+    selected: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for i, (l, r, c) in enumerate(top):
+        if c < 2:
+            break
+        syms = {l, r, l + r}
+        if i > 0:
+            if (
+                (syms & used)
+                or c <= 5 * floor_cnt
+                or any(
+                    (l2 in used or r2 in used)
+                    for j2, (l2, r2, _c2) in enumerate(top)
+                    if j2 != i and (l2, r2) not in {(s[0], s[1]) for s in selected}
+                )
+            ):
+                break
+        selected.append((l, r, c))
+        used |= syms
+    return selected
+
+
+def train_bpe_batched(
+    df: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    top_m: int = 64,
+) -> list[tuple[str, str, int]]:
+    """Batched BPE trainer (VERDICT r4 #6): learns the IDENTICAL merge
+    sequence as :func:`train_bpe` while collecting the top ``top_m``
+    pairs per Spark pass and admitting a provably-safe prefix of them
+    (see :func:`_select_batch`), cutting driver round-trips and vocab
+    rewrites up to batch-size-fold. Falls back to a single exact merge
+    whenever the safety rule admits nothing, so progress (and
+    exactness) never depends on the heuristic. Returns
+    ``[(left, right, count_at_merge_time), ...]`` in learned order.
+    """
+    spark = df.sparkSession
+    vocab = word_symbol_table(df, text_col).cache()
+    vocab.count()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    merges: list[tuple[str, str, int]] = []
+    try:
+        while len(merges) < n_merges:
+            top = [
+                (row["l"], row["r"], row["cnt"])
+                for row in _pair_counts(vocab)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(top_m)
+                .collect()
+            ]
+            if not top or top[0][2] < 2:
+                break
+            floor_cnt = top[-1][2] if len(top) == top_m else 0
+            batch = _select_batch(top, floor_cnt)[: n_merges - len(merges)]
+            if not batch:
+                batch = [top[0]]
+            merges.extend(batch)
+            new_vocab = _apply_merges(vocab, [(l, r) for l, r, _ in batch]).cache()
             new_vocab.count()
             vocab.unpersist()
             vocab = new_vocab
@@ -146,10 +249,13 @@ def train_bpe(
 def bpe_merge_table(
     df: DataFrame, n_merges: int = 30, text_col: str = "text"
 ) -> DataFrame:
-    """The learned merges as a relation: (rank, left, right, merged)."""
+    """The learned merges as a relation: (rank, left, right, merged).
+    Uses the batched trainer (identical output to train_bpe by
+    construction — see _select_batch — and pinned by tests/test_bpe.py
+    on fixture corpora)."""
     spark = df.sparkSession
-    merges = train_bpe(df, n_merges, text_col)
-    rows = [(i, l, r, l + r) for i, (l, r) in enumerate(merges)]
+    merges = train_bpe_batched(df, n_merges, text_col)
+    rows = [(i, l, r, l + r) for i, (l, r, _c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, merged string"
     )

@@ -8,12 +8,23 @@ Four escalating strategies, all shuffle-conscious:
              bucket), token-set Jaccard verify. The block self-join is
              quadratic *within a block only* — block keys must keep
              per-block cardinality bounded (salt large blocks at scale).
-- MinHash + LSH: per-doc signature via xxhash64 over shingles
-             (JVM built-in, no UDF), banded into LSH buckets; only
-             bucket-collisions become candidate pairs — near-linear.
-- SimHash:   64-bit weighted-majority signature; hamming-close pairs
-             are near-dups. Signature is 64 bitwise aggregations over
+- MinHash + LSH: per-doc signature via a cross-engine md5-derived
+             base hash over shingles (JVM built-in, no UDF), banded
+             into LSH buckets; only bucket-collisions become candidate
+             pairs — near-linear.
+- SimHash:   60-bit weighted-majority signature; hamming-close pairs
+             are near-dups. Signature is 60 bitwise aggregations over
              exploded tokens (codegen'd, no UDF).
+
+Hash choice: the base hash for MinHash/SimHash is the first 60 bits
+of md5 (``conv(substr(md5(x),1,15),16,10)``) rather than xxhash64.
+md5 is ~3x slower per call but is computable bit-identically by
+DuckDB (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``), which turns
+the WHOLE LSH pipeline — signatures, band keys, bucket caps,
+candidate pairs, verified near-dups — into an exactly-oracled
+relation instead of a rows-only check. One hash per shingle either
+way; the ``num_hashes`` permutations are affine maps over that single
+base hash, so the md5 cost does not multiply with signature width.
 """
 
 from __future__ import annotations
@@ -145,6 +156,16 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
 _MINHASH_P = (1 << 31) - 1  # Mersenne prime: pmod products stay < 2^62
 
 
+def md5_base60(col: Column) -> Column:
+    """First 60 bits of md5 as a positive BIGINT — the cross-engine
+    base hash (DuckDB equivalent:
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``). 15 hex chars
+    = 60 bits < 2^63, so the cast never overflows and the value is
+    always non-negative, making ``%`` and ``pmod`` agree across
+    engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _perm_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Fixed (a, b) coefficients for the affine permutation family
     h_i = (a_i * base + b_i) mod p — deterministic across runs."""
@@ -161,11 +182,13 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, k: int = 3
 ) -> DataFrame:
     """MinHash signature per doc via the standard universal-hash
-    family: ONE xxhash64 per shingle string, then ``num_hashes``
-    affine permutations h_i = (a_i*h + b_i) mod (2^31 - 1) and a min
-    per permutation. String hashing is the expensive part at corpus
-    scale — hashing each shingle once instead of once per signature
-    slot cuts the signature stage ~num_hashes-fold (measured ~2x
+    family: ONE md5-derived base hash per shingle string (see
+    :func:`md5_base60` — cross-engine, so the driver's DuckDB oracle
+    reproduces signatures bit-for-bit), then ``num_hashes`` affine
+    permutations h_i = (a_i*h + b_i) mod (2^31 - 1) and a min per
+    permutation. String hashing is the expensive part at corpus scale
+    — hashing each shingle once instead of once per signature slot
+    cuts the signature stage ~num_hashes-fold (measured ~2x
     end-to-end on the LSH pipeline). All arithmetic stays under 2^62,
     safe under ANSI overflow checking.
 
@@ -179,7 +202,7 @@ def minhash_signatures(
     df = spread_scan(df)
     sh = shingles(k=k).alias("shingles")
     bases = F.transform(
-        F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_P))
+        F.col("shingles"), lambda s: F.pmod(md5_base60(s), F.lit(_MINHASH_P))
     )
     sig_cols = [
         F.array_min(
@@ -333,27 +356,32 @@ def lsh_verified_near_dups(
     return jaccard_verify(df, candidates, threshold, id_col)
 
 
-def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over tokens: bit i of the signature is the sign
-    of sum over tokens of (+1 if bit i of xxhash64(token) else -1).
+SIMHASH_BITS = 60  # md5_base60 supplies 60 cross-engine hash bits
 
-    Computed as 64 conditional-sum aggregations over exploded tokens —
-    all JVM, one shuffle on doc id.
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash over tokens: bit i of the signature is the sign
+    of sum over tokens of (+1 if bit i of md5_base60(token) else -1).
+
+    Computed as 60 conditional-sum aggregations over exploded tokens —
+    all JVM, one shuffle on doc id. The md5-derived base hash (vs
+    xxhash64) makes the signature DuckDB-reproducible, so the catalog
+    query is exactly oracled instead of rows-only.
     """
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", md5_base60(F.col("tok")))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
                 -1
             )
         ).alias(f"s_{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     sums = tok.groupBy(id_col).agg(*bit_sums)
     sig = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"s_{i}") > 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )

@@ -54,6 +54,11 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType())),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        # exact-integer decode checksums (pixel values are integral in
+        # every decode path, so int64 sums are bit-stable) — these are
+        # what the driver oracle verifies positionally
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_checksum", T.LongType()),
     ]
 )
 
@@ -203,7 +208,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, widths, heights = [], [], []
+            feats, widths, heights, sums, checks = [], [], [], [], []
             for payload in pdf["payload"]:
                 img, w, h = decode_image(bytes(payload), fake=fake)
                 # stand-in feature: per-channel means + shape moments
@@ -218,6 +223,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 feats.append(f8[:FEATURE_DIM])
                 widths.append(w)
                 heights.append(h)
+                ints = img.reshape(-1).astype(np.int64)
+                sums.append(int(ints.sum()))
+                checks.append(
+                    int((ints * (np.arange(len(ints), dtype=np.int64) + 1)).sum())
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -226,6 +236,8 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "feature": feats,
                     "width": widths,
                     "height": heights,
+                    "pixel_sum": sums,
+                    "pixel_checksum": checks,
                 }
             )
 
@@ -239,6 +251,9 @@ FRAMES_SCHEMA = T.StructType(
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame_feature", T.ArrayType(T.FloatType())),
+        # exact-integer per-frame checksums (see FEATURES_SCHEMA)
+        T.StructField("frame_sum", T.LongType()),
+        T.StructField("frame_checksum", T.LongType()),
     ]
 )
 
@@ -289,6 +304,7 @@ def sample_frames(media: DataFrame, every_k: int = 2, fake: bool = True) -> Data
             out: dict[str, list] = {
                 "doc_id": [], "payload_sha256": [], "n_frames": [],
                 "frame_idx": [], "frame_feature": [],
+                "frame_sum": [], "frame_checksum": [],
             }
             for doc_id, sha, payload in zip(
                 pdf["doc_id"], pdf["payload_sha256"], pdf["payload"]
@@ -299,11 +315,16 @@ def sample_frames(media: DataFrame, every_k: int = 2, fake: bool = True) -> Data
                     feat = np.concatenate(
                         [flat.mean(axis=0), flat.std(axis=0)]
                     ).astype(np.float32)
+                    ints = frames[idx].reshape(-1).astype(np.int64)
                     out["doc_id"].append(doc_id)
                     out["payload_sha256"].append(sha)
                     out["n_frames"].append(len(frames))
                     out["frame_idx"].append(idx)
                     out["frame_feature"].append(feat)
+                    out["frame_sum"].append(int(ints.sum()))
+                    out["frame_checksum"].append(
+                        int((ints * (np.arange(len(ints), dtype=np.int64) + 1)).sum())
+                    )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -122,6 +122,22 @@ def cosine_near_dup_pairs(
     )
 
 
+def srp_plane_strs(
+    bands: int, band_bits: int, d: int, seed: int = 42
+) -> list[list[str]]:
+    """The SRP hyperplanes as ``%.8g`` decimal strings — the SINGLE
+    source of truth for both the Spark plan (``srp_band_keys`` renders
+    them as ``<v>D`` literals) and the DuckDB oracle (same strings as
+    plain literals). Both engines parse the same decimal to the same
+    nearest double, so the sign bits — and therefore every band key,
+    bucket and candidate pair — are bit-identical across engines."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((bands * band_bits, d))
+    return [[f"{float(v):.8g}" for v in row] for row in planes]
+
+
 def srp_band_keys(
     df: DataFrame, bands: int = 24, band_bits: int = 4, seed: int = 42
 ) -> DataFrame:
@@ -145,16 +161,12 @@ def srp_band_keys(
     Output: (vec_id, e, nrm, band, band_key), exploded one row per
     band.
     """
-    import numpy as np
-
     d = len(df.select("embedding").first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((bands * band_bits, d))
     planes_sql = (
         "array("
         + ",".join(
-            "array(" + ",".join(f"{float(v):.8g}D" for v in row) + ")"
-            for row in planes
+            "array(" + ",".join(s + "D" for s in row) + ")"
+            for row in srp_plane_strs(bands, band_bits, d, seed)
         )
         + ")"
     )

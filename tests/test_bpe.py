@@ -7,7 +7,12 @@ from __future__ import annotations
 
 from collections import Counter
 
-from stripe_data_pipeline_spark.operators.bpe import END, bpe_merge_table, train_bpe
+from stripe_data_pipeline_spark.operators.bpe import (
+    END,
+    bpe_merge_table,
+    train_bpe,
+    train_bpe_batched,
+)
 
 
 def reference_bpe(texts: list[str], n_merges: int) -> list[tuple[str, str]]:
@@ -63,6 +68,31 @@ def test_bpe_matches_reference_with_ties(spark):
     want = reference_bpe(texts, 6)
     got = train_bpe(_df(spark, texts), n_merges=6)
     assert got == want
+
+
+def test_batched_bpe_matches_reference(spark):
+    # the batched trainer must learn the IDENTICAL sequence the
+    # 1-merge loop (and the pure-Python reference) learns — the
+    # _select_batch admission rule is conservative-exact by design
+    for texts in (
+        ["low low low low low", "lower lower newest newest",
+         "newest newest newest widest"],
+        ["ab ab cd cd", "ab cd"],          # tie-break stress
+        ["xy xy"],                          # early stop
+        ["aa aa aa b b b b aa"],            # overlapping self-pair (a,a)
+    ):
+        want = reference_bpe(texts, 12)
+        got = train_bpe_batched(_df(spark, texts), n_merges=12)
+        assert [(l, r) for l, r, _c in got] == want, texts
+
+
+def test_batched_bpe_matches_iterative_on_documents(spark, sf_dir):
+    # real-corpus agreement (same check the driver query pins as a flag)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batched = train_bpe_batched(docs, n_merges=10)
+    iterative = train_bpe(docs, n_merges=10)
+    assert [(l, r) for l, r, _c in batched] == iterative
+    assert len(batched) == 10
 
 
 def test_bpe_early_stop_and_table_shape(spark):
