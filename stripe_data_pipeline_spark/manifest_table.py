@@ -109,8 +109,18 @@ def _writer_lock(root: str, stale_sec: float = 3600.0):
             except FileNotFoundError:
                 continue  # holder just released; retry
             if age > stale_sec:
+                # Break the stale lock by ATOMIC RENAME, not
+                # remove-then-create: two contenders that both observe
+                # age > stale_sec race, and with os.remove the loser's
+                # remove could delete the winner's freshly created
+                # lock, yielding two "exclusive" holders (ADVICE r4).
+                # rename succeeds for exactly one contender (the other
+                # gets FileNotFoundError); only the successful renamer
+                # proceeds straight to the O_EXCL create race.
+                stale = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
                 with _contextlib.suppress(FileNotFoundError):
-                    os.remove(lock)
+                    os.rename(lock, stale)
+                    os.remove(stale)
                 continue
             raise ConcurrentWriterError(
                 f"another writer holds {lock} (age {age:.0f}s); manifest "
@@ -143,8 +153,27 @@ def read_manifest(root: str, version: int | None = None) -> dict | None:
         return None
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY so renames/creations inside it are durable
+    across power loss, not just process crash (ADVICE r4: os.replace
+    orders the rename but does not persist the directory entry).
+    Best-effort — some filesystems/object-store shims reject O_RDONLY
+    dir fsync; the commit protocol stays crash-atomic without it, the
+    fsync only upgrades the durability claim."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        with _contextlib.suppress(OSError):
+            os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _commit(root: str, manifest: dict, _fault=None) -> None:
-    """The atomic step: tmp-write + fsync + os.replace over MANIFEST.
+    """The atomic step: tmp-write + fsync + os.replace over MANIFEST,
+    then a directory fsync so the rename itself is power-loss durable.
 
     A snapshot copy lands in history/ FIRST (time travel): if the
     writer dies between the history write and the pointer rename, the
@@ -157,6 +186,7 @@ def _commit(root: str, manifest: dict, _fault=None) -> None:
         json.dump(manifest, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
+    _fsync_dir(hist_dir)
     tmp = os.path.join(root, f"MANIFEST.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -165,6 +195,7 @@ def _commit(root: str, manifest: dict, _fault=None) -> None:
     if _fault:
         _fault("manifest_tmp_written")
     os.replace(tmp, _manifest_path(root))
+    _fsync_dir(root)
     if _fault:
         _fault("committed")
 
@@ -392,6 +423,8 @@ def merge_upsert_atomic(
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
     _fault=None,
+    concurrency: str = "fail",
+    max_retries: int = 3,
 ) -> None:
     """Crash-atomic S6 MERGE: same semantics as ``merge_upsert``
     (matched rows replaced, unmatched inserted, global key matching —
@@ -411,14 +444,268 @@ def merge_upsert_atomic(
     cursor lookup that opens every incremental run costs ZERO Spark
     jobs at any table size.
 
-    Holds the advisory writer lock for the whole merge: a concurrent
-    writer fails fast with ConcurrentWriterError instead of racing the
-    pointer rename.
+    ``concurrency="fail"`` (default): holds the advisory writer lock
+    for the whole merge — a concurrent writer fails fast with
+    ConcurrentWriterError instead of racing the pointer rename.
+
+    ``concurrency="occ"`` (optimistic, the Delta/Iceberg protocol):
+    stage the merge against a sampled base snapshot WITHOUT the lock
+    (staged dirs are invisible until referenced), then take the lock
+    only for validate+commit. If the manifest moved meanwhile, the
+    commit REBASES onto the new snapshot when provably safe — the
+    intervening commits touched disjoint partitions, did not evolve
+    the schema, and contain none of this merge's keys (checked with
+    one bounded semi-join against only the dirs they changed) —
+    otherwise the staged dirs are discarded and the whole merge
+    retries against the new snapshot, up to ``max_retries`` times.
+    Both interleaved writers land serialized either way. Caveat
+    (shared with Delta/Iceberg): vacuum retention must cover the
+    longest in-flight merge, or a concurrent vacuum could reap a base
+    snapshot's dirs mid-plan.
     """
-    with _writer_lock(root):
-        _merge_upsert_atomic_locked(
-            spark, root, updates, keys, partition_by, stats_cols, _fault
+    if concurrency == "fail":
+        with _writer_lock(root):
+            _merge_upsert_atomic_locked(
+                spark, root, updates, keys, partition_by, stats_cols, _fault
+            )
+        return
+    if concurrency != "occ":
+        raise ValueError(f"concurrency must be 'fail' or 'occ', got {concurrency!r}")
+    import time as _time
+
+    attempt = 0
+    while True:
+        base = read_manifest(root)
+        plan = _plan_merge(
+            spark, root, base, updates, keys, partition_by, stats_cols, _fault
         )
+        try:
+            with _writer_lock(root):
+                current = read_manifest(root)
+                base_v = -1 if base is None else int(base["version"])
+                cur_v = -1 if current is None else int(current["version"])
+                if cur_v == base_v or _can_rebase(
+                    spark, root, base, current, plan, keys, partition_by
+                ):
+                    _commit_plan(
+                        root, current, plan, partition_by, stats_cols, _fault
+                    )
+                    spark.catalog.refreshByPath(root)
+                    return
+        except ConcurrentWriterError:
+            pass  # lock contention: back off and retry the whole plan
+        # conflict: the staged dirs were never referenced — reap them
+        # now instead of waiting for vacuum, then replan
+        for rel in plan["staged"].values():
+            shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+        attempt += 1
+        if attempt > max_retries:
+            raise ConcurrentWriterError(
+                f"optimistic merge at {root} lost {attempt} commit races; "
+                "giving up"
+            )
+        _time.sleep(min(0.05 * (2**attempt), 1.0))
+
+
+def _read_at(
+    spark: SparkSession, root: str, m: dict, partition_values: list | None = None
+) -> DataFrame:
+    """Scan a SPECIFIC manifest snapshot (not necessarily the committed
+    pointer) — the OCC plan step reads its sampled base this way."""
+    parts = m["parts"]
+    if partition_values is not None:
+        want = {_spark_partition_dir_value(spark, v) for v in partition_values}
+        parts = {k: v for k, v in parts.items() if k in want}
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def _plan_merge(
+    spark: SparkSession,
+    root: str,
+    base: dict | None,
+    updates: DataFrame,
+    keys: list[str],
+    partition_by: str | None,
+    stats_cols: list[str] | None,
+    _fault=None,
+) -> dict:
+    """Stage the merge against snapshot ``base`` WITHOUT committing.
+    Returns the staged {key: relpath} mapping, the touched key set,
+    the merged schema, fresh stats, and the distinct update-keys
+    relation (for the OCC rebase hazard check). Staged dirs are
+    invisible to readers until a manifest references them, so this is
+    safe to run outside the writer lock."""
+    if base is None:
+        staged = _stage_versioned(updates, root, partition_by, _fault)
+        plan = {
+            "initial": True,
+            "staged": staged,
+            "touched": set(staged),
+            "schema": updates.schema.json(),
+            "update_keys": updates.select(*keys).distinct(),
+        }
+        if stats_cols:
+            plan["stats_fresh"] = _collect_stats(
+                spark, root, staged, partition_by, stats_cols
+            )
+            plan["fstats_fresh"] = _file_stats(root, staged, stats_cols)
+        return plan
+
+    old = _read_at(spark, root, base)
+    update_keys = updates.select(*keys).distinct()
+    if partition_by is None:
+        kept = old.join(updates.select(*keys), keys, "left_anti")
+        # allowMissingColumns == additive schema evolution: a batch may
+        # add columns (old rows read NULL) or omit dropped ones
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        staged = _stage_versioned(merged, root, None, _fault)
+        touched = {_FULL}
+    else:
+        # Touched = partitions of the updates UNION partitions of old
+        # rows whose key is updated (global key matching; see
+        # merge_upsert for the AQE/broadcast rationale).
+        touched_vals = {
+            r[0]
+            for r in updates.select(F.col(partition_by).alias("pv"))
+            .unionByName(
+                old.join(update_keys, keys, "left_semi").select(
+                    F.col(partition_by).alias("pv")
+                )
+            )
+            .distinct()
+            .collect()
+        }
+        touched = {_spark_partition_dir_value(spark, v) for v in touched_vals}
+        old_touched = _read_at(spark, root, base, partition_values=list(touched_vals))
+        kept = old_touched.join(update_keys, keys, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        staged = _stage_versioned(merged, root, partition_by, _fault)
+    plan = {
+        "initial": False,
+        "staged": staged,
+        "touched": touched,
+        # merged carries the evolved (union) schema; untouched
+        # partitions' older files read added columns as NULL via
+        # the explicit-schema scan in read_table
+        "schema": merged.schema.json(),
+        "update_keys": update_keys,
+    }
+    if stats_cols:
+        plan["stats_fresh"] = _collect_stats(
+            spark, root, staged, partition_by, stats_cols
+        )
+        plan["fstats_fresh"] = _file_stats(root, staged, stats_cols)
+    return plan
+
+
+def _commit_plan(
+    root: str,
+    current: dict | None,
+    plan: dict,
+    partition_by: str | None,
+    stats_cols: list[str] | None,
+    _fault=None,
+) -> None:
+    """Turn a staged plan into one manifest commit on top of
+    ``current`` (== the plan's base in the locked path; possibly a
+    newer snapshot in an OCC rebase — caller must have validated)."""
+    if current is None:
+        manifest = {
+            "version": 1,
+            "partition_by": partition_by,
+            "schema": plan["schema"],
+            "parts": plan["staged"],
+            "operation": {"type": "initial", "touched": sorted(plan["staged"])},
+        }
+        if stats_cols:
+            manifest["stats"] = plan.get("stats_fresh", {})
+            manifest["file_stats"] = plan.get("fstats_fresh", {})
+        _commit(root, manifest, _fault)
+        return
+    # Untouched partitions keep their committed dirs; touched ones are
+    # re-pointed (or dropped, if every old row was displaced and no
+    # update landed there — staged then has no dir for the value, and
+    # omitting the key IS the delete).
+    new_parts = {
+        k: v for k, v in current["parts"].items() if k not in plan["touched"]
+    }
+    new_parts.update(plan["staged"])
+    manifest = {
+        "version": int(current["version"]) + 1,
+        "partition_by": partition_by,
+        "schema": plan["schema"],
+        "parts": new_parts,
+        # commit audit line (Delta-style operation info, no extra jobs)
+        "operation": {"type": "merge", "touched": sorted(plan["staged"])},
+    }
+    if stats_cols:
+        fresh = plan["staged"]
+        stats = {
+            k: v
+            for k, v in current.get("stats", {}).items()
+            if k in new_parts and k not in fresh  # carry-forward, untouched only
+        }
+        stats.update(plan.get("stats_fresh", {}))
+        manifest["stats"] = stats
+        fstats = {
+            k: v
+            for k, v in current.get("file_stats", {}).items()
+            if k in new_parts and k not in fresh
+        }
+        fstats.update(plan.get("fstats_fresh", {}))
+        manifest["file_stats"] = fstats
+    _commit(root, manifest, _fault)
+    # Post-commit: superseded dirs are unreferenced garbage. Leave them
+    # for vacuum() — deleting here would break a reader that resolved
+    # the old manifest moments ago.
+
+
+def _can_rebase(
+    spark: SparkSession,
+    root: str,
+    base: dict | None,
+    current: dict | None,
+    plan: dict,
+    keys: list[str],
+    partition_by: str | None,
+) -> bool:
+    """Is committing ``plan`` (staged against ``base``) on top of
+    ``current`` provably identical to having run the merge after the
+    intervening commits? True iff those commits (a) kept the schema,
+    (b) touched only partitions disjoint from the plan's, and (c)
+    introduced none of the plan's keys into the dirs they changed (one
+    semi-join bounded by the changed dirs — otherwise the serialized
+    merge would have displaced those rows and the rebase would leave
+    duplicates)."""
+    if base is None or current is None:
+        return False
+    if current.get("schema") != base.get("schema"):
+        return False
+    if current.get("partition_by") != base.get("partition_by"):
+        return False
+    all_keys = set(base["parts"]) | set(current["parts"])
+    delta = {
+        k for k in all_keys if base["parts"].get(k) != current["parts"].get(k)
+    }
+    if delta & plan["touched"]:
+        return False
+    changed_rels = [current["parts"][k] for k in delta if k in current["parts"]]
+    if changed_rels:
+        schema = StructType.fromJson(json.loads(current["schema"]))
+        changed_df = spark.read.schema(schema).parquet(
+            *[os.path.join(root, rel) for rel in changed_rels]
+        )
+        if (
+            changed_df.join(plan["update_keys"], keys, "left_semi")
+            .limit(1)
+            .count()
+        ):
+            return False
+    return True
 
 
 def _merge_upsert_atomic_locked(
@@ -431,97 +718,10 @@ def _merge_upsert_atomic_locked(
     _fault=None,
 ) -> None:
     current = read_manifest(root)
-    if current is None:
-        new_parts = _stage_versioned(updates, root, partition_by, _fault)
-        manifest = {
-            "version": 1,
-            "partition_by": partition_by,
-            "schema": updates.schema.json(),
-            "parts": new_parts,
-            "operation": {"type": "initial", "touched": sorted(new_parts)},
-        }
-        if stats_cols:
-            manifest["stats"] = _collect_stats(
-                spark, root, new_parts, partition_by, stats_cols
-            )
-            manifest["file_stats"] = _file_stats(root, new_parts, stats_cols)
-        _commit(root, manifest, _fault)
-        return
-
-    old = read_table(spark, root)
-    if partition_by is None:
-        kept = old.join(updates.select(*keys), keys, "left_anti")
-        # allowMissingColumns == additive schema evolution: a batch may
-        # add columns (old rows read NULL) or omit dropped ones
-        merged = kept.unionByName(updates, allowMissingColumns=True)
-        new_parts = _stage_versioned(merged, root, None, _fault)
-    else:
-        # Touched = partitions of the updates UNION partitions of old
-        # rows whose key is updated (global key matching; see
-        # merge_upsert for the AQE/broadcast rationale).
-        update_keys = updates.select(*keys).distinct()
-        touched_vals = {
-            r[0]
-            for r in updates.select(F.col(partition_by).alias("pv"))
-            .unionByName(
-                old.join(update_keys, keys, "left_semi").select(
-                    F.col(partition_by).alias("pv")
-                )
-            )
-            .distinct()
-            .collect()
-        }
-        touched_keys = {
-            _spark_partition_dir_value(spark, v) for v in touched_vals
-        }
-        old_touched = read_table(spark, root, partition_values=list(touched_vals))
-        kept = old_touched.join(update_keys, keys, "left_anti")
-        merged = kept.unionByName(updates, allowMissingColumns=True)
-        staged = _stage_versioned(merged, root, partition_by, _fault)
-        # Untouched partitions keep their committed dirs; touched ones
-        # are re-pointed (or dropped, if every old row was displaced
-        # and no update landed there — staged then has no dir for the
-        # value, and omitting the key IS the delete).
-        new_parts = {
-            k: v for k, v in current["parts"].items() if k not in touched_keys
-        }
-        new_parts.update(staged)
-    manifest = {
-        "version": int(current["version"]) + 1,
-        "partition_by": partition_by,
-        # merged carries the evolved (union) schema; untouched
-        # partitions' older files read added columns as NULL via
-        # the explicit-schema scan in read_table
-        "schema": merged.schema.json(),
-        "parts": new_parts,
-        # commit audit line (Delta-style operation info, no extra jobs)
-        "operation": {
-            "type": "merge",
-            "touched": sorted(
-                staged if partition_by is not None else new_parts
-            ),
-        },
-    }
-    if stats_cols:
-        fresh = staged if partition_by is not None else new_parts
-        stats = {
-            k: v
-            for k, v in current.get("stats", {}).items()
-            if k in new_parts and k not in fresh  # carry-forward, untouched only
-        }
-        stats.update(_collect_stats(spark, root, fresh, partition_by, stats_cols))
-        manifest["stats"] = stats
-        fstats = {
-            k: v
-            for k, v in current.get("file_stats", {}).items()
-            if k in new_parts and k not in fresh
-        }
-        fstats.update(_file_stats(root, fresh, stats_cols))
-        manifest["file_stats"] = fstats
-    _commit(root, manifest, _fault)
-    # Post-commit: superseded dirs are unreferenced garbage. Leave them
-    # for vacuum() — deleting here would break a reader that resolved
-    # the old manifest moments ago.
+    plan = _plan_merge(
+        spark, root, current, updates, keys, partition_by, stats_cols, _fault
+    )
+    _commit_plan(root, current, plan, partition_by, stats_cols, _fault)
     spark.catalog.refreshByPath(root)
 
 
@@ -530,7 +730,20 @@ def vacuum(root: str, retain_history: int = 0) -> list[str]:
     committed MANIFEST — nor, with ``retain_history=K``, by the newest
     K historical snapshots (which stay time-travelable; older history
     files are pruned). Safe after any crash: referenced dirs are never
-    touched. Returns removed relpaths."""
+    touched. Returns removed relpaths.
+
+    Takes the writer lock (ADVICE r4, medium): vacuum deletes any
+    parts/ dir and .staging-* the manifest doesn't reference, so run
+    concurrently with an in-flight merge in another process it could
+    delete that merge's staged or moved-but-uncommitted dirs — the
+    merge would then commit a MANIFEST pointing at deleted
+    directories. Under the lock, vacuum only ever sees quiescent
+    state."""
+    with _writer_lock(root):
+        return _vacuum_locked(root, retain_history)
+
+
+def _vacuum_locked(root: str, retain_history: int = 0) -> list[str]:
     m = read_manifest(root)
     referenced = set(m["parts"].values()) if m else set()
     removed: list[str] = []
@@ -622,6 +835,23 @@ def _compact_partition_locked(
     }
     if "stats" in m:
         manifest["stats"] = m["stats"]  # row set unchanged -> stats carry over
+    if "file_stats" in m:
+        # Carry per-FILE stats for untouched dirs and RECOMPUTE them for
+        # the compacted dir (its files are new) — dropping the key would
+        # silently disable footer-granular skipping table-wide after
+        # every maintenance pass (ADVICE r4). Columns tracked = whatever
+        # the table has been recording.
+        cols = sorted(
+            {
+                c
+                for per_file in m["file_stats"].values()
+                for st in per_file.values()
+                for c in st
+            }
+        )
+        fstats = {k: v for k, v in m["file_stats"].items() if k != key}
+        fstats.update(_file_stats(root, {key: new_rel}, cols))
+        manifest["file_stats"] = fstats
     _commit(root, manifest)
     spark.catalog.refreshByPath(root)
     return n_files
@@ -834,21 +1064,27 @@ def maintain(
     needs: compact partitions whose file count exceeds the threshold
     (each compaction is one atomic commit), then vacuum past the
     retention window. Returns {"compacted": [...], "vacuumed": [...]}.
+
+    ONE writer lock spans the whole pass (ADVICE r4): compactions and
+    the vacuum run as a single critical section, so a concurrent merge
+    can neither interleave between compactions nor race the vacuum's
+    unreferenced-dir sweep.
     """
-    m = read_manifest(root)
-    if m is None:
-        return {"compacted": [], "vacuumed": []}
-    compacted = []
-    for key, rel in sorted(m["parts"].items()):
-        d = os.path.join(root, rel)
-        n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-        if n_files > max_files_per_partition:
-            # pass the manifest key directly — partition dir values are
-            # already Spark-escaped; re-escaping would corrupt them
-            with _writer_lock(root):
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            return {"compacted": [], "vacuumed": []}
+        compacted = []
+        for key, rel in sorted(m["parts"].items()):
+            d = os.path.join(root, rel)
+            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n_files > max_files_per_partition:
+                # pass the manifest key directly — partition dir values
+                # are already Spark-escaped; re-escaping would corrupt
+                # them
                 _compact_partition_locked(
                     spark, root, None, target_rows_per_file, _key=key
                 )
-            compacted.append(key)
-    removed = vacuum(root, retain_history=retain_history)
-    return {"compacted": compacted, "vacuumed": removed}
+                compacted.append(key)
+        removed = _vacuum_locked(root, retain_history=retain_history)
+        return {"compacted": compacted, "vacuumed": removed}

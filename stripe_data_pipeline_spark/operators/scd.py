@@ -12,9 +12,12 @@ version slice (|keys|-bounded, not history-bounded), a column-compare
 to find real changes, then ONE crash-atomic merge keyed by
 (key, valid_from) that simultaneously closes the superseded versions
 (same composite key -> replaced with valid_to set) and inserts the new
-ones. No window over history, no full-table rewrite; at 100 TB the
-join is batch-vs-current and the merge rewrites only touched
-partitions of the state table.
+ones. No window over history, no full-table rewrite. The state table
+is rewritten WHOLE per batch unless ``partition_by`` names a stable
+key-derived column (e.g. an entity hash bucket) — then the merge
+rewrites only the touched partitions, which is the shape to use at
+100 TB (ADVICE r4: the default unpartitioned path is fine for
+dimension-sized state, not fact-sized state).
 """
 
 from __future__ import annotations
@@ -32,12 +35,17 @@ def scd2_apply(
     keys: list[str],
     cursor_col: str,
     tracked: list[str] | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """Fold one as-of batch (key cols + attribute cols + ``cursor_col``
     = effective time) into the SCD2 state at ``root``. Returns the
     number of new versions written (changed + brand-new keys);
     unchanged keys cost nothing. Idempotent: re-delivering the same
-    batch writes 0 versions."""
+    batch writes 0 versions. ``partition_by`` (a key-derived column
+    present in the batch, e.g. a hash bucket of the business key)
+    partitions the state table so each merge rewrites only touched
+    partitions instead of the whole table — required hygiene once the
+    state outgrows a dimension."""
     attrs = tracked or [
         c for c in batch.columns if c not in keys and c != cursor_col
     ]
@@ -61,7 +69,10 @@ def scd2_apply(
             F.lit(True).alias("is_current"),
         )
         n = new_rows.count()
-        MT.merge_upsert_atomic(spark, root, new_rows, keys=[*keys, "valid_from"])
+        MT.merge_upsert_atomic(
+            spark, root, new_rows, keys=[*keys, "valid_from"],
+            partition_by=partition_by,
+        )
         return n
 
     cur = current.select(
@@ -98,5 +109,8 @@ def scd2_apply(
     delta = closed.unionByName(new_rows)
     n = new_rows.count()
     if n:
-        MT.merge_upsert_atomic(spark, root, delta, keys=[*keys, "valid_from"])
+        MT.merge_upsert_atomic(
+            spark, root, delta, keys=[*keys, "valid_from"],
+            partition_by=partition_by,
+        )
     return n

@@ -61,3 +61,39 @@ def test_scd2_null_safe_change_detection(spark, tmp_path):
     assert scd2_apply(spark, root, rows2, ["k"], "ts") == 1
     hist = _hist(spark, root)
     assert (1, None, 10, 20, False) in hist and (1, "x", 20, None, True) in hist
+
+
+def test_scd2_partitioned_rewrites_only_touched(spark, tmp_path):
+    # partition_by (ADVICE r4): a key-derived bucket partitions the
+    # state table so a batch touching one bucket leaves the other
+    # bucket's versioned dir byte-identical (same relpath)
+    root = str(tmp_path / "scdp")
+
+    def b(rows):
+        return spark.createDataFrame(rows, "k long, bucket long, seg string, ts long")
+
+    assert (
+        scd2_apply(
+            spark, root, b([(1, 0, "low", 10), (2, 1, "mid", 10)]),
+            ["k"], "ts", partition_by="bucket",
+        )
+        == 2
+    )
+    parts_v1 = MT.read_manifest(root)["parts"]
+    assert set(parts_v1) == {"0", "1"}
+    # change only k=1 (bucket 0): bucket 1's dir must be untouched
+    assert (
+        scd2_apply(
+            spark, root, b([(1, 0, "high", 20)]),
+            ["k"], "ts", partition_by="bucket",
+        )
+        == 1
+    )
+    parts_v2 = MT.read_manifest(root)["parts"]
+    assert parts_v2["1"] == parts_v1["1"]  # untouched partition carried
+    assert parts_v2["0"] != parts_v1["0"]  # touched partition re-pointed
+    hist = {
+        (r["k"], r["seg"], r["is_current"])
+        for r in MT.read_table(spark, root).collect()
+    }
+    assert hist == {(1, "low", False), (1, "high", True), (2, "mid", True)}
