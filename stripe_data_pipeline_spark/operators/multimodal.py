@@ -5,13 +5,14 @@ columns plus typed metadata; per-item decode/feature work happens in
 Arrow-batched Pandas iterators (``mapInPandas``) so the Python
 boundary is crossed per-batch, never per-row.
 
-All three modalities REALLY decode one uncompressed format each, in
-pure numpy with no media library: images (BMP 24/32-bit BI_RGB, PPM
-P6), audio (RIFF/WAVE PCM16), video (RIFF/AVI uncompressed DIB
-frames) — each held to a bit-exact position-weighted-checksum oracle
-at the driver (media_{bmp,wav,avi}_decode_check) and pytest-covered
-through the Spark plumbing with fake=False. Compressed formats
-(JPEG/PNG/H.264/MP3/...) need PIL/libvips/ffmpeg, absent in this
+All three modalities REALLY decode, with no media library: images
+(BMP 24/32-bit BI_RGB, PPM P6, and COMPRESSED PNG — stdlib zlib
+inflate + full None/Sub/Up/Average/Paeth scanline unfiltering), audio
+(RIFF/WAVE PCM16), video (RIFF/AVI uncompressed DIB frames) — each
+held to a bit-exact position-weighted-checksum oracle at the driver
+(media_{bmp,png,wav,avi}_decode_check) and pytest-covered through the
+Spark plumbing with fake=False. The remaining compressed codecs
+(JPEG/WebP/H.264/MP3/...) need PIL/libvips/ffmpeg, absent in this
 container, and raise a disclosed NotImplementedError; the
 ``fake=True`` deterministic pseudo-decoder keeps the plumbing
 exercised regardless of payload format.
@@ -136,6 +137,145 @@ def _decode_ppm(buf: bytes) -> tuple[np.ndarray, int, int]:
     return img.reshape(h, w, 3).astype(np.float32), w, h
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4, public): pick whichever of
+    left/up/up-left is closest to a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> PNG (8-bit truecolor, non-interlaced) using
+    stdlib zlib only. Each scanline is filtered with type (row mod 5),
+    deliberately cycling through None/Sub/Up/Average/Paeth so a
+    decoder round-trip exercises every unfilter path — the inverse of
+    _decode_png; plants real COMPRESSED payloads in tests/fixtures."""
+    import struct
+    import zlib
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, _ = a.shape
+    bpp = 3
+    recon = a.reshape(h, w * bpp).astype(np.int32)
+    lines = bytearray()
+    for y in range(h):
+        ft = y % 5
+        cur = recon[y]
+        prev = recon[y - 1] if y > 0 else np.zeros(w * bpp, np.int32)
+        out = np.empty(w * bpp, np.int32)
+        for i in range(w * bpp):
+            left = int(cur[i - bpp]) if i >= bpp else 0
+            up = int(prev[i])
+            ul = int(prev[i - bpp]) if i >= bpp else 0
+            x = int(cur[i])
+            if ft == 0:
+                out[i] = x
+            elif ft == 1:
+                out[i] = x - left
+            elif ft == 2:
+                out[i] = x - up
+            elif ft == 3:
+                out[i] = x - (left + up) // 2
+            else:
+                out[i] = x - _paeth(left, up, ul)
+        lines.append(ft)
+        lines.extend((out % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-STDLIB decode of PNG (8-bit truecolor RGB/RGBA,
+    non-interlaced): chunk-walk to IHDR/IDAT, zlib-inflate the
+    scanline stream, undo the five scanline filters (None/Sub/Up/
+    Average/Paeth — PNG spec §9, public). The first COMPRESSED codec
+    with a real decode path: needs only zlib from the stdlib, no
+    PIL/libvips. Filters Sub/Average/Paeth are sequential in the left
+    neighbor, so unfiltering is a per-byte scan — fine for the
+    fixture-sized images this engine decodes in-process; a production
+    pipeline would hand bulk PNG decode to libpng via a vectorized
+    worker, same Spark plumbing."""
+    import struct
+    import zlib
+
+    if buf[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, n = len(_PNG_SIG), len(buf)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (clen,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or color not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG decode covers 8-bit truecolor RGB/RGBA non-interlaced "
+            f"(got depth={depth}, color={color}, interlace={interlace}); "
+            "palette/16-bit/interlaced need a full libpng"
+        )
+    bpp = 3 if color == 2 else 4
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    recon = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft, cur = row[0], np.frombuffer(row[1:], np.uint8).astype(np.int32)
+        prev = recon[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            recon[y] = cur
+        elif ft == 2:
+            recon[y] = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            r = recon[y]
+            for i in range(stride):
+                left = int(r[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    r[i] = (int(cur[i]) + left) % 256
+                elif ft == 3:
+                    r[i] = (int(cur[i]) + (left + int(prev[i])) // 2) % 256
+                else:
+                    ul = int(prev[i - bpp]) if i >= bpp else 0
+                    r[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+    img = recon.astype(np.uint8).reshape(h, w, bpp)[..., :3]  # alpha dropped
+    return np.ascontiguousarray(img).astype(np.float32), w, h
+
+
 def encode_bmp(img: np.ndarray) -> bytes:
     """HxWx3 uint8 -> 24-bit bottom-up BI_RGB BMP (the inverse of
     _decode_bmp, used to plant real payloads in tests/fixtures)."""
@@ -173,9 +313,10 @@ def encode_ppm(img: np.ndarray) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, int]:
     """Decode an image payload -> (HxWx3 float32 array, width, height).
 
-    REAL for uncompressed BMP (24/32-bit BI_RGB) and binary PPM (P6) —
-    pure-numpy, no image library needed. Compressed formats (JPEG/PNG/
-    WebP) still need PIL/libvips, absent in this container, and raise
+    REAL for uncompressed BMP (24/32-bit BI_RGB), binary PPM (P6) and
+    — the first compressed format — PNG (8-bit truecolor, stdlib zlib
+    inflate + full scanline unfiltering, see _decode_png). JPEG/WebP
+    still need PIL/libvips, absent in this container, and raise
     NotImplementedError. The ``fake=True`` path derives a
     deterministic tiny image from the payload hash so plumbing tests
     don't depend on payload format at all.
@@ -192,9 +333,12 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, i
         return _decode_bmp(buf)
     if buf[:2] == b"P6":
         return _decode_ppm(buf)
+    if buf[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(buf)
     raise NotImplementedError(
-        "native decode covers uncompressed BMP and binary PPM; compressed "
-        "formats (JPEG/PNG/...) require PIL/libvips, absent in this container"
+        "native decode covers uncompressed BMP, binary PPM and PNG "
+        "(8-bit truecolor); JPEG/WebP require PIL/libvips, absent in "
+        "this container"
     )
 
 
