@@ -85,137 +85,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-4 rotation (VERDICT r03 #4): the 50-slot window leads with the
-# two r3-red oracle-cast fixes (dataset_split_counts,
-# corpus_mix_summary — values were bit-exact, only the DuckDB HUGEINT
-# output type broke the driver hash; both now CAST ... AS BIGINT), then
-# everything never driver-checked (the r3 tail demotions plus the two
-# queries r4 added), then everything r4's code changes touch
-# (jaccard_verify barrier), then r2-green flagship/north-star
-# representatives whose last driver verdict is two rounds old. The
-# window is zero-sum at 127 registered queries: the 29 demoted past the
-# cutoff are long-stable queries that each carry an r1 and/or r2 driver
-# verdict and stay under CI (tests/test_oracle_catalog.py full catalog
-# at sf0.001; tools/check_oracle.py re-verified 0/127 failures at
-# sf0.01 AND sf0.001 this round, new queries additionally at sf0.1).
-# tests/test_driver_contract.py enforces that nothing without any
-# driver verdict sits outside the window.
+# Round-5 rotation (VERDICT r04 #1/#2): every query now carries an
+# oracle — the 9 formerly rows-only queries were redesigned this round
+# (cross-engine md5-60-bit LSH hashes, SRP plane literals shared with
+# the oracle, closed-form media checksums, flag-pinned sketch bounds,
+# first-merge-oracled batched BPE), so the window leads with them plus
+# the one brand-new query (media_png_decode_check) and the queries
+# whose code paths the r5 manifest/scd/dedup changes touch, then
+# rotates the oldest-verdict rows (the r1+r2 demos) back in. Demoted
+# past the cutoff: the r4-green flagship/revenue/media-decode rows
+# (verdict one round old) and r3-green leftovers — all stay CI-covered
+# (tests/test_oracle_catalog.py full catalog at sf0.001;
+# tools/check_oracle.py re-verified 0/128 failures at sf0.01 this
+# round). tests/test_driver_contract.py enforces that nothing without
+# any driver verdict sits outside the window.
 _PRIORITY = [
-    # --- r3 driver-red, fixed in r4 (oracle output-type casts) ---
-    "dataset_split_counts",
-    "corpus_mix_summary",
-    # --- added in r4 (no driver verdict yet) ---
-    "atomic_merge_mart_check",
-    "media_bmp_decode_check",
-    "streaming_atomic_merge_mart_check",
-    "vocab_overlap_hll_check",
-    "media_wav_decode_check",
-    "heavy_hitter_tokens",
-    "media_resize_check",
+    # --- ROUND-5 WINDOW (first 50; the driver checks these) ---
+    # New this round (no driver verdict yet):
+    "media_png_decode_check",
+    # Output/semantics changed in r5 (rows-only -> oracled redesigns,
+    # md5-60-bit LSH base hash, new checksum columns, batched BPE):
     "bpe_merges_learned",
-    "zorder_key_check",
-    "incremental_agg_mart_check",
-    "scd2_customer_segments",
-    "atomic_mart_change_feed",
-    "media_avi_decode_check",
-    "stats_pruned_scan_check",
-    # --- never driver-checked (r3 tail demotions; judge-green) ---
-    "price_percentiles",
     "approx_distinct_parts",
-    "events_rolling_hour_count",
-    "grouped_stats",
-    "conditional_functions",
-    "orders_star_plus",
-    "salted_skew_join",
-    "events_hourly_windows",
-    "running_value_per_user",
-    "date_functions",
-    "pivot_qty_by_status",
-    "events_in_list",
-    "json_extraction",
-    "union_all_slices",
-    "custkey_set_ops",
-    "string_functions",
-    "cube_counts",
-    # --- touched by r4 code changes (jaccard_verify barrier) ---
-    "near_dup_jaccard_pairs",
-    "jaccard_verify_lsh",
-    # --- last driver verdict in r2: flagship revenue recognition ---
-    "revenue_trend_daily",
-    "deferred_total_asof",
-    "deferred_by_customer_asof",
-    "recognized_quarter_calendar",
-    "recognized_monthly_halfopen",
-    "active_periods_per_month_start",
-    "curated_line_items",
-    "calendar_dim",
-    "fx_literal_dim",
-    "missing_period_end_threshold",
-    # --- last driver verdict in r2: north-star / UDF / misc ---
-    "pandas_udf_normalize",
-    "dedup_exact_keepers",
-    "cosine_topk_bruteforce",
-    "ivf_topk",
-    "media_features",
-    # --- cutoff: window is the 50 entries above. Below: r3-green
-    # queries (driver verdict one round old), then the 17 demoted
-    # r1+r2-double-verified relational demos. ---
-    "sessionized_events",
-    "regional_revenue_q5ish",
-    "sql_api_segment_revenue",
-    "key_skew_report_events",
-    "domain_capped_docs",
-    "cross_doc_novelty",
-    "cross_doc_novelty_hashed",
-    "token_length_histogram",
-    "array_agg_sorted",
-    "embedding_near_dup_pairs",
-    "approx_percentile_prices",
-    "recognized_revenue_mart_check",
-    "ivf_topk_persisted",
-    "streaming_merge_mart_check",
-    "embedding_lsh_near_dups",
-    "dataset_split_assign",
-    "deterministic_sample_docs",
-    "per_group_sample_docs",
-    "doc_tfidf_top_terms",
-    "doc_chunks",
-    "packed_sequences",
-    "heldout_contamination",
-    "pii_scrub",
-    "embedding_quantize",
-    "doc_repetition_metrics",
-    "decontaminated_train_docs",
-    "lang_rebalanced_sample",
-    "quantized_topk",
-    "corpus_curation_funnel",
-    "streaming_dedup_mart_check",
-    "boilerplate_ngrams",
-    "heldout_contamination_hashed",
     "hll_mergeable_user_counts",
-    "incremental_doc_mart_check",
+    "media_features",
     "media_frame_samples",
-    "duplicate_span_stats",
-    "duplicate_span_stats_hashed",
-    "token_rarity_scores",
-    "semantic_dedup_keepers",
-    "training_sequences_mart_check",
-    "source_mix_plan",
-    "streaming_windowed_counts_mart_check",
-    "user_rfm_features",
-    "semantic_split_leakage",
-    "event_funnel_conversion",
-    "weekly_retention_cohorts",
-    "daily_value_anomalies",
-    "column_null_audit",
-]
-
-# r1+r2 double-verified relational demos (demoted tail):
-_PRIORITY += [
-    "dedup_clusters",
-    "label_centroids_applyinpandas",
     "minhash_lsh_candidates",
     "simhash_signatures",
+    "jaccard_verify_lsh",
+    "embedding_lsh_near_dups",
+    # Code paths touched by r5 changes (manifest OCC/txn/lock refactor,
+    # scd partition plumb, dedup module edits) - all oracle-green at
+    # sf0.01 this round, re-verified under the driver for safety:
+    "streaming_atomic_merge_mart_check",
+    "scd2_customer_segments",
+    "atomic_merge_mart_check",
+    "incremental_agg_mart_check",
+    "atomic_mart_change_feed",
+    "stats_pruned_scan_check",
+    "near_dup_jaccard_pairs",
+    "dedup_clusters",
+    # Oldest driver verdicts (r1+r2 double-verified demos, rotated
+    # back in; every r5 window slot freed by demoting r4-green rows):
+    "label_centroids_applyinpandas",
     "asof_join_events_orders",
     "orders_lineitem_join",
     "doc_text_stats",
@@ -241,6 +153,96 @@ _PRIORITY += [
     "doc_regex_tokens",
     "doc_first_last_token",
     "rollup_counts",
+    # r3-green representatives (verdict two rounds old):
+    "sessionized_events",
+    "regional_revenue_q5ish",
+    "sql_api_segment_revenue",
+    "key_skew_report_events",
+    "domain_capped_docs",
+    "cross_doc_novelty",
+    # --- cutoff: window is the 50 entries above. Below: r4-green
+    # queries (driver verdict one round old), then the rest in prior
+    # rotation order. tools/check_oracle.py re-verified 0/128 failures
+    # at sf0.01 this round, so demoted rows stay CI-covered
+    # (tests/test_oracle_catalog.py runs the full catalog at sf0.001).
+    "dataset_split_counts",
+    "corpus_mix_summary",
+    "media_bmp_decode_check",
+    "vocab_overlap_hll_check",
+    "media_wav_decode_check",
+    "heavy_hitter_tokens",
+    "media_resize_check",
+    "zorder_key_check",
+    "media_avi_decode_check",
+    "price_percentiles",
+    "events_rolling_hour_count",
+    "grouped_stats",
+    "conditional_functions",
+    "orders_star_plus",
+    "salted_skew_join",
+    "events_hourly_windows",
+    "running_value_per_user",
+    "date_functions",
+    "pivot_qty_by_status",
+    "events_in_list",
+    "json_extraction",
+    "union_all_slices",
+    "custkey_set_ops",
+    "string_functions",
+    "cube_counts",
+    "revenue_trend_daily",
+    "deferred_total_asof",
+    "deferred_by_customer_asof",
+    "recognized_quarter_calendar",
+    "recognized_monthly_halfopen",
+    "active_periods_per_month_start",
+    "curated_line_items",
+    "calendar_dim",
+    "fx_literal_dim",
+    "missing_period_end_threshold",
+    "pandas_udf_normalize",
+    "dedup_exact_keepers",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
+    "cross_doc_novelty_hashed",
+    "token_length_histogram",
+    "array_agg_sorted",
+    "embedding_near_dup_pairs",
+    "approx_percentile_prices",
+    "recognized_revenue_mart_check",
+    "ivf_topk_persisted",
+    "streaming_merge_mart_check",
+    "dataset_split_assign",
+    "deterministic_sample_docs",
+    "per_group_sample_docs",
+    "doc_tfidf_top_terms",
+    "doc_chunks",
+    "packed_sequences",
+    "heldout_contamination",
+    "pii_scrub",
+    "embedding_quantize",
+    "doc_repetition_metrics",
+    "decontaminated_train_docs",
+    "lang_rebalanced_sample",
+    "quantized_topk",
+    "corpus_curation_funnel",
+    "streaming_dedup_mart_check",
+    "boilerplate_ngrams",
+    "heldout_contamination_hashed",
+    "incremental_doc_mart_check",
+    "duplicate_span_stats",
+    "duplicate_span_stats_hashed",
+    "token_rarity_scores",
+    "semantic_dedup_keepers",
+    "training_sequences_mart_check",
+    "source_mix_plan",
+    "streaming_windowed_counts_mart_check",
+    "user_rfm_features",
+    "semantic_split_leakage",
+    "event_funnel_conversion",
+    "weekly_retention_cohorts",
+    "daily_value_anomalies",
+    "column_null_audit",
 ]
 
 

@@ -86,6 +86,25 @@ HEADLINE = [
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
 
+# sf1 linearity spot check (VERDICT r4 #7): five linear-shape headline
+# queries run ONCE against a deterministic 10x replication of sf0.1
+# (stripe_data_pipeline_spark/sf_scale.py) — the first empirical
+# datapoint that the plans scale ~linearly past the driver's largest
+# testdata. Quadratic-by-design operators (the blocked Jaccard
+# self-join) are excluded: their cost is supposed to grow with the
+# block size squared, which says nothing about plan health. Single-run
+# (not min-of-N): at 10x volume the compute dominates warmup noise,
+# and the block reports a RATIO against the same round's min-of-N
+# sf0.1 time, so the criterion is "ratio stays O(copies)", not an
+# absolute pin. Disable with SPARK_GRAFT_SF1_SPOT=0.
+SF1_SPOT = [
+    "revenue_trend_daily",
+    "regional_revenue_q5ish",
+    "pricing_summary",
+    "minhash_lsh_candidates",
+    "ivf_topk",
+]
+
 
 def load_baseline(path: str = BASELINE_PATH) -> dict | None:
     try:
@@ -145,6 +164,32 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         timings[name] = round(best, 3)
 
+    sf1_spot = None
+    if (
+        os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0"
+        and sf_dir.rstrip("/").endswith("sf0.1")
+    ):
+        try:
+            from stripe_data_pipeline_spark.sf_scale import ensure_scaled_dir
+
+            sf1_dir = ensure_scaled_dir(spark, base_dir=sf_dir)
+            spot: dict[str, dict] = {}
+            for name in SF1_SPOT:
+                t0 = time.time()
+                QUERIES[name].fn(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = round(time.time() - t0, 3)
+                spark.sparkContext._jvm.System.gc()
+                spot[name] = {
+                    "sec": sec,
+                    "ratio_vs_sf0.1": round(sec / max(timings[name], 1e-3), 1),
+                }
+            sf1_spot = {"copies": 10, "method": "single_run", "queries": spot}
+        except Exception as e:  # noqa: BLE001 — the spot check must never
+            # take down the driver's bench contract
+            sf1_spot = {"error": str(e)[:200]}
+
     total = round(sum(timings.values()), 3)
     # BENCH_r01's 47.36s baseline covered only the first 17 queries;
     # report that subset's subtotal so cross-round totals compare
@@ -170,6 +215,7 @@ def main() -> None:
                 "method": f"min_of_{runs_per_query}_runs",
                 "r1_subset_total_sec": r1_subset,
                 "n_queries": len(timings),
+                "sf1_spot": sf1_spot,
             }
         )
     )

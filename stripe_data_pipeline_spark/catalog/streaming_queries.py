@@ -343,15 +343,22 @@ def _materialized_streaming_atomic_mart(spark: SparkSession, sf_dir: str) -> Dat
     )
     staged = convert_nanos_ts(raw)
 
-    def merge(batch: DataFrame, _batch_id: int) -> None:
+    def merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        # txn_app/txn_version = the Delta txnAppId idiom: a crashed
+        # micro-batch re-delivered with the same epoch id is SKIPPED
+        # by the manifest's per-app version ledger — exactly-once on
+        # top of the checkpoint's at-least-once, without relying on
+        # key idempotency (tests/test_manifest_table.py replays one).
         MT.merge_upsert_atomic(
             batch.sparkSession,
             mart_path,
             batch.dropDuplicates(["event_id"]),
             keys=["event_id"],
             partition_by="event_type",
+            txn_app="streaming_atomic_mart",
+            txn_version=int(batch_id),
         )
 
     (

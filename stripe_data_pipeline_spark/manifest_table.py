@@ -425,6 +425,8 @@ def merge_upsert_atomic(
     _fault=None,
     concurrency: str = "fail",
     max_retries: int = 3,
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> None:
     """Crash-atomic S6 MERGE: same semantics as ``merge_upsert``
     (matched rows replaced, unmatched inserted, global key matching —
@@ -462,11 +464,29 @@ def merge_upsert_atomic(
     (shared with Delta/Iceberg): vacuum retention must cover the
     longest in-flight merge, or a concurrent vacuum could reap a base
     snapshot's dirs mid-plan.
+
+    ``txn_app``/``txn_version`` give EXACTLY-ONCE writes under
+    at-least-once re-delivery (the Delta txnAppId/txnVersion idiom):
+    the manifest records the highest committed version per app id, and
+    a merge whose ``txn_version`` is <= the recorded one is SKIPPED as
+    an already-applied replay — the natural fit for a Structured
+    Streaming ``foreachBatch(epoch_id)`` sink, where a crashed
+    micro-batch is re-delivered with the same epoch id. The check is
+    enforced inside the commit critical section, so it is race-free
+    under both concurrency modes.
     """
+    if (txn_app is None) != (txn_version is None):
+        raise ValueError("txn_app and txn_version must be passed together")
+    if txn_app is not None and _txn_already_applied(
+        read_manifest(root), txn_app, txn_version
+    ):
+        return  # cheap pre-check; the locked commit re-verifies
+    txn = None if txn_app is None else (txn_app, int(txn_version))
     if concurrency == "fail":
         with _writer_lock(root):
             _merge_upsert_atomic_locked(
-                spark, root, updates, keys, partition_by, stats_cols, _fault
+                spark, root, updates, keys, partition_by, stats_cols, _fault,
+                txn=txn,
             )
         return
     if concurrency != "occ":
@@ -482,13 +502,19 @@ def merge_upsert_atomic(
         try:
             with _writer_lock(root):
                 current = read_manifest(root)
+                if txn is not None and _txn_already_applied(current, *txn):
+                    # replay raced in meanwhile: discard the staging
+                    for rel in plan["staged"].values():
+                        shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                    return
                 base_v = -1 if base is None else int(base["version"])
                 cur_v = -1 if current is None else int(current["version"])
                 if cur_v == base_v or _can_rebase(
                     spark, root, base, current, plan, keys, partition_by
                 ):
                     _commit_plan(
-                        root, current, plan, partition_by, stats_cols, _fault
+                        root, current, plan, partition_by, stats_cols, _fault,
+                        txn=txn,
                     )
                     spark.catalog.refreshByPath(root)
                     return
@@ -505,6 +531,16 @@ def merge_upsert_atomic(
                 "giving up"
             )
         _time.sleep(min(0.05 * (2**attempt), 1.0))
+
+
+def _txn_already_applied(m: dict | None, app: str, version: int) -> bool:
+    """Has ``app`` already committed ``version`` (or later)? Versions
+    must be monotonically increasing per app — foreachBatch epoch ids
+    are."""
+    if m is None:
+        return False
+    rec = m.get("txns", {}).get(app)
+    return rec is not None and int(rec) >= int(version)
 
 
 def _read_at(
@@ -609,6 +645,7 @@ def _commit_plan(
     partition_by: str | None,
     stats_cols: list[str] | None,
     _fault=None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     """Turn a staged plan into one manifest commit on top of
     ``current`` (== the plan's base in the locked path; possibly a
@@ -624,6 +661,8 @@ def _commit_plan(
         if stats_cols:
             manifest["stats"] = plan.get("stats_fresh", {})
             manifest["file_stats"] = plan.get("fstats_fresh", {})
+        if txn is not None:
+            manifest["txns"] = {txn[0]: txn[1]}
         _commit(root, manifest, _fault)
         return
     # Untouched partitions keep their committed dirs; touched ones are
@@ -658,6 +697,11 @@ def _commit_plan(
         }
         fstats.update(plan.get("fstats_fresh", {}))
         manifest["file_stats"] = fstats
+    if current.get("txns") or txn is not None:
+        txns = dict(current.get("txns", {}))
+        if txn is not None:
+            txns[txn[0]] = txn[1]
+        manifest["txns"] = txns
     _commit(root, manifest, _fault)
     # Post-commit: superseded dirs are unreferenced garbage. Leave them
     # for vacuum() — deleting here would break a reader that resolved
@@ -716,12 +760,15 @@ def _merge_upsert_atomic_locked(
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
     _fault=None,
+    txn: tuple[str, int] | None = None,
 ) -> None:
     current = read_manifest(root)
+    if txn is not None and _txn_already_applied(current, *txn):
+        return  # exactly-once: this epoch already committed
     plan = _plan_merge(
         spark, root, current, updates, keys, partition_by, stats_cols, _fault
     )
-    _commit_plan(root, current, plan, partition_by, stats_cols, _fault)
+    _commit_plan(root, current, plan, partition_by, stats_cols, _fault, txn=txn)
     spark.catalog.refreshByPath(root)
 
 
@@ -833,6 +880,8 @@ def _compact_partition_locked(
         "parts": new_parts,
         "operation": {"type": "compact", "touched": [key]},
     }
+    if "txns" in m:
+        manifest["txns"] = m["txns"]  # exactly-once ledger carries over
     if "stats" in m:
         manifest["stats"] = m["stats"]  # row set unchanged -> stats carry over
     if "file_stats" in m:

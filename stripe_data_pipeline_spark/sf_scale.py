@@ -1,0 +1,81 @@
+"""Synthetic scale-up of the driver testdata for the bench's sf1 spot
+check (VERDICT r4 #7): the driver ships sf0.001/0.01/0.1 only, so the
+first empirical above-sf0.1 datapoint is produced here by DETERMINISTIC
+10x replication of sf0.1 — each copy shifts every entity key by a
+copy-sized offset so joins keep their fan-in (an order still matches
+exactly one customer, a lineitem one order), while dimension tables
+(region/nation) and value distributions stay identical. Document text
+gets a tiny per-copy prefix so content-hash/LSH work doesn't collapse
+onto 10 identical corpora.
+
+This measures SCALING SHAPE (is runtime ~linear in rows on the same
+plan?), not statistical realism — replicated data has the same key
+cardinality ratios but 10x the volume, which is exactly what a
+linearity spot-check needs. Output is cached under /tmp and reused
+across bench runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+_KEY_OFFSET = 1 << 33  # far above any sf0.1 key; 10 copies stay < 2^37
+
+# per-table entity-key columns that shift per copy (consistent across
+# tables, so referential joins land inside the same copy)
+_SHIFT_COLS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],
+    "nation": [],
+}
+
+
+def ensure_scaled_dir(
+    spark: SparkSession,
+    base_dir: str = "/root/testdata/sf0.1",
+    out_dir: str = "/tmp/spark_graft_sf1",
+    copies: int = 10,
+) -> str:
+    """Materialize the replicated directory once (marker-file cached);
+    returns its path. ~1 min of one-off write at 10x sf0.1."""
+    marker = os.path.join(out_dir, "_ALL_TABLES_OK")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    for table, shift_cols in _SHIFT_COLS.items():
+        src = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
+        if not shift_cols:  # dimensions replicate as a single copy
+            out = src
+        else:
+            copies_df = src.crossJoin(
+                spark.range(copies).select(F.col("id").alias("__copy"))
+            )
+            out = copies_df
+            for c in shift_cols:
+                out = out.withColumn(
+                    c, F.col(c) + F.col("__copy") * F.lit(_KEY_OFFSET)
+                )
+            if table == "documents":
+                # unique-ish text per copy so dedup/LSH stay meaningful
+                prefix = F.concat(F.lit("c"), F.col("__copy").cast("string"),
+                                  F.lit(" "))
+                out = out.withColumn("text", F.concat(prefix, F.col("text")))
+                out = out.withColumn(
+                    "n_chars", F.col("n_chars") + F.length(prefix)
+                )
+            out = out.drop("__copy")
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir

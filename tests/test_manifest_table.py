@@ -604,3 +604,69 @@ def test_occ_uncontended_behaves_like_locked(spark, tmp_path):
     )
     assert int(MT.read_manifest(root)["version"]) == 2
     assert _read_sorted(spark, root) == [(1, "d1", 2.0), (2, "d2", 2.0)]
+
+
+# --- exactly-once epochs (VERDICT r4 #8: txn_app/txn_version) ---
+
+
+def test_txn_replayed_epoch_is_skipped(spark, tmp_path):
+    root = str(tmp_path / "txn1")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(1, "d1", 1.0)]), keys=["id"],
+        partition_by="day", txn_app="stream", txn_version=0,
+    )
+    v1 = int(MT.read_manifest(root)["version"])
+    # a foreachBatch RETRY re-delivers epoch 0 — and even if the retry
+    # carries different rows (non-idempotent upstream), it must be
+    # skipped wholesale: the epoch already committed
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(99, "d9", 9.0)]), keys=["id"],
+        partition_by="day", txn_app="stream", txn_version=0,
+    )
+    assert int(MT.read_manifest(root)["version"]) == v1  # no new commit
+    assert _read_sorted(spark, root) == [(1, "d1", 1.0)]  # no duplicates
+    # the next epoch applies normally and the ledger advances
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(2, "d1", 2.0)]), keys=["id"],
+        partition_by="day", txn_app="stream", txn_version=1,
+    )
+    m = MT.read_manifest(root)
+    assert m["txns"] == {"stream": 1}
+    assert _read_sorted(spark, root) == [(1, "d1", 1.0), (2, "d1", 2.0)]
+    # a DIFFERENT app id is an independent ledger
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(3, "d2", 3.0)]), keys=["id"],
+        partition_by="day", txn_app="backfill", txn_version=0,
+    )
+    assert MT.read_manifest(root)["txns"] == {"stream": 1, "backfill": 0}
+
+
+def test_txn_ledger_survives_compaction_and_occ(spark, tmp_path):
+    root = str(tmp_path / "txn2")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(1, "d1", 1.0), (2, "d1", 2.0)]),
+        keys=["id"], partition_by="day", txn_app="stream", txn_version=5,
+    )
+    MT.compact_partition(spark, root, "d1", target_rows_per_file=10)
+    assert MT.read_manifest(root)["txns"] == {"stream": 5}  # carried
+    # replay after compaction still skips
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(8, "d8", 8.0)]), keys=["id"],
+        partition_by="day", txn_app="stream", txn_version=5,
+    )
+    assert _read_sorted(spark, root) == [(1, "d1", 1.0), (2, "d1", 2.0)]
+    # occ path honors and advances the ledger too
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(3, "d2", 3.0)]), keys=["id"],
+        partition_by="day", concurrency="occ",
+        txn_app="stream", txn_version=6,
+    )
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(99, "d9", 9.0)]), keys=["id"],
+        partition_by="day", concurrency="occ",
+        txn_app="stream", txn_version=6,
+    )
+    assert MT.read_manifest(root)["txns"] == {"stream": 6}
+    assert _read_sorted(spark, root) == [
+        (1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0),
+    ]
