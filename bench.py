@@ -82,6 +82,9 @@ HEADLINE = [
     "media_wav_decode_check",
     # Morton-interleave clustering key (pure codegen expression tree)
     "zorder_key_check",
+    # round-5 addition: the compressed-codec decode path (PNG encode ->
+    # zlib inflate + scanline unfiltering inside mapInPandas)
+    "media_png_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -43,10 +43,14 @@ maintenance job a streaming-merged 100 TB table needs), and additive
 schema evolution (a batch may add columns; older files read them NULL
 via the explicit manifest schema, no footer-merge pass).
 
-Single-writer by design — the reference runs one scheduled Airflow DAG
-(dags/stripe_dag.py); concurrent writers would need a lock or
-compare-and-swap rename, out of scope here. ``merge_upsert`` remains
-as the manifest-less fallback for plain-directory tables.
+Writer coordination: the reference runs one scheduled Airflow DAG, so
+single-writer is the default posture — an advisory lock makes a
+misconfigured second writer fail fast (``ConcurrentWriterError``).
+``concurrency="occ"`` upgrades merges to the optimistic Delta/Iceberg
+protocol (stage lock-free, validate+commit under the lock, rebase or
+replan on conflict), and ``txn_app``/``txn_version`` give exactly-once
+epoch skipping for streaming sinks. ``merge_upsert`` remains as the
+manifest-less fallback for plain-directory tables.
 
 The ``_fault`` hook names every crash boundary in the commit path so
 tests can kill the writer at each one and assert the old-or-new (never
@@ -937,10 +941,16 @@ def incremental_merge_run_atomic(
     keys: list[str],
     cursor_col: str,
     partition_by: str | None = None,
+    concurrency: str = "fail",
+    txn_app: str | None = None,
+    txn_version: int | None = None,
 ) -> int:
     """HWM -> filter -> crash-atomic merge; rows merged (0 == no-op).
     Merges record cursor stats, so every run after the first resolves
-    its high watermark from the manifest without touching data."""
+    its high watermark from the manifest without touching data.
+    ``concurrency``/``txn_app``/``txn_version`` pass through to
+    :func:`merge_upsert_atomic` (optimistic commits, exactly-once
+    epoch skipping)."""
     from stripe_data_pipeline_spark.incremental import incremental_filter
 
     hwm = resolve_high_watermark(spark, root, cursor_col)
@@ -948,7 +958,8 @@ def incremental_merge_run_atomic(
     n = batch.count()
     if n:
         merge_upsert_atomic(
-            spark, root, batch, keys, partition_by, stats_cols=[cursor_col]
+            spark, root, batch, keys, partition_by, stats_cols=[cursor_col],
+            concurrency=concurrency, txn_app=txn_app, txn_version=txn_version,
         )
     return n
 
