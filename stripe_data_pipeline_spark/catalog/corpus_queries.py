@@ -494,7 +494,7 @@ def _materialized_atomic_doc_mart(spark: SparkSession, sf_dir: str):
         MT.merge_upsert_atomic(spark, root, batch, keys=["doc_id"], partition_by="lang")
     # retain v1 so the change-feed query can diff v1 -> v2; the reaped
     # set is everything the crashed/superseded dirs beyond that window
-    MT.vacuum(root, retain_history=1)
+    MT.vacuum(root, retain_history=1, grace_sec=0)  # single-writer demo: immediate reap
     _ATOMIC_MART_CACHE[sf_dir] = root
     return MT.read_table(spark, root)
 

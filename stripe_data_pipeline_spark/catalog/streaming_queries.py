@@ -371,7 +371,7 @@ def _materialized_streaming_atomic_mart(spark: SparkSession, sf_dir: str) -> Dat
     m = MT.read_manifest(mart_path)
     for pv in list(m["parts"]):
         MT.compact_partition(spark, mart_path, pv, target_rows_per_file=1_000_000)
-    MT.vacuum(mart_path)
+    MT.vacuum(mart_path, grace_sec=0)  # single-writer demo: immediate reap
     _STREAM_MART_CACHE[cache_key] = root
     return MT.read_table(spark, mart_path)
 

@@ -776,7 +776,9 @@ def _merge_upsert_atomic_locked(
     spark.catalog.refreshByPath(root)
 
 
-def vacuum(root: str, retain_history: int = 0) -> list[str]:
+def vacuum(
+    root: str, retain_history: int = 0, grace_sec: float = 600.0
+) -> list[str]:
     """Remove parts/ dirs (and stale staging/tmp) not referenced by the
     committed MANIFEST — nor, with ``retain_history=K``, by the newest
     K historical snapshots (which stay time-travelable; older history
@@ -785,16 +787,36 @@ def vacuum(root: str, retain_history: int = 0) -> list[str]:
 
     Takes the writer lock (ADVICE r4, medium): vacuum deletes any
     parts/ dir and .staging-* the manifest doesn't reference, so run
-    concurrently with an in-flight merge in another process it could
-    delete that merge's staged or moved-but-uncommitted dirs — the
-    merge would then commit a MANIFEST pointing at deleted
-    directories. Under the lock, vacuum only ever sees quiescent
-    state."""
+    concurrently with an in-flight LOCKED merge it could delete that
+    merge's staged or moved-but-uncommitted dirs — the merge would
+    then commit a MANIFEST pointing at deleted directories. Under the
+    lock, vacuum only ever sees quiescent state for locked writers.
+
+    ``grace_sec`` additionally spares unreferenced dirs younger than
+    the window (mtime): an OPTIMISTIC writer stages OUTSIDE the lock
+    by design, so its fresh, not-yet-referenced dirs are exactly the
+    young ones — the same staged-file grace Delta's VACUUM applies.
+    Pass 0 only where no concurrent OCC writer can exist (tests,
+    single-writer maintenance)."""
     with _writer_lock(root):
-        return _vacuum_locked(root, retain_history)
+        return _vacuum_locked(root, retain_history, grace_sec)
 
 
-def _vacuum_locked(root: str, retain_history: int = 0) -> list[str]:
+def _vacuum_locked(
+    root: str, retain_history: int = 0, grace_sec: float = 0.0
+) -> list[str]:
+    import time as _time
+
+    now = _time.time()
+
+    def _young(path: str) -> bool:
+        if grace_sec <= 0:
+            return False
+        try:
+            return now - os.path.getmtime(path) < grace_sec
+        except OSError:
+            return False  # vanished or unreadable: not ours to spare
+
     m = read_manifest(root)
     referenced = set(m["parts"].values()) if m else set()
     removed: list[str] = []
@@ -816,12 +838,14 @@ def _vacuum_locked(root: str, retain_history: int = 0) -> list[str]:
     if os.path.isdir(parts_dir):
         for d in sorted(os.listdir(parts_dir)):
             rel = f"{_PARTS}/{d}"
-            if rel not in referenced:
+            if rel not in referenced and not _young(os.path.join(parts_dir, d)):
                 shutil.rmtree(os.path.join(parts_dir, d), ignore_errors=True)
                 removed.append(rel)
     for f in sorted(os.listdir(root)) if os.path.isdir(root) else []:
         if f.startswith(("MANIFEST.tmp-", ".staging-")):
             p = os.path.join(root, f)
+            if _young(p):
+                continue  # possibly an OCC writer staging right now
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else os.remove(p)
             removed.append(f)
     return removed
@@ -1119,6 +1143,7 @@ def maintain(
     target_rows_per_file: int = 1_000_000,
     max_files_per_partition: int = 4,
     retain_history: int = 3,
+    grace_sec: float = 600.0,
 ) -> dict:
     """The scheduled maintenance pass a continuously-merged table
     needs: compact partitions whose file count exceeds the threshold
@@ -1146,5 +1171,5 @@ def maintain(
                     spark, root, None, target_rows_per_file, _key=key
                 )
                 compacted.append(key)
-        removed = _vacuum_locked(root, retain_history=retain_history)
+        removed = _vacuum_locked(root, retain_history, grace_sec)
         return {"compacted": compacted, "vacuumed": removed}

@@ -77,7 +77,7 @@ def test_kill_before_commit_reader_sees_complete_old(spark, seeded, point, skip)
     # recovery is just rerunning the merge (idempotent), orphans vacuum away
     MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
     assert _read_sorted(spark, seeded) == NEW
-    removed = MT.vacuum(seeded)
+    removed = MT.vacuum(seeded, grace_sec=0)
     assert removed  # the crashed attempt left unreferenced dirs
     assert _read_sorted(spark, seeded) == NEW  # vacuum never touches referenced data
 
@@ -164,7 +164,7 @@ def test_manifest_versions_monotone(spark, seeded):
 def test_vacuum_reaps_superseded_versions(spark, seeded):
     before = MT.read_manifest(seeded)["parts"]
     MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
-    removed = MT.vacuum(seeded)
+    removed = MT.vacuum(seeded, grace_sec=0)
     # day=b was rewritten: its old dir is superseded and reaped;
     # day=a was untouched: its dir survives verbatim
     assert before["b"] in removed
@@ -187,13 +187,13 @@ def test_time_travel_reads_old_snapshot(spark, seeded):
 def test_vacuum_retention_window(spark, seeded):
     MT.merge_upsert_atomic(spark, seeded, _rows(spark, UPD), ["id"], "day")
     # retain the previous snapshot: time travel to v1 must survive vacuum
-    MT.vacuum(seeded, retain_history=1)
+    MT.vacuum(seeded, retain_history=1, grace_sec=0)
     assert [
         (r["id"], r["day"], r["v"])
         for r in MT.read_table(spark, seeded, version=1).orderBy("id", "day").collect()
     ] == OLD
     # default vacuum drops history beyond the current version
-    removed = MT.vacuum(seeded)
+    removed = MT.vacuum(seeded, grace_sec=0)
     assert any(r.startswith("history/") for r in removed)
     with pytest.raises(Exception):
         MT.read_table(spark, seeded, version=1).collect()
@@ -291,7 +291,7 @@ def test_random_op_sequences_match_dict_model(spark, tmp_path_factory, ops):
                 val = None if pv == "__HIVE_DEFAULT_PARTITION__" else pv
                 MT.compact_partition(spark, root, val, 1000)
         elif op[0] == "vacuum":
-            MT.vacuum(root)
+            MT.vacuum(root, grace_sec=0)
         # invariant after EVERY op: table == model
         if model or MT.read_manifest(root):
             got = sorted(
@@ -567,7 +567,7 @@ def test_occ_same_partition_conflict_retries_cleanly(spark, tmp_path):
     # the discarded first staging left no dirs behind beyond vacuum's
     # normal superseded set: every parts/ dir not referenced is from
     # committed-then-superseded versions, and vacuum reaps them all
-    MT.vacuum(root)
+    MT.vacuum(root, grace_sec=0)
     referenced = set(MT.read_manifest(root)["parts"].values())
     on_disk = {f"parts/{d}" for d in os.listdir(os.path.join(root, "parts"))}
     assert on_disk == referenced
@@ -670,3 +670,24 @@ def test_txn_ledger_survives_compaction_and_occ(spark, tmp_path):
     assert _read_sorted(spark, root) == [
         (1, "d1", 1.0), (2, "d1", 2.0), (3, "d2", 3.0),
     ]
+
+
+def test_vacuum_grace_spares_young_unreferenced_dirs(spark, tmp_path):
+    """An OCC writer stages OUTSIDE the lock, so vacuum must not reap
+    young unreferenced dirs (they may be an in-flight staging); with
+    the grace window they survive, with grace 0 they are reaped."""
+    root = str(tmp_path / "grace")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(1, "d1", 1.0)]), keys=["id"],
+        partition_by="day",
+    )
+    # plant a fresh unreferenced dir (what a staging OCC merge looks like)
+    fake = os.path.join(root, "parts", "d9-deadbeef")
+    os.makedirs(fake)
+    removed = MT.vacuum(root)  # default grace: spared
+    assert "parts/d9-deadbeef" not in removed and os.path.isdir(fake)
+    # age it past the window -> reaped
+    old = __import__("time").time() - 7200
+    os.utime(fake, (old, old))
+    removed = MT.vacuum(root)
+    assert "parts/d9-deadbeef" in removed and not os.path.isdir(fake)
