@@ -96,13 +96,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # past the cutoff: the r4-green flagship/revenue/media-decode rows
 # (verdict one round old) and r3-green leftovers — all stay CI-covered
 # (tests/test_oracle_catalog.py full catalog at sf0.001;
-# tools/check_oracle.py re-verified 0/128 failures at sf0.01 this
+# tools/check_oracle.py re-verified 0/129 failures at sf0.01 this
 # round). tests/test_driver_contract.py enforces that nothing without
 # any driver verdict sits outside the window.
 _PRIORITY = [
     # --- ROUND-5 WINDOW (first 50; the driver checks these) ---
     # New this round (no driver verdict yet):
     "media_png_decode_check",
+    "bloom_blocklist_filter",
     # Output/semantics changed in r5 (rows-only -> oracled redesigns,
     # md5-60-bit LSH base hash, new checksum columns, batched BPE):
     "bpe_merges_learned",
@@ -159,12 +160,12 @@ _PRIORITY = [
     "sql_api_segment_revenue",
     "key_skew_report_events",
     "domain_capped_docs",
-    "cross_doc_novelty",
     # --- cutoff: window is the 50 entries above. Below: r4-green
     # queries (driver verdict one round old), then the rest in prior
-    # rotation order. tools/check_oracle.py re-verified 0/128 failures
+    # rotation order. tools/check_oracle.py re-verified 0/129 failures
     # at sf0.01 this round, so demoted rows stay CI-covered
     # (tests/test_oracle_catalog.py runs the full catalog at sf0.001).
+    "cross_doc_novelty",
     "dataset_split_counts",
     "corpus_mix_summary",
     "media_bmp_decode_check",

@@ -178,17 +178,22 @@ def main() -> None:
             sf1_dir = ensure_scaled_dir(spark, base_dir=sf_dir)
             spot: dict[str, dict] = {}
             for name in SF1_SPOT:
-                t0 = time.time()
-                QUERIES[name].fn(spark, sf1_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                sec = round(time.time() - t0, 3)
-                spark.sparkContext._jvm.System.gc()
+                best = float("inf")
+                for _ in range(2):  # min-of-2: one warm pass absorbs the
+                    # 10x-scan codegen/readahead cold start without
+                    # paying full min-of-N at this volume
+                    t0 = time.time()
+                    QUERIES[name].fn(spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.time() - t0)
+                    spark.sparkContext._jvm.System.gc()
+                sec = round(best, 3)
                 spot[name] = {
                     "sec": sec,
                     "ratio_vs_sf0.1": round(sec / max(timings[name], 1e-3), 1),
                 }
-            sf1_spot = {"copies": 10, "method": "single_run", "queries": spot}
+            sf1_spot = {"copies": 10, "method": "min_of_2", "queries": spot}
         except Exception as e:  # noqa: BLE001 — the spot check must never
             # take down the driver's bench contract
             sf1_spot = {"error": str(e)[:200]}

@@ -879,3 +879,40 @@ def q_atomic_mart_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "bloom_blocklist_filter",
+    oracle=r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+               AS fingerprint
+    FROM documents
+),
+bl AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 = 0)
+SELECT f.doc_id, f.fingerprint
+FROM fp f ANTI JOIN bl USING (fingerprint)
+""",
+    doc="Bloom-filter blocklist anti-join (operators/bloom.py): drop "
+    "every doc whose content fingerprint appears in a blocklist (here "
+    "the fingerprints of the doc_id%10==0 slice — note duplicates of "
+    "a blocked CONTENT drop too, since the key is the fingerprint). "
+    "The sketch changes only the physical shape — a compact bit array "
+    "built over the blocklist broadcasts into the scan as a literal "
+    "long-array and definite non-members (the overwhelming majority) "
+    "never shuffle; only might-contain candidates pay the exact "
+    "anti-join refine. False positives are removed by the refine, "
+    "false negatives cannot exist, so the result is EXACTLY the "
+    "anti-join and the oracle is plain set SQL.",
+)
+def q_bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.bloom import (
+        bloom_blocklist_anti_join,
+    )
+    from stripe_data_pipeline_spark.operators.dedup import normalized_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(normalized_text()).alias("fingerprint"))
+    bl = fp.filter(F.col("doc_id") % 10 == 0).select("fingerprint")
+    return bloom_blocklist_anti_join(fp, bl, "fingerprint", fpp=0.01)

@@ -1,0 +1,108 @@
+"""Bloom-filter blocklist anti-join — sketch-accelerated join pruning.
+
+The 100 TB decontamination/blocklist problem: drop every corpus row
+whose key appears in a blocklist (contaminated content hashes, opted-
+out domains, known-bad fingerprints). The naive plan is a corpus-wide
+anti-join — one full shuffle of the corpus on the key. But blocklists
+are orders of magnitude smaller than corpora, so the classic fix
+(same idea Spark's own runtime row-group filtering and Parquet bloom
+filters use; Bloom 1970, public) is:
+
+1. build a COMPACT bit array over the blocklist keys driver-side
+   (m ≈ 1.44 * n * log2(1/fpp) bits — ~1.2 MB per million keys at 1%
+   fpp; the blocklist is collected, which is bounded and documented:
+   this operator is for blocklist ≪ corpus),
+2. broadcast it into the scan as a LITERAL array of longs and test
+   k hash positions per row with pure codegen arithmetic — rows that
+   cannot be in the blocklist (the overwhelming majority) never
+   shuffle anywhere,
+3. exact-refine ONLY the might-contain candidates (true hits + fpp
+   false positives) with a real anti-join against the blocklist.
+
+The result is EXACTLY the anti-join (false positives are removed by
+the refine, false negatives don't exist), so the catalog query is
+fully DuckDB-oracled; the sketch only changes the physical shape:
+corpus-shuffle-free, candidate-join bounded by |hits| + fpp*|corpus|.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k_hashes) for the target false-positive rate."""
+    n = max(1, n_items)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+WORD_BITS = 62  # bits per word: words stay in [0, 2^62), so every
+# modulus/test value (up to 2^62) is an exact positive BIGINT literal —
+# no shift builtins (whose PySpark wrappers take only Python-int
+# distances) and no signed-bit-63 edge cases.
+
+
+def build_bitmap(positions: list[list[int]], m_bits: int) -> list[int]:
+    """Pack bit positions into 62-bit words (always non-negative)."""
+    words = [0] * ((m_bits + WORD_BITS - 1) // WORD_BITS)
+    for pos_list in positions:
+        for p in pos_list:
+            words[p // WORD_BITS] |= 1 << (p % WORD_BITS)
+    return words
+
+
+def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions via independent xxhash64 seeds — JVM codegen."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def might_contain(col: Column, bitmap: list[int], m_bits: int, k: int) -> Column:
+    """True iff ALL k bits for ``col`` are set — pure expression tree
+    over a literal long-array (a few KB..MB broadcast inside the plan;
+    no UDF, no join, no shuffle). Bit b of a word is tested with exact
+    integer arithmetic: pmod(word, 2^(b+1)) >= 2^b."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in bitmap])
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(WORD_BITS + 1)])
+    cond = None
+    for p in _positions(col, m_bits, k):
+        word = F.get(arr, F.floor(p / F.lit(float(WORD_BITS))).cast("int"))
+        bitpos = F.pmod(p, F.lit(WORD_BITS)).cast("int")
+        c = F.pmod(word, F.get(pow2, bitpos + 1)) >= F.get(pow2, bitpos)
+        cond = c if cond is None else cond & c
+    return cond
+
+
+def bloom_blocklist_anti_join(
+    df: DataFrame,
+    blocklist: DataFrame,
+    key: str,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Rows of ``df`` whose ``key`` is NOT in ``blocklist[key]`` —
+    exactly ``df.join(blocklist, key, "left_anti")``, computed the
+    blocklist-shaped way: bloom prefilter in the scan, exact anti-join
+    refine for candidates only.
+
+    Driver-side collect is the BLOCKLIST (bounded by assumption and by
+    the bitmap math above), never the corpus. The union's first branch
+    (definite non-members) flows straight from the scan with zero
+    shuffle; only might-contain candidates pay the join.
+    """
+    bl = blocklist.select(key).distinct()
+    m, k = bloom_params(bl.count(), fpp)
+    pos_rows = bl.select(
+        *[p.alias(f"p{i}") for i, p in enumerate(_positions(F.col(key), m, k))]
+    ).collect()
+    bitmap = build_bitmap([[r[f"p{i}"] for i in range(k)] for r in pos_rows], m)
+    mc = might_contain(F.col(key), bitmap, m, k)
+    definite_out = df.filter(~mc)
+    candidates = df.filter(mc)
+    refined = candidates.join(F.broadcast(bl), key, "left_anti")
+    return definite_out.unionByName(refined)

@@ -664,3 +664,45 @@ def test_png_round_trip_all_filters_and_rgba():
     )
     with pytest.raises(NotImplementedError):
         M.decode_image(bad, fake=False)
+
+
+def test_bloom_blocklist_anti_join_is_exact(spark):
+    """The bloom prefilter + exact refine must equal the plain
+    anti-join even when false positives are FORCED (fpp=0.5 makes the
+    bitmap tiny, so many non-members collide into might-contain and
+    must be rescued by the refine)."""
+    from stripe_data_pipeline_spark.operators.bloom import (
+        bloom_blocklist_anti_join,
+        bloom_params,
+        might_contain,
+        build_bitmap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 37}") for i in range(300)], "id long, key string"
+    )
+    bl = spark.createDataFrame([(f"k{i}",) for i in (0, 5, 11)], "key string")
+    want = sorted(
+        (r["id"], r["key"])
+        for r in df.join(bl, "key", "left_anti").collect()
+    )
+    for fpp in (0.01, 0.5):
+        got = sorted(
+            (r["id"], r["key"])
+            for r in bloom_blocklist_anti_join(df, bl, "key", fpp=fpp).collect()
+        )
+        assert got == want, fpp
+    # no false negatives by construction: every blocklist member is
+    # might-contain under its own bitmap
+    m, k = bloom_params(3, 0.01)
+    from pyspark.sql import functions as F2
+
+    pos = bl.select(
+        *[
+            F2.pmod(F2.xxhash64("key", F2.lit(i)), F2.lit(m)).alias(f"p{i}")
+            for i in range(k)
+        ]
+    ).collect()
+    bitmap = build_bitmap([[r[f"p{i}"] for i in range(k)] for r in pos], m)
+    hits = bl.filter(might_contain(F2.col("key"), bitmap, m, k)).count()
+    assert hits == 3
