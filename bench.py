@@ -82,9 +82,11 @@ HEADLINE = [
     "media_wav_decode_check",
     # Morton-interleave clustering key (pure codegen expression tree)
     "zorder_key_check",
-    # round-5 addition: the compressed-codec decode path (PNG encode ->
-    # zlib inflate + scanline unfiltering inside mapInPandas)
+    # round-5 additions: the compressed-codec decode path (PNG encode ->
+    # zlib inflate + scanline unfiltering inside mapInPandas) and the
+    # bloom-prefiltered blocklist anti-join (corpus-shuffle-free)
     "media_png_decode_check",
+    "bloom_blocklist_filter",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -691,3 +691,42 @@ def test_vacuum_grace_spares_young_unreferenced_dirs(spark, tmp_path):
     os.utime(fake, (old, old))
     removed = MT.vacuum(root)
     assert "parts/d9-deadbeef" in removed and not os.path.isdir(fake)
+
+
+def test_occ_threaded_writers_serialize(spark, tmp_path):
+    """REAL concurrency: 4 threads race OCC merges into the same table
+    (disjoint partitions, so every loser of a commit race can rebase
+    or replan). All must land; the final state equals the serial
+    union; versions advance one per commit."""
+    import threading
+
+    root = str(tmp_path / "occ_threads")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(0, "seed", 0.0)]),
+        keys=["id"], partition_by="day",
+    )
+    errs: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            MT.merge_upsert_atomic(
+                spark, root,
+                _rows(spark, [(100 + i, f"d{i}", float(i))]),
+                keys=["id"], partition_by="day",
+                concurrency="occ", max_retries=10,
+            )
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    m = MT.read_manifest(root)
+    assert int(m["version"]) == 5  # seed + 4 serialized commits
+    assert _read_sorted(spark, root) == [
+        (0, "seed", 0.0),
+        (100, "d0", 0.0), (101, "d1", 1.0), (102, "d2", 2.0), (103, "d3", 3.0),
+    ]
