@@ -229,3 +229,19 @@ def test_spread_skips_exchange_on_already_parallel_input(spark, sf_dir):
 
     wide = docs.repartition(64)
     assert _spread(wide) is wide  # no second exchange added
+
+
+def test_bloom_blocklist_stays_jvm_and_broadcasts_refine(spark, sf_dir):
+    """The bloom prefilter is pure codegen arithmetic in a scan-side
+    Filter (no UDF, no shuffle for the definite-non-member branch);
+    the exact refine joins only candidates against the BROADCAST
+    blocklist — the corpus never shuffles."""
+    p = plan(spark, sf_dir, "bloom_blocklist_filter")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # candidate refine vs tiny blocklist
+    assert "SortMergeJoin" not in p
+    # exactly ONE hash exchange: the blocklist's distinct (blocklist-
+    # sized by assumption). The corpus branch itself never shuffles —
+    # definite non-members flow filter-only from the scan.
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(fingerprint" in p
