@@ -108,6 +108,9 @@ SF1_SPOT = [
     "pricing_summary",
     "minhash_lsh_candidates",
     "ivf_topk",
+    # the pigeonhole heavy-hitter pattern: its whole point is the
+    # shuffle volume staying vocabulary-capped as the corpus grows
+    "heavy_hitter_tokens",
 ]
 
 

@@ -95,6 +95,13 @@ def bloom_blocklist_anti_join(
     (definite non-members) flows straight from the scan with zero
     shuffle; only might-contain candidates pay the join.
     """
+    # Three consumers read the deduped blocklist (count, position
+    # collect, refine join). Recomputing it per consumer is the right
+    # call when the blocklist derives from a cheap scan (measured: an
+    # eager localCheckpoint here was ~1.5x SLOWER end-to-end at sf0.1 —
+    # the materialization pass costs more than two recomputes); at
+    # corpus scale hand this function a blocklist that is already a
+    # small persisted table and the question disappears.
     bl = blocklist.select(key).distinct()
     m, k = bloom_params(bl.count(), fpp)
     pos_rows = bl.select(
