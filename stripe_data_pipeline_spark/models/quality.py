@@ -101,9 +101,12 @@ def run_quality_suite(
     invoices: DataFrame,
     fx: DataFrame,
     calendar: DataFrame,
+    now=None,
 ) -> dict[str, int]:
-    """Evaluate every check; returns violation counts (0 == pass)."""
-    return {
+    """Evaluate every check; returns violation counts (0 == pass).
+    ``now`` (optional) additionally runs the _loaded_at freshness
+    check on the line-items mart."""
+    out = {
         "missing_period_end": check_missing_period_end(line_items).count(),
         "negative_amounts": check_negative_amounts(line_items).count(),
         "orphaned_line_items": check_orphaned_line_items(line_items, invoices).count(),
@@ -112,3 +115,34 @@ def run_quality_suite(
         "invoice_pk": check_unique_not_null(invoices, "invoice_id").count(),
         "line_item_pk": check_unique_not_null(line_items, "line_item_id").count(),
     }
+    if now is not None:
+        out["freshness"] = check_freshness(line_items, now).count()
+    return out
+
+
+def check_freshness(
+    df: DataFrame,
+    now,
+    max_age_hours: float = 26.0,
+    loaded_at_col: str = "_loaded_at",
+) -> DataFrame:
+    """Freshness monitoring on the audit column — the reference
+    DECLARES this but never builds it (README.md:155-157: '_loaded_at
+    ... can be used to monitor data freshness'). A daily-cron pipeline
+    ('30 1 * * *') is stale when its newest _loaded_at is older than
+    one cadence plus slack (26h default). ``now`` is an explicit
+    parameter like every other clock in this engine (SURVEY.md §7
+    determinism). Returns one violation row (newest_loaded_at,
+    age_hours) when stale or the table is empty — an empty-but-
+    expected table is itself a freshness failure."""
+    agg = df.agg(F.max(loaded_at_col).alias("newest_loaded_at")).select(
+        "newest_loaded_at",
+        (
+            (F.lit(now).cast("timestamp").cast("double")
+             - F.col("newest_loaded_at").cast("double")) / 3600.0
+        ).alias("age_hours"),
+    )
+    return agg.filter(
+        F.col("newest_loaded_at").isNull()
+        | (F.col("age_hours") > max_age_hours)
+    )

@@ -98,3 +98,23 @@ def test_week_of_year_is_bigquery_sunday_anchored(spark):
     assert got[dt.date(2023, 1, 1)] == 1  # Jan 1 IS a Sunday -> week 1
     assert got[dt.date(2023, 12, 31)] == 53  # Sunday, 53rd of 2023
     assert got[dt.date(2022, 12, 31)] == 52
+
+
+def test_freshness_check(spark):
+    """README.md:155-157 declares _loaded_at freshness monitoring but
+    never builds it; ours flags a mart older than the daily cadence
+    plus slack, and treats an EMPTY mart as stale too."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 6, 1, 1, 30))], "id long, _loaded_at timestamp"
+    )
+    fresh_now = dt.datetime(2024, 6, 1, 12, 0)
+    stale_now = dt.datetime(2024, 6, 3, 12, 0)
+    assert Q.check_freshness(df, fresh_now).count() == 0
+    stale = Q.check_freshness(df, stale_now).collect()
+    assert len(stale) == 1 and stale[0]["age_hours"] > 26
+    empty = df.filter(F.lit(False))
+    assert Q.check_freshness(empty, fresh_now).count() == 1  # empty == stale
