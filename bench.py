@@ -87,6 +87,9 @@ HEADLINE = [
     # bloom-prefiltered blocklist anti-join (corpus-shuffle-free)
     "media_png_decode_check",
     "bloom_blocklist_filter",
+    # batched ANN: many queries, one distributed plan, no per-query
+    # driver round trips
+    "batch_ivf_topk",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

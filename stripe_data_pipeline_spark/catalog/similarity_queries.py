@@ -487,3 +487,79 @@ def q_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab.unionByName(ba)
+
+
+_BATCH_QIDS = 8  # queries = vec_id < 8 (one per label-ish; small batch)
+
+_BATCH_IVF_ORACLE = f"""
+WITH exploded AS (
+    SELECT label, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+cents AS (
+    SELECT label, pos,
+           (CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM exploded GROUP BY label, pos
+),
+q AS (
+    SELECT vec_id AS query_id, g.i - 1 AS pos,
+           CAST(embedding[g.i] AS DOUBLE) AS qval
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    WHERE vec_id < {_BATCH_QIDS}
+),
+scored AS (
+    SELECT q.query_id, c.label,
+           CAST(SUM(CAST(FLOOR(c.c * q.qval * 1e12 + 5e-1) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS dot_cq,
+           CAST(SUM(CAST(FLOOR(c.c * c.c * 1e12 + 5e-1) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS sq_c
+    FROM cents c JOIN q USING (pos)
+    GROUP BY q.query_id, c.label
+),
+probed AS (
+    SELECT query_id, label FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY dot_cq / sqrt(sq_c) DESC, label
+        ) AS rn FROM scored
+    ) WHERE rn <= 2
+),
+qq AS (
+    SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+    WHERE vec_id < {_BATCH_QIDS}
+),
+pairs AS (
+    SELECT p.query_id, e.vec_id,
+           {_dot_sql('e.embedding', 'qq.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('qq.qv', 'qq.qv')})) AS cosine_sim
+    FROM probed p
+    JOIN embeddings e ON e.label = p.label
+    JOIN qq ON qq.query_id = p.query_id
+    WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+    ) AS rn FROM pairs
+) WHERE rn <= 10
+"""
+
+
+@register(
+    "batch_ivf_topk",
+    oracle=_BATCH_IVF_ORACLE,
+    doc="BATCHED IVF ANN — the production retrieval shape: 8 query "
+    "vectors answered in ONE distributed plan with zero per-query "
+    "driver round trips (probe selection is a window over per-(query,"
+    "label) fixed-point centroid scores; candidates are the probe set "
+    "equi-joined to the corpus on label, each query touching "
+    "~nprobe/K of the data; exact cosine + per-query row_number "
+    "top-k). Same fixed-point determinism as ivf_topk, so the whole "
+    "multi-query pipeline bit-matches the oracle.",
+)
+def q_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _BATCH_QIDS)
+    return S.batch_ivf_topk(emb, queries, k=10, nprobe=2)

@@ -338,6 +338,98 @@ def ivf_topk(
     return cosine_topk(df.filter(F.col("label").isin(labels)), vec, k, exclude_id)
 
 
+def batch_ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN for a BATCH of query vectors in one distributed plan —
+    the production retrieval shape (embedding dedup, semantic search,
+    hard-negative mining all answer thousands of queries per pass),
+    with NO per-query driver round trip: where the single-query path
+    collects nprobe labels driver-side, here probe selection is a
+    row_number window over (query, label) centroid scores.
+
+    Stages (all equi-joins, no cartesian surface):
+    1. centroid scores per (query_id, label): posexplode the query
+       vectors, equi-join centroids on pos, fixed-point sums — the
+       exact arithmetic of :func:`_probe_labels`, vectorized over
+       queries;
+    2. probe set = top-``nprobe`` labels per query (window);
+    3. candidates = probe set equi-joined to the corpus on label —
+       each query scans ~nprobe/K of the corpus, and with the corpus
+       bucketed by label this is co-located;
+    4. exact cosine per (query, candidate), row_number <= k.
+
+    Output: (query_id, vec_id, cosine_sim), self-pairs excluded.
+    """
+    from pyspark.sql import Window
+
+    cents = centroids(df)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "qval"),
+    )
+    scored = (
+        q.join(cents, "pos")
+        .groupBy("query_id", "label")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("c") * F.col("qval") * F.lit(PROD_SCALE) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(PROD_SCALE)
+            ).alias("dot_cq"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("c") * F.col("c") * F.lit(PROD_SCALE) + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(PROD_SCALE)
+            ).alias("sq_c"),
+        )
+        .withColumn("centroid_score", F.col("dot_cq") / F.sqrt(F.col("sq_c")))
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.desc("centroid_score"), F.asc("label")
+    )
+    probed = (
+        scored.withColumn("__rn", F.row_number().over(wprobe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "label")
+    )
+    qemb = _as_double(F.col("embedding"))
+    qvecs = queries.select(
+        F.col("vec_id").alias("query_id"),
+        qemb.alias("qe"),
+        _norm(qemb).alias("qn"),
+    )
+    cemb = _as_double(F.col("embedding"))
+    corpus = df.select(
+        "vec_id", "label", cemb.alias("e"), _norm(cemb).alias("nrm")
+    )
+    # query side is small by assumption (a batch); broadcast it onto
+    # the label-partitioned corpus scan
+    cand = corpus.join(F.broadcast(probed.join(qvecs, "query_id")), "label")
+    pairs = cand.filter(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("e"), F.col("qe")) / (F.col("nrm") * F.col("qn"))).alias(
+            "cosine_sim"
+        ),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "cosine_sim")
+    )
+
+
 def _probe_labels(cents: DataFrame, vec: list[float], nprobe: int) -> list:
     """Rank centroids by cosine against the query; return the top
     ``nprobe`` labels (tiny driver-side list — K rows in, nprobe out)."""

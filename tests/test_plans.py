@@ -245,3 +245,14 @@ def test_bloom_blocklist_stays_jvm_and_broadcasts_refine(spark, sf_dir):
     # definite non-members flow filter-only from the scan.
     assert p.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(fingerprint" in p
+
+
+def test_batch_ivf_has_no_cartesian_and_broadcasts_queries(spark, sf_dir):
+    """Batched ANN stays equi-join shaped: probe selection and the
+    candidate stage are hash joins (query side broadcast), never a
+    nested-loop/cartesian product over the corpus."""
+    p = plan(spark, sf_dir, "batch_ivf_topk")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
