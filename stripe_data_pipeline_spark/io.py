@@ -189,3 +189,49 @@ def compact_table(
         raise
     shutil.rmtree(old)
     return n_files
+
+
+def read_json_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Schema-drift quarantine for NDJSON ingestion (SURVEY.md §7 risk
+    list: 'Stripe documents are wide ... JSON schema drift'): read
+    PERMISSIVE against the explicit schema, capturing every line that
+    fails to parse (malformed JSON, impossible types) instead of
+    silently nulling or failing the run. Returns
+    ``(good_df, quarantine_df)`` — good rows carry the declared
+    schema; quarantine rows carry the raw offending line plus its
+    source file for triage/replay.
+
+    The parsed relation is cached before splitting: Spark refuses a
+    query that references ONLY the internal corrupt-record column of
+    an unmaterialized JSON scan, and at scale you want one pass
+    feeding both sinks anyway — land good + quarantine from the same
+    materialization, then unpersist.
+    """
+    from pyspark.sql import functions as F
+
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        # input_file_name() must bind BEFORE the cache: a cached
+        # relation has no file-scan context and returns ''
+        .withColumn("__source_file", F.input_file_name())
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(
+        corrupt_col, "__source_file"
+    )
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record"),
+        F.col("__source_file").alias("source_file"),
+    )
+    return good, quarantine

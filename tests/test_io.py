@@ -67,3 +67,39 @@ def test_compact_table_preserves_content_and_reduces_files(spark, tmp_path):
     for f in glob.glob(os.path.join(path, "*.parquet")):
         ids = pd.read_parquet(f)["id"].tolist()
         assert ids == sorted(ids)
+
+
+def test_json_quarantine_splits_good_and_malformed(spark, tmp_path):
+    """Schema-drift quarantine: malformed NDJSON lines land in the
+    quarantine relation with their raw text; good lines parse under
+    the declared schema; nothing is silently dropped."""
+    from pyspark.sql import types as T
+
+    from stripe_data_pipeline_spark.io import read_json_with_quarantine
+
+    p = tmp_path / "drop.json"
+    p.write_text(
+        '{"id": "a", "created": 100}\n'
+        "this is not json at all\n"
+        '{"id": "b", "created": 200}\n'
+        '{"id": "c", "created": }\n'  # truncated value
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("created", T.LongType()),
+        ]
+    )
+    good, quarantine = read_json_with_quarantine(spark, str(p), schema)
+    assert sorted((r["id"], r["created"]) for r in good.collect()) == [
+        ("a", 100),
+        ("b", 200),
+    ]
+    bad = quarantine.collect()
+    assert len(bad) == 2
+    assert {r["raw_record"] for r in bad} == {
+        "this is not json at all",
+        '{"id": "c", "created": }',
+    }
+    assert all(r["source_file"].endswith("drop.json") for r in bad)
+    assert good.columns == ["id", "created"]  # corrupt col dropped
