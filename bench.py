@@ -90,6 +90,8 @@ HEADLINE = [
     # batched ANN: many queries, one distributed plan, no per-query
     # driver round trips
     "batch_ivf_topk",
+    # the second compressed codec: real greedy LZW encode -> decode
+    "media_gif_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -450,3 +450,78 @@ def q_media_avi_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames int, width int, height int, "
         "frames_checksum long",
     )
+
+
+@register(
+    "media_gif_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           4 + doc_id % 6 AS width,
+           4 + (doc_id // 6) % 5 AS height
+    FROM documents
+)
+SELECT d.doc_id,
+       CAST(d.width AS INT) AS width,
+       CAST(d.height AS INT) AS height,
+       CAST(SUM(((d.doc_id * 47 + g.i) % 256)
+                + (((d.doc_id * 47 + g.i) % 256) * 7) % 256
+                + (((d.doc_id * 47 + g.i) % 256) * 13) % 256) AS BIGINT)
+           AS pixel_sum,
+       CAST(SUM((3 * g.i + 1) * ((d.doc_id * 47 + g.i) % 256)
+                + (3 * g.i + 2) * ((((d.doc_id * 47 + g.i) % 256) * 7) % 256)
+                + (3 * g.i + 3) * ((((d.doc_id * 47 + g.i) % 256) * 13) % 256))
+            AS BIGINT) AS pixel_checksum
+FROM dims d, UNNEST(generate_series(0, d.width * d.height - 1)) AS g(i)
+GROUP BY d.doc_id, d.width, d.height
+""",
+    doc="REAL LZW decode under a bit-exact oracle — the SECOND "
+    "compressed codec (after PNG/zlib): each doc gets a deterministic "
+    "WxH palette image (index i = (doc_id*47+i) % 256; palette j -> "
+    "(j, 7j%256, 13j%256)), encoded to an actual GIF87a by a genuine "
+    "greedy variable-code-width LZW encoder and decoded back "
+    "(from-the-spec LZW with Clear/EOI, KwKwK case, 12-bit growth, "
+    "palette map) INSIDE mapInPandas; plain and position-weighted "
+    "sums over the decoded RGB stream must match the oracle's closed "
+    "form, so any code-width desync, dictionary bug or palette swap "
+    "breaks parity.",
+)
+def q_media_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(256, dtype=np.uint8)
+        palette = np.stack([j, (j * 7) % 256, (j * 13) % 256], axis=1).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pixel_sum": [], "pixel_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 6
+                h = 4 + (doc_id // 6) % 5
+                idx = ((doc_id * 47 + np.arange(w * h, dtype=np.int64)) % 256)
+                payload = M.encode_gif(
+                    idx.astype(np.uint8).reshape(h, w), palette
+                )
+                img, dw, dh = M.decode_image(payload, fake=False)
+                flat = img.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, "
+        "pixel_sum long, pixel_checksum long",
+    )

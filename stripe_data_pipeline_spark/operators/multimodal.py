@@ -6,16 +6,18 @@ Arrow-batched Pandas iterators (``mapInPandas``) so the Python
 boundary is crossed per-batch, never per-row.
 
 All three modalities REALLY decode, with no media library: images
-(BMP 24/32-bit BI_RGB, PPM P6, and COMPRESSED PNG — stdlib zlib
-inflate + full None/Sub/Up/Average/Paeth scanline unfiltering), audio
-(RIFF/WAVE PCM16), video (RIFF/AVI uncompressed DIB frames) — each
-held to a bit-exact position-weighted-checksum oracle at the driver
-(media_{bmp,png,wav,avi}_decode_check) and pytest-covered through the
-Spark plumbing with fake=False. The remaining compressed codecs
-(JPEG/WebP/H.264/MP3/...) need PIL/libvips/ffmpeg, absent in this
-container, and raise a disclosed NotImplementedError; the
-``fake=True`` deterministic pseudo-decoder keeps the plumbing
-exercised regardless of payload format.
+(BMP 24/32-bit BI_RGB, PPM P6, plus two COMPRESSED codecs — PNG via
+stdlib zlib inflate + full None/Sub/Up/Average/Paeth scanline
+unfiltering, and GIF via a from-the-spec variable-code-width LZW
+decoder with Clear/EOI, the KwKwK case and 12-bit dictionary
+growth), audio (RIFF/WAVE PCM16), video (RIFF/AVI uncompressed DIB
+frames) — each held to a bit-exact position-weighted-checksum oracle
+at the driver (media_{bmp,png,gif,wav,avi}_decode_check) and
+pytest-covered through the Spark plumbing with fake=False. The
+remaining compressed codecs (JPEG/WebP/H.264/MP3/...) need
+PIL/libvips/ffmpeg, absent in this container, and raise a disclosed
+NotImplementedError; the ``fake=True`` deterministic pseudo-decoder
+keeps the plumbing exercised regardless of payload format.
 
 Scale notes: binary payloads dominate row size; keep
 ``spark.sql.files.maxPartitionBytes`` at default 128 MB so tasks hold
@@ -276,6 +278,177 @@ def _decode_png(buf: bytes) -> tuple[np.ndarray, int, int]:
     return np.ascontiguousarray(img).astype(np.float32), w, h
 
 
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """HxW uint8 palette indices + 256x3 palette -> GIF87a bytes with
+    a REAL greedy LZW encoder (variable code width, 12-bit cap, Clear
+    on table overflow — the actual algorithm from the public GIF spec,
+    not the uncompressed-GIF trick), so a decode round trip exercises
+    genuine dictionary growth."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    min_code = 8  # 256-color table
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    # greedy LZW over the pixel stream
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = end + 1
+    width = min_code + 1
+    out_codes: list[tuple[int, int]] = [(clear, width)]
+    buf = b""
+    for b in idx.reshape(-1).tobytes():
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append((table[buf], width))
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (decoder mirrors this on Clear)
+            out_codes.append((clear, width))
+            table = {bytes([i]): i for i in range(1 << min_code)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = bytes([b])
+    if buf:
+        out_codes.append((table[buf], width))
+    out_codes.append((end, width))
+
+    # pack codes LSB-first, then into 255-byte sub-blocks
+    acc = n_bits = 0
+    packed = bytearray()
+    for code, cw in out_codes:
+        acc |= code << n_bits
+        n_bits += cw
+        while n_bits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        packed.append(acc & 0xFF)
+    subs = bytearray()
+    for i in range(0, len(packed), 255):
+        chunk = packed[i : i + 255]
+        subs.append(len(chunk))
+        subs.extend(chunk)
+    subs.append(0)
+
+    header = (
+        b"GIF87a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | 0x70 | 0x07, 0, 0])  # global table, 256 entries
+        + pal.reshape(-1).tobytes()
+        + b"\x2c"
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + b"\x00"  # no local table, not interlaced
+        + bytes([min_code])
+    )
+    return header + bytes(subs) + b"\x3b"
+
+
+def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-Python/numpy decode of GIF87a/89a (global color table,
+    non-interlaced, first image): the SECOND real compressed codec
+    after PNG — a from-the-spec variable-code-width LZW decoder with
+    Clear/EOI handling and 12-bit dictionary growth, then a palette
+    map to RGB. Interlaced images and animations raise a disclosed
+    NotImplementedError (they need nothing new algorithmically, just
+    row reordering/frame compositing)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(buf[6:8], "little")
+    sh = int.from_bytes(buf[8:10], "little")
+    packed = buf[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(buf):
+        block = buf[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        w = int.from_bytes(buf[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(buf[pos + 7 : pos + 9], "little")
+        flags = buf[pos + 9]
+        pos += 10
+        if flags & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            palette = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        min_code = buf[pos]
+        pos += 1
+        data = bytearray()
+        while buf[pos] != 0:
+            ln = buf[pos]
+            data.extend(buf[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        acc = n_bits = bit_pos = 0
+        prev: bytes | None = None
+        out = bytearray()
+        while True:
+            while n_bits < width:
+                if bit_pos >= len(data):
+                    raise ValueError("truncated GIF LZW stream")
+                acc |= data[bit_pos] << n_bits
+                bit_pos += 1
+                n_bits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            n_bits -= width
+            if code == clear:
+                table = table[: end + 1]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # the KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if len(out) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        idx = np.frombuffer(bytes(out), np.uint8, w * h).reshape(h, w)
+        img = palette[idx]
+        return np.ascontiguousarray(img).astype(np.float32), w, h
+    raise ValueError("no image block in GIF")
+
+
 def encode_bmp(img: np.ndarray) -> bytes:
     """HxWx3 uint8 -> 24-bit bottom-up BI_RGB BMP (the inverse of
     _decode_bmp, used to plant real payloads in tests/fixtures)."""
@@ -335,10 +508,12 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, i
         return _decode_ppm(buf)
     if buf[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(buf)
+    if buf[:4] == b"GIF8":
+        return _decode_gif(buf)
     raise NotImplementedError(
-        "native decode covers uncompressed BMP, binary PPM and PNG "
-        "(8-bit truecolor); JPEG/WebP require PIL/libvips, absent in "
-        "this container"
+        "native decode covers uncompressed BMP, binary PPM, PNG "
+        "(8-bit truecolor) and GIF (non-interlaced); JPEG/WebP require "
+        "PIL/libvips, absent in this container"
     )
 
 

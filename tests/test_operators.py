@@ -706,3 +706,26 @@ def test_bloom_blocklist_anti_join_is_exact(spark):
     bitmap = build_bitmap([[r[f"p{i}"] for i in range(k)] for r in pos], m)
     hits = bl.filter(might_contain(F2.col("key"), bitmap, m, k)).count()
     assert hits == 3
+
+
+def test_gif_round_trip_lzw_growth_and_clear():
+    """GIF/LZW decode: round trips exercise variable code width (9->12
+    bits), the KwKwK case (repetitive data), and the 4096-entry table
+    overflow -> Clear path; interlaced images are honestly rejected."""
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    for h, w in [(1, 1), (5, 7), (64, 64), (80, 100)]:
+        idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        dec, dw, dh = M.decode_image(M.encode_gif(idx, pal), fake=False)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(dec.astype(np.uint8), pal[idx]), (h, w)
+    # repetitive image -> deep dictionary chains incl. KwKwK
+    rep = np.tile(np.arange(16, dtype=np.uint8), (50, 40))
+    dec, _, _ = M.decode_image(M.encode_gif(rep, pal), fake=False)
+    assert np.array_equal(dec.astype(np.uint8), pal[rep])
+    # interlace flag is honestly unsupported
+    payload = bytearray(M.encode_gif(rep[:4, :4], pal))
+    desc = payload.index(0x2C, 13 + 768)  # image descriptor after GCT
+    payload[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        M.decode_image(bytes(payload), fake=False)
