@@ -1173,3 +1173,56 @@ def maintain(
                 compacted.append(key)
         removed = _vacuum_locked(root, retain_history, grace_sec)
         return {"compacted": compacted, "vacuumed": removed}
+
+
+def repartition_table(
+    spark: SparkSession,
+    root: str,
+    new_partition_by: str | None,
+    stats_cols: list[str] | None = None,
+) -> None:
+    """Partition-spec evolution (the ALTER TABLE ... PARTITIONED BY of
+    this format): rewrite the WHOLE table under ``new_partition_by``
+    and commit it as one ordinary manifest rename — readers never see
+    a half-converted layout, time travel still resolves the old spec's
+    snapshots, and the superseded dirs vacuum away after the retention
+    window. A full rewrite is the honest cost of changing a partition
+    spec on any format without hidden indices; run it as a scheduled
+    maintenance job, not inline."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        df = _read_at(spark, root, m)
+        staged = _stage_versioned(df, root, new_partition_by)
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": new_partition_by,
+            "schema": m["schema"],
+            "parts": staged,
+            "operation": {"type": "repartition", "touched": sorted(staged)},
+        }
+        if "txns" in m:
+            manifest["txns"] = m["txns"]
+        if stats_cols:
+            manifest["stats"] = _collect_stats(
+                spark, root, staged, new_partition_by, stats_cols
+            )
+            manifest["file_stats"] = _file_stats(root, staged, stats_cols)
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+
+
+def create_view(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    version: int | None = None,
+) -> None:
+    """Register the committed snapshot as a temp view so the SQL
+    surface (§3.3) works over manifest tables:
+    ``spark.sql(f"SELECT ... FROM {name}")``. The view binds the
+    snapshot CURRENT AT CALL TIME (manifest-pruned file list, explicit
+    schema) — re-register after new commits, exactly like re-resolving
+    a pinned Iceberg snapshot."""
+    read_table(spark, root, version=version).createOrReplaceTempView(name)

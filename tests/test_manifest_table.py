@@ -730,3 +730,41 @@ def test_occ_threaded_writers_serialize(spark, tmp_path):
         (0, "seed", 0.0),
         (100, "d0", 0.0), (101, "d1", 1.0), (102, "d2", 2.0), (103, "d3", 3.0),
     ]
+
+
+def test_repartition_table_and_sql_view(spark, tmp_path):
+    """Partition-spec evolution: same rows under a new layout in one
+    atomic commit; old snapshots stay time-travelable; the SQL view
+    surface reads both."""
+    root = str(tmp_path / "evolve")
+    MT.merge_upsert_atomic(
+        spark, root,
+        _rows(spark, [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d1", 3.0)]),
+        keys=["id"], partition_by="day", stats_cols=["v"],
+    )
+    MT.repartition_table(spark, root, None, stats_cols=["v"])  # flatten
+    m = MT.read_manifest(root)
+    assert m["partition_by"] is None and list(m["parts"]) == ["__FULL__"]
+    assert m["operation"]["type"] == "repartition"
+    assert _read_sorted(spark, root) == [
+        (1, "d1", 1.0), (2, "d2", 2.0), (3, "d1", 3.0),
+    ]
+    # back to partitioned — and stats still answer the HWM zero-job
+    MT.repartition_table(spark, root, "day", stats_cols=["v"])
+    m = MT.read_manifest(root)
+    assert set(m["parts"]) == {"d1", "d2"}
+    assert MT.resolve_high_watermark(spark, root, "v") == 3.0
+    # version 1 (old spec) still time travels
+    assert len(MT.read_table(spark, root, version=1).collect()) == 3
+    # SQL surface over the committed snapshot
+    MT.create_view(spark, root, "evolved")
+    got = spark.sql(
+        "SELECT day, CAST(SUM(v) AS DOUBLE) AS s FROM evolved GROUP BY day"
+    ).collect()
+    assert sorted((r["day"], r["s"]) for r in got) == [("d1", 4.0), ("d2", 2.0)]
+    # merges keep working under the evolved spec
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(4, "d3", 4.0)]), keys=["id"],
+        partition_by="day", stats_cols=["v"],
+    )
+    assert MT.resolve_high_watermark(spark, root, "v") == 4.0
