@@ -221,3 +221,53 @@ def test_duplicate_span_stats_invariants_random_corpora(spark):
         for r in duplicate_span_stats(df.repartition(13), n=8).collect()
     }
     assert out13 == {k: (v["n_tokens"], v["dup_tokens"]) for k, v in out.items()}
+
+
+bloom_corpus = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=bloom_corpus, block=bloom_corpus,
+       fpp=st.sampled_from([0.01, 0.3, 0.5]))
+def test_bloom_anti_join_equals_exact_for_any_input(spark, keys, block, fpp):
+    """bloom_blocklist_anti_join == plain anti-join for ANY corpus,
+    blocklist and false-positive rate — the refine must rescue every
+    collision the prefilter produces."""
+    from stripe_data_pipeline_spark.operators.bloom import (
+        bloom_blocklist_anti_join,
+    )
+
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(keys)],
+                               "id long, key string")
+    bl = spark.createDataFrame([(k,) for k in block], "key string")
+    want = sorted((r["id"], r["key"])
+                  for r in df.join(bl, "key", "left_anti").collect())
+    got = sorted((r["id"], r["key"])
+                 for r in bloom_blocklist_anti_join(df, bl, "key", fpp).collect())
+    assert got == want
+
+
+bpe_texts = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=24),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=bpe_texts, n=st.integers(min_value=1, max_value=8))
+def test_batched_bpe_equals_reference_for_any_corpus(spark, texts, n):
+    """The batched trainer's conservative admission rule must preserve
+    EXACT sequence equality with the pure-Python reference on any
+    corpus — including degenerate ones (all spaces, single chars,
+    heavy ties)."""
+    from test_bpe import _df, reference_bpe
+    from stripe_data_pipeline_spark.operators.bpe import train_bpe_batched
+
+    want = reference_bpe(texts, n)
+    got = train_bpe_batched(_df(spark, texts), n_merges=n)
+    assert [(l, r) for l, r, _c in got] == want
