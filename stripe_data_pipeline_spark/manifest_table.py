@@ -1226,3 +1226,145 @@ def create_view(
     schema) — re-register after new commits, exactly like re-resolving
     a pinned Iceberg snapshot."""
     read_table(spark, root, version=version).createOrReplaceTempView(name)
+
+
+def delete_partitions(
+    spark: SparkSession, root: str, partition_values: list
+) -> list[str]:
+    """METADATA-ONLY delete of whole partitions: drop their keys from
+    the manifest and commit — no data file is read, written or
+    removed (the dirs age out via vacuum's retention window, so the
+    delete is trivially time-travel-reversible). The retention-
+    enforcement shape a 100 TB date-partitioned table needs: dropping
+    a day costs one manifest rename regardless of table size.
+    Returns the dropped partition keys."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        want = {_spark_partition_dir_value(spark, v) for v in partition_values}
+        dropped = sorted(k for k in m["parts"] if k in want)
+        if not dropped:
+            return []
+        new_parts = {k: v for k, v in m["parts"].items() if k not in want}
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": new_parts,
+            "operation": {"type": "delete_partitions", "touched": dropped},
+        }
+        if "txns" in m:
+            manifest["txns"] = m["txns"]
+        if "stats" in m:
+            manifest["stats"] = {
+                k: v for k, v in m["stats"].items() if k not in want
+            }
+        if "file_stats" in m:
+            manifest["file_stats"] = {
+                k: v for k, v in m["file_stats"].items() if k not in want
+            }
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return dropped
+
+
+def delete_where(spark: SparkSession, root: str, predicate) -> int:
+    """Row-level DELETE: rewrite ONLY the partitions that contain
+    matching rows (manifest-stats could prune further; here the probe
+    is one filtered scan), drop fully-emptied partitions from the
+    manifest, commit once. ``predicate`` is a Column. Returns rows
+    deleted. At 100 TB the rewrite cost is proportional to the
+    touched partitions, same as a merge."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        partition_by = m.get("partition_by")
+        df = _read_at(spark, root, m)
+        matches = df.filter(predicate)
+        n = matches.count()
+        if n == 0:
+            return 0
+        if partition_by is None:
+            touched_keys = {_FULL}
+            keep = df.filter(~predicate)
+        else:
+            touched_vals = [
+                r[0]
+                for r in matches.select(partition_by).distinct().collect()
+            ]
+            touched_keys = {
+                _spark_partition_dir_value(spark, v) for v in touched_vals
+            }
+            keep = _read_at(
+                spark, root, m, partition_values=touched_vals
+            ).filter(~predicate)
+        staged = _stage_versioned(keep, root, partition_by)
+        new_parts = {
+            k: v for k, v in m["parts"].items() if k not in touched_keys
+        }
+        new_parts.update(staged)  # emptied partitions simply get no dir
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": partition_by,
+            "schema": m["schema"],
+            "parts": new_parts,
+            "operation": {"type": "delete", "touched": sorted(touched_keys)},
+        }
+        if "txns" in m:
+            manifest["txns"] = m["txns"]
+        if "stats" in m:
+            # touched partitions lose their (now stale) stats; readers
+            # conservatively keep dirs without stats
+            manifest["stats"] = {
+                k: v for k, v in m["stats"].items() if k in new_parts and k not in staged
+            }
+        if "file_stats" in m:
+            manifest["file_stats"] = {
+                k: v
+                for k, v in m["file_stats"].items()
+                if k in new_parts and k not in staged
+            }
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return n
+
+
+def restore_version(spark: SparkSession, root: str, version: int) -> None:
+    """RESTORE the table to a retained historical snapshot by
+    committing a NEW version whose parts/schema are the old one's —
+    metadata-only (the Delta RESTORE shape): nothing is copied, the
+    restore itself is time-travelable and audited, and it only
+    requires the target snapshot's dirs to still be inside vacuum's
+    retention window."""
+    with _writer_lock(root):
+        current = read_manifest(root)
+        target = read_manifest(root, version)
+        if current is None or target is None:
+            raise FileNotFoundError(f"missing snapshot at {root}")
+        for rel in target["parts"].values():
+            if not os.path.isdir(os.path.join(root, rel)):
+                raise FileNotFoundError(
+                    f"snapshot v{version} dir {rel} was vacuumed; restore "
+                    "requires the target inside the retention window"
+                )
+        manifest = {
+            "version": int(current["version"]) + 1,
+            "partition_by": target.get("partition_by"),
+            "schema": target["schema"],
+            "parts": dict(target["parts"]),
+            "operation": {
+                "type": "restore",
+                "touched": sorted(target["parts"]),
+                "restored_version": int(version),
+            },
+        }
+        if "txns" in current:
+            manifest["txns"] = current["txns"]  # exactly-once ledger survives
+        if "stats" in target:
+            manifest["stats"] = target["stats"]
+        if "file_stats" in target:
+            manifest["file_stats"] = target["file_stats"]
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)

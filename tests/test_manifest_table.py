@@ -768,3 +768,71 @@ def test_repartition_table_and_sql_view(spark, tmp_path):
         partition_by="day", stats_cols=["v"],
     )
     assert MT.resolve_high_watermark(spark, root, "v") == 4.0
+
+
+def test_delete_partitions_is_metadata_only_and_reversible(spark, tmp_path):
+    root = str(tmp_path / "delp")
+    MT.merge_upsert_atomic(
+        spark, root,
+        _rows(spark, [(1, "d1", 1.0), (2, "d2", 2.0), (3, "d3", 3.0)]),
+        keys=["id"], partition_by="day", stats_cols=["v"],
+    )
+    parts_v1 = MT.read_manifest(root)["parts"]
+    assert MT.delete_partitions(spark, root, ["d2"]) == ["d2"]
+    m = MT.read_manifest(root)
+    assert set(m["parts"]) == {"d1", "d3"}
+    assert "d2" not in m.get("stats", {})
+    assert m["operation"]["type"] == "delete_partitions"
+    # metadata-only: the dropped dir still exists on disk (vacuumable)
+    import os as _os
+
+    assert _os.path.isdir(_os.path.join(root, parts_v1["d2"]))
+    assert _read_sorted(spark, root) == [(1, "d1", 1.0), (3, "d3", 3.0)]
+    # reversible via restore while inside retention
+    MT.restore_version(spark, root, 1)
+    assert _read_sorted(spark, root) == [
+        (1, "d1", 1.0), (2, "d2", 2.0), (3, "d3", 3.0),
+    ]
+    assert MT.read_manifest(root)["operation"]["restored_version"] == 1
+    # deleting a value with no partition is a no-op
+    assert MT.delete_partitions(spark, root, ["nope"]) == []
+
+
+def test_delete_where_rewrites_only_touched_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    root = str(tmp_path / "delw")
+    MT.merge_upsert_atomic(
+        spark, root,
+        _rows(spark, [(1, "d1", 1.0), (2, "d1", 5.0), (3, "d2", 9.0),
+                      (4, "d3", 5.0)]),
+        keys=["id"], partition_by="day",
+    )
+    parts_v1 = MT.read_manifest(root)["parts"]
+    # v == 5.0 lives in d1 and d3; d3 empties entirely
+    assert MT.delete_where(spark, root, F2.col("v") == 5.0) == 2
+    m = MT.read_manifest(root)
+    assert m["parts"]["d2"] == parts_v1["d2"]  # untouched dir carried
+    assert m["parts"]["d1"] != parts_v1["d1"]  # touched dir re-pointed
+    assert "d3" not in m["parts"]  # emptied partition dropped
+    assert _read_sorted(spark, root) == [(1, "d1", 1.0), (3, "d2", 9.0)]
+    # no matches: version unchanged
+    v = int(m["version"])
+    assert MT.delete_where(spark, root, F2.col("v") == 123.0) == 0
+    assert int(MT.read_manifest(root)["version"]) == v
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    root = str(tmp_path / "resv")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(1, "d1", 1.0)]), keys=["id"],
+        partition_by="day",
+    )
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(1, "d1", 2.0)]), keys=["id"],
+        partition_by="day",
+    )
+    MT.vacuum(root, retain_history=0, grace_sec=0)  # v1's dir reaped
+    with pytest.raises(FileNotFoundError):
+        MT.restore_version(spark, root, 1)
+    assert _read_sorted(spark, root) == [(1, "d1", 2.0)]  # table intact
