@@ -107,6 +107,7 @@ _PRIORITY = [
     "atomic_recognized_mart_check",
     "batch_ivf_topk",
     "media_gif_decode_check",
+    "atomic_dml_mart_check",
     # Output/semantics changed in r5 (rows-only -> oracled redesigns,
     # md5-60-bit LSH base hash, new checksum columns, batched BPE):
     "bpe_merges_learned",
@@ -159,12 +160,12 @@ _PRIORITY = [
     "rollup_counts",
     # r3-green representatives (verdict two rounds old):
     "sessionized_events",
-    "regional_revenue_q5ish",
     # --- cutoff: window is the 50 entries above. Below: r4-green
     # queries (driver verdict one round old), then the rest in prior
     # rotation order. tools/check_oracle.py re-verified 0/129 failures
     # at sf0.01 this round, so demoted rows stay CI-covered
     # (tests/test_oracle_catalog.py runs the full catalog at sf0.001).
+    "regional_revenue_q5ish",
     "sql_api_segment_revenue",
     "key_skew_report_events",
     "domain_capped_docs",

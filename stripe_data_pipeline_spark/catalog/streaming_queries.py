@@ -476,3 +476,67 @@ GROUP BY event_type
 def q_incremental_agg_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     mart = _materialized_incremental_agg_mart(spark, sf_dir)
     return mart.select("event_type", "n_events", "total_value_cents")
+
+
+def _materialized_dml_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercise the lakehouse DML surface under the driver oracle:
+    events merge into an event_type-partitioned atomic mart, then a
+    METADATA-ONLY ``delete_partitions(['error'])`` drops a whole type
+    and a row-level ``delete_where(value >= 300)`` rewrites only the
+    partitions holding matches. The remaining table must equal plain
+    SQL with the same predicates."""
+    import atexit
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#dml"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="dml_mart_")
+    mart = os.path.join(root, "mart")
+    ev = _rt(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    MT.merge_upsert_atomic(
+        spark, mart, ev, keys=["event_id"], partition_by="event_type"
+    )
+    MT.delete_partitions(spark, mart, ["error"])
+    MT.delete_where(spark, mart, F.col("value") >= 300.0)
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+@register(
+    "atomic_dml_mart_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM events
+WHERE event_type <> 'error' AND value < 3e2
+GROUP BY event_type
+""",
+    doc="Lakehouse DML under the driver oracle: merge events into an "
+    "event_type-partitioned atomic mart, METADATA-ONLY-delete the "
+    "'error' partition (one manifest rename, no data IO), row-level-"
+    "delete value >= 300 (rewrites only partitions holding matches), "
+    "then aggregate the read-back table — it must bit-match plain SQL "
+    "with the same predicates. Proves both delete shapes produce "
+    "exactly the declarative result through the commit protocol.",
+)
+def q_atomic_dml_mart_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mart = _materialized_dml_mart(spark, sf_dir)
+    return mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+    )
