@@ -1368,3 +1368,88 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
             manifest["file_stats"] = target["file_stats"]
         _commit(root, manifest)
         spark.catalog.refreshByPath(root)
+
+
+def update_where(
+    spark: SparkSession, root: str, predicate, set_exprs: dict
+) -> int:
+    """Row-level UPDATE (completing the DML triad with MERGE and
+    DELETE): rewrite ONLY the partitions containing matching rows,
+    applying ``set_exprs`` ({column: Column expression}) to the
+    matches and leaving other rows byte-identical; one atomic commit.
+    Updated columns must already exist (use merge for schema
+    evolution); an update may NOT move rows across partitions — set
+    the partition column through a merge instead, which handles the
+    displacement semantics. Returns rows updated."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        partition_by = m.get("partition_by")
+        if partition_by is not None and partition_by in set_exprs:
+            raise ValueError(
+                "update_where cannot change the partition column "
+                f"({partition_by!r}); use merge_upsert_atomic, which "
+                "handles cross-partition displacement"
+            )
+        schema_cols = [
+            f.name
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+        ]
+        unknown = set(set_exprs) - set(schema_cols)
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        df = _read_at(spark, root, m)
+        matches = df.filter(predicate)
+        n = matches.count()
+        if n == 0:
+            return 0
+        if partition_by is None:
+            touched_keys = {_FULL}
+            scoped = df
+        else:
+            touched_vals = [
+                r[0]
+                for r in matches.select(partition_by).distinct().collect()
+            ]
+            touched_keys = {
+                _spark_partition_dir_value(spark, v) for v in touched_vals
+            }
+            scoped = _read_at(spark, root, m, partition_values=touched_vals)
+        updated = scoped.select(
+            *[
+                F.when(predicate, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in schema_cols
+            ]
+        )
+        staged = _stage_versioned(updated, root, partition_by)
+        new_parts = {
+            k: v for k, v in m["parts"].items() if k not in touched_keys
+        }
+        new_parts.update(staged)
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": partition_by,
+            "schema": m["schema"],
+            "parts": new_parts,
+            "operation": {"type": "update", "touched": sorted(touched_keys)},
+        }
+        if "txns" in m:
+            manifest["txns"] = m["txns"]
+        if "stats" in m:
+            manifest["stats"] = {
+                k: v
+                for k, v in m["stats"].items()
+                if k in new_parts and k not in staged
+            }
+        if "file_stats" in m:
+            manifest["file_stats"] = {
+                k: v
+                for k, v in m["file_stats"].items()
+                if k in new_parts and k not in staged
+            }
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return n

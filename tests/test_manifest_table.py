@@ -836,3 +836,44 @@ def test_restore_refuses_vacuumed_target(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         MT.restore_version(spark, root, 1)
     assert _read_sorted(spark, root) == [(1, "d1", 2.0)]  # table intact
+
+
+def test_update_where_rewrites_only_touched(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    root = str(tmp_path / "upd")
+    MT.merge_upsert_atomic(
+        spark, root,
+        _rows(spark, [(1, "d1", 1.0), (2, "d1", 5.0), (3, "d2", 9.0)]),
+        keys=["id"], partition_by="day",
+    )
+    parts_v1 = MT.read_manifest(root)["parts"]
+    n = MT.update_where(
+        spark, root, F2.col("v") >= 5.0, {"v": F2.col("v") * 10}
+    )
+    assert n == 2
+    m = MT.read_manifest(root)
+    assert m["operation"]["type"] == "update"
+    assert m["parts"]["d1"] != parts_v1["d1"]  # touched: rewritten
+    assert m["parts"]["d2"] != parts_v1["d2"]  # touched too (id=3 matches)
+    assert _read_sorted(spark, root) == [
+        (1, "d1", 1.0), (2, "d1", 50.0), (3, "d2", 90.0),
+    ]
+    # partition-scoped: update matching only d1 carries d2's dir
+    parts_v2 = MT.read_manifest(root)["parts"]
+    assert MT.update_where(
+        spark, root, F2.col("id") == 1, {"v": F2.lit(7.0)}
+    ) == 1
+    m = MT.read_manifest(root)
+    assert m["parts"]["d2"] == parts_v2["d2"]  # untouched partition carried
+    assert _read_sorted(spark, root) == [
+        (1, "d1", 7.0), (2, "d1", 50.0), (3, "d2", 90.0),
+    ]
+    # guards: partition column and unknown column rejected; no-match no-op
+    with pytest.raises(ValueError):
+        MT.update_where(spark, root, F2.lit(True), {"day": F2.lit("x")})
+    with pytest.raises(ValueError):
+        MT.update_where(spark, root, F2.lit(True), {"nope": F2.lit(1)})
+    v = int(MT.read_manifest(root)["version"])
+    assert MT.update_where(spark, root, F2.col("v") > 1e9, {"v": F2.lit(0.0)}) == 0
+    assert int(MT.read_manifest(root)["version"]) == v
