@@ -155,76 +155,72 @@ def run_pipeline(
     warehouse_dir: str,
     loaded_at: dt.datetime | None = None,
     monitor: PipelineMonitor | None = None,
+    atomic: bool = False,
 ) -> dict[str, DataFrame]:
     """One scheduled run (the '30 1 * * *' tick): drain the raw drop
     through every layer; returns the materialized tables. Pass a
     ``PipelineMonitor`` for per-layer run reporting, quality gates and
     failure callbacks (see its docstring); without one the run is
-    unmonitored, as before."""
+    unmonitored, as before. ``atomic=True`` lands every layer on the
+    crash-atomic manifest sink instead of plain parquet — the whole
+    reference DAG gains per-layer snapshot isolation, time travel and
+    the commit audit log, with identical table contents (pytest-
+    asserted equal to the plain run)."""
     loaded_at = loaded_at or dt.datetime(2024, 6, 1)
     mon = monitor or PipelineMonitor()
     w = lambda name: os.path.join(warehouse_dir, name)  # noqa: E731
 
+    if atomic:
+        from stripe_data_pipeline_spark import manifest_table as MT
+
+        def sink(path, df, keys, partition_by=None):
+            MT.merge_upsert_atomic(
+                spark, path, df, keys=keys, partition_by=partition_by
+            )
+
+        def read(path):
+            return MT.read_table(spark, path)
+
+    else:
+
+        def sink(path, df, keys, partition_by=None):
+            merge_upsert(spark, path, df, keys=keys, partition_by=partition_by)
+
+        def read(path):
+            return spark.read.parquet(path)
+
     # --- staging (P1 + S6 merge on id, partitioned by created_at_date)
-    with mon.layer("stg_invoices", lambda: spark.read.parquet(w("stg_invoices"))):
+    with mon.layer("stg_invoices", lambda: read(w("stg_invoices"))):
         raw_inv = spark.read.schema(INVOICE_SCHEMA).json(
             os.path.join(raw_dir, "invoices.json")
         )
-        merge_upsert(
-            spark,
-            w("stg_invoices"),
-            stage(raw_inv).dropDuplicates(["id"]),
-            keys=["id"],
-            partition_by="created_at_date",
-        )
+        sink(w("stg_invoices"), stage(raw_inv).dropDuplicates(["id"]), keys=["id"], partition_by="created_at_date")
     with mon.layer(
-        "stg_subscriptions", lambda: spark.read.parquet(w("stg_subscriptions"))
+        "stg_subscriptions", lambda: read(w("stg_subscriptions"))
     ):
         raw_sub = spark.read.schema(SUBSCRIPTION_SCHEMA).json(
             os.path.join(raw_dir, "subscriptions.json")
         )
-        merge_upsert(
-            spark,
-            w("stg_subscriptions"),
-            stage(raw_sub).dropDuplicates(["id"]),
-            keys=["id"],
-        )
+        sink(w("stg_subscriptions"), stage(raw_sub).dropDuplicates(["id"]), keys=["id"])
     with mon.layer(
         "stg_subscription_updates",
-        lambda: spark.read.parquet(w("stg_subscription_updates")),
+        lambda: read(w("stg_subscription_updates")),
     ):
         raw_upd = spark.read.schema(EVENT_SCHEMA).json(
             os.path.join(raw_dir, "subscription_updates.json")
         )
-        merge_upsert(
-            spark,
-            w("stg_subscription_updates"),
-            stage(raw_upd).dropDuplicates(["id"]),
-            keys=["id"],
-        )
+        sink(w("stg_subscription_updates"), stage(raw_upd).dropDuplicates(["id"]), keys=["id"])
 
     # --- curated
-    stg_inv = spark.read.parquet(w("stg_invoices"))
-    with mon.layer("invoices", lambda: spark.read.parquet(w("invoices"))):
+    stg_inv = read(w("stg_invoices"))
+    with mon.layer("invoices", lambda: read(w("invoices"))):
         invoices = curated_invoices(stg_inv, loaded_at)
-        merge_upsert(
-            spark,
-            w("invoices"),
-            invoices,
-            keys=["invoice_id"],
-            partition_by="created_at_date",
-        )
+        sink(w("invoices"), invoices, keys=["invoice_id"], partition_by="created_at_date")
     with mon.layer(
-        "invoice_line_items", lambda: spark.read.parquet(w("invoice_line_items"))
+        "invoice_line_items", lambda: read(w("invoice_line_items"))
     ):
         line_items = curated_invoice_line_items(stg_inv, loaded_at)
-        merge_upsert(
-            spark,
-            w("invoice_line_items"),
-            line_items,
-            keys=["line_item_id"],
-            partition_by="invoice_created_date",
-        )
+        sink(w("invoice_line_items"), line_items, keys=["line_item_id"], partition_by="invoice_created_date")
     if mon.quality_gates:
         # the reference's implemented dbt test, run in-line so a
         # violation stops downstream marts like a failing `dbt test`
@@ -235,23 +231,21 @@ def run_pipeline(
         mon.gate(
             "missing_period_end_threshold",
             "invoice_line_items",
-            check_missing_period_end(spark.read.parquet(w("invoice_line_items"))),
+            check_missing_period_end(read(w("invoice_line_items"))),
         )
 
     # --- curated: subscription changelog compaction (the completion of
     # stg_subscription_updates — no downstream ref() in the reference)
     with mon.layer(
-        "subscription_states", lambda: spark.read.parquet(w("subscription_states"))
+        "subscription_states", lambda: read(w("subscription_states"))
     ):
         sub_states = curated_subscription_states(
-            spark.read.parquet(w("stg_subscription_updates")), loaded_at
+            read(w("stg_subscription_updates")), loaded_at
         )
-        merge_upsert(
-            spark, w("subscription_states"), sub_states, keys=["subscription_id"]
-        )
+        sink(w("subscription_states"), sub_states, keys=["subscription_id"])
 
     # --- marts: deferred/recognized daily facts
-    li = spark.read.parquet(w("invoice_line_items"))
+    li = read(w("invoice_line_items"))
     usd = with_usd_amounts(li, exchange_rates(spark))
     facts = daily_revenue_facts(usd, domain_start_col="invoice_created_date").withColumn(
         "_loaded_at", F.lit(loaded_at)
@@ -275,10 +269,9 @@ def run_pipeline(
         "_loaded_at",
     ]
     with mon.layer(
-        "deferred_revenue", lambda: spark.read.parquet(w("deferred_revenue"))
+        "deferred_revenue", lambda: read(w("deferred_revenue"))
     ):
-        merge_upsert(
-            spark,
+        sink(
             w("deferred_revenue"),
             facts.select(*out_cols),
             keys=["line_item_id", "as_of_date"],  # deferred_revenue.sql:3
@@ -310,10 +303,9 @@ def run_pipeline(
         "_loaded_at",
     ]
     with mon.layer(
-        "recognized_revenue", lambda: spark.read.parquet(w("recognized_revenue"))
+        "recognized_revenue", lambda: read(w("recognized_revenue"))
     ):
-        merge_upsert(
-            spark,
+        sink(
             w("recognized_revenue"),
             recognized.select(*rec_cols),
             keys=["line_item_id", "recognition_date"],
@@ -321,7 +313,7 @@ def run_pipeline(
         )
 
     return {
-        name: spark.read.parquet(w(name))
+        name: read(w(name))
         for name in (
             "stg_invoices",
             "stg_subscriptions",
