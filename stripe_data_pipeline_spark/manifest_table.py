@@ -856,6 +856,7 @@ def compact_partition(
     root: str,
     partition_value,
     target_rows_per_file: int = 1_000_000,
+    concurrency: str = "fail",
 ) -> int:
     """Crash-atomic small-file compaction: rewrite ONE partition's
     current dir as fewer larger files and re-point the manifest — the
@@ -863,13 +864,76 @@ def compact_partition(
     leave many small files), expressed as just another commit. Unlike
     io.compact_table's swap, a crash anywhere leaves the table on the
     old or new file layout, never missing. Returns the new file count.
+
+    ``concurrency="occ"`` performs the expensive rewrite OUTSIDE the
+    writer lock and takes it only to validate+commit: if the
+    partition's dir was re-pointed meanwhile (a merge or another
+    compaction won), the staged rewrite is discarded and the function
+    returns -1 — compacting stale data would silently undo the newer
+    commit, and maintenance can simply retry next pass. Row sets are
+    unchanged by compaction, so no rebase logic is needed: the only
+    question is whether the source dir is still current.
     """
+    if concurrency == "fail":
+        with _writer_lock(root):
+            return _compact_partition_locked(
+                spark, root, partition_value, target_rows_per_file
+            )
+    if concurrency != "occ":
+        raise ValueError(f"concurrency must be 'fail' or 'occ', got {concurrency!r}")
     import math
 
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {root}")
+    key = (
+        _FULL
+        if m.get("partition_by") is None
+        else _spark_partition_dir_value(spark, partition_value)
+    )
+    rel = m["parts"].get(key)
+    if rel is None:
+        raise KeyError(f"partition {partition_value!r} not in manifest")
+    df = spark.read.parquet(os.path.join(root, rel))
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    new_rel = f"{_PARTS}/{key}-{uuid.uuid4().hex[:8]}"
+    os.replace(staging, os.path.join(root, new_rel))
     with _writer_lock(root):
-        return _compact_partition_locked(
-            spark, root, partition_value, target_rows_per_file
-        )
+        current = read_manifest(root)
+        if current is None or current["parts"].get(key) != rel:
+            shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+            return -1  # lost the race: dir superseded; retry next pass
+        new_parts = dict(current["parts"])
+        new_parts[key] = new_rel
+        manifest = {
+            "version": int(current["version"]) + 1,
+            "partition_by": current.get("partition_by"),
+            "schema": current["schema"],
+            "parts": new_parts,
+            "operation": {"type": "compact", "touched": [key]},
+        }
+        if "txns" in current:
+            manifest["txns"] = current["txns"]
+        if "stats" in current:
+            manifest["stats"] = current["stats"]
+        if "file_stats" in current:
+            cols = sorted(
+                {
+                    c
+                    for per_file in current["file_stats"].values()
+                    for st in per_file.values()
+                    for c in st
+                }
+            )
+            fstats = {k: v for k, v in current["file_stats"].items() if k != key}
+            fstats.update(_file_stats(root, {key: new_rel}, cols))
+            manifest["file_stats"] = fstats
+        _commit(root, manifest)
+    spark.catalog.refreshByPath(root)
+    return n_files
 
 
 def _compact_partition_locked(

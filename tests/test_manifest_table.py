@@ -877,3 +877,77 @@ def test_update_where_rewrites_only_touched(spark, tmp_path):
     v = int(MT.read_manifest(root)["version"])
     assert MT.update_where(spark, root, F2.col("v") > 1e9, {"v": F2.lit(0.0)}) == 0
     assert int(MT.read_manifest(root)["version"]) == v
+
+
+def test_occ_compaction_commits_or_cleanly_loses(spark, tmp_path):
+    from pyspark.sql import functions as F2  # noqa: F401
+
+    root = str(tmp_path / "occ_compact")
+    for v in (1.0, 2.0, 3.0):  # several merges -> several files in d1
+        MT.merge_upsert_atomic(
+            spark, root, _rows(spark, [(int(v * 10), "d1", v)]),
+            keys=["id"], partition_by="day",
+        )
+    # uncontended OCC compaction commits normally
+    n = MT.compact_partition(spark, root, "d1", 10_000, concurrency="occ")
+    assert n == 1
+    rows_before = _read_sorted(spark, root)
+    m = MT.read_manifest(root)
+    assert m["operation"]["type"] == "compact"
+    # losing the race: simulate by compacting against a STALE manifest —
+    # re-point d1 between the OCC read and commit via a merge injected
+    # through a monkeypatched lock acquisition is overkill; instead run
+    # a merge, then call the internal path with the old rel captured:
+    stale_rel = m["parts"]["d1"]
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(99, "d1", 9.0)]), keys=["id"],
+        partition_by="day",
+    )
+    assert MT.read_manifest(root)["parts"]["d1"] != stale_rel
+    # a second OCC compaction sees the CURRENT dir and still works
+    assert MT.compact_partition(spark, root, "d1", 10_000, concurrency="occ") == 1
+    assert _read_sorted(spark, root) == sorted(
+        rows_before + [(99, "d1", 9.0)]
+    )
+
+
+def test_occ_compaction_race_loser_discards(spark, tmp_path, monkeypatch):
+    """Force the lose-the-race branch: the OCC compactor samples a
+    STALE manifest (monkeypatched first read), a merge re-points the
+    partition, and the commit-time validation must discard the staged
+    rewrite (-1) leaving table contents and the winner's dir intact."""
+    root = str(tmp_path / "occ_compact_race")
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(1, "d1", 1.0)]), keys=["id"],
+        partition_by="day",
+    )
+    stale = MT.read_manifest(root)
+    MT.merge_upsert_atomic(
+        spark, root, _rows(spark, [(2, "d1", 2.0)]), keys=["id"],
+        partition_by="day",
+    )
+    current = MT.read_manifest(root)
+    real = MT.read_manifest
+    calls = {"n": 0}
+
+    def fake(r, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1 and version is None:
+            return stale
+        return real(r, version)
+
+    monkeypatch.setattr(MT, "read_manifest", fake)
+    assert (
+        MT.compact_partition(spark, root, "d1", 10_000, concurrency="occ")
+        == -1
+    )
+    monkeypatch.setattr(MT, "read_manifest", real)
+    m = MT.read_manifest(root)
+    assert m["parts"] == current["parts"]  # winner untouched, no commit
+    assert _read_sorted(spark, root) == [(1, "d1", 1.0), (2, "d1", 2.0)]
+    # the loser's staged dir is not referenced and vacuums away
+    MT.vacuum(root, grace_sec=0)
+    import os as _os
+
+    on_disk = {f"parts/{d}" for d in _os.listdir(_os.path.join(root, "parts"))}
+    assert on_disk == set(m["parts"].values())
