@@ -102,6 +102,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- ROUND-5 WINDOW (first 50; the driver checks these) ---
     # New this round (no driver verdict yet):
+    "media_jpeg_decode_check",
     "media_png_decode_check",
     "bloom_blocklist_filter",
     "atomic_recognized_mart_check",
@@ -158,9 +159,11 @@ _PRIORITY = [
     "doc_regex_tokens",
     "doc_first_last_token",
     "rollup_counts",
-    # r3-green representatives (verdict two rounds old):
+    # --- cutoff: window is the 50 entries above. Below: r3-green
+    # representative (verdict two rounds old, displaced by the JPEG
+    # check), then r4-green
     "sessionized_events",
-    # --- cutoff: window is the 50 entries above. Below: r4-green
+    # --- then: r4-green
     # queries (driver verdict one round old), then the rest in prior
     # rotation order. tools/check_oracle.py re-verified 0/129 failures
     # at sf0.01 this round, so demoted rows stay CI-covered

@@ -92,6 +92,9 @@ HEADLINE = [
     "batch_ivf_topk",
     # the second compressed codec: real greedy LZW encode -> decode
     "media_gif_decode_check",
+    # the third compressed codec, first DCT one: baseline JPEG
+    # Huffman+IDCT encode -> decode under the exact DC-only oracle
+    "media_jpeg_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

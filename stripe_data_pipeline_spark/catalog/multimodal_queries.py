@@ -486,7 +486,97 @@ GROUP BY d.doc_id, d.width, d.height
     "form, so any code-width desync, dictionary bug or palette swap "
     "breaks parity.",
 )
-def q_media_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_media_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:  # noqa: C901 — see _gif_body
+    return _gif_body(spark, sf_dir)
+
+
+@register(
+    "media_jpeg_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           1 + doc_id % 3 AS bw,
+           1 + (doc_id // 3) % 3 AS bh
+    FROM documents
+),
+blocks AS (
+    SELECT d.doc_id, d.bw, d.bh, b.k,
+           ((d.doc_id * 37 + b.k * 29) % 128) * 2 AS v
+    FROM dims d, UNNEST(generate_series(0, d.bw * d.bh - 1)) AS b(k)
+),
+px AS (
+    SELECT b.doc_id, b.bw, b.bh, b.v,
+           (((b.k // b.bw) * 8 + g.j // 8) * (b.bw * 8)
+            + (b.k % b.bw) * 8 + g.j % 8) * 3 + c.c AS i
+    FROM blocks b,
+         UNNEST(generate_series(0, 63)) AS g(j),
+         UNNEST(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id,
+       CAST(MAX(bw) * 8 AS INT) AS width,
+       CAST(MAX(bh) * 8 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM((i + 1) * v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL baseline-JPEG decode under a bit-exact oracle — the "
+    "THIRD compressed codec (after PNG/zlib and GIF/LZW), and the "
+    "first DCT one: each doc gets a grayscale image of constant-valued "
+    "8x8 blocks (block k = ((doc_id*37+29k) % 128)*2 — even values, so "
+    "the quantized DC (v-128)/2 is an exact integer under the Annex-K "
+    "q=16 DC step and the decoded block reproduces v EXACTLY despite "
+    "the codec being lossy), encoded to an actual JFIF file by the "
+    "real entropy-coding encoder and decoded back (marker walk, DHT "
+    "Huffman rebuild, differential-DC decode with byte unstuffing, "
+    "dequantize, inverse zigzag, orthonormal IDCT) INSIDE mapInPandas. "
+    "Plain and position-weighted sums over the decoded 3-channel "
+    "stream must match the oracle's closed form, so any Huffman, "
+    "bitstream, zigzag, quantizer or IDCT bug breaks parity. The "
+    "lossy paths the exact fixture can't pin (AC coefficients, ZRL, "
+    "4:2:0 upsampling, restart markers, color transform) are "
+    "pytest-held to max-error tolerances in tests/test_multimodal.py.",
+)
+def q_media_jpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pixel_sum": [], "pixel_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw = 1 + doc_id % 3
+                bh = 1 + (doc_id // 3) % 3
+                img = np.zeros((bh * 8, bw * 8), np.uint8)
+                for k in range(bw * bh):
+                    v = ((doc_id * 37 + k * 29) % 128) * 2
+                    img[(k // bw) * 8 : (k // bw) * 8 + 8,
+                        (k % bw) * 8 : (k % bw) * 8 + 8] = v
+                payload = M.encode_jpeg(img, quality=50)
+                dec, dw, dh = M.decode_image(payload, fake=False)
+                flat = dec.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, "
+        "pixel_sum long, pixel_checksum long",
+    )
+
+
+def _gif_body(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
 
     import numpy as np

@@ -729,3 +729,96 @@ def test_gif_round_trip_lzw_growth_and_clear():
     payload[desc + 9] |= 0x40
     with pytest.raises(NotImplementedError):
         M.decode_image(bytes(payload), fake=False)
+
+
+def test_jpeg_zigzag_matches_spec_table():
+    """The derived zigzag order must equal T.81's published scan
+    sequence (transcribed here as the independent cross-check of the
+    derivation in _JPEG_ZZ)."""
+    spec = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert M._JPEG_ZZ.tolist() == spec
+
+
+def test_jpeg_dc_exact_roundtrip():
+    """The media_jpeg_decode_check fixture contract: constant-valued
+    8x8 blocks with EVEN values survive the q=16 Annex-K DC quantizer
+    exactly, so decode(encode(img)) == img bit-for-bit even though the
+    codec is lossy in general."""
+    for doc_id in [0, 1, 5, 13, 123, 4999]:
+        bw, bh = 1 + doc_id % 3, 1 + (doc_id // 3) % 3
+        img = np.zeros((bh * 8, bw * 8), np.uint8)
+        for k in range(bw * bh):
+            v = ((doc_id * 37 + k * 29) % 128) * 2
+            img[(k // bw) * 8 : (k // bw) * 8 + 8,
+                (k % bw) * 8 : (k % bw) * 8 + 8] = v
+        dec, dw, dh = M.decode_image(M.encode_jpeg(img, quality=50), fake=False)
+        assert (dw, dh) == (bw * 8, bh * 8)
+        assert np.array_equal(
+            dec, np.repeat(img[..., None], 3, axis=2).astype(np.float32)
+        )
+
+
+def test_jpeg_roundtrip_tolerance_all_modes():
+    """Lossy-path coverage the exact fixture can't pin: AC
+    coefficients, ZRL runs, color transform, 4:2:0 subsampling with
+    decoder upsampling, restart markers, non-multiple-of-8 dims. Smooth
+    content at quality>=90 must reconstruct within a small max error."""
+    xx, yy = np.meshgrid(np.arange(33), np.arange(27))
+    color = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    for ri in (0, 1, 3):
+        for sub in (False, True):
+            payload = M.encode_jpeg(
+                color, quality=92, subsample=sub, restart_interval=ri
+            )
+            dec, dw, dh = M.decode_image(payload, fake=False)
+            assert (dw, dh) == (33, 27)
+            err = np.abs(dec - color.astype(np.float32)).max()
+            assert err <= 12, (ri, sub, err)
+    gray = np.clip(
+        np.add.outer(np.arange(40) * 3, np.arange(56) * 2) % 256, 0, 255
+    ).astype(np.uint8)
+    dec, dw, dh = M.decode_image(M.encode_jpeg(gray, quality=90), fake=False)
+    assert (dw, dh) == (56, 40)
+    assert np.abs(dec[..., 0] - gray.astype(np.float32)).max() <= 4
+
+
+def test_jpeg_byte_stuffing_occurs_and_survives():
+    """At least one fixture must actually hit the 0xFF00 stuffing path
+    (otherwise the unstuffing branch is dead code in the tests), and
+    every payload still decodes."""
+    rng = np.random.default_rng(41)
+    saw_stuffing = False
+    for _ in range(20):
+        img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+        payload = M.encode_jpeg(img, quality=95)
+        scan = payload[payload.find(b"\xff\xda") :]
+        saw_stuffing = saw_stuffing or b"\xff\x00" in scan
+        M.decode_image(payload, fake=False)  # must not raise
+    assert saw_stuffing
+
+
+def test_jpeg_rejects_unsupported_variants():
+    """Progressive (SOF2) and non-JPEG payloads fail loudly, not
+    silently wrong."""
+    sof2 = bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    buf = (
+        b"\xff\xd8\xff\xc2"
+        + (len(sof2) + 2).to_bytes(2, "big")
+        + sof2
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_image(buf, fake=False)
+    with pytest.raises(ValueError):
+        M._decode_jpeg(b"\x00\x01")
