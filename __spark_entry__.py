@@ -103,6 +103,8 @@ _PRIORITY = [
     # --- ROUND-5 WINDOW (first 50; the driver checks these) ---
     # New this round (no driver verdict yet):
     "media_jpeg_decode_check",
+    "media_mjpeg_decode_check",
+    "media_ulaw_decode_check",
     "media_png_decode_check",
     "bloom_blocklist_filter",
     "atomic_recognized_mart_check",
@@ -157,11 +159,11 @@ _PRIORITY = [
     "event_gaps",
     "top20_orders",
     "doc_regex_tokens",
+    # --- cutoff: window is the 50 entries above. Below: r1/r2/r3-green
+    # representatives displaced by the three new codec checks, then
+    # r4-green
     "doc_first_last_token",
     "rollup_counts",
-    # --- cutoff: window is the 50 entries above. Below: r3-green
-    # representative (verdict two rounds old, displaced by the JPEG
-    # check), then r4-green
     "sessionized_events",
     # --- then: r4-green
     # queries (driver verdict one round old), then the rest in prior

@@ -615,3 +615,188 @@ def _gif_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
     )
+
+
+@register(
+    "media_ulaw_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 180 + doc_id % 80 AS n_samples FROM documents
+),
+sig AS (
+    SELECT d.doc_id, d.n_samples, g.i,
+           ((d.doc_id * 31 + g.i * 7) % 65536) - 32768 AS x
+    FROM dims d, UNNEST(generate_series(0, d.n_samples - 1)) AS g(i)
+),
+comp AS (
+    SELECT doc_id, n_samples, i, x,
+           LEAST(ABS(x), 32635) + 132 AS mag0
+    FROM sig
+),
+segd AS (
+    SELECT doc_id, n_samples, i, x, mag0,
+           CASE WHEN mag0 < 256 THEN 0 WHEN mag0 < 512 THEN 1
+                WHEN mag0 < 1024 THEN 2 WHEN mag0 < 2048 THEN 3
+                WHEN mag0 < 4096 THEN 4 WHEN mag0 < 8192 THEN 5
+                WHEN mag0 < 16384 THEN 6 ELSE 7 END AS seg
+    FROM comp
+),
+dec AS (
+    SELECT doc_id, n_samples, i,
+           CASE WHEN x < 0 THEN -1 ELSE 1 END
+           * ((((mag0 >> (seg + 3)) & 15) * 8 + 132) * (1 << seg) - 132)
+               AS y
+    FROM segd
+)
+SELECT doc_id,
+       CAST(MAX(n_samples) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(SUM(y) AS BIGINT) AS sample_sum,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS sample_checksum
+FROM dec
+GROUP BY doc_id
+""",
+    doc="REAL G.711 mu-law decode under a bit-exact oracle — compressed "
+    "AUDIO joins the compressed-codec family: each doc gets the same "
+    "deterministic PCM16 signal as media_wav_decode_check, companded "
+    "to 8-bit mu-law (sign + 3-bit segment + 4-bit mantissa, "
+    "bit-inverted on the wire — ITU-T G.711, public) into an actual "
+    "RIFF/WAVE format-7 file by encode_wav_g711 and expanded back by "
+    "the pure-numpy integer formula INSIDE mapInPandas. The oracle "
+    "replays the full compand->expand round trip in closed form "
+    "(LEAST/ABS + an 8-way segment CASE + the exact shift/mask "
+    "arithmetic), so plain and position-weighted sums over the DECODED "
+    "samples must bit-match — any bias, segment-boundary, mantissa or "
+    "sign bug breaks parity. A-law (format 6, a perfect 256-code fixed "
+    "point) is pytest-held in tests/test_operators.py.",
+)
+def q_media_ulaw_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "sample_sum": [], "sample_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 180 + doc_id % 80
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 31 + i * 7) % 65536) - 32768
+                payload = M.encode_wav_g711(
+                    sig.astype(np.int16), 8_000, law="ulaw"
+                )
+                dec, rate = M.decode_audio(payload, fake=False)
+                flat = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(flat))
+                out["sample_rate"].append(rate)
+                out["sample_sum"].append(int(flat.sum()))
+                out["sample_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_samples bigint, sample_rate int, "
+        "sample_sum long, sample_checksum long",
+    )
+
+
+@register(
+    "media_mjpeg_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           2 + doc_id % 3 AS nf,
+           1 + doc_id % 2 AS bw,
+           1 + (doc_id // 2) % 2 AS bh
+    FROM documents
+),
+blocks AS (
+    SELECT d.doc_id, d.nf, d.bw, d.bh, f.f, b.k,
+           ((d.doc_id * 37 + f.f * 53 + b.k * 29) % 128) * 2 AS v
+    FROM dims d,
+         UNNEST(generate_series(0, d.nf - 1)) AS f(f),
+         UNNEST(generate_series(0, d.bw * d.bh - 1)) AS b(k)
+),
+px AS (
+    SELECT b.doc_id, b.nf, b.bw, b.bh, b.v,
+           ((b.f * (b.bh * 8)
+             + (b.k // b.bw) * 8 + g.j // 8) * (b.bw * 8)
+            + (b.k % b.bw) * 8 + g.j % 8) * 3 + c.c AS i
+    FROM blocks b,
+         UNNEST(generate_series(0, 63)) AS g(j),
+         UNNEST(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id,
+       CAST(MAX(nf) AS INT) AS n_frames,
+       CAST(MAX(bw) * 8 AS INT) AS width,
+       CAST(MAX(bh) * 8 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM((i + 1) * v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL Motion-JPEG video decode under a bit-exact oracle — "
+    "compressed VIDEO joins the family: each doc gets 2-4 grayscale "
+    "constant-per-8x8-block frames (frame f block k = "
+    "((doc_id*37+53f+29k) % 128)*2, even values so the DC-only JPEG "
+    "reconstruction is exact — same trick as media_jpeg_decode_check), "
+    "encoded into an actual RIFF/AVI with biCompression='MJPG' whose "
+    "'00dc' chunks are complete baseline JFIF files from the real "
+    "entropy-coding encoder, then container-walked and frame-decoded "
+    "(_decode_avi -> _decode_jpeg) INSIDE mapInPandas. Plain and "
+    "position-weighted sums over the (frame, row, col, channel) "
+    "raster must match the oracle's closed form, so a container-walk, "
+    "frame-order, or any JPEG-layer bug breaks parity. Lossy MJPEG "
+    "color frames are pytest-held to tolerance.",
+)
+def q_media_mjpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "width": [], "height": [],
+                   "pixel_sum": [], "pixel_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = 2 + doc_id % 3
+                bw = 1 + doc_id % 2
+                bh = 1 + (doc_id // 2) % 2
+                frames = []
+                for f in range(nf):
+                    img = np.zeros((bh * 8, bw * 8), np.uint8)
+                    for k in range(bw * bh):
+                        v = ((doc_id * 37 + f * 53 + k * 29) % 128) * 2
+                        img[(k // bw) * 8 : (k // bw) * 8 + 8,
+                            (k % bw) * 8 : (k % bw) * 8 + 8] = v
+                    frames.append(np.repeat(img[..., None], 3, axis=2))
+                payload = M.encode_avi(
+                    np.stack(frames), codec="mjpg", quality=50, grayscale=True
+                )
+                dec = M.decode_video_frames(payload, fake=False)
+                flat = dec.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(dec.shape[0])
+                out["width"].append(dec.shape[2])
+                out["height"].append(dec.shape[1])
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_frames int, width int, height int, "
+        "pixel_sum long, pixel_checksum long",
+    )

@@ -1102,10 +1102,12 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, i
     """Decode an image payload -> (HxWx3 float32 array, width, height).
 
     REAL for uncompressed BMP (24/32-bit BI_RGB), binary PPM (P6) and
-    — the first compressed format — PNG (8-bit truecolor, stdlib zlib
-    inflate + full scanline unfiltering, see _decode_png). JPEG/WebP
-    still need PIL/libvips, absent in this container, and raise
-    NotImplementedError. The ``fake=True`` path derives a
+    THREE compressed formats — PNG (8-bit truecolor, stdlib zlib
+    inflate + full scanline unfiltering, see _decode_png), GIF
+    (from-the-spec LZW, see _decode_gif) and baseline JPEG
+    (from-the-spec Huffman + dequantize + IDCT, see _decode_jpeg).
+    WebP/JPEG2000 still need libvips, absent in this container, and
+    raise NotImplementedError. The ``fake=True`` path derives a
     deterministic tiny image from the payload hash so plumbing tests
     don't depend on payload format at all.
     """
@@ -1207,10 +1209,12 @@ RESIZED_SCHEMA = T.StructType(
 
 def decode_video_frames(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode a video payload -> (n_frames, H, W, 3) array. REAL for
-    RIFF/AVI with uncompressed 24-bit DIB frames (pure numpy — see
-    _decode_avi); compressed codecs (H.264/VP9/MJPEG) need ffmpeg/pyav,
-    absent here, and raise NotImplementedError. The fake path derives a
-    deterministic frame stack from the payload hash (4-11 frames)."""
+    RIFF/AVI with uncompressed 24-bit DIB frames AND Motion-JPEG
+    (baseline-JFIF '00dc' frames via _decode_jpeg — the compressed
+    video path, pure numpy); inter-frame codecs (H.264/VP9) need
+    ffmpeg/pyav, absent here, and raise NotImplementedError. The fake
+    path derives a deterministic frame stack from the payload hash
+    (4-11 frames)."""
     if fake:
         h = hashlib.sha256(payload).digest()
         n = 4 + int(h[2]) % 8
@@ -1335,10 +1339,97 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
+# --- G.711 companding (ITU-T G.711, public): real COMPRESSED audio.
+# mu-law / A-law map 16-bit PCM to 8-bit log-segments; both are exactly
+# invertible as integer bit-formulas, so the decode side has a
+# closed-form SQL oracle (media_ulaw_decode_check) — unique among the
+# lossy codecs here. All vectorized numpy, no per-sample Python.
+
+_G711_BIAS = 0x84
+_G711_CLIP = 32635
+
+
+def _ulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 PCM -> mu-law bytes (G.711): sign + 3-bit segment + 4-bit
+    mantissa, bit-inverted on the wire."""
+    x = x.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _G711_CLIP) + _G711_BIAS
+    # segment = position of the MSB above bit 7 (mag is in [132, 32767])
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mant = (mag >> (seg + 3)) & 0x0F
+    return (~(sign | (seg << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _ulaw_decode(c: np.ndarray) -> np.ndarray:
+    """mu-law bytes -> int16 PCM (exact G.711 expansion)."""
+    c = (~c.astype(np.int64)) & 0xFF
+    sign = c & 0x80
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + _G711_BIAS) << seg) - _G711_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+def _alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 PCM -> A-law bytes (G.711): like mu-law but no bias, a
+    linear segment 0, and 0x55 wire XOR."""
+    x = x.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    seg = np.clip(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0, 7
+    )
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
+
+
+def _alaw_decode(c: np.ndarray) -> np.ndarray:
+    """A-law bytes -> int16 PCM (exact G.711 expansion)."""
+    c = c.astype(np.int64) ^ 0x55
+    sign = c & 0x80
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = np.where(
+        seg == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (seg - 1)
+    )
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, sample_rate: int = 8_000, law: str = "ulaw"
+) -> bytes:
+    """(n_samples,) or (n_samples, n_channels) int16 -> RIFF/WAVE with
+    G.711 companded 8-bit payload (format code 7 = mu-law, 6 = A-law):
+    real compressed audio the container can actually produce, since the
+    codec is ~20 lines of public integer math."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n_ch = a.shape[1]
+    enc = _ulaw_encode(a) if law == "ulaw" else _alaw_encode(a)
+    data = enc.tobytes()
+    code = 7 if law == "ulaw" else 6
+    fmt = (
+        b"fmt " + (18).to_bytes(4, "little")
+        + code.to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * n_ch).to_bytes(4, "little")
+        + n_ch.to_bytes(2, "little")            # block align (1 byte/sample)
+        + (8).to_bytes(2, "little")             # bits per sample
+        + (0).to_bytes(2, "little")             # cbSize (spec: present for non-PCM)
+    )
+    chunks = fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
 def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """Pure-numpy decode of RIFF/WAVE PCM16: chunk-walk to 'fmt ' and
-    'data' (tolerating extra chunks like LIST/fact), one frombuffer for
-    the interleaved frames. Returns ((n_samples, n_channels) int16
+    """Pure-numpy decode of RIFF/WAVE: chunk-walk to 'fmt ' and 'data'
+    (tolerating extra chunks like LIST/fact), one frombuffer for the
+    interleaved frames. PCM16 (format 1) passes through; G.711 mu-law
+    (7) and A-law (6) — real COMPRESSED audio — expand via the exact
+    integer formulas above. Returns ((n_samples, n_channels) int16
     array, sample_rate)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -1359,13 +1450,21 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     n_ch = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"only PCM16 WAV (got format={audio_format}, bits={bits}); "
-            "compressed audio needs ffmpeg/libsndfile"
+    if audio_format == 1 and bits == 16:
+        frames = np.frombuffer(
+            data, dtype="<i2", count=(len(data) // (2 * n_ch)) * n_ch
         )
-    frames = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * n_ch)) * n_ch)
-    return frames.reshape(-1, n_ch), sample_rate
+        return frames.reshape(-1, n_ch), sample_rate
+    if audio_format in (6, 7) and bits == 8:
+        raw = np.frombuffer(
+            data, dtype=np.uint8, count=(len(data) // n_ch) * n_ch
+        )
+        dec = _ulaw_decode(raw) if audio_format == 7 else _alaw_decode(raw)
+        return dec.reshape(-1, n_ch), sample_rate
+    raise NotImplementedError(
+        f"only PCM16 / G.711 mu-law / A-law WAV (got format={audio_format}, "
+        f"bits={bits}); other compressed audio needs ffmpeg/libsndfile"
+    )
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int]:
@@ -1435,19 +1534,42 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 # --- video (RIFF/AVI, uncompressed DIB frames): REAL decode ---
 
 
-def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(n_frames, H, W, 3) uint8 RGB -> minimal RIFF/AVI with
-    uncompressed bottom-up BGR DIB frames ('00db' chunks) — the
-    inverse of _decode_avi; plants real payloads in tests/fixtures."""
+def encode_avi(
+    frames: np.ndarray,
+    fps: int = 10,
+    codec: str = "dib",
+    quality: int = 50,
+    grayscale: bool = False,
+) -> bytes:
+    """(n_frames, H, W, 3) uint8 RGB -> minimal RIFF/AVI — the inverse
+    of _decode_avi; plants real payloads in tests/fixtures.
+
+    codec='dib' writes uncompressed bottom-up BGR DIB frames ('00db'
+    chunks). codec='mjpg' writes Motion-JPEG: each frame is a complete
+    baseline JFIF produced by the real entropy-coding encode_jpeg
+    ('00dc' chunks, biCompression='MJPG') — an actually COMPRESSED
+    video payload with no ffmpeg. grayscale=True (mjpg only) encodes
+    frame[..., 0] as single-component JPEG, which is what the DC-exact
+    driver oracle uses."""
     a = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = a.shape
     stride = (w * 3 + 3) & ~3
     frame_bytes = []
-    for f in a:
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
-        frame_bytes.append(rows.tobytes())
-    fsize = stride * h
+    if codec == "mjpg":
+        for f in a:
+            img = f[..., 0] if grayscale else f
+            frame_bytes.append(encode_jpeg(img, quality=quality))
+        fsize = max(len(fb) for fb in frame_bytes)
+        frame_cid, compression = b"00dc", b"MJPG"
+    elif codec == "dib":
+        for f in a:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+            frame_bytes.append(rows.tobytes())
+        fsize = stride * h
+        frame_cid, compression = b"00db", None
+    else:
+        raise ValueError(f"unknown AVI codec {codec!r}")
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         pad = b"\x00" if len(body) % 2 else b""
@@ -1470,7 +1592,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         + bytes(16)
     )
     strh = (
-        b"vids" + b"DIB " + bytes(12)
+        b"vids" + (b"MJPG" if codec == "mjpg" else b"DIB ") + bytes(12)
         + (1).to_bytes(4, "little")               # scale
         + fps.to_bytes(4, "little")               # rate
         + (0).to_bytes(4, "little")
@@ -1485,7 +1607,7 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         + h.to_bytes(4, "little", signed=True)
         + (1).to_bytes(2, "little")
         + (24).to_bytes(2, "little")
-        + (0).to_bytes(4, "little")
+        + (compression or (0).to_bytes(4, "little"))
         + fsize.to_bytes(4, "little")
         + bytes(16)
     )
@@ -1493,16 +1615,19 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    movi = lst(b"movi", b"".join(chunk(frame_cid, fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def _decode_avi(buf: bytes) -> np.ndarray:
-    """Pure-numpy decode of RIFF/AVI with uncompressed DIB ('00db')
-    frames: chunk-walk to strf (BITMAPINFOHEADER -> dims/bpp) and the
-    movi LIST, then one frombuffer + stride reshape per frame.
-    Returns (n_frames, H, W, 3) float32 RGB."""
+    """Pure-numpy decode of RIFF/AVI: chunk-walk to strf
+    (BITMAPINFOHEADER -> dims/bpp/codec) and the movi LIST. Two real
+    codecs: uncompressed 24-bit DIB ('00db' frames, one frombuffer +
+    stride reshape each) and Motion-JPEG ('MJPG' biCompression, '00dc'
+    frames, each a complete baseline JFIF handed to _decode_jpeg) —
+    the COMPRESSED video path, no ffmpeg needed. Returns
+    (n_frames, H, W, 3) float32 RGB."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
 
@@ -1519,20 +1644,29 @@ def _decode_avi(buf: bytes) -> np.ndarray:
                 walk(body_start + 4, body_start + size)
             elif cid == b"strf":
                 strf = buf[body_start : body_start + size]
-            elif cid[2:4] == b"db":  # '00db' uncompressed DIB frame
+            elif cid[2:4] in (b"db", b"dc"):  # video frame (raw/compressed)
                 frames.append(buf[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
     walk(12, len(buf))
     if strf is None or not frames:
-        raise ValueError("missing strf header or DIB frames")
+        raise ValueError("missing strf header or video frames")
     w = int.from_bytes(strf[4:8], "little", signed=True)
     h = int.from_bytes(strf[8:12], "little", signed=True)
     bpp = int.from_bytes(strf[14:16], "little")
     comp = int.from_bytes(strf[16:20], "little")
+    if strf[16:20] == b"MJPG":
+        out = []
+        for fb in frames:
+            img, fw, fh = _decode_jpeg(fb)
+            if (fw, fh) != (w, abs(h)):
+                raise ValueError("MJPEG frame dims disagree with strf header")
+            out.append(img)
+        return np.stack(out)
     if comp != 0 or bpp != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bit DIB AVI (got bpp={bpp}, compression={comp})"
+            f"only uncompressed 24-bit DIB or MJPG AVI "
+            f"(got bpp={bpp}, compression={comp})"
         )
     top_down, h = h < 0, abs(h)
     stride = (w * 3 + 3) & ~3

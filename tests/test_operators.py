@@ -822,3 +822,75 @@ def test_jpeg_rejects_unsupported_variants():
         M.decode_image(buf, fake=False)
     with pytest.raises(ValueError):
         M._decode_jpeg(b"\x00\x01")
+
+
+def test_g711_codecs_roundtrip_and_fixed_point():
+    """G.711 companding (compressed audio): every A-law code is a
+    perfect decode->encode fixed point; mu-law's only non-fixed code is
+    the negative-zero 0x7F (decodes to 0, re-encodes as +0 = 0xFF) —
+    the spec's known +-0 ambiguity. Reconstruction error is bounded by
+    the top-segment step, and the WAV container round trip (format 7/6,
+    8-bit) is bit-identical to the raw codec."""
+    codes = np.arange(256, dtype=np.uint8)
+    re_u = M._ulaw_encode(M._ulaw_decode(codes))
+    assert list(codes[re_u != codes]) == [0x7F]
+    re_a = M._alaw_encode(M._alaw_decode(codes))
+    assert np.array_equal(re_a, codes)
+
+    rng = np.random.default_rng(19)
+    x = rng.integers(-32768, 32768, 4000).astype(np.int16)
+    for law, enc, dec, tol in (
+        ("ulaw", M._ulaw_encode, M._ulaw_decode, 1024),
+        ("alaw", M._alaw_encode, M._alaw_decode, 1024),
+    ):
+        y = dec(enc(x)).astype(np.int64)
+        assert np.abs(y - np.clip(x.astype(np.int64), -32767, 32767)).max() < tol
+        payload = M.encode_wav_g711(x, 8_000, law=law)
+        got, rate = M.decode_audio(payload, fake=False)
+        assert rate == 8_000
+        assert np.array_equal(got[:, 0], dec(enc(x)))
+    # stereo survives interleave
+    st = rng.integers(-32768, 32768, (100, 2)).astype(np.int16)
+    got, _ = M.decode_audio(M.encode_wav_g711(st, 8_000, "ulaw"), fake=False)
+    assert got.shape == (100, 2)
+    assert np.array_equal(got, M._ulaw_decode(M._ulaw_encode(st)))
+
+
+def test_mjpeg_avi_roundtrip_and_frame_sampling(spark):
+    """Motion-JPEG (compressed video): DC-exact grayscale frames decode
+    bit-exactly through the container walk; lossy color frames stay
+    within tolerance; frame order is pinned by the per-frame constant;
+    and the Spark frame-sampling plumbing consumes real MJPEG payloads
+    with fake=False."""
+    nf, doc_id = 4, 29
+    frames = []
+    for f in range(nf):
+        img = np.zeros((8, 16), np.uint8)
+        for k in range(2):
+            img[:, k * 8 : k * 8 + 8] = ((doc_id * 37 + f * 53 + k * 29) % 128) * 2
+        frames.append(np.repeat(img[..., None], 3, axis=2))
+    stack = np.stack(frames)
+    payload = M.encode_avi(stack, codec="mjpg", quality=50, grayscale=True)
+    dec = M.decode_video_frames(payload, fake=False)
+    assert np.array_equal(dec, stack.astype(np.float32))
+
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    color = np.stack(
+        [
+            np.stack([(xx * 4 + i) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2)
+            for i in range(3)
+        ]
+    ).astype(np.uint8)
+    dec = M.decode_video_frames(
+        M.encode_avi(color, codec="mjpg", quality=92), fake=False
+    )
+    assert dec.shape == (3, 16, 16, 3)
+    assert np.abs(dec - color.astype(np.float32)).max() <= 8
+
+    media = spark.createDataFrame(
+        [(1, "video/mjpeg", bytearray(payload), "sha", len(payload))],
+        schema=M.MEDIA_SCHEMA,
+    )
+    rows = M.sample_frames(media, every_k=2, fake=False).collect()
+    assert [r.frame_idx for r in rows] == [0, 2]
+    assert all(r.n_frames == nf for r in rows)
