@@ -105,6 +105,7 @@ _PRIORITY = [
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "media_ulaw_decode_check",
+    "media_adpcm_decode_check",
     "media_png_decode_check",
     "bloom_blocklist_filter",
     "atomic_recognized_mart_check",
@@ -158,10 +159,10 @@ _PRIORITY = [
     "top3_orders_per_status",
     "event_gaps",
     "top20_orders",
-    "doc_regex_tokens",
     # --- cutoff: window is the 50 entries above. Below: r1/r2/r3-green
-    # representatives displaced by the three new codec checks, then
+    # representatives displaced by the four new codec checks, then
     # r4-green
+    "doc_regex_tokens",
     "doc_first_last_token",
     "rollup_counts",
     "sessionized_events",

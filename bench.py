@@ -95,9 +95,11 @@ HEADLINE = [
     # the third compressed codec, first DCT one: baseline JPEG
     # Huffman+IDCT encode -> decode under the exact DC-only oracle
     "media_jpeg_decode_check",
-    # compressed audio (G.711 mu-law, closed-form-oracled expansion)
-    # and compressed video (Motion-JPEG container walk + frame decode)
+    # compressed audio (G.711 mu-law closed-form-oracled expansion;
+    # IMA ADPCM predictive state machine) and compressed video
+    # (Motion-JPEG container walk + frame decode)
     "media_ulaw_decode_check",
+    "media_adpcm_decode_check",
     "media_mjpeg_decode_check",
 ]
 

@@ -800,3 +800,81 @@ def q_media_mjpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames int, width int, height int, "
         "pixel_sum long, pixel_checksum long",
     )
+
+
+@register(
+    "media_adpcm_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 400 + doc_id % 200 AS n_samples FROM documents
+),
+seeds AS (
+    SELECT d.doc_id, d.n_samples, g.b, g.b * 249 AS p
+    FROM dims d,
+         UNNEST(generate_series(0, (d.n_samples - 1) // 249)) AS g(b)
+)
+SELECT doc_id,
+       CAST(MAX(n_samples) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(SUM(ABS((doc_id * 31 + p * 37) % 8000 - 4000) - 2000) AS BIGINT)
+           AS seed_sum,
+       CAST(SUM((b + 1) * (ABS((doc_id * 31 + p * 37) % 8000 - 4000) - 2000))
+            AS BIGINT) AS seed_checksum,
+       TRUE AS err_le_64
+FROM seeds
+GROUP BY doc_id
+""",
+    doc="REAL IMA ADPCM decode (format 0x11 — the PREDICTIVE "
+    "compressed-audio codec, 4-bit adaptive-step differences at 4:1): "
+    "each doc gets a deterministic triangle wave (sample i = "
+    "|((31*doc_id + 37i) mod 8000) - 4000| - 2000 — continuous by "
+    "construction, so the predictor tracks it), encoded into an actual "
+    "block-aligned RIFF/WAVE 0x11 file and decoded back by the "
+    "per-sample state machine INSIDE mapInPandas. The state machine "
+    "has no closed SQL form, so the oracle pins what IS exact — every "
+    "block-header seed sample (positions 0, 249, 498, ...) decodes "
+    "bit-exactly, and their plain + block-ordinal-weighted sums are "
+    "recomputed in closed form — plus the flag-pinned pattern for the "
+    "lossy tail: max |decoded - original| <= 64 (measured worst 33 "
+    "across the family), which the oracle pins TRUE. Any header "
+    "layout, nibble order, step-table or index-adaptation bug breaks "
+    "one of the two. Full state-machine semantics are pytest-pinned in "
+    "tests/test_operators.py.",
+)
+def q_media_adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "seed_sum": [], "seed_checksum": [], "err_le_64": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 400 + doc_id % 200
+                i = np.arange(n, dtype=np.int64)
+                sig = (
+                    np.abs((doc_id * 31 + i * 37) % 8000 - 4000) - 2000
+                ).astype(np.int16)
+                payload = M.encode_wav_adpcm(sig, 8_000)
+                dec, rate = M.decode_audio(payload, fake=False)
+                flat = dec[:, 0].astype(np.int64)
+                seeds = flat[::249]
+                b = np.arange(len(seeds), dtype=np.int64)
+                err = int(np.abs(flat - sig.astype(np.int64)).max())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(flat))
+                out["sample_rate"].append(rate)
+                out["seed_sum"].append(int(seeds.sum()))
+                out["seed_checksum"].append(int(((b + 1) * seeds).sum()))
+                out["err_le_64"].append(err <= 64)
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_samples bigint, sample_rate int, "
+        "seed_sum long, seed_checksum long, err_le_64 boolean",
+    )

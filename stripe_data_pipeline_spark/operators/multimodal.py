@@ -856,14 +856,6 @@ class _JpegBitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
-    def at_marker(self) -> int | None:
-        """If (byte-aligned view of) the stream sits at a marker, return
-        its second byte without consuming."""
-        if self.n == 0 and self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
-                return self.data[self.pos + 1]
-        return None
-
     def restart(self) -> None:
         """Consume an RSTn marker: drop pad bits, expect FFD0-FFD7."""
         self.acc = 0
@@ -1396,6 +1388,139 @@ def _alaw_decode(c: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, mag, -mag).astype(np.int16)
 
 
+# --- IMA ADPCM (DVI4 / WAV format 0x11, public spec): PREDICTIVE
+# compressed audio — 4-bit differences against an adaptive-step
+# predictor, 4:1 over PCM16. Unlike G.711's memoryless companding the
+# decoder is a per-sample state machine, so there is no closed-form SQL
+# oracle; the driver check (media_adpcm_decode_check) pins the exact
+# block-header sample and a flag-pinned error bound instead, and the
+# full state machine is pytest-pinned against a step-by-step reference.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: reconstruct the difference from the
+    4-bit code and the current step size, then adapt both predictor and
+    step index (the exact integer recurrence from the IMA spec)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _ima_encode_block(x: np.ndarray, index: int) -> tuple[bytes, int]:
+    """Encode one mono block: 4-byte header (predictor=first sample,
+    step index) + packed nibbles for samples[1:], low nibble first."""
+    pred = int(x[0])
+    head = (
+        int(pred).to_bytes(2, "little", signed=True)
+        + bytes([index, 0])
+    )
+    nibbles = []
+    for s in x[1:]:
+        step = _IMA_STEPS[index]
+        delta = int(s) - pred
+        nib = 8 if delta < 0 else 0
+        delta = abs(delta)
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        pred, index = _ima_step(pred, index, nib)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    return head + packed, index
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int = 8_000, samples_per_block: int = 249
+) -> bytes:
+    """(n_samples,) int16 mono -> RIFF/WAVE IMA ADPCM (format 0x11):
+    block-aligned 4-byte-header + nibble stream, the real 4:1
+    predictive codec. The step index carries across blocks (each block
+    header re-seeds the predictor exactly, which is what the driver
+    oracle pins)."""
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if len(a) == 0:
+        raise ValueError("empty ADPCM signal")
+    block_align = 4 + (samples_per_block - 1 + 1) // 2
+    index = 0
+    blocks = []
+    for start in range(0, len(a), samples_per_block):
+        body, index = _ima_encode_block(a[start : start + samples_per_block], index)
+        blocks.append(body.ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    fmt = (
+        b"fmt " + (20).to_bytes(4, "little")
+        + (0x11).to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align // samples_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")            # bits per (compressed) sample
+        + (2).to_bytes(2, "little")            # cbSize
+        + samples_per_block.to_bytes(2, "little")  # wSamplesPerBlock
+    )
+    fact = b"fact" + (4).to_bytes(4, "little") + len(a).to_bytes(4, "little")
+    chunks = fmt + fact + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _adpcm_decode(
+    data: bytes, block_align: int, samples_per_block: int, n_samples: int
+) -> np.ndarray:
+    """IMA ADPCM mono decode: per block, re-seed the predictor from the
+    header (an EXACT PCM16 sample), then run the adaptive-step state
+    machine over the nibble stream."""
+    out = np.empty(n_samples, dtype=np.int16)
+    oi = 0
+    for bstart in range(0, len(data), block_align):
+        if oi >= n_samples:
+            break
+        block = data[bstart : bstart + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(88, block[2])
+        out[oi] = pred
+        oi += 1
+        want = min(samples_per_block - 1, n_samples - oi)
+        got = 0
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if got >= want:
+                    break
+                pred, index = _ima_step(pred, index, nib)
+                out[oi] = pred
+                oi += 1
+                got += 1
+    return out[:oi]
+
+
 def encode_wav_g711(
     samples: np.ndarray, sample_rate: int = 8_000, law: str = "ulaw"
 ) -> bytes:
@@ -1434,7 +1559,7 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, n = 12, len(buf)
-    fmt = data = None
+    fmt = data = fact = None
     while pos + 8 <= n:
         cid = buf[pos : pos + 4]
         size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
@@ -1443,12 +1568,15 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_ch = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
+    block_align = int.from_bytes(fmt[12:14], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format == 1 and bits == 16:
         frames = np.frombuffer(
@@ -1461,9 +1589,21 @@ def _decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
         )
         dec = _ulaw_decode(raw) if audio_format == 7 else _alaw_decode(raw)
         return dec.reshape(-1, n_ch), sample_rate
+    if audio_format == 0x11 and bits == 4 and n_ch == 1:
+        spb = int.from_bytes(fmt[18:20], "little") if len(fmt) >= 20 else (
+            (block_align - 4) * 2 + 1
+        )
+        n_samp = (
+            int.from_bytes(fact[0:4], "little")
+            if fact is not None
+            else (len(data) // block_align) * spb
+        )
+        dec = _adpcm_decode(data, block_align, spb, n_samp)
+        return dec.reshape(-1, 1), sample_rate
     raise NotImplementedError(
-        f"only PCM16 / G.711 mu-law / A-law WAV (got format={audio_format}, "
-        f"bits={bits}); other compressed audio needs ffmpeg/libsndfile"
+        f"only PCM16 / G.711 mu-law / A-law / mono IMA ADPCM WAV (got "
+        f"format={audio_format}, bits={bits}, ch={n_ch}); other "
+        "compressed audio needs ffmpeg/libsndfile"
     )
 
 

@@ -894,3 +894,43 @@ def test_mjpeg_avi_roundtrip_and_frame_sampling(spark):
     rows = M.sample_frames(media, every_k=2, fake=False).collect()
     assert [r.frame_idx for r in rows] == [0, 2]
     assert all(r.n_frames == nf for r in rows)
+
+
+def test_ima_adpcm_state_machine_and_container():
+    """IMA ADPCM (predictive compressed audio): (1) the decode state
+    machine matches an independently-coded reference recurrence on a
+    hand-packed block; (2) every block-header seed sample decodes
+    bit-exactly; (3) a smooth signal reconstructs within the adaptive
+    step bound; (4) arbitrary noise never crashes or leaves int16."""
+    # (1) hand-pack nibbles [5, 9, 15, 0, 3] after seed 1000, index 20
+    nibs = [5, 9, 15, 0, 3]
+    body = bytes([1000 & 0xFF, (1000 >> 8) & 0xFF, 20, 0]) + bytes(
+        [nibs[0] | (nibs[1] << 4), nibs[2] | (nibs[3] << 4), nibs[4]]
+    )
+    got = M._adpcm_decode(body, block_align=len(body), samples_per_block=6,
+                          n_samples=6)
+    pred, index = 1000, 20
+    exp = [1000]
+    for nib in nibs:
+        step = M._IMA_STEPS[index]
+        diff = (step >> 3) + (step >> 2 if nib & 1 else 0) \
+            + (step >> 1 if nib & 2 else 0) + (step if nib & 4 else 0)
+        pred = max(-32768, min(32767, pred - diff if nib & 8 else pred + diff))
+        index = max(0, min(88, index + M._IMA_INDEX_ADJ[nib & 7]))
+        exp.append(pred)
+    assert list(got) == exp
+
+    # (2)+(3) container round trip on a smooth ramp
+    t = np.arange(1200)
+    sig = (3000 * np.sin(t / 25) + 1500 * np.sin(t / 9)).astype(np.int16)
+    dec, rate = M.decode_audio(M.encode_wav_adpcm(sig, 8_000), fake=False)
+    assert rate == 8_000 and dec.shape == (1200, 1)
+    assert np.array_equal(dec[::249, 0], sig[::249])  # seeds exact
+    err = np.abs(dec[:, 0].astype(np.int64) - sig.astype(np.int64))
+    assert err.max() <= 2048  # adaptive-step transient bound
+
+    # (4) robustness on noise
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, 501).astype(np.int16)
+    dec2, _ = M.decode_audio(M.encode_wav_adpcm(x, 8_000), fake=False)
+    assert dec2.shape == (501, 1) and dec2.dtype == np.int16

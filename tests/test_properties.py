@@ -271,3 +271,87 @@ def test_batched_bpe_equals_reference_for_any_corpus(spark, texts, n):
     want = reference_bpe(texts, n)
     got = train_bpe_batched(_df(spark, texts), n_merges=n)
     assert [(l, r) for l, r, _c in got] == want
+
+
+# --- codec properties (round 5): hold for ANY input, not just fixtures ---
+
+_pcm = st.lists(
+    st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=400
+)
+
+
+@settings(max_examples=50, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_pcm)
+def test_g711_error_bound_and_idempotence_any_signal(vals):
+    """G.711 companding invariants for arbitrary PCM: (1) expansion of
+    a compressed code is a codec fixed point (compressing again is
+    lossless), so a double encode->decode equals a single one; (2) the
+    reconstruction error is bounded by the coarsest segment step; (3)
+    sign is always preserved (zero may flip to +0)."""
+    import numpy as np
+
+    from stripe_data_pipeline_spark.operators import multimodal as M
+
+    x = np.array(vals, dtype=np.int16)
+    for enc, dec in ((M._ulaw_encode, M._ulaw_decode),
+                     (M._alaw_encode, M._alaw_decode)):
+        y = dec(enc(x))
+        z = dec(enc(y))
+        assert np.array_equal(y, z)  # fixed point after one round trip
+        err = np.abs(y.astype(np.int64) - np.clip(x.astype(np.int64), -32767, 32767))
+        assert err.max() <= 1024  # top-segment step bound
+        sgn_x = np.sign(x.astype(np.int64))
+        sgn_y = np.sign(y.astype(np.int64))
+        assert np.all((sgn_x == sgn_y) | (y == 0) | (x == 0))
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_dc_exactness_any_even_block_grid(bw, bh, seed):
+    """The DC-exactness contract behind media_jpeg_decode_check holds
+    for ANY grid of constant-valued 8x8 blocks with even values — not
+    just the fixture's generator polynomial: even v makes the
+    quantized DC (v-128)/2 an exact integer under the Annex-K q=16
+    step, so the lossy codec reproduces the image bit-for-bit."""
+    import numpy as np
+
+    from stripe_data_pipeline_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 128, (bh, bw)) * 2
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+    dec, w, h = M.decode_image(M.encode_jpeg(img, quality=50), fake=False)
+    assert (w, h) == (bw * 8, bh * 8)
+    assert np.array_equal(dec, np.repeat(img[..., None], 3, 2).astype(np.float32))
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    q=st.integers(min_value=70, max_value=100),
+    ri=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jpeg_never_crashes_and_bounds_error_any_image(w, h, q, ri, seed):
+    """Robustness over arbitrary dims/quality/restart settings: the
+    encoder must emit a decodable stream for ANY uint8 image (including
+    1-pixel and non-multiple-of-8 shapes), decoded dims must match, and
+    every reconstructed sample stays in [0, 255] (random noise has no
+    tight error bound — tolerance claims live in the smooth-content
+    tests)."""
+    import numpy as np
+
+    from stripe_data_pipeline_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    payload = M.encode_jpeg(img, quality=q, restart_interval=ri)
+    dec, dw, dh = M.decode_image(payload, fake=False)
+    assert (dw, dh) == (w, h)
+    assert dec.shape == (h, w, 3)
+    assert dec.min() >= 0 and dec.max() <= 255
