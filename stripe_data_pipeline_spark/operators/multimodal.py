@@ -724,12 +724,12 @@ def encode_jpeg(
     ac_codes = [_jpeg_huff_codes(*s) for s in ac_specs]
     tab_of_comp = [0] + ([] if gray else [1, 1])
 
-    writer = [_JpegBitWriter()]
+    writer = _JpegBitWriter()
     preds = [0] * len(planes)
     scan_parts: list[bytes] = []
 
     def emit_block(ci: int, zz: np.ndarray) -> None:
-        bw_ = writer[0]
+        bw_ = writer
         dct, act = dc_codes[tab_of_comp[ci]], ac_codes[tab_of_comp[ci]]
         diff = int(zz[0]) - preds[ci]
         preds[ci] = int(zz[0])
@@ -763,11 +763,11 @@ def encode_jpeg(
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                scan_parts.append(writer[0].flush())
+                scan_parts.append(writer.flush())
                 scan_parts.append(
                     bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
                 )
-                writer[0] = _JpegBitWriter()
+                writer = _JpegBitWriter()
                 preds = [0] * len(planes)
             mcu_i += 1
             for ci, (sh, sv) in enumerate(samp):
@@ -776,7 +776,7 @@ def encode_jpeg(
                         emit_block(
                             ci, comp_blocks[ci][my * sv + v_, mx * sh + h_]
                         )
-    scan_parts.append(writer[0].flush())
+    scan_parts.append(writer.flush())
     scan = b"".join(scan_parts)
 
     # ---- serialize segments ----
@@ -909,6 +909,10 @@ def _decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
     while pos + 4 <= n:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while pos + 2 < n and buf[pos + 1] == 0xFF:  # T.81 B.1.1.2 fill bytes
+            pos += 1
+        if pos + 4 > n:
+            break
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -985,6 +989,20 @@ def _decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
                 for (_, sh, sv, _) in comps
             ]
             preds = [0] * len(comps)
+            if not huffs:
+                # No DHT in the stream: de-facto MJPEG convention — frames
+                # imply the T.81 Annex-K typical tables (what ffmpeg/libav
+                # assume for AVI 'MJPG' streams that strip DHT per frame).
+                for (tc, th), spec in (
+                    ((0, 0), _JPEG_HUFF_DC_LUMA),
+                    ((1, 0), _JPEG_HUFF_AC_LUMA),
+                    ((0, 1), _JPEG_HUFF_DC_CHROMA),
+                    ((1, 1), _JPEG_HUFF_AC_CHROMA),
+                ):
+                    huffs[(tc, th)] = {
+                        (ln, code): sym
+                        for sym, (code, ln) in _jpeg_huff_codes(*spec).items()
+                    }
             br = _JpegBitReader(buf, pos)
             mcu_i = 0
             for my in range(mcuy):
@@ -998,8 +1016,13 @@ def _decode_jpeg(buf: bytes) -> tuple[np.ndarray, int, int]:
                         preds = [0] * len(comps)
                     mcu_i += 1
                     for ci, (cid, sh, sv, tq) in enumerate(comps):
-                        dct = huffs[(0, scan_tabs[cid][0])]
-                        act = huffs[(1, scan_tabs[cid][1])]
+                        dct = huffs.get((0, scan_tabs[cid][0]))
+                        act = huffs.get((1, scan_tabs[cid][1]))
+                        if dct is None or act is None:
+                            raise ValueError(
+                                "JPEG scan references an undefined "
+                                "Huffman table"
+                            )
                         qnat = qts[tq]
                         for v_ in range(sv):
                             for h_ in range(sh):
@@ -1504,6 +1527,8 @@ def _adpcm_decode(
         if oi >= n_samples:
             break
         block = data[bstart : bstart + block_align]
+        if len(block) < 4:
+            break  # trailing pad shorter than a block header
         pred = int.from_bytes(block[0:2], "little", signed=True)
         index = min(88, block[2])
         out[oi] = pred

@@ -934,3 +934,51 @@ def test_ima_adpcm_state_machine_and_container():
     x = rng.integers(-32768, 32768, 501).astype(np.int16)
     dec2, _ = M.decode_audio(M.encode_wav_adpcm(x, 8_000), fake=False)
     assert dec2.shape == (501, 1) and dec2.dtype == np.int16
+
+
+def test_jpeg_external_stream_robustness():
+    """Spec-legal variations our encoder never emits but external
+    JPEGs use: (1) 0xFF fill bytes before a marker (T.81 B.1.1.2)
+    decode fine; (2) a DHT-less MJPEG-convention frame falls back to
+    the Annex-K implied tables and still decodes bit-exactly for the
+    DC-exact fixture; (3) a scan referencing a genuinely undefined
+    table (DHT present but wrong id) fails loudly."""
+    img = np.full((8, 8), 100, np.uint8)
+    payload = M.encode_jpeg(img, quality=50)
+
+    # (1) insert a fill byte before the first DQT marker
+    dqt = payload.index(b"\xff\xdb")
+    filled = payload[:dqt] + b"\xff" + payload[dqt:]
+    dec, _, _ = M.decode_image(filled, fake=False)
+    assert np.array_equal(dec, np.full((8, 8, 3), 100, np.float32))
+
+    # (2) strip every DHT segment (the MJPEG-in-AVI convention)
+    stripped = bytearray()
+    pos = 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] == b"\xff\xc4":
+            seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            pos += 2 + seglen
+            continue
+        stripped.append(payload[pos])
+        pos += 1
+    dec, _, _ = M.decode_image(bytes(stripped), fake=False)
+    assert np.array_equal(dec, np.full((8, 8, 3), 100, np.float32))
+
+    # (3) DHT present but scan asks for a missing table id -> loud error
+    broken = bytearray(payload)
+    sos = payload.index(b"\xff\xda")
+    broken[sos + 6] = 0x22  # component 1 now wants DC/AC table id 2
+    with pytest.raises(ValueError):
+        M.decode_image(bytes(broken), fake=False)
+
+
+def test_adpcm_trailing_partial_block_ignored():
+    """A data chunk whose tail is shorter than a block header (pad
+    bytes from a sloppy writer) must not crash or fabricate samples."""
+    sig = (np.arange(300) * 50 - 7000).astype(np.int16)
+    body, _ = M._ima_encode_block(sig[:249], 0)
+    out = M._adpcm_decode(body + b"\x01\x02", block_align=len(body),
+                          samples_per_block=249, n_samples=300)
+    assert len(out) == 249
+    assert out[0] == sig[0]
