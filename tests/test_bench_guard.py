@@ -29,3 +29,41 @@ def test_guard_fires_on_deliberately_slowed_query():
 
 def test_guard_quiet_without_baseline():
     assert bench.check_regressions({"q": 100.0}, None) == []
+
+
+def test_summary_line_fits_driver_tail_budget():
+    """VERDICT r5 #1: the driver parses only the LAST JSON line from a
+    2000-char stdout tail. Simulate a full-size bench report (every
+    headline query timed, a 10-query sf1 spot, a worst-case regression
+    list) and pin that the final line stays under 1 KB while the detail
+    line carries the per-query timings."""
+    import json
+
+    timings = {name: 1.234 for name in bench.HEADLINE}
+    sf1_spot = {
+        "copies": 10,
+        "method": "min_of_2",
+        "queries": {
+            name: {"sec": 3.456, "ratio_vs_sf0.1": 3.4}
+            for name in bench.SF1_SPOT
+        },
+    }
+    detail_line, summary_line = bench.build_report(
+        timings=timings,
+        total=round(sum(timings.values()), 3),
+        sf="0.1",
+        regressions=sorted(timings),  # pathological: everything regressed
+        method="min_of_3_runs",
+        r1_subset=12.3,
+        sf1_spot=sf1_spot,
+    )
+    assert len(summary_line) < 1000
+    assert "\n" not in summary_line and "\n" not in detail_line
+    summary = json.loads(summary_line)
+    assert summary["metric"] == "headline_queries_total_sec"
+    assert summary["value"] > 0
+    assert summary["n_queries"] == len(bench.HEADLINE)
+    assert summary["n_regressions"] == len(timings)
+    assert len(summary["regressions"]) <= 10
+    detail = json.loads(detail_line)
+    assert set(detail["queries"]) == set(bench.HEADLINE)
