@@ -113,9 +113,10 @@ BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
 # queries run ONCE against a deterministic 10x replication of sf0.1
 # (stripe_data_pipeline_spark/sf_scale.py) — the first empirical
 # datapoint that the plans scale ~linearly past the driver's largest
-# testdata. Quadratic-by-design operators (the blocked Jaccard
-# self-join) are excluded: their cost is supposed to grow with the
-# block size squared, which says nothing about plan health. Single-run
+# testdata. The blocked Jaccard self-join is quadratic-by-design WITHIN
+# a block; since round 6 it is included anyway because max_block caps
+# the block size, so its corpus-level growth should stay ~linear — the
+# cap, not the quadratic core, is what the ratio certifies. Single-run
 # (not min-of-N): at 10x volume the compute dominates warmup noise,
 # and the block reports a RATIO against the same round's min-of-N
 # sf0.1 time, so the criterion is "ratio stays O(copies)", not an
@@ -129,6 +130,15 @@ SF1_SPOT = [
     # the pigeonhole heavy-hitter pattern: its whole point is the
     # shuffle volume staying vocabulary-capped as the corpus grows
     "heavy_hitter_tokens",
+    # round-6 widening (VERDICT r5 #4): the four most expensive headline
+    # queries not yet under a linearity pin — the bloom bitmap build +
+    # anti-join, the capped-block quadratic-by-design Jaccard (its CAP is
+    # what the ratio certifies), and the two shingle-keyed span/novelty
+    # passes whose shuffle volume tracks corpus tokens
+    "bloom_blocklist_filter",
+    "near_dup_jaccard_pairs",
+    "duplicate_span_stats",
+    "cross_doc_novelty_hashed",
 ]
 
 
