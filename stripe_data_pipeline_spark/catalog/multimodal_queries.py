@@ -494,9 +494,14 @@ def q_media_gif_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:  # 
     "media_jpeg_decode_check",
     oracle="""
 WITH dims AS (
+    -- bw/bh derive from doc_id // 3 and // 9: the query runs on the
+    -- doc_id % 3 = 0 slice, so a bare doc_id % 3 term would be the
+    -- constant 0 and multi-block-per-ROW MCU traversal (horizontal
+    -- block order, raster indexing across block columns) would never
+    -- be exercised (ADVICE r5)
     SELECT doc_id,
-           1 + doc_id % 3 AS bw,
-           1 + (doc_id // 3) % 3 AS bh
+           1 + (doc_id // 3) % 3 AS bw,
+           1 + (doc_id // 9) % 3 AS bh
     FROM documents
     WHERE doc_id % 3 = 0
 ),
@@ -554,8 +559,9 @@ def q_media_jpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "pixel_sum": [], "pixel_checksum": []}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                bw = 1 + doc_id % 3
-                bh = 1 + (doc_id // 3) % 3
+                # coprime to the % 3 slice filter — both dims vary
+                bw = 1 + (doc_id // 3) % 3
+                bh = 1 + (doc_id // 9) % 3
                 img = np.zeros((bh * 8, bw * 8), np.uint8)
                 for k in range(bw * bh):
                     v = ((doc_id * 37 + k * 29) % 128) * 2

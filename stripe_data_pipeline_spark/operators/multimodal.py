@@ -835,18 +835,30 @@ class _JpegBitReader:
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
                     return
-                # a real marker: feed 0-bits (spec: decoder detects EOB
-                # before consuming them; reaching here past EOI is a
-                # corrupt-stream error surfaced by the MCU loop)
-                self.acc <<= 8
-                self.n += 8
-                return
+                # A real marker mid-scan: _fill only runs when read_bits
+                # NEEDS more bits, so whatever we synthesized here would
+                # actually be consumed by the MCU loop — and all-zero
+                # bits decode as VALID Huffman symbols (canonical code 00
+                # maps to a real symbol), so a truncated external stream
+                # would silently decode to garbage pixels instead of
+                # failing loudly like the other codecs (ADVICE r5).
+                # A conforming stream never reaches this branch: its
+                # last Huffman code's bits (plus byte-align padding that
+                # is physically present in the data) always satisfy the
+                # final read, after which the caller stops or handles
+                # RSTn via restart().
+                raise ValueError(
+                    "truncated JPEG entropy stream: bit reader ran into "
+                    f"marker 0xFF{nxt:02X} at offset {self.pos}"
+                )
             self.pos += 1
             self.acc = (self.acc << 8) | b
             self.n += 8
         else:
-            self.acc <<= 8
-            self.n += 8
+            raise ValueError(
+                "truncated JPEG entropy stream: unexpected end of data "
+                f"at offset {self.pos}"
+            )
 
     def read_bits(self, k: int) -> int:
         while self.n < k:

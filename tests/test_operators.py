@@ -753,8 +753,11 @@ def test_jpeg_dc_exact_roundtrip():
     8x8 blocks with EVEN values survive the q=16 Annex-K DC quantizer
     exactly, so decode(encode(img)) == img bit-for-bit even though the
     codec is lossy in general."""
-    for doc_id in [0, 1, 5, 13, 123, 4999]:
-        bw, bh = 1 + doc_id % 3, 1 + (doc_id // 3) % 3
+    # mirrors the catalog fixture: bw/bh from // 3 and // 9 so both
+    # dims vary on the catalog's doc_id % 3 == 0 slice (ADVICE r5);
+    # ids chosen to cover every (bw, bh) in {1,2,3}^2
+    for doc_id in [0, 1, 3, 5, 6, 9, 12, 13, 18, 21, 24, 123, 4999]:
+        bw, bh = 1 + (doc_id // 3) % 3, 1 + (doc_id // 9) % 3
         img = np.zeros((bh * 8, bw * 8), np.uint8)
         for k in range(bw * bh):
             v = ((doc_id * 37 + k * 29) % 128) * 2
@@ -971,6 +974,38 @@ def test_jpeg_external_stream_robustness():
     broken[sos + 6] = 0x22  # component 1 now wants DC/AC table id 2
     with pytest.raises(ValueError):
         M.decode_image(bytes(broken), fake=False)
+
+
+def test_jpeg_truncated_entropy_stream_fails_loudly():
+    """ADVICE r5: the bit reader used to feed synthetic 0-bits past a
+    stray marker or EOF, and all-zero bits decode as VALID Huffman
+    symbols — so a truncated external JPEG silently produced garbage
+    pixels. It must raise like every other codec. Use a multi-block
+    image so truncation lands mid-scan with MCUs still to decode."""
+    img = np.zeros((16, 24), np.uint8)
+    for k in range(6):
+        img[(k // 3) * 8 : (k // 3) * 8 + 8,
+            (k % 3) * 8 : (k % 3) * 8 + 8] = ((k * 29 + 37) % 128) * 2
+    payload = M.encode_jpeg(img, quality=50)
+
+    # (a) chop the tail off the entropy-coded data (keep SOS header):
+    # reader hits end-of-data while MCUs remain
+    sos = payload.index(b"\xff\xda")
+    cut = sos + 10 + 2  # a couple of entropy bytes past the SOS header
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_jpeg(payload[:cut])
+
+    # (b) truncate TO the EOI marker with entropy data missing: the
+    # reader sees a real marker while bits are still being consumed
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_jpeg(payload[:cut] + b"\xff\xd9")
+
+    # (c) the untouched stream still decodes exactly (even-DC fixture)
+    dec, dw, dh = M.decode_image(payload, fake=False)
+    assert (dw, dh) == (24, 16)
+    assert np.array_equal(
+        dec, np.repeat(img[..., None], 3, axis=2).astype(np.float32)
+    )
 
 
 def test_adpcm_trailing_partial_block_ignored():
