@@ -694,12 +694,16 @@ FROM pairs ORDER BY cnt DESC, l, r LIMIT 1
     doc="Distributed BPE tokenizer training (Sennrich et al. 2016, "
     "public): learn the first 10 merge rules over the corpus. The "
     "corpus is shuffled ONCE into a word-frequency table (vocabulary-"
-    "sized, cached); every batch iteration then runs pair-count agg + "
-    "top-m collect + an Arrow-batched merge rewrite over that small "
-    "table — at 100 TB the iterations never re-read the data, and the "
-    "batched trainer (train_bpe_batched) learns a provably-safe "
-    "prefix of merges per pass, cutting driver round-trips vs the "
-    "1-merge loop. Oracled per VERDICT r4 #1: later merges are an "
+    "sized, cached); under the bounded driver threshold (64Ki words — "
+    "this synthetic corpus has ~31) that table is collected once and "
+    "both fixpoint loops run in memory, zero Spark jobs per merge; "
+    "past it each iteration runs pair-count agg + top-m collect + an "
+    "Arrow-batched merge rewrite over the small cached table — at "
+    "100 TB the iterations never re-read the data, and the batched "
+    "trainer (train_bpe_batched) learns a provably-safe prefix of "
+    "merges per pass, cutting driver round-trips vs the 1-merge loop "
+    "(both loop placements pinned identical in tests/test_bpe.py). "
+    "Oracled per VERDICT r4 #1: later merges are an "
     "iterative fixpoint DuckDB cannot express, so the check row "
     "carries (a) the FIRST merge + its count, recomputed exactly by "
     "the oracle's argmax over initial char-pair counts, (b) the merge "
@@ -708,14 +712,10 @@ FROM pairs ORDER BY cnt DESC, l, r LIMIT 1
     "pure-Python reference (tests/test_bpe.py).",
 )
 def q_bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stripe_data_pipeline_spark.operators.bpe import (
-        train_bpe,
-        train_bpe_batched,
-    )
+    from stripe_data_pipeline_spark.operators.bpe import train_bpe_both
 
     docs = read_table(spark, sf_dir, "documents")
-    batched = train_bpe_batched(docs, n_merges=10)
-    iterative = train_bpe(docs, n_merges=10)
+    batched, iterative = train_bpe_both(docs, n_merges=10)
     match = [(l, r) for (l, r, _c) in batched] == iterative
     first_l, first_r, first_c = batched[0]
     return spark.createDataFrame(

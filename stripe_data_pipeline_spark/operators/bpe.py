@@ -19,6 +19,13 @@ whole scale insight here:
   word — not expressible with Spark's array builtins).
 - Determinism: ties broken by (count DESC, pair lexicographic ASC), so
   the learned merge list is a pure function of the corpus.
+- Hybrid loop placement (round 6, VERDICT r5 #7): when the word-
+  frequency table is small enough to hold driver-side
+  (``driver_vocab_threshold`` rows, default 64Ki) it is collected ONCE
+  and the fixpoint loop runs in memory — zero Spark jobs per merge,
+  which is how production BPE trainers work. Past the threshold the
+  loop stays fully distributed. Either path learns the identical
+  sequence (pinned both ways in tests/test_bpe.py).
 
 Not oracle-expressible (iterative fixpoint; DuckDB has no loop), so
 the catalog query is rows-only; exactness is pytest-pinned against a
@@ -87,17 +94,7 @@ def _apply_merges(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
             for syms in pdf["syms"]:
                 s = list(syms)
                 for left, right in merges:
-                    merged = left + right
-                    res: list[str] = []
-                    i = 0
-                    while i < len(s):
-                        if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
-                            res.append(merged)
-                            i += 2
-                        else:
-                            res.append(s[i])
-                            i += 1
-                    s = res
+                    s = _merge_word(s, left, right)
                 out.append(s)
             yield pd.DataFrame(
                 {"word": pdf["word"], "n": pdf["n"], "syms": out}
@@ -106,16 +103,104 @@ def _apply_merges(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     return vocab.mapInPandas(run, schema="word string, n long, syms array<string>")
 
 
+def _merge_word(s: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping adjacent merge of one
+    word's symbol list — the reference algorithm's inner step, shared
+    by the distributed rewrite and the driver fixpoint loop."""
+    res: list[str] = []
+    i = 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+            res.append(left + right)
+            i += 2
+        else:
+            res.append(s[i])
+            i += 1
+    return res
+
+
+def _driver_pair_counts(rows: list[tuple[int, list[str]]]) -> dict:
+    counts: dict[tuple[str, str], int] = {}
+    for n, s in rows:
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            counts[p] = counts.get(p, 0) + n
+    return counts
+
+
+def _train_bpe_driver(
+    rows: list[tuple[int, list[str]]],
+    n_merges: int,
+    batched: bool,
+    top_m: int = 64,
+) -> list[tuple[str, str, int]]:
+    """Driver-side fixpoint loop over a COLLECTED word-frequency table
+    (bounded by ``driver_vocab_threshold`` — see train_bpe). Replicates
+    the distributed trainers' semantics exactly: same exact pair
+    counts, same (count DESC, pair ASC) total order, and for
+    ``batched=True`` the same top-``top_m`` truncation +
+    :func:`_select_batch` admission rule — so driver and distributed
+    paths learn identical sequences (pinned in tests/test_bpe.py)."""
+    rows = [(n, list(s)) for n, s in rows]
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges:
+        counts = _driver_pair_counts(rows)
+        ordered = sorted(
+            ((left, right, c) for (left, right), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        top = ordered[:top_m] if batched else ordered[:1]
+        if not top or top[0][2] < 2:
+            break
+        if batched:
+            floor_cnt = top[-1][2] if len(top) == top_m else 0
+            batch = _select_batch(top, floor_cnt)[: n_merges - len(merges)]
+            if not batch:
+                batch = [top[0]]
+        else:
+            batch = [top[0]]
+        merges.extend(batch)
+        for left, right, _c in batch:
+            rows = [(n, _merge_word(s, left, right)) for n, s in rows]
+    return merges
+
+
 def train_bpe(
-    df: DataFrame, n_merges: int = 30, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    driver_vocab_threshold: int = 65536,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right), ...] in
-    learned order. Stops early when no pair occurs twice."""
+    learned order. Stops early when no pair occurs twice.
+
+    Hybrid execution (round 6): the corpus pass — the only part that
+    touches the data — is ALWAYS distributed (one groupBy(word)
+    shuffle). When the resulting word-frequency table has at most
+    ``driver_vocab_threshold`` rows it is collected ONCE and the
+    fixpoint loop runs driver-side (this is how production BPE
+    trainers work — the merge loop is in-memory over word counts);
+    otherwise the loop stays fully distributed. The collect is bounded
+    by contract: threshold rows of (count, short symbol array), a few
+    MB at the default. Results are identical on either path (pinned by
+    tests/test_bpe.py on both)."""
     spark = df.sparkSession
     vocab = word_symbol_table(df, text_col).cache()
     # Materialize the one corpus shuffle FIRST, under the session's
     # (corpus-scaled) shuffle width; iterations never re-read the data.
-    vocab.count()
+    n_words = vocab.count()
+    if n_words <= driver_vocab_threshold:
+        rows = [
+            (r["n"], list(r["syms"]))
+            for r in vocab.select("n", "syms").collect()
+        ]
+        vocab.unpersist()
+        return [
+            (left, right)
+            for left, right, _c in _train_bpe_driver(
+                rows, n_merges, batched=False
+            )
+        ]
     # The loop then runs ~2 jobs per merge over the TINY cached vocab;
     # a corpus-sized shuffle partitioning (vanilla sessions default to
     # 200) would pay thousands of empty-task launches for it. Pin a
@@ -204,6 +289,7 @@ def train_bpe_batched(
     n_merges: int = 30,
     text_col: str = "text",
     top_m: int = 64,
+    driver_vocab_threshold: int = 65536,
 ) -> list[tuple[str, str, int]]:
     """Batched BPE trainer (VERDICT r4 #6): learns the IDENTICAL merge
     sequence as :func:`train_bpe` while collecting the top ``top_m``
@@ -213,10 +299,23 @@ def train_bpe_batched(
     whenever the safety rule admits nothing, so progress (and
     exactness) never depends on the heuristic. Returns
     ``[(left, right, count_at_merge_time), ...]`` in learned order.
+
+    Same hybrid execution as :func:`train_bpe`: a word-frequency table
+    of at most ``driver_vocab_threshold`` rows is collected once and
+    the loop — including the SAME top-``top_m`` truncation and
+    :func:`_select_batch` admission rule — runs driver-side, so the
+    batching math stays exercised on either path.
     """
     spark = df.sparkSession
     vocab = word_symbol_table(df, text_col).cache()
-    vocab.count()
+    n_words = vocab.count()
+    if n_words <= driver_vocab_threshold:
+        rows = [
+            (r["n"], list(r["syms"]))
+            for r in vocab.select("n", "syms").collect()
+        ]
+        vocab.unpersist()
+        return _train_bpe_driver(rows, n_merges, batched=True, top_m=top_m)
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     merges: list[tuple[str, str, int]] = []
@@ -244,6 +343,50 @@ def train_bpe_batched(
         vocab.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return merges
+
+
+def train_bpe_both(
+    df: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    top_m: int = 64,
+    driver_vocab_threshold: int = 65536,
+) -> tuple[list[tuple[str, str, int]], list[tuple[str, str]]]:
+    """Run the BATCHED and the ITERATIVE trainer over ONE shared
+    corpus pass and return ``(batched, iterative)`` — the agreement
+    check the bpe_merges_learned catalog query pins. Under the driver
+    threshold the word-frequency table is collected once and both
+    fixpoint loops (including the batched top-m truncation +
+    _select_batch admission) run in memory; past it, each trainer runs
+    its own distributed loop (two corpus passes — correctness
+    identical, and at that scale the loop cost dominates anyway)."""
+    vocab = word_symbol_table(df, text_col).cache()
+    n_words = vocab.count()
+    if n_words <= driver_vocab_threshold:
+        rows = [
+            (r["n"], list(r["syms"]))
+            for r in vocab.select("n", "syms").collect()
+        ]
+        vocab.unpersist()
+        batched = _train_bpe_driver(rows, n_merges, batched=True, top_m=top_m)
+        iterative = [
+            (left, right)
+            for left, right, _c in _train_bpe_driver(
+                rows, n_merges, batched=False
+            )
+        ]
+        return batched, iterative
+    vocab.unpersist()
+    return (
+        train_bpe_batched(
+            df, n_merges, text_col, top_m,
+            driver_vocab_threshold=driver_vocab_threshold,
+        ),
+        train_bpe(
+            df, n_merges, text_col,
+            driver_vocab_threshold=driver_vocab_threshold,
+        ),
+    )
 
 
 def bpe_merge_table(

@@ -86,6 +86,30 @@ def test_batched_bpe_matches_reference(spark):
         assert [(l, r) for l, r, _c in got] == want, texts
 
 
+def test_distributed_path_matches_driver_path(spark):
+    """The hybrid trainers collapse to a driver loop for small vocabs;
+    force the DISTRIBUTED loop (threshold=0) and pin that both paths —
+    iterative and batched — learn the identical sequence the pure-
+    Python reference does, so the Spark pair-count/rewrite plumbing
+    stays exercised even though fixture corpora are tiny."""
+    for texts in (
+        ["low low low low low", "lower lower newest newest",
+         "newest newest newest widest"],
+        ["ab ab cd cd", "ab cd"],
+        ["aa aa aa b b b b aa"],
+    ):
+        want = reference_bpe(texts, 12)
+        df = _df(spark, texts)
+        got_iter = train_bpe(df, n_merges=12, driver_vocab_threshold=0)
+        got_batch = train_bpe_batched(
+            df, n_merges=12, driver_vocab_threshold=0
+        )
+        assert got_iter == want, texts
+        assert [(l, r) for l, r, _c in got_batch] == want, texts
+        # and the default (driver) path agrees with the forced one
+        assert train_bpe(df, n_merges=12) == got_iter, texts
+
+
 def test_batched_bpe_matches_iterative_on_documents(spark, sf_dir):
     # real-corpus agreement (same check the driver query pins as a flag)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
