@@ -976,6 +976,75 @@ def test_jpeg_external_stream_robustness():
         M.decode_image(bytes(broken), fake=False)
 
 
+def test_png_interlaced_rejected_loudly():
+    """External-stream robustness: an Adam7-interlaced PNG (a flag our
+    encoder never sets) must be REJECTED loudly — decoding its
+    scanlines as sequential would produce scrambled pixels."""
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    payload = bytearray(M.encode_png(img))
+    # IHDR data starts at sig(8)+len(4)+type(4); interlace is byte 12
+    assert payload[8 + 8 + 12] == 0
+    payload[8 + 8 + 12] = 1
+    with pytest.raises(NotImplementedError, match="interlace"):
+        M.decode_image(bytes(payload), fake=False)
+
+
+def test_gif_local_color_table_used():
+    """External-stream robustness: our encoder only ever writes a
+    global color table, but spec-legal GIFs may carry a LOCAL one that
+    OVERRIDES it. Zero out the global palette and move the real one
+    into a local table — decode must still be exact (proving the local
+    table is honored, not the global)."""
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 256, (6, 5)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    buf = M.encode_gif(idx, pal)
+    want, w, h = M._decode_gif(buf)
+
+    hdr, gpal = buf[:13], buf[13 : 13 + 768]
+    desc = buf[13 + 768 : 13 + 768 + 9]  # 0x2C + pos + dims
+    assert desc[:1] == b"\x2c" and buf[13 + 768 + 9] == 0x00
+    rest = buf[13 + 768 + 10 :]  # min_code + sub-blocks + trailer
+    local = hdr + bytes(768) + desc + bytes([0x87]) + gpal + rest
+    got, gw, gh = M._decode_gif(local)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, want)
+
+    # and a GIF with NO global table at all, only the local one
+    no_global = (
+        buf[:10] + bytes([0x07, 0, 0]) + desc + bytes([0x87]) + gpal + rest
+    )
+    got2, _, _ = M._decode_gif(no_global)
+    assert np.array_equal(got2, want)
+
+
+def test_wav_extra_riff_chunks_skipped():
+    """External-stream robustness: real WAVs carry LIST/INFO, fact and
+    vendor chunks (some odd-sized, which the walk must pad to word
+    alignment) that our encoder never writes. They must be skipped,
+    before and after fmt/data alike."""
+    sig = (np.arange(400) * 123 % 7000 - 3500).astype(np.int16)
+    buf = M.encode_wav(sig, sample_rate=8000)
+    want, rate = M._decode_wav(buf)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    extras_front = chunk(b"LIST", b"INFOIART" + b"\x05\x00\x00\x00odd!!")
+    extras_mid = chunk(b"junk", b"\x01\x02\x03")  # odd size -> pad byte
+    fmt_data = buf[12:]
+    fmt_end = 12 + 8 + int.from_bytes(buf[16:20], "little")
+    fmt_chunk, data_chunk = buf[12:fmt_end], buf[fmt_end:]
+    body = extras_front + fmt_chunk + extras_mid + data_chunk + chunk(
+        b"tail", b"vendor-junk"
+    )
+    rebuilt = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+    got, grate = M._decode_wav(rebuilt)
+    assert grate == rate
+    assert np.array_equal(got, want)
+
+
 def test_jpeg_truncated_entropy_stream_fails_loudly():
     """ADVICE r5: the bit reader used to feed synthetic 0-bits past a
     stray marker or EOF, and all-zero bits decode as VALID Huffman
