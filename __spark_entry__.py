@@ -100,121 +100,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # round). tests/test_driver_contract.py enforces that nothing without
 # any driver verdict sits outside the window.
 _PRIORITY = [
-    # --- ROUND-5 WINDOW (first 50; the driver checks these) ---
-    # New this round (no driver verdict yet):
+    # --- ROUND-6 WINDOW (first 50; the driver checks these) ---
+    # Ordering policy (VERDICT r5 #5): new/changed this round first,
+    # then OLDEST driver verdict first, so no row's last driver check
+    # grows stale while the full-catalog CI sweep covers everything.
+    # New in r6: the streaming Stripe source mart; changed in r6: the
+    # JPEG fixture dims (ADVICE r5), the JPEG entropy reader (loud
+    # truncation), the hybrid BPE trainer.
+    "streaming_stripe_source_mart_check",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
-    "media_ulaw_decode_check",
-    "media_adpcm_decode_check",
-    "media_png_decode_check",
-    "bloom_blocklist_filter",
-    "atomic_recognized_mart_check",
-    "batch_ivf_topk",
-    "media_gif_decode_check",
-    "atomic_dml_mart_check",
-    # Output/semantics changed in r5 (rows-only -> oracled redesigns,
-    # md5-60-bit LSH base hash, new checksum columns, batched BPE):
     "bpe_merges_learned",
-    "approx_distinct_parts",
-    "hll_mergeable_user_counts",
-    "media_features",
-    "media_frame_samples",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "jaccard_verify_lsh",
-    "embedding_lsh_near_dups",
-    # Code paths touched by r5 changes (manifest OCC/txn/lock refactor,
-    # scd partition plumb, dedup module edits) - all oracle-green at
-    # sf0.01 this round, re-verified under the driver for safety:
-    "streaming_atomic_merge_mart_check",
-    "scd2_customer_segments",
-    "atomic_merge_mart_check",
-    "incremental_agg_mart_check",
-    "atomic_mart_change_feed",
-    "stats_pruned_scan_check",
-    "near_dup_jaccard_pairs",
-    "dedup_clusters",
-    # Oldest driver verdicts (r1+r2 double-verified demos, rotated
-    # back in; every r5 window slot freed by demoting r4-green rows):
-    "label_centroids_applyinpandas",
-    "asof_join_events_orders",
-    "orders_lineitem_join",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "media_metadata",
-    "doc_fingerprints",
-    "dedup_exact_summary",
-    "orders_rename_cast",
-    "orders_status_filter",
-    "orders_high_watermark",
-    "dim_chain_join",
-    "customer_orders_left_join",
-    "customers_with_open_orders_semi",
-    "customers_without_orders_anti",
-    "doc_words_exploded_top20",
-    "max_cursor",
-    "pricing_summary",
-    "latest_event_per_user",
-    "top3_orders_per_status",
-    "event_gaps",
-    "top20_orders",
-    # --- cutoff: window is the 50 entries above. Below: r1/r2/r3-green
-    # representatives displaced by the four new codec checks, then
-    # r4-green
+    # last driver verdict: round 2
     "doc_regex_tokens",
     "doc_first_last_token",
     "rollup_counts",
+    # last driver verdict: round 3
     "sessionized_events",
-    # --- then: r4-green
-    # queries (driver verdict one round old), then the rest in prior
-    # rotation order. tools/check_oracle.py re-verified 0/129 failures
-    # at sf0.01 this round, so demoted rows stay CI-covered
-    # (tests/test_oracle_catalog.py runs the full catalog at sf0.001).
     "regional_revenue_q5ish",
     "sql_api_segment_revenue",
     "key_skew_report_events",
     "domain_capped_docs",
     "cross_doc_novelty",
-    "dataset_split_counts",
-    "corpus_mix_summary",
-    "media_bmp_decode_check",
-    "vocab_overlap_hll_check",
-    "media_wav_decode_check",
-    "heavy_hitter_tokens",
-    "media_resize_check",
-    "zorder_key_check",
-    "media_avi_decode_check",
-    "price_percentiles",
-    "events_rolling_hour_count",
-    "grouped_stats",
-    "conditional_functions",
-    "orders_star_plus",
-    "salted_skew_join",
-    "events_hourly_windows",
-    "running_value_per_user",
-    "date_functions",
-    "pivot_qty_by_status",
-    "events_in_list",
-    "json_extraction",
-    "union_all_slices",
-    "custkey_set_ops",
-    "string_functions",
-    "cube_counts",
-    "revenue_trend_daily",
-    "deferred_total_asof",
-    "deferred_by_customer_asof",
-    "recognized_quarter_calendar",
-    "recognized_monthly_halfopen",
-    "active_periods_per_month_start",
-    "curated_line_items",
-    "calendar_dim",
-    "fx_literal_dim",
-    "missing_period_end_threshold",
-    "pandas_udf_normalize",
-    "dedup_exact_keepers",
-    "cosine_topk_bruteforce",
-    "ivf_topk",
     "cross_doc_novelty_hashed",
     "token_length_histogram",
     "array_agg_sorted",
@@ -254,6 +161,94 @@ _PRIORITY = [
     "weekly_retention_cohorts",
     "daily_value_anomalies",
     "column_null_audit",
+    # last driver verdict: round 4
+    "dataset_split_counts",
+    "corpus_mix_summary",
+    "media_bmp_decode_check",
+    "vocab_overlap_hll_check",
+    "media_wav_decode_check",
+    "heavy_hitter_tokens",
+    "media_resize_check",
+    "zorder_key_check",
+    "media_avi_decode_check",
+    "price_percentiles",
+    "events_rolling_hour_count",
+    "grouped_stats",
+    "conditional_functions",
+    "orders_star_plus",
+    "salted_skew_join",
+    "events_hourly_windows",
+    "running_value_per_user",
+    "date_functions",
+    "pivot_qty_by_status",
+    "events_in_list",
+    "json_extraction",
+    "union_all_slices",
+    "custkey_set_ops",
+    "string_functions",
+    "cube_counts",
+    "revenue_trend_daily",
+    "deferred_total_asof",
+    "deferred_by_customer_asof",
+    "recognized_quarter_calendar",
+    "recognized_monthly_halfopen",
+    "active_periods_per_month_start",
+    "curated_line_items",
+    "calendar_dim",
+    "fx_literal_dim",
+    "missing_period_end_threshold",
+    "pandas_udf_normalize",
+    "dedup_exact_keepers",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
+    # last driver verdict: round 5
+    "media_ulaw_decode_check",
+    "media_adpcm_decode_check",
+    "media_png_decode_check",
+    "bloom_blocklist_filter",
+    "atomic_recognized_mart_check",
+    "batch_ivf_topk",
+    "media_gif_decode_check",
+    "atomic_dml_mart_check",
+    "approx_distinct_parts",
+    "hll_mergeable_user_counts",
+    "media_features",
+    "media_frame_samples",
+    "minhash_lsh_candidates",
+    "simhash_signatures",
+    "jaccard_verify_lsh",
+    "embedding_lsh_near_dups",
+    "streaming_atomic_merge_mart_check",
+    "scd2_customer_segments",
+    "atomic_merge_mart_check",
+    "incremental_agg_mart_check",
+    "atomic_mart_change_feed",
+    "stats_pruned_scan_check",
+    "near_dup_jaccard_pairs",
+    "dedup_clusters",
+    "label_centroids_applyinpandas",
+    "asof_join_events_orders",
+    "orders_lineitem_join",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "media_metadata",
+    "doc_fingerprints",
+    "dedup_exact_summary",
+    "orders_rename_cast",
+    "orders_status_filter",
+    "orders_high_watermark",
+    "dim_chain_join",
+    "customer_orders_left_join",
+    "customers_with_open_orders_semi",
+    "customers_without_orders_anti",
+    "doc_words_exploded_top20",
+    "max_cursor",
+    "pricing_summary",
+    "latest_event_per_user",
+    "top3_orders_per_status",
+    "event_gaps",
+    "top20_orders",
 ]
 
 

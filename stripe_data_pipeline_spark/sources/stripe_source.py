@@ -25,7 +25,12 @@ import time
 from collections.abc import Iterator
 from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql import types as T
 
 from stripe_data_pipeline_spark.sources.fixtures import (
@@ -84,6 +89,17 @@ class FakeStripeClient:
             return [make_subscription_event(i) for i in range(self.n_items)]
         raise ValueError(f"unknown endpoint: {endpoint!r}")
 
+    def latest_created(self, endpoint: str) -> int:
+        """Exclusive upper bound of available data — the streaming
+        reader's notion of 'now' (deterministic for the fake corpus)."""
+        return max(d["created"] for d in self._corpus(endpoint)) + 1
+
+    def earliest_created(self, endpoint: str) -> int:
+        """Inclusive lower bound of available data; lets the streaming
+        pacer skip the empty span below the first document instead of
+        crawling from epoch 0 in max_batch_seconds steps."""
+        return min(d["created"] for d in self._corpus(endpoint))
+
     def list_page(
         self,
         endpoint: str,
@@ -130,6 +146,16 @@ class _RealStripeClient:
             ) from e
         stripe.api_key = api_key
         self._stripe = stripe
+
+    def latest_created(self, endpoint: str) -> int:  # pragma: no cover
+        """'Now' for a live API: events keep arriving, so the stream's
+        upper bound is simply the current wall clock."""
+        return int(time.time())
+
+    def earliest_created(self, endpoint: str) -> int:  # pragma: no cover
+        """The live API exposes no cheap 'first object' probe; the
+        user's created_gte option (backfill start) is the floor."""
+        return 0
 
     def list_page(
         self,
@@ -227,8 +253,89 @@ class StripeReader(DataSourceReader):
                 time.sleep(2 ** (retry - 1))
 
 
+class StripeStreamReader(DataSourceStreamReader):
+    """Structured-Streaming flavor of S1 (VERDICT r5 #6): the offset is
+    the ``created`` HIGH WATERMARK — exactly the incremental-cursor
+    contract the batch pipeline uses (S2), lifted into the streaming
+    engine. Each micro-batch covers ``[start.created, end.created)``
+    and is TIME-WINDOW SHARDED across executors like the batch reader
+    (same :class:`TimeWindowPartition`, same pagination/retry), so the
+    parallel-ingest design carries over unchanged.
+
+    Pacing: ``latestOffset`` advances by at most ``max_batch_seconds``
+    per trigger (bounded micro-batches while draining a backlog —
+    the maxFilesPerTrigger idea for an API source). The pacing state
+    is in-memory best-effort, because the Python streaming API does
+    not hand ``latestOffset`` the engine's current offset: after a
+    driver restart the pacer re-walks from the data floor, one step
+    per trigger, producing empty/no-op batches until it passes the
+    checkpoint's committed offset (and possibly re-covering a
+    committed window on the way). Correctness never depends on it —
+    delivery is at-least-once by contract, downstream sinks key their
+    MERGE on ``id`` (idempotent) and replayed epochs dedupe through
+    the manifest txn ledger (exactly-once end-to-end). Trigger note:
+    ``availableNow`` snapshots its target at the FIRST latestOffset
+    call, so with pacing it drains exactly one window per run; to
+    drain a whole backlog in one paced run use a processingTime
+    trigger + ``processAllAvailable()`` (what the catalog check does).
+    """
+
+    def __init__(self, options: dict):
+        self._r = StripeReader(options)
+        self.max_batch_seconds = int(
+            options.get("max_batch_seconds", str(7 * 86400))
+        )
+        self._last_end: int | None = None
+
+    def _client(self):
+        return (
+            _RealStripeClient(self._r.api_key)
+            if self._r.api_key
+            else FakeStripeClient(self._r.fake_items)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"created": self._r.created_gte}
+
+    def latestOffset(self) -> dict:
+        client = self._client()
+        latest = min(
+            client.latest_created(self._r.endpoint), self._r.created_lt
+        )
+        floor = (
+            self._r.created_gte if self._last_end is None else self._last_end
+        )
+        # skip the empty span below the first available document so the
+        # pacer doesn't crawl from epoch 0 in max_batch_seconds steps
+        floor = max(floor, client.earliest_created(self._r.endpoint))
+        end = max(floor, min(latest, floor + self.max_batch_seconds))
+        self._last_end = end
+        return {"created": end}
+
+    def partitions(self, start: dict, end: dict) -> list[TimeWindowPartition]:
+        lo, hi = int(start["created"]), int(end["created"])
+        if hi <= lo:
+            return [TimeWindowPartition(lo, lo)]  # empty batch
+        step = max((hi - lo) // self._r.num_partitions, 1)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            TimeWindowPartition(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: TimeWindowPartition) -> Iterator[tuple]:
+        return self._r.read(partition)
+
+    def commit(self, end: dict) -> None:
+        # Offsets live in the engine's checkpoint; nothing to persist
+        # source-side (the API is the source of truth for re-reads).
+        pass
+
+
 class StripeDataSource(DataSource):
     """spark.read.format("stripe").option("endpoint", "invoices")...
+    — and ``spark.readStream.format("stripe")`` for the streaming
+    flavor (created-HWM offsets, same sharding).
 
     Yields (id, created, payload-JSON); parse ``payload`` with
     ``from_json(payload, INVOICE_SCHEMA)`` downstream — the staging
@@ -244,3 +351,6 @@ class StripeDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> StripeReader:
         return StripeReader(self.options)
+
+    def streamReader(self, schema: T.StructType) -> StripeStreamReader:
+        return StripeStreamReader(self.options)
