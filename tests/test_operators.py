@@ -989,6 +989,73 @@ def test_png_interlaced_rejected_loudly():
         M.decode_image(bytes(payload), fake=False)
 
 
+def test_png_split_idat_and_ancillary_chunks():
+    """External-stream robustness: real-world PNGs split the image
+    stream across MULTIPLE IDAT chunks (libpng emits 8K/32K pieces)
+    and carry ancillary chunks (gAMA, tEXt) our encoder never writes.
+    Rebuild the single-IDAT encoder output into that shape — the
+    decoder must concatenate IDATs in order and skip the rest."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (7, 9, 3)).astype(np.uint8)
+    payload = M.encode_png(img)
+    want, w, h = M._decode_png(payload)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # dissect: sig | IHDR | IDAT | IEND (the encoder's fixed layout)
+    pos = len(M._PNG_SIG)
+    (ihdr_len,) = struct.unpack(">I", payload[pos : pos + 4])
+    ihdr = payload[pos + 8 : pos + 8 + ihdr_len]
+    pos += 12 + ihdr_len
+    (idat_len,) = struct.unpack(">I", payload[pos : pos + 4])
+    idat = payload[pos + 8 : pos + 8 + idat_len]
+
+    mid = max(1, len(idat) // 3)
+    rebuilt = (
+        M._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"gAMA", struct.pack(">I", 45455))
+        + chunk(b"IDAT", idat[:mid])
+        + chunk(b"tEXt", b"Comment\x00not ours")
+        + chunk(b"IDAT", idat[mid:])
+        + chunk(b"IEND", b"")
+    )
+    got, gw, gh = M._decode_png(rebuilt)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, want)
+
+
+def test_gif_graphic_control_extension_skipped():
+    """External-stream robustness: GIF89a streams carry a Graphic
+    Control Extension (and often comment extensions) before the image
+    descriptor; our encoder writes neither. They must be skipped via
+    the sub-block walk."""
+    rng = np.random.RandomState(13)
+    idx = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    buf = M.encode_gif(idx, pal)
+    want, w, h = M._decode_gif(buf)
+
+    desc_at = 13 + 768  # header + global palette; encoder layout
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: 4-byte block + term
+    comment = b"\x21\xfe\x07not gif\x00"  # comment ext, one sub-block
+    rebuilt = (
+        b"GIF89a" + buf[6:desc_at] + gce + comment + buf[desc_at:]
+    )
+    got, gw, gh = M._decode_gif(rebuilt)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, want)
+
+
 def test_gif_local_color_table_used():
     """External-stream robustness: our encoder only ever writes a
     global color table, but spec-legal GIFs may carry a LOCAL one that
