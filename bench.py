@@ -105,6 +105,9 @@ HEADLINE = [
     "media_ulaw_decode_check",
     "media_adpcm_decode_check",
     "media_mjpeg_decode_check",
+    # round-6 addition: the fourth compressed image codec (BI_RLE8
+    # palettized run-length encode -> byte-pair escape-walk decode)
+    "media_rle_bmp_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

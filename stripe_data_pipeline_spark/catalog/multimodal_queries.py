@@ -98,6 +98,96 @@ def q_media_bmp_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_rle_bmp_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 6 + doc_id % 7 AS w, 4 + (doc_id // 7) % 5 AS h
+    FROM documents
+),
+px AS (
+    SELECT d.doc_id, d.w, d.h,
+           CASE WHEN r.r % 2 = 0
+                THEN (d.doc_id * 31 + r.r * 7 + c.c // 3) % 256
+                ELSE (d.doc_id * 31 + r.r * 7 + c.c * 13) % 256 END AS j,
+           (r.r * d.w + c.c) * 3 AS i
+    FROM dims d,
+         UNNEST(generate_series(0, d.h - 1)) AS r(r),
+         UNNEST(generate_series(0, d.w - 1)) AS c(c)
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       CAST(SUM(j + (j * 11) % 256 + (j * 17) % 256) AS BIGINT)
+           AS pixel_sum,
+       CAST(SUM((i + 1) * j + (i + 2) * ((j * 11) % 256)
+                + (i + 3) * ((j * 17) % 256)) AS BIGINT)
+           AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="REAL BI_RLE8 decode under a bit-exact oracle — the FOURTH "
+    "compressed image codec (after PNG/zlib, GIF/LZW, JPEG/DCT): each "
+    "doc gets a deterministic WxH palette-index image whose EVEN rows "
+    "are runs of 3 (exercising encoded mode) and ODD rows are "
+    "all-distinct (exercising absolute mode incl. WORD padding), "
+    "encoded to an actual 8-bit BI_RLE8 BMP by the greedy run-length "
+    "encoder and decoded back by the from-the-spec byte-pair walk "
+    "(encoded/absolute/EOL/EOB escapes, palette map) INSIDE "
+    "mapInPandas. Plain and position-weighted sums over the decoded "
+    "RGB raster must match the oracle's closed form, so any run "
+    "accounting, padding, row-direction or palette bug breaks parity. "
+    "Delta escapes and malformed-stream rejection are pytest-pinned "
+    "(tests/test_operators.py::test_rle8_bmp_external_streams).",
+)
+def q_media_rle_bmp_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pal = np.stack(
+            [
+                np.arange(256),
+                (np.arange(256) * 11) % 256,
+                (np.arange(256) * 17) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pixel_sum": [], "pixel_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 6 + doc_id % 7, 4 + (doc_id // 7) % 5
+                r, c = np.indices((h, w))
+                idx = np.where(
+                    r % 2 == 0,
+                    (doc_id * 31 + r * 7 + c // 3) % 256,
+                    (doc_id * 31 + r * 7 + c * 13) % 256,
+                ).astype(np.uint8)
+                payload = M.encode_bmp_rle8(idx, pal)
+                img, dw, dh = M.decode_image(payload, fake=False)
+                flat = img.reshape(-1).astype(np.int64)
+                n = len(flat)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_checksum"].append(
+                    int((flat * (np.arange(n, dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, "
+        "pixel_sum long, pixel_checksum long",
+    )
+
+
+@register(
     "media_features",
     oracle="""
 WITH dims AS (

@@ -6,13 +6,14 @@ Arrow-batched Pandas iterators (``mapInPandas``) so the Python
 boundary is crossed per-batch, never per-row.
 
 All three modalities REALLY decode, with no media library: images
-(BMP 24/32-bit BI_RGB, PPM P6, plus THREE COMPRESSED codecs — PNG
+(BMP 24/32-bit BI_RGB, PPM P6, plus FOUR COMPRESSED codecs — PNG
 via stdlib zlib inflate + full None/Sub/Up/Average/Paeth scanline
 unfiltering, GIF via a from-the-spec variable-code-width LZW
 decoder with Clear/EOI, the KwKwK case and 12-bit dictionary
-growth, and baseline JPEG via a from-the-spec Huffman +
+growth, baseline JPEG via a from-the-spec Huffman +
 dequantize + IDCT pipeline with 4:2:0 chroma upsampling and
-restart markers), audio (RIFF/WAVE PCM16), video (RIFF/AVI
+restart markers, and 8-bit palettized BI_RLE8 via the byte-pair
+escape walk), audio (RIFF/WAVE PCM16), video (RIFF/AVI
 uncompressed DIB frames) — each held to a bit-exact
 position-weighted-checksum oracle at the driver
 (media_{bmp,png,gif,jpeg,wav,avi}_decode_check) and
@@ -98,9 +99,11 @@ def _decode_bmp(buf: bytes) -> tuple[np.ndarray, int, int]:
     h = int.from_bytes(buf[22:26], "little", signed=True)
     bpp = int.from_bytes(buf[28:30], "little")
     compression = int.from_bytes(buf[30:34], "little")
+    if compression == 1 and bpp == 8:
+        return _decode_bmp_rle8(buf, data_off, hdr_size, w, h)
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BI_RGB BMPs (got bpp={bpp}, "
+            f"only BI_RGB 24/32-bit or BI_RLE8 8-bit BMPs (got bpp={bpp}, "
             f"compression={compression})"
         )
     top_down, h = h < 0, abs(h)
@@ -114,6 +117,70 @@ def _decode_bmp(buf: bytes) -> tuple[np.ndarray, int, int]:
         rows = rows[::-1]
     img = rows[..., 2::-1]  # BGR(A) -> RGB, alpha dropped
     return np.ascontiguousarray(img).astype(np.float32), w, h
+
+
+def _decode_bmp_rle8(
+    buf: bytes, data_off: int, hdr_size: int, w: int, h: int
+) -> tuple[np.ndarray, int, int]:
+    """From-the-spec decode of BI_RLE8 (Microsoft BMP run-length
+    encoding for 8-bit palettized images — public: MS-WMF / Windows
+    GDI docs): the FOURTH compressed image codec. Stream grammar,
+    walked byte-pairwise from the bottom row up:
+
+    - ``(n>0, v)``   encoded mode: repeat palette index v, n times;
+    - ``(0, n>=3)``  absolute mode: n literal indices follow, padded
+      to a WORD (2-byte) boundary;
+    - ``(0, 0)``     end of line — cursor to start of next row up;
+    - ``(0, 1)``     end of bitmap;
+    - ``(0, 2)``     delta: next two bytes are (dx, dy) cursor jump;
+      skipped pixels are left at index 0 (the conventional fill).
+
+    RLE BMPs are bottom-up by definition — a negative height is
+    rejected loudly. Palette is ``biClrUsed`` (or 256) BGRX quads
+    after the info header."""
+    if h < 0:
+        raise ValueError("BI_RLE8 BMPs cannot be top-down (negative height)")
+    n_colors = int.from_bytes(buf[46:50], "little") or 256
+    pal_off = 14 + hdr_size
+    quads = np.frombuffer(buf, np.uint8, n_colors * 4, pal_off)
+    palette = quads.reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+    idx = np.zeros((h, w), np.uint8)
+    pos, x, y = data_off, 0, 0  # y counts from the BOTTOM row
+    n = len(buf)
+    while True:
+        if pos + 2 > n:
+            raise ValueError("truncated BI_RLE8 stream")
+        c0, c1 = buf[pos], buf[pos + 1]
+        pos += 2
+        if c0 > 0:  # encoded run
+            if y >= h or x + c0 > w:
+                raise ValueError("BI_RLE8 run overflows bitmap bounds")
+            idx[h - 1 - y, x : x + c0] = c1
+            x += c0
+        elif c1 == 0:  # end of line
+            x, y = 0, y + 1
+        elif c1 == 1:  # end of bitmap
+            break
+        elif c1 == 2:  # delta jump
+            if pos + 2 > n:
+                raise ValueError("truncated BI_RLE8 delta")
+            x, y = x + buf[pos], y + buf[pos + 1]
+            pos += 2
+            if x > w or y > h:
+                raise ValueError("BI_RLE8 delta jumps outside bitmap")
+        else:  # absolute mode: c1 literal indices, WORD-aligned
+            if y >= h or x + c1 > w:
+                raise ValueError("BI_RLE8 absolute run overflows bounds")
+            if pos + c1 > n:
+                raise ValueError("truncated BI_RLE8 absolute run")
+            idx[h - 1 - y, x : x + c1] = np.frombuffer(
+                buf, np.uint8, c1, pos
+            )
+            x += c1
+            pos += c1 + (c1 & 1)  # pad to even
+    if idx.max(initial=0) >= n_colors:
+        raise ValueError("BI_RLE8 index outside palette")
+    return palette[idx].astype(np.float32), w, h
 
 
 def _decode_ppm(buf: bytes) -> tuple[np.ndarray, int, int]:
@@ -1118,6 +1185,83 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + pix
 
 
+def encode_bmp_rle8(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """HxW uint8 palette indices + 256x3 RGB palette -> a real BI_RLE8
+    BMP (the inverse of _decode_bmp_rle8; plants genuinely COMPRESSED
+    payloads in tests/fixtures). Greedy per-row encoder: runs of >= 3
+    equal indices become encoded pairs, literal stretches of >= 3
+    distinct indices become absolute mode (WORD-padded), shorter
+    leftovers become unit encoded pairs; every row ends with the
+    end-of-line escape and the stream with end-of-bitmap. Delta
+    escapes are never emitted (decode-side coverage comes from
+    external-stream tests)."""
+    a = np.asarray(indices, dtype=np.uint8)
+    h, w = a.shape
+    pal = np.zeros((256, 4), np.uint8)
+    pal[: len(palette), :3] = np.asarray(palette, np.uint8)[:, ::-1]  # RGB->BGR
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = a[y]
+        x = 0
+        lit_start = None
+
+        def flush_literals(upto: int) -> None:
+            nonlocal lit_start
+            s = lit_start
+            lit_start = None
+            if s is None:
+                return
+            while s < upto:
+                n = min(upto - s, 255)
+                if n >= 3:
+                    out.append(0)
+                    out.append(n)
+                    out.extend(row[s : s + n].tobytes())
+                    if n & 1:
+                        out.append(0)  # WORD padding
+                else:
+                    for i in range(s, s + n):
+                        out.append(1)
+                        out.append(int(row[i]))
+                s += n
+
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if run >= 3:
+                flush_literals(x)
+                out.append(run)
+                out.append(int(row[x]))
+            elif lit_start is None:
+                lit_start = x  # short runs fold into the literal stretch
+            x += run
+        flush_literals(w)
+        out.append(0)
+        out.append(0)  # end of line
+    out.append(0)
+    out.append(1)  # end of bitmap
+    pix = bytes(out)
+    data_off = 54 + 256 * 4
+    header = (
+        b"BM"
+        + (data_off + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little")  # biCompression = BI_RLE8
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (256).to_bytes(4, "little")  # biClrUsed
+        + (0).to_bytes(4, "little")
+    )
+    return header + pal.tobytes() + pix
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """HxWx3 uint8 -> binary PPM (P6)."""
     a = np.asarray(img, dtype=np.uint8)
@@ -1129,10 +1273,11 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[np.ndarray, int, i
     """Decode an image payload -> (HxWx3 float32 array, width, height).
 
     REAL for uncompressed BMP (24/32-bit BI_RGB), binary PPM (P6) and
-    THREE compressed formats — PNG (8-bit truecolor, stdlib zlib
+    FOUR compressed formats — PNG (8-bit truecolor, stdlib zlib
     inflate + full scanline unfiltering, see _decode_png), GIF
-    (from-the-spec LZW, see _decode_gif) and baseline JPEG
-    (from-the-spec Huffman + dequantize + IDCT, see _decode_jpeg).
+    (from-the-spec LZW, see _decode_gif), baseline JPEG
+    (from-the-spec Huffman + dequantize + IDCT, see _decode_jpeg)
+    and BI_RLE8 palettized BMP (see _decode_bmp_rle8).
     WebP/JPEG2000 still need libvips, absent in this container, and
     raise NotImplementedError. The ``fake=True`` path derives a
     deterministic tiny image from the payload hash so plumbing tests

@@ -976,6 +976,80 @@ def test_jpeg_external_stream_robustness():
         M.decode_image(bytes(broken), fake=False)
 
 
+def test_rle8_bmp_roundtrip_both_modes():
+    """BI_RLE8 (the fourth compressed image codec): encode->decode is
+    bit-exact, and the fixture shape forces BOTH stream modes — even
+    rows are runs of 3 (encoded mode), odd rows are all-distinct
+    (absolute mode, including odd lengths that need WORD padding)."""
+    for doc_id in (0, 3, 11, 42):
+        w, h = 6 + doc_id % 7, 4 + (doc_id // 7) % 5
+        idx = np.empty((h, w), np.uint8)
+        for r in range(h):
+            for c in range(w):
+                idx[r, c] = (
+                    (doc_id * 31 + r * 7 + c // 3) % 256
+                    if r % 2 == 0
+                    else (doc_id * 31 + r * 7 + c * 13) % 256
+                )
+        pal = np.stack(
+            [
+                np.arange(256),
+                (np.arange(256) * 11) % 256,
+                (np.arange(256) * 17) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        payload = M.encode_bmp_rle8(idx, pal)
+        # the stream must actually use both modes
+        assert b"\x00\x03" in payload or b"\x00\x04" in payload  # absolute
+        dec, dw, dh = M.decode_image(payload, fake=False)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(dec, pal[idx].astype(np.float32))
+
+
+def test_rle8_bmp_external_streams():
+    """Spec-legal RLE8 shapes our encoder never emits: delta escapes
+    (skipped pixels default to palette index 0), early end-of-bitmap
+    (rest of image index 0), truncation and bounds overflows fail
+    loudly, and top-down RLE8 (negative height) is rejected."""
+    pal = np.stack(
+        [np.arange(256), np.arange(256), np.arange(256)], axis=1
+    ).astype(np.uint8)
+
+    def file_for(pix: bytes, w: int = 4, h: int = 3) -> bytes:
+        base = M.encode_bmp_rle8(np.zeros((h, w), np.uint8), pal)
+        data_off = int.from_bytes(base[10:14], "little")
+        hdr = bytearray(base[:data_off])
+        size_at = len(hdr) + len(pix)
+        hdr[2:6] = size_at.to_bytes(4, "little")
+        hdr[34:38] = len(pix).to_bytes(4, "little")
+        return bytes(hdr) + pix
+
+    # delta (2,1) from (1, bottom row): pixels jumped over stay 0
+    pix = bytes([1, 9, 0, 2, 2, 1, 1, 7, 0, 0, 0, 0, 0, 0, 0, 1])
+    dec, w, h = M._decode_bmp(file_for(pix))
+    want = np.zeros((3, 4), np.uint8)
+    want[2, 0] = 9  # bottom row, x=0
+    want[1, 3] = 7  # after delta dx=2, dy=1
+    assert np.array_equal(dec, pal[want].astype(np.float32))
+
+    # early end-of-bitmap: everything after stays index 0
+    dec2, _, _ = M._decode_bmp(file_for(bytes([2, 5, 0, 1])))
+    want2 = np.zeros((3, 4), np.uint8)
+    want2[2, :2] = 5
+    assert np.array_equal(dec2, pal[want2].astype(np.float32))
+
+    # loud failures: truncation, run overflow, top-down
+    with pytest.raises(ValueError, match="truncated"):
+        M._decode_bmp(file_for(bytes([2, 5])))  # no EOB, stream ends
+    with pytest.raises(ValueError, match="overflows"):
+        M._decode_bmp(file_for(bytes([200, 1, 0, 1])))  # run > width
+    neg = bytearray(M.encode_bmp_rle8(np.zeros((3, 4), np.uint8), pal))
+    neg[22:26] = (-3).to_bytes(4, "little", signed=True)
+    with pytest.raises(ValueError, match="top-down"):
+        M._decode_bmp(bytes(neg))
+
+
 def test_png_interlaced_rejected_loudly():
     """External-stream robustness: an Adam7-interlaced PNG (a flag our
     encoder never sets) must be REJECTED loudly — decoding its
