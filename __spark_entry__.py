@@ -109,6 +109,7 @@ _PRIORITY = [
     # truncation), the hybrid BPE trainer.
     "streaming_stripe_source_mart_check",
     "media_rle_bmp_decode_check",
+    "media_alaw_decode_check",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

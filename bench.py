@@ -105,9 +105,12 @@ HEADLINE = [
     "media_ulaw_decode_check",
     "media_adpcm_decode_check",
     "media_mjpeg_decode_check",
-    # round-6 addition: the fourth compressed image codec (BI_RLE8
+    # round-6 additions: the fourth compressed image codec (BI_RLE8
     # palettized run-length encode -> byte-pair escape-walk decode)
+    # and the A-law sibling of the mu-law check (format 6, closed-form
+    # compand->expand oracle)
     "media_rle_bmp_decode_check",
+    "media_alaw_decode_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -768,8 +768,8 @@ GROUP BY doc_id
     "(LEAST/ABS + an 8-way segment CASE + the exact shift/mask "
     "arithmetic), so plain and position-weighted sums over the DECODED "
     "samples must bit-match — any bias, segment-boundary, mantissa or "
-    "sign bug breaks parity. A-law (format 6, a perfect 256-code fixed "
-    "point) is pytest-held in tests/test_operators.py.",
+    "sign bug breaks parity. A-law (format 6) has its own sibling "
+    "check, media_alaw_decode_check (oracled since r6).",
 )
 def q_media_ulaw_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from collections.abc import Iterator
@@ -788,6 +788,96 @@ def q_media_ulaw_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sig = ((doc_id * 31 + i * 7) % 65536) - 32768
                 payload = M.encode_wav_g711(
                     sig.astype(np.int16), 8_000, law="ulaw"
+                )
+                dec, rate = M.decode_audio(payload, fake=False)
+                flat = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(flat))
+                out["sample_rate"].append(rate)
+                out["sample_sum"].append(int(flat.sum()))
+                out["sample_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_samples bigint, sample_rate int, "
+        "sample_sum long, sample_checksum long",
+    )
+
+
+@register(
+    "media_alaw_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 160 + doc_id % 96 AS n_samples FROM documents
+),
+sig AS (
+    SELECT d.doc_id, d.n_samples, g.i,
+           ((d.doc_id * 29 + g.i * 11) % 65536) - 32768 AS x
+    FROM dims d, UNNEST(generate_series(0, d.n_samples - 1)) AS g(i)
+),
+comp AS (
+    SELECT doc_id, n_samples, i, x, LEAST(ABS(x), 32767) AS mag
+    FROM sig
+),
+segd AS (
+    SELECT doc_id, n_samples, i, x, mag,
+           CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+                WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+                WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+                WHEN mag < 16384 THEN 6 ELSE 7 END AS seg
+    FROM comp
+),
+dec AS (
+    SELECT doc_id, n_samples, i,
+           CASE WHEN x >= 0 THEN 1 ELSE -1 END
+           * CASE WHEN seg = 0 THEN (mag // 16) * 16 + 8
+                  ELSE (((mag >> (seg + 3)) & 15) * 16 + 264)
+                       * (1 << (seg - 1)) END AS y
+    FROM segd
+)
+SELECT doc_id,
+       CAST(MAX(n_samples) AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(SUM(y) AS BIGINT) AS sample_sum,
+       CAST(SUM((i + 1) * y) AS BIGINT) AS sample_checksum
+FROM dec
+GROUP BY doc_id
+""",
+    doc="REAL G.711 A-law decode under a bit-exact oracle — the mu-law "
+    "check's sibling (format 6): sign + 3-bit segment + 4-bit "
+    "mantissa with NO bias, a linear segment 0 and the 0x55 wire XOR "
+    "(ITU-T G.711, public). Each doc's deterministic PCM16 signal is "
+    "companded into an actual RIFF/WAVE format-6 file by "
+    "encode_wav_g711 and expanded back by the pure-numpy integer "
+    "formula INSIDE mapInPandas; the oracle replays the full "
+    "compand->expand round trip in closed form (clip + 8-way segment "
+    "CASE + the exact shift/mask arithmetic, including the seg-0 "
+    "linear branch mu-law does not have), so plain and position-"
+    "weighted sums over the DECODED samples must bit-match — any "
+    "sign-convention, segment-boundary, mantissa or XOR bug breaks "
+    "parity. Formerly pytest-held only; oracled in r6.",
+)
+def q_media_alaw_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "sample_rate": [],
+                   "sample_sum": [], "sample_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 160 + doc_id % 96
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 29 + i * 11) % 65536) - 32768
+                payload = M.encode_wav_g711(
+                    sig.astype(np.int16), 8_000, law="alaw"
                 )
                 dec, rate = M.decode_audio(payload, fake=False)
                 flat = dec.astype(np.int64).reshape(-1)
