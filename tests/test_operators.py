@@ -976,6 +976,32 @@ def test_jpeg_external_stream_robustness():
         M.decode_image(bytes(broken), fake=False)
 
 
+def test_avi_extra_chunks_skipped():
+    """External-stream robustness: real AVIs carry an idx1 index chunk
+    after the movi LIST and JUNK alignment chunks our encoder never
+    writes; the chunk walk must skip both and decode the same
+    frames."""
+    frames = np.stack(
+        [
+            np.full((8, 8, 3), 10 * (f + 1), np.uint8)
+            for f in range(3)
+        ]
+    )
+    buf = M.encode_avi(frames)
+    want = M._decode_avi(buf)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    extra = chunk(b"JUNK", b"\x00" * 11) + buf[12:] + chunk(
+        b"idx1", b"00db" + b"\x10\x00\x00\x00" * 3
+    )
+    rebuilt = b"RIFF" + (4 + len(extra)).to_bytes(4, "little") + b"AVI " + extra
+    got = M._decode_avi(rebuilt)
+    assert np.array_equal(got, want)
+
+
 def test_rle8_bmp_roundtrip_both_modes():
     """BI_RLE8 (the fourth compressed image codec): encode->decode is
     bit-exact, and the fixture shape forces BOTH stream modes — even

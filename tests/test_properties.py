@@ -355,3 +355,34 @@ def test_jpeg_never_crashes_and_bounds_error_any_image(w, h, q, ri, seed):
     assert (dw, dh) == (w, h)
     assert dec.shape == (h, w, 3)
     assert dec.min() >= 0 and dec.max() <= 255
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    mode=st.sampled_from(["random", "runs", "constant"]),
+)
+def test_rle8_roundtrip_any_index_image(w, h, seed, mode):
+    """BI_RLE8 encode->decode is bit-exact for ANY index image — pure
+    noise (absolute-mode heavy), run-heavy content (encoded-mode
+    heavy), and constant images (single max-length runs), at every
+    width parity (WORD padding) and 1-pixel edge shapes."""
+    import numpy as np
+
+    import stripe_data_pipeline_spark.operators.multimodal as M
+
+    rng = np.random.RandomState(seed % 2**31)
+    if mode == "random":
+        idx = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    elif mode == "runs":
+        idx = np.repeat(
+            rng.randint(0, 256, (h, (w + 3) // 4)), 4, axis=1
+        )[:, :w].astype(np.uint8)
+    else:
+        idx = np.full((h, w), rng.randint(0, 256), np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    dec, dw, dh = M.decode_image(M.encode_bmp_rle8(idx, pal), fake=False)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(dec, pal[idx].astype(np.float32))
