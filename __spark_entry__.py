@@ -110,6 +110,7 @@ _PRIORITY = [
     "streaming_stripe_source_mart_check",
     "media_rle_bmp_decode_check",
     "media_alaw_decode_check",
+    "atomic_schema_evolution_mart_check",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

@@ -700,3 +700,107 @@ def q_streaming_stripe_source_mart_check(
         F.max("created").alias("max_created"),
         F.lit(int(n_batches)).cast("int").alias("n_stream_batches"),
     )
+
+
+def _materialized_schema_evo_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch additive schema evolution through the crash-atomic
+    sink: batch 1 merges the pre-cutoff events with a NARROW schema
+    (no value_cents); batch 2 merges post-cutoff 'purchase' events
+    WITH the new value_cents column, touching ONLY the purchase
+    partition. The read-back therefore exercises BOTH evolution
+    paths: carried-over narrow rows inside the rewritten partition
+    (union-with-NULL during the merge plan) and untouched partitions
+    whose parquet files physically lack the column (read as NULL via
+    the manifest's explicit schema, no footer-merge pass)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#schemaevo"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="schema_evo_mart_")
+    mart = os.path.join(root, "mart")
+
+    cutoff = "2024-01-16 00:00:00"
+    ev = _rt(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "ts", "value"
+    )
+    narrow = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp")).select(
+        "event_id", "event_type", "user_id"
+    )
+    MT.merge_upsert_atomic(
+        spark, mart, narrow, keys=["event_id"], partition_by="event_type"
+    )
+    wide = (
+        ev.filter(
+            (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+            & (F.col("event_type") == "purchase")
+        )
+        .withColumn(
+            "value_cents",
+            F.floor(F.col("value") * F.lit(100) + F.lit(0.5)).cast("long"),
+        )
+        .select("event_id", "event_type", "user_id", "value_cents")
+    )
+    MT.merge_upsert_atomic(
+        spark, mart, wide, keys=["event_id"], partition_by="event_type"
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+@register(
+    "atomic_schema_evolution_mart_check",
+    oracle="""
+WITH kept AS (
+    SELECT event_type, value,
+           ts >= TIMESTAMP '2024-01-16 00:00:00' AS wide
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+       OR (ts >= TIMESTAMP '2024-01-16 00:00:00'
+           AND event_type = 'purchase')
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN wide THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_value,
+       CAST(SUM(CASE WHEN wide
+                     THEN CAST(FLOOR(value * 100 + 5e-1) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS total_value_cents
+FROM kept
+GROUP BY event_type
+""",
+    doc="Additive schema evolution under the driver oracle: a narrow "
+    "batch (no value_cents) merges first, then a wide batch adds the "
+    "column while touching ONLY the purchase partition — so the final "
+    "read exercises both evolution paths at once: narrow rows carried "
+    "through the rewritten partition read NULL via the merge plan's "
+    "union, and untouched partitions whose files physically lack the "
+    "column read NULL via the manifest's explicit schema (no parquet "
+    "footer merging). The aggregate pins exact per-type counts, "
+    "non-NULL counts and cent-sums against plain SQL with the same "
+    "cutoff — a wrong NULL in either path breaks n_with_value, a "
+    "dropped or duplicated row breaks n_events. Pytest covers the "
+    "mechanism (tests/test_manifest_table.py); this makes it "
+    "driver-green end-to-end.",
+)
+def q_atomic_schema_evolution_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_schema_evo_mart(spark, sf_dir)
+    return mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.when(F.col("value_cents").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_with_value"),
+        F.sum(F.coalesce(F.col("value_cents"), F.lit(0)))
+        .cast("long")
+        .alias("total_value_cents"),
+    )

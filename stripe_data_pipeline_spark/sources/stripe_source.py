@@ -129,6 +129,33 @@ class FakeStripeClient:
         return docs[:limit]
 
 
+def build_list_call(
+    endpoint: str,
+    gte: int,
+    lt: int,
+    starting_after: str | None,
+    limit: int,
+    params: dict | None = None,
+) -> tuple[str, dict]:
+    """Pure request builder for the live API: (SDK resource name,
+    list kwargs). Factored out of the client so the reference's
+    request contract (extract_stripe_data.py:11-36: fixed per-resource
+    params, created[gte]/[lt] window, starting_after cursor, limit) is
+    unit-testable without the SDK or network."""
+    cfg = RESOURCE_CONFIGS.get(endpoint)
+    if cfg is None:
+        raise ValueError(f"unknown endpoint: {endpoint!r}")
+    call = dict(cfg["params"], **(params or {}))
+    call["limit"] = limit
+    created: dict[str, int] = {"gte": gte}
+    if lt < 2**62:
+        created["lt"] = lt
+    call["created"] = created
+    if starting_after is not None:
+        call["starting_after"] = starting_after
+    return cfg["resource"], call
+
+
 class _RealStripeClient:
     """Adapter over the stripe SDK, selected when ``api_key`` is set.
 
@@ -166,18 +193,10 @@ class _RealStripeClient:
         limit: int,
         params: dict | None = None,
     ) -> list[dict]:  # pragma: no cover — needs network + SDK
-        cfg = RESOURCE_CONFIGS.get(endpoint)
-        if cfg is None:
-            raise ValueError(f"unknown endpoint: {endpoint!r}")
-        resource = getattr(self._stripe, cfg["resource"])
-        call = dict(cfg["params"], **(params or {}))
-        call["limit"] = limit
-        created: dict[str, int] = {"gte": gte}
-        if lt < 2**62:
-            created["lt"] = lt
-        call["created"] = created
-        if starting_after is not None:
-            call["starting_after"] = starting_after
+        resource_name, call = build_list_call(
+            endpoint, gte, lt, starting_after, limit, params
+        )
+        resource = getattr(self._stripe, resource_name)
         page = resource.list(**call)
         return [
             d.to_dict() if hasattr(d, "to_dict") else dict(d) for d in page.data

@@ -227,3 +227,46 @@ def test_stream_drain_resumes_from_checkpoint(spark, tmp_path):
     all_ids = [i for ids in by_bid.values() for i in ids]
     assert sorted(all_ids) == sorted(f"in_{i}" for i in range(60))
     assert len(all_ids) == len(set(all_ids)), "cross-batch duplicate"
+
+
+def test_real_client_request_contract_offline():
+    """The live-API request builder is pure and SDK-free: pin the
+    reference's contract (extract_stripe_data.py:11-36) — per-resource
+    fixed params, created[gte]/[lt] windowing (lt omitted for the
+    unbounded first fetch), starting_after pagination, limit — without
+    network or the stripe package."""
+    from stripe_data_pipeline_spark.sources.stripe_source import (
+        build_list_call,
+    )
+
+    res, call = build_list_call("invoices", 100, 200, None, 50)
+    assert res == "Invoice"
+    assert call == {
+        "status": "paid",
+        "limit": 50,
+        "created": {"gte": 100, "lt": 200},
+    }
+
+    # unbounded window: no created[lt]; cursor present
+    res, call = build_list_call(
+        "subscriptions", 0, 2**62, "sub_99", 100
+    )
+    assert res == "Subscription"
+    assert call == {
+        "status": "all",
+        "limit": 100,
+        "created": {"gte": 0},
+        "starting_after": "sub_99",
+    }
+
+    # caller params override resource defaults; event glob preserved
+    res, call = build_list_call(
+        "subscription_updates", 5, 6, None, 10, {"type": "customer.subscription.deleted"}
+    )
+    assert res == "Event"
+    assert call["type"] == "customer.subscription.deleted"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown endpoint"):
+        build_list_call("charges", 0, 1, None, 10)
