@@ -111,6 +111,8 @@ _PRIORITY = [
     "media_rle_bmp_decode_check",
     "media_alaw_decode_check",
     "atomic_schema_evolution_mart_check",
+    "atomic_time_travel_check",
+    "atomic_partition_evolution_check",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

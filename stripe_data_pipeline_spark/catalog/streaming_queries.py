@@ -702,7 +702,7 @@ def q_streaming_stripe_source_mart_check(
     )
 
 
-def _materialized_schema_evo_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _materialized_schema_evo_mart(spark: SparkSession, sf_dir: str) -> str:
     """Two-batch additive schema evolution through the crash-atomic
     sink: batch 1 merges the pre-cutoff events with a NARROW schema
     (no value_cents); batch 2 merges post-cutoff 'purchase' events
@@ -722,7 +722,7 @@ def _materialized_schema_evo_mart(spark: SparkSession, sf_dir: str) -> DataFrame
     cache_key = sf_dir + "#schemaevo"
     root = _STREAM_MART_CACHE.get(cache_key)
     if root is not None:
-        return MT.read_table(spark, os.path.join(root, "mart"))
+        return os.path.join(root, "mart")
     if not _STREAM_MART_CACHE:
         atexit.register(_cleanup_stream_cache)
     root = tempfile.mkdtemp(prefix="schema_evo_mart_")
@@ -753,7 +753,7 @@ def _materialized_schema_evo_mart(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, mart, wide, keys=["event_id"], partition_by="event_type"
     )
     _STREAM_MART_CACHE[cache_key] = root
-    return MT.read_table(spark, mart)
+    return mart
 
 
 @register(
@@ -794,7 +794,9 @@ GROUP BY event_type
 def q_atomic_schema_evolution_mart_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    mart = _materialized_schema_evo_mart(spark, sf_dir)
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    mart = MT.read_table(spark, _materialized_schema_evo_mart(spark, sf_dir))
     return mart.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(
@@ -803,4 +805,131 @@ def q_atomic_schema_evolution_mart_check(
         F.sum(F.coalesce(F.col("value_cents"), F.lit(0)))
         .cast("long")
         .alias("total_value_cents"),
+    )
+
+
+@register(
+    "atomic_time_travel_check",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+GROUP BY event_type
+""",
+    doc="Time travel under the driver oracle: the schema-evolution "
+    "mart's VERSION 1 snapshot (committed before the wide batch) is "
+    "read back via read_table(version=1) and must equal plain SQL "
+    "over exactly the first batch's cut — proving historical "
+    "snapshots resolve to the original immutable directories and the "
+    "original (narrow) schema even after later commits evolved both "
+    "the data and the schema. Shares the cached two-commit mart with "
+    "atomic_schema_evolution_mart_check; the version-1 manifest is "
+    "pinned structurally in tests/test_manifest_table.py, this makes "
+    "the read path driver-green.",
+)
+def q_atomic_time_travel_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    path = _materialized_schema_evo_mart(spark, sf_dir)
+    v1 = MT.read_table(spark, path, version=1)
+    return v1.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _materialized_part_evo_mart(spark: SparkSession, sf_dir: str) -> str:
+    """Partition-spec evolution end-to-end: merge events into an
+    event_type-partitioned mart, ALTER the spec to day-partitioning
+    (repartition_table: full rewrite, one commit), then land one more
+    keyed merge UNDER THE NEW SPEC (an idempotent re-delivery of one
+    day — proving post-evolution merges route rows into day
+    partitions). Readers then prune by day values driver-side."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#partevo"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return os.path.join(root, "mart")
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="part_evo_mart_")
+    mart = os.path.join(root, "mart")
+
+    ev = _rt(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * F.lit(100) + F.lit(0.5))
+        .cast("long")
+        .alias("value_cents"),
+        F.to_date("ts").alias("day"),
+    )
+    MT.merge_upsert_atomic(
+        spark, mart, ev, keys=["event_id"], partition_by="event_type"
+    )
+    MT.repartition_table(spark, mart, "day")
+    delta = ev.filter(F.col("day") == F.lit("2024-01-20").cast("date"))
+    MT.merge_upsert_atomic(
+        spark, mart, delta, keys=["event_id"], partition_by="day"
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return mart
+
+
+@register(
+    "atomic_partition_evolution_check",
+    oracle="""
+-- days filtered in an outer query: DuckDB 1.0 drops every row when
+-- an IN-list over CAST(ts AS DATE) is pushed into this INT64-nanos
+-- parquet scan (= comparisons and the subquery form are unaffected)
+SELECT day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(value_cents) AS BIGINT) AS total_value_cents
+FROM (
+    SELECT CAST(ts AS DATE) AS day, user_id,
+           CAST(FLOOR(value * 100 + 5e-1) AS BIGINT) AS value_cents
+    FROM events
+)
+WHERE day IN (DATE '2024-01-05', DATE '2024-01-20', DATE '2024-01-28')
+GROUP BY day
+""",
+    doc="Partition-spec evolution under the driver oracle: the mart is "
+    "merged under event_type partitioning, ALTERed to day "
+    "partitioning (repartition_table — whole-table rewrite committed "
+    "by one manifest rename), then receives a post-evolution keyed "
+    "merge (idempotent re-delivery of one day, routed into the NEW "
+    "spec's partitions). The check reads back THREE specific days "
+    "through driver-side manifest pruning (partition_values=...) and "
+    "pins counts/users/cent-sums against plain SQL — a mis-routed "
+    "row, a double-applied re-delivery, or pruning against the old "
+    "spec all break parity. Mechanism pytest: "
+    "tests/test_manifest_table.py.",
+)
+def q_atomic_partition_evolution_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    path = _materialized_part_evo_mart(spark, sf_dir)
+    days = [
+        datetime.date(2024, 1, 5),
+        datetime.date(2024, 1, 20),
+        datetime.date(2024, 1, 28),
+    ]
+    df = MT.read_table(spark, path, partition_values=days)
+    return df.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_cents").cast("long").alias("total_value_cents"),
     )
