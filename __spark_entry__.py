@@ -113,6 +113,7 @@ _PRIORITY = [
     "atomic_schema_evolution_mart_check",
     "atomic_time_travel_check",
     "atomic_partition_evolution_check",
+    "kmeans_cluster_profile",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

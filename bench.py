@@ -111,6 +111,9 @@ HEADLINE = [
     # compand->expand oracle)
     "media_rle_bmp_decode_check",
     "media_alaw_decode_check",
+    # distributed k-means: two Lloyd iterations, map-side fixed-point
+    # argmin + one bounded (cluster,pos) groupBy per iteration
+    "kmeans_cluster_profile",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -563,3 +563,88 @@ def q_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _BATCH_QIDS)
     return S.batch_ivf_topk(emb, queries, k=10, nprobe=2)
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle="""
+WITH ex AS (
+    SELECT vec_id, label, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+c0 AS (
+    SELECT CAST(vec_id AS INT) AS k, pos, v AS c FROM ex WHERE vec_id < 8
+),
+d1 AS (
+    SELECT e.vec_id, c.k,
+           SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS dist
+    FROM ex e JOIN c0 c ON e.pos = c.pos
+    GROUP BY e.vec_id, c.k
+),
+a1 AS (
+    SELECT vec_id, k FROM (
+        SELECT vec_id, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+c1u AS (
+    SELECT a.k, e.pos,
+           (CAST(SUM(CAST(FLOOR(e.v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM a1 a JOIN ex e ON e.vec_id = a.vec_id
+    GROUP BY a.k, e.pos
+),
+c1 AS (
+    SELECT c0.k, c0.pos, COALESCE(c1u.c, c0.c) AS c
+    FROM c0 LEFT JOIN c1u ON c0.k = c1u.k AND c0.pos = c1u.pos
+),
+d2 AS (
+    SELECT e.vec_id, c.k,
+           SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS dist
+    FROM ex e JOIN c1 c ON e.pos = c.pos
+    GROUP BY e.vec_id, c.k
+),
+a2 AS (
+    SELECT vec_id, k, dist FROM (
+        SELECT vec_id, k, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+        FROM d2
+    ) WHERE rn = 1
+)
+SELECT a2.k AS cluster,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(a2.dist) AS BIGINT) AS inertia_fp,
+       COUNT(DISTINCT e.label) AS n_labels
+FROM a2 JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e
+     USING (vec_id)
+GROUP BY a2.k
+""",
+    doc="Distributed k-means (Lloyd's algorithm, 2 iterations, "
+    "deterministic vec_id<8 seeds) — the clustering operator a "
+    "training-data pipeline uses for diversity sampling and IVF index "
+    "building. Each iteration is a map-side argmin over K codegen'd "
+    "FIXED-POINT distance expressions (no shuffle) plus one "
+    "(cluster,pos) groupBy whose K x D output is driver-bounded; the "
+    "corpus is scanned once per iteration and never shuffled. Every "
+    "aggregate is an order-invariant integer sum (floor(x*scale+0.5) "
+    "terms), so the oracle REPLAYS both whole iterations in SQL — "
+    "assignment argmins, fixed-point centroid means, empty-cluster "
+    "carryover — and per-cluster sizes, exact integer inertia and "
+    "label spreads must match bit-for-bit (operators/kmeans.py).",
+)
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.kmeans import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assign(emb, k=8, iters=2)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("dist_fp").cast("long").alias("inertia_fp"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
