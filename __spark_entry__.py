@@ -114,6 +114,7 @@ _PRIORITY = [
     "atomic_time_travel_check",
     "atomic_partition_evolution_check",
     "kmeans_cluster_profile",
+    "atomic_history_audit_check",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

@@ -148,6 +148,9 @@ SF1_SPOT = [
     "near_dup_jaccard_pairs",
     "duplicate_span_stats",
     "cross_doc_novelty_hashed",
+    # round-6: two corpus scans + bounded KxD collects per iteration —
+    # the ratio certifies the no-corpus-shuffle iteration shape
+    "kmeans_cluster_profile",
 ]
 
 

@@ -933,3 +933,48 @@ def q_atomic_partition_evolution_check(
         F.countDistinct("user_id").alias("n_users"),
         F.sum("value_cents").cast("long").alias("total_value_cents"),
     )
+
+
+@register(
+    "atomic_history_audit_check",
+    oracle="""
+SELECT CAST(1 AS INT) AS version, 'initial' AS op_type,
+       COUNT(DISTINCT event_type) AS n_touched,
+       COUNT(DISTINCT event_type) AS n_parts
+FROM events
+UNION ALL
+SELECT CAST(2 AS INT), 'repartition',
+       COUNT(DISTINCT CAST(ts AS DATE)),
+       COUNT(DISTINCT CAST(ts AS DATE))
+FROM events
+UNION ALL
+SELECT CAST(3 AS INT), 'merge',
+       CAST(1 AS BIGINT),
+       COUNT(DISTINCT CAST(ts AS DATE))
+FROM events
+""",
+    doc="Commit audit log under the driver oracle: manifest_table."
+    "history() of the partition-evolution mart must report exactly "
+    "(v1 initial load touching every event_type partition, v2 "
+    "repartition "
+    "rewriting one dir per distinct day, v3 merge touching only the "
+    "re-delivered day) — with touched/partition COUNTS cross-checked "
+    "against the DATA's distinct-value counts in plain SQL, not "
+    "pinned constants. A merge that rewrote partitions it shouldn't, "
+    "a repartition that dropped a day, or an audit entry with the "
+    "wrong operation type all break parity. history() is pure "
+    "manifest metadata: zero Spark jobs to produce the audit trail.",
+)
+def q_atomic_history_audit_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    path = _materialized_part_evo_mart(spark, sf_dir)
+    rows = [
+        (h["version"], h["type"], len(h["touched"]), h["n_parts"])
+        for h in MT.history(path)
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op_type string, n_touched bigint, n_parts bigint"
+    )
