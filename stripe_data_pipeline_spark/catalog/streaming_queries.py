@@ -553,6 +553,12 @@ def _materialized_stripe_stream_mart(spark: SparkSession):
     partition is compacted and the table vacuumed. Returns
     (mart DataFrame, n non-empty stream batches).
 
+    This is the catalog's heavyweight integration check by design
+    (~12-18 s: ~4 s stream startup + three real crash-atomic merge
+    commits at ~2-4 s of Spark jobs each; measured r6 — the per-batch
+    merge cost, not the Python source, dominates). It materializes
+    once per process and every later call reads the cached mart.
+
     Drained with processingTime + processAllAvailable + stop rather
     than Trigger.AvailableNow: AvailableNow snapshots its target at
     the FIRST latestOffset call, which with bounded pacing covers only
@@ -599,6 +605,9 @@ def _materialized_stripe_stream_mart(spark: SparkSession):
         .option("fake_items", "120")
         # corpus spans 120*3600 s; 150000-s pacing -> exactly 3 batches
         .option("max_batch_seconds", "150000")
+        # 4 time-windows per micro-batch: plenty of parallelism for a
+        # 40-invoice batch, half the fixed task overhead of the default
+        .option("num_partitions", "4")
         .load()
         .withColumn("doc", F.from_json("payload", payload_schema))
         .select(
@@ -635,8 +644,13 @@ def _materialized_stripe_stream_mart(spark: SparkSession):
     q.processAllAvailable()
     q.stop()
     m = MT.read_manifest(mart_path)
-    for pv in list(m["parts"]):
-        MT.compact_partition(spark, mart_path, pv, target_rows_per_file=1_000_000)
+    # compact ONE partition + vacuum: composes the maintenance protocols
+    # with the streaming sink without paying 3x the commit cost — the
+    # all-partitions compaction loop is already driver-checked by
+    # streaming_atomic_merge_mart_check
+    MT.compact_partition(
+        spark, mart_path, sorted(m["parts"])[0], target_rows_per_file=1_000_000
+    )
     MT.vacuum(mart_path, grace_sec=0)  # single-writer demo: immediate reap
     with open(os.path.join(root, "n_batches"), "w") as f:
         f.write(str(n_batches[0]))
