@@ -256,3 +256,29 @@ def test_batch_ivf_has_no_cartesian_and_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """The Lloyd assignment stage must be pure map-side — K fixed-point
+    distance expressions + argmin evaluated in the scan's stage, with
+    NO Exchange and NO Python boundary; the only shuffle in an
+    iteration is the bounded (cluster,pos) centroid update."""
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.kmeans import assign_clusters
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    p = (
+        assign_clusters(emb, seeds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FileScan parquet" in p
