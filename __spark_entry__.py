@@ -115,6 +115,7 @@ _PRIORITY = [
     "atomic_partition_evolution_check",
     "kmeans_cluster_profile",
     "atomic_history_audit_check",
+    "bm25_top_docs",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

@@ -114,6 +114,9 @@ HEADLINE = [
     # distributed k-means: two Lloyd iterations, map-side fixed-point
     # argmin + one bounded (cluster,pos) groupBy per iteration
     "kmeans_cluster_profile",
+    # Okapi BM25 ranking: one explode scan -> TF/DF/dl aggs, broadcast
+    # query terms, bounded global top-k
+    "bm25_top_docs",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

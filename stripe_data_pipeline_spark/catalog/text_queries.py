@@ -723,3 +723,68 @@ def q_bpe_merges_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_left string, first_right string, first_count bigint, "
         "n_merges_learned int, batched_matches_iterative boolean",
     )
+
+
+@register(
+    "bm25_top_docs",
+    oracle="""
+WITH words AS (
+    SELECT d.doc_id, w.term
+    FROM documents d, LATERAL UNNEST(string_split(d.text, ' ')) AS w(term)
+    WHERE w.term <> ''
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+),
+dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+stats AS (
+    SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl
+),
+qterms AS (
+    SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 5
+),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(FLOOR(
+               ln((CAST(s.n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                  / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+               * 1e9 + 5e-1) AS BIGINT) AS term_fp
+    FROM tf
+    JOIN qterms q USING (term)
+    JOIN dl USING (doc_id), stats s
+),
+totals AS (
+    SELECT doc_id,
+           CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+           COUNT(*) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score_fp, n_terms_matched
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY score_fp DESC, doc_id) AS rn
+    FROM totals
+)
+WHERE rn <= 10
+""",
+    doc="Okapi BM25 document ranking (Robertson & Walker, public) for "
+    "a deterministic query — the 5 highest-document-frequency terms "
+    "(a pure function of the corpus, so both engines derive the same "
+    "query). k1=1.2, b=0.75 as shared literals; per-term scores are "
+    "floored to 1e-9 fixed point BEFORE the per-doc sum so the total "
+    "is an order-invariant integer and bit-parity survives libm ln() "
+    "ULP and summation-order differences. One explode scan feeds the "
+    "TF/DF/doc-length aggs, query terms broadcast back onto TF, "
+    "bounded global top-10 — the retrieval scorer used for "
+    "benchmark-decontamination triage and seed ranking.",
+)
+def q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_top_docs(read_table(spark, sf_dir, "documents"))

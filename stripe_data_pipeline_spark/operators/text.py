@@ -345,3 +345,79 @@ def heavy_hitter_tokens(
         .filter(F.col("n_occurrences") * k > F.col("n_total"))
         .select("tok", "n_occurrences")
     )
+
+
+def bm25_top_docs(
+    df: DataFrame,
+    n_query_terms: int = 5,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document ranking (Robertson & Walker, Okapi BM25 — public)
+    for a deterministic query-term set: the retrieval scorer data
+    pipelines use to rank corpus documents against benchmark queries
+    (decontamination triage) or seed prompts.
+
+    The query is the ``n_query_terms`` highest-document-frequency
+    terms (ties by term) — a pure function of the corpus, so any
+    engine reproduces the same query. Per (doc, query-term):
+
+        idf  = ln((N - df + 0.5) / (df + 0.5) + 1.0)        [RSJ+1]
+        s    = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl/avgdl)))
+
+    with k1 = 1.2, b = 0.75 written as the LITERALS 2.2 / 1.2 / 0.25 /
+    0.75 (1.2 + 1 could round differently from the literal 2.2 — the
+    oracle uses the same literals). Each per-term score is floored to
+    1e-9 fixed point BEFORE the per-doc sum, so the total is an
+    order-invariant integer and cross-engine bit-parity survives both
+    libm ULP differences and summation order. N and avgdl are over
+    documents with at least one token (mirrored in the oracle).
+
+    Plan shape: one explode scan feeding three aggs (doc-term TF,
+    doc length, term DF), the query terms broadcast back onto TF, one
+    bounded global top-k. No collect of corpus data; the only
+    corpus-sized shuffles are on (doc, term) and doc keys.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = words.distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = dfreq.orderBy(F.desc("df"), F.asc("term")).limit(n_query_terms)
+
+    joined = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    n_d = F.col("n").cast("double")
+    df_d = F.col("df").cast("double")
+    tf_d = F.col("tf").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n_d
+    idf = F.log((n_d - df_d + F.lit(0.5)) / (df_d + F.lit(0.5)) + F.lit(1.0))
+    denom = tf_d + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+    term_fp = F.floor(
+        idf * ((tf_d * F.lit(2.2)) / denom) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    scored = joined.groupBy(id_col).agg(
+        F.sum(term_fp).alias("score_fp"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score_fp"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
