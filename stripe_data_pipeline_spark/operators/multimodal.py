@@ -427,9 +427,10 @@ def _decode_gif(buf: bytes) -> tuple[np.ndarray, int, int]:
     non-interlaced, first image): the SECOND real compressed codec
     after PNG — a from-the-spec variable-code-width LZW decoder with
     Clear/EOI handling and 12-bit dictionary growth, then a palette
-    map to RGB. Interlaced images and animations raise a disclosed
-    NotImplementedError (they need nothing new algorithmically, just
-    row reordering/frame compositing)."""
+    map to RGB. Interlaced images raise a disclosed
+    NotImplementedError (nothing new algorithmically, just row
+    reordering); multi-image/animated streams decode the FIRST frame
+    (pinned in tests) — full animation needs frame compositing."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw = int.from_bytes(buf[6:8], "little")

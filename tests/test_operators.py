@@ -1156,6 +1156,49 @@ def test_gif_graphic_control_extension_skipped():
     assert np.array_equal(got, want)
 
 
+def test_jpeg_app_and_comment_segments_skipped():
+    """External-stream robustness: real JPEGs carry APP1 (EXIF) and
+    COM segments our encoder never writes; the marker walk must skip
+    them via their declared lengths and decode identically."""
+    img = np.zeros((8, 16), np.uint8)
+    img[:, :8], img[:, 8:] = 60, 124  # two even-DC blocks (exact fixture)
+    payload = M.encode_jpeg(img, quality=50)
+    want, _, _ = M.decode_image(payload, fake=False)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = payload.index(b"\xff\xdb")
+    injected = (
+        payload[:dqt]
+        + seg(0xE1, b"Exif\x00\x00" + b"\x12\x34" * 8)  # APP1/EXIF-ish
+        + seg(0xFE, b"not our comment")                  # COM
+        + payload[dqt:]
+    )
+    got, gw, gh = M.decode_image(injected, fake=False)
+    assert (gw, gh) == (16, 8)
+    assert np.array_equal(got, want)
+
+
+def test_gif_multi_image_stream_decodes_first_frame():
+    """External-stream robustness: an animated/multi-image GIF decodes
+    its FIRST frame (the disclosed behavior) rather than crashing or
+    blending frames."""
+    rng = np.random.RandomState(17)
+    idx1 = rng.randint(0, 256, (5, 7)).astype(np.uint8)
+    idx2 = rng.randint(0, 256, (5, 7)).astype(np.uint8)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    one = M.encode_gif(idx1, pal)
+    two = M.encode_gif(idx2, pal)
+    # splice: header+palette+image1 (sans trailer) + image2's descriptor
+    # onward (starts right after its header+palette)
+    multi = one[:-1] + two[13 + 768 :]
+    want, w, h = M._decode_gif(one)
+    got, gw, gh = M._decode_gif(multi)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, want)
+
+
 def test_gif_local_color_table_used():
     """External-stream robustness: our encoder only ever writes a
     global color table, but spec-legal GIFs may carry a LOCAL one that
