@@ -116,6 +116,7 @@ _PRIORITY = [
     "kmeans_cluster_profile",
     "atomic_history_audit_check",
     "bm25_top_docs",
+    "edit_distance_near_dups",
     "media_jpeg_decode_check",
     "media_mjpeg_decode_check",
     "bpe_merges_learned",

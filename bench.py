@@ -117,6 +117,9 @@ HEADLINE = [
     # Okapi BM25 ranking: one explode scan -> TF/DF/dl aggs, broadcast
     # query terms, bounded global top-k
     "bm25_top_docs",
+    # edit-distance dedup: capped (lang, first-token) blocks, JVM
+    # levenshtein pairs
+    "edit_distance_near_dups",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
