@@ -976,6 +976,23 @@ def test_jpeg_external_stream_robustness():
         M.decode_image(bytes(broken), fake=False)
 
 
+def test_ppm_comment_headers_skipped():
+    """External-stream robustness: PPM headers may carry '#' comments
+    between any of the three header ints (our encoder never writes
+    them) and arbitrary whitespace runs; the header scan must skip
+    both and decode identical pixels."""
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    want, w, h = M._decode_ppm(M.encode_ppm(img))
+    external = (
+        b"P6 # a tool comment\n"
+        b"# another full-line comment\n"
+        b"5\t \n4 # trailing\n255\n" + img.tobytes()
+    )
+    got, gw, gh = M._decode_ppm(external)
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(got, want)
+
+
 def test_avi_extra_chunks_skipped():
     """External-stream robustness: real AVIs carry an idx1 index chunk
     after the movi LIST and JUNK alignment chunks our encoder never

@@ -386,3 +386,36 @@ def test_rle8_roundtrip_any_index_image(w, h, seed, mode):
     dec, dw, dh = M.decode_image(M.encode_bmp_rle8(idx, pal), fake=False)
     assert (dw, dh) == (w, h)
     assert np.array_equal(dec, pal[idx].astype(np.float32))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    a=st.text(alphabet="abcde ", min_size=0, max_size=12),
+    b=st.text(alphabet="abcde ", min_size=0, max_size=12),
+)
+def test_levenshtein_builtin_matches_textbook_dp(spark, a, b):
+    """The edit-distance dedup operator leans on Spark's levenshtein
+    (and the oracle on DuckDB's) being the textbook DP. Pin the JVM
+    built-in against a reference implementation over arbitrary short
+    strings so the oracle equivalence rests on verified ground, not
+    folklore."""
+
+    def ref(x: str, y: str) -> int:
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i] + [0] * len(y)
+            for j, cy in enumerate(y, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (cx != cy),
+                )
+            prev = cur
+        return prev[len(y)]
+
+    got = (
+        spark.createDataFrame([(a, b)], "a string, b string")
+        .select(F.levenshtein("a", "b").alias("d"))
+        .first()["d"]
+    )
+    assert got == ref(a, b)
