@@ -85,92 +85,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-5 rotation (VERDICT r04 #1/#2): every query now carries an
-# oracle — the 9 formerly rows-only queries were redesigned this round
-# (cross-engine md5-60-bit LSH hashes, SRP plane literals shared with
-# the oracle, closed-form media checksums, flag-pinned sketch bounds,
-# first-merge-oracled batched BPE), so the window leads with them plus
-# the one brand-new query (media_png_decode_check) and the queries
-# whose code paths the r5 manifest/scd/dedup changes touch, then
-# rotates the oldest-verdict rows (the r1+r2 demos) back in. Demoted
-# past the cutoff: the r4-green flagship/revenue/media-decode rows
-# (verdict one round old) and r3-green leftovers — all stay CI-covered
-# (tests/test_oracle_catalog.py full catalog at sf0.001;
-# tools/check_oracle.py re-verified 0/129 failures at sf0.01 this
+# Round-7 rotation: the 7 brand-new queries plus the 4 whose code paths
+# this round's refactors touch lead the window, then the oldest-verdict
+# rows (the r4-green relational/revenue/media block) fill it to 50.
+# Demoted past the cutoff: the r5- and r6-green rows (verdicts one to
+# two rounds old) — all stay CI-covered (tests/test_oracle_catalog.py
+# full catalog at sf0.001; tools/check_oracle.py 0/154 at sf0.01 this
 # round). tests/test_driver_contract.py enforces that nothing without
 # any driver verdict sits outside the window.
 _PRIORITY = [
-    # --- ROUND-6 WINDOW (first 50; the driver checks these) ---
+    # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5): new/changed this round first,
     # then OLDEST driver verdict first, so no row's last driver check
     # grows stale while the full-catalog CI sweep covers everything.
-    # New in r6: the streaming Stripe source mart; changed in r6: the
-    # JPEG fixture dims (ADVICE r5), the JPEG entropy reader (loud
-    # truncation), the hybrid BPE trainer.
-    "streaming_stripe_source_mart_check",
-    "media_rle_bmp_decode_check",
-    "media_alaw_decode_check",
-    "atomic_schema_evolution_mart_check",
-    "atomic_time_travel_check",
-    "atomic_partition_evolution_check",
-    "kmeans_cluster_profile",
-    "atomic_history_audit_check",
-    "bm25_top_docs",
-    "edit_distance_near_dups",
-    "media_jpeg_decode_check",
-    "media_mjpeg_decode_check",
+    # New in r7 (VERDICT r6 #1-#4): the BPE encode pass family
+    # (train -> encode -> ids -> pack, all four oracled end-to-end via
+    # unrolled training CTEs), the span-REMOVAL transform, the
+    # exact-AC/ZRL/restart JPEG check, and the persisted-blocklist
+    # bloom path. Changed in r7: operators/bpe.py (encode additions
+    # around the trainer) -> bpe_merges_learned; the pack_sequences /
+    # duplicate_span_stats refactors -> their queries re-checked.
+    "bpe_encoded_docs",
+    "bpe_subword_vocab",
+    "bpe_token_id_sequences",
+    "packed_subword_sequences",
+    "subword_sequences_mart_check",
+    "span_scrubbed_docs",
+    "media_jpeg_ac_decode_check",
+    "bloom_blocklist_filter_persisted",
     "bpe_merges_learned",
-    # last driver verdict: round 2
-    "doc_regex_tokens",
-    "doc_first_last_token",
-    "rollup_counts",
-    # last driver verdict: round 3
-    "sessionized_events",
-    "regional_revenue_q5ish",
-    "sql_api_segment_revenue",
-    "key_skew_report_events",
-    "domain_capped_docs",
-    "cross_doc_novelty",
-    "cross_doc_novelty_hashed",
-    "token_length_histogram",
-    "array_agg_sorted",
-    "embedding_near_dup_pairs",
-    "approx_percentile_prices",
-    "recognized_revenue_mart_check",
-    "ivf_topk_persisted",
-    "streaming_merge_mart_check",
-    "dataset_split_assign",
-    "deterministic_sample_docs",
-    "per_group_sample_docs",
-    "doc_tfidf_top_terms",
-    "doc_chunks",
     "packed_sequences",
-    "heldout_contamination",
-    "pii_scrub",
-    "embedding_quantize",
-    "doc_repetition_metrics",
-    "decontaminated_train_docs",
-    "lang_rebalanced_sample",
-    "quantized_topk",
-    "corpus_curation_funnel",
-    "streaming_dedup_mart_check",
-    "boilerplate_ngrams",
-    "heldout_contamination_hashed",
-    "incremental_doc_mart_check",
     "duplicate_span_stats",
     "duplicate_span_stats_hashed",
-    "token_rarity_scores",
-    "semantic_dedup_keepers",
-    "training_sequences_mart_check",
-    "source_mix_plan",
-    "streaming_windowed_counts_mart_check",
-    "user_rfm_features",
-    "semantic_split_leakage",
-    "event_funnel_conversion",
-    "weekly_retention_cohorts",
-    "daily_value_anomalies",
-    "column_null_audit",
-    # last driver verdict: round 4
+    # last driver verdict: round 4 (oldest remaining)
     "dataset_split_counts",
     "corpus_mix_summary",
     "media_bmp_decode_check",
@@ -258,6 +205,64 @@ _PRIORITY = [
     "top3_orders_per_status",
     "event_gaps",
     "top20_orders",
+    # last driver verdict: round 6 (newest — checked again last)
+    "streaming_stripe_source_mart_check",
+    "media_rle_bmp_decode_check",
+    "media_alaw_decode_check",
+    "atomic_schema_evolution_mart_check",
+    "atomic_time_travel_check",
+    "atomic_partition_evolution_check",
+    "kmeans_cluster_profile",
+    "atomic_history_audit_check",
+    "bm25_top_docs",
+    "edit_distance_near_dups",
+    "media_jpeg_decode_check",
+    "media_mjpeg_decode_check",
+    "doc_regex_tokens",
+    "doc_first_last_token",
+    "rollup_counts",
+    "sessionized_events",
+    "regional_revenue_q5ish",
+    "sql_api_segment_revenue",
+    "key_skew_report_events",
+    "domain_capped_docs",
+    "cross_doc_novelty",
+    "cross_doc_novelty_hashed",
+    "token_length_histogram",
+    "array_agg_sorted",
+    "embedding_near_dup_pairs",
+    "approx_percentile_prices",
+    "recognized_revenue_mart_check",
+    "ivf_topk_persisted",
+    "streaming_merge_mart_check",
+    "dataset_split_assign",
+    "deterministic_sample_docs",
+    "per_group_sample_docs",
+    "doc_tfidf_top_terms",
+    "doc_chunks",
+    "heldout_contamination",
+    "pii_scrub",
+    "embedding_quantize",
+    "doc_repetition_metrics",
+    "decontaminated_train_docs",
+    "lang_rebalanced_sample",
+    "quantized_topk",
+    "corpus_curation_funnel",
+    "streaming_dedup_mart_check",
+    "boilerplate_ngrams",
+    "heldout_contamination_hashed",
+    "incremental_doc_mart_check",
+    "token_rarity_scores",
+    "semantic_dedup_keepers",
+    "training_sequences_mart_check",
+    "source_mix_plan",
+    "streaming_windowed_counts_mart_check",
+    "user_rfm_features",
+    "semantic_split_leakage",
+    "event_funnel_conversion",
+    "weekly_retention_cohorts",
+    "daily_value_anomalies",
+    "column_null_audit",
 ]
 
 

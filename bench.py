@@ -120,6 +120,17 @@ HEADLINE = [
     # edit-distance dedup: capped (lang, first-token) blocks, JVM
     # levenshtein pairs
     "edit_distance_near_dups",
+    # round-7 additions (VERDICT r6): the BPE encode pass (train ->
+    # narrow replace-chain projection; ids variant adds the broadcast
+    # vocab join + per-doc regroup), subword-count packing, the
+    # span-REMOVAL transform, the exact-AC/ZRL/restart JPEG check, and
+    # the persisted-blocklist bloom path
+    "bpe_encoded_docs",
+    "bpe_token_id_sequences",
+    "packed_subword_sequences",
+    "span_scrubbed_docs",
+    "media_jpeg_ac_decode_check",
+    "bloom_blocklist_filter_persisted",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -157,6 +168,15 @@ SF1_SPOT = [
     # round-6: two corpus scans + bounded KxD collects per iteration —
     # the ratio certifies the no-corpus-shuffle iteration shape
     "kmeans_cluster_profile",
+    # round-7 (VERDICT r6 #4): the persisted-blocklist path must hold
+    # its ratio where the derive-inline variant grew 5.3x — the pinned
+    # proof that materializing the blocklist removes the corpus-scan
+    # amplification
+    "bloom_blocklist_filter_persisted",
+    # round-7: the encode pass is training (2 bounded corpus passes) +
+    # a narrow projection — the ratio certifies nothing superlinear
+    # hides in the replace chain
+    "bpe_encoded_docs",
 ]
 
 
@@ -184,6 +204,49 @@ def check_regressions(
         for name, sec in timings.items()
         if name in pinned and sec > factor * float(pinned[name])
     ]
+
+
+def check_sf1_regressions(
+    sf1_spot: dict | None, baseline: dict | None
+) -> list[str]:
+    """sf1 linearity gate (VERDICT r6 #6): the sf1 spot used to be
+    informational only, so superlinear drift at 10x data would never
+    flag. Spot queries with a pinned sf1 seconds value now fire the
+    same 2x-style guard as the sf0.1 pins. Pure function; single-run
+    sf1 numbers are noisier than min-of-3, so pins carry generous
+    headroom and a flag means 're-run standalone', not 'certainly
+    regressed'."""
+    if not baseline or not sf1_spot or "queries" not in sf1_spot:
+        return []
+    factor = float(
+        baseline.get(
+            "sf1_regression_factor", baseline.get("regression_factor", 2.0)
+        )
+    )
+    pinned = baseline.get("sf1_queries", {})
+    return [
+        name
+        for name, rec in sf1_spot["queries"].items()
+        if name in pinned and float(rec["sec"]) > factor * float(pinned[name])
+    ]
+
+
+def detail_artifact_path(repo: str = REPO) -> str:
+    """bench_detail_r{N}.json with N = (largest existing BENCH_r*.json
+    round) + 1 — the round whose driver artifact THIS bench run will
+    feed. The driver's stdout tail keeps only 2000 chars, which
+    truncated 21/54 per-query timings out of BENCH_r06; the full
+    detail map ships as a committed file instead (VERDICT r6 #5)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    return os.path.join(repo, f"bench_detail_r{n:02d}.json")
 
 
 def main() -> None:
@@ -262,6 +325,13 @@ def main() -> None:
             f"bench REGRESSION (> {factor}x pinned baseline): {regressions}",
             file=sys.stderr,
         )
+    sf1_regressions = check_sf1_regressions(sf1_spot, baseline)
+    if sf1_regressions:
+        print(
+            f"bench sf1 REGRESSION (superlinear drift at 10x): "
+            f"{sf1_regressions}",
+            file=sys.stderr,
+        )
     detail_line, summary_line = build_report(
         timings=timings,
         total=total,
@@ -270,7 +340,14 @@ def main() -> None:
         method=f"min_of_{runs_per_query}_runs",
         r1_subset=r1_subset,
         sf1_spot=sf1_spot,
+        sf1_regressions=sf1_regressions,
     )
+    try:  # the file artifact must never take down the driver contract
+        path = detail_artifact_path()
+        with open(path, "w") as f:
+            f.write(detail_line + "\n")
+    except OSError as e:  # noqa: PERF203
+        print(f"bench detail artifact write failed: {e}", file=sys.stderr)
     print(detail_line)
     print(summary_line)
 
@@ -284,6 +361,7 @@ def build_report(
     method: str,
     r1_subset: float,
     sf1_spot: dict | None,
+    sf1_regressions: list[str] | None = None,
 ) -> tuple[str, str]:
     """Two-line output (VERDICT r5 #1): the driver captures only the
     LAST 2000 chars of stdout and parses the final JSON line. With 49+
@@ -309,6 +387,8 @@ def build_report(
         # fits the tail budget; n_regressions carries the true count
         "regressions": regressions[:10],
         "n_regressions": len(regressions),
+        "sf1_regressions": (sf1_regressions or [])[:5],
+        "n_sf1_regressions": len(sf1_regressions or []),
         "method": method,
         "r1_subset_total_sec": r1_subset,
         "n_queries": len(timings),

@@ -1071,3 +1071,113 @@ def q_media_adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples bigint, sample_rate int, "
         "seed_sum long, seed_checksum long, err_le_64 boolean",
     )
+
+
+@register(
+    "media_jpeg_ac_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           1 + (doc_id // 3) % 3 AS bw,
+           1 + (doc_id // 9) % 3 AS bh
+    FROM documents
+    WHERE doc_id % 3 = 1
+),
+blocks AS (
+    SELECT d.doc_id, d.bw, d.bh, b.k,
+           2 * ((d.doc_id * 37 + b.k * 29) % 70) + 56 AS p,
+           17 * (1 + (d.doc_id + b.k) % 2) AS q,
+           9 * (1 + (d.doc_id + 3 * b.k) % 2) AS r
+    FROM dims d, UNNEST(generate_series(0, d.bw * d.bh - 1)) AS b(k)
+),
+px AS (
+    SELECT b.doc_id, b.bw, b.bh,
+           b.p
+           + b.q * (CASE WHEN g.j % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                 * (CASE WHEN g.j // 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           + b.r * (CASE WHEN g.j // 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               AS v,
+           (((b.k // b.bw) * 8 + g.j // 8) * (b.bw * 8)
+            + (b.k % b.bw) * 8 + g.j % 8) * 3 + c.c AS i
+    FROM blocks b,
+         UNNEST(generate_series(0, 63)) AS g(j),
+         UNNEST(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id,
+       CAST(MAX(bw) * 8 AS INT) AS width,
+       CAST(MAX(bh) * 8 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM((i + 1) * v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="JPEG **AC-coefficient** decode under a bit-exact oracle "
+    "(VERDICT r6 #2 — converts the AC/ZRL/restart paths from pytest "
+    "tolerance checks to hash parity). The trick: sigma = "
+    "[+,-,-,+,+,-,-,+] is the u=4 DCT basis sign pattern, whose "
+    "orthonormal basis values are RATIONAL (+-1/8 for u=v=4, +-1/8 "
+    "for the mixed u=4,v=0 term), so a block g(x,y) = p + "
+    "q*sigma(x)sigma(y) + r*sigma(y) has EXACTLY three nonzero "
+    "coefficients C00=8(p-128), C44=8q, C40=8r — integer multiples "
+    "of the Annex-K steps 16/68/18 when p is even, q in 17Z, r in "
+    "9Z. Quantization is therefore lossless and the decoded block "
+    "reproduces g exactly despite two nonzero AC terms. Zigzag "
+    "index of C40 is 10 (9-zero run -> mid-run AC code) and of C44 "
+    "is 39 (28-zero run -> a REAL ZRL escape + run-12 code), and "
+    "the payloads are encoded with restart_interval=2, so DRI/RSTn "
+    "emission, bitstream realignment and DC-predictor resets are "
+    "all pinned by the same closed-form pixel checksum. Runs on the "
+    "doc_id % 3 == 1 third (disjoint from the DC-only check's "
+    "slice); per-block parameters vary with (doc_id, k) so restart "
+    "DC resets see non-trivial predictor state.",
+)
+def q_media_jpeg_ac_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sig = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.int64)
+        pat = np.outer(sig, sig)                      # sigma(y)*sigma(x)
+        row_pat = np.tile(sig.reshape(8, 1), (1, 8))  # sigma(y)
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pixel_sum": [], "pixel_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw = 1 + (doc_id // 3) % 3
+                bh = 1 + (doc_id // 9) % 3
+                img = np.zeros((bh * 8, bw * 8), np.int64)
+                for k in range(bw * bh):
+                    p = 2 * ((doc_id * 37 + 29 * k) % 70) + 56
+                    q = 17 * (1 + (doc_id + k) % 2)
+                    r = 9 * (1 + (doc_id + 3 * k) % 2)
+                    img[(k // bw) * 8 : (k // bw) * 8 + 8,
+                        (k % bw) * 8 : (k % bw) * 8 + 8] = (
+                        p + q * pat + r * row_pat
+                    )
+                payload = M.encode_jpeg(
+                    img.astype(np.uint8), quality=50, restart_interval=2
+                )
+                dec, dw, dh = M.decode_image(payload, fake=False)
+                flat = dec.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 1)
+    )
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, "
+        "pixel_sum long, pixel_checksum long",
+    )

@@ -122,9 +122,25 @@ def pack_sequences(
     arithmetic → bit-identical on any engine.
     """
     n_tokens = F.size(_tokens(text_col)).cast("bigint")
+    counts = df.select(F.col(key_col), n_tokens.alias("n_tokens"))
+    return pack_token_counts(counts, budget, n_groups, key_col=key_col)
+
+
+def pack_token_counts(
+    df: DataFrame,
+    budget: int = 1024,
+    n_groups: int = 32,
+    key_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """The packing core shared by whitespace-token packing
+    (pack_sequences) and trained-tokenizer packing (the BPE encode
+    pass): given per-doc token COUNTS, assign (pack_group, seq_id,
+    seq_offset). Same plan either way — one window shuffle on the
+    hash-assigned group key; n_groups is the 100 TB parallelism knob."""
     d = df.select(
         F.col(key_col),
-        n_tokens.alias("n_tokens"),
+        F.col(n_tokens_col).cast("bigint").alias("n_tokens"),
         hash_bucket(F.col(key_col), n_groups).alias("pack_group"),
         F.md5(F.col(key_col).cast("string")).alias("__ord"),
     )
@@ -549,6 +565,53 @@ def curation_funnel(
     )
 
 
+def _dup_span_frames(
+    df: DataFrame,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hash_keys: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of the span-dedup family: ``base`` (id, __toks,
+    n_tokens) and ``dup_pos`` (id, n_tokens, pos) — the start
+    positions of every ``n``-gram that also occurs in at least one
+    OTHER document. Positional grams come from explode(sequence)
+    fused into the scan; cross-doc grams are a partial-combined
+    min/max-owner agg (min != max owner == ">= 2 distinct docs"
+    without a COUNT DISTINCT)."""
+    base = _spread(df).select(
+        F.col(id_col),
+        _tokens(text_col).alias("__toks"),
+    ).select(
+        id_col, "__toks", F.size("__toks").cast("bigint").alias("n_tokens")
+    )
+    grams = base.filter(F.col("n_tokens") >= n).select(
+        id_col,
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
+        ).alias("pos"),
+        "__toks",
+    ).select(
+        id_col,
+        "n_tokens",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.concat_ws(
+            " ", F.slice("__toks", F.col("pos") + 1, F.lit(n))
+        ).alias("gram"),
+    )
+    if hash_keys:
+        grams = grams.withColumn("gram", F.xxhash64(F.col("gram")))
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("gram")
+    )
+    dup_pos = grams.join(shared, "gram").select(id_col, "n_tokens", "pos")
+    return base, dup_pos
+
+
 def duplicate_span_stats(
     df: DataFrame,
     n: int = 8,
@@ -580,38 +643,7 @@ def duplicate_span_stats(
     same doc-level output absent 64-bit collisions, so the hashed
     variant shares the string variant's oracle).
     """
-    base = _spread(df).select(
-        F.col(id_col),
-        _tokens(text_col).alias("__toks"),
-    ).select(
-        id_col, "__toks", F.size("__toks").cast("bigint").alias("n_tokens")
-    )
-    grams = base.filter(F.col("n_tokens") >= n).select(
-        id_col,
-        "n_tokens",
-        F.explode(
-            F.sequence(F.lit(0), (F.col("n_tokens") - n).cast("int"))
-        ).alias("pos"),
-        "__toks",
-    ).select(
-        id_col,
-        "n_tokens",
-        F.col("pos").cast("bigint").alias("pos"),
-        F.concat_ws(
-            " ", F.slice("__toks", F.col("pos") + 1, F.lit(n))
-        ).alias("gram"),
-    )
-    if hash_keys:
-        grams = grams.withColumn("gram", F.xxhash64(F.col("gram")))
-    # a gram is "duplicated" iff it appears in >= 2 distinct docs;
-    # min!=max owner is the cheap partial-aggregable form of that.
-    shared = (
-        grams.groupBy("gram")
-        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
-        .filter(F.col("__mn") != F.col("__mx"))
-        .select("gram")
-    )
-    dup_pos = grams.join(shared, "gram").select(id_col, "n_tokens", "pos")
+    base, dup_pos = _dup_span_frames(df, n, text_col, id_col, hash_keys)
     w = Window.partitionBy(id_col).orderBy("pos")
     covered = dup_pos.withColumn("__nxt", F.lead("pos").over(w)).select(
         id_col,
@@ -631,3 +663,97 @@ def duplicate_span_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def span_scrub_documents(
+    df: DataFrame,
+    n: int = 8,
+    drop_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_keys: bool = False,
+) -> DataFrame:
+    """The REMOVAL form of duplicate_span_stats (VERDICT r6 #3): emit
+    the span-scrubbed corpus. Per doc:
+
+    - no cross-doc duplicated ``n``-gram -> kept VERBATIM (action
+      'keep' — original text, never re-tokenized or re-shuffled);
+    - duplicated-span fraction <= ``drop_threshold`` -> TRIMMED: every
+      token position covered by a duplicated gram is removed and the
+      survivors rejoin with single spaces (action 'trim');
+    - fraction above the threshold -> DROPPED (absent from output) —
+      a mostly-duplicated doc isn't worth keeping a remnant of.
+
+    Scale shape: the stats pass is duplicate_span_stats' plan; the
+    REBUILD runs only over the trimmed subset (typically a small
+    fraction of the corpus), so the clean majority never pays the
+    posexplode + regroup shuffle. Covered positions explode at most
+    ``n`` rows per duplicated gram; the kept-token regroup is one
+    shuffle on the trimmed doc ids. All decisions are integer math
+    plus one double compare, so DuckDB replays the whole transform
+    bit-exactly (catalog: span_scrubbed_docs).
+    """
+    base, dup_pos = _dup_span_frames(df, n, text_col, id_col, hash_keys)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    covered_len = dup_pos.withColumn("__nxt", F.lead("pos").over(w)).select(
+        id_col,
+        "n_tokens",
+        F.when(F.col("__nxt").isNull(), F.lit(n).cast("bigint"))
+        .otherwise(
+            F.least(F.lit(n).cast("bigint"), F.col("__nxt") - F.col("pos"))
+        )
+        .alias("__cov"),
+    )
+    stats = (
+        covered_len.groupBy(id_col, "n_tokens")
+        .agg(F.sum("__cov").cast("bigint").alias("dup_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            "dup_tokens",
+            (
+                F.col("dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+    trim_ids = stats.filter(F.col("dup_fraction") <= F.lit(drop_threshold))
+    covered = dup_pos.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.col("pos"),
+                F.least(F.col("pos") + n - 1, F.col("n_tokens") - 1),
+            )
+        ).alias("t"),
+    )
+    toks_pos = (
+        base.join(trim_ids.select(id_col), id_col)
+        .select(id_col, F.posexplode("__toks").alias("t", "tok"))
+        .select(id_col, F.col("t").cast("bigint").alias("t"), "tok")
+    )
+    kept = toks_pos.join(covered, [id_col, "t"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("__new_text")
+    )
+    trimmed = rebuilt.join(trim_ids, id_col).select(
+        F.col(id_col),
+        F.col("__new_text").alias(text_col),
+        "n_tokens",
+        "dup_tokens",
+        F.lit("trim").alias("action"),
+    )
+    untouched = df.join(stats.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(_tokens(text_col)).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("dup_tokens"),
+        F.lit("keep").alias("action"),
+    )
+    return untouched.unionByName(trimmed)

@@ -91,14 +91,20 @@ class FakeStripeClient:
 
     def latest_created(self, endpoint: str) -> int:
         """Exclusive upper bound of available data — the streaming
-        reader's notion of 'now' (deterministic for the fake corpus)."""
-        return max(d["created"] for d in self._corpus(endpoint)) + 1
+        reader's notion of 'now' (deterministic for the fake corpus).
+        An EMPTY source reports 0, which parks the streaming pacer at
+        its floor (latestOffset == initialOffset, empty batches) until
+        data appears — instead of crashing latestOffset on max([])."""
+        docs = self._corpus(endpoint)
+        return max(d["created"] for d in docs) + 1 if docs else 0
 
     def earliest_created(self, endpoint: str) -> int:
         """Inclusive lower bound of available data; lets the streaming
         pacer skip the empty span below the first document instead of
-        crawling from epoch 0 in max_batch_seconds steps."""
-        return min(d["created"] for d in self._corpus(endpoint))
+        crawling from epoch 0 in max_batch_seconds steps. 0 when the
+        source is empty (no span to skip)."""
+        docs = self._corpus(endpoint)
+        return min(d["created"] for d in docs) if docs else 0
 
     def list_page(
         self,

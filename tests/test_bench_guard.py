@@ -31,6 +31,48 @@ def test_guard_quiet_without_baseline():
     assert bench.check_regressions({"q": 100.0}, None) == []
 
 
+def test_sf1_guard_fires_on_superlinear_drift():
+    """VERDICT r6 #6: pinned sf1 spot queries get the same x-factor
+    gate as the sf0.1 pins; unpinned spot queries are skipped."""
+    baseline = {
+        "regression_factor": 2.0,
+        "sf1_regression_factor": 2.0,
+        "sf1_queries": {"q_lin": 5.0, "q_drift": 5.0},
+    }
+    spot = {
+        "copies": 10,
+        "queries": {
+            "q_lin": {"sec": 6.0, "ratio_vs_sf0.1": 3.0},
+            "q_drift": {"sec": 11.0, "ratio_vs_sf0.1": 9.0},
+            "q_new": {"sec": 99.0, "ratio_vs_sf0.1": 9.9},
+        },
+    }
+    assert bench.check_sf1_regressions(spot, baseline) == ["q_drift"]
+    assert bench.check_sf1_regressions(None, baseline) == []
+    assert bench.check_sf1_regressions({"error": "x"}, baseline) == []
+    assert bench.check_sf1_regressions(spot, None) == []
+
+
+def test_sf1_baseline_pins_exist_for_spot_queries():
+    baseline = bench.load_baseline()
+    pinned = baseline.get("sf1_queries", {})
+    # every pinned sf1 query is a spot query, and the spot set is pinned
+    assert set(pinned) <= set(bench.SF1_SPOT)
+    assert all(sec > 0 for sec in pinned.values())
+
+
+def test_detail_artifact_path_targets_next_round(tmp_path):
+    """VERDICT r6 #5: the full per-query detail ships as a file named
+    for the round the driver is about to record."""
+    assert bench.detail_artifact_path(str(tmp_path)).endswith(
+        "bench_detail_r01.json"
+    )
+    (tmp_path / "BENCH_r06.json").write_text("{}")
+    assert bench.detail_artifact_path(str(tmp_path)).endswith(
+        "bench_detail_r07.json"
+    )
+
+
 def test_summary_line_fits_driver_tail_budget():
     """VERDICT r5 #1: the driver parses only the LAST JSON line from a
     2000-char stdout tail. Simulate a full-size bench report (every
@@ -56,6 +98,7 @@ def test_summary_line_fits_driver_tail_budget():
         method="min_of_3_runs",
         r1_subset=12.3,
         sf1_spot=sf1_spot,
+        sf1_regressions=sorted(sf1_spot["queries"]),  # all of them
     )
     assert len(summary_line) < 1000
     assert "\n" not in summary_line and "\n" not in detail_line

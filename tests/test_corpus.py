@@ -376,6 +376,69 @@ def test_duplicate_span_stats_interval_union_overlap(spark):
     assert got[2]["dup_tokens"] == 10
 
 
+def test_span_scrub_planted_actions(spark):
+    # doc 1/2 share an 8-gram (fraction 0.5 -> trim, boundary
+    # inclusive); doc 3 is novel (keep verbatim, original spacing
+    # preserved); docs 4/5 are identical (fraction 1.0 -> drop).
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    dup_doc = "z1 z2 z3 z4 z5 z6 z7 z8 z9"
+    rows = [
+        (1, shared + " a1 a2 a3 a4 a5 a6 a7 a8"),
+        (2, "b1 b2 b3 b4 " + shared + " b5 b6 b7 b8"),
+        (3, "c1 c2  c3"),  # double space: verbatim passthrough check
+        (4, dup_doc),
+        (5, dup_doc),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.span_scrub_documents(df, n=8).collect()}
+    assert set(got) == {1, 2, 3}  # 4/5 dropped
+    assert got[1]["action"] == "trim"
+    assert got[1]["text"] == "a1 a2 a3 a4 a5 a6 a7 a8"
+    assert got[1]["dup_tokens"] == 8 and got[1]["n_tokens"] == 16
+    assert got[2]["action"] == "trim"
+    assert got[2]["text"] == "b1 b2 b3 b4 b5 b6 b7 b8"
+    assert got[3]["action"] == "keep"
+    assert got[3]["text"] == "c1 c2  c3"  # untouched docs keep raw text
+    assert got[3]["dup_tokens"] == 0 and got[3]["n_tokens"] == 3
+
+
+def test_span_scrub_overlapping_spans_trim_union(spark):
+    # identical 10-token prefix -> overlapping dup grams; the trim
+    # must remove the UNION of covered positions, not 3x8 tokens.
+    pre = " ".join(f"p{i}" for i in range(10))
+    rows = [(1, pre + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+            (2, pre + " y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in C.span_scrub_documents(df, n=8).collect()}
+    assert got[1]["action"] == "trim" and got[1]["dup_tokens"] == 10
+    assert got[1]["text"] == " ".join(f"x{i}" for i in range(1, 11))
+    assert got[2]["text"] == " ".join(f"y{i}" for i in range(1, 11))
+
+
+def test_span_scrub_consistent_with_stats(spark, sf_dir):
+    """On the real corpus: every stats row above the threshold is
+    absent, every row at/below it is trimmed with the same dup_tokens,
+    and every doc without a stats row passes through verbatim."""
+    docs = read_table(spark, sf_dir, "documents")
+    stats = {r["doc_id"]: r
+             for r in C.duplicate_span_stats(docs, n=8).collect()}
+    got = {r["doc_id"]: r for r in C.span_scrub_documents(docs, n=8).collect()}
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, r in stats.items():
+        if r["dup_fraction"] > 0.5:
+            assert doc_id not in got
+        else:
+            assert got[doc_id]["action"] == "trim"
+            assert got[doc_id]["dup_tokens"] == r["dup_tokens"]
+            # trimmed text really lost dup_tokens tokens
+            kept = [t for t in got[doc_id]["text"].split(" ") if t]
+            assert len(kept) == r["n_tokens"] - r["dup_tokens"]
+    for doc_id in raw:
+        if doc_id not in stats:
+            assert got[doc_id]["action"] == "keep"
+            assert got[doc_id]["text"] == raw[doc_id]
+
+
 def test_token_rarity_matches_bruteforce(spark, sf_dir):
     from collections import Counter
 

@@ -282,3 +282,73 @@ def test_kmeans_assignment_is_map_side(spark, sf_dir):
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "FileScan parquet" in p
+
+
+def test_bpe_encode_is_a_narrow_jvm_projection(spark, sf_dir):
+    """The encode pass must be shuffle-free pure-JVM codegen: the
+    merge list is plan literals applied via chained replace(), so the
+    plan is Scan -> Filter/Project with NO Exchange, NO join, NO
+    Python stage (ARCHITECTURE.md 'BPE encode pass')."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.bpe import encode_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    enc = encode_documents(docs, [("a", "b"), ("ab", "c")])
+    p = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # single narrow stage: scan -> filter -> project (higher-order
+    # fns are interpreted JVM expressions, still no Python boundary)
+    assert "FileScan parquet" in p and p.count("Scan") == 1
+
+
+def test_bpe_id_lookup_is_a_map_literal_projection(spark, sf_dir):
+    """Token-id assignment bakes the bounded vocab into the plan as a
+    map literal: transform(subwords, t -> element_at(map, t)) — NO
+    join, NO explode, NO regroup shuffle; the corpus never shuffles
+    on the token key."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.bpe import (
+        encode_documents,
+        encode_documents_ids,
+        subword_vocabulary,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    enc = encode_documents(docs, [("a", "b")])
+    ids = encode_documents_ids(enc, subword_vocabulary(enc))
+    p = ids._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in p
+    assert "Generate" not in p  # no posexplode of the token stream
+    assert "keys:" in p or "map_from" in p or "element_at" in p
+
+
+def test_span_scrub_rebuild_confined_to_trim_subset(spark, sf_dir):
+    """span_scrubbed_docs: the union's keep branch must stay scan-side
+    (no Generate/posexplode on the verbatim path) and the whole plan
+    stays JVM-only."""
+    p = plan(spark, sf_dir, "span_scrubbed_docs")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Union" in p  # keep-branch ∪ trim-branch
+
+
+def test_persisted_bloom_plan_is_single_scan_broadcast_anti(spark, sf_dir):
+    """The persisted-blocklist variant is the production shape: ONE
+    corpus scan into a broadcast anti-join (no bloom union, no second
+    fingerprint scan); the derive-inline variant keeps the bloom
+    union shape for the non-broadcastable-blocklist regime."""
+    p = plan(spark, sf_dir, "bloom_blocklist_filter_persisted")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p and "Union" not in p
+    assert p.count("Scan parquet") == 2  # corpus once + blocklist artifact
+    assert "BatchEvalPython" not in p
+    p2 = plan(spark, sf_dir, "bloom_blocklist_filter")
+    assert "xxhash64" in p2  # bloom probe in the filter expression
+    assert "BroadcastHashJoin" in p2 and "LeftAnti" in p2
+    assert "SortMergeJoin" not in p2

@@ -270,3 +270,145 @@ def test_real_client_request_contract_offline():
 
     with _pytest.raises(ValueError, match="unknown endpoint"):
         build_list_call("charges", 0, 1, None, 10)
+
+
+# ---- fault paths (VERDICT r6 #8) ----------------------------------
+
+
+def test_retry_backoff_on_rate_limit(monkeypatch):
+    """Rate-limit mid-window: exponential 2^(n-1)s backoff, then the
+    page is served — the reference's retry contract
+    (extract_stripe_data.py:88-97) on the sharded reader."""
+    from stripe_data_pipeline_spark.sources import stripe_source as SS
+
+    class RateLimitError(Exception):
+        pass
+
+    class Flaky(SS.FakeStripeClient):
+        def __init__(self, fail_n):
+            super().__init__(30)
+            self.fail_n = fail_n
+            self.calls = 0
+
+        def list_page(self, *a, **kw):
+            self.calls += 1
+            if self.calls <= self.fail_n:
+                raise RateLimitError("429")
+            return super().list_page(*a, **kw)
+
+    sleeps: list[int] = []
+    monkeypatch.setattr(SS.time, "sleep", sleeps.append)
+    r = SS.StripeReader({"endpoint": "invoices", "fake_items": "30"})
+    page = r._fetch_with_retry(Flaky(3), SS.TimeWindowPartition(0, 2**62), None)
+    assert len(page) > 0
+    assert sleeps == [1, 2, 4]  # 2^(n-1)
+
+
+def test_non_rate_limit_error_aborts_immediately(monkeypatch):
+    """'All data, or none' (extract_stripe_data.py:98-102): anything
+    but a rate limit aborts the task with NO retry and NO sleep."""
+    from stripe_data_pipeline_spark.sources import stripe_source as SS
+
+    class Broken(SS.FakeStripeClient):
+        def list_page(self, *a, **kw):
+            raise ValueError("schema drift")
+
+    sleeps: list[int] = []
+    monkeypatch.setattr(SS.time, "sleep", sleeps.append)
+    r = SS.StripeReader({"endpoint": "invoices"})
+    with pytest.raises(ValueError, match="schema drift"):
+        r._fetch_with_retry(Broken(), SS.TimeWindowPartition(0, 2**62), None)
+    assert sleeps == []
+
+
+def test_rate_limit_gives_up_after_max_retries(monkeypatch):
+    from stripe_data_pipeline_spark.sources import stripe_source as SS
+
+    class RateLimitError(Exception):
+        pass
+
+    class Always429(SS.FakeStripeClient):
+        def list_page(self, *a, **kw):
+            raise RateLimitError("429")
+
+    sleeps: list[int] = []
+    monkeypatch.setattr(SS.time, "sleep", sleeps.append)
+    r = SS.StripeReader({"endpoint": "invoices"})
+    with pytest.raises(RateLimitError):
+        r._fetch_with_retry(Always429(), SS.TimeWindowPartition(0, 2**62), None)
+    assert len(sleeps) == SS.MAX_RETRIES  # 50 backoffs, then abort
+
+
+def test_mid_pagination_failure_rereads_full_window(monkeypatch):
+    """A task that dies mid-pagination holds no partial state: the
+    engine's task retry calls read() again and gets the FULL window
+    (at-least-once per partition, exactly the semantics the MERGE
+    sinks dedupe on)."""
+    from stripe_data_pipeline_spark.sources import stripe_source as SS
+
+    class FailSecondPage(SS.FakeStripeClient):
+        def __init__(self, n):
+            super().__init__(n)
+            self.pages = 0
+            self.armed = True
+
+        def list_page(self, *a, **kw):
+            self.pages += 1
+            if self.armed and self.pages == 2:
+                self.armed = False
+                raise ValueError("boom mid-batch")
+            return super().list_page(*a, **kw)
+
+    inst = FailSecondPage(25)
+    monkeypatch.setattr(SS, "FakeStripeClient", lambda n: inst)
+    r = SS.StripeReader(
+        {"endpoint": "invoices", "fake_items": "25", "page_size": "10"}
+    )
+    part = SS.TimeWindowPartition(0, 2**62)
+    with pytest.raises(ValueError, match="boom"):
+        list(r.read(part))
+    rows = list(r.read(part))  # the retried attempt
+    assert len(rows) == 25
+    assert len({i for i, _, _ in rows}) == 25  # complete, no dupes
+
+
+def test_stream_empty_source_parks_offset():
+    """An empty source must not crash latestOffset: the pacer parks at
+    its floor (latestOffset == initialOffset), batches are empty, and
+    commit() of an empty-batch offset is accepted."""
+    from stripe_data_pipeline_spark.sources.stripe_source import (
+        StripeStreamReader,
+    )
+
+    r = StripeStreamReader(
+        {"endpoint": "invoices", "fake_items": "0", "created_gte": "1000"}
+    )
+    assert r.initialOffset() == {"created": 1000}
+    o = r.latestOffset()
+    assert o == {"created": 1000}  # parked, not advanced, not crashed
+    parts = r.partitions(r.initialOffset(), o)
+    assert len(parts) == 1 and parts[0].gte == parts[0].lt
+    assert list(r.read(parts[0])) == []
+    r.commit(o)  # no-op by contract
+    assert r.latestOffset() == {"created": 1000}
+
+
+def test_stream_commit_does_not_reset_pacer():
+    """commit() persists nothing source-side (offsets live in the
+    engine checkpoint); it must also not rewind the in-memory pacer —
+    the next latestOffset keeps advancing monotonically."""
+    from stripe_data_pipeline_spark.sources.stripe_source import (
+        StripeStreamReader,
+    )
+
+    r = StripeStreamReader(
+        {"endpoint": "invoices", "fake_items": "120",
+         "max_batch_seconds": "150000"}
+    )
+    o1 = r.latestOffset()
+    r.commit(o1)
+    o2 = r.latestOffset()
+    assert o2["created"] > o1["created"]  # still draining the backlog
+    r.commit(o2)
+    o3 = r.latestOffset()
+    assert o3["created"] >= o2["created"]
