@@ -85,26 +85,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-7 rotation: the 7 brand-new queries plus the 4 whose code paths
-# this round's refactors touch lead the window, then the oldest-verdict
-# rows (the r4-green relational/revenue/media block) fill it to 50.
-# Demoted past the cutoff: the r5- and r6-green rows (verdicts one to
-# two rounds old) — all stay CI-covered (tests/test_oracle_catalog.py
-# full catalog at sf0.001; tools/check_oracle.py 0/154 at sf0.01 this
-# round). tests/test_driver_contract.py enforces that nothing without
-# any driver verdict sits outside the window.
+# Round-7 rotation: the 14 brand-new queries plus the 4 whose code
+# paths this round's refactors touch lead the window, then the oldest-
+# verdict rows (the r4-green relational/revenue/media block) fill it
+# to 50. Demoted past the cutoff: the r5- and r6-green rows (verdicts
+# one to two rounds old) and the r4 overflow — all stay CI-covered
+# (tests/test_oracle_catalog.py full catalog at sf0.001;
+# tools/check_oracle.py 0/161 at sf0.01 this round).
+# tests/test_driver_contract.py enforces that nothing without any
+# driver verdict sits outside the window.
 _PRIORITY = [
     # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5): new/changed this round first,
     # then OLDEST driver verdict first, so no row's last driver check
     # grows stale while the full-catalog CI sweep covers everything.
-    # New in r7 (VERDICT r6 #1-#4): the BPE encode pass family
-    # (train -> encode -> ids -> pack, all four oracled end-to-end via
-    # unrolled training CTEs), the span-REMOVAL transform, the
-    # exact-AC/ZRL/restart JPEG check, and the persisted-blocklist
-    # bloom path. Changed in r7: operators/bpe.py (encode additions
-    # around the trainer) -> bpe_merges_learned; the pack_sequences /
-    # duplicate_span_stats refactors -> their queries re-checked.
+    # New in r7 (VERDICT r6 #1-#4 + depth work): the BPE encode pass
+    # family (train -> encode -> ids -> pack -> persisted mart, all
+    # oracled end-to-end via unrolled training CTEs), the span-REMOVAL
+    # transform, the exact-AC/ZRL/restart and 4:2:0-color JPEG checks,
+    # the persisted-blocklist filter, quality-aware near-dup keepers,
+    # percentile-adaptive quality filtering, full-outer/NTILE
+    # relational fills, and the distributed suffix array. Changed in
+    # r7: operators/bpe.py (encode additions around the trainer) ->
+    # bpe_merges_learned; the pack_sequences / duplicate_span_stats
+    # refactors -> their queries re-checked.
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",
@@ -112,7 +116,13 @@ _PRIORITY = [
     "subword_sequences_mart_check",
     "span_scrubbed_docs",
     "media_jpeg_ac_decode_check",
+    "media_jpeg_420_decode_check",
     "bloom_blocklist_filter_persisted",
+    "near_dup_quality_keepers",
+    "quality_filtered_docs",
+    "nation_presence_full_join",
+    "order_value_ntiles",
+    "suffix_array_ranks_check",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

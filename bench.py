@@ -131,6 +131,13 @@ HEADLINE = [
     "span_scrubbed_docs",
     "media_jpeg_ac_decode_check",
     "bloom_blocklist_filter_persisted",
+    # round-7 second batch: the 4:2:0 color JPEG path, quality-aware
+    # near-dup keeper selection, percentile-adaptive quality filtering,
+    # and NTILE bucketing
+    "media_jpeg_420_decode_check",
+    "near_dup_quality_keepers",
+    "quality_filtered_docs",
+    "order_value_ntiles",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -1181,3 +1181,114 @@ def q_media_jpeg_ac_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
     )
+
+
+@register(
+    "media_jpeg_420_decode_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id,
+           2 * (1 + (doc_id // 3) % 2) AS bw,
+           2 * (1 + (doc_id // 6) % 2) AS bh
+    FROM documents
+    WHERE doc_id % 3 = 2
+),
+blocks AS (
+    SELECT d.doc_id, d.bw, d.bh, b.k,
+           2 * ((d.doc_id * 37 + b.k * 29) % 70) + 56 AS p,
+           17 * (1 + (d.doc_id + b.k) % 2) AS q,
+           9 * (1 + (d.doc_id + 3 * b.k) % 2) AS r
+    FROM dims d, UNNEST(generate_series(0, d.bw * d.bh - 1)) AS b(k)
+),
+px AS (
+    SELECT b.doc_id, b.bw, b.bh,
+           b.p
+           + b.q * (CASE WHEN g.j % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+                 * (CASE WHEN g.j // 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+           + b.r * (CASE WHEN g.j // 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END)
+               AS v,
+           (((b.k // b.bw) * 8 + g.j // 8) * (b.bw * 8)
+            + (b.k % b.bw) * 8 + g.j % 8) * 3 + c.c AS i
+    FROM blocks b,
+         UNNEST(generate_series(0, 63)) AS g(j),
+         UNNEST(generate_series(0, 2)) AS c(c)
+)
+SELECT doc_id,
+       CAST(MAX(bw) * 8 AS INT) AS width,
+       CAST(MAX(bh) * 8 AS INT) AS height,
+       CAST(SUM(v) AS BIGINT) AS pixel_sum,
+       CAST(SUM((i + 1) * v) AS BIGINT) AS pixel_checksum
+FROM px
+GROUP BY doc_id
+""",
+    doc="JPEG **4:2:0 COLOR** decode under a bit-exact oracle — the "
+    "color-path sibling of media_jpeg_ac_decode_check. The trick: "
+    "with R=G=B=v the color transform is EXACTLY the identity — "
+    "Y = (0.299+0.587+0.114)v = v and Cb = Cr = 128 (the float "
+    "coefficient sums carry ~1e-14 noise, 12 orders below the "
+    "half-quant-step rounding margin, so chroma quantizes to all-"
+    "zero blocks and luma to the sigma fixture's exact integers) — "
+    "and the inverse transform maps (v,128,128) back to (v,v,v) "
+    "exactly. Encoded with subsample=True + restart_interval=2 and "
+    "EVEN block grids, so this pins the paths no other exact check "
+    "touches: RGB->YCbCr->RGB round trip, 2x2-mean chroma "
+    "subsampling + upsampling, the CHROMA quant/Huffman tables "
+    "(DC + EOB codes on real all-zero blocks), and interleaved "
+    "4-luma-blocks-per-MCU traversal with (2,2)/(1,1) sampling "
+    "factors under restart-marker DC resets. Runs on the "
+    "doc_id %% 3 == 2 third — the three JPEG checks partition the "
+    "corpus into disjoint slices. True-chroma AC content remains "
+    "tolerance-held in pytest (non-rational transform coefficients "
+    "make exact color fixtures impossible by design).",
+)
+def q_media_jpeg_420_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sig = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.int64)
+        pat = np.outer(sig, sig)
+        row_pat = np.tile(sig.reshape(8, 1), (1, 8))
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "pixel_sum": [], "pixel_checksum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw = 2 * (1 + (doc_id // 3) % 2)
+                bh = 2 * (1 + (doc_id // 6) % 2)
+                img = np.zeros((bh * 8, bw * 8), np.int64)
+                for k in range(bw * bh):
+                    p = 2 * ((doc_id * 37 + 29 * k) % 70) + 56
+                    q = 17 * (1 + (doc_id + k) % 2)
+                    r = 9 * (1 + (doc_id + 3 * k) % 2)
+                    img[(k // bw) * 8 : (k // bw) * 8 + 8,
+                        (k % bw) * 8 : (k % bw) * 8 + 8] = (
+                        p + q * pat + r * row_pat
+                    )
+                rgb = np.stack([img, img, img], axis=-1).astype(np.uint8)
+                payload = M.encode_jpeg(
+                    rgb, quality=50, subsample=True, restart_interval=2
+                )
+                dec, dw, dh = M.decode_image(payload, fake=False)
+                flat = dec.reshape(-1).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["pixel_sum"].append(int(flat.sum()))
+                out["pixel_checksum"].append(
+                    int((flat * (np.arange(len(flat), dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2)
+    )
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, width int, height int, "
+        "pixel_sum long, pixel_checksum long",
+    )

@@ -1654,3 +1654,102 @@ def q_stats_pruned_scan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+@register(
+    "nation_presence_full_join",
+    oracle="""
+WITH a AS (
+    SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_customers
+    FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+),
+b AS (
+    SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_suppliers
+    FROM supplier WHERE s_acctbal > 8000 GROUP BY 1
+)
+SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey,
+       COALESCE(a.n_rich_customers, 0) AS n_rich_customers,
+       COALESCE(b.n_rich_suppliers, 0) AS n_rich_suppliers,
+       CASE WHEN a.nationkey IS NULL THEN 'supplier_only'
+            WHEN b.nationkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS presence
+FROM a FULL OUTER JOIN b ON a.nationkey = b.nationkey
+""",
+    doc="FULL OUTER join (completes the outer-join family beyond "
+    "left/semi/anti): high-balance customer nations vs high-balance "
+    "supplier nations — the acctbal thresholds are tuned so BOTH "
+    "null sides genuinely occur at sf0.01 (customer-only AND "
+    "supplier-only nations), so the query proves real full-outer "
+    "semantics, not a vacuous left join. Two partial-aggregated "
+    "tiny-key inputs; the full-outer runs on nation-sized relations, "
+    "never on the fact tables.",
+)
+def q_nation_presence_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    a = (
+        cust.filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("a_nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rich_customers"))
+    )
+    b = (
+        supp.filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("b_nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rich_suppliers"))
+    )
+    j = a.join(b, a.a_nationkey == b.b_nationkey, "full_outer")
+    return j.select(
+        F.coalesce("a_nationkey", "b_nationkey").alias("nationkey"),
+        F.coalesce("n_rich_customers", F.lit(0)).cast("bigint").alias(
+            "n_rich_customers"
+        ),
+        F.coalesce("n_rich_suppliers", F.lit(0)).cast("bigint").alias(
+            "n_rich_suppliers"
+        ),
+        F.when(F.col("a_nationkey").isNull(), F.lit("supplier_only"))
+        .when(F.col("b_nationkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    )
+
+
+@register(
+    "order_value_ntiles",
+    oracle="""
+WITH t AS (
+    SELECT o_orderstatus,
+           CAST(FLOOR(o_totalprice * 100 + 5e-1) AS BIGINT) AS cents,
+           NTILE(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS tile
+    FROM orders
+)
+SELECT o_orderstatus, CAST(tile AS INT) AS tile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM t GROUP BY 1, 2
+""",
+    doc="NTILE quantile bucketing (completes the window family: "
+    "ranking/lag/running/range/session + ntile): per-status order-"
+    "value quartiles with integer-cents aggregates per bucket. The "
+    "tie-break (o_totalprice, o_orderkey) makes NTILE's row "
+    "assignment deterministic, so bucket boundaries are bit-exact "
+    "cross-engine; one window shuffle on the status key.",
+)
+def q_order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.ntile(4).over(w).alias("tile"),
+    )
+    return t.groupBy("o_orderstatus", "tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+    )

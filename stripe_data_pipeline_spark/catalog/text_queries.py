@@ -1107,3 +1107,165 @@ def q_packed_subword_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size("subwords").cast("bigint").alias("n_tokens")
     )
     return pack_token_counts(counts, budget=256, n_groups=8)
+
+
+@register(
+    "near_dup_quality_keepers",
+    oracle=_JACCARD_EDGES_SQL
+    + """,
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM edges
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM edges
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+),
+cl AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+tk AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT c.cluster_id, c.doc_id, t.n_tokens
+    FROM cl c JOIN tk t USING (doc_id)
+)
+SELECT cluster_id, keeper_id, keeper_tokens, n_members FROM (
+    SELECT cluster_id, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM j
+) WHERE rn = 1
+""",
+    doc="QUALITY-AWARE near-dup keeper selection — the actionable "
+    "completion of the dedup-cluster family: connected components "
+    "over the Jaccard near-dup edges, then each cluster keeps its "
+    "best member by (n_tokens DESC, doc_id ASC) — 'keep the longest "
+    "copy', a real curation policy — instead of the arbitrary min-id. "
+    "The argmax is a partial-aggregable max(struct(n_tokens, "
+    "-doc_id)) groupBy (one map-side-combined shuffle on cluster_id, "
+    "NOT a rank window over the corpus); the oracle replays "
+    "components via a recursive-CTE transitive closure and the "
+    "argmax via a rank window.",
+)
+def q_near_dup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.cluster import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = D.jaccard_candidate_pairs(docs, threshold=0.8)
+    clusters = connected_components(docs.select("doc_id"), edges)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    j = clusters.join(toks, "doc_id")
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("m"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("m.neg_id")).cast("bigint").alias("keeper_id"),
+        F.col("m.n_tokens").alias("keeper_tokens"),
+        "n_members",
+    )
+
+
+@register(
+    "quality_filtered_docs",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id,
+           least(CAST(length(text) AS DOUBLE) / 5e2, 1e0) * 5e-1
+           + CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                 / CAST(len({_TOKS}) AS DOUBLE) * 3e-1
+           + least(CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN}))
+                        AS DOUBLE)
+                   / CAST(len({_TOKS}) AS DOUBLE) * 5e0, 1e0) * 2e-1
+               AS quality_score
+    FROM documents
+),
+t AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q)
+SELECT q.doc_id, q.quality_score, t.thr AS threshold
+FROM q, t
+WHERE q.quality_score >= t.thr
+""",
+    doc="ADAPTIVE quality filtering: keep docs at or above the "
+    "corpus's own 25th-percentile quality score — the "
+    "distribution-relative form of the funnel's fixed thresholds "
+    "(a real curation policy: cut the worst quartile wherever the "
+    "corpus quality sits). Two passes: one exact-percentile "
+    "aggregate (Spark `percentile` == DuckDB `quantile_cont`, "
+    "bit-exact — proven by price_percentiles) broadcast back as a "
+    "1-row cross join onto the scoring scan. The quality score is "
+    "the doc_quality_scores composite, bit-identical cross-engine. "
+    "At 100 TB swap the exact percentile for approx_percentile "
+    "(t-digest) — the plan shape (tiny agg + broadcast + map-side "
+    "filter) is unchanged; the corpus is never shuffled.",
+)
+def q_quality_filtered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    q = X.with_quality_score(docs).select("doc_id", "quality_score")
+    thr = q.agg(
+        F.expr("percentile(quality_score, 0.25)").alias("threshold")
+    )
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("threshold"))
+        .select("doc_id", "quality_score", "threshold")
+    )
+
+
+@register(
+    "suffix_array_ranks_check",
+    oracle="""
+WITH sl AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 24
+),
+cat AS (
+    SELECT string_agg(text, chr(1) ORDER BY doc_id) AS s FROM sl
+)
+SELECT CAST(t.i - 1 AS BIGINT) AS pos,
+       CAST(ROW_NUMBER() OVER (ORDER BY substr(cat.s, t.i)) AS BIGINT)
+           AS suffix_rank
+FROM cat, UNNEST(range(1, length(cat.s) + 1)) AS t(i)
+""",
+    doc="DISTRIBUTED SUFFIX-ARRAY construction by prefix doubling "
+    "(operators/suffix.py; Lee et al. 2022 build exactly this index "
+    "for corpus-level exact-substring dedup, Flick & Aluru 2015 give "
+    "the distributed formulation): every position of the "
+    "concatenated corpus gets its suffix's lexicographic rank — the "
+    "inverse suffix array — via ceil(log2 n) rounds of (integer-key "
+    "self-join + distributed dense-rank), with the dense rank "
+    "range-partitioned/locally-ranked/offset so nothing funnels "
+    "through one partition, and early stop once ranks are distinct. "
+    "The oracle is DuckDB literally sorting every suffix "
+    "(ROW_NUMBER over substr(s, i)) — O(n^2) characters, which is "
+    "why both engines run over a bounded deterministic doc slice: "
+    "the SLICE bounds oracle memory; the Spark side is log-n linear "
+    "shuffles at any corpus size. Complements the fixed-length "
+    "n-gram span family with the arbitrary-length repeat index.",
+)
+def q_suffix_array_ranks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.suffix import suffix_ranks
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 24
+    )
+    return suffix_ranks(docs)

@@ -1,0 +1,245 @@
+"""Distributed suffix-array construction by PREFIX DOUBLING — the
+scale algorithm behind exact-substring deduplication (Lee et al. 2022
+"Deduplicating Training Data Makes Language Models Better" builds a
+suffix array over the concatenated corpus; Flick & Aluru 2015 give the
+distributed prefix-doubling formulation — both public).
+
+The n-gram span family (corpus.duplicate_span_stats / span_scrub)
+catches FIXED-length repeats; a suffix array orders every suffix of
+the concatenated corpus lexicographically, the index structure from
+which arbitrary-length repeated substrings fall out. The classic
+sequential builds (SA-IS, DC3) are pointer-chasing and don't
+distribute; prefix doubling does, because each round is plain
+relational algebra:
+
+- round 0: rank every position by its single CHARACTER (alphabet-sized
+  key space, broadcast join);
+- round k: rank(pos) at substring length 2^(k+1) = dense rank of the
+  PAIR (rank_k(pos), rank_k(pos + 2^k)) — a self-equi-join on position
+  (shuffle on an integer key) plus a distributed dense-rank;
+- stop when all ranks are distinct (suffixes of one string are always
+  distinct, so this happens within ceil(log2 n) rounds — early-stop is
+  one tiny count per round).
+
+The distributed DENSE RANK never funnels through one partition: the
+distinct keys are range-partitioned (range partition i < j implies
+every key in i sorts before every key in j), ranked LOCALLY per
+partition, and offset by the per-partition counts — a
+numPartitions-sized driver collect (bounded by contract, like the
+k-means centroids). Equal keys land in the same range partition, so
+local row_number over distinct keys IS the global dense rank.
+
+Corpus positions are built without ever materializing the string
+driver-side: per-doc character explode + a document-offset cumsum
+(document-count-sized window, a dim relation).
+
+Oracle story: the final ranks equal DuckDB's
+``ROW_NUMBER() OVER (ORDER BY substr(s, pos))`` on the same
+concatenated string. The oracle's sort is O(n^2) characters in the
+worst case, so the catalog query runs both engines over a bounded
+deterministic doc slice — the SLICE bounds oracle memory; the Spark
+algorithm is corpus-shaped (log n rounds of linear shuffles) at any
+size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\x01"  # document separator in the concatenated corpus
+
+
+def _dense_ranks(
+    keys: DataFrame,
+    cols: list[str],
+    parts: int = 16,
+    caches: list | None = None,
+) -> DataFrame:
+    """Global dense rank (1-based) of the DISTINCT rows ``keys`` by
+    ``cols`` — range-partition, rank locally, offset by partition
+    sizes. No global-window single-partition funnel; the only driver
+    state is ``parts`` row counts.
+
+    The ranked layout is CACHED before the two consumers (size
+    collect + downstream read) touch it: repartitionByRange samples
+    its boundaries from intra-partition row order, which is
+    nondeterministic across executions, so without the
+    materialization the size pass and the read pass could see
+    DIFFERENT partitionings and the offsets would be garbage (the
+    hypothesis suite caught exactly this). Appends the cached frame
+    to ``caches`` for the caller to unpersist."""
+    ranged = (
+        keys.repartitionByRange(parts, *[F.col(c) for c in cols])
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
+    local = ranged.withColumn("__lr", F.row_number().over(w)).cache()
+    if caches is not None:
+        caches.append(local)
+    local.count()  # pin ONE boundary sampling for both consumers
+    sizes = sorted(
+        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets: list = []
+    acc = 0
+    for r in sizes:
+        offsets.extend([F.lit(int(r["__pid"])), F.lit(acc)])
+        acc += int(r["__n"])
+    om = F.create_map(*offsets) if offsets else F.create_map()
+    return local.select(
+        *cols,
+        (F.element_at(om, F.col("__pid")) + F.col("__lr")).alias("__rank"),
+    )
+
+
+def corpus_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 16,
+    caches: list | None = None,
+) -> DataFrame:
+    """(pos, ch): every character position of the concatenated corpus
+    ``doc0 + SEP + doc1 + SEP + ...`` (docs in ``id_col`` order, no
+    trailing separator), built distributively: per-doc posexplode of
+    the character array plus a DISTRIBUTED doc-offset prefix sum —
+    the same range-partition + local-cumsum + per-partition-offset
+    pattern as _dense_ranks (including the cache that pins ONE
+    boundary sampling for both consumers), so no document-count-sized
+    relation ever funnels through one partition. Empty documents
+    contribute only their separator (Spark's split('', '') returns
+    [''], which must not become a phantom position)."""
+    docs = df.select(id_col, text_col)
+    last = docs.agg(F.max(id_col).alias("__last"))
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        docs.repartitionByRange(parts, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__loff",
+            F.coalesce(F.sum(F.length(text_col) + 1).over(w), F.lit(0)),
+        )
+        .cache()
+    )
+    if caches is not None:
+        caches.append(local)
+    local.count()  # pin one boundary sampling for both consumers
+    sizes = sorted(
+        local.groupBy("__pid")
+        .agg(F.sum(F.length(text_col) + 1).alias("__n"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets: list = []
+    acc = 0
+    for r in sizes:
+        offsets.extend([F.lit(int(r["__pid"])), F.lit(acc)])
+        acc += int(r["__n"])
+    om = F.create_map(*offsets) if offsets else F.create_map()
+    offs = local.crossJoin(F.broadcast(last)).select(
+        text_col,
+        (F.element_at(om, F.col("__pid")) + F.col("__loff")).alias("__off"),
+        (F.col(id_col) == F.col("__last")).alias("__is_last"),
+    )
+    chars = offs.select(
+        "__off",
+        F.posexplode(
+            F.concat(
+                F.filter(
+                    F.split(F.col(text_col), ""), lambda c: c != ""
+                ),
+                F.when(F.col("__is_last"), F.array()).otherwise(
+                    F.array(F.lit(SEP))
+                ),
+            )
+        ).alias("__p", "ch"),
+    )
+    return chars.select(
+        (F.col("__off") + F.col("__p")).cast("bigint").alias("pos"), "ch"
+    )
+
+
+def suffix_ranks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 16,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(pos, suffix_rank): the 1-based lexicographic rank of the suffix
+    starting at every position of the concatenated corpus — i.e. the
+    inverse suffix array — by distributed prefix doubling.
+
+    Each round: one integer-key self-join (rank at pos + 2^k), one
+    distinct + distributed dense-rank over the pair space, one map-
+    side join back. Rounds are ceil(log2 n) with early stop once all
+    ranks are distinct. Intermediate states are cached per round and
+    released; lineage is cut by the cache so round r doesn't replay
+    rounds 0..r-1."""
+    caches: list = []
+    positions = corpus_positions(df, text_col, id_col, caches=caches)
+    n = positions.count()
+    alphabet = _dense_ranks(
+        positions.select("ch").distinct(),
+        ["ch"],
+        parts=min(parts, 4),
+        caches=caches,
+    )
+    # localCheckpoint (not cache) per round: a cache prevents
+    # re-EXECUTION but Catalyst still re-analyzes the full logical
+    # tree, which roughly triples per round (paired references ranks
+    # twice, new_ranks references paired twice) — measured 2s -> 3s ->
+    # 21s -> 167s per round before the lineage cut. Checkpointing
+    # truncates the plan to a leaf, the same fix cluster.py's
+    # min-label-propagation loop uses.
+    ranks = (
+        positions.join(F.broadcast(alphabet), "ch")
+        .select("pos", F.col("__rank").cast("bigint").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:  # ranks is materialized; release the builders
+        c.unpersist()
+    gap = 1
+    rounds = 0
+    while gap < n and rounds < max_rounds:
+        rounds += 1
+        round_caches: list = []
+        a = ranks.alias("a")
+        b = ranks.select(
+            (F.col("pos") - gap).alias("pos"), F.col("rank").alias("r2")
+        ).alias("b")
+        paired = (
+            a.join(b, "pos", "left")
+            .select(
+                "pos",
+                F.col("rank").alias("r1"),
+                F.coalesce(F.col("r2"), F.lit(0)).alias("r2"),
+            )
+        )
+        keys = _dense_ranks(
+            paired.select("r1", "r2").distinct(),
+            ["r1", "r2"],
+            parts=parts,
+            caches=round_caches,
+        )
+        new_ranks = (
+            paired.join(keys, ["r1", "r2"])
+            .select("pos", F.col("__rank").cast("bigint").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        n_distinct = new_ranks.agg(
+            F.countDistinct("rank").alias("d")
+        ).collect()[0]["d"]
+        for c in round_caches:  # new_ranks is materialized; release
+            c.unpersist()
+        ranks = new_ranks
+        gap *= 2
+        if n_distinct == n:
+            break
+    return ranks.select("pos", F.col("rank").alias("suffix_rank"))

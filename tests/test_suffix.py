@@ -1,0 +1,79 @@
+"""Distributed prefix-doubling suffix ranks vs a pure-Python suffix
+sort: ranks must match EXACTLY (the inverse suffix array), including
+cross-document suffixes that run through the \\x01 separators and
+prefix-of-another-suffix orderings."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from stripe_data_pipeline_spark.operators.suffix import (
+    SEP,
+    corpus_positions,
+    suffix_ranks,
+)
+
+
+def py_suffix_ranks(texts: list[str]) -> dict[int, int]:
+    s = SEP.join(texts)
+    order = sorted(range(len(s)), key=lambda i: s[i:])
+    return {pos: rank + 1 for rank, pos in enumerate(order)}
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _spark_ranks(spark, texts) -> dict[int, int]:
+    # parts=4: boundary-sampling jobs dominate on fixture corpora
+    out = suffix_ranks(_df(spark, texts), parts=4).collect()
+    return {r["pos"]: r["suffix_rank"] for r in out}
+
+
+def test_corpus_positions_reconstruct_string(spark):
+    texts = ["abc", "de", "f"]
+    rows = corpus_positions(_df(spark, texts)).collect()
+    s = SEP.join(texts)
+    got = {r["pos"]: r["ch"] for r in rows}
+    assert got == {i: s[i] for i in range(len(s))}
+
+
+def test_suffix_ranks_known_banana(spark):
+    # the textbook example: suffixes of "banana" rank a<ana<anana<...
+    got = _spark_ranks(spark, ["banana"])
+    assert got == py_suffix_ranks(["banana"])
+
+
+def test_suffix_ranks_cross_doc_and_repeats(spark):
+    texts = ["abab abab", "ab abab", "zzz"]
+    assert _spark_ranks(spark, texts) == py_suffix_ranks(texts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=14),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_suffix_ranks_property(spark, texts):
+    # tiny alphabet maximizes long repeats and prefix-chains; empty
+    # docs exercise zero-length contributions between separators
+    if all(len(t) == 0 for t in texts) and len(texts) == 1:
+        return  # empty corpus: no positions to rank
+    assert _spark_ranks(spark, texts) == py_suffix_ranks(texts)
+
+
+def test_suffix_ranks_on_real_slice(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.filter("doc_id < 8").orderBy("doc_id").collect()
+    texts = [r["text"] for r in rows]
+    got = {
+        r["pos"]: r["suffix_rank"]
+        for r in suffix_ranks(docs.filter("doc_id < 8")).collect()
+    }
+    assert got == py_suffix_ranks(texts)
