@@ -123,6 +123,7 @@ _PRIORITY = [
     "nation_presence_full_join",
     "order_value_ntiles",
     "suffix_array_ranks_check",
+    "longest_repeat_spans_check",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

@@ -1269,3 +1269,64 @@ def q_suffix_array_ranks_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 24
     )
     return suffix_ranks(docs)
+
+
+@register(
+    "longest_repeat_spans_check",
+    oracle="""
+WITH sl AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 24
+),
+cat AS (
+    SELECT string_agg(text, chr(1) ORDER BY doc_id) AS s FROM sl
+),
+sa AS (
+    SELECT t.i AS i,
+           ROW_NUMBER() OVER (ORDER BY substr(cat.s, t.i)) AS rnk
+    FROM cat, UNNEST(range(1, length(cat.s) + 1)) AS t(i)
+),
+adj AS (
+    SELECT a.i AS ia, b.i AS ib
+    FROM sa a JOIN sa b ON b.rnk = a.rnk + 1
+),
+lcp AS (
+    SELECT p.ia, p.ib,
+           COALESCE((
+               SELECT MAX(r.j)
+               FROM UNNEST(range(1, 257)) AS r(j)
+               WHERE p.ia + r.j - 1 <= length(c.s)
+                 AND p.ib + r.j - 1 <= length(c.s)
+                 AND substr(c.s, p.ia, r.j) = substr(c.s, p.ib, r.j)
+           ), 0) AS lcp
+    FROM adj p, cat c
+)
+SELECT CAST(ia - 1 AS BIGINT) AS pos_a,
+       CAST(ib - 1 AS BIGINT) AS pos_b,
+       CAST(lcp AS BIGINT) AS lcp
+FROM lcp
+WHERE lcp > 0
+ORDER BY lcp DESC, pos_a, pos_b
+LIMIT 20
+""",
+    doc="LONGEST REPEATED SUBSTRINGS via the distributed suffix "
+    "array (the signal Lee et al. threshold for exact-substring "
+    "dedup): any repeated substring's two occurrences are rank-"
+    "ADJACENT in suffix order, so the top-k adjacent-pair LCPs are "
+    "the corpus's longest repeats. The LCP walk keeps the doubling "
+    "loop's per-level rank tables and extends each pair by gap "
+    "whenever rank_gap[a+lcp] == rank_gap[b+lcp] — two integer-key "
+    "joins per level, never touching character data; top-k is "
+    "TakeOrderedAndProject. Reported lcp clamps at 256 so the "
+    "oracle (which literally probes prefix equality on the "
+    "concatenated slice) stays bounded; same slice contract as "
+    "suffix_array_ranks_check.",
+)
+def q_longest_repeat_spans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.suffix import (
+        longest_repeat_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 24
+    )
+    return longest_repeat_spans(docs, top_k=20)

@@ -182,6 +182,24 @@ def suffix_ranks(
     ranks are distinct. Intermediate states are cached per round and
     released; lineage is cut by the cache so round r doesn't replay
     rounds 0..r-1."""
+    out, _levels = _suffix_ranks_with_levels(
+        df, text_col, id_col, parts, max_rounds, keep_levels=False
+    )
+    return out
+
+
+def _suffix_ranks_with_levels(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    parts: int,
+    max_rounds: int,
+    keep_levels: bool,
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Shared doubling loop. With ``keep_levels`` the per-level rank
+    tables [(gap, ranks_at_gap), ...] are retained (each a
+    localCheckpoint leaf) for the LCP walk; otherwise they are
+    discarded as the loop advances."""
     caches: list = []
     positions = corpus_positions(df, text_col, id_col, caches=caches)
     n = positions.count()
@@ -205,6 +223,7 @@ def suffix_ranks(
     )
     for c in caches:  # ranks is materialized; release the builders
         c.unpersist()
+    levels: list[tuple[int, DataFrame]] = [(1, ranks)]
     gap = 1
     rounds = 0
     while gap < n and rounds < max_rounds:
@@ -240,6 +259,88 @@ def suffix_ranks(
             c.unpersist()
         ranks = new_ranks
         gap *= 2
+        if keep_levels:
+            levels.append((gap, ranks))
         if n_distinct == n:
             break
-    return ranks.select("pos", F.col("rank").alias("suffix_rank"))
+    out = ranks.select("pos", F.col("rank").alias("suffix_rank"))
+    return out, (levels if keep_levels else [])
+
+
+def longest_repeat_spans(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 16,
+    max_rounds: int = 40,
+    max_lcp: int = 256,
+) -> DataFrame:
+    """The repeated-substring SIGNAL the suffix array exists for
+    (Lee et al. threshold exactly this to cut duplicated spans): for
+    every rank-ADJACENT pair of suffixes, the length of their longest
+    common prefix — the classic fact that any repeated substring's
+    two occurrences appear as an adjacent pair in suffix order, so
+    max-over-adjacent-LCP IS the longest repeated substring. Returns
+    the ``top_k`` pairs as (pos_a, pos_b, lcp), ordered (lcp DESC,
+    pos_a, pos_b) — deterministic.
+
+    Distributed LCP walk: keep the per-level rank tables from the
+    doubling loop; descending levels, extend a pair's lcp by ``gap``
+    whenever rank_gap[pos_a + lcp] == rank_gap[pos_b + lcp] — two
+    integer-key joins per level, pairs relation is corpus-sized, no
+    character data is ever compared. Top-k via TakeOrderedAndProject
+    (k per partition, no global sort). Reported lcp is clamped to
+    ``max_lcp`` (the walk itself is exact) — the clamp is what lets
+    the DuckDB oracle probe prefixes with a bounded generator instead
+    of an O(n)-deep scan per pair; ties under the clamp break
+    deterministically on (pos_a, pos_b)."""
+    _out, levels = _suffix_ranks_with_levels(
+        df, text_col, id_col, parts, max_rounds, keep_levels=True
+    )
+    _gap, final = levels[-1]
+    # adjacent pairs in suffix order: rank r's position vs rank r+1's
+    nxt = final.select(
+        (F.col("rank") - 1).alias("rank"), F.col("pos").alias("pos_b")
+    )
+    pairs = (
+        final.select(F.col("pos").alias("pos_a"), "rank")
+        .join(nxt, "rank")
+        .select("pos_a", "pos_b", F.lit(0).cast("bigint").alias("lcp"))
+        .localCheckpoint(eager=True)
+    )
+    for gap, table in reversed(levels):
+        ra = table.select(
+            F.col("pos").alias("__pa"), F.col("rank").alias("__ra")
+        )
+        rb = table.select(
+            F.col("pos").alias("__pb"), F.col("rank").alias("__rb")
+        )
+        stepped = (
+            pairs.join(
+                ra, pairs["pos_a"] + pairs["lcp"] == ra["__pa"], "left"
+            )
+            .join(rb, pairs["pos_b"] + pairs["lcp"] == rb["__pb"], "left")
+            .select(
+                "pos_a",
+                "pos_b",
+                F.when(
+                    F.col("__ra").isNotNull()
+                    & (F.col("__ra") == F.col("__rb")),
+                    F.col("lcp") + gap,
+                )
+                .otherwise(F.col("lcp"))
+                .alias("lcp"),
+            )
+        )
+        pairs = stepped.localCheckpoint(eager=True)
+    return (
+        pairs.filter(F.col("lcp") > 0)
+        .select(
+            "pos_a",
+            "pos_b",
+            F.least(F.col("lcp"), F.lit(max_lcp)).alias("lcp"),
+        )
+        .orderBy(F.desc("lcp"), F.asc("pos_a"), F.asc("pos_b"))
+        .limit(top_k)
+    )

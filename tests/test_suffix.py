@@ -77,3 +77,53 @@ def test_suffix_ranks_on_real_slice(spark, sf_dir):
         for r in suffix_ranks(docs.filter("doc_id < 8")).collect()
     }
     assert got == py_suffix_ranks(texts)
+
+
+def py_lcp_spans(texts: list[str], top_k: int = 20, cap: int = 256):
+    s = SEP.join(texts)
+    order = sorted(range(len(s)), key=lambda i: s[i:])
+    out = []
+    for a, b in zip(order, order[1:]):
+        lcp = 0
+        while (a + lcp < len(s) and b + lcp < len(s)
+               and s[a + lcp] == s[b + lcp]):
+            lcp += 1
+        if lcp > 0:
+            out.append((a, b, min(lcp, cap)))
+    out.sort(key=lambda t: (-t[2], t[0], t[1]))
+    return out[:top_k]
+
+
+def test_longest_repeat_spans_known(spark):
+    from stripe_data_pipeline_spark.operators.suffix import (
+        longest_repeat_spans,
+    )
+
+    texts = ["the cat sat on the mat", "the cat sat on a hat", "zq"]
+    got = [
+        (r["pos_a"], r["pos_b"], r["lcp"])
+        for r in longest_repeat_spans(_df(spark, texts), top_k=20).collect()
+    ]
+    want = py_lcp_spans(texts)
+    assert got == want
+    # sanity: the longest repeat is the shared "the cat sat on " prefix
+    assert want[0][2] >= 15
+
+
+def test_longest_repeat_spans_real_slice(spark, sf_dir):
+    from stripe_data_pipeline_spark.operators.suffix import (
+        longest_repeat_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = [
+        r["text"]
+        for r in docs.filter("doc_id < 8").orderBy("doc_id").collect()
+    ]
+    got = [
+        (r["pos_a"], r["pos_b"], r["lcp"])
+        for r in longest_repeat_spans(
+            docs.filter("doc_id < 8"), top_k=10
+        ).collect()
+    ]
+    assert got == py_lcp_spans(texts, top_k=10)
