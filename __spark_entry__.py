@@ -124,6 +124,9 @@ _PRIORITY = [
     "order_value_ntiles",
     "suffix_array_ranks_check",
     "longest_repeat_spans_check",
+    "pq_codes_profile",
+    "pq_adc_topk",
+    "lm_perplexity_scores",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

@@ -121,8 +121,8 @@ HEADLINE = [
     # levenshtein pairs
     "edit_distance_near_dups",
     # round-7 additions (VERDICT r6): the BPE encode pass (train ->
-    # narrow replace-chain projection; ids variant adds the broadcast
-    # vocab join + per-doc regroup), subword-count packing, the
+    # narrow replace-chain projection; the ids variant folds a cached
+    # vocab map literal, no join), subword-count packing, the
     # span-REMOVAL transform, the exact-AC/ZRL/restart JPEG check, and
     # the persisted-blocklist bloom path
     "bpe_encoded_docs",
@@ -138,6 +138,12 @@ HEADLINE = [
     "near_dup_quality_keepers",
     "quality_filtered_docs",
     "order_value_ntiles",
+    # round-7 third batch: product quantization — fused-subspace
+    # k-means training/encode profile and the ADC lookup-table search
+    "pq_codes_profile",
+    "pq_adc_topk",
+    # bigram-LM perplexity scoring (the CCNet filter signal)
+    "lm_perplexity_scores",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

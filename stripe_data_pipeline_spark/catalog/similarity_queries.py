@@ -648,3 +648,166 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label").alias("n_labels"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r7): codebook compression + ADC search
+# ---------------------------------------------------------------------------
+
+# Trained codebooks are a build artifact (like the IVF index and the
+# BPE merges): train once per corpus dir, reuse across the PQ queries.
+_PQ_BOOKS_CACHE: dict[str, list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list:
+    from stripe_data_pipeline_spark.operators.pq import train_pq
+
+    books = _PQ_BOOKS_CACHE.get(sf_dir)
+    if books is None:
+        emb = read_table(spark, sf_dir, "embeddings")
+        books = train_pq(emb, m=8, ks=8, iters=2)
+        _PQ_BOOKS_CACHE[sf_dir] = books
+    return books
+
+
+# Shared training replay: m=8 subspaces of 8 dims over the 64-dim
+# embeddings, ks=8 codes per subspace, seeds = vec_id 0..7, one
+# fixed-point Lloyd update — the kmeans_cluster_profile oracle's
+# arithmetic with ``sub = pos // 8`` joined as a RELATION DIMENSION,
+# so the m subspaces never unroll into m copies of the SQL.
+_PQ_TRAIN_SQL = """
+WITH ex AS (
+    SELECT vec_id, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+sx AS (
+    SELECT vec_id, pos // 8 AS sub, pos % 8 AS spos, v FROM ex
+),
+c0 AS (
+    SELECT CAST(vec_id AS INT) AS k, sub, spos, v AS c
+    FROM sx WHERE vec_id < 8
+),
+d1 AS (
+    SELECT e.vec_id, e.sub, c.k,
+           SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS dist
+    FROM sx e JOIN c0 c ON e.sub = c.sub AND e.spos = c.spos
+    GROUP BY e.vec_id, e.sub, c.k
+),
+a1 AS (
+    SELECT vec_id, sub, k FROM (
+        SELECT vec_id, sub, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, k) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+c1u AS (
+    SELECT a.sub, a.k, e.spos,
+           (CAST(SUM(CAST(FLOOR(e.v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM a1 a JOIN sx e ON e.vec_id = a.vec_id AND e.sub = a.sub
+    GROUP BY a.sub, a.k, e.spos
+),
+c1 AS (
+    SELECT c0.sub, c0.k, c0.spos, COALESCE(c1u.c, c0.c) AS c
+    FROM c0 LEFT JOIN c1u
+      ON c0.sub = c1u.sub AND c0.k = c1u.k AND c0.spos = c1u.spos
+),
+d2 AS (
+    SELECT e.vec_id, e.sub, c.k,
+           SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS dist
+    FROM sx e JOIN c1 c ON e.sub = c.sub AND e.spos = c.spos
+    GROUP BY e.vec_id, e.sub, c.k
+),
+a2 AS (
+    SELECT vec_id, sub, k, dist FROM (
+        SELECT vec_id, sub, k, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, k) AS rn
+        FROM d2
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "pq_codes_profile",
+    oracle=_PQ_TRAIN_SQL
+    + """
+SELECT CAST(a2.sub AS INT) AS sub, CAST(a2.k AS INT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(a2.dist) AS BIGINT) AS qerr_fp
+FROM a2 GROUP BY a2.sub, a2.k
+""",
+    doc="PRODUCT QUANTIZATION training + encode (Jegou et al. 2011, "
+    "the FAISS IVFPQ core — operators/pq.py): 64-dim embeddings "
+    "split into 8 subspaces of 8 dims, each with an 8-centroid "
+    "codebook (per-subspace k-means, deterministic vec_id<8 seeds, "
+    "one fixed-point Lloyd update), vectors stored as 8 code ids — "
+    "32x compression. Training fuses all m=8 k-means runs into ONE "
+    "scan per Lloyd step (64 codegen'd sub-distance argmins per "
+    "row); the centroid update is one (sub, code, spos) groupBy "
+    "with a d*ks-row bounded collect. This check profiles the "
+    "encoded corpus per (subspace, code): member counts + exact "
+    "integer quantization error, bit-matched to the oracle's "
+    "relation-dimension replay of the whole train+encode.",
+)
+def q_pq_codes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.pq import _assign_codes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    enc = _assign_codes(emb, _pq_books(spark, sf_dir))
+    z = enc.select(
+        F.posexplode(F.arrays_zip("codes", "dists_fp")).alias("sub", "z")
+    )
+    return z.groupBy(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("z.codes").cast("int").alias("code"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("z.dists_fp").cast("bigint").alias("qerr_fp"),
+    )
+
+
+@register(
+    "pq_adc_topk",
+    oracle=_PQ_TRAIN_SQL
+    + """,
+qsub AS (
+    SELECT sub, spos, v FROM sx WHERE vec_id = 0
+),
+adc AS (
+    SELECT c.sub, c.k,
+           SUM(CAST(FLOOR((q.v - c.c) * (q.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS d
+    FROM c1 c JOIN qsub q ON c.sub = q.sub AND c.spos = q.spos
+    GROUP BY c.sub, c.k
+)
+SELECT a2.vec_id, CAST(SUM(adc.d) AS BIGINT) AS adc_dist_fp
+FROM a2 JOIN adc ON a2.sub = adc.sub AND a2.k = adc.k
+WHERE a2.vec_id <> 0
+GROUP BY a2.vec_id
+ORDER BY adc_dist_fp, vec_id
+LIMIT 10
+""",
+    doc="PQ ASYMMETRIC DISTANCE top-k (the search half of product "
+    "quantization): the query stays UNQUANTIZED — its fixed-point "
+    "distance to every (subspace, code) centroid is precomputed "
+    "into an 8x8 lookup table baked into the plan as literals, and "
+    "each stored vector's approximate distance is m table lookups "
+    "folded over its code array with one F.aggregate. No vector "
+    "arithmetic, no join, no shuffle at scan time; "
+    "TakeOrderedAndProject keeps k rows per partition. Ties break "
+    "on vec_id; the oracle recomputes the table from its replayed "
+    "codebooks and must produce the identical top-10 — any drift "
+    "in training, encoding or the ADC fold breaks parity.",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.pq import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    qv = S.query_vector(emb, _QID)
+    return pq_topk(emb, books, qv, k=10, exclude_id=_QID)

@@ -1330,3 +1330,69 @@ def q_longest_repeat_spans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 24
     )
     return longest_repeat_spans(docs, top_k=20)
+
+
+@register(
+    "lm_perplexity_scores",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+),
+uni AS (
+    SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cu
+    FROM t, UNNEST(t.toks) AS u(w)
+    GROUP BY u.w
+),
+stats AS (
+    SELECT CAST(SUM(cu) AS BIGINT) AS N, CAST(COUNT(*) AS BIGINT) AS V
+    FROM uni
+),
+dp AS (
+    SELECT doc_id, toks[j] AS p, toks[j + 1] AS w
+    FROM t, UNNEST(range(1, len(toks))) AS r(j)
+),
+bi AS (
+    SELECT p, w, CAST(COUNT(*) AS BIGINT) AS cb FROM dp GROUP BY p, w
+),
+first_terms AS (
+    SELECT t.doc_id,
+           CAST(FLOOR(-ln(CAST(u.cu + 1 AS DOUBLE)
+                          / CAST(s.N + s.V AS DOUBLE)) * 1e9 + 5e-1)
+                AS BIGINT) AS term_fp
+    FROM t JOIN uni u ON u.w = t.toks[1]
+    CROSS JOIN stats s
+),
+rest_terms AS (
+    SELECT dp.doc_id,
+           CAST(FLOOR(-ln(CAST(b.cb + 1 AS DOUBLE)
+                          / CAST(up.cu + s.V AS DOUBLE)) * 1e9 + 5e-1)
+                AS BIGINT) AS term_fp
+    FROM dp
+    JOIN bi b ON b.p = dp.p AND b.w = dp.w
+    JOIN uni up ON up.w = dp.p
+    CROSS JOIN stats s
+),
+allt AS (
+    SELECT * FROM first_terms UNION ALL SELECT * FROM rest_terms
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(term_fp) AS BIGINT) AS nll_fp
+FROM allt GROUP BY doc_id
+""",
+    doc="Bigram-LM PERPLEXITY scoring (the CCNet quality signal: "
+    "score docs under a language model, filter the worst tail) — "
+    "model self-trained on the corpus in one bigram/unigram count "
+    "pass with add-one smoothing, so the score is a pure function "
+    "of the table. Per-token negative log probs are fixed-point "
+    "floored BEFORE summing (order-invariant integer totals, the "
+    "BM25 ln-parity pattern), so every doc's (n_scored, nll_fp) is "
+    "bit-checked. Linear plan: two count groupBys + one pair-explode "
+    "scoring join + a broadcast (N, V) singleton "
+    "(operators/text.py::lm_doc_scores).",
+)
+def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lm_doc_scores(read_table(spark, sf_dir, "documents"))

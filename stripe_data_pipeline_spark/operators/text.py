@@ -421,3 +421,101 @@ def bm25_top_docs(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def lm_doc_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model document scoring — the PERPLEXITY quality
+    signal corpus pipelines filter on (CCNet, Wenzek et al. 2020,
+    scores documents under a KenLM model and drops the worst tail;
+    public). Here the model is trained on the corpus ITSELF (one pass
+    of bigram/unigram counts with add-one smoothing), so the score is
+    a pure function of the table and fully oracle-checkable.
+
+    Per doc: nll_fp = sum over tokens of floor(-ln(p) * 1e9 + 0.5),
+    where the first token scores under the smoothed unigram
+    (c(w)+1)/(N+V) and every following token under the smoothed
+    bigram (c(prev,w)+1)/(c(prev)+V). Each token's term is
+    fixed-point floored BEFORE the sum, so the per-doc total is an
+    order-invariant integer — bit-identical across engines (the BM25
+    ln-parity pattern). Lower nll_fp/n_scored = more predictable
+    text; the filterable artifact is (doc_id, n_scored, nll_fp).
+
+    Plan shape: two corpus token passes build the count tables
+    (partial-combined groupBys on token / token-pair keys), then doc
+    scoring is one pair-explode joined against the bigram and
+    prev-unigram counts plus a broadcast (N, V) singleton — linear
+    shuffles on corpus-proportional keys, no quadratic surface.
+    Because the model is self-trained, every doc bigram exists in the
+    table (count >= 1), so the joins are inner and lossless.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias(
+            "t"
+        ),
+    ).filter(F.size("t") > 0)
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    stats = uni.agg(
+        F.sum("cu").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    pairs_col = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.struct(a.alias("p"), b.alias("w")),
+    )
+    doc_pairs = toks.select(
+        id_col, F.explode(pairs_col).alias("pw")
+    ).select(id_col, F.col("pw.p").alias("p"), F.col("pw.w").alias("w"))
+    bi = doc_pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
+    # first-token unigram term per doc
+    first = (
+        toks.select(id_col, F.element_at("t", 1).alias("w"))
+        .join(uni, "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor(
+                -F.log(
+                    (F.col("cu") + 1).cast("double")
+                    / (F.col("N") + F.col("V")).cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_fp"),
+        )
+    )
+    # bigram terms: join pair counts + the PREVIOUS token's unigram
+    rest = (
+        doc_pairs.join(bi, ["p", "w"])
+        .join(uni.select(F.col("w").alias("p"), F.col("cu").alias("cp")), "p")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor(
+                -F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cp") + F.col("V")).cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_fp"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum("term_fp").cast("bigint").alias("nll_fp"),
+        )
+    )

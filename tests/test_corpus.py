@@ -499,3 +499,50 @@ def test_training_sequences_mart_layout(spark, sf_dir):
                 .reset_index(drop=True)
                 .equals(pdf.reset_index(drop=True))
             ), f
+
+
+def test_lm_doc_scores_matches_reference(spark):
+    """Bigram-LM scoring vs a pure-Python reference: identical count
+    tables, identical smoothing, identical fixed-point per-token
+    floors (Python libm ln == JVM StrictMath-compatible ln on these
+    inputs — the BM25 parity assumption, asserted exactly)."""
+    import math
+    from collections import Counter
+
+    from stripe_data_pipeline_spark.operators.text import lm_doc_scores
+
+    texts = ["a b a b c", "a a a", "c b a", "b"]
+    toksets = [t.split() for t in texts]
+    uni = Counter(w for ts in toksets for w in ts)
+    N = sum(uni.values())
+    V = len(uni)
+    bi = Counter(
+        (ts[i], ts[i + 1]) for ts in toksets for i in range(len(ts) - 1)
+    )
+    want = {}
+    for d, ts in enumerate(toksets):
+        terms = [
+            math.floor(-math.log((uni[ts[0]] + 1) / (N + V)) * 1e9 + 0.5)
+        ]
+        for i in range(len(ts) - 1):
+            terms.append(
+                math.floor(
+                    -math.log(
+                        (bi[(ts[i], ts[i + 1])] + 1) / (uni[ts[i]] + V)
+                    )
+                    * 1e9
+                    + 0.5
+                )
+            )
+        want[d] = (len(terms), sum(terms))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["nll_fp"])
+        for r in lm_doc_scores(df).collect()
+    }
+    assert got == want
+    # sanity: the repetitive doc ("a a a") is the most predictable
+    avg = {d: got[d][1] / got[d][0] for d in got}
+    assert avg[1] == min(avg.values())
