@@ -127,6 +127,7 @@ _PRIORITY = [
     "pq_codes_profile",
     "pq_adc_topk",
     "lm_perplexity_scores",
+    "ivfpq_topk",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

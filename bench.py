@@ -144,6 +144,8 @@ HEADLINE = [
     "pq_adc_topk",
     # bigram-LM perplexity scoring (the CCNet filter signal)
     "lm_perplexity_scores",
+    # IVFPQ: coarse label probe + PQ ADC over candidates only
+    "ivfpq_topk",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

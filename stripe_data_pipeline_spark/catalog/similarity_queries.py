@@ -811,3 +811,85 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_books(spark, sf_dir)
     qv = S.query_vector(emb, _QID)
     return pq_topk(emb, books, qv, k=10, exclude_id=_QID)
+
+
+@register(
+    "ivfpq_topk",
+    oracle=_PQ_TRAIN_SQL
+    + f""",
+lex AS (
+    SELECT label, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+lcents AS (
+    SELECT label, pos,
+           (CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM lex GROUP BY label, pos
+),
+lq AS (
+    SELECT g.i - 1 AS pos, CAST(qv.embedding[g.i] AS DOUBLE) AS qval
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = {_QID}) qv,
+         UNNEST(generate_series(1, len(qv.embedding))) AS g(i)
+),
+lscored AS (
+    SELECT c.label,
+           CAST(SUM(CAST(FLOOR(c.c * q.qval * 1e12 + 5e-1) AS BIGINT))
+                AS DOUBLE) / 1e12 AS dot_cq,
+           CAST(SUM(CAST(FLOOR(c.c * c.c * 1e12 + 5e-1) AS BIGINT))
+                AS DOUBLE) / 1e12 AS sq_c
+    FROM lcents c JOIN lq q ON c.pos = q.pos
+    GROUP BY c.label
+),
+probe AS (
+    SELECT label FROM lscored
+    ORDER BY dot_cq / sqrt(sq_c) DESC, label
+    LIMIT 2
+),
+qsub AS (
+    SELECT sub, spos, v FROM sx WHERE vec_id = {_QID}
+),
+adc AS (
+    SELECT c.sub, c.k,
+           SUM(CAST(FLOOR((q.v - c.c) * (q.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS d
+    FROM c1 c JOIN qsub q ON c.sub = q.sub AND c.spos = q.spos
+    GROUP BY c.sub, c.k
+),
+cand AS (
+    SELECT vec_id FROM embeddings
+    WHERE label IN (SELECT label FROM probe) AND vec_id <> {_QID}
+)
+SELECT a2.vec_id, CAST(SUM(adc.d) AS BIGINT) AS adc_dist_fp
+FROM a2
+JOIN cand USING (vec_id)
+JOIN adc ON a2.sub = adc.sub AND a2.k = adc.k
+GROUP BY a2.vec_id
+ORDER BY adc_dist_fp, vec_id
+LIMIT 10
+""",
+    doc="IVFPQ — the canonical FAISS index shape, composing the two "
+    "ANN pieces this catalog already proves separately: the IVF "
+    "coarse quantizer routes the query to its top-2 label lists "
+    "(fixed-point centroid cosine probe, the ivf_topk machinery), "
+    "and ONLY those candidates are ranked by PQ asymmetric distance "
+    "(codes folded through the literal m x ks lookup table). At "
+    "scale the probed lists are file-pruned partitions and the "
+    "codes column is 32x smaller than the vectors, so the scan "
+    "touches nprobe/K of the corpus in compressed form — the "
+    "standard billion-vector recipe. Oracle replays coarse probe + "
+    "codebook training + encoding + ADC end-to-end, bit-exact.",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.pq import pq_topk
+    from stripe_data_pipeline_spark.operators.similarity import (
+        _probe_labels,
+        centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = _pq_books(spark, sf_dir)
+    vec = S.query_vector(emb, _QID)
+    labels = _probe_labels(centroids(emb), vec, nprobe=2)
+    cands = emb.filter(F.col("label").isin(labels))
+    return pq_topk(cands, books, vec, k=10, exclude_id=_QID)
