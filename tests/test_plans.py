@@ -352,3 +352,36 @@ def test_persisted_bloom_plan_is_single_scan_broadcast_anti(spark, sf_dir):
     assert "xxhash64" in p2  # bloom probe in the filter expression
     assert "BroadcastHashJoin" in p2 and "LeftAnti" in p2
     assert "SortMergeJoin" not in p2
+
+
+def test_pq_adc_scan_is_shuffle_free_takeordered(spark, sf_dir):
+    """The ADC search plan: code assignment + table fold are one
+    narrow projection; top-k is TakeOrderedAndProject — no Exchange,
+    no join, no Python anywhere."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.pq import pq_topk, train_pq
+    from stripe_data_pipeline_spark.operators.similarity import query_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ks=8, iters=2)
+    qv = query_vector(emb, 0)
+    p = (
+        pq_topk(emb, books, qv, k=10, exclude_id=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_lm_scoring_plan_stays_jvm(spark, sf_dir):
+    """lm_perplexity_scores: linear count+join plan, no per-row
+    Python, no cartesian blowup (the only nested-loop join is the
+    broadcast 1-row (N,V) singleton)."""
+    p = plan(spark, sf_dir, "lm_perplexity_scores")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
