@@ -128,6 +128,7 @@ _PRIORITY = [
     "pq_adc_topk",
     "lm_perplexity_scores",
     "ivfpq_topk",
+    "subword_chunks",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

@@ -146,6 +146,8 @@ HEADLINE = [
     "lm_perplexity_scores",
     # IVFPQ: coarse label probe + PQ ADC over candidates only
     "ivfpq_topk",
+    # context windows in tokenizer space (encode -> explode(sequence))
+    "subword_chunks",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -192,6 +194,10 @@ SF1_SPOT = [
     # a narrow projection — the ratio certifies nothing superlinear
     # hides in the replace chain
     "bpe_encoded_docs",
+    # round-7 ANN: codebook training amortizes its bounded collects
+    # (measured 2.3x at 10x) and IVFPQ scans only probed lists (2.4x)
+    "pq_codes_profile",
+    "ivfpq_topk",
 ]
 
 

@@ -1396,3 +1396,53 @@ FROM allt GROUP BY doc_id
 )
 def q_lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.lm_doc_scores(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "subword_chunks",
+    oracle=_bpe_oracle_prefix()
+    + """,
+doc_tokens AS (
+    SELECT doc_id, flatten(list(toks ORDER BY pos)) AS tk
+    FROM enc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(r.st // 24 AS BIGINT) AS chunk_id,
+       CAST(least(32, len(tk) - r.st) AS BIGINT) AS chunk_subwords,
+       md5(array_to_string(tk[r.st + 1 : r.st + 32], chr(31)))
+           AS chunk_fingerprint
+FROM doc_tokens, UNNEST(range(0, len(tk), 24)) AS r(st)
+""",
+    doc="Context-window chunking in TOKENIZER space (the form a "
+    "trainer actually consumes — whitespace-token windows misalign "
+    "with model context budgets): each doc's BPE subword stream "
+    "split into 32-subword windows every 24 (8-subword overlap, "
+    "trailing chunk short). Same scan-fused explode(sequence) shape "
+    "as doc_chunks, applied after the narrow encode projection — "
+    "still zero shuffles. Every window is pinned by an md5 "
+    "fingerprint over its exact subword slice, on top of the "
+    "unrolled train+encode oracle.",
+)
+def q_subword_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.bpe import SEP
+
+    enc = _bpe_trained_encoding(spark, sf_dir)
+    starts = enc.select(
+        "doc_id",
+        "subwords",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size("subwords") - 1, F.lit(24)
+            )
+        ).alias("st"),
+    )
+    return starts.select(
+        "doc_id",
+        (F.col("st") / 24).cast("bigint").alias("chunk_id"),
+        F.least(F.lit(32), F.size("subwords") - F.col("st"))
+        .cast("bigint")
+        .alias("chunk_subwords"),
+        F.md5(
+            F.concat_ws(SEP, F.slice("subwords", F.col("st") + 1, 32))
+        ).alias("chunk_fingerprint"),
+    )
