@@ -129,6 +129,7 @@ _PRIORITY = [
     "lm_perplexity_scores",
     "ivfpq_topk",
     "subword_chunks",
+    "streaming_interval_join_mart_check",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

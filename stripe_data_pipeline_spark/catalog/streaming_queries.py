@@ -992,3 +992,136 @@ def q_atomic_history_audit_check(
     return spark.createDataFrame(
         rows, "version int, op_type string, n_touched bigint, n_parts bigint"
     )
+
+
+def _materialized_interval_join_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM interval join (the §2.10 op none of the other
+    streaming checks cover — two unbounded sides, watermark-bounded
+    join state): a views stream joined to a purchases stream on
+    user_id with ``p_ts in [v_ts, v_ts + 1 hour]``, drained under
+    Trigger.AvailableNow into an append-mode parquet mart. Both
+    sides carry 2-hour watermarks, so at scale the join state holds
+    ~2 hours of each stream instead of everything ever seen; the
+    single-file source keeps all rows in the first micro-batch, so
+    nothing is ever late and the appended pairs are EXACTLY the
+    batch join's output (the oracle proves it)."""
+    import atexit
+    import os
+    import tempfile
+
+    cache_key = f"{sf_dir}::interval_join"
+    path = _STREAM_MART_CACHE.get(cache_key)
+    if path is not None:
+        return spark.read.parquet(os.path.join(path, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_ij_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return convert_nanos_ts(raw)
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            # watermarks require TIMESTAMP (not the NTZ the nanos
+            # conversion yields); session tz is UTC so values are
+            # unchanged and the check casts back to NTZ for the oracle
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 1 hour"
+        ),
+    ).select("user_id", "view_id", "purchase_id", "v_ts", "p_ts", "value")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", mart)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_interval_join_mart_check",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, ts, event_id, value FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(COUNT(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(FLOOR(p.value * 100 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS attributed_cents,
+       MIN(p.ts) AS first_purchase_ts,
+       MAX(p.ts) AS last_purchase_ts
+FROM v JOIN p ON p.user_id = v.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+""",
+    doc="STREAM-STREAM INTERVAL JOIN round trip (completes §2.10: "
+    "the two-unbounded-sides op with watermark-bounded state that "
+    "none of the source/merge/dedup/window checks exercise): a "
+    "views stream and a purchases stream — both real file-source "
+    "streams with 2-hour watermarks — interval-joined on user_id "
+    "with p_ts in [v_ts, v_ts + 1h], drained append-mode into a "
+    "parquet mart under Trigger.AvailableNow with a checkpoint. "
+    "The per-user attribution profile of the MART (pair counts, "
+    "distinct purchases, integer-cents value, first/last purchase "
+    "ts) must bit-match the batch interval join the oracle runs — "
+    "the unified-engine claim for the hardest streaming join.",
+)
+def q_streaming_interval_join_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_interval_join_mart(spark, sf_dir)
+    return mart.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_attributed"),
+        F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("bigint")
+        .alias("attributed_cents"),
+        F.min("p_ts").cast("timestamp_ntz").alias("first_purchase_ts"),
+        F.max("p_ts").cast("timestamp_ntz").alias("last_purchase_ts"),
+    )
