@@ -85,13 +85,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-7 rotation: the 14 brand-new queries plus the 4 whose code
+# Round-7 rotation: the 21 brand-new queries plus the 4 whose code
 # paths this round's refactors touch lead the window, then the oldest-
 # verdict rows (the r4-green relational/revenue/media block) fill it
 # to 50. Demoted past the cutoff: the r5- and r6-green rows (verdicts
 # one to two rounds old) and the r4 overflow — all stay CI-covered
 # (tests/test_oracle_catalog.py full catalog at sf0.001;
-# tools/check_oracle.py 0/161 at sf0.01 this round).
+# tools/check_oracle.py 0/168 at sf0.01 this round).
 # tests/test_driver_contract.py enforces that nothing without any
 # driver verdict sits outside the window.
 _PRIORITY = [
