@@ -85,7 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-7 rotation: the 21 brand-new queries plus the 4 whose code
+# Round-7 rotation: the 22 brand-new queries plus the 4 whose code
 # paths this round's refactors touch lead the window, then the oldest-
 # verdict rows (the r4-green relational/revenue/media block) fill it
 # to 50. Demoted past the cutoff: the r5- and r6-green rows (verdicts
@@ -130,6 +130,7 @@ _PRIORITY = [
     "ivfpq_topk",
     "subword_chunks",
     "streaming_interval_join_mart_check",
+    "containment_near_dups",
     "bpe_merges_learned",
     "packed_sequences",
     "duplicate_span_stats",

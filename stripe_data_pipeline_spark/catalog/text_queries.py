@@ -1446,3 +1446,56 @@ def q_subword_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(SEP, F.slice("subwords", F.col("st") + 1, 32))
         ).alias("chunk_fingerprint"),
     )
+
+
+@register(
+    "containment_near_dups",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(toks[i : i + 2], ' ') AS shingle
+    FROM t, UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
+),
+keep AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 50
+),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    WHERE a.shingle IN (SELECT shingle FROM keep)
+    GROUP BY 1, 2
+),
+toksets AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / CAST(least(len(a.toks), len(b.toks)) AS DOUBLE) AS containment
+FROM cand c
+JOIN toksets a ON a.doc_id = c.doc_a
+JOIN toksets b ON b.doc_id = c.doc_b
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(least(len(a.toks), len(b.toks)) AS DOUBLE) >= 6e-1
+""",
+    doc="ASYMMETRIC near-dup detection by token-set CONTAINMENT "
+    "(|A∩B| / min(|A|,|B|), Broder's resemblance-vs-containment "
+    "distinction): a short doc quoted wholesale inside a long one "
+    "has containment ~1 but Jaccard ~|short|/|long| — and MinHash-"
+    "LSH, which ESTIMATES Jaccard, almost never surfaces such pairs "
+    "(the planted-subset pytest proves the miss), so candidates "
+    "come from the contamination family's inverted-index join "
+    "instead: docs sharing a sub-50-doc 3-token shingle (hot-"
+    "shingle drop = boilerplate guard + join fan-out cap, mirrored "
+    "in the HAVING), then the exact containment verify at 0.6 "
+    "(operators/dedup.py::containment_candidate_pairs + "
+    "containment_verify). Linear shuffles on shingle keys; oracle "
+    "replays candidates and verify pair-for-pair.",
+)
+def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cands = D.containment_candidate_pairs(docs, n=3, max_shingle_docs=50)
+    return D.containment_verify(docs, cands, threshold=0.6)

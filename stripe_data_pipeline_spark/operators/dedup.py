@@ -334,6 +334,90 @@ def jaccard_verify(
     )
 
 
+def containment_candidate_pairs(
+    df: DataFrame,
+    n: int = 3,
+    max_shingle_docs: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs for CONTAINMENT dedup: docs sharing at least
+    one ``n``-token shingle rarer than ``max_shingle_docs``.
+
+    MinHash-LSH cannot serve here — it estimates JACCARD, so a short
+    doc quoted inside a long one (containment ~1, Jaccard
+    ~|short|/|long|) almost never collides in any band; the planted-
+    subset test proves the miss. The right generator is the
+    contamination family's inverted-index join: per-doc DISTINCT
+    shingles (map-side array_distinct), hot shingles dropped (the
+    boilerplate guard that also caps join fan-out — recall tradeoff,
+    mirrored in the oracle's HAVING), one self-equi-join on the
+    shingle key, pair-deduped with a count of shared shingles.
+    Linear shuffles on shingle keys; fan-out bounded by
+    max_shingle_docs^2 per surviving shingle."""
+    from stripe_data_pipeline_spark.operators.corpus import shingle_array
+
+    sh = df.select(
+        F.col(id_col), F.explode(shingle_array("text", n)).alias("shingle")
+    )
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_shingle_docs)
+        .select("shingle")
+    )
+    shk = sh.join(keep, "shingle")
+    a = shk.select(F.col("shingle"), F.col(id_col).alias("doc_a"))
+    b = shk.select(F.col("shingle"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def containment_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set CONTAINMENT over a (doc_a, doc_b) candidate
+    relation: |A ∩ B| / min(|A|, |B|) — the ASYMMETRIC near-dup
+    measure (Broder 1997's resemblance-vs-containment distinction,
+    public). A short document quoted wholesale inside a long one has
+    containment ~1 but Jaccard ~|short|/|long|, so symmetric-Jaccard
+    dedup is structurally blind to subset duplication; containment is
+    the signal used to catch quote inclusion / boilerplate embedding.
+    Same linear shape as jaccard_verify: two equi-joins + one
+    projection per pair, no self-join anywhere."""
+    toks = df.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    a = toks.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    paired = candidates.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    stats = paired.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("i"),
+        F.least(F.size("toks_a"), F.size("toks_b")).alias("m"),
+    )
+    # same unconditional optimization barrier as jaccard_verify: one
+    # intersect evaluation per pair, not one per consumer expression
+    stats = stats.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        stats.withColumn(
+            "containment",
+            F.col("i").cast("double") / F.col("m").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def lsh_verified_near_dups(
     df: DataFrame,
     threshold: float = 0.8,

@@ -1313,3 +1313,39 @@ def test_adpcm_trailing_partial_block_ignored():
                           samples_per_block=249, n_samples=300)
     assert len(out) == 249
     assert out[0] == sig[0]
+
+
+def test_containment_catches_planted_subset_jaccard_misses(spark):
+    """The asymmetric dedup case: a short doc quoted wholesale inside
+    a long one has containment 1.0 but Jaccard well under a dedup
+    threshold — containment_verify must surface it from the same LSH
+    candidates the Jaccard family uses."""
+    from stripe_data_pipeline_spark.operators import dedup as D
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    filler = " ".join(f"f{i}" for i in range(48))
+    rows = [
+        (1, quote),                      # the short doc
+        (2, quote + " " + filler),       # quotes it wholesale
+        (3, " ".join(f"z{i}" for i in range(30))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # MinHash-LSH (a JACCARD estimator) must MISS the subset pair —
+    # the structural blind spot that motivates the shingle-join
+    # candidate generator
+    lsh_cands = D.minhash_lsh_candidates(df)
+    assert (
+        lsh_cands.filter("doc_a = 1 and doc_b = 2").count() == 0
+    )
+    cands = D.containment_candidate_pairs(df, n=3, max_shingle_docs=50)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.containment_verify(df, cands, threshold=0.6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # full subset
+    # the same pair under symmetric Jaccard sits far below 0.8
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_verify(df, cands, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] == 12 / 60
