@@ -742,9 +742,14 @@ def span_scrub_documents(
             ),
         ).alias("__new_text")
     )
-    trimmed = rebuilt.join(trim_ids, id_col).select(
+    # LEFT join from trim_ids (ADVICE r7): with drop_threshold >= 1.0
+    # a fully-covered doc still classifies 'trim' but keeps zero
+    # tokens, so ``rebuilt`` has no row for it — an inner join would
+    # silently drop a doc the policy said to keep (and diverge from
+    # the oracle's LEFT JOIN). It survives with empty text instead.
+    trimmed = trim_ids.join(rebuilt, id_col, "left").select(
         F.col(id_col),
-        F.col("__new_text").alias(text_col),
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col),
         "n_tokens",
         "dup_tokens",
         F.lit("trim").alias("action"),

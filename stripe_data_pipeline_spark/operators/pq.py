@@ -120,9 +120,14 @@ def _update_codebooks(
 def train_pq(
     emb: DataFrame, m: int = 8, ks: int = 8, iters: int = 2
 ) -> list[list[list[float]]]:
-    """Train the m per-subspace codebooks with ``iters`` fused Lloyd
-    iterations from deterministic seeds (subspace j of vec_id
-    0..ks-1). Pure function of the table — the oracle replays it."""
+    """Train the m per-subspace codebooks from deterministic seeds
+    (subspace j of vec_id 0..ks-1). ``iters`` COUNTS THE SEEDING PASS
+    (ADVICE r7): the loop runs ``n_updates = iters - 1`` fused Lloyd
+    updates, so ``iters=2`` (the catalog default, what every oracle
+    replays as seed -> one update) performs exactly one update and
+    ``iters=1`` returns the raw seeds. Pure function of the table —
+    the oracle replays it."""
+    n_updates = iters - 1  # the seeding pass is iteration 1
     seeds = (
         emb.filter(F.col("vec_id") < ks)
         .select(
@@ -141,7 +146,7 @@ def train_pq(
         [by_id[k][j * dsub : (j + 1) * dsub] for k in range(ks)]
         for j in range(m)
     ]
-    for it in range(iters - 1):
+    for _ in range(n_updates):
         assigned = _assign_codes(emb, books)
         books = _update_codebooks(assigned, books)
     return books

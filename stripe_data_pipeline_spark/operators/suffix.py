@@ -61,23 +61,31 @@ def _dense_ranks(
     sizes. No global-window single-partition funnel; the only driver
     state is ``parts`` row counts.
 
-    The ranked layout is CACHED before the two consumers (size
-    collect + downstream read) touch it: repartitionByRange samples
-    its boundaries from intra-partition row order, which is
+    The ranked layout is LOCAL-CHECKPOINTED before the two consumers
+    (size collect + downstream read) touch it: repartitionByRange
+    samples its boundaries from intra-partition row order, which is
     nondeterministic across executions, so without the
     materialization the size pass and the read pass could see
     DIFFERENT partitionings and the offsets would be garbage (the
-    hypothesis suite caught exactly this). Appends the cached frame
-    to ``caches`` for the caller to unpersist."""
+    hypothesis suite caught exactly this). localCheckpoint — not
+    cache() — because a cache silently RECOMPUTES lost blocks, and a
+    recomputation would re-sample boundaries and re-assign
+    spark_partition_id, disagreeing with the already-collected offset
+    map (ADVICE r7): a checkpoint read fails loudly on block loss
+    instead of silently corrupting ranks in a bit-exactness module.
+    Appends the materialized frame to ``caches`` for symmetry with
+    the cache-based callers (unpersist on a checkpointed frame is a
+    no-op; blocks are freed when the RDD is garbage-collected)."""
     ranged = (
         keys.repartitionByRange(parts, *[F.col(c) for c in cols])
         .withColumn("__pid", F.spark_partition_id())
     )
     w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in cols])
-    local = ranged.withColumn("__lr", F.row_number().over(w)).cache()
+    local = ranged.withColumn("__lr", F.row_number().over(w)).localCheckpoint(
+        eager=True  # pin ONE boundary sampling for both consumers
+    )
     if caches is not None:
         caches.append(local)
-    local.count()  # pin ONE boundary sampling for both consumers
     sizes = sorted(
         local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n")).collect(),
         key=lambda r: r["__pid"],
@@ -106,8 +114,9 @@ def corpus_positions(
     trailing separator), built distributively: per-doc posexplode of
     the character array plus a DISTRIBUTED doc-offset prefix sum —
     the same range-partition + local-cumsum + per-partition-offset
-    pattern as _dense_ranks (including the cache that pins ONE
-    boundary sampling for both consumers), so no document-count-sized
+    pattern as _dense_ranks (including the localCheckpoint that pins
+    ONE boundary sampling for both consumers — see _dense_ranks for
+    why a cache() would be unsafe here), so no document-count-sized
     relation ever funnels through one partition. Empty documents
     contribute only their separator (Spark's split('', '') returns
     [''], which must not become a phantom position)."""
@@ -125,11 +134,12 @@ def corpus_positions(
             "__loff",
             F.coalesce(F.sum(F.length(text_col) + 1).over(w), F.lit(0)),
         )
-        .cache()
+        .localCheckpoint(eager=True)  # pin one boundary sampling for
+        # both consumers; fails loudly (instead of silently
+        # re-sampling) if a block is lost — see _dense_ranks
     )
     if caches is not None:
         caches.append(local)
-    local.count()  # pin one boundary sampling for both consumers
     sizes = sorted(
         local.groupBy("__pid")
         .agg(F.sum(F.length(text_col) + 1).alias("__n"))

@@ -415,6 +415,26 @@ def test_span_scrub_overlapping_spans_trim_union(spark):
     assert got[2]["text"] == " ".join(f"y{i}" for i in range(1, 11))
 
 
+def test_span_scrub_fully_covered_doc_survives_at_threshold_one(spark):
+    """ADVICE r7 edge: with drop_threshold >= 1.0 a doc whose every
+    token is duplicated classifies 'trim' (1.0 <= 1.0) and must emit
+    an EMPTY-text row — the old inner join on the rebuilt subset
+    silently vanished it, contradicting the policy's own verdict."""
+    dup_doc = "z1 z2 z3 z4 z5 z6 z7 z8"
+    rows = [(1, dup_doc), (2, dup_doc), (3, "n1 n2 n3")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in C.span_scrub_documents(df, n=8, drop_threshold=1.0).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2):
+        assert got[d]["action"] == "trim"
+        assert got[d]["text"] == ""
+        assert got[d]["dup_tokens"] == 8 and got[d]["n_tokens"] == 8
+    assert got[3]["action"] == "keep" and got[3]["text"] == "n1 n2 n3"
+
+
 def test_span_scrub_consistent_with_stats(spark, sf_dir):
     """On the real corpus: every stats row above the threshold is
     absent, every row at/below it is trimmed with the same dup_tokens,
