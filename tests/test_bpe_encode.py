@@ -28,6 +28,7 @@ from stripe_data_pipeline_spark.operators.bpe import (
     SOT,
     _merge_word,
     encode_documents,
+    encode_documents_by_word,
     encode_documents_ids,
     subword_vocabulary,
     train_bpe_batched,
@@ -125,6 +126,36 @@ def test_encode_property(spark, texts, n_merges):
     re-merges. Spark's replace-chain must equal the textbook scan."""
     merges = reference_bpe(texts, n_merges)
     assert _spark_encode(spark, texts, merges) == py_encode(texts, merges)
+    # the word-level path (distinct-word encode + join-back regroup,
+    # VERDICT r7 #1) must be BIT-IDENTICAL to the per-occurrence
+    # replace chain on the same adversarial corpora
+    by_word = {
+        r["doc_id"]: list(r["subwords"])
+        for r in encode_documents_by_word(_df(spark, texts), merges).collect()
+    }
+    assert by_word == py_encode(texts, merges)
+
+
+def test_encode_by_word_matches_per_occurrence(spark):
+    """Word-level encode == per-occurrence encode, including repeated
+    words (one distinct row fanning back to many occurrences), order
+    across words, dropped empty docs, and the no-broadcast variant."""
+    texts = [
+        "low low lower low newest",
+        "",  # dropped: no eligible words
+        "widest newest low",
+        "  spaced   out  ",  # empty tokens filtered, order kept
+    ]
+    merges = reference_bpe(texts, 10)
+    expect = _spark_encode(spark, texts, merges)
+    for bc in (True, False):
+        got = {
+            r["doc_id"]: list(r["subwords"])
+            for r in encode_documents_by_word(
+                _df(spark, texts), merges, broadcast_words=bc
+            ).collect()
+        }
+        assert got == expect
 
 
 def test_trained_pipeline_end_to_end(spark, sf_dir):
