@@ -95,6 +95,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_driver_contract.py enforces that nothing without any
 # driver verdict sits outside the window.
 _PRIORITY = [
+    # r8 new (provisional head; full r8 rotation happens once the
+    # round's additions are complete)
+    "pq_adc_topk_persisted",
+    "ivfpq_topk_persisted",
     # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5): new/changed this round first,
     # then OLDEST driver verdict first, so no row's last driver check

@@ -148,6 +148,12 @@ HEADLINE = [
     "ivfpq_topk",
     # context windows in tokenizer space (encode -> explode(sequence))
     "subword_chunks",
+    # round-8 additions (VERDICT r7 #2): the persisted-PQ serving
+    # shapes — codebooks + label-partitioned codes built once, query
+    # time is a codes-column scan + literal ADC fold (no training,
+    # no encode, no Python)
+    "pq_adc_topk_persisted",
+    "ivfpq_topk_persisted",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -198,6 +204,12 @@ SF1_SPOT = [
     # (measured 2.3x at 10x) and IVFPQ scans only probed lists (2.4x)
     "pq_codes_profile",
     "ivfpq_topk",
+    # round-8 (VERDICT r7 #2): the persisted serving pair must stay
+    # near-FLAT in corpus size — a probe reads nprobe/K of a
+    # 32x-compressed codes table; the ratio certifies that nothing
+    # corpus-scaled crept back into the query path
+    "pq_adc_topk_persisted",
+    "ivfpq_topk_persisted",
 ]
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stripe_data_pipeline_spark.catalog.registry import register
+from stripe_data_pipeline_spark.catalog.registry import QUERIES, register
 from stripe_data_pipeline_spark.io import read_table
 from stripe_data_pipeline_spark.operators import similarity as S
 
@@ -893,3 +893,91 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = _probe_labels(centroids(emb), vec, nprobe=2)
     cands = emb.filter(F.col("label").isin(labels))
     return pq_topk(cands, books, vec, k=10, exclude_id=_QID)
+
+
+# Persisted PQ/IVFPQ artifact (r8, VERDICT r7 #2): one root per corpus
+# dir holding the PQ codebooks + encoded codes (label-partitioned) and
+# the coarse IVF centroid table — built once, queried many times, the
+# same artifact-reuse contract as _IVF_INDEX_CACHE and the BPE merges.
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _cleanup_pq_index_cache() -> None:
+    import shutil
+
+    for p in _PQ_INDEX_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _pq_index_root(spark: SparkSession, sf_dir: str) -> str:
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.operators.pq import build_pq_index
+
+    root = _PQ_INDEX_CACHE.get(sf_dir)
+    if root is not None:
+        return root
+    if not _PQ_INDEX_CACHE:
+        atexit.register(_cleanup_pq_index_cache)
+    root = tempfile.mkdtemp(prefix="pq_index_")
+    emb = read_table(spark, sf_dir, "embeddings")
+    build_pq_index(emb, os.path.join(root, "pq"), m=8, ks=8, iters=2)
+    S.build_ivf_index(emb, os.path.join(root, "ivf"))
+    _PQ_INDEX_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "pq_adc_topk_persisted",
+    oracle=QUERIES["pq_adc_topk"].oracle,
+    doc="PQ ADC top-k against the PERSISTED index (build_pq_index + "
+    "pq_topk_from_index): training and encoding happened once at "
+    "build time, so the query plan is a scan of the 32x-compressed "
+    "codes column + the literal ADC-table fold + "
+    "TakeOrderedAndProject — no training, no vector arithmetic, no "
+    "Python, no shuffle (the production search shape; the r7 "
+    "in-flight variant re-ran Lloyd + encode per query). Same "
+    "oracle as pq_adc_topk: persistence must not change results.",
+)
+def q_pq_adc_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from stripe_data_pipeline_spark.operators.pq import pq_topk_from_index
+
+    root = _pq_index_root(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = S.query_vector(emb, _QID)
+    return pq_topk_from_index(
+        spark, os.path.join(root, "pq"), qv, k=10, exclude_id=_QID
+    )
+
+
+@register(
+    "ivfpq_topk_persisted",
+    oracle=QUERIES["ivfpq_topk"].oracle,
+    doc="IVFPQ against the PERSISTED artifact — the full FAISS "
+    "billion-vector serving shape: the coarse probe reads the K×d "
+    "centroid table (ivf_topk_persisted's artifact), and the ADC "
+    "scan reads ONLY the probed labels' directories of the "
+    "label-PARTITIONED codes table (partition pruning at file "
+    "level, nprobe/K of a 32x-compressed corpus). Nothing is "
+    "trained or encoded at query time. Same oracle as ivfpq_topk: "
+    "the persisted composition must reproduce it bit-for-bit.",
+)
+def q_ivfpq_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from stripe_data_pipeline_spark.operators.pq import pq_topk_from_index
+    from stripe_data_pipeline_spark.operators.similarity import _probe_labels
+
+    root = _pq_index_root(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = S.query_vector(emb, _QID)
+    cents = spark.read.parquet(os.path.join(root, "ivf"))
+    labels = _probe_labels(cents, qv, nprobe=2)
+    return pq_topk_from_index(
+        spark, os.path.join(root, "pq"), qv, k=10, exclude_id=_QID,
+        probe_labels=labels,
+    )

@@ -48,12 +48,18 @@ from stripe_data_pipeline_spark.operators.kmeans import (
 )
 
 
-def _assign_codes(
-    emb: DataFrame, codebooks: list[list[list[float]]]
+def _assign_codes_expr(
+    emb: DataFrame, codebooks: list[list[list[float]]], keep: tuple = ()
 ) -> DataFrame:
-    """One scan: per subspace, argmin over ks fixed-point distances
-    (ties to the lowest code id). Returns (vec_id, embedding, codes
-    array<int>, dists_fp array<long>)."""
+    """Pure-expression encode: per subspace, argmin over ks
+    fixed-point distances (ties to the lowest code id). Returns
+    (vec_id, embedding, *keep, codes array<int>, dists_fp
+    array<long>). The m*ks zip_with/aggregate sub-distance
+    expressions are higher-order functions, which Catalyst evaluates
+    INTERPRETED (HOFs don't join whole-stage codegen) — correct and
+    join/shuffle-free, but ~5x slower per row than the Arrow path
+    below; kept as the readable reference implementation the oracle
+    SQL mirrors and as the parity pin for the numpy path."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     e = F.col("embedding").cast("array<double>")
@@ -67,13 +73,79 @@ def _assign_codes(
             ]
         )
         bests.append(F.array_min(cand).alias(f"_b{j}"))
-    tmp = emb.select("vec_id", "embedding", *bests)
+    tmp = emb.select("vec_id", "embedding", *keep, *bests)
     return tmp.select(
         "vec_id",
         "embedding",
+        *keep,
         F.array(*[F.col(f"_b{j}.k") for j in range(m)]).alias("codes"),
         F.array(*[F.col(f"_b{j}.d") for j in range(m)]).alias("dists_fp"),
     )
+
+
+def _assign_codes(
+    emb: DataFrame, codebooks: list[list[list[float]]], keep: tuple = ()
+) -> DataFrame:
+    """Vectorized encode (VERDICT r7 #7): the m x ks sub-distance
+    argmins run as numpy batch ops inside one Arrow-batched
+    mapInPandas pass — same narrow no-shuffle shape as the
+    expression path, but the inner loop is C, not an interpreted
+    HOF tree (the 64 zip_with/aggregate argmins dominated
+    pq_adc_topk's 6.4s). BIT-IDENTICAL to :func:`_assign_codes_expr`
+    (pinned by tests/test_pq.py): the fixed-point term is the same
+    IEEE-double sequence ``floor((x-c)*(x-c)*1e12 + 0.5)`` — numpy's
+    elementwise kernels don't fuse multiply-add — summed as int64,
+    and ``np.argmin`` picks the FIRST minimum, i.e. the lowest code
+    id, matching the (d, k) struct ordering."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — worker-side import check
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructType,
+    )
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    in_fields = {f.name: f for f in emb.schema.fields}
+    out_schema = StructType(
+        [in_fields["vec_id"], in_fields["embedding"]]
+        + [in_fields[c] for c in keep]
+    ).add("codes", ArrayType(IntegerType())).add(
+        "dists_fp", ArrayType(LongType())
+    )
+    cols = ["vec_id", "embedding", *keep]
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n = len(pdf)
+            codes = np.empty((n, m), dtype=np.int32)
+            dists = np.empty((n, m), dtype=np.int64)
+            for j in range(m):
+                diff = x[:, j * dsub : (j + 1) * dsub, None] - books[j].T[None]
+                d = (
+                    np.floor(diff * diff * _DIST_SCALE + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                codes[:, j] = np.argmin(d, axis=1)
+                dists[:, j] = d[np.arange(n), codes[:, j]]
+            out = pdf[cols].copy()
+            out["codes"] = list(codes)
+            out["dists_fp"] = list(dists)
+            yield out
+
+    return emb.select(*cols).mapInPandas(run, schema=out_schema)
 
 
 def _update_codebooks(
@@ -187,16 +259,17 @@ def adc_table(
     return table
 
 
-def pq_topk(
-    emb: DataFrame,
+def pq_topk_codes(
+    codes: DataFrame,
     books: list[list[list[float]]],
     query_vec: list[float],
     k: int = 10,
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """ADC top-k: codes fold through the literal m x ks lookup table
-    (one F.aggregate over the subspace indices — no vector arithmetic,
-    no join, no shuffle), then TakeOrderedAndProject keeps k rows per
+    """ADC top-k over an ALREADY-ENCODED (vec_id, codes) relation:
+    codes fold through the literal m x ks lookup table (one
+    F.aggregate over the subspace indices — no vector arithmetic, no
+    join, no shuffle), then TakeOrderedAndProject keeps k rows per
     partition. Returns (vec_id, adc_dist_fp)."""
     m = len(books)
     table = adc_table(query_vec, books)
@@ -206,7 +279,6 @@ def pq_topk(
             for row in table
         ]
     )
-    codes = pq_encode(emb, books)
     if exclude_id is not None:
         codes = codes.filter(F.col("vec_id") != exclude_id)
     scored = codes.select(
@@ -222,3 +294,104 @@ def pq_topk(
         ).alias("adc_dist_fp"),
     )
     return scored.orderBy(F.asc("adc_dist_fp"), F.asc("vec_id")).limit(k)
+
+
+def pq_topk(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k with in-flight encoding (ad-hoc shape; for repeated
+    queries use :func:`build_pq_index` + :func:`pq_topk_from_index`
+    so the corpus is encoded once, not per query)."""
+    return pq_topk_codes(
+        pq_encode(emb, books), books, query_vec, k, exclude_id
+    )
+
+
+# --------------------------------------------------------------------
+# Persisted PQ index (VERDICT r7 #2): codebooks + codes are a BUILD
+# ARTIFACT, like the IVF centroid table and the BPE merge list. At
+# 100 TB re-training Lloyd and re-encoding the corpus per query is
+# exactly the work the index exists to avoid: build once, then a
+# query reads the d*ks codebook rows (bounded collect) and scans only
+# the codes column — 32x smaller than the vectors, and label-pruned
+# for IVFPQ probes when the table is partitioned by label.
+# --------------------------------------------------------------------
+
+
+def build_pq_index(
+    emb: DataFrame,
+    index_path: str,
+    m: int = 8,
+    ks: int = 8,
+    iters: int = 2,
+) -> None:
+    """Train + encode once; persist ``codebooks`` (sub, k, spos, c —
+    d*ks rows) and ``codes`` (vec_id[, label], codes) under
+    ``index_path``. The codes table keeps the coarse ``label`` column
+    when present and is PARTITIONED BY it, so an IVFPQ probe prunes
+    to its nprobe list directories at file level."""
+    import os
+
+    spark = emb.sparkSession
+    books = train_pq(emb, m=m, ks=ks, iters=iters)
+    rows = [
+        (j, k, s, float(c))
+        for j, cb in enumerate(books)
+        for k, cent in enumerate(cb)
+        for s, c in enumerate(cent)
+    ]
+    spark.createDataFrame(
+        rows, "sub int, k int, spos int, c double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "codebooks")
+    )
+    keep = ("label",) if "label" in emb.columns else ()
+    codes = _assign_codes(emb, books, keep=keep).select(
+        "vec_id", *keep, "codes"
+    )
+    writer = codes.write.mode("overwrite")
+    if keep:
+        writer = writer.partitionBy("label")
+    writer.parquet(os.path.join(index_path, "codes"))
+
+
+def load_codebooks(spark, index_path: str) -> list[list[list[float]]]:
+    """Rehydrate the trained codebooks (bounded driver state: d*ks
+    rows, the same contract as the k-means centroid collect)."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(index_path, "codebooks")).collect()
+    m = max(r["sub"] for r in rows) + 1
+    ks = max(r["k"] for r in rows) + 1
+    dsub = max(r["spos"] for r in rows) + 1
+    books = [[[0.0] * dsub for _ in range(ks)] for _ in range(m)]
+    for r in rows:
+        books[r["sub"]][r["k"]][r["spos"]] = float(r["c"])
+    return books
+
+
+def pq_topk_from_index(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_id: int | None = None,
+    probe_labels: list | None = None,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: no training, no
+    encoding, no vector arithmetic at query time — read the d*ks
+    codebook artifact, bake the ADC table into the plan, scan (a
+    label-pruned slice of) the codes table. ``probe_labels`` filters
+    to an IVF probe's candidate lists (pushed to the partition
+    columns, so pruning happens at file level)."""
+    import os
+
+    books = load_codebooks(spark, index_path)
+    codes = spark.read.parquet(os.path.join(index_path, "codes"))
+    if probe_labels is not None:
+        codes = codes.filter(F.col("label").isin(list(probe_labels)))
+    return pq_topk_codes(codes, books, query_vec, k, exclude_id)

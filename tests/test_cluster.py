@@ -137,3 +137,73 @@ def test_pq_codebooks_shape_and_determinism(spark, sf_dir):
     assert b1 == b2  # pure function of the table
     assert len(b1) == 8 and all(len(cb) == 8 for cb in b1)
     assert all(len(c) == 8 for cb in b1 for c in cb)
+
+
+def test_pq_numpy_encode_matches_expression_path(spark, sf_dir):
+    """The Arrow-batched numpy encode (r8, VERDICT r7 #7) must be
+    BIT-IDENTICAL to the interpreted-expression reference: same
+    fixed-point IEEE-double sequence, same first-minimum (lowest code
+    id) tie-break, dists included."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.pq import (
+        _assign_codes,
+        _assign_codes_expr,
+        train_pq,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ks=8, iters=2)
+    expr = {
+        r["vec_id"]: (list(r["codes"]), list(r["dists_fp"]))
+        for r in _assign_codes_expr(emb, books).collect()
+    }
+    vec = {
+        r["vec_id"]: (list(r["codes"]), list(r["dists_fp"]))
+        for r in _assign_codes(emb, books, keep=("label",)).collect()
+    }
+    assert expr == vec
+
+
+def test_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
+    """build_pq_index -> load_codebooks/pq_topk_from_index must
+    reproduce the in-flight pipeline exactly: identical codebooks
+    after the parquet round trip, identical top-k, and label-pruned
+    probes equal filtering before encoding."""
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.pq import (
+        build_pq_index,
+        load_codebooks,
+        pq_topk,
+        pq_topk_from_index,
+        train_pq,
+    )
+    from stripe_data_pipeline_spark.operators.similarity import query_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, path, m=8, ks=8, iters=2)
+    books = train_pq(emb, m=8, ks=8, iters=2)
+    assert load_codebooks(spark, path) == books  # exact double round trip
+    qv = query_vector(emb, 0)
+    want = [tuple(r) for r in pq_topk(emb, books, qv, k=10, exclude_id=0).collect()]
+    got = [
+        tuple(r)
+        for r in pq_topk_from_index(spark, path, qv, k=10, exclude_id=0).collect()
+    ]
+    assert got == want
+    labels = [r["label"] for r in emb.select("label").distinct().limit(2).collect()]
+    want_pr = [
+        tuple(r)
+        for r in pq_topk(
+            emb.filter(F.col("label").isin(labels)), books, qv, k=10, exclude_id=0
+        ).collect()
+    ]
+    got_pr = [
+        tuple(r)
+        for r in pq_topk_from_index(
+            spark, path, qv, k=10, exclude_id=0, probe_labels=labels
+        ).collect()
+    ]
+    assert got_pr == want_pr
