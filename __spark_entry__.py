@@ -99,6 +99,7 @@ _PRIORITY = [
     # round's additions are complete)
     "pq_adc_topk_persisted",
     "ivfpq_topk_persisted",
+    "sa_scrubbed_docs",
     # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5): new/changed this round first,
     # then OLDEST driver verdict first, so no row's last driver check

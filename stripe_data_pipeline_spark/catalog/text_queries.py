@@ -1341,6 +1341,116 @@ def q_longest_repeat_spans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sa_scrubbed_docs",
+    oracle="""
+WITH sl AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 24
+),
+cat AS (
+    SELECT string_agg(text, chr(1) ORDER BY doc_id) AS s FROM sl
+),
+sa AS (
+    SELECT t.i AS i,
+           ROW_NUMBER() OVER (ORDER BY substr(cat.s, t.i)) AS rnk
+    FROM cat, UNNEST(range(1, length(cat.s) + 1)) AS t(i)
+),
+adj AS (
+    SELECT a.i AS ia, b.i AS ib
+    FROM sa a JOIN sa b ON b.rnk = a.rnk + 1
+),
+lcp AS (
+    SELECT p.ia, p.ib,
+           COALESCE((
+               SELECT MAX(r.j)
+               FROM UNNEST(range(1, 257)) AS r(j)
+               WHERE p.ia + r.j - 1 <= length(c.s)
+                 AND p.ib + r.j - 1 <= length(c.s)
+                 AND substr(c.s, p.ia, r.j) = substr(c.s, p.ib, r.j)
+           ), 0) AS lcp
+    FROM adj p, cat c
+),
+spans AS (
+    SELECT ia AS i, lcp FROM lcp WHERE lcp >= 24
+    UNION ALL
+    SELECT ib AS i, lcp FROM lcp WHERE lcp >= 24
+),
+offs AS (
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(COALESCE(SUM(length(text) + 1) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS off
+    FROM sl
+),
+spl AS (
+    SELECT o.doc_id, CAST(sp.i - 1 - o.off AS BIGINT) AS s,
+           CAST(least(sp.lcp, o.n_chars - (sp.i - 1 - o.off))
+                AS BIGINT) AS l
+    FROM spans sp JOIN offs o
+      ON o.off <= sp.i - 1 AND sp.i - 1 < o.off + o.n_chars
+),
+cov AS (
+    SELECT DISTINCT spl.doc_id, spl.s + r.j AS t
+    FROM spl, UNNEST(range(0, spl.l)) AS r(j)
+),
+st AS (
+    SELECT c.doc_id, ANY_VALUE(o.n_chars) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS dup_chars
+    FROM cov c JOIN offs o ON o.doc_id = c.doc_id
+    GROUP BY c.doc_id
+),
+trim_ids AS (
+    SELECT doc_id, n_chars, dup_chars FROM st
+    WHERE CAST(dup_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) <= 5e-1
+),
+ch AS (
+    SELECT o.doc_id, CAST(g.i - 1 AS BIGINT) AS t,
+           substr(o.text, CAST(g.i AS INT), 1) AS c
+    FROM offs o, UNNEST(range(1, length(o.text) + 1)) AS g(i)
+    WHERE o.doc_id IN (SELECT doc_id FROM trim_ids)
+),
+reb AS (
+    SELECT ch.doc_id, string_agg(ch.c, '' ORDER BY ch.t) AS text
+    FROM ch
+    WHERE NOT EXISTS (SELECT 1 FROM cov
+                      WHERE cov.doc_id = ch.doc_id AND cov.t = ch.t)
+    GROUP BY ch.doc_id
+)
+SELECT o.doc_id, o.text, o.n_chars,
+       CAST(0 AS BIGINT) AS dup_chars, 'keep' AS action
+FROM offs o
+WHERE NOT EXISTS (SELECT 1 FROM st WHERE st.doc_id = o.doc_id)
+UNION ALL
+SELECT t.doc_id, COALESCE(r.text, '') AS text, t.n_chars,
+       t.dup_chars, 'trim' AS action
+FROM trim_ids t LEFT JOIN reb r ON r.doc_id = t.doc_id
+""",
+    doc="SUFFIX-ARRAY-DRIVEN span scrub (VERDICT r7 #3 — the Lee et "
+    "al. 2022 dedup step itself, consuming the index "
+    "longest_repeat_spans_check only previews): threshold LCP >= 24 "
+    "over ALL rank-adjacent suffix pairs, map both occurrences of "
+    "every qualifying repeat to (doc, char-offset) spans via a "
+    "BUCKETIZED integer range join (never a nested-loop), union the "
+    "covered intervals per doc, then keep / trim / drop on the "
+    "covered-fraction — catching arbitrary-length character-level "
+    "repeats the fixed-8-gram span_scrubbed_docs structurally "
+    "can't. Only trimmed docs pay the rebuild regroup; same slice "
+    "contract as suffix_array_ranks_check (the oracle literally "
+    "sorts every suffix and replays spans, coverage and the "
+    "char-level rebuild bit-for-bit).",
+)
+def q_sa_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.suffix import (
+        suffix_scrub_documents,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 24
+    )
+    return suffix_scrub_documents(docs, min_len=24, drop_threshold=0.5)
+
+
+@register(
     "lm_perplexity_scores",
     oracle="""
 WITH t AS (

