@@ -100,6 +100,7 @@ _PRIORITY = [
     "pq_adc_topk_persisted",
     "ivfpq_topk_persisted",
     "sa_scrubbed_docs",
+    "streaming_session_windows_mart_check",
     # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5): new/changed this round first,
     # then OLDEST driver verdict first, so no row's last driver check

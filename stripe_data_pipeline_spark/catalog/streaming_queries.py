@@ -1125,3 +1125,128 @@ def q_streaming_interval_join_mart_check(
         F.min("p_ts").cast("timestamp_ntz").alias("first_purchase_ts"),
         F.max("p_ts").cast("timestamp_ntz").alias("last_purchase_ts"),
     )
+
+
+def _materialized_session_windows_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SESSION-WINDOW aggregation -> table (r8, VERDICT r7
+    #6 — the last §2.10 stateful shape not yet exercised): the events
+    file stream groups by (user_id, session_window(ts, 30 min)) under
+    a 2-hour watermark and drains complete-mode through foreachBatch
+    into a parquet mart. Session windows are the DYNAMIC-gap state:
+    windows grow and MERGE as events arrive (an exact-30-minute gap
+    still merges — [start, last_ts + gap) ranges touching counts as
+    overlap, pinned by tests/test_streaming.py), which none of the
+    tumbling/interval checks cover."""
+    import atexit
+    import os
+    import tempfile
+
+    cache_key = sf_dir + "#session_windows"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="streaming_session_mart_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    staged = convert_nanos_ts(raw).withColumn(
+        # watermarks require TIMESTAMP (not NTZ); session tz is UTC so
+        # values are unchanged and the check casts back for the oracle
+        "ts",
+        F.col("ts").cast("timestamp"),
+    )
+    agg = (
+        staged.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("bigint")
+            .alias("session_cents"),
+        )
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(mart)
+
+    (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_session_windows_mart_check",
+    oracle="""
+WITH l AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+    FROM events
+),
+g AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM l
+),
+s AS (
+    SELECT user_id, ts, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS sid
+    FROM g
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS session_cents
+FROM s GROUP BY user_id, sid
+""",
+    doc="STREAMING SESSION WINDOWS round trip (completes §2.10's "
+    "stateful surface): per-user dynamic-gap sessions — "
+    "session_window(ts, 30 min) under a 2-hour watermark, drained "
+    "complete-mode via foreachBatch into a parquet mart — must "
+    "bit-match the batch lag/cumsum sessionization the oracle runs "
+    "(sessionized_events' shape): same session boundaries (a gap "
+    "of exactly 30 minutes MERGES — touching ranges overlap), same "
+    "window ends (last event + gap), same integer-cents values. "
+    "The merging-session state store is the one stateful operator "
+    "tumbling windows, dedup and the interval join don't reach.",
+)
+def q_streaming_session_windows_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_session_windows_mart(spark, sf_dir)
+    return mart.select(
+        "user_id",
+        F.col("session_window.start")
+        .cast("timestamp_ntz")
+        .alias("session_start"),
+        # the engine's own session bound: end == last event + gap
+        F.col("session_window.end")
+        .cast("timestamp_ntz")
+        .alias("session_end"),
+        "n_events",
+        "session_cents",
+    )

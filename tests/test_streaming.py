@@ -189,3 +189,104 @@ def test_windowed_counts_complete_mode_across_batches(spark, sf_dir, tmp_path):
         for r in windowed_event_counts(events, window="1 hour").collect()
     }
     assert got == want
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pin the semantics the streaming_session_windows_mart_check
+    oracle encodes: an event landing EXACTLY gap after the previous
+    one merges into the session ([start, last+gap) ranges touching
+    counts as overlap), while gap+1s starts a new session; session
+    end is last event + gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(minutes=30)),          # == gap: merges
+        (1, base + dt.timedelta(minutes=60, seconds=1)),  # > gap: new
+        (2, base),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_window"]["start"],
+            r["session_window"]["end"],
+            r["n"],
+        )
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got == [
+        (1, base, base + dt.timedelta(minutes=60), 2),
+        (
+            1,
+            base + dt.timedelta(minutes=60, seconds=1),
+            base + dt.timedelta(minutes=90, seconds=1),
+            1,
+        ),
+        (2, base, base + dt.timedelta(minutes=30), 1),
+    ]
+
+
+def test_streaming_session_windows_match_batch_sessionization(spark, sf_dir):
+    """The streamed session mart == batch session_window == the
+    lag/cumsum sessionization shape (the oracle's formulation), on
+    the real events table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.catalog.streaming_queries import (
+        q_streaming_session_windows_mart_check,
+    )
+    from stripe_data_pipeline_spark.io import read_table
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["session_cents"],
+        )
+        for r in q_streaming_session_windows_mart_check(
+            spark, sf_dir
+        ).collect()
+    }
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch
+    brk = F.when(
+        secs - F.lag(secs).over(w) > 1800,
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("brk", brk)
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("interval 30 minutes")).alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("bigint")
+            .alias("session_cents"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["session_cents"],
+        )
+        for r in sess.collect()
+    }
+    assert got == want
