@@ -85,104 +85,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-7 rotation: the 22 brand-new queries plus the 4 whose code
-# paths this round's refactors touch lead the window, then the oldest-
-# verdict rows (the r4-green relational/revenue/media block) fill it
-# to 50. Demoted past the cutoff: the r5- and r6-green rows (verdicts
-# one to two rounds old) and the r4 overflow — all stay CI-covered
-# (tests/test_oracle_catalog.py full catalog at sf0.001;
-# tools/check_oracle.py 0/168 at sf0.01 this round).
+# Round-8 rotation: the 5 brand-new queries plus the 12 whose code
+# paths this round's reworks touch lead the window, then the
+# oldest-verdict rows (the r5-green media/atomic/LSH block) fill it
+# to 50. Demoted past the cutoff: the r6- and r7-green rows — all
+# stay CI-covered (tests/test_oracle_catalog.py full catalog at
+# sf0.001; tools/check_oracle.py 0/174 at sf0.01 this round).
 # tests/test_driver_contract.py enforces that nothing without any
 # driver verdict sits outside the window.
 _PRIORITY = [
-    # r8 new (provisional head; full r8 rotation happens once the
-    # round's additions are complete)
+    # --- ROUND-8 WINDOW (first 50; the driver checks these) ---
+    # Ordering policy (VERDICT r5 #5, r7 #8): new/changed this round
+    # first, then OLDEST driver verdict first. New in r8: the
+    # persisted PQ/IVFPQ serving pair, the suffix-array-driven span
+    # scrub, the streaming session-window round trip, and the
+    # corpus-fraction suffix slice that carries the sf1 pin. Changed
+    # in r8 (re-checked): the BPE encode family (word-level rework),
+    # the PQ family (numpy Arrow encode), the suffix family
+    # (localCheckpoint pid-pinning + shared LCP walk), and
+    # span_scrubbed_docs (threshold-edge left join).
     "pq_adc_topk_persisted",
     "ivfpq_topk_persisted",
     "sa_scrubbed_docs",
     "streaming_session_windows_mart_check",
     "suffix_array_ranks_scaled",
-    # --- ROUND-7 WINDOW (first 50; the driver checks these) ---
-    # Ordering policy (VERDICT r5 #5): new/changed this round first,
-    # then OLDEST driver verdict first, so no row's last driver check
-    # grows stale while the full-catalog CI sweep covers everything.
-    # New in r7 (VERDICT r6 #1-#4 + depth work): the BPE encode pass
-    # family (train -> encode -> ids -> pack -> persisted mart, all
-    # oracled end-to-end via unrolled training CTEs), the span-REMOVAL
-    # transform, the exact-AC/ZRL/restart and 4:2:0-color JPEG checks,
-    # the persisted-blocklist filter, quality-aware near-dup keepers,
-    # percentile-adaptive quality filtering, full-outer/NTILE
-    # relational fills, and the distributed suffix array. Changed in
-    # r7: operators/bpe.py (encode additions around the trainer) ->
-    # bpe_merges_learned; the pack_sequences / duplicate_span_stats
-    # refactors -> their queries re-checked.
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",
     "packed_subword_sequences",
     "subword_sequences_mart_check",
-    "span_scrubbed_docs",
-    "media_jpeg_ac_decode_check",
-    "media_jpeg_420_decode_check",
-    "bloom_blocklist_filter_persisted",
-    "near_dup_quality_keepers",
-    "quality_filtered_docs",
-    "nation_presence_full_join",
-    "order_value_ntiles",
-    "suffix_array_ranks_check",
-    "longest_repeat_spans_check",
+    "subword_chunks",
     "pq_codes_profile",
     "pq_adc_topk",
-    "lm_perplexity_scores",
     "ivfpq_topk",
-    "subword_chunks",
-    "streaming_interval_join_mart_check",
-    "containment_near_dups",
-    "bpe_merges_learned",
-    "packed_sequences",
-    "duplicate_span_stats",
-    "duplicate_span_stats_hashed",
-    # last driver verdict: round 4 (oldest remaining)
-    "dataset_split_counts",
-    "corpus_mix_summary",
-    "media_bmp_decode_check",
-    "vocab_overlap_hll_check",
-    "media_wav_decode_check",
-    "heavy_hitter_tokens",
-    "media_resize_check",
-    "zorder_key_check",
-    "media_avi_decode_check",
-    "price_percentiles",
-    "events_rolling_hour_count",
-    "grouped_stats",
-    "conditional_functions",
-    "orders_star_plus",
-    "salted_skew_join",
-    "events_hourly_windows",
-    "running_value_per_user",
-    "date_functions",
-    "pivot_qty_by_status",
-    "events_in_list",
-    "json_extraction",
-    "union_all_slices",
-    "custkey_set_ops",
-    "string_functions",
-    "cube_counts",
-    "revenue_trend_daily",
-    "deferred_total_asof",
-    "deferred_by_customer_asof",
-    "recognized_quarter_calendar",
-    "recognized_monthly_halfopen",
-    "active_periods_per_month_start",
-    "curated_line_items",
-    "calendar_dim",
-    "fx_literal_dim",
-    "missing_period_end_threshold",
-    "pandas_udf_normalize",
-    "dedup_exact_keepers",
-    "cosine_topk_bruteforce",
-    "ivf_topk",
-    # last driver verdict: round 5
+    "suffix_array_ranks_check",
+    "longest_repeat_spans_check",
+    "span_scrubbed_docs",
+    # last driver verdict: round 5 (oldest remaining) — leads the
+    # window per the rotation rule; the first 33 rows fit, the rest
+    # queue for r9
     "media_ulaw_decode_check",
     "media_adpcm_decode_check",
     "media_png_decode_check",
@@ -230,7 +171,7 @@ _PRIORITY = [
     "top3_orders_per_status",
     "event_gaps",
     "top20_orders",
-    # last driver verdict: round 6 (newest — checked again last)
+    # last driver verdict: round 6
     "streaming_stripe_source_mart_check",
     "media_rle_bmp_decode_check",
     "media_alaw_decode_check",
@@ -288,6 +229,60 @@ _PRIORITY = [
     "weekly_retention_cohorts",
     "daily_value_anomalies",
     "column_null_audit",
+    # last driver verdict: round 7 (newest — checked again last)
+    "media_jpeg_ac_decode_check",
+    "media_jpeg_420_decode_check",
+    "bloom_blocklist_filter_persisted",
+    "near_dup_quality_keepers",
+    "quality_filtered_docs",
+    "nation_presence_full_join",
+    "order_value_ntiles",
+    "lm_perplexity_scores",
+    "streaming_interval_join_mart_check",
+    "containment_near_dups",
+    "bpe_merges_learned",
+    "packed_sequences",
+    "duplicate_span_stats",
+    "duplicate_span_stats_hashed",
+    "dataset_split_counts",
+    "corpus_mix_summary",
+    "media_bmp_decode_check",
+    "vocab_overlap_hll_check",
+    "media_wav_decode_check",
+    "heavy_hitter_tokens",
+    "media_resize_check",
+    "zorder_key_check",
+    "media_avi_decode_check",
+    "price_percentiles",
+    "events_rolling_hour_count",
+    "grouped_stats",
+    "conditional_functions",
+    "orders_star_plus",
+    "salted_skew_join",
+    "events_hourly_windows",
+    "running_value_per_user",
+    "date_functions",
+    "pivot_qty_by_status",
+    "events_in_list",
+    "json_extraction",
+    "union_all_slices",
+    "custkey_set_ops",
+    "string_functions",
+    "cube_counts",
+    "revenue_trend_daily",
+    "deferred_total_asof",
+    "deferred_by_customer_asof",
+    "recognized_quarter_calendar",
+    "recognized_monthly_halfopen",
+    "active_periods_per_month_start",
+    "curated_line_items",
+    "calendar_dim",
+    "fx_literal_dim",
+    "missing_period_end_threshold",
+    "pandas_udf_normalize",
+    "dedup_exact_keepers",
+    "cosine_topk_bruteforce",
+    "ivf_topk",
 ]
 
 
