@@ -109,6 +109,8 @@ _PRIORITY = [
     "sa_scrubbed_docs",
     "streaming_session_windows_mart_check",
     "suffix_array_ranks_scaled",
+    "dsir_importance_weights",
+    "gopher_quality_flags",
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",

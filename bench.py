@@ -161,6 +161,11 @@ HEADLINE = [
     "jaccard_verify_lsh",
     "suffix_array_ranks_scaled",
     "sa_scrubbed_docs",
+    # r8 second batch: DSIR importance weights (Xie et al. 2023 -
+    # target-vs-raw unigram log-ratio selection) and the Gopher
+    # rule-based quality pre-filter (Rae et al. 2021)
+    "dsir_importance_weights",
+    "gopher_quality_flags",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -1655,3 +1655,160 @@ def q_containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     cands = D.containment_candidate_pairs(docs, n=3, max_shingle_docs=50)
     return D.containment_verify(docs, cands, threshold=0.6)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+),
+uni AS (
+    SELECT u.w, CAST(COUNT(*) AS BIGINT) AS cr,
+           CAST(SUM(t.tgt) AS BIGINT) AS ct
+    FROM t, UNNEST(t.toks) AS u(w)
+    GROUP BY u.w
+),
+stats AS (
+    SELECT CAST(SUM(cr) AS BIGINT) AS NR, CAST(SUM(ct) AS BIGINT) AS NT,
+           CAST(COUNT(*) AS BIGINT) AS V
+    FROM uni
+),
+terms AS (
+    SELECT t.doc_id,
+           CAST(FLOOR((ln(CAST(u.ct + 1 AS DOUBLE)
+                          / CAST(s.NT + s.V AS DOUBLE))
+                       - ln(CAST(u.cr + 1 AS DOUBLE)
+                            / CAST(s.NR + s.V AS DOUBLE))) * 1e9 + 5e-1)
+                AS BIGINT) AS term_fp
+    FROM t, UNNEST(t.toks) AS d(w)
+    JOIN uni u ON u.w = d.w
+    CROSS JOIN stats s
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(term_fp) AS BIGINT) AS logratio_fp
+FROM terms GROUP BY doc_id
+""",
+    doc="DSIR importance weights (Xie et al. 2023 — importance "
+    "RESAMPLING for data selection): per-doc "
+    "log p_target(x) - log p_raw(x) under two add-one-smoothed "
+    "unigram models sharing the raw vocabulary, target = the "
+    "lang='en' slice — the principled 'select web text that looks "
+    "like the target domain' signal. One fused vocabulary groupBy "
+    "builds BOTH count tables (conditional sum), scoring is one "
+    "token-explode join + broadcast (N_t, N_r, V) singleton; "
+    "per-token log-ratios are fixed-point floored before the "
+    "order-invariant per-doc sum, so (n_tokens, logratio_fp) is "
+    "bit-checked (operators/text.py::dsir_importance_weights).",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.dsir_importance_weights(read_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(toks, w -> length(w)))
+                AS BIGINT) AS sum_len,
+           CAST(len(list_filter(toks,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(toks,
+                w -> contains(w, '#') OR contains(w, '...')))
+                AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(toks, w -> w IN {_STOP_IN}))
+                AS BIGINT) AS n_stop
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_words,
+       CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+           AS mean_word_len,
+       CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) AS alpha_frac,
+       CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE)
+           AS symbol_ratio,
+       n_stop,
+       (n_words >= 10 AND n_words <= 100000
+        AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3e0
+        AND CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) <= 1e1
+        AND CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE) >= 8e-1
+        AND CAST(n_symbol AS DOUBLE) / CAST(n_words AS DOUBLE) <= 1e-1
+        AND n_stop >= 2) AS passes
+FROM m
+""",
+    doc="GOPHER quality rules (Rae et al. 2021, Appendix A — the "
+    "rule-based pre-filter MassiveText and every descendant corpus "
+    "runs before model-based scoring): per-doc word count bounds, "
+    "mean word length in [3, 10], fraction of words containing an "
+    "alphabetic character >= 0.8, symbol-to-word ratio ('#'/'...') "
+    "<= 0.1, and >= 2 stop words; plus the composite pass flag. "
+    "(Word-count floor adapted to this corpus's ~50-word docs; the "
+    "rule STRUCTURE is the paper's.) Pure narrow projection — one "
+    "scan, all higher-order array expressions, no shuffle at any "
+    "corpus size; doubles are single divisions of exact integer "
+    "counts, so every column bit-matches.",
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    stop = ["the", "a", "of", "and", "to", "in"]
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        .cast("bigint")
+        .alias("sum_len"),
+        F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+        .cast("bigint")
+        .alias("n_alpha"),
+        F.size(
+            F.filter(
+                toks, lambda w: w.contains("#") | w.contains("...")
+            )
+        )
+        .cast("bigint")
+        .alias("n_symbol"),
+        F.size(F.filter(toks, lambda w: w.isin(stop)))
+        .cast("bigint")
+        .alias("n_stop"),
+    ).filter(F.col("n_words") > 0)
+    mean_len = F.col("sum_len").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    alpha_frac = F.col("n_alpha").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    symbol_ratio = F.col("n_symbol").cast("double") / F.col(
+        "n_words"
+    ).cast("double")
+    return base.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        "n_stop",
+        (
+            (F.col("n_words") >= 10)
+            & (F.col("n_words") <= 100000)
+            & (mean_len >= 3.0)
+            & (mean_len <= 10.0)
+            & (alpha_frac >= 0.8)
+            & (symbol_ratio <= 0.1)
+            & (F.col("n_stop") >= 2)
+        ).alias("passes"),
+    )

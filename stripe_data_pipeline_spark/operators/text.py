@@ -519,3 +519,85 @@ def lm_doc_scores(
             F.sum("term_fp").cast("bigint").alias("nll_fp"),
         )
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    target_pred: Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): score every
+    raw document by how much more likely it is under a TARGET
+    distribution than under the raw-corpus distribution,
+    ``log p_target(x) - log p_raw(x)``, with both densities estimated
+    by bag-of-words unigram models (DSIR's hashed-ngram feature space,
+    here the exact unigram space since the vocabulary is enumerable).
+    The weights feed importance RESAMPLING: keep docs with the
+    largest ratios to shift the corpus toward the target domain —
+    the principled form of "select web text that looks like
+    Wikipedia".
+
+    Both models use add-one smoothing over the SHARED raw-corpus
+    vocabulary V (so every token has positive mass under the target
+    even when absent from it): p_t(w) = (c_t(w)+1)/(N_t+V),
+    p_r(w) = (c_r(w)+1)/(N_r+V). Per token the log-ratio is
+    fixed-point floored BEFORE the per-doc sum (order-invariant
+    integer totals, the BM25 ln-parity pattern), so every doc's
+    (n_tokens, logratio_fp) is bit-checkable cross-engine.
+
+    ``target_pred`` is a boolean Column naming the target slice
+    (default: lang = 'en'). Plan shape: two vocabulary-keyed count
+    groupBys (partial-combined; vocabulary-sized, not corpus-sized),
+    one token-explode scoring join against the unigram tables, and a
+    broadcast 1-row (N_t, N_r, V) singleton — linear shuffles only,
+    the lm_doc_scores shape with a second count column.
+    """
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    toks = df.select(
+        F.col(id_col),
+        F.coalesce(target_pred, F.lit(False)).alias("__tgt"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias(
+            "t"
+        ),
+    ).filter(F.size("t") > 0)
+    words = toks.select("__tgt", F.explode("t").alias("w"))
+    uni = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.col("__tgt").cast("long")).alias("ct"),
+    )
+    stats = uni.agg(
+        F.sum("cr").alias("NR"),
+        F.sum("ct").alias("NT"),
+        F.count(F.lit(1)).alias("V"),
+    )
+    doc_words = toks.select(id_col, F.explode("t").alias("w"))
+    terms = (
+        doc_words.join(uni, "w")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.floor(
+                (
+                    F.log(
+                        (F.col("ct") + 1).cast("double")
+                        / (F.col("NT") + F.col("V")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1).cast("double")
+                        / (F.col("NR") + F.col("V")).cast("double")
+                    )
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("term_fp"),
+        )
+    )
+    return terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("term_fp").cast("bigint").alias("logratio_fp"),
+    )
