@@ -303,12 +303,25 @@ def _adjacent_lcp_pairs(
     id_col: str = "doc_id",
     parts: int = 16,
     max_rounds: int = 40,
+    walk_cap: int | None = None,
 ) -> DataFrame:
     """(pos_a, pos_b, lcp) for EVERY rank-adjacent suffix pair — the
     shared core of the top-k report (:func:`longest_repeat_spans`)
-    and the scrub transform (:func:`suffix_scrub_documents`). The LCP
-    walk is exact (unclamped); see longest_repeat_spans for the
-    level-descent argument."""
+    and the scrub transform (:func:`suffix_scrub_documents`).
+
+    With ``walk_cap=None`` the walk is exact (unclamped). With a cap
+    the walk SKIPS levels whose gap exceeds it, returning
+    ``min(true_lcp, 2*walk_cap - 1)`` — the greedy descending
+    decomposition over the remaining gaps {walk_cap, walk_cap/2, ...,
+    1} sums to at most 2*walk_cap - 1, and any true lcp below that is
+    still decomposed exactly. Every consumer that CLAMPS at
+    max_lcp <= walk_cap (both catalog consumers do; their oracles
+    probe a bounded prefix for the same reason) therefore sees
+    bit-identical output, while the walk drops its most expensive
+    iterations: at corpus length n the uncapped walk runs
+    ceil(log2 n) two-join levels, the capped one log2(walk_cap) + 1 —
+    corpus-size-INDEPENDENT (pinned vs the uncapped walk in
+    tests/test_suffix.py)."""
     _out, levels = _suffix_ranks_with_levels(
         df, text_col, id_col, parts, max_rounds, keep_levels=True
     )
@@ -324,6 +337,8 @@ def _adjacent_lcp_pairs(
         .localCheckpoint(eager=True)
     )
     for gap, table in reversed(levels):
+        if walk_cap is not None and gap > walk_cap:
+            continue
         ra = table.select(
             F.col("pos").alias("__pa"), F.col("rank").alias("__ra")
         )
@@ -378,8 +393,13 @@ def longest_repeat_spans(
     ``max_lcp`` (the walk itself is exact) — the clamp is what lets
     the DuckDB oracle probe prefixes with a bounded generator instead
     of an O(n)-deep scan per pair; ties under the clamp break
-    deterministically on (pos_a, pos_b)."""
-    pairs = _adjacent_lcp_pairs(df, text_col, id_col, parts, max_rounds)
+    deterministically on (pos_a, pos_b). The walk itself is capped at
+    the same bound (see _adjacent_lcp_pairs: levels above max_lcp
+    can't change the clamped value), so its per-pair cost is
+    corpus-size-independent."""
+    pairs = _adjacent_lcp_pairs(
+        df, text_col, id_col, parts, max_rounds, walk_cap=max_lcp
+    )
     return (
         pairs.filter(F.col("lcp") > 0)
         .select(
@@ -438,7 +458,11 @@ def suffix_scrub_documents(
     engine — integer spans, one double divide, deterministic order
     rebuild (catalog: sa_scrubbed_docs).
     """
-    pairs = _adjacent_lcp_pairs(df, text_col, id_col, parts, max_rounds)
+    if min_len > max_lcp:
+        raise ValueError(f"min_len {min_len} exceeds max_lcp {max_lcp}")
+    pairs = _adjacent_lcp_pairs(
+        df, text_col, id_col, parts, max_rounds, walk_cap=max_lcp
+    )
     hits = pairs.filter(F.col("lcp") >= min_len)
     spans = (
         hits.select(F.col("pos_a").alias("pos"), "lcp")

@@ -246,3 +246,33 @@ def test_sa_scrub_property(spark):
             ).collect()
         }
         assert got == py_sa_scrub(texts, min_len=8), texts
+
+
+def test_capped_walk_matches_uncapped_under_clamp(spark):
+    """walk_cap: skipping levels above the clamp must leave every
+    clamped lcp bit-identical (greedy decomposition over gaps <= cap
+    represents up to 2*cap - 1), and values lcp < cap stay exact."""
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.operators.suffix import (
+        _adjacent_lcp_pairs,
+    )
+
+    rep = "abcdefgh" * 6  # 48-char repeat: exceeds cap 16, under 31
+    texts = [rep + " tail one", "lead " + rep, "abab abab", "zq"]
+    df = _df(spark, texts)
+    cap = 16
+    full = {
+        (r["pos_a"], r["pos_b"]): r["lcp"]
+        for r in _adjacent_lcp_pairs(df, parts=4).collect()
+    }
+    capped = {
+        (r["pos_a"], r["pos_b"]): r["lcp"]
+        for r in _adjacent_lcp_pairs(df, parts=4, walk_cap=cap).collect()
+    }
+    assert set(full) == set(capped)
+    for k, v in full.items():
+        assert min(v, cap) == min(capped[k], cap)  # clamped parity
+        if v < cap:
+            assert capped[k] == v  # below the cap: exact
+        assert capped[k] == min(v, 2 * cap - 1)  # the precise contract
