@@ -328,6 +328,33 @@ def test_bpe_id_lookup_is_a_map_literal_projection(spark, sf_dir):
     assert "keys:" in p or "map_from" in p or "element_at" in p
 
 
+def test_bpe_word_level_encode_plan_shape(spark, sf_dir):
+    """The r8 word-level encode (the shared plan under the whole
+    encode family): the distinct-word table reaches the occurrence
+    stream via a BROADCAST hash join (never a sort-merge — the
+    Zipf-small vocabulary must not shuffle the corpus on the word
+    key), and the only corpus-sized Exchanges are the word distinct
+    and the one doc regroup. No Python anywhere."""
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.bpe import (
+        encode_documents_by_word,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    p = (
+        encode_documents_by_word(docs, [("a", "b")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # word-distinct + doc-regroup hash Exchanges plus the broadcast —
+    # nothing else may shuffle
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_span_scrub_rebuild_confined_to_trim_subset(spark, sf_dir):
     """span_scrubbed_docs: the union's keep branch must stay scan-side
     (no Generate/posexplode on the verbatim path) and the whole plan
