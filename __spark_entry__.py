@@ -113,6 +113,7 @@ _PRIORITY = [
     "gopher_quality_flags",
     "hamming_topk_signbit",
     "ivfpq_residual_topk",
+    "grouping_sets_counts",
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",

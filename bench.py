@@ -170,6 +170,9 @@ HEADLINE = [
     # residual-encoding IVFPQ (the actual FAISS IndexIVFPQ recipe)
     "hamming_topk_signbit",
     "ivfpq_residual_topk",
+    # explicit GROUPING SETS: one Expand-operator pass for two slices
+    # + grand total
+    "grouping_sets_counts",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -1753,3 +1753,41 @@ def q_order_value_ntiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("bigint").alias("min_cents"),
         F.max("cents").cast("bigint").alias("max_cents"),
     )
+
+
+@register(
+    "grouping_sets_counts",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 5e-1) AS BIGINT))
+            AS BIGINT) AS price_cents
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    doc="Explicit GROUPING SETS (completes the grouping-analytics "
+    "family next to CUBE and ROLLUP): two single-column slices plus "
+    "the grand total in ONE pass — Spark's Expand operator emits "
+    "each input row once per set, so map-side partial aggregation "
+    "still applies and the corpus is scanned once, not three times. "
+    "GROUPING() markers disambiguate 'NULL because aggregated away' "
+    "from a genuinely NULL key on both engines; money stays in "
+    "integer cents for bit-exact totals.",
+)
+def q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5D) AS BIGINT))
+                    AS BIGINT) AS price_cents
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
