@@ -114,6 +114,7 @@ _PRIORITY = [
     "hamming_topk_signbit",
     "ivfpq_residual_topk",
     "grouping_sets_counts",
+    "lsh_quality_keepers",
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",

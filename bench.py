@@ -173,6 +173,10 @@ HEADLINE = [
     # explicit GROUPING SETS: one Expand-operator pass for two slices
     # + grand total
     "grouping_sets_counts",
+    # the COMPLETE production dedup pipeline: LSH-verified edges ->
+    # components -> quality keeper (near_dup_quality_keepers is the
+    # same keeper over the capped-block demo edges)
+    "lsh_quality_keepers",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -239,6 +243,9 @@ SF1_SPOT = [
     # slice (1% of the corpus at every sf) pins it — measured 3.1x at
     # 10x data (rounds grow log-linearly, each round linearly)
     "suffix_array_ranks_scaled",
+    # r8: the end-to-end LSH dedup composition must scale like its
+    # edge stage (~linear banding), not like the quadratic demo
+    "lsh_quality_keepers",
 ]
 
 

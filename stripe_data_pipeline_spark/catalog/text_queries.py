@@ -1812,3 +1812,104 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_stop") >= 2)
         ).alias("passes"),
     )
+
+
+# The end-to-end 100 TB dedup composition: LSH-verified edges (not the
+# capped-block demo join) -> connected components -> quality keeper.
+# The WITH clause must carry RECURSIVE for the reach() closure, so the
+# generated minhash prefix gets the keyword patched in.
+_LSH_KEEPERS_SQL = _minhash_cands_cte().replace(
+    "WITH sh AS", "WITH RECURSIVE sh AS", 1
+) + """,
+toksets AS (
+    SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+),
+edges AS (
+    SELECT c.doc_a, c.doc_b
+    FROM cand c
+    JOIN toksets a ON a.doc_id = c.doc_a
+    JOIN toksets b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / CAST(len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 8e-1
+),
+und AS (
+    SELECT doc_a AS u, doc_b AS v FROM edges
+    UNION
+    SELECT doc_b AS u, doc_a AS v FROM edges
+),
+reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+),
+cl AS (
+    SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+),
+tk AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+),
+j AS (
+    SELECT c.cluster_id, c.doc_id, t.n_tokens
+    FROM cl c JOIN tk t USING (doc_id)
+)
+SELECT cluster_id, keeper_id, keeper_tokens, n_members FROM (
+    SELECT cluster_id, doc_id AS keeper_id, n_tokens AS keeper_tokens,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS n_members,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_tokens DESC, doc_id) AS rn
+    FROM j
+) WHERE rn = 1
+"""
+
+
+@register(
+    "lsh_quality_keepers",
+    oracle=_LSH_KEEPERS_SQL,
+    doc="The COMPLETE production near-dup dedup pipeline at corpus "
+    "scale, composed end to end from pieces each proven separately: "
+    "MinHash-LSH banded candidates -> exact Jaccard verify (the "
+    "~linear jaccard_verify_lsh path, 2.6x at 10x data — NOT the "
+    "capped-block demo join near_dup_quality_keepers runs on) -> "
+    "connected components (checkpoint-cut min-label propagation) -> "
+    "per-cluster quality keeper via the partial-aggregable "
+    "max(struct(n_tokens, -doc_id)) groupBy. This is the shape a "
+    "1000-executor dedup job actually runs; the oracle replays "
+    "signatures, banding, the hot-bucket cap, the verify, a "
+    "recursive-CTE transitive closure and the keeper rank window, "
+    "bit-for-bit.",
+)
+def q_lsh_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.cluster import (
+        connected_components,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    edges = D.lsh_verified_near_dups(docs, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    clusters = connected_components(docs.select("doc_id"), edges)
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    agg = clusters.join(toks, "doc_id").groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(
+            F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("m"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("m.neg_id")).cast("bigint").alias("keeper_id"),
+        F.col("m.n_tokens").alias("keeper_tokens"),
+        "n_members",
+    )
