@@ -115,6 +115,7 @@ _PRIORITY = [
     "ivfpq_residual_topk",
     "grouping_sets_counts",
     "lsh_quality_keepers",
+    "streaming_static_join_mart_check",
     "bpe_encoded_docs",
     "bpe_subword_vocab",
     "bpe_token_id_sequences",

@@ -1250,3 +1250,91 @@ def q_streaming_session_windows_mart_check(
         "n_events",
         "session_cents",
     )
+
+
+def _materialized_stream_static_join_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC join -> table (r8 — the one §2.10 join form the
+    interval/source/merge checks don't exercise): the events file
+    stream enriches each micro-batch against the STATIC customer
+    dimension (broadcast per batch — the dim is re-resolvable every
+    trigger, which is exactly how Spark defines stream-static joins)
+    and appends to a parquet mart. No watermark needed: a
+    stream-static inner join is stateless."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.io import read_table
+
+    cache_key = sf_dir + "#stream_static"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="streaming_static_join_mart_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    staged = convert_nanos_ts(raw)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"), F.col("c_acctbal")
+    )
+    enriched = staged.join(
+        F.broadcast(dim), staged["user_id"] == dim["c_custkey"]
+    ).select("event_id", "user_id", "event_type", "value", "c_mktsegment")
+    (
+        enriched.writeStream.format("parquet")
+        .option("path", mart)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_static_join_mart_check",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+    doc="STREAM-STATIC JOIN round trip (the one §2.10 join form the "
+    "interval-join check doesn't cover): the events stream enriches "
+    "each micro-batch against the static customer dimension via a "
+    "per-batch BROADCAST hash join (stateless — no watermark, no "
+    "join state store) and appends to a parquet mart; the mart's "
+    "per-market-segment profile must bit-match the batch join the "
+    "oracle runs. At 100 TB this is the dimension-enrichment shape "
+    "of every streaming ingest: the dim re-resolves every trigger, "
+    "so slowly-changing dimensions pick up updates without "
+    "restarting the query.",
+)
+def q_streaming_static_join_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_stream_static_join_mart(spark, sf_dir)
+    return mart.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
