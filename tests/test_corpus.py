@@ -566,3 +566,116 @@ def test_lm_doc_scores_matches_reference(spark):
     # sanity: the repetitive doc ("a a a") is the most predictable
     avg = {d: got[d][1] / got[d][0] for d in got}
     assert avg[1] == min(avg.values())
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """dsir_importance_weights == a direct python replay of the two
+    add-one unigram models on a planted bilingual corpus (target =
+    lang 'en'): per-token fixed-point log-ratio floors, shared raw
+    vocabulary, docs without tokens dropped."""
+    import math
+
+    from stripe_data_pipeline_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat"),
+        (3, "de", "der hund sass auf der matte"),
+        (4, "de", "the der cat hund"),  # mixed vocab
+        (5, "en", ""),  # dropped: no tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logratio_fp"])
+        for r in dsir_importance_weights(df).collect()
+    }
+
+    docs = {i: t.split() for i, _l, t in [(r[0], r[1], r[2]) for r in rows]}
+    docs = {i: [w for w in ws if w] for i, ws in docs.items()}
+    cr: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for i, _lang, text in rows:
+        for w in [x for x in text.split(" ") if x]:
+            cr[w] = cr.get(w, 0) + 1
+            if _lang == "en":
+                ct[w] = ct.get(w, 0) + 1
+    nr = sum(cr.values())
+    nt = sum(ct.values())
+    v = len(cr)
+    want = {}
+    for i, _lang, text in rows:
+        toks = [x for x in text.split(" ") if x]
+        if not toks:
+            continue
+        total = 0
+        for w in toks:
+            lt = math.log((ct.get(w, 0) + 1) / (nt + v))
+            lr = math.log((cr[w] + 1) / (nr + v))
+            total += int(math.floor((lt - lr) * 1e9 + 0.5))
+        want[i] = (len(toks), total)
+    assert got == want
+    # direction sanity: the pure-German doc scores LOWER under the
+    # 'en' target than a pure-English doc of equal length class
+    assert got[3][1] < got[1][1]
+
+
+def test_gopher_flags_match_python_reference(spark):
+    """gopher_quality_flags columns + composite pass vs direct
+    computation on planted docs hitting every rule boundary."""
+    from stripe_data_pipeline_spark.catalog.text_queries import (
+        q_gopher_quality_flags,
+    )
+
+    rows = [
+        # passes everything: >= 10 words, mean len in [3,10], alpha,
+        # stop words
+        (1, "the quick brown foxes jumped over the lazy sleeping dogs"),
+        # too few words
+        (2, "the cat sat"),
+        # mean word length too small (all 1-2 chars)
+        (3, "a a a a a a a a a a of the to in"),
+        # symbol-heavy (### and ...)
+        (4, "the ### x1 ... ### ... the of ### ... and to in word"),
+        # no stop words
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # run the registered query against the planted frame by swapping
+    # read_table for the duration of the call
+    from stripe_data_pipeline_spark.catalog import text_queries as TQ
+
+    real_read = TQ.read_table
+    TQ.read_table = lambda spark_, sf_dir_, name_: df
+    try:
+        got = {r["doc_id"]: r.asDict() for r in
+               q_gopher_quality_flags(spark, "ignored").collect()}
+    finally:
+        TQ.read_table = real_read
+
+    stop = {"the", "a", "of", "and", "to", "in"}
+    for i, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        n = len(toks)
+        mean_len = sum(len(t) for t in toks) / n
+        alpha = sum(1 for t in toks if any(c.isalpha() and c.isascii() for c in t)) / n
+        sym = sum(1 for t in toks if "#" in t or "..." in t) / n
+        n_stop = sum(1 for t in toks if t in stop)
+        r = got[i]
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - mean_len) < 1e-12
+        assert abs(r["alpha_frac"] - alpha) < 1e-12
+        assert abs(r["symbol_ratio"] - sym) < 1e-12
+        assert r["n_stop"] == n_stop
+        want_pass = (
+            10 <= n <= 100000
+            and 3.0 <= mean_len <= 10.0
+            and alpha >= 0.8
+            and sym <= 0.1
+            and n_stop >= 2
+        )
+        assert r["passes"] == want_pass, (i, r)
+    assert got[1]["passes"] is True
+    for i in (2, 3, 4, 5):
+        assert got[i]["passes"] is False, i
