@@ -1791,3 +1791,117 @@ def q_grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@register(
+    "shipping_priority_q3ish",
+    oracle=f"""
+SELECT l.l_orderkey AS orderkey,
+       {sum_usd_cents_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-07-01'
+  AND l.l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderdate, orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-shaped shipping-priority query: segment-filtered "
+    "customer dim broadcast into the orders->lineitem fact-fact "
+    "join, unshipped-revenue aggregate, global top-10 "
+    "(TakeOrderedAndProject — no full sort). Both date predicates "
+    "push to the parquet scans; the money sum uses the shared "
+    "integer-cents contract for bit parity.",
+)
+def q_shipping_priority_q3ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-07-01"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-07-01"))
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            sum_usd_cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "returned_top_customers_q10ish",
+    oracle=f"""
+SELECT c.c_custkey AS custkey,
+       c.c_name AS name,
+       {sum_usd_cents_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+       CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS acctbal_cents,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10-shaped returned-item ranking: one-quarter order "
+    "slice joined to returned line items, customer + nation dims "
+    "broadcast, revenue per customer, top-20. The acctbal passes "
+    "through as integer cents (GROUP BY on a double money column "
+    "is bit-safe only in fixed point). Quarter + returnflag "
+    "predicates push down; single fact-fact shuffle on orderkey.",
+)
+def q_returned_top_customers_q10ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("acctbal_cents"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            sum_usd_cents(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .select("custkey", "name", "revenue", "acctbal_cents", "nation")
+        .orderBy(F.desc("revenue"), "custkey")
+        .limit(20)
+    )

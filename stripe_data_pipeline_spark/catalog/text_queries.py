@@ -1488,9 +1488,7 @@ def q_sa_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_scrub_documents(docs, min_len=24, drop_threshold=0.5)
 
 
-@register(
-    "lm_perplexity_scores",
-    oracle="""
+_LM_CTE = """
 WITH t AS (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -1533,7 +1531,13 @@ rest_terms AS (
 ),
 allt AS (
     SELECT * FROM first_terms UNION ALL SELECT * FROM rest_terms
-)
+)"""
+
+
+@register(
+    "lm_perplexity_scores",
+    oracle=_LM_CTE
+    + """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_scored,
        CAST(SUM(term_fp) AS BIGINT) AS nll_fp
@@ -1913,3 +1917,42 @@ def q_lsh_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.n_tokens").alias("keeper_tokens"),
         "n_members",
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=_LM_CTE
+    + """,
+scores AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(term_fp) AS BIGINT) AS nll_fp
+    FROM allt GROUP BY doc_id
+),
+ranked AS (
+    SELECT s.doc_id, d.lang,
+           CAST(s.nll_fp // s.n_scored AS BIGINT) AS ppl_fp,
+           NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY s.nll_fp // s.n_scored, s.doc_id
+           ) AS tercile
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT doc_id, lang, ppl_fp,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+""",
+    doc="CCNet head/middle/tail bucketing (Wenzek et al. 2020 — the "
+    "published pipeline's final step: split each LANGUAGE's crawl "
+    "into three equal-size buckets by LM perplexity and train on "
+    "the head). Composes lm_perplexity_scores with an integer "
+    "per-token score (nll_fp DIV n_scored — floor division keeps "
+    "the ordering key engine-exact) and NTILE(3) per language. One "
+    "extra sort shuffle on the lang key; the 100 TB variant swaps "
+    "the exact tertile for per-lang percentile thresholds "
+    "(quality_filtered_docs pattern) to avoid sorting a skewed "
+    "language partition (operators/text.py::ccnet_perplexity_buckets).",
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.ccnet_perplexity_buckets(read_table(spark, sf_dir, "documents"))

@@ -601,3 +601,55 @@ def dsir_importance_weights(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum("term_fp").cast("bigint").alias("logratio_fp"),
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data" — the published pipeline splits each language's
+    crawl into three equal-size buckets by LM perplexity and trains
+    preferentially on the 'head'). Public recipe; the reference
+    pipeline has no LM stage, this is north-star LLM-corpus surface.
+
+    Per doc: score under the self-trained bigram LM
+    (``lm_doc_scores``), reduce to an integer per-token score
+    ``ppl_fp = nll_fp DIV n_scored`` (floor division keeps the
+    ordering key bit-exact across engines), then NTILE(3) within
+    each language ordered by (ppl_fp, doc_id) — head = most
+    predictable third, tail = least.
+
+    Scale: the window is one sort shuffle partitioned by language.
+    Languages are few and can be skewed, so at 100 TB the production
+    variant replaces the exact tertile with per-language percentile
+    THRESHOLDS (approx_percentile over a tiny per-lang aggregate,
+    broadcast back — the quality_filtered_docs pattern) and the
+    bucket becomes a scan-fused comparison. The exact-NTILE form here
+    is the verifiable semantics both engines replay bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    scores = lm_doc_scores(df, text_col=text_col, id_col=id_col)
+    langs = df.select(id_col, lang_col)
+    w = Window.partitionBy(lang_col).orderBy("ppl_fp", id_col)
+    return (
+        scores.join(langs, id_col)
+        .withColumn(
+            "ppl_fp",
+            F.expr("nll_fp div n_scored").cast("bigint"),
+        )
+        .withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            id_col,
+            lang_col,
+            "ppl_fp",
+            F.when(F.col("tercile") == 1, F.lit("head"))
+            .when(F.col("tercile") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
