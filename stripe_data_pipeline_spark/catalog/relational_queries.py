@@ -1905,3 +1905,90 @@ def q_returned_top_customers_q10ish(
         .orderBy(F.desc("revenue"), "custkey")
         .limit(20)
     )
+
+
+_PR_UNROLLED = """
+WITH pairs AS (
+    SELECT DISTINCT o.o_custkey * 2 AS c_node, l.l_suppkey * 2 + 1 AS s_node
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT c_node AS src, s_node AS dst FROM pairs
+    UNION ALL
+    SELECT s_node AS src, c_node AS dst FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT src AS node FROM edges
+    UNION SELECT DISTINCT dst AS node FROM edges
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+sc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           1000000000000000 // COUNT(*) AS r0,
+           (15 * 1000000000000000) // (100 * COUNT(*)) AS base
+    FROM nodes
+),
+{iters}
+SELECT node, rank_fp FROM r{k}
+"""
+
+
+def _pr_iter_cte(i: int) -> str:
+    prev = (
+        "(SELECT node, CAST(r0 AS BIGINT) AS rank_fp FROM nodes, sc)"
+        if i == 1
+        else f"r{i - 1}"
+    )
+    return f"""r{i} AS (
+    SELECT n.node,
+           CAST(s.base + (85 * COALESCE(SUM(p.rank_fp // d.outdeg), 0)) // 100
+                AS BIGINT) AS rank_fp
+    FROM nodes n
+    CROSS JOIN sc s
+    LEFT JOIN edges e ON e.dst = n.node
+    LEFT JOIN {prev} p ON p.node = e.src
+    LEFT JOIN deg d ON d.src = e.src
+    GROUP BY n.node, s.base
+)"""
+
+
+@register(
+    "pagerank_customer_supplier",
+    oracle=_PR_UNROLLED.format(
+        iters=",\n".join(_pr_iter_cte(i) for i in range(1, 6)), k=5
+    ),
+    doc="PageRank power iteration (Page et al. 1999; the Common-Crawl "
+    "host-rank shape corpus pipelines weight sources by) over the "
+    "customer<->supplier bipartite graph implied by orders x "
+    "lineitem, 5 rounds, damping 0.85, ALL-INTEGER fixed point "
+    "(contributions floor-divided before the order-invariant BIGINT "
+    "sum) so the oracle's 5 unrolled CTE rounds replay bit-for-bit. "
+    "Per round: one edges-x-ranks shuffle join + one dst groupBy — "
+    "the Pregel message pattern in DataFrame ops, lineage cut per "
+    "round with eager localCheckpoints (operators/graph.py).",
+)
+def q_pagerank_customer_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("s_node").alias("src"), F.col("c_node").alias("dst")
+        )
+    )
+    return pagerank_fixed_point(edges, iterations=5)
