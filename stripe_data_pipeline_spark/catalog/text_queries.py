@@ -1956,3 +1956,74 @@ FROM ranked
 )
 def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.ccnet_perplexity_buckets(read_table(spark, sf_dir, "documents"))
+
+
+_CMS_BUCKET = (
+    "CAST(('0x' || substr(md5('cms' || d.row || ':' || {key}), 1, 8)) "
+    "AS BIGINT) % 256"
+)
+
+
+@register(
+    "cms_token_estimates",
+    oracle=f"""
+WITH toks AS (
+    SELECT u.w AS token
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+),
+exact AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY token
+),
+rows_ AS (SELECT UNNEST(range(0, 4)) AS row),
+cells AS (
+    SELECT d.row, {_CMS_BUCKET.format(key="t.token")} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks t CROSS JOIN rows_ d
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT token, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, token LIMIT 20
+),
+est AS (
+    SELECT t.token, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+    FROM top t CROSS JOIN rows_ d
+    JOIN cells c
+      ON c.row = d.row AND c.bucket = {_CMS_BUCKET.format(key="t.token")}
+    GROUP BY t.token
+)
+SELECT t.token, t.exact_cnt, e.cms_est
+FROM top t JOIN est e ON e.token = t.token
+""",
+    doc="Count-min sketch (Cormode & Muthukrishnan 2005): a 4x256 "
+    "mergeable counter grid over the token stream, row hashes from "
+    "md5 prefixes so DuckDB replays the sketch bit-for-bit — "
+    "collisions included (cms_est >= exact_cnt always; equality "
+    "when no collision). Reports the true top-20 tokens' exact vs "
+    "sketch counts. Build is one partial-combined d*w-key groupBy; "
+    "estimates broadcast-join the 1,024-row sketch "
+    "(operators/sketch.py). The 100 TB story: the sketch is "
+    "fixed-size regardless of corpus, mergeable cell-wise across "
+    "shards/days — the pre-aggregation HLL/CMS pairing every "
+    "warehouse monitoring stack ships.",
+)
+def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("token")
+        )
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    cms = SK.cms_build(toks, "token", depth=4, width=256)
+    est = SK.cms_estimate(cms, top.select("token"), "token", depth=4, width=256)
+    return top.join(est, "token").select("token", "exact_cnt", "cms_est")

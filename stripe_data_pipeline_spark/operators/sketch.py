@@ -1,0 +1,94 @@
+"""Count-min sketch — mergeable approximate counting (Cormode &
+Muthukrishnan 2005), the streaming/OLAP companion to the HLL
+distinct-count surface (vocab_overlap_hll_check) and the pigeonhole
+heavy-hitter pass (heavy_hitter_tokens).
+
+At 100 TB the exact token-count table is itself corpus-scaled; the
+CMS is a FIXED d x w grid of counters (here 4 x 256 = 1,024 cells)
+built in one map-side-combined aggregation, mergeable across
+partitions/days by cell-wise addition, and every point estimate is
+min over d cells — an upper bound with bounded overestimate
+(eps ~ e/w with probability 1 - 1/e^d). Spark's own
+``F.count_min_sketch`` exists but hashes with engine-private seeds;
+this implementation derives the d row hashes from md5 prefixes
+(the engine-portable hash already used for split buckets and minhash
+fingerprints), so a DuckDB oracle replays the sketch BIT-FOR-BIT —
+collisions and all.
+
+Plan shape: build = one explode of the d per-key cells (x d rows,
+collapsed by partial aggregation before the single d*w-key shuffle);
+estimate = the queried keys' cells joined against the 1,024-row
+sketch (broadcast), min per key. No driver-side state beyond the
+sketch dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_row_bucket(key: Column, row: int, width: int) -> Column:
+    """Row-``row`` bucket of ``key``: md5-prefix hash, engine-portable."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), key)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """(row, bucket, cnt) sketch cells — at most depth*width rows."""
+    cells = df.select(
+        F.posexplode(
+            F.array(
+                *[
+                    cms_row_bucket(F.col(key_col), d, width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates: (key_col, cms_est) = min over the d cells.
+
+    The sketch side is broadcast — it is <= depth*width rows by
+    construction, the whole point of sketching.
+    """
+    probes = keys.select(
+        key_col,
+        F.posexplode(
+            F.array(
+                *[
+                    cms_row_bucket(F.col(key_col), d, width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+    )
