@@ -1292,3 +1292,88 @@ def q_media_jpeg_420_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
     )
+
+
+@register(
+    "media_dhash_near_dups",
+    oracle="""
+WITH px AS (
+    SELECT doc_id,
+           g.g AS g,
+           ((doc_id // 2) * (doc_id // 2) + ((doc_id // 2) + 3) * g.g
+            + ((g.g + doc_id // 2) * (g.g + doc_id // 2)) % 251
+            + CASE WHEN doc_id % 2 = 1 AND g.g % 64 = 0 THEN 1 ELSE 0 END
+           ) % 256 AS v
+    FROM documents, UNNEST(generate_series(0, 1151)) AS g(g)
+),
+bl AS (
+    SELECT doc_id, (g // 36) // 4 AS r, (g % 36) // 4 AS c,
+           (3 * SUM(v)) // 48 AS avg
+    FROM px GROUP BY doc_id, (g // 36) // 4, (g % 36) // 4
+),
+bands AS (
+    SELECT l.doc_id, l.r,
+           CAST(SUM(CASE WHEN l.avg > rt.avg THEN 1 << l.c ELSE 0 END)
+                AS INT) AS band
+    FROM bl l
+    JOIN bl rt ON rt.doc_id = l.doc_id AND rt.r = l.r AND rt.c = l.c + 1
+    WHERE l.c < 8
+    GROUP BY l.doc_id, l.r
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(SUM(bit_count(xor(a.band, b.band))) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON b.r = a.r AND b.doc_id > a.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING SUM(bit_count(xor(a.band, b.band))) <= 4
+""",
+    doc="IMAGE near-duplicate detection via difference hash (dHash, "
+    "Krawetz's public perceptual-hash family): each doc gets a "
+    "deterministic 36x32 grayscale image (pairs 2k/2k+1 share a "
+    "base pattern, odd docs perturbed by +1 on every 64th pixel), "
+    "encoded to a real BMP and decoded back by the pure-numpy "
+    "decoder inside mapInPandas; integer 4x4 block averages -> 8x9 "
+    "grid -> 64 left>right bits packed into 8 row-bands. Pairing "
+    "uses the guaranteed-recall pigeonhole banding (hamming <= 4 "
+    "over 8 bands => one band exact), so the banded Spark plan "
+    "matches the oracle's ALL-PAIRS restatement bit-for-bit — the "
+    "near-dup-text LSH recipe carried to the image modality "
+    "(operators/multimodal.py::dhash_near_dup_pairs).",
+)
+def q_media_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands_out = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id // 2
+                g = np.arange(36 * 32, dtype=np.int64)
+                v = (
+                    base * base
+                    + (base + 3) * g
+                    + ((g + base) * (g + base)) % 251
+                ) % 256
+                if doc_id % 2 == 1:
+                    v = (v + (g % 64 == 0).astype(np.int64)) % 256
+                gray = v.reshape(32, 36).astype(np.uint8)
+                payload = M.encode_bmp(
+                    np.repeat(gray[:, :, None], 3, axis=2)
+                )
+                img, dw, dh = M.decode_image(payload, fake=False)
+                px = img.astype(np.int64)  # decoded HxWx3
+                bs = px.reshape(8, 4, 9, 4, 3).sum(axis=(1, 3, 4))
+                avg = bs // 48
+                bits = (avg[:, :8] > avg[:, 1:]).astype(np.int64)
+                band = (bits << np.arange(8, dtype=np.int64)).sum(axis=1)
+                ids.append(doc_id)
+                bands_out.append([int(x) for x in band])
+            yield pd.DataFrame({"doc_id": ids, "bands": bands_out})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    bands = docs.mapInPandas(run, schema="doc_id long, bands array<int>")
+    return M.dhash_near_dup_pairs(bands, max_hamming=4)

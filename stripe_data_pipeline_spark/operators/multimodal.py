@@ -2001,3 +2001,66 @@ def _decode_avi(buf: bytes) -> np.ndarray:
             rows = rows[::-1]
         out.append(rows[..., ::-1])  # BGR -> RGB
     return np.stack(out).astype(np.float32)
+
+
+def dhash_near_dup_pairs(
+    bands: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs from difference-hash band signatures.
+
+    ``bands``: (id_col, bands array<int>) — the perceptual hash split
+    into one small integer per band (here 8 row-bytes of the 64-bit
+    dHash, Krawetz's public aHash/dHash construction). Candidate
+    generation is the GUARANTEED-RECALL banding identity: if
+    hamming(a, b) <= max_hamming < n_bands, at least one band is
+    untouched, so an equality self-join on (band_index, band_value)
+    finds every qualifying pair — same pigeonhole LSH used for
+    near_dup text (minhash banding), but exact rather than
+    probabilistic. Verification joins the two 8-int signatures back
+    and sums per-band popcount(xor) JVM-side.
+
+    Scale: the self-join shuffles on (band_index, band_value) — the
+    8-bit demo bands cap bucket cardinality at 256 per index, so at
+    corpus scale the band WIDTH must grow with log2(n_docs) (16/32-bit
+    bands keep buckets sparse; the pigeonhole identity then needs
+    n_bands > max_hamming, unchanged). Candidate pairs are distinct
+    before the bounded verify join; no all-pairs surface anywhere.
+    """
+    b = bands.select(
+        F.col(id_col), F.posexplode("bands").alias("r", "band")
+    )
+    cand = (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.r") == F.col("y.r"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ba = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("bands").alias("_ba")
+    )
+    bb = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("bands").alias("_bb")
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            "_ba", "_bb", lambda a, c: F.bit_count(a.bitwiseXOR(c))
+        ),
+        F.lit(0).cast("int"),
+        lambda acc, x: acc + x.cast("int"),
+    )
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
