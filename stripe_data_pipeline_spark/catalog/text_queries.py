@@ -2027,3 +2027,241 @@ def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = SK.cms_build(toks, "token", depth=4, width=256)
     est = SK.cms_estimate(cms, top.select("token"), "token", depth=4, width=256)
     return top.join(est, "token").select("token", "exact_cnt", "cms_est")
+
+
+# ---------------------------------------------------------------- unigram
+
+_UNI_MAXP = 6  # max piece length (keep in sync with operators/unigram.py)
+_UNI_TOPM = 40  # multi-char vocab budget
+_UNI_MAXW = 8  # max word length in this corpus -> DP unroll depth
+
+
+def _uni_dp_chain(tag: str, cost_cte: str) -> str:
+    """The Viterbi DP over word positions, unrolled as one CTE per
+    position (no recursive aggregation needed): dp_j = MIN over
+    admissible (i, piece) of struct(cost_i + cost(piece),
+    path_i || SEP || piece) — the struct MIN is the (cost, path)
+    lexicographic tie-break both engines order identically."""
+    parts = [
+        f"dp{tag}0 AS MATERIALIZED (SELECT word, wcnt, 0 AS pos, "
+        f"CAST(0 AS BIGINT) AS cost, '' AS path FROM uwords)"
+    ]
+    for j in range(1, _UNI_MAXW + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT word, wcnt, pos, cost, path FROM dp{tag}{i}"
+            for i in range(max(0, j - _UNI_MAXP), j)
+        )
+        parts.append(
+            f"""dp{tag}{j} AS MATERIALIZED (
+    SELECT word, wcnt, {j} AS pos, m.c AS cost, m.p AS path FROM (
+        SELECT word, wcnt,
+               MIN(struct_pack(c := cost + pc,
+                               p := path || chr(31) || piece)) AS m
+        FROM (
+            SELECT d.word, d.wcnt, d.cost, d.path,
+                   v.cost_fp AS pc, v.piece AS piece
+            FROM ({prevs}) d
+            JOIN {cost_cte} v
+              ON v.piece = substr(d.word, d.pos + 1, {j} - d.pos)
+            WHERE length(d.word) >= {j}
+        ) GROUP BY word, wcnt
+    )
+)"""
+        )
+    alls = " UNION ALL ".join(
+        f"SELECT * FROM dp{tag}{j}" for j in range(1, _UNI_MAXW + 1)
+    )
+    parts.append(
+        f"""best{tag} AS MATERIALIZED (
+    SELECT word, wcnt, cost, path FROM ({alls})
+    WHERE pos = length(word)
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _uni_cost_cte(n: int, usage_cte: str) -> str:
+    """Re-estimated costs: add-one smoothing over the fixed vocab."""
+    return f"""usage{usage_cte} AS MATERIALIZED (
+    SELECT u.piece, CAST(SUM(wcnt) AS BIGINT) AS usage
+    FROM best{usage_cte},
+         UNNEST(list_filter(string_split(path, chr(31)),
+                            x -> x <> '')) AS u(piece)
+    GROUP BY u.piece
+),
+cost{n} AS MATERIALIZED (
+    SELECT v.piece,
+           CAST(COALESCE(u.usage, 0) AS BIGINT) AS usage,
+           CAST(FLOOR(-ln(CAST(COALESCE(u.usage, 0) + 1 AS DOUBLE)
+                          / CAST(t.tu + t.nv AS DOUBLE)) * 1e9 + 5e-1)
+                AS BIGINT) AS cost_fp
+    FROM vocab v
+    LEFT JOIN usage{usage_cte} u ON u.piece = v.piece
+    CROSS JOIN (
+        SELECT (SELECT CAST(SUM(usage) AS BIGINT) FROM usage{usage_cte}) AS tu,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS nv) t
+)"""
+
+
+def _uni_oracle_prefix() -> str:
+    head = f"""WITH toks AS (
+    SELECT doc_id, u.w AS w
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+),
+uwords AS MATERIALIZED (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcnt
+    FROM toks GROUP BY w
+),
+subs AS (
+    SELECT substr(word, s.s, l.l) AS piece,
+           CAST(SUM(wcnt) AS BIGINT) AS cnt
+    FROM uwords,
+         UNNEST(range(1, length(word) + 1)) AS s(s),
+         UNNEST(range(1, {_UNI_MAXP + 1})) AS l(l)
+    WHERE s.s + l.l - 1 <= length(word)
+    GROUP BY substr(word, s.s, l.l)
+),
+vocab AS MATERIALIZED (
+    SELECT piece, cnt FROM subs WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM subs WHERE length(piece) >= 2
+        ORDER BY cnt DESC, piece LIMIT {_UNI_TOPM})
+),
+cost0 AS MATERIALIZED (
+    SELECT piece,
+           CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                      * 1e9 + 5e-1) AS BIGINT) AS cost_fp
+    FROM vocab
+    CROSS JOIN (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM vocab) t
+)"""
+    return ",\n".join(
+        [
+            head,
+            _uni_dp_chain("a", "cost0"),
+            _uni_cost_cte(1, "a"),
+            _uni_dp_chain("b", "cost1"),
+            _uni_cost_cte(2, "b"),
+            _uni_dp_chain("f", "cost2"),
+        ]
+    )
+
+
+def _uni_trained(spark: SparkSession, sf_dir: str):
+    from stripe_data_pipeline_spark.operators.unigram import train_unigram
+
+    docs = read_table(spark, sf_dir, "documents")
+    return train_unigram(
+        docs, iters=2, max_piece_len=_UNI_MAXP, top_multi=_UNI_TOPM
+    )
+
+
+@register(
+    "unigram_vocab_costs",
+    oracle=_uni_oracle_prefix()
+    + """
+SELECT piece, usage, cost_fp FROM cost2
+""",
+    doc="UNIGRAM-LM tokenizer training (Kudo 2018, the SentencePiece "
+    "family — the likelihood-based production tokenizer next to "
+    "merge-based BPE): seed vocab = all chars + top-40 substrings "
+    "by weighted count, then TWO Viterbi hard-EM rounds "
+    "(deterministic (cost, path) tie-break; add-one-smoothed "
+    "re-estimation over the fixed vocab). The oracle UNROLLS the "
+    "whole train — the 8-position DP as one CTE per position, "
+    "per round — and this query pins the final vocab's usage and "
+    "fixed-point costs (operators/unigram.py).",
+)
+def q_unigram_vocab_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, costs, _ = _uni_trained(spark, sf_dir)
+    return costs.select("piece", "usage", "cost_fp")
+
+
+@register(
+    "unigram_word_segments",
+    oracle=_uni_oracle_prefix()
+    + """
+SELECT word, wcnt,
+       CAST(len(list_filter(string_split(path, chr(31)), x -> x <> ''))
+            AS INT) AS n_pieces,
+       array_to_string(list_filter(string_split(path, chr(31)),
+                                   x -> x <> ''), ' ') AS seg,
+       cost AS cost_fp
+FROM bestf
+""",
+    doc="Unigram-tokenizer WORD segmentation: every distinct word's "
+    "Viterbi-optimal piece sequence under the trained costs (the "
+    "E-step artifact — word-level, the Zipf leverage the BPE encode "
+    "rework proved). Bit-pinned: piece count, the joined piece "
+    "sequence, and the fixed-point path cost all replayed by the "
+    "unrolled-DP oracle.",
+)
+def q_unigram_word_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, _, segs = _uni_trained(spark, sf_dir)
+    return segs.select(
+        "word",
+        "wcnt",
+        F.size("pieces").alias("n_pieces"),
+        F.concat_ws(" ", "pieces").alias("seg"),
+        "cost_fp",
+    )
+
+
+@register(
+    "unigram_encoded_docs",
+    oracle=_uni_oracle_prefix()
+    + """,
+dtoks AS (
+    SELECT d.doc_id, t.i AS pos, d.ws[t.i] AS word
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents) d,
+         UNNEST(range(1, len(d.ws) + 1)) AS t(i)
+),
+denc AS (
+    SELECT dt.doc_id, dt.pos,
+           list_filter(string_split(b.path, chr(31)), x -> x <> '') AS pieces
+    FROM dtoks dt JOIN bestf b ON b.word = dt.word
+)
+SELECT doc_id,
+       CAST(SUM(len(pieces)) AS BIGINT) AS n_subwords,
+       md5(array_to_string(flatten(list(pieces ORDER BY pos)), chr(31)))
+           AS fingerprint
+FROM denc GROUP BY doc_id
+""",
+    doc="Documents encoded through the trained unigram tokenizer: "
+    "token stream joined word -> pieces (the word-level join-back "
+    "shape), per-doc subword count plus an md5 fingerprint over the "
+    "exact piece stream in document order. Proves the end-to-end "
+    "corpus path — train once, encode everywhere — for the second "
+    "tokenizer family.",
+)
+def q_unigram_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.unigram import SEP
+
+    _, _, segs = _uni_trained(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    dtoks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("pos", "word"),
+    )
+    enc = dtoks.join(segs.select("word", "pieces"), "word")
+    return enc.groupBy("doc_id").agg(
+        F.sum(F.size("pieces")).cast("bigint").alias("n_subwords"),
+        F.md5(
+            F.concat_ws(
+                SEP,
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "pieces"))
+                        ),
+                        lambda s: s["pieces"],
+                    )
+                ),
+            )
+        ).alias("fingerprint"),
+    )
