@@ -2265,3 +2265,133 @@ def q_unigram_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "cms_merge_check",
+    oracle=f"""
+WITH toks AS (
+    SELECT u.w AS token
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+),
+exact AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY token
+),
+rows_ AS (SELECT UNNEST(range(0, 4)) AS row),
+cells AS (
+    SELECT d.row, {_CMS_BUCKET.format(key="t.token")} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks t CROSS JOIN rows_ d
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT token, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, token LIMIT 20
+),
+est AS (
+    SELECT t.token, CAST(MIN(c.cnt) AS BIGINT) AS merged_est
+    FROM top t CROSS JOIN rows_ d
+    JOIN cells c
+      ON c.row = d.row AND c.bucket = {_CMS_BUCKET.format(key="t.token")}
+    GROUP BY t.token
+)
+SELECT t.token, t.exact_cnt, e.merged_est
+FROM top t JOIN est e ON e.token = t.token
+""",
+    doc="CMS MERGEABILITY, the property that makes sketches the 100 TB "
+    "answer: the corpus is split into two shards (md5 hash-range "
+    "buckets — the dataset_split machinery), a 4x256 sketch is built "
+    "per shard, and the shards are merged by CELL-WISE ADDITION. "
+    "Because CMS cells are plain counters, merge is exact: the "
+    "oracle computes the single full-corpus sketch and the merged "
+    "two-shard estimates must match it bit-for-bit — the same "
+    "sketch-merge contract as hll_mergeable_user_counts, for "
+    "counting instead of cardinality.",
+)
+def q_cms_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import sketch as SK
+    from stripe_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        hash_bucket(F.col("doc_id").cast("string"), 100).alias("b"),
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    cms_lo = SK.cms_build(toks.filter(F.col("b") < 50), "token")
+    cms_hi = SK.cms_build(toks.filter(F.col("b") >= 50), "token")
+    merged = (
+        cms_lo.unionByName(cms_hi)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    est = SK.cms_estimate(merged, top.select("token"), "token").withColumnRenamed(
+        "cms_est", "merged_est"
+    )
+    return top.join(est, "token").select("token", "exact_cnt", "merged_est")
+
+
+@register(
+    "normalized_dedup_keepers",
+    oracle="""
+WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           upper(text) || ' !!' AS text
+    FROM documents
+),
+norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS norm_text
+    FROM aug
+)
+SELECT norm_text,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM norm GROUP BY norm_text
+""",
+    doc="NORMALIZATION-AWARE exact dedup (the Dolma/RefinedWeb 'fuzzy "
+    "exact' step: lowercase, strip punctuation, collapse whitespace "
+    "BEFORE hashing, so trivially-reformatted copies collapse). "
+    "Inputs are augmented with a shouted '!!'-suffixed variant of "
+    "every doc (the pii_scrub prove-it pattern) — each variant must "
+    "land in its original's group, so every group has n_members=2 "
+    "and keeper_id = the original. Normalization is three "
+    "scan-fused string ops in the RE2-common regex subset; dedup is "
+    "one groupBy on the normalized key (at scale: on "
+    "xxhash64(norm_text), the heldout_contamination_hashed swap).",
+)
+def q_normalized_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+        )
+    )
+    norm = aug.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower("text"), "[^a-z0-9 ]", " "
+                ),
+                " +",
+                " ",
+            )
+        ).alias("norm_text"),
+    )
+    return norm.groupBy("norm_text").agg(
+        F.min("doc_id").cast("bigint").alias("keeper_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
