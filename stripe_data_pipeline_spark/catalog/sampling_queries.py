@@ -249,3 +249,66 @@ def q_vocab_overlap_hll_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_10pct"),
         )
     )
+
+
+def _unimax_stage(i: int) -> str:
+    return f"""a{i} AS (
+    SELECT r.lang, r.n_tokens, r.r,
+           LEAST(r.n_tokens, s.remaining // s.left_) AS alloc
+    FROM rk r, s{i - 1} s WHERE r.r = {i}
+),
+s{i} AS (
+    SELECT s.remaining - COALESCE((SELECT alloc FROM a{i}), 0) AS remaining,
+           s.left_ - (SELECT COUNT(*) FROM a{i}) AS left_
+    FROM s{i - 1} s
+)"""
+
+
+_UNIMAX_STAGES = 6  # >= max distinct languages in any SF
+
+
+@register(
+    "unimax_lang_budgets",
+    oracle="""
+WITH per AS (
+    SELECT lang,
+           CAST(SUM(CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS BIGINT))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+rk AS (
+    SELECT lang, n_tokens,
+           ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS r
+    FROM per
+),
+s0 AS (
+    SELECT (CAST(SUM(n_tokens) AS BIGINT) * 3) // 4 AS remaining,
+           CAST(COUNT(*) AS BIGINT) AS left_
+    FROM per
+),
+"""
+    + ",\n".join(_unimax_stage(i) for i in range(1, _UNIMAX_STAGES + 1))
+    + f"""
+SELECT lang, n_tokens, CAST(r AS BIGINT) AS rank,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST(alloc * 10000 // n_tokens AS BIGINT) AS epochs_bp
+FROM ({" UNION ALL ".join(f"SELECT * FROM a{i}" for i in range(1, _UNIMAX_STAGES + 1))})
+""",
+    doc="UniMax language budgeting (Chung et al. 2023): waterfill a "
+    "75%-of-corpus token budget across languages in ascending size "
+    "with a 1-epoch cap — small languages take min(their corpus, "
+    "fair share), surplus rolls to the large ones; the published "
+    "fairness improvement over temperature sampling. All-integer "
+    "floor arithmetic; the oracle unrolls the sequential waterfill "
+    "one CTE per rank. Counting is a per-lang groupBy; the fill is "
+    "driver-side over the BOUNDED language list "
+    "(operators/sampling.py::unimax_budgets).",
+)
+def q_unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.unimax_budgets(
+        read_table(spark, sf_dir, "documents"),
+        budget_num=3,
+        budget_den=4,
+        epochs=1,
+    )

@@ -173,3 +173,65 @@ def source_mix_plan(
         F.expr(f"(weight_fp * CAST({token_budget} AS BIGINT) div __tot) * 10000 "
                "div n_tokens").cast("bigint").alias("repeat_bp"),
     )
+
+
+def unimax_budgets(
+    df: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 4,
+    epochs: int = 1,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language budgeting (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"; public): allocate a token budget across languages
+    by WATERFILLING with a per-language epoch cap — process languages
+    in ascending corpus size; each gets
+    min(epochs * n_tokens, remaining // languages_left), surplus
+    rolls forward to the bigger languages. Low-resource languages
+    are capped at ``epochs`` passes (no oversampling them to death);
+    high-resource languages split what remains evenly — the fairness
+    property temperature sampling (lang_rebalanced_sample) lacks.
+
+    Budget = (total_tokens * budget_num) // budget_den. ALL-INTEGER
+    arithmetic (floor divisions) with a deterministic processing
+    order (n_tokens, lang), so the oracle's unrolled sequential CTEs
+    replay the waterfill bit-for-bit.
+
+    Scale: token counting is one partial-combined groupBy on the
+    language key; the waterfill itself runs driver-side over the
+    language list — bounded by contract (#languages, the same bound
+    kmeans puts on K), never corpus-scaled.
+    """
+    spark = df.sparkSession
+    per = (
+        df.select(
+            group_col,
+            F.size(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("n"),
+        )
+        .groupBy(group_col)
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    rows = sorted(
+        ((r["n_tokens"], r[group_col]) for r in per.collect())
+    )  # bounded: one row per language
+    total = sum(n for n, _ in rows)
+    remaining = (total * budget_num) // budget_den
+    left = len(rows)
+    out = []
+    for rank, (n_tokens, lang) in enumerate(rows, start=1):
+        fair = remaining // left
+        alloc = min(epochs * n_tokens, fair)
+        remaining -= alloc
+        left -= 1
+        out.append(
+            (lang, n_tokens, rank, alloc, (alloc * 10000) // n_tokens)
+        )
+    return spark.createDataFrame(
+        out,
+        schema=f"{group_col} string, n_tokens long, rank long, "
+        "alloc_tokens long, epochs_bp long",
+    )
