@@ -96,14 +96,26 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # --- ROUND-8 WINDOW (first 50; the driver checks these) ---
     # Ordering policy (VERDICT r5 #5, r7 #8): new/changed this round
-    # first, then OLDEST driver verdict first. New in r8: the
-    # persisted PQ/IVFPQ serving pair, the suffix-array-driven span
-    # scrub, the streaming session-window round trip, and the
-    # corpus-fraction suffix slice that carries the sf1 pin. Changed
-    # in r8 (re-checked): the BPE encode family (word-level rework),
-    # the PQ family (numpy Arrow encode), the suffix family
-    # (localCheckpoint pid-pinning + shared LCP walk), and
-    # span_scrubbed_docs (threshold-edge left join).
+    # first, then OLDEST driver verdict first. Newest r8 batch: the
+    # unigram tokenizer family (train/segment/encode/fertility), the
+    # CMS sketch pair, dHash image near-dups, PageRank, CCNet
+    # buckets, UniMax budgets, normalization dedup, and the Q3/Q10
+    # relational shapes. Earlier r8 batch below (persisted PQ/IVFPQ,
+    # sa scrub, session windows, suffix sf1 slice), then the
+    # word-level BPE / numpy-PQ / checkpoint-suffix reworks.
+    "unigram_vocab_costs",
+    "unigram_word_segments",
+    "unigram_encoded_docs",
+    "tokenizer_fertility_compare",
+    "cms_token_estimates",
+    "cms_merge_check",
+    "media_dhash_near_dups",
+    "pagerank_customer_supplier",
+    "ccnet_perplexity_buckets",
+    "unimax_lang_budgets",
+    "normalized_dedup_keepers",
+    "shipping_priority_q3ish",
+    "returned_top_customers_q10ish",
     "pq_adc_topk_persisted",
     "ivfpq_topk_persisted",
     "sa_scrubbed_docs",
