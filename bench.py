@@ -177,6 +177,20 @@ HEADLINE = [
     # components -> quality keeper (near_dup_quality_keepers is the
     # same keeper over the capped-block demo edges)
     "lsh_quality_keepers",
+    # r8 fourth batch: the unigram-tokenizer encode (train cached per
+    # corpus like the BPE merges — min-of-N reports the steady
+    # word-level join-back encode), the CMS sketch build+probe (one
+    # corpus pass into a fixed 4x256 grid), the dHash image near-dup
+    # path (real BMP decode + guaranteed-recall banding), 5-round
+    # fixed-point PageRank, CCNet per-lang perplexity tertiles, and
+    # the two classic TPC-H join shapes
+    "unigram_encoded_docs",
+    "cms_token_estimates",
+    "media_dhash_near_dups",
+    "pagerank_customer_supplier",
+    "ccnet_perplexity_buckets",
+    "shipping_priority_q3ish",
+    "returned_top_customers_q10ish",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -246,6 +260,19 @@ SF1_SPOT = [
     # r8: the end-to-end LSH dedup composition must scale like its
     # edge stage (~linear banding), not like the quadratic demo
     "lsh_quality_keepers",
+    # r8 fourth batch: the unigram encode's word-level join-back must
+    # stay linear (training is bounded-word-table work), the CMS pass
+    # certifies the fixed-grid sketch contract (shuffle volume is
+    # d*w-capped), PageRank is 5 linear join+agg rounds, and the
+    # CCNet bucketing adds one per-lang sort to the linear LM scoring
+    # (media_dhash_near_dups stays OUT of this gate on purpose: its
+    # demo-width 8-bit bands saturate at corpus scale by design — the
+    # documented knob is band width ~ log2(n_docs), and the banded
+    # join would read as quadratic here without that widening)
+    "unigram_encoded_docs",
+    "cms_token_estimates",
+    "pagerank_customer_supplier",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -1338,3 +1338,133 @@ def q_streaming_static_join_mart_check(
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+def _materialized_cms_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus token stream exploded to CMS cells and folded into a
+    STORED 4x256 sketch in two HWM-cut batches (cursor = doc_id; the
+    second batch re-delivers the whole corpus and the watermark cuts
+    it to the strictly-new docs). The mart is only ever the d*w cell
+    relation — sketch-sized, never corpus-sized."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    cache_key = sf_dir + "#cmsmart"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="cms_mart_")
+    mart = os.path.join(root, "mart")
+
+    docs = _rt(spark, sf_dir, "documents")
+    cells = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[SK.cms_row_bucket(F.col("token"), d, 256) for d in range(4)]
+            )
+        ).alias("row", "bucket"),
+    )
+    cutoff = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).first()[0]
+    day1 = cells.filter(F.col("doc_id") <= F.lit(cutoff))
+    for batch in (day1, cells):  # second pass re-delivers everything
+        MT.incremental_agg_run(
+            spark,
+            batch,
+            mart,
+            group_cols=["row", "bucket"],
+            sum_cols={},
+            cursor_col="doc_id",
+            count_col="cnt",
+        )
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+_CMS_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('cms' || d.row || ':' || {key}), 1, 8)) "
+    "AS BIGINT) % 256"
+)
+
+_CMS_ORACLE_BODY = f"""
+WITH toks AS (
+    SELECT u.w AS token
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+),
+exact AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM toks GROUP BY token
+),
+rows_ AS (SELECT UNNEST(range(0, 4)) AS row),
+cells AS (
+    SELECT d.row, {_CMS_BUCKET_SQL.format(key="t.token")} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks t CROSS JOIN rows_ d
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT token, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, token LIMIT 20
+),
+est AS (
+    SELECT t.token, CAST(MIN(c.cnt) AS BIGINT) AS stored_est
+    FROM top t CROSS JOIN rows_ d
+    JOIN cells c
+      ON c.row = d.row AND c.bucket = {_CMS_BUCKET_SQL.format(key="t.token")}
+    GROUP BY t.token
+)
+SELECT t.token, t.exact_cnt, e.stored_est
+FROM top t JOIN est e ON e.token = t.token
+"""
+
+
+@register(
+    "incremental_cms_mart_check",
+    oracle=_CMS_ORACLE_BODY,
+    doc="INCREMENTAL sketch maintenance: the 4x256 count-min sketch "
+    "folded into a stored mart in two HWM-cut batches (cursor = "
+    "doc_id; the second batch re-delivers the entire corpus and the "
+    "watermark cuts it to strictly-new docs, so cells are "
+    "exactly-once even under at-least-once re-delivery). Because "
+    "CMS cells are mergeable counters, the STORED sketch must "
+    "bit-match the one-shot full-corpus sketch — top-20 exact vs "
+    "stored-sketch estimates under the same oracle as "
+    "cms_token_estimates. The mart is only ever 1,024 cells: "
+    "sketch-sized state under corpus-sized ingest, the monitoring "
+    "shape a 100 TB pipeline actually persists.",
+)
+def q_incremental_cms_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.io import read_table as _rt
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    mart = _materialized_cms_mart(spark, sf_dir).select(
+        "row", "bucket", F.col("cnt").cast("bigint").alias("cnt")
+    )
+    toks = _rt(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "token").limit(20)
+    est = SK.cms_estimate(mart, top.select("token"), "token").withColumnRenamed(
+        "cms_est", "stored_est"
+    )
+    return top.join(est, "token").select("token", "exact_cnt", "stored_est")
