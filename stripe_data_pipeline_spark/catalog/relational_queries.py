@@ -1992,3 +1992,36 @@ def q_pagerank_customer_supplier(
         )
     )
     return pagerank_fixed_point(edges, iterations=5)
+
+
+@register(
+    "hilbert_key_check",
+    oracle=(
+        lambda: f"""
+SELECT o_orderkey,
+       {__import__('stripe_data_pipeline_spark.operators.layout', fromlist=['hilbert_key_sql']).hilbert_key_sql(
+           "(o_custkey % 256)",
+           "(date_diff('day', DATE '1992-01-01', o_orderdate) % 256)")} AS h_key
+FROM orders
+"""
+    )(),
+    doc="HILBERT-curve clustering key over (customer, order-day) — "
+    "the better-locality sibling of zorder_key_check (a Hilbert walk "
+    "has no Morton diagonal jumps, so per-file min/max boxes sort "
+    "out tighter; the direction Delta OPTIMIZE and BigQuery "
+    "clustering both took). The 4-state machine derived from the "
+    "classic xy2d loop runs as a pure JVM expression fold (two "
+    "16-entry array-literal lookups per level, 8 levels, no UDF); "
+    "DuckDB replays the identical fold as nested list lookups, "
+    "bit-exact (operators/layout.py::hilbert_key; table derivation "
+    "exhaustively verified in tests).",
+)
+def q_hilbert_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.layout import hilbert_key
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        hilbert_key(F.col("o_custkey") % 256, day % 256).alias("h_key"),
+    )

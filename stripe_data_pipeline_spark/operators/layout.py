@@ -77,3 +77,66 @@ def write_zorder_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# Hilbert curve state machine, derived from the classic xy2d loop
+# (Wikipedia's public-domain reference implementation) by tracking the
+# rotation as a (swap, flip_x, flip_y) transform: exactly 4 states are
+# reachable; per level the ORIGINAL high bits (ox, oy) index a digit
+# and a next-state table. Verified exhaustively against xy2d for every
+# 5-bit point and sampled at 8 bits (tests/test_round8_ops.py).
+_HILBERT_DIG = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+_HILBERT_NXT = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+HILBERT_BITS = 8
+
+
+def hilbert_key(a: Column, b: Column, bits: int = HILBERT_BITS) -> Column:
+    """Hilbert-curve index of (a, b) on a 2^bits x 2^bits grid — the
+    better-locality sibling of ``zorder_key`` (a Hilbert walk never
+    makes the long diagonal jumps Morton order does, so file min/max
+    boxes come out tighter for the same sort; the Delta OPTIMIZE
+    successor and BigQuery clustering both moved Morton -> Hilbert).
+
+    Pure JVM expression tree: per level, the two original high bits
+    index 16-entry digit/next-state array literals (no UDF, no state
+    column — the fold is unrolled ``bits`` times). The next-state
+    expression is referenced twice per level, so the tree grows
+    ~2^bits: 8 bits (a 65,536-cell grid, plenty for file-level
+    clustering) keeps codegen comfortable; callers map wider domains
+    into [0, 2^bits) first, as with zorder_key.
+    """
+    dig = F.array(*[F.lit(v) for v in _HILBERT_DIG])
+    nxt = F.array(*[F.lit(v) for v in _HILBERT_NXT])
+    x = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    y = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    st: Column = F.lit(0)
+    d: Column = F.lit(0).cast("long")
+    for i in reversed(range(bits)):
+        q = (
+            F.shiftright(x, i).bitwiseAND(F.lit(1)) * 2
+            + F.shiftright(y, i).bitwiseAND(F.lit(1))
+        ).cast("int")
+        idx = st * 4 + q + 1  # element_at is 1-based
+        d = d + F.shiftleft(
+            F.element_at(dig, idx).cast("long"), 2 * i
+        )
+        st = F.element_at(nxt, idx)
+    return d
+
+
+def hilbert_key_sql(a: str, b: str, bits: int = HILBERT_BITS) -> str:
+    """DuckDB rendering: the same fold as chained scalar subexpressions
+    via nested list literals (linear-size SQL: each level re-states the
+    running (state, d) pair through a LIST lookup)."""
+    dig = "[" + ", ".join(str(v) for v in _HILBERT_DIG) + "]"
+    nxt = "[" + ", ".join(str(v) for v in _HILBERT_NXT) + "]"
+    x = f"(CAST({a} AS BIGINT) & {(1 << bits) - 1})"
+    y = f"(CAST({b} AS BIGINT) & {(1 << bits) - 1})"
+    st = "0"
+    d = "CAST(0 AS BIGINT)"
+    for i in reversed(range(bits)):
+        q = f"(((({x} >> {i}) & 1) * 2 + (({y} >> {i}) & 1)))"
+        idx = f"(({st}) * 4 + {q} + 1)"
+        d = f"({d} + (CAST(({dig}[{idx}]) AS BIGINT) << {2 * i}))"
+        st = f"({nxt}[{idx}])"
+    return d
