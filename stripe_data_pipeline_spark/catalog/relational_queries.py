@@ -1991,7 +1991,10 @@ def q_pagerank_customer_supplier(
             F.col("s_node").alias("src"), F.col("c_node").alias("dst")
         )
     )
-    return pagerank_fixed_point(edges, iterations=5)
+    # |V| = |customers| + |suppliers| — dim-bounded, so the rank
+    # vector broadcasts and the 2x|lineitem|-bounded edge table never
+    # reshuffles inside the power iteration.
+    return pagerank_fixed_point(edges, iterations=5, broadcast_ranks=True)
 
 
 @register(

@@ -270,12 +270,15 @@ _UNIMAX_STAGES = 6  # >= max distinct languages in any SF
 @register(
     "unimax_lang_budgets",
     oracle="""
-WITH per AS (
+WITH per0 AS (
     SELECT lang,
            CAST(SUM(CAST(len(list_filter(string_split(text, ' '),
                                          x -> x <> '')) AS BIGINT))
                 AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang
+),
+per AS (
+    SELECT * FROM per0 WHERE n_tokens > 0
 ),
 rk AS (
     SELECT lang, n_tokens,

@@ -1988,9 +1988,9 @@ top AS (
     ORDER BY exact_cnt DESC, token LIMIT 20
 ),
 est AS (
-    SELECT t.token, CAST(MIN(c.cnt) AS BIGINT) AS cms_est
+    SELECT t.token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_est
     FROM top t CROSS JOIN rows_ d
-    JOIN cells c
+    LEFT JOIN cells c
       ON c.row = d.row AND c.bucket = {_CMS_BUCKET.format(key="t.token")}
     GROUP BY t.token
 )
@@ -2319,9 +2319,9 @@ top AS (
     ORDER BY exact_cnt DESC, token LIMIT 20
 ),
 est AS (
-    SELECT t.token, CAST(MIN(c.cnt) AS BIGINT) AS merged_est
+    SELECT t.token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS merged_est
     FROM top t CROSS JOIN rows_ d
-    JOIN cells c
+    LEFT JOIN cells c
       ON c.row = d.row AND c.bucket = {_CMS_BUCKET.format(key="t.token")}
     GROUP BY t.token
 )

@@ -585,6 +585,10 @@ def encode_documents_by_word(
                 )
             ).alias("subwords")
         )
+        # Match encode_documents' documented drop of empty encodes
+        # (ADVICE r8): a doc whose every word encodes to [] would
+        # otherwise survive here with subwords = [].
+        .filter(F.size("subwords") > 0)
     )
 
 

@@ -22,18 +22,24 @@ fixed-point-before-sum contract as BM25/LM scoring. With
 damping 0.85 the true ranks are approached geometrically; 5 rounds
 is the demo depth (the oracle unrolls the same 5 rounds as CTEs).
 
-Scale shape: one shuffle join (edges x ranks on src) plus one
-groupBy (dst) per round — the Pregel message-passing pattern
-expressed in DataFrame ops, which is exactly what GraphX/GraphFrames
-lower to. Lineage is cut per round with an eager localCheckpoint
-(the connected-components/suffix-array pattern) so 5 rounds don't
-nest 5 plans. Driver-side state is two bounded scalars (node count,
-loop index).
+Scale shape: the out-degree-annotated edge list is materialized ONCE
+(eager localCheckpoint — without the cut every round re-runs the
+upstream edge-producing plan, which multiplied the catalog query's
+lineitem scan by the iteration count). Each round is then one
+edges-x-ranks join plus one partial-combined groupBy(dst) — the
+Pregel message-passing pattern in DataFrame ops, which is exactly
+what GraphX/GraphFrames lower to. The rank vector is |V| rows; when
+the caller knows |V| is dim-bounded (entity graphs over warehouse
+dimensions) ``broadcast_ranks=True`` makes the per-round join
+map-side so the big edge table never reshuffles — web-scale graphs
+(|V| in the billions) keep the default shuffle join. Lineage is cut
+per round with an eager localCheckpoint on the |V|-row rank vector.
+Driver-side state is two bounded scalars (node count, loop index).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**15
@@ -44,6 +50,7 @@ def pagerank_fixed_point(
     iterations: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Returns (node, rank_fp) for every node appearing in ``edges``.
 
@@ -52,33 +59,52 @@ def pagerank_fixed_point(
     least one out-edge (symmetric edge lists guarantee it) — there
     is deliberately no dangling-mass term, and the oracle states the
     same recurrence.
+
+    ``broadcast_ranks=True`` broadcasts the |V|-row rank vector into
+    the per-round contribution join (map-side, no edge reshuffle) —
+    correct whenever |V| rows fit an executor (dim-bounded entity
+    graphs); leave False for web-scale node sets.
+
+    Raises ValueError on an empty edge list (rank_0 = SCALE div N is
+    undefined for N = 0) — ADVICE r8.
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+    w = Window.partitionBy("src")
+    ew = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .withColumn("outdeg", F.count(F.lit(1)).over(w))
+        .localCheckpoint(eager=True)
     )
+    # ^ single materialization: the upstream edge plan runs once, the
+    # out-degree rides along via one window shuffle instead of a
+    # second checkpoint + join.
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.count()  # bounded driver scalar (one int)
+    if n == 0:
+        raise ValueError(
+            "pagerank_fixed_point: empty edge list (no nodes) — "
+            "rank_0 = SCALE div N is undefined"
+        )
     base = (15 * SCALE) // (100 * n)
     rank = nodes.withColumn(
         "rank_fp", F.lit(SCALE // n).cast("long")
     ).localCheckpoint(eager=True)
     for _ in range(iterations):
-        contrib = (
-            e.join(rank, e["src"] == rank["node"])
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_fp div outdeg").alias("c"),
-            )
+        r = F.broadcast(rank) if broadcast_ranks else rank
+        contrib = ew.join(r, ew["src"] == r["node"]).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_fp div outdeg").alias("c"),
         )
         summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        if broadcast_ranks:
+            summed = F.broadcast(summed)  # <= |V| rows by construction
         rank = (
             nodes.join(summed, "node", "left")
             .select(

@@ -203,6 +203,11 @@ def unimax_budgets(
     language key; the waterfill itself runs driver-side over the
     language list — bounded by contract (#languages, the same bound
     kmeans puts on K), never corpus-scaled.
+
+    Languages with a zero token count (all-empty texts) are SKIPPED
+    (ADVICE r8): they can contribute nothing to the budget and would
+    otherwise divide by zero computing epochs_bp; the oracle filters
+    the same way.
     """
     spark = df.sparkSession
     per = (
@@ -214,6 +219,7 @@ def unimax_budgets(
         )
         .groupBy(group_col)
         .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
     )
     rows = sorted(
         ((r["n_tokens"], r[group_col]) for r in per.collect())

@@ -15,11 +15,14 @@ this implementation derives the d row hashes from md5 prefixes
 fingerprints), so a DuckDB oracle replays the sketch BIT-FOR-BIT —
 collisions and all.
 
-Plan shape: build = one explode of the d per-key cells (x d rows,
-collapsed by partial aggregation before the single d*w-key shuffle);
-estimate = the queried keys' cells joined against the 1,024-row
-sketch (broadcast), min per key. No driver-side state beyond the
-sketch dimensions.
+Plan shape: build = one partial-combined count per key, then the d
+md5 row hashes computed once per DISTINCT key (weighted by its
+count) instead of once per occurrence — md5 work drops from d*N to
+~N cheap shuffle hashes + d*|vocab| md5s (r9 rework; bit-identical
+cells since each cell count is the sum of the counts of the keys
+hashing there); estimate = the queried keys' cells joined against
+the 1,024-row sketch (broadcast), min per key. No driver-side state
+beyond the sketch dimensions.
 """
 
 from __future__ import annotations
@@ -48,8 +51,32 @@ def cms_build(
     depth: int = 4,
     width: int = 256,
 ) -> DataFrame:
-    """(row, bucket, cnt) sketch cells — at most depth*width rows."""
-    cells = df.select(
+    """(row, bucket, cnt) sketch cells — at most depth*width rows.
+
+    Counts keys first (one partial-combined groupBy), then hashes
+    each DISTINCT key d times with its count as the cell weight —
+    cell-identical to hashing every occurrence (a cell's count is
+    the sum of the counts of the keys mapping there) but the d md5
+    evaluations amortize over the Zipf-tiny key table instead of
+    the corpus-scaled occurrence stream.
+    """
+    counts = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_w")
+    )
+    return cms_build_weighted(counts, key_col, "_w", depth, width)
+
+
+def cms_build_weighted(
+    counts: DataFrame,
+    key_col: str = "token",
+    weight_col: str = "_w",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Sketch cells from a pre-counted (key, weight) table — the
+    shape to use when the caller already aggregated the stream."""
+    cells = counts.select(
+        F.col(weight_col).alias("_w"),
         F.posexplode(
             F.array(
                 *[
@@ -57,10 +84,10 @@ def cms_build(
                     for d in range(depth)
                 ]
             )
-        ).alias("row", "bucket")
+        ).alias("row", "bucket"),
     )
     return cells.groupBy("row", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        F.sum("_w").cast("bigint").alias("cnt")
     )
 
 
@@ -75,6 +102,11 @@ def cms_estimate(
 
     The sketch side is broadcast — it is <= depth*width rows by
     construction, the whole point of sketching.
+
+    Probe cells absent from the stored sketch count as 0 (left join +
+    coalesce), so a key the corpus never touched gets the true CMS
+    estimate 0 instead of silently vanishing or overestimating from
+    the surviving cells (ADVICE r8).
     """
     probes = keys.select(
         key_col,
@@ -88,7 +120,11 @@ def cms_estimate(
         ).alias("row", "bucket"),
     )
     return (
-        probes.join(F.broadcast(cms), ["row", "bucket"])
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
     )
