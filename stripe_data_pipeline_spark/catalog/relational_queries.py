@@ -2028,3 +2028,254 @@ def q_hilbert_key_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         hilbert_key(F.col("o_custkey") % 256, day % 256).alias("h_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (r9): deterministic mergeable percentiles
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 1_000_000  # $10k buckets over o_totalprice cents
+_HIST_QS = (2500, 5000, 7500, 9000, 9900)
+
+_HIST_ORACLE = f"""
+WITH cents AS (
+    SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+    FROM orders
+),
+h AS (
+    SELECT c // {_HIST_WIDTH} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM cents GROUP BY 1
+),
+cum AS (
+    SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM h
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+qs AS (SELECT UNNEST([2500, 5000, 7500, 9000, 9900]) AS q_bp),
+t AS (
+    SELECT CAST(q_bp AS BIGINT) AS q_bp,
+           CAST((n.n * q_bp + 9999) // 10000 AS BIGINT) AS target_rank
+    FROM qs, n
+)
+SELECT t.q_bp, t.target_rank,
+       CAST(MIN(cum.bucket) AS BIGINT) AS bucket,
+       CAST(MIN(cum.bucket) * {_HIST_WIDTH} AS BIGINT) AS lo,
+       CAST(MIN(cum.bucket) * {_HIST_WIDTH} + {_HIST_WIDTH} - 1
+            AS BIGINT) AS hi
+FROM t JOIN cum ON cum.cum >= t.target_rank
+GROUP BY t.q_bp, t.target_rank
+"""
+
+
+@register(
+    "hist_quantile_prices",
+    oracle=_HIST_ORACLE,
+    doc="Fixed-grid histogram quantile sketch — the DETERMINISTIC, "
+    "mergeable alternative to approx_percentile (whose engine-"
+    "private compaction can never bit-match across engines): "
+    "order totals bucketed into $10k cells (one partial-combined "
+    "groupBy; the grid is domain/width cells regardless of row "
+    "count), quantile = first bucket whose running count reaches "
+    "ceil(q*N), reported as integer [lo, hi] cent bounds — error "
+    "bounded by bucket width BY CONSTRUCTION. The cumulative window "
+    "runs over the bounded cell grid, never the input "
+    "(operators/sketch.py::hist_quantile_bounds).",
+)
+def q_hist_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    cents = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("c")
+    )
+    h = SK.hist_build(cents, "c", _HIST_WIDTH)
+    return SK.hist_quantile_bounds(h, list(_HIST_QS), _HIST_WIDTH)
+
+
+@register(
+    "hist_quantile_merge_check",
+    oracle=_HIST_ORACLE,
+    doc="Histogram-sketch MERGEABILITY: orders split into two md5 "
+    "hash-range shards, a grid built per shard, shards merged by "
+    "cell-wise addition — and the merged quantiles must equal the "
+    "single-pass build bit-for-bit (the oracle computes the "
+    "unsharded sketch). Counters are counters: the same exact-merge "
+    "contract as cms_merge_check/hll_mergeable_user_counts, for "
+    "quantiles — the property that lets 100 TB of shards/days "
+    "maintain percentile dashboards without re-reading history.",
+)
+def q_hist_quantile_merge_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import sketch as SK
+    from stripe_data_pipeline_spark.operators.sampling import hash_bucket
+
+    cents = read_table(spark, sf_dir, "orders").select(
+        hash_bucket(F.col("o_orderkey").cast("string"), 100).alias("b"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    lo = SK.hist_build(cents.filter(F.col("b") < 50), "c", _HIST_WIDTH)
+    hi = SK.hist_build(cents.filter(F.col("b") >= 50), "c", _HIST_WIDTH)
+    merged = SK.hist_merge(lo, hi)
+    return SK.hist_quantile_bounds(merged, list(_HIST_QS), _HIST_WIDTH)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational breadth (r9): Q14 / Q16 / Q18 analogues
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promo_revenue_share_q14ish",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                * 100.0 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                                * 100.0 + 0.5) AS BIGINT)
+                ELSE 0 END) * 10000
+            // SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS promo_share_bp
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-02-01'
+""",
+    doc="TPC-H Q14-shaped promo revenue share: one ship-month slice "
+    "of lineitem (predicate pushed to the scan) joined to the part "
+    "dim (broadcast), conditional fixed-point revenue sums, share "
+    "in integer basis points (cents floored BEFORE the sums, so the "
+    "division is exact integer arithmetic). Single scan, no "
+    "fact-fact shuffle.",
+)
+def q_promo_revenue_share_q14ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-02-01")))
+    )
+    p = read_table(spark, sf_dir, "part")
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_cents"),
+            F.sum(rev).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            F.expr("promo_cents * 10000 div total_cents")
+            .cast("bigint")
+            .alias("promo_share_bp"),
+        )
+    )
+
+
+@register(
+    "parts_supplier_counts_q16ish",
+    oracle="""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+LIMIT 20
+""",
+    doc="TPC-H Q16-shaped supplier-count profile: parts outside one "
+    "brand/type with an IN-list size filter (all pushed to the part "
+    "scan), distinct supplier counts per (brand, type, size) from "
+    "the lineitem side. Part dim broadcast into the fact scan; the "
+    "only shuffle is the distinct-count agg on the grouped keys; "
+    "bounded top-20.",
+)
+def q_parts_supplier_counts_q16ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@register(
+    "large_volume_orders_q18ish",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 250
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS custkey,
+       CAST(o.o_orderkey AS BIGINT) AS orderkey,
+       o.o_orderdate AS orderdate,
+       CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)
+           AS totalprice_cents,
+       b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY totalprice_cents DESC, orderdate, orderkey
+LIMIT 50
+""",
+    doc="TPC-H Q18-shaped large-volume-order ranking: the classic "
+    "HAVING-on-aggregate semi-reduction — lineitem pre-aggregates "
+    "to per-order quantity (partial-combined, the fact table's only "
+    "shuffle), the >250 filter shrinks it to a sliver, and only "
+    "that sliver joins orders (key join) + the customer dim "
+    "(broadcast). Money as integer cents; bounded top-50.",
+)
+def q_large_volume_orders_q18ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").cast("bigint").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), "orderdate", "orderkey")
+        .limit(50)
+    )

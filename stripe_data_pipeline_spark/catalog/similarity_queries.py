@@ -565,9 +565,11 @@ def q_batch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.batch_ivf_topk(emb, queries, k=10, nprobe=2)
 
 
-@register(
-    "kmeans_cluster_profile",
-    oracle="""
+# Shared Lloyd replay (k=8, iters=2, vec_id<8 seeds): the exact
+# fixed-point recurrence kmeans_assign runs, unrolled as CTEs ending
+# at a2 = (vec_id, k, dist) — reused verbatim by every oracle that
+# consumes kmeans clusters (kmeans_cluster_profile, semdedup_keepers).
+_KMEANS_REPLAY = """
 WITH ex AS (
     SELECT vec_id, label, g.i - 1 AS pos, CAST(embedding[g.i] AS DOUBLE) AS v
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
@@ -614,6 +616,13 @@ a2 AS (
         FROM d2
     ) WHERE rn = 1
 )
+"""
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle=_KMEANS_REPLAY
+    + """
 SELECT a2.k AS cluster,
        COUNT(*) AS n_vecs,
        CAST(SUM(a2.dist) AS BIGINT) AS inertia_fp,
@@ -1157,3 +1166,174 @@ def q_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     vec = S.query_vector(emb, _QID)
     return ivfpq_residual_topk(emb, vec, k=10, nprobe=2, exclude_id=_QID)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (r9): semantic dedup via kmeans clusters + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = "0.3"  # shared literal: Spark F.lit and the SQL parse
+# the same decimal to the same double, so the >= comparison of the
+# identically-folded cosines is bit-deterministic on both engines.
+
+
+@register(
+    "semdedup_keepers",
+    oracle=_KMEANS_REPLAY
+    + f""",
+nm AS (
+    SELECT vec_id, embedding,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+    FROM embeddings
+),
+dom AS (
+    SELECT DISTINCT y.vec_id
+    FROM a2 x
+    JOIN a2 y ON x.k = y.k AND x.vec_id <> y.vec_id
+        AND (x.dist > y.dist
+             OR (x.dist = y.dist AND x.vec_id < y.vec_id))
+    JOIN nm ex ON ex.vec_id = x.vec_id
+    JOIN nm ey ON ey.vec_id = y.vec_id
+    WHERE {_dot_sql('ex.embedding', 'ey.embedding')}
+          / (ex.nrm * ey.nrm) >= {_SEMDEDUP_TAU}
+)
+SELECT a2.vec_id, a2.k AS cluster, (dom.vec_id IS NULL) AS kept
+FROM a2 LEFT JOIN dom USING (vec_id)
+""",
+    doc="SemDeDup (Abbas et al. 2023): semantic near-duplicate "
+    "pruning — kmeans-cluster the embedding space (the shared "
+    "2-iteration fixed-point Lloyd replay), compute pairwise cosine "
+    "ONLY within each cluster, and drop the centroid-nearer side of "
+    "every pair above the threshold, keeping the farthest-from-"
+    "centroid survivor (the paper's diversity-preserving keeper, "
+    "made deterministic by the integer dist_fp tie-broken on "
+    "vec_id). The clustering stage is what makes this 100 TB-able: "
+    "pair work is quadratic only within a cluster and the paper "
+    "scales K with the corpus so expected cluster size stays "
+    "constant. One cluster-key shuffle; cosines are the shared "
+    "double-fold idiom so the SQL replay matches bit-for-bit "
+    "(operators/semdedup.py).",
+)
+def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.semdedup import (
+        semdedup_flags,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return semdedup_flags(emb, k=8, iters=2, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (r9): hybrid lexical + semantic retrieval
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the constant from Cormack et al. 2009
+_RRF_L = 100  # candidate-list depth fused from each signal
+_RRF_SCALE = 10**12
+
+
+@register(
+    "rrf_hybrid_topk",
+    oracle=f"""
+WITH words AS (
+    SELECT d.doc_id, w.term
+    FROM documents d, LATERAL UNNEST(string_split(d.text, ' ')) AS w(term)
+    WHERE w.term <> ''
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+),
+dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id
+),
+dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+stats AS (
+    SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl
+),
+qterms AS (
+    SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 5
+),
+scored AS (
+    SELECT tf.doc_id,
+           CAST(FLOOR(
+               ln((CAST(s.n AS DOUBLE) - CAST(q.df AS DOUBLE) + 0.5)
+                  / (CAST(q.df AS DOUBLE) + 0.5) + 1.0)
+               * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                  / (CAST(tf.tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                        / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n AS DOUBLE))))))
+               * 1e9 + 5e-1) AS BIGINT) AS term_fp
+    FROM tf
+    JOIN qterms q USING (term)
+    JOIN dl USING (doc_id), stats s
+),
+lex AS (
+    SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY SUM(term_fp) DESC, doc_id) AS r_lex
+    FROM scored GROUP BY doc_id
+    QUALIFY r_lex <= {_RRF_L}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID}),
+sem AS (
+    SELECT vec_id AS doc_id, ROW_NUMBER() OVER (
+        ORDER BY {_dot_sql('e.embedding', 'q.qv')}
+                 / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                    * sqrt({_dot_sql('q.qv', 'q.qv')})) DESC,
+                 vec_id) AS r_sem
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QID}
+    QUALIFY r_sem <= {_RRF_L}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           CAST(COALESCE({_RRF_SCALE} // ({_RRF_K} + l.r_lex), 0)
+                + COALESCE({_RRF_SCALE} // ({_RRF_K} + s.r_sem), 0)
+                AS BIGINT) AS rrf_fp,
+           l.r_lex, s.r_sem
+    FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+)
+SELECT doc_id, rrf_fp,
+       CAST(r_lex AS BIGINT) AS r_lex, CAST(r_sem AS BIGINT) AS r_sem
+FROM fused
+ORDER BY rrf_fp DESC, doc_id
+LIMIT 10
+""",
+    doc="Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — "
+    "the standard hybrid-retrieval merge: fuse the BM25 lexical "
+    "top-100 (corpus-HDF query, the bm25_top_docs scorer) with the "
+    "semantic cosine top-100 (query = embeddings[vec_id=0]; vec_id "
+    "is 1:1 with doc_id in this corpus) by summing 1e12 div "
+    "(60 + rank) per list — ALL-INTEGER, so fusion is engine-exact "
+    "even though the underlying scores never mix. Docs missing from "
+    "one list contribute 0 from it (fusion over the candidate "
+    "union). Both candidate lists are bounded top-L window results; "
+    "the fuse itself is a full outer join of two 100-row relations "
+    "— at 100 TB the expensive parts are the two retrieval stages, "
+    "each already scale-shaped (BM25's bounded top-k, ANN for the "
+    "semantic side via ivf_topk_persisted).",
+)
+def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.similarity import rrf_fuse
+    from stripe_data_pipeline_spark.operators.text import bm25_top_docs
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    lex = bm25_top_docs(docs, n_query_terms=5, k=_RRF_L).select(
+        "doc_id", "score_fp"
+    )
+    vec = S.query_vector(emb, _QID)
+    sem = S.cosine_topk(emb, vec, k=_RRF_L, exclude_id=_QID).select(
+        F.col("vec_id").alias("doc_id"), "cosine_sim"
+    )
+    return rrf_fuse(
+        lex,
+        sem,
+        order_a=(F.desc("score_fp"), F.asc("doc_id")),
+        order_b=(F.desc("cosine_sim"), F.asc("doc_id")),
+        id_col="doc_id",
+        k=10,
+        rrf_k=_RRF_K,
+        scale=_RRF_SCALE,
+    )

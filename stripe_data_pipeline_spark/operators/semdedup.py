@@ -1,0 +1,100 @@
+"""SemDeDup — semantic deduplication via embedding clusters.
+
+Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication" (public): exact/MinHash dedup misses
+SEMANTIC duplicates (paraphrases, re-renders, boilerplate variants);
+SemDeDup k-means-clusters the embedding space, computes pairwise
+cosine only WITHIN each cluster, and prunes one side of every pair
+above a similarity threshold — keeping, per the paper, the example
+FARTHEST from its cluster centroid (maximizing retained diversity).
+
+Composition here is entirely existing machinery:
+
+- cluster assignment is :func:`kmeans.kmeans_assign` (deterministic
+  seeds, fixed-point Lloyd — the catalog oracle replays it in SQL);
+- within-cluster pairwise cosine uses the double-fold dot idiom of
+  similarity.py (F.aggregate == DuckDB list_reduce, bit-identical
+  fold shape);
+- the prune rule is a single EXISTS-style semi-join, no iteration:
+  v is REMOVED iff some u in v's cluster has cos(u, v) >= threshold
+  and u is strictly farther from the centroid (ties by smaller
+  vec_id). Greedy pairwise domination — every non-maximal member of
+  a near-dup pair drops, the farthest-from-centroid survivor stays,
+  which is the paper's keeper choice made deterministic by the
+  integer dist_fp that kmeans_assign already emits.
+
+Scale: the whole point of the clustering stage is that pair work is
+quadratic only within a cluster; the paper runs K proportional to
+corpus size (they use 50k clusters for LAION) so expected cluster
+size — and thus per-cluster pair cost — stays constant as the corpus
+grows. The join is cluster-key-partitioned (one shuffle on the
+cluster id); nothing driver-side exceeds the K x D centroid contract
+inherited from kmeans_assign.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.operators.kmeans import kmeans_assign
+from stripe_data_pipeline_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _norm,
+)
+
+
+def semdedup_flags(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """(vec_id, cluster, kept) for every vector: kept = False iff a
+    same-cluster vector above ``threshold`` cosine dominates it
+    (farther from the centroid, ties to the smaller vec_id).
+
+    ``threshold`` compares plain double cosines — both engines
+    evaluate the identical fold expression, so the comparison is
+    bit-deterministic (the cosine_near_dup_pairs contract).
+    """
+    assigned = kmeans_assign(emb, k=k, iters=iters).select(
+        "vec_id", "cluster", "dist_fp"
+    )
+    e = _as_double(F.col("embedding"))
+    base = (
+        emb.select("vec_id", e.alias("e"), _norm(e).alias("nrm"))
+        .join(assigned, "vec_id")
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (
+                (F.col("a.dist_fp") > F.col("b.dist_fp"))
+                | (
+                    (F.col("a.dist_fp") == F.col("b.dist_fp"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id"))
+                )
+            ),
+        )
+        .filter(
+            _dot(F.col("a.e"), F.col("b.e"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        base.join(dominated.withColumn("_dom", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("_dom").isNull().alias("kept"),
+        )
+    )

@@ -595,3 +595,60 @@ def hamming_topk(
     if exclude_id is not None:
         out = out.filter(F.col("vec_id") != exclude_id)
     return out.orderBy(F.asc("hamming_dist"), F.asc("vec_id")).limit(k)
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    order_a: tuple,
+    order_b: tuple,
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+    scale: int = 10**12,
+    name_a: str = "r_lex",
+    name_b: str = "r_sem",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two BOUNDED candidate lists: rank each list by its own ordering,
+    then score every id in the union by
+
+        rrf_fp = sum over lists containing it of  scale div (rrf_k + rank)
+
+    ALL-INTEGER — the lists' native scores never mix, which is the
+    whole point of RRF (no cross-signal calibration), and integer
+    division makes the fusion engine-exact. Ids absent from one list
+    contribute 0 from it.
+
+    ``a`` and ``b`` must already be bounded top-L lists (the L-row
+    global sort is the retrieval stage's job — BM25's bounded top-k
+    window, ANN's TakeOrdered — so the window here ranks L rows, not
+    the corpus). Returns the fused top-``k``:
+    (id_col, rrf_fp, name_a, name_b).
+    """
+    from pyspark.sql import Window
+
+    wa = Window.orderBy(*order_a)
+    wb = Window.orderBy(*order_b)
+    ra = a.select(
+        id_col, F.row_number().over(wa).cast("long").alias(name_a)
+    )
+    rb = b.select(
+        id_col, F.row_number().over(wb).cast("long").alias(name_b)
+    )
+    fused = ra.join(rb, id_col, "full_outer").select(
+        id_col,
+        (
+            F.coalesce(
+                F.expr(f"{scale} div ({rrf_k} + {name_a})"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{scale} div ({rrf_k} + {name_b})"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_fp"),
+        name_a,
+        name_b,
+    )
+    return fused.orderBy(F.desc("rrf_fp"), id_col).limit(k)

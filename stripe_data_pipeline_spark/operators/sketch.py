@@ -128,3 +128,84 @@ def cms_estimate(
             .alias("cms_est")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-grid histogram quantile sketch (r9)
+# ---------------------------------------------------------------------------
+#
+# The deterministic, mergeable companion to approx_percentile (whose
+# engine-private compaction makes cross-engine parity impossible): a
+# FIXED equi-width counter grid over an integer domain. Build is one
+# partial-combined groupBy; shards merge by cell-wise addition
+# (exactly like the CMS above — counters are counters); a quantile
+# estimate is the first bucket whose running count reaches
+# ceil(q * N), reported as the bucket's [lo, hi] bounds — the
+# guaranteed-error-by-construction answer (error <= bucket width)
+# that monitoring dashboards and reservoir-free pipelines use at
+# any scale. ALL-INTEGER, so every engine replays it bit-for-bit.
+
+
+def hist_build(
+    df: DataFrame, val_col: str, width: int
+) -> DataFrame:
+    """(bucket, cnt) over floor-divided ``val_col`` (BIGINT units);
+    at most domain/width cells regardless of row count."""
+    return (
+        df.select(F.expr(f"{val_col} div {width}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise addition of histogram shards — exact, like CMS."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bucket").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def hist_quantile_bounds(
+    hist: DataFrame, qs_bp: list[int], width: int
+) -> DataFrame:
+    """(q_bp, target_rank, bucket, lo, hi) per requested basis-point
+    quantile: target_rank = ceil(q * N) in integers, bucket = first
+    cell whose cumulative count reaches it.
+
+    The cumulative window is GLOBAL but runs over the bounded cell
+    grid (domain/width rows by construction — the
+    subword_vocabulary bounded-relation contract), never the input.
+    """
+    from pyspark.sql import Window
+
+    spark = hist.sparkSession
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    )
+    n = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    qs = spark.createDataFrame([(int(q),) for q in qs_bp], "q_bp bigint")
+    targets = qs.crossJoin(F.broadcast(n)).select(
+        "q_bp",
+        F.expr("(n * q_bp + 9999) div 10000").cast("bigint").alias(
+            "target_rank"
+        ),
+    )
+    return (
+        targets.join(
+            F.broadcast(cum), F.col("cum") >= F.col("target_rank")
+        )
+        .groupBy("q_bp", "target_rank")
+        .agg(F.min("bucket").cast("bigint").alias("bucket"))
+        .select(
+            "q_bp",
+            "target_rank",
+            "bucket",
+            (F.col("bucket") * width).cast("bigint").alias("lo"),
+            (F.col("bucket") * width + width - 1)
+            .cast("bigint")
+            .alias("hi"),
+        )
+    )

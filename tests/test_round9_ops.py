@@ -142,3 +142,114 @@ def test_documents_have_no_zero_token_language(sf_dir):
         "x -> x <> ''))) = 0)"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_semdedup_prunes_planted_duplicate(spark):
+    from stripe_data_pipeline_spark.operators.semdedup import (
+        semdedup_flags,
+    )
+
+    # 4 seed vectors (k=4) + a near-copy of vec 1: the copy pair must
+    # lose exactly one side, everything else survives.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 1),
+        (2, [0.0, 0.0, 1.0, 0.0], 2),
+        (3, [0.0, 0.0, 0.0, 1.0], 3),
+        (4, [0.01, 0.9999, 0.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semdedup_flags(
+            emb, k=4, iters=2, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 5
+    kept = {v for v, (_, k) in out.items() if k}
+    # vec 1 and 4 share a cluster and cos ~0.9999 >= 0.95: exactly one
+    # of them drops (the one nearer the centroid), others all stay.
+    assert {0, 2, 3} <= kept
+    assert len({1, 4} & kept) == 1
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from stripe_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 900), (20, 800), (30, 700)], "doc_id long, s long"
+    )
+    b = spark.createDataFrame(
+        [(20, 99), (40, 88)], "doc_id long, c long"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_fp"], r["r_lex"], r["r_sem"])
+        for r in rrf_fuse(
+            a,
+            b,
+            order_a=(F.desc("s"), F.asc("doc_id")),
+            order_b=(F.desc("c"), F.asc("doc_id")),
+            id_col="doc_id",
+            k=10,
+            rrf_k=60,
+            scale=10**12,
+        ).collect()
+    }
+    S = 10**12
+    assert got[20] == (S // 62 + S // 61, 2, 1)  # in both lists
+    assert got[10] == (S // 61, 1, None)
+    assert got[40] == (S // 62, None, 2)
+    assert got[30] == (S // 63, 3, None)
+    # fused order: doc 20 dominates (two contributions)
+    assert max(got, key=lambda d: got[d][0]) == 20
+
+
+def test_hist_quantile_bounds_bracket_exact_percentiles(spark, sf_dir):
+    import duckdb
+
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    cents = read_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("c")
+    )
+    width = 1_000_000
+    h = SK.hist_build(cents, "c", width)
+    rows = SK.hist_quantile_bounds(h, [2500, 5000, 9900], width).collect()
+    exact = {
+        q: duckdb.sql(
+            "SELECT CAST(FLOOR(o_totalprice*100.0+0.5) AS BIGINT) c "
+            f"FROM read_parquet('{sf_dir}/orders.parquet') "
+            f"ORDER BY c LIMIT 1 OFFSET (SELECT ((COUNT(*)*{q}+9999)//10000)-1 "
+            f"FROM read_parquet('{sf_dir}/orders.parquet'))"
+        ).fetchone()[0]
+        for q in (2500, 5000, 9900)
+    }
+    for r in rows:
+        v = exact[r["q_bp"]]
+        assert r["lo"] <= v <= r["hi"], (r, v)  # bucket-width guarantee
+
+
+def test_hist_merge_equals_single_build(spark, sf_dir):
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    cents = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).alias("shard"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("c"),
+    )
+    width = 1_000_000
+    full = SK.hist_build(cents, "c", width)
+    merged = SK.hist_merge(
+        *[
+            SK.hist_build(cents.filter(F.col("shard") == i), "c", width)
+            for i in range(3)
+        ]
+    )
+    a = {r["bucket"]: r["cnt"] for r in full.collect()}
+    b = {r["bucket"]: r["cnt"] for r in merged.collect()}
+    assert a == b
