@@ -1468,3 +1468,87 @@ def q_incremental_cms_mart_check(
         "cms_est", "stored_est"
     )
     return top.join(est, "token").select("token", "exact_cnt", "stored_est")
+
+
+def _materialized_hist_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total cents bucketed into the fixed $10k histogram grid
+    and folded into a STORED mart in two HWM-cut batches (cursor =
+    o_orderkey; the second batch re-delivers every order and the
+    watermark cuts it to strictly-new keys). The mart is only ever
+    the domain/width cell relation — grid-sized, never fact-sized."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.catalog.relational_queries import (
+        _HIST_WIDTH,
+    )
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#histmart"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="hist_mart_")
+    mart = os.path.join(root, "mart")
+
+    orders = _rt(spark, sf_dir, "orders")
+    cells = orders.select(
+        "o_orderkey",
+        F.expr(
+            f"CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+            f"div {_HIST_WIDTH}"
+        ).alias("bucket"),
+    )
+    cutoff = orders.agg(
+        F.expr("percentile_approx(o_orderkey, 0.5)")
+    ).first()[0]
+    day1 = cells.filter(F.col("o_orderkey") <= F.lit(cutoff))
+    for batch in (day1, cells):  # second pass re-delivers everything
+        MT.incremental_agg_run(
+            spark,
+            batch,
+            mart,
+            group_cols=["bucket"],
+            sum_cols={},
+            cursor_col="o_orderkey",
+            count_col="cnt",
+        )
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+from stripe_data_pipeline_spark.catalog.relational_queries import (
+    _HIST_ORACLE as _HIST_ORACLE_SHARED,
+)
+
+
+@register(
+    "incremental_hist_mart_check",
+    oracle=_HIST_ORACLE_SHARED,  # shares hist_quantile_prices' oracle
+    doc="INCREMENTAL quantile maintenance: the fixed-grid histogram "
+    "sketch folded into a stored mart in two HWM-cut batches "
+    "(cursor = o_orderkey; the re-delivered second batch is cut to "
+    "strictly-new keys, so cells stay exactly-once under "
+    "at-least-once delivery). Counters merge exactly, so quantile "
+    "bounds read from the STORED grid must bit-match the one-shot "
+    "build — same oracle as hist_quantile_prices. Grid-sized state "
+    "under fact-sized ingest: the percentile-dashboard shape a "
+    "100 TB warehouse persists instead of re-scanning history.",
+)
+def q_incremental_hist_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.catalog.relational_queries import (
+        _HIST_QS,
+        _HIST_WIDTH,
+    )
+    from stripe_data_pipeline_spark.operators import sketch as SK
+
+    mart = _materialized_hist_mart(spark, sf_dir).select(
+        "bucket", F.col("cnt").cast("bigint").alias("cnt")
+    )
+    return SK.hist_quantile_bounds(mart, list(_HIST_QS), _HIST_WIDTH)

@@ -2488,3 +2488,109 @@ def q_tokenizer_fertility_compare(
         .cast("bigint")
         .alias("fertility_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (r9): MOSS document fingerprinting
+# ---------------------------------------------------------------------------
+
+_WINNOW_SEL = """
+WITH kg AS (
+    SELECT doc_id, g.i AS pos,
+           CAST(('0x' || substr(md5(substr(text, g.i, 8)), 1, 8))
+                AS BIGINT) AS h,
+           len(text) - 8 + 1 AS L
+    FROM documents, UNNEST(generate_series(1, len(text) - 8 + 1)) AS g(i)
+    WHERE len(text) - 8 + 1 >= 4
+),
+wins AS (
+    SELECT doc_id, u.p AS p, pos, h
+    FROM kg, UNNEST(generate_series(GREATEST(pos - 3, 1),
+                                    LEAST(pos, L - 3))) AS u(p)
+),
+sel AS (
+    SELECT DISTINCT doc_id, pos, h FROM (
+        SELECT doc_id, p, pos, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, p
+                                  ORDER BY h, pos DESC) AS rn
+        FROM wins
+    ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=_WINNOW_SEL
+    + """,
+per AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+           md5(string_agg(CAST(h AS VARCHAR) || ':' || CAST(pos AS VARCHAR),
+                          ',' ORDER BY pos)) AS fingerprint
+    FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len(d.text) - 8 + 1 AS BIGINT) AS n_kgrams,
+       p.n_selected, p.fingerprint
+FROM documents d JOIN per p USING (doc_id)
+""",
+    doc="Winnowing document fingerprints (Schleimer, Wilkerson & "
+    "Aiken 2003 — the MOSS algorithm): hash every 8-char k-gram "
+    "(md5-prefix, engine-portable), slide a w=4 window over each "
+    "doc's hash stream, keep the RIGHTMOST MINIMAL hash per window "
+    "(encoded as min(struct(h, -pos)) — a total order, so the "
+    "argmin is unique and the oracle's ROW_NUMBER replay matches "
+    "bit-for-bit). Guarantees any shared substring >= k+w-1 chars "
+    "surfaces as a shared fingerprint while keeping ~2/(w+1) of "
+    "the stream. Plan: bounded w-row explode per k-gram + ONE "
+    "partial-combined (doc, window) groupBy — corpus-linear, no "
+    "per-window lists (operators/winnow.py).",
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.winnow import winnow_profile
+
+    return winnow_profile(read_table(spark, sf_dir, "documents"), k=8, w=4)
+
+
+@register(
+    "winnowing_shared_pairs",
+    oracle=_WINNOW_SEL
+    + """,
+dh AS (SELECT DISTINCT doc_id, h FROM sel),
+dfq AS (SELECT h, COUNT(*) AS c FROM dh GROUP BY h),
+rare AS (SELECT dh.doc_id, dh.h FROM dh JOIN dfq USING (h) WHERE c <= 50),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared FROM pairs
+WHERE n_shared >= 10
+ORDER BY n_shared DESC, doc_a, doc_b
+LIMIT 50
+""",
+    doc="MOSS-style overlap detection on winnowing fingerprints: "
+    "document pairs sharing >= 10 distinct selected hashes, top-50. "
+    "Hashes selected by > 50 documents are dropped BEFORE the pair "
+    "join (the rare-shingle hot-key guard — a boilerplate 8-gram "
+    "shared by half the corpus would drive an O(df^2) blowup on one "
+    "join key; pair work is bounded by max_df^2 per hash), so the "
+    "locality guarantee applies to content rarer than the cap — "
+    "the overlap that matters for plagiarism/contamination triage.",
+)
+def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.winnow import (
+        winnow_shared_pairs,
+    )
+
+    return (
+        winnow_shared_pairs(
+            read_table(spark, sf_dir, "documents"),
+            k=8,
+            w=4,
+            min_shared=10,
+            max_df=50,
+        )
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(50)
+    )

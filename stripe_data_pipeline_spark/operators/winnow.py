@@ -1,0 +1,189 @@
+"""Winnowing document fingerprints — Schleimer, Wilkerson & Aiken
+2003, "Winnowing: Local Algorithms for Document Fingerprinting" (the
+MOSS algorithm; public).
+
+Fingerprint selection with a GUARANTEE: hash every character k-gram,
+slide a window of w consecutive k-gram hashes over each document,
+and keep the RIGHTMOST MINIMAL hash of every window. Any shared
+substring of length >= k + w - 1 between two documents is then
+guaranteed to surface as at least one shared fingerprint — the
+locality property ad-hoc "0 mod p" sampling lacks — while storing
+only ~2/(w+1) of the k-gram stream. Corpus pipelines use exactly
+this for plagiarism/overlap detection and contamination triage when
+suffix-array indexing is too heavy.
+
+Engine-portable determinism: the k-gram hash is the md5-prefix
+integer already used for split buckets / CMS rows (DuckDB replays
+it verbatim), and the rightmost-min tie-break is encoded as
+min(struct(hash, -pos)) — a total order, so the per-window argmin
+is unique and the whole selection is a pure function of the text.
+
+Plan shape (all corpus-linear, no windows-over-corpus sort):
+
+- k-gram stage: one explode of per-doc positions (len - k + 1 rows
+  per doc) with a substring + md5 projection;
+- window stage: each k-gram emits the <= w window-start ids that
+  contain it (a bounded explode: w rows max), then ONE
+  partial-combined groupBy (doc, window) takes min(struct) — the
+  argmin never materializes a per-window list;
+- the selected set is the distinct (doc, pos, hash) of those
+  argmins.
+
+At 100 TB this is the standard winnowing cost: O(w) expansion of
+the character stream followed by map-side-combining aggregation,
+shuffled only on (doc_id, window) keys. No driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _kgram_hash(sub) -> F.Column:
+    return F.conv(F.substring(F.md5(sub), 1, 8), 16, 10).cast("bigint")
+
+
+def winnow_select(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The selected fingerprint set: (id_col, pos, h) — pos is the
+    1-based k-gram start, h the md5-prefix hash. Documents with
+    fewer than ``w`` k-grams (len < k + w - 1) have no full window
+    and are skipped — the paper's L >= w precondition.
+    """
+    n_kg = F.length(F.col(text_col)) - F.lit(k) + F.lit(1)
+    kg = (
+        df.select(
+            F.col(id_col),
+            n_kg.alias("_L"),
+            F.explode(F.sequence(F.lit(1), n_kg)).alias("pos"),
+            F.col(text_col).alias("_t"),
+        )
+        .filter(F.col("_L") >= F.lit(w))
+        .select(
+            id_col,
+            "_L",
+            "pos",
+            _kgram_hash(
+                F.col("_t").substr(F.col("pos"), F.lit(k))
+            ).alias("h"),
+        )
+    )
+    wins = kg.select(
+        id_col,
+        "pos",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(1)),
+                F.least(F.col("pos"), F.col("_L") - F.lit(w - 1)),
+            )
+        ).alias("p"),
+    )
+    sel = (
+        wins.groupBy(id_col, "p")
+        .agg(
+            F.min(
+                F.struct(F.col("h"), (-F.col("pos")).alias("negpos"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            (-F.col("m.negpos")).alias("pos"),
+            F.col("m.h").alias("h"),
+        )
+        .distinct()
+    )
+    return sel
+
+
+def winnow_profile(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fingerprint profile: (id_col, n_kgrams,
+    n_selected, fingerprint) with fingerprint = md5 of the
+    pos-ordered "h:pos" list — an order-sensitive digest both
+    engines reproduce bit-for-bit."""
+    sel = winnow_select(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    n_kg = (
+        df.select(
+            F.col(id_col),
+            (F.length(F.col(text_col)) - F.lit(k) + F.lit(1))
+            .cast("bigint")
+            .alias("n_kgrams"),
+        )
+    )
+    per = sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "h"))
+                    ),
+                    lambda s: F.concat(
+                        s["h"].cast("string"),
+                        F.lit(":"),
+                        s["pos"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("fingerprint"),
+    )
+    return n_kg.join(per, id_col).select(
+        id_col, "n_kgrams", "n_selected", "fingerprint"
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style overlap pairs: documents sharing >= ``min_shared``
+    DISTINCT selected fingerprint hashes.
+
+    Hashes selected by more than ``max_df`` documents are dropped
+    before the pair join — the rare-shingle hot-key guard (a
+    boilerplate 8-gram shared by half the corpus would otherwise
+    drive an O(df^2) blowup on one key); the guarantee then applies
+    to content rarer than the cap, which is the overlap that
+    matters. Pair work is bounded by max_df^2 per hash.
+    """
+    sel = winnow_select(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    ).select(id_col, "h").distinct()
+    # dfreq is corpus-scaled (one row per distinct selected hash) —
+    # a plain key join, NOT a broadcast; AQE may still pick one when
+    # the filtered side is genuinely small.
+    dfreq = sel.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    rare = sel.join(dfreq.filter(F.col("_df") <= max_df).select("h"), "h")
+    a = rare.alias("a")
+    b = rare.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -253,3 +253,38 @@ def test_hist_merge_equals_single_build(spark, sf_dir):
     a = {r["bucket"]: r["cnt"] for r in full.collect()}
     b = {r["bucket"]: r["cnt"] for r in merged.collect()}
     assert a == b
+
+
+def test_winnowing_locality_guarantee(spark):
+    """The paper's theorem: any shared substring of length >= k+w-1
+    (= 11 for k=8, w=4) yields at least one shared fingerprint."""
+    from stripe_data_pipeline_spark.operators.winnow import winnow_select
+
+    shared = "QWERTYUIOPA"  # 11 chars, appears in both docs
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa" + shared + "bbbbbbbbbbbb"),
+            (2, "cccccccccccc" + shared + "dddddddd"),
+            (3, "eeeeeeeeeeeeeeeeeeeeeeeeeeeeeeee"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnow_select(df, k=8, w=4).collect()
+    by_doc: dict = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    # density: winnowing keeps far fewer than all k-grams
+    n1 = len([r for r in sel if r["doc_id"] == 1])
+    assert n1 < (len("aaaaaaaa" + shared + "bbbbbbbbbbbb") - 7)
+
+
+def test_winnowing_skips_docs_shorter_than_one_window(spark):
+    from stripe_data_pipeline_spark.operators.winnow import winnow_select
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "a" * 30)],  # L=3 (<w=4) vs L=23
+        "doc_id long, text string",
+    )
+    docs = {r["doc_id"] for r in winnow_select(df, k=8, w=4).collect()}
+    assert docs == {2}
