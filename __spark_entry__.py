@@ -85,223 +85,227 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-8 rotation: the 5 brand-new queries plus the 12 whose code
-# paths this round's reworks touch lead the window, then the
-# oldest-verdict rows (the r5-green media/atomic/LSH block) fill it
-# to 50. Demoted past the cutoff: the r6- and r7-green rows — all
-# stay CI-covered (tests/test_oracle_catalog.py full catalog at
-# sf0.001; tools/check_oracle.py 0/174 at sf0.01 this round).
-# tests/test_driver_contract.py enforces that nothing without any
-# driver verdict sits outside the window.
+# Round-9 rotation: the 14 brand-new queries (SemDeDup, RRF fusion,
+# histogram quantile sketch family, winnowing fingerprints, Q7/Q14/
+# Q16/Q18/Q19 shapes, ANN recall eval, Zipf fit), then the two r8 queries the driver has NEVER checked
+# (hilbert_key_check, incremental_cms_mart_check missed the r8
+# window), then the 6 whose code changed this round (CMS build/
+# estimate rework, unimax zero-token guard, pagerank checkpoint+
+# broadcast rework, BPE empty-encode filter, kmeans oracle refactor),
+# then the OLDEST-driver-verdict block (r3/r4 queries lead — their
+# last green verdict is 6 rounds old). Policy per VERDICT r5 #5 /
+# r7 #8, enforced by tests/test_driver_contract.py.
 _PRIORITY = [
-    # --- ROUND-8 WINDOW (first 50; the driver checks these) ---
-    # Ordering policy (VERDICT r5 #5, r7 #8): new/changed this round
-    # first, then OLDEST driver verdict first. Newest r8 batch: the
-    # unigram tokenizer family (train/segment/encode/fertility), the
-    # CMS sketch pair, dHash image near-dups, PageRank, CCNet
-    # buckets, UniMax budgets, normalization dedup, and the Q3/Q10
-    # relational shapes. Earlier r8 batch below (persisted PQ/IVFPQ,
-    # sa scrub, session windows, suffix sf1 slice), then the
-    # word-level BPE / numpy-PQ / checkpoint-suffix reworks.
-    "unigram_vocab_costs",
-    "unigram_word_segments",
-    "unigram_encoded_docs",
-    "tokenizer_fertility_compare",
+    "semdedup_keepers",
+    "rrf_hybrid_topk",
+    "hist_quantile_prices",
+    "hist_quantile_merge_check",
+    "incremental_hist_mart_check",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "promo_revenue_share_q14ish",
+    "parts_supplier_counts_q16ish",
+    "large_volume_orders_q18ish",
+    "nation_volume_shipping_q7ish",
+    "disjunctive_parts_revenue_q19ish",
+    "ann_recall_check",
+    "zipf_fit_tokens",
+    "hilbert_key_check",
+    "incremental_cms_mart_check",
     "cms_token_estimates",
     "cms_merge_check",
-    "media_dhash_near_dups",
-    "pagerank_customer_supplier",
-    "ccnet_perplexity_buckets",
     "unimax_lang_budgets",
-    "normalized_dedup_keepers",
-    "shipping_priority_q3ish",
-    "returned_top_customers_q10ish",
-    "pq_adc_topk_persisted",
-    "ivfpq_topk_persisted",
-    "sa_scrubbed_docs",
-    "streaming_session_windows_mart_check",
-    "suffix_array_ranks_scaled",
-    "dsir_importance_weights",
-    "gopher_quality_flags",
-    "hamming_topk_signbit",
-    "ivfpq_residual_topk",
-    "grouping_sets_counts",
-    "lsh_quality_keepers",
-    "streaming_static_join_mart_check",
+    "pagerank_customer_supplier",
     "bpe_encoded_docs",
-    "bpe_subword_vocab",
-    "bpe_token_id_sequences",
-    "packed_subword_sequences",
-    "subword_sequences_mart_check",
-    "subword_chunks",
-    "pq_codes_profile",
-    "pq_adc_topk",
-    "ivfpq_topk",
-    "suffix_array_ranks_check",
-    "longest_repeat_spans_check",
-    "span_scrubbed_docs",
-    # last driver verdict: round 5 (oldest remaining) — leads the
-    # window per the rotation rule; the first 33 rows fit, the rest
-    # queue for r9
-    "media_ulaw_decode_check",
-    "media_adpcm_decode_check",
-    "media_png_decode_check",
-    "bloom_blocklist_filter",
-    "atomic_recognized_mart_check",
-    "batch_ivf_topk",
-    "media_gif_decode_check",
-    "atomic_dml_mart_check",
-    "approx_distinct_parts",
-    "hll_mergeable_user_counts",
-    "media_features",
-    "media_frame_samples",
-    "minhash_lsh_candidates",
-    "simhash_signatures",
-    "jaccard_verify_lsh",
-    "embedding_lsh_near_dups",
-    "streaming_atomic_merge_mart_check",
-    "scd2_customer_segments",
-    "atomic_merge_mart_check",
-    "incremental_agg_mart_check",
-    "atomic_mart_change_feed",
-    "stats_pruned_scan_check",
-    "near_dup_jaccard_pairs",
-    "dedup_clusters",
-    "label_centroids_applyinpandas",
+    "kmeans_cluster_profile",
+    "column_null_audit",
+    "daily_value_anomalies",
+    "event_funnel_conversion",
+    "semantic_dedup_keepers",
+    "semantic_split_leakage",
+    "source_mix_plan",
+    "streaming_windowed_counts_mart_check",
+    "token_rarity_scores",
+    "training_sequences_mart_check",
+    "user_rfm_features",
+    "weekly_retention_cohorts",
+    "active_periods_per_month_start",
+    "calendar_dim",
+    "cosine_topk_bruteforce",
+    "cube_counts",
+    "curated_line_items",
+    "dedup_exact_keepers",
+    "deferred_by_customer_asof",
+    "deferred_total_asof",
+    "fx_literal_dim",
+    "ivf_topk",
+    "missing_period_end_threshold",
+    "pandas_udf_normalize",
+    "recognized_monthly_halfopen",
+    "recognized_quarter_calendar",
+    "revenue_trend_daily",
     "asof_join_events_orders",
-    "orders_lineitem_join",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "media_metadata",
-    "doc_fingerprints",
-    "dedup_exact_summary",
-    "orders_rename_cast",
-    "orders_status_filter",
-    "orders_high_watermark",
-    "dim_chain_join",
+    "atomic_mart_change_feed",
+    "atomic_merge_mart_check",
     "customer_orders_left_join",
     "customers_with_open_orders_semi",
     "customers_without_orders_anti",
+    "dedup_clusters",
+    "dedup_exact_summary",
+    "dim_chain_join",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_text_stats",
     "doc_words_exploded_top20",
-    "max_cursor",
-    "pricing_summary",
-    "latest_event_per_user",
-    "top3_orders_per_status",
+    "embedding_lsh_near_dups",
     "event_gaps",
+    "incremental_agg_mart_check",
+    "jaccard_verify_lsh",
+    "label_centroids_applyinpandas",
+    "latest_event_per_user",
+    "max_cursor",
+    "media_metadata",
+    "near_dup_jaccard_pairs",
+    "orders_high_watermark",
+    "orders_lineitem_join",
+    "orders_rename_cast",
+    "orders_status_filter",
+    "pricing_summary",
+    "scd2_customer_segments",
+    "simhash_signatures",
+    "stats_pruned_scan_check",
+    "streaming_atomic_merge_mart_check",
     "top20_orders",
-    # last driver verdict: round 6
-    "streaming_stripe_source_mart_check",
-    "media_rle_bmp_decode_check",
-    "media_alaw_decode_check",
+    "top3_orders_per_status",
+    "approx_percentile_prices",
+    "array_agg_sorted",
+    "atomic_history_audit_check",
+    "atomic_partition_evolution_check",
     "atomic_schema_evolution_mart_check",
     "atomic_time_travel_check",
-    "atomic_partition_evolution_check",
-    "kmeans_cluster_profile",
-    "atomic_history_audit_check",
     "bm25_top_docs",
-    "edit_distance_near_dups",
-    "media_jpeg_decode_check",
-    "media_mjpeg_decode_check",
-    "doc_regex_tokens",
-    "doc_first_last_token",
-    "rollup_counts",
-    "sessionized_events",
-    "regional_revenue_q5ish",
-    "sql_api_segment_revenue",
-    "key_skew_report_events",
-    "domain_capped_docs",
+    "boilerplate_ngrams",
+    "corpus_curation_funnel",
     "cross_doc_novelty",
     "cross_doc_novelty_hashed",
-    "token_length_histogram",
-    "array_agg_sorted",
-    "embedding_near_dup_pairs",
-    "approx_percentile_prices",
-    "recognized_revenue_mart_check",
-    "ivf_topk_persisted",
-    "streaming_merge_mart_check",
     "dataset_split_assign",
-    "deterministic_sample_docs",
-    "per_group_sample_docs",
-    "doc_tfidf_top_terms",
-    "doc_chunks",
-    "heldout_contamination",
-    "pii_scrub",
-    "embedding_quantize",
-    "doc_repetition_metrics",
     "decontaminated_train_docs",
-    "lang_rebalanced_sample",
-    "quantized_topk",
-    "corpus_curation_funnel",
-    "streaming_dedup_mart_check",
-    "boilerplate_ngrams",
+    "deterministic_sample_docs",
+    "doc_chunks",
+    "doc_first_last_token",
+    "doc_regex_tokens",
+    "doc_repetition_metrics",
+    "doc_tfidf_top_terms",
+    "domain_capped_docs",
+    "edit_distance_near_dups",
+    "embedding_near_dup_pairs",
+    "embedding_quantize",
+    "heldout_contamination",
     "heldout_contamination_hashed",
     "incremental_doc_mart_check",
-    "token_rarity_scores",
-    "semantic_dedup_keepers",
-    "training_sequences_mart_check",
-    "source_mix_plan",
-    "streaming_windowed_counts_mart_check",
-    "user_rfm_features",
-    "semantic_split_leakage",
-    "event_funnel_conversion",
-    "weekly_retention_cohorts",
-    "daily_value_anomalies",
-    "column_null_audit",
-    # last driver verdict: round 7 (newest — checked again last)
-    "media_jpeg_ac_decode_check",
-    "media_jpeg_420_decode_check",
+    "ivf_topk_persisted",
+    "key_skew_report_events",
+    "lang_rebalanced_sample",
+    "media_alaw_decode_check",
+    "media_jpeg_decode_check",
+    "media_mjpeg_decode_check",
+    "media_rle_bmp_decode_check",
+    "per_group_sample_docs",
+    "pii_scrub",
+    "quantized_topk",
+    "recognized_revenue_mart_check",
+    "regional_revenue_q5ish",
+    "rollup_counts",
+    "sessionized_events",
+    "sql_api_segment_revenue",
+    "streaming_dedup_mart_check",
+    "streaming_merge_mart_check",
+    "streaming_stripe_source_mart_check",
+    "token_length_histogram",
     "bloom_blocklist_filter_persisted",
-    "near_dup_quality_keepers",
-    "quality_filtered_docs",
-    "nation_presence_full_join",
-    "order_value_ntiles",
-    "lm_perplexity_scores",
-    "streaming_interval_join_mart_check",
-    "containment_near_dups",
     "bpe_merges_learned",
-    "packed_sequences",
+    "conditional_functions",
+    "containment_near_dups",
+    "corpus_mix_summary",
+    "custkey_set_ops",
+    "dataset_split_counts",
+    "date_functions",
     "duplicate_span_stats",
     "duplicate_span_stats_hashed",
-    "dataset_split_counts",
-    "corpus_mix_summary",
-    "media_bmp_decode_check",
-    "vocab_overlap_hll_check",
-    "media_wav_decode_check",
-    "heavy_hitter_tokens",
-    "media_resize_check",
-    "zorder_key_check",
-    "media_avi_decode_check",
-    "price_percentiles",
+    "events_hourly_windows",
+    "events_in_list",
     "events_rolling_hour_count",
     "grouped_stats",
-    "conditional_functions",
-    "orders_star_plus",
-    "salted_skew_join",
-    "events_hourly_windows",
-    "running_value_per_user",
-    "date_functions",
-    "pivot_qty_by_status",
-    "events_in_list",
+    "heavy_hitter_tokens",
     "json_extraction",
-    "union_all_slices",
-    "custkey_set_ops",
+    "lm_perplexity_scores",
+    "media_avi_decode_check",
+    "media_bmp_decode_check",
+    "media_jpeg_420_decode_check",
+    "media_jpeg_ac_decode_check",
+    "media_resize_check",
+    "media_wav_decode_check",
+    "nation_presence_full_join",
+    "near_dup_quality_keepers",
+    "order_value_ntiles",
+    "orders_star_plus",
+    "packed_sequences",
+    "pivot_qty_by_status",
+    "price_percentiles",
+    "quality_filtered_docs",
+    "running_value_per_user",
+    "salted_skew_join",
+    "streaming_interval_join_mart_check",
     "string_functions",
-    "cube_counts",
-    "revenue_trend_daily",
-    "deferred_total_asof",
-    "deferred_by_customer_asof",
-    "recognized_quarter_calendar",
-    "recognized_monthly_halfopen",
-    "active_periods_per_month_start",
-    "curated_line_items",
-    "calendar_dim",
-    "fx_literal_dim",
-    "missing_period_end_threshold",
-    "pandas_udf_normalize",
-    "dedup_exact_keepers",
-    "cosine_topk_bruteforce",
-    "ivf_topk",
+    "union_all_slices",
+    "vocab_overlap_hll_check",
+    "zorder_key_check",
+    "approx_distinct_parts",
+    "atomic_dml_mart_check",
+    "atomic_recognized_mart_check",
+    "batch_ivf_topk",
+    "bloom_blocklist_filter",
+    "bpe_subword_vocab",
+    "bpe_token_id_sequences",
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "gopher_quality_flags",
+    "grouping_sets_counts",
+    "hamming_topk_signbit",
+    "hll_mergeable_user_counts",
+    "ivfpq_residual_topk",
+    "ivfpq_topk",
+    "ivfpq_topk_persisted",
+    "longest_repeat_spans_check",
+    "lsh_quality_keepers",
+    "media_adpcm_decode_check",
+    "media_dhash_near_dups",
+    "media_features",
+    "media_frame_samples",
+    "media_gif_decode_check",
+    "media_png_decode_check",
+    "media_ulaw_decode_check",
+    "minhash_lsh_candidates",
+    "normalized_dedup_keepers",
+    "packed_subword_sequences",
+    "pq_adc_topk",
+    "pq_adc_topk_persisted",
+    "pq_codes_profile",
+    "returned_top_customers_q10ish",
+    "sa_scrubbed_docs",
+    "shipping_priority_q3ish",
+    "span_scrubbed_docs",
+    "streaming_session_windows_mart_check",
+    "streaming_static_join_mart_check",
+    "subword_chunks",
+    "subword_sequences_mart_check",
+    "suffix_array_ranks_check",
+    "suffix_array_ranks_scaled",
+    "tokenizer_fertility_compare",
+    "unigram_encoded_docs",
+    "unigram_vocab_costs",
+    "unigram_word_segments",
 ]
 
 

@@ -191,6 +191,19 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "shipping_priority_q3ish",
     "returned_top_customers_q10ish",
+    # round-9 additions: SemDeDup (kmeans clusters + within-cluster
+    # cosine domination prune), reciprocal-rank hybrid fusion (two
+    # bounded top-100 retrieval stages + a 100-row fuse), the
+    # deterministic fixed-grid quantile sketch, winnowing MOSS
+    # fingerprints (w-bounded explode + one (doc,window) groupBy) and
+    # their capped overlap pairs, and two more TPC-H join shapes
+    "semdedup_keepers",
+    "rrf_hybrid_topk",
+    "hist_quantile_prices",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "promo_revenue_share_q14ish",
+    "large_volume_orders_q18ish",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -273,6 +286,14 @@ SF1_SPOT = [
     "cms_token_estimates",
     "pagerank_customer_supplier",
     "ccnet_perplexity_buckets",
+    # r9: winnowing is the textbook corpus-linear shape (constant
+    # w-factor explode + partial-combined groupBy) — the ratio
+    # certifies exactly that. semdedup_keepers stays OUT of this
+    # gate on purpose: at FIXED k its within-cluster pair work is
+    # quadratic in cluster size by design — the documented knob is
+    # K ~ corpus size (the paper runs 50k clusters for LAION), which
+    # the 10x replication can't exercise without retuning k.
+    "winnowing_fingerprints",
 ]
 
 

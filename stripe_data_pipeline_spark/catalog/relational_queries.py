@@ -2279,3 +2279,138 @@ def q_large_volume_orders_q18ish(
         .orderBy(F.desc("totalprice_cents"), "orderdate", "orderkey")
         .limit(50)
     )
+
+
+@register(
+    "nation_volume_shipping_q7ish",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY sn.n_name, cn.n_name, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7-shaped bilateral volume shipping: revenue flowing "
+    "between two nations in either direction, per shipping year. "
+    "Supplier/customer/nation dims all broadcast; the nation-pair "
+    "disjunction applies AFTER the dim joins resolve names, the "
+    "ship-date range pushes to the lineitem scan; the only "
+    "fact-fact shuffle is lineitem x orders on orderkey. Money "
+    "floored to cents per row before the order-invariant sums.",
+)
+def q_nation_volume_shipping_q7ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("bigint").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "disjunctive_parts_revenue_q19ish",
+    oracle="""
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19-shaped disjunctive predicate join: three OR-groups "
+    "mixing part attributes (brand, size) with lineitem attributes "
+    "(quantity). Catalyst derives and PUSHES the per-side residuals "
+    "of the disjunction — the part scan keeps only the three brands "
+    "(brand IN (...) is implied by the OR), the lineitem scan keeps "
+    "quantity <= 30 — before the broadcast join evaluates the full "
+    "cross-column condition; the classic constraint-propagation "
+    "showcase. Fixed-point money, scalar result.",
+)
+def q_disjunctive_parts_revenue_q19ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )

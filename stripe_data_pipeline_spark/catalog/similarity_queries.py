@@ -1337,3 +1337,50 @@ def q_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_k=_RRF_K,
         scale=_RRF_SCALE,
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall eval (r9): IVF top-k vs exact brute force, in one plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_check",
+    oracle=f"""
+WITH brute AS (
+    SELECT vec_id FROM (
+        {_COSINE_SCORED}
+        SELECT vec_id FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    )
+),
+approx AS (
+    SELECT vec_id FROM ({_IVF_ORACLE})
+)
+SELECT CAST(10 AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       CAST(COUNT(*) * 10000 // 10 AS BIGINT) AS recall_bp
+FROM brute JOIN approx USING (vec_id)
+""",
+    doc="ANN RECALL self-eval — the metric every approximate index "
+    "ships with: the IVF nprobe=2 top-10 intersected with the exact "
+    "brute-force top-10 for the same query, recall in basis points. "
+    "Both retrievals and the intersection run in ONE distributed "
+    "plan (two bounded top-k stages joined on vec_id); at 100 TB "
+    "this is the recurring index-quality probe run on a sampled "
+    "query set after every index rebuild — and because both paths "
+    "are deterministic fixed shapes here, even the eval is "
+    "bit-exact.",
+)
+def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = S.query_vector(emb, _QID)
+    brute = S.cosine_topk(emb, vec, k=10, exclude_id=_QID).select("vec_id")
+    approx = S.ivf_topk(emb, vec, k=10, nprobe=2, exclude_id=_QID).select(
+        "vec_id"
+    )
+    return brute.join(approx, "vec_id").agg(
+        F.lit(10).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
+        F.expr("count(1) * 10000 div 10").cast("bigint").alias("recall_bp"),
+    )

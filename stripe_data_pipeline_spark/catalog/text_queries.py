@@ -2594,3 +2594,96 @@ def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (r9): corpus-law diagnostics
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 100  # fit over the head ranks (standard practice)
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle=f"""
+WITH toks AS (
+    SELECT u.w AS token
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS u(w)
+),
+freq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS f
+    FROM toks GROUP BY token
+),
+head AS (
+    SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS r
+    FROM freq
+    QUALIFY r <= {_ZIPF_R}
+),
+pts AS (
+    SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS x,
+           CAST(FLOOR(ln(CAST(f AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y
+    FROM head
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT n AS n_points,
+       CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+            AS BIGINT) AS slope_micro
+FROM s
+""",
+    doc="Zipf's-law fit of the token rank-frequency head: integer "
+    "least-squares slope of (ln rank, ln freq) over the top-100 "
+    "ranks — the corpus-health diagnostic (natural text runs slope "
+    "~= -1; a corrupted or templated corpus drifts). Logs floored "
+    "to 1e-3 fixed point BEFORE the sums, every moment an "
+    "order-invariant BIGINT, the slope one integer division — "
+    "bit-exact on both engines. One vocab groupBy + a bounded "
+    "top-100 window; the fit runs over 100 rows regardless of "
+    "corpus size.",
+)
+def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = read_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda t: t != "")
+        ).alias("token")
+    )
+    freq = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    w = Window.orderBy(F.desc("f"), "token")
+    head = (
+        freq.orderBy(F.desc("f"), "token")
+        .limit(_ZIPF_R)
+        .withColumn("r", F.row_number().over(w))
+    )
+    pts = head.select(
+        F.floor(F.log(F.col("r").cast("double")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return (
+        pts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .select(
+            F.col("n").alias("n_points"),
+            F.expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+            .cast("bigint")
+            .alias("slope_micro"),
+        )
+    )
