@@ -315,3 +315,31 @@ def q_unimax_lang_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_den=4,
         epochs=1,
     )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(FLOOR(ln((CAST(CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                           AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0)
+                  / CAST(n_chars AS DOUBLE) * 1e9) AS BIGINT) AS key_fp
+FROM documents
+WHERE n_chars > 0
+ORDER BY key_fp DESC, doc_id
+LIMIT 50
+""",
+    doc="Weighted sampling WITHOUT replacement (Efraimidis & Spirakis "
+    "2006): every doc draws u in (0,1] from 48 md5 bits and keeps "
+    "key ln(u)/weight; the 50 largest keys are the weighted sample "
+    "— longer docs proportionally likelier, no replacement, ONE "
+    "pass, no state. THE distributed weighted sampler (Spark's "
+    "sampleBy is Bernoulli-only and engine-private); md5-derived u "
+    "makes the 'randomness' reproducible on any engine, run, or "
+    "partition layout. Map-side key + bounded TakeOrdered "
+    "(operators/sampling.py::weighted_sample).",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SA.weighted_sample(
+        read_table(spark, sf_dir, "documents"), "n_chars", k=50
+    )

@@ -2687,3 +2687,52 @@ def q_zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_micro"),
         )
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+WITH base AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+b2 AS (SELECT t FROM base WHERE len(t) >= 2),
+uni AS (
+    SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM b2, UNNEST(t) AS u(w) GROUP BY u.w
+),
+big AS (
+    SELECT t[g.i] AS w1, t[g.i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM b2, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 5
+),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+nb AS (SELECT CAST(SUM(len(t) - 1) AS BIGINT) AS nb FROM b2)
+SELECT w1, w2, c12,
+       CAST(FLOOR(ln((CAST(c12 AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+                     / ((CAST(u1.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+                        * (CAST(u2.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))))
+                  * 1e9) AS BIGINT) AS pmi_fp
+FROM big
+JOIN uni u1 ON u1.w = big.w1
+JOIN uni u2 ON u2.w = big.w2
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_fp DESC, w1, w2
+LIMIT 20
+""",
+    doc="PMI collocations (Church & Hanks 1990): top-20 adjacent "
+    "bigrams by pointwise mutual information — the multiword-"
+    "expression / template-artifact detector. Counts >= 5 only (PMI "
+    "is noise on hapax pairs); the ln of integer count ratios floors "
+    "to 1e-9 fixed point, both engines evaluating the identical "
+    "double expression (the bm25 ln() contract). One explode scan "
+    "per n-gram order, vocab-keyed joins, two scalar broadcasts, "
+    "bounded top-k (operators/text.py::pmi_collocations).",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(
+        read_table(spark, sf_dir, "documents"), min_count=5, k=20
+    )

@@ -241,3 +241,49 @@ def unimax_budgets(
         schema=f"{group_col} string, n_tokens long, rank long, "
         "alloc_tokens long, epochs_bp long",
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    salt: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement —
+    Efraimidis & Spirakis 2006 ("Weighted random sampling with a
+    reservoir", public): each row draws u in (0, 1] and keeps key
+    ln(u) / w; the k LARGEST keys are a weighted-without-replacement
+    sample. One pass, embarrassingly parallel, bounded top-k — THE
+    distributed weighted sampler (Spark's own sampleBy is only
+    stratified-Bernoulli and not cross-engine reproducible).
+
+    Determinism: u comes from the first 48 bits of
+    md5(salt:id) — (h + 1) / 2^48, never zero — so any engine
+    draws the same "randomness" (the split/minhash hash contract).
+    Returns (id_col, weight, key_fp) for the k winners,
+    key_fp = floor(ln(u)/w * 1e9). Rows with weight <= 0 are
+    excluded (they cannot win under the E-S transform).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(281474976710656.0)  # 2^48
+    w = F.col(weight_col).cast("double")
+    key_fp = F.floor(F.log(u) / w * F.lit(1e9)).cast("bigint")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            id_col,
+            F.col(weight_col).cast("bigint").alias("weight"),
+            key_fp.alias("key_fp"),
+        )
+        .orderBy(F.desc("key_fp"), id_col)
+        .limit(k)
+    )

@@ -653,3 +653,83 @@ def ccnet_perplexity_buckets(
             .alias("bucket"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks
+    1990, public) over adjacent token bigrams — the corpus-analysis
+    operator that surfaces multiword expressions ("new york") and
+    template artifacts:
+
+        pmi = ln( (c12 / Nb) / ((c1 / Nu) * (c2 / Nu)) )
+
+    floored to 1e-9 fixed point — both engines evaluate the
+    IDENTICAL double expression on integer counts, so the floor is
+    bit-deterministic (the bm25 ln() contract). Pairs rarer than
+    ``min_count`` are dropped first (PMI is notoriously noisy on
+    hapax pairs), then the top-``k`` by (pmi_fp, w1, w2).
+
+    Plan: one explode scan feeds the unigram groupBy, one
+    sequence-explode feeds the bigram groupBy; the bigram table
+    joins the unigram counts on each side (vocab-keyed shuffle
+    joins) and the two scalar totals broadcast. All corpus-linear;
+    the top-k is a bounded TakeOrdered.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(toks.alias("t")).filter(F.size("t") >= 2)
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    big = (
+        base.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS w1, "
+                    "element_at(t, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    nu = uni.agg(F.sum("c").cast("bigint").alias("nu"))
+    nb_src = base.select(
+        (F.size("t") - F.lit(1)).cast("bigint").alias("nb_part")
+    )
+    nb = nb_src.agg(F.sum("nb_part").cast("bigint").alias("nb"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    scored = (
+        big.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.floor(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("nb").cast("double"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("nu").cast("double"))
+                        * (F.col("c2").cast("double") / F.col("nu").cast("double"))
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("pmi_fp"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k)

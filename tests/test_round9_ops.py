@@ -288,3 +288,73 @@ def test_winnowing_skips_docs_shorter_than_one_window(spark):
     )
     docs = {r["doc_id"] for r in winnow_select(df, k=8, w=4).collect()}
     assert docs == {2}
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """E-S property check: with one row 1000x heavier than the rest,
+    that row must (a) be selected into any reasonably-sized sample
+    and (b) rank first with overwhelming probability under the
+    deterministic hash draw."""
+    from stripe_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 10) for i in range(100)] + [(1000, 100000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = weighted_sample(df, "n_chars", k=10).collect()
+    assert len(got) == 10
+    ids = [r["doc_id"] for r in got]
+    assert 1000 in ids
+    # keys are ln(u)/w <= 0 and sorted descending
+    keys = [r["key_fp"] for r in got]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k <= 0 for k in keys)
+    # zero/negative weights are excluded, not division-by-zero'd
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, 5)], "doc_id long, n_chars long"
+    )
+    got2 = [r["doc_id"] for r in weighted_sample(df2, "n_chars", k=5).collect()]
+    assert got2 == [2]
+
+
+def test_pmi_ranks_exclusive_pair_first(spark):
+    """A bigram whose two tokens appear ONLY together maximizes PMI;
+    a bigram of two very common tokens scores far lower."""
+    from stripe_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    docs = [
+        ("rare pair common common common filler", ),
+        ("rare pair common filler common filler", ),
+        ("common filler common filler common filler", ),
+        ("rare pair filler common filler common", ),
+        ("rare pair common common filler filler", ),
+        ("rare pair filler filler common common", ),
+    ]
+    df = spark.createDataFrame(docs, "text string")
+    got = pmi_collocations(df, min_count=5, k=5).collect()
+    assert got, "no pairs above min_count"
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("rare", "pair")
+    # and every returned pmi is a finite integer ordering
+    vals = [r["pmi_fp"] for r in got]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_ann_recall_and_zipf_shapes(spark, sf_dir):
+    from stripe_data_pipeline_spark.catalog.similarity_queries import (
+        q_ann_recall_check,
+    )
+    from stripe_data_pipeline_spark.catalog.text_queries import (
+        q_zipf_fit_tokens,
+    )
+
+    r = q_ann_recall_check(spark, sf_dir).collect()[0]
+    assert r["k"] == 10 and 0 <= r["n_overlap"] <= 10
+    assert r["recall_bp"] == r["n_overlap"] * 1000
+    z = q_zipf_fit_tokens(spark, sf_dir).collect()[0]
+    # n_points = min(100, vocab); the sf0.001 corpus has a ~31-token
+    # vocabulary, so assert the bound rather than the cap
+    assert 2 <= z["n_points"] <= 100
+    assert z["slope_micro"] < 0  # frequency falls with rank
