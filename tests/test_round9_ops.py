@@ -358,3 +358,33 @@ def test_ann_recall_and_zipf_shapes(spark, sf_dir):
     # vocabulary, so assert the bound rather than the cap
     assert 2 <= z["n_points"] <= 100
     assert z["slope_micro"] < 0  # frequency falls with rank
+
+
+def test_incremental_join_mart_exercises_cross_terms(spark, sf_dir):
+    """The IVM check is only meaningful if the out-of-order cut is
+    real: the data must HAVE even line numbers (late arrivals for
+    batch-1 orders) and low-orderkey orders, and the maintained mart
+    must equal the one-shot join exactly."""
+    from stripe_data_pipeline_spark.catalog.streaming_queries import (
+        q_incremental_join_mart_check,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    assert li.filter(F.col("l_linenumber") % 2 == 0).count() > 0
+    mart = q_incremental_join_mart_check(spark, sf_dir)
+    o = read_table(spark, sf_dir, "orders")
+    full = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    assert mart.count() == full.count()
+    # multiset equality per join key: duplicate line rows exist in
+    # this synthetic data (same (orderkey, linenumber) twice), so the
+    # check is per-key COUNTS matching the one-shot join, which also
+    # proves the re-delivered second batch added nothing twice
+    a = {
+        (r["o_orderkey"], r["l_linenumber"]): r["count"]
+        for r in mart.groupBy("o_orderkey", "l_linenumber").count().collect()
+    }
+    b = {
+        (r["o_orderkey"], r["l_linenumber"]): r["count"]
+        for r in full.groupBy("o_orderkey", "l_linenumber").count().collect()
+    }
+    assert a == b
