@@ -55,7 +55,18 @@ def winnow_select(
     1-based k-gram start, h the md5-prefix hash. Documents with
     fewer than ``w`` k-grams (len < k + w - 1) have no full window
     and are skipped — the paper's L >= w precondition.
+
+    Each window's rightmost-min is a RUNNING FRAME aggregate: the
+    k-gram stream sorts once per doc (one hash exchange of N rows on
+    the doc key) and min(struct(h, -pos)) over ROWS [CURRENT, w-1
+    FOLLOWING] evaluates every window in a single pass — k-gram
+    positions are dense, so the row frame IS the window. This
+    replaces the r9-initial w-way explode + (doc, window) groupBy,
+    whose w*N-row shuffle measured ~13x at 10x data under load;
+    the frame plan shuffles N rows once and scales with the corpus.
     """
+    from pyspark.sql import Window
+
     n_kg = F.length(F.col(text_col)) - F.lit(k) + F.lit(1)
     kg = (
         df.select(
@@ -74,24 +85,19 @@ def winnow_select(
             ).alias("h"),
         )
     )
-    wins = kg.select(
-        id_col,
-        "pos",
-        "h",
-        F.explode(
-            F.sequence(
-                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(1)),
-                F.least(F.col("pos"), F.col("_L") - F.lit(w - 1)),
-            )
-        ).alias("p"),
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
     )
     sel = (
-        wins.groupBy(id_col, "p")
-        .agg(
+        kg.withColumn(
+            "m",
             F.min(
                 F.struct(F.col("h"), (-F.col("pos")).alias("negpos"))
-            ).alias("m")
+            ).over(frame),
         )
+        .filter(F.col("pos") <= F.col("_L") - F.lit(w - 1))
         .select(
             id_col,
             (-F.col("m.negpos")).alias("pos"),
