@@ -85,9 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 17 brand-new queries (SemDeDup, RRF fusion,
+# Round-9 rotation: the 18 brand-new queries (SemDeDup, RRF fusion,
 # histogram quantile sketch family, winnowing fingerprints, Q7/Q14/
-# Q16/Q18/Q19 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM), then the two r8 queries the driver has NEVER checked
+# Q16/Q18/Q19 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM, Stupid Backoff LM), then the two r8 queries the driver has NEVER checked
 # (hilbert_key_check, incremental_cms_mart_check missed the r8
 # window), then the 6 whose code changed this round (CMS build/
 # estimate rework, unimax zero-token guard, pagerank checkpoint+
@@ -113,6 +113,7 @@ _PRIORITY = [
     "pmi_collocations",
     "weighted_sample_docs",
     "incremental_join_mart_check",
+    "stupid_backoff_scores",
     "hilbert_key_check",
     "incremental_cms_mart_check",
     "cms_token_estimates",

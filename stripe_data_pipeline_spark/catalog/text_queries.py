@@ -2736,3 +2736,91 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(
         read_table(spark, sf_dir, "documents"), min_count=5, k=20
     )
+
+
+_SB_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 100"
+)
+
+
+@register(
+    "stupid_backoff_scores",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id,
+           CASE WHEN {_SB_BUCKET} < 80 THEN 'train'
+                WHEN {_SB_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           list_filter(string_split(text, ' '), x -> x <> '') AS t
+    FROM documents
+),
+b3 AS (SELECT * FROM base WHERE len(t) >= 3),
+train AS (SELECT t FROM b3 WHERE split = 'train'),
+c3 AS (
+    SELECT t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3,
+           CAST(COUNT(*) AS BIGINT) AS c3
+    FROM train, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    GROUP BY 1, 2, 3
+),
+c2 AS (
+    SELECT t[g.i] AS wa, t[g.i + 1] AS wb, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM train, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    GROUP BY 1, 2
+),
+c1 AS (
+    SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS c1
+    FROM train, UNNEST(t) AS u(w) GROUP BY u.w
+),
+nv AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+    FROM c1
+),
+pos AS (
+    SELECT doc_id, split, t[g.i] AS w1, t[g.i + 1] AS w2, t[g.i + 2] AS w3
+    FROM b3, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+),
+scored AS (
+    SELECT p.doc_id, p.split,
+           CAST(FLOOR(ln(
+               CASE WHEN c3.c3 IS NOT NULL
+                    THEN CAST(c3.c3 AS DOUBLE) / CAST(cx.c2 AS DOUBLE)
+                    WHEN ch.c2 IS NOT NULL
+                    THEN 0.4 * (CAST(ch.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE))
+                    ELSE 0.4 * 0.4 * ((CAST(COALESCE(u3.c1, 0) AS DOUBLE) + 1.0)
+                         / (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+               END) * 1e9) AS BIGINT) AS s_fp
+    FROM pos p
+    LEFT JOIN c3 ON c3.w1 = p.w1 AND c3.w2 = p.w2 AND c3.w3 = p.w3
+    LEFT JOIN c2 cx ON cx.wa = p.w1 AND cx.wb = p.w2
+    LEFT JOIN c2 ch ON ch.wa = p.w2 AND ch.wb = p.w3
+    LEFT JOIN c1 u2 ON u2.w = p.w2
+    LEFT JOIN c1 u3 ON u3.w = p.w3
+    CROSS JOIN nv
+)
+SELECT doc_id, split,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(s_fp) AS BIGINT) AS score_fp
+FROM scored GROUP BY doc_id, split
+""",
+    doc="Stupid Backoff trigram scoring (Brants et al. 2007 — the "
+    "scoring rule built FOR distributed count tables: no "
+    "discounting, no normalization pass, a fixed 0.4 backoff and an "
+    "add-one unigram floor). Counts train on the md5 hash train "
+    "split only and every doc scores against them, so held-out docs "
+    "genuinely walk the backoff chain. Per-position ln floors to "
+    "1e-9 fixed point before the order-invariant per-doc sums; the "
+    "n-gram count tables are vocabulary-scaled, the stream joins "
+    "them on n-gram keys — the shape Google ran at 2-trillion-token "
+    "scale (operators/text.py::stupid_backoff_scores).",
+)
+def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.sampling import assign_split
+    from stripe_data_pipeline_spark.operators.text import (
+        stupid_backoff_scores,
+    )
+
+    docs = assign_split(
+        read_table(spark, sf_dir, "documents"), "doc_id"
+    )
+    return stupid_backoff_scores(docs)

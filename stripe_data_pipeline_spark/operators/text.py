@@ -733,3 +733,139 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi_fp"), "w1", "w2").limit(k)
+
+
+def stupid_backoff_scores(
+    df: DataFrame,
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Stupid Backoff trigram scoring — Brants et al. 2007, "Large
+    Language Models in Machine Translation" (public): the scoring
+    rule built FOR distributed count tables — no discounting, no
+    normalization pass, just counts and a fixed backoff factor:
+
+        S(w3 | w1 w2) = c3(w1 w2 w3) / c2(w1 w2)        if c3 > 0
+                      = a * c2(w2 w3) / c1(w2)           elif c2 > 0
+                      = a^2 * (c1(w3) + 1) / (N + V)     otherwise
+
+    with a = 0.4 (the paper's constant) and an add-one floor at the
+    unigram level so unseen words score finitely. Counts come from
+    the rows where ``split_col`` == 'train' ONLY, and every doc
+    scores against that model — so held-out docs genuinely exercise
+    the backoff chain (a model scored on its own training corpus
+    never backs off).
+
+    Determinism: per-position floor(ln(S) * 1e9) BEFORE the per-doc
+    sum (the bm25/LM contract) — S is the identical double
+    expression over integer counts on both engines.
+
+    Plan: three partial-combined n-gram count aggs over the train
+    split, the position stream joins them by n-gram key (left joins;
+    higher-order hit implies its context exists), two scalar
+    broadcasts (N, V). Everything corpus-linear; count tables are
+    vocabulary-scaled, shuffled on n-gram keys.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(
+        F.col(id_col), F.col(split_col), toks.alias("t")
+    ).filter(F.size("t") >= 3)
+    train = base.filter(F.col(split_col) == "train")
+
+    def grams(src: DataFrame, n: int, names: list[str]) -> DataFrame:
+        fields = ", ".join(
+            f"element_at(t, i + {j}) AS {nm}" for j, nm in enumerate(names)
+        )
+        return src.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {n - 1}), "
+                    f"i -> struct({fields}))"
+                )
+            ).alias("g")
+        ).select("g.*")
+
+    c3 = (
+        grams(train, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c3"))
+    )
+    c2 = (
+        grams(train, 2, ["wa", "wb"])
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+    )
+    c1 = (
+        grams(train, 1, ["w"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    nv = c1.agg(
+        F.sum("c1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+
+    pos = base.select(
+        id_col,
+        split_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> struct("
+                "element_at(t, i) AS w1, element_at(t, i + 1) AS w2, "
+                "element_at(t, i + 2) AS w3))"
+            )
+        ).alias("g"),
+    ).select(id_col, split_col, "g.*")
+
+    c2ctx = c2.select(
+        F.col("wa").alias("w1"),
+        F.col("wb").alias("w2"),
+        F.col("c2").alias("c2ctx"),
+    )
+    c2hit = c2.select(
+        F.col("wa").alias("w2"),
+        F.col("wb").alias("w3"),
+        F.col("c2").alias("c2hit"),
+    )
+    c1ctx = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1ctx"))
+    c1hit = c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1hit"))
+    a = float(alpha_num) / float(alpha_den)
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2ctx").cast("double"),
+        )
+        .when(
+            F.col("c2hit").isNotNull(),
+            F.lit(a)
+            * (F.col("c2hit").cast("double") / F.col("c1ctx").cast("double")),
+        )
+        .otherwise(
+            F.lit(a)
+            * F.lit(a)
+            * (
+                (F.coalesce(F.col("c1hit"), F.lit(0)).cast("double") + F.lit(1.0))
+                / (F.col("n").cast("double") + F.col("v").cast("double"))
+            )
+        )
+    )
+    scored = (
+        pos.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2ctx, ["w1", "w2"], "left")
+        .join(c2hit, ["w2", "w3"], "left")
+        .join(c1ctx, ["w2"], "left")
+        .join(c1hit, ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            id_col,
+            split_col,
+            F.floor(F.log(s) * F.lit(1e9)).cast("bigint").alias("s_fp"),
+        )
+    )
+    return scored.groupBy(id_col, split_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("s_fp").cast("bigint").alias("score_fp"),
+    )

@@ -388,3 +388,36 @@ def test_incremental_join_mart_exercises_cross_terms(spark, sf_dir):
         for r in full.groupBy("o_orderkey", "l_linenumber").count().collect()
     }
     assert a == b
+
+
+def test_stupid_backoff_walks_every_branch(spark):
+    """Hand-computed fixture exercising trigram hit, bigram backoff,
+    unigram floor with seen word, and unigram floor with UNSEEN word.
+    Train corpus: one doc 'a b c' -> c3={abc:1}, c2={ab:1, bc:1},
+    c1={a,b,c:1}, N=3, V=3."""
+    import math
+
+    from stripe_data_pipeline_spark.operators.text import (
+        stupid_backoff_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "train", "a b c"),
+            (1, "test", "a b c"),   # trigram hit: S=1
+            (2, "test", "c b c"),   # bigram backoff: S=0.4*(1/1)
+            (3, "test", "b c a"),   # unigram floor, seen 'a'
+            (4, "test", "a b x"),   # unigram floor, UNSEEN 'x'
+        ],
+        "doc_id long, split string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["score_fp"])
+        for r in stupid_backoff_scores(df).collect()
+    }
+    fp = lambda s: math.floor(math.log(s) * 1e9)  # noqa: E731
+    assert got[1] == (1, fp(1.0))
+    assert got[2] == (1, fp(0.4 * (1.0 / 1.0)))
+    assert got[3] == (1, fp(0.4 * 0.4 * ((1.0 + 1.0) / (3.0 + 3.0))))
+    assert got[4] == (1, fp(0.4 * 0.4 * ((0.0 + 1.0) / (3.0 + 3.0))))
+    assert got[0] == (1, fp(1.0))  # train doc scores too
