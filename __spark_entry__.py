@@ -85,9 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 18 brand-new queries (SemDeDup, RRF fusion,
+# Round-9 rotation: the 20 brand-new queries (SemDeDup, RRF fusion,
 # histogram quantile sketch family, winnowing fingerprints, Q7/Q14/
-# Q16/Q18/Q19 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM, Stupid Backoff LM), then the two r8 queries the driver has NEVER checked
+# Q16/Q18/Q19/Q22 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM, Stupid Backoff LM), then the two r8 queries the driver has NEVER checked
 # (hilbert_key_check, incremental_cms_mart_check missed the r8
 # window), then the 6 whose code changed this round (CMS build/
 # estimate rework, unimax zero-token guard, pagerank checkpoint+
@@ -114,6 +114,8 @@ _PRIORITY = [
     "weighted_sample_docs",
     "incremental_join_mart_check",
     "stupid_backoff_scores",
+    "idle_rich_customers_q22ish",
+    "char_entropy_scores",
     "hilbert_key_check",
     "incremental_cms_mart_check",
     "cms_token_estimates",

@@ -2414,3 +2414,59 @@ def q_disjunctive_parts_revenue_q19ish(
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@register(
+    "idle_rich_customers_q22ish",
+    oracle="""
+WITH avg_bal AS (
+    SELECT CAST(FLOOR(AVG(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                + 0.5) AS BIGINT) AS avg_cents
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT SUBSTR(c.c_name, 1, 9) AS name_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM customer c, avg_bal
+WHERE CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) > avg_bal.avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+ORDER BY name_prefix
+""",
+    doc="TPC-H Q22-shaped dormant-account analysis: customers with "
+    "above-average balances and NO orders — a scalar subquery "
+    "(1-row average broadcast into the scan filter) composed with a "
+    "left ANTI join against orders (the NOT EXISTS decorrelation "
+    "Catalyst performs), grouped by a name prefix. Money as integer "
+    "cents, including the average itself (AVG over already-floored "
+    "cents, rounded once — bit-stable cross-engine).",
+)
+def q_idle_rich_customers_q22ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > F.lit(0.0))
+        .agg(
+            F.floor(F.avg(cents) + F.lit(0.5))
+            .cast("bigint")
+            .alias("avg_cents")
+        )
+    )
+    return (
+        c.withColumn("cents", cents)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("name_prefix")
+    )

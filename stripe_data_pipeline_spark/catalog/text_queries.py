@@ -2824,3 +2824,64 @@ def q_stupid_backoff_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "documents"), "doc_id"
     )
     return stupid_backoff_scores(docs)
+
+
+@register(
+    "char_entropy_scores",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, u.ch AS ch, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents, UNNEST(string_split_regex(text, '')) AS u(ch)
+    WHERE u.ch <> ''
+    GROUP BY doc_id, u.ch
+),
+tot AS (
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM chars GROUP BY doc_id
+)
+SELECT c.doc_id, t.n AS n_chars_counted,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(SUM(CAST(FLOOR(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                           * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                           * 1e9) AS BIGINT)) AS BIGINT) AS entropy_fp
+FROM chars c JOIN tot t USING (doc_id)
+GROUP BY c.doc_id, t.n
+""",
+    doc="Per-document character-level Shannon entropy — the cheapest "
+    "template/garbage detector (low entropy = repeated boilerplate "
+    "or single-char floods; natural text sits near the language's "
+    "character entropy). Per-(doc, char) terms -p ln p floored to "
+    "1e-9 fixed point BEFORE the per-doc sum, so the total is an "
+    "order-invariant integer (the bm25 ln contract). Two "
+    "partial-combined groupBys on (doc, char) then doc — "
+    "corpus-linear, no driver state.",
+)
+def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = chars.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    return (
+        chars.join(tot, "doc_id")
+        .groupBy("doc_id", F.col("n").alias("n_chars_counted"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.sum(
+                F.floor(-p * F.log(p) * F.lit(1e9)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("entropy_fp"),
+        )
+        .select(
+            "doc_id", "n_chars_counted", "n_distinct_chars", "entropy_fp"
+        )
+    )
