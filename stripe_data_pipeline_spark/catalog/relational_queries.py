@@ -2430,23 +2430,28 @@ SELECT SUBSTR(c.c_name, 1, 9) AS name_prefix,
             AS BIGINT) AS total_cents
 FROM customer c, avg_bal
 WHERE CAST(FLOOR(c.c_acctbal * 100.0 + 0.5) AS BIGINT) > avg_bal.avg_cents
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1
 ORDER BY name_prefix
 """,
     doc="TPC-H Q22-shaped dormant-account analysis: customers with "
-    "above-average balances and NO orders — a scalar subquery "
-    "(1-row average broadcast into the scan filter) composed with a "
-    "left ANTI join against orders (the NOT EXISTS decorrelation "
-    "Catalyst performs), grouped by a name prefix. Money as integer "
-    "cents, including the average itself (AVG over already-floored "
-    "cents, rounded once — bit-stable cross-engine).",
+    "above-average balances and NO orders since 2000 — a scalar "
+    "subquery (1-row average broadcast into the scan filter) "
+    "composed with a left ANTI join against the date-filtered "
+    "orders (the NOT EXISTS decorrelation Catalyst performs; the "
+    "date predicate pushes into the anti side's scan), grouped by a "
+    "name prefix. Money as integer cents, including the average "
+    "itself (AVG over already-floored cents, rounded once — "
+    "bit-stable cross-engine).",
 )
 def q_idle_rich_customers_q22ish(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    )
     cents = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
         "bigint"
     )
