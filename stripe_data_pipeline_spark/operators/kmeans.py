@@ -115,19 +115,30 @@ def kmeans_assign(
     assignment (vec_id, label, cluster, dist_fp). Pure function of the
     input table — reproducible on any engine that follows the same
     fixed-point arithmetic (the catalog oracle replays it in SQL)."""
+    return assign_clusters(emb, kmeans_train(emb, k, iters)).drop(
+        "embedding"
+    )
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> list[list[float]]:
+    """The trained centroid list after ``iters`` Lloyd iterations
+    (i.e. iters-1 mean updates — the final iteration is the
+    assignment pass). K x D driver state by contract. Centroids are
+    a per-corpus BUILD ARTIFACT like the IVF index / PQ codebooks /
+    BPE merges: train once, reuse across every consumer (assignment,
+    SemDeDup, profiling) — the catalog caches them per sf_dir."""
     seeds = (
         emb.filter(F.col("vec_id") < k)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
         .collect()
     )
-    cents = [None] * k
+    cents: list[list[float] | None] = [None] * k
     for r in seeds:
         cents[r["vec_id"]] = [float(x) for x in r["e"]]
     if any(c is None for c in cents):
         raise ValueError(f"need vec_id 0..{k - 1} present for seeding")
-    assigned = None
-    for it in range(iters):
-        assigned = assign_clusters(emb, cents)
-        if it < iters - 1:
-            cents = update_centroids(assigned, cents)
-    return assigned.drop("embedding")
+    for _ in range(iters - 1):
+        cents = update_centroids(assign_clusters(emb, cents), cents)
+    return cents

@@ -50,6 +50,7 @@ def semdedup_flags(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.3,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, cluster, kept) for every vector: kept = False iff a
     same-cluster vector above ``threshold`` cosine dominates it
@@ -58,10 +59,20 @@ def semdedup_flags(
     ``threshold`` compares plain double cosines — both engines
     evaluate the identical fold expression, so the comparison is
     bit-deterministic (the cosine_near_dup_pairs contract).
+
+    Pass ``centroids`` (from :func:`kmeans.kmeans_train`, cached per
+    corpus) to skip in-flight Lloyd training — the build-artifact
+    shape; ``k``/``iters`` then only describe how they were trained.
     """
-    assigned = kmeans_assign(emb, k=k, iters=iters).select(
-        "vec_id", "cluster", "dist_fp"
-    )
+    if centroids is None:
+        assigned = kmeans_assign(emb, k=k, iters=iters)
+    else:
+        from stripe_data_pipeline_spark.operators.kmeans import (
+            assign_clusters,
+        )
+
+        assigned = assign_clusters(emb, centroids)
+    assigned = assigned.select("vec_id", "cluster", "dist_fp")
     e = _as_double(F.col("embedding"))
     base = (
         emb.select("vec_id", e.alias("e"), _norm(e).alias("nrm"))
