@@ -17,21 +17,28 @@ integer already used for split buckets / CMS rows (DuckDB replays
 it verbatim), and the rightmost-min tie-break is encoded as
 min(struct(hash, -pos)) — a total order, so the per-window argmin
 is unique and the whole selection is a pure function of the text.
+md5 is the portability tax and dominates the runtime constant; a
+production deployment that doesn't need a cross-engine oracle swaps
+F.xxhash64 in for the k-gram hash — same plan, same locality
+guarantee, ~2x cheaper hashing (the duplicate_span_stats_hashed
+pattern, except here the hash VALUES shape the selection so the
+md5 oracle cannot double-check the swapped variant).
 
 Plan shape (all corpus-linear, no windows-over-corpus sort):
 
 - k-gram stage: one explode of per-doc positions (len - k + 1 rows
   per doc) with a substring + md5 projection;
-- window stage: each k-gram emits the <= w window-start ids that
-  contain it (a bounded explode: w rows max), then ONE
-  partial-combined groupBy (doc, window) takes min(struct) — the
-  argmin never materializes a per-window list;
+- window stage: ONE hash exchange of the N k-gram rows on the doc
+  key, then min(struct(h, -pos)) over the running row frame
+  [CURRENT, w-1 FOLLOWING] ordered by pos — k-gram positions are
+  dense, so the row frame IS the sliding window and every window's
+  argmin falls out of a single pass (no per-window lists, no w-way
+  row expansion);
 - the selected set is the distinct (doc, pos, hash) of those
   argmins.
 
-At 100 TB this is the standard winnowing cost: O(w) expansion of
-the character stream followed by map-side-combining aggregation,
-shuffled only on (doc_id, window) keys. No driver-side state.
+At 100 TB this is one corpus-linear shuffle + a per-doc sorted
+pass. No driver-side state.
 """
 
 from __future__ import annotations
