@@ -85,9 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 20 brand-new queries (SemDeDup, RRF fusion,
-# histogram quantile sketch family, winnowing fingerprints, Q7/Q14/
-# Q16/Q18/Q19/Q22 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM, Stupid Backoff LM), then the two r8 queries the driver has NEVER checked
+# Round-9 rotation: the 22 brand-new queries (SemDeDup, RRF fusion,
+# histogram quantile sketch family, winnowing fingerprints, Q4/Q7/
+# Q14/Q15/Q16/Q18/Q19/Q22 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM, Stupid Backoff LM), then the two r8 queries the driver has NEVER checked
 # (hilbert_key_check, incremental_cms_mart_check missed the r8
 # window), then the 6 whose code changed this round (CMS build/
 # estimate rework, unimax zero-token guard, pagerank checkpoint+
@@ -116,6 +116,8 @@ _PRIORITY = [
     "stupid_backoff_scores",
     "idle_rich_customers_q22ish",
     "char_entropy_scores",
+    "priority_order_counts_q4ish",
+    "top_supplier_revenue_q15ish",
     "hilbert_key_check",
     "incremental_cms_mart_check",
     "cms_token_estimates",

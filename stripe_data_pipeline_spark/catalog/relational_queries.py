@@ -2475,3 +2475,99 @@ def q_idle_rich_customers_q22ish(
         )
         .orderBy("name_prefix")
     )
+
+
+@register(
+    "priority_order_counts_q4ish",
+    oracle="""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    doc="TPC-H Q4-shaped priority check: one-quarter order slice "
+    "counted per priority, restricted to orders with at least one "
+    "returned line item — the EXISTS correlated subquery Catalyst "
+    "decorrelates into a LEFT SEMI join (each order counted once no "
+    "matter how many lines match). The quarter predicate pushes to "
+    "the orders scan, the returnflag predicate to the lineitem "
+    "scan; one semi shuffle on orderkey.",
+)
+def q_priority_order_counts_q4ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "top_supplier_revenue_q15ish",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                               * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    GROUP BY l_suppkey
+),
+mx AS (SELECT MAX(total_cents) AS m FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_cents
+FROM rev r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN mx ON r.total_cents = mx.m
+ORDER BY s.s_suppkey
+""",
+    doc="TPC-H Q15-shaped top supplier: per-supplier revenue over one "
+    "ship-quarter (the revenue 'view'), then the supplier(s) hitting "
+    "the MAXIMUM — a scalar subquery over the aggregate broadcast "
+    "back as an equality filter (the standard argmax-via-scalar "
+    "shape; ties all returned, deterministically ordered). Quarter "
+    "predicate pushed to the lineitem scan; supplier dim broadcast; "
+    "the revenue view is one partial-combined groupBy.",
+)
+def q_top_supplier_revenue_q15ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("total_cents")
+    )
+    mx = rev.agg(F.max("total_cents").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("m"))
+        .join(F.broadcast(s), rev["l_suppkey"] == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
