@@ -85,17 +85,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 22 brand-new queries (SemDeDup, RRF fusion,
-# histogram quantile sketch family, winnowing fingerprints, Q4/Q7/
-# Q14/Q15/Q16/Q18/Q19/Q22 shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling, delta-join IVM, Stupid Backoff LM), then the two r8 queries the driver has NEVER checked
+# Round-9 rotation: the 10 newest queries first (Q17/Q13/Q2/Q21/Q11/Q8
+# decorrelation shapes, CCNet segment dedup, T5 span corruption, BPE
+# decode round-trip, WHT spectral-hash image near-dups), then the 22
+# earlier-r9 queries (SemDeDup, RRF fusion, histogram quantile sketch
+# family, winnowing fingerprints, Q4/Q7/Q14/Q15/Q16/Q18/Q19/Q22
+# shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling,
+# delta-join IVM, Stupid Backoff LM) — none has EVER had a driver
+# verdict — then the two r8 queries the driver never checked
 # (hilbert_key_check, incremental_cms_mart_check missed the r8
-# window), then the 6 whose code changed this round (CMS build/
-# estimate rework, unimax zero-token guard, pagerank checkpoint+
-# broadcast rework, BPE empty-encode filter, kmeans oracle refactor),
-# then the OLDEST-driver-verdict block (r3/r4 queries lead — their
-# last green verdict is 6 rounds old). Policy per VERDICT r5 #5 /
-# r7 #8, enforced by tests/test_driver_contract.py.
+# window), then the 6 whose code changed earlier this round, then the
+# OLDEST-driver-verdict block (r3/r4 queries lead). Policy per
+# VERDICT r5 #5 / r7 #8, enforced by tests/test_driver_contract.py.
 _PRIORITY = [
+    "atomic_clone_check",
+    "streaming_stateful_latest_mart_check",
+    "discount_revenue_q6ish",
+    "nation_profit_q9ish",
+    "linestatus_priority_q12ish",
+    "promo_part_suppliers_q20ish",
+    "preference_pair_prep",
+    "streaming_outer_join_mart_check",
+    "small_quantity_revenue_q17ish",
+    "customer_order_distribution_q13ish",
+    "cheapest_part_per_type_q2ish",
+    "sole_returning_supplier_q21ish",
+    "important_nation_balances_q11ish",
+    "nation_market_share_q8ish",
+    "segment_dedup_docs",
+    "span_corruption_pairs",
+    "bpe_roundtrip_check",
+    "media_spectral_hash_near_dups",
     "semdedup_keepers",
     "rrf_hybrid_topk",
     "hist_quantile_prices",

@@ -204,6 +204,34 @@ HEADLINE = [
     "winnowing_shared_pairs",
     "promo_revenue_share_q14ish",
     "large_volume_orders_q18ish",
+    # round-9 second batch: the remaining TPC-H decorrelation shapes
+    # (correlated-AVG Q17, left-join-histogram Q13, grouped-argmin Q2,
+    # double-EXISTS Q21 folded to one per-order agg, global-scalar
+    # HAVING Q11, market-share Q8), CCNet segment-level dedup (one
+    # shuffle on the segment key), T5 span corruption (three window
+    # passes over one sort), the BPE decode round-trip (narrow fold
+    # over the cached-tokenizer encode), and the WHT spectral pHash
+    # (banded pigeonhole pairs, same plan family as dHash)
+    "small_quantity_revenue_q17ish",
+    "customer_order_distribution_q13ish",
+    "cheapest_part_per_type_q2ish",
+    "sole_returning_supplier_q21ish",
+    "important_nation_balances_q11ish",
+    "nation_market_share_q8ish",
+    "segment_dedup_docs",
+    "span_corruption_pairs",
+    "bpe_roundtrip_check",
+    "media_spectral_hash_near_dups",
+    # round-9 third batch: the four shapes completing ALL 22 TPC-H
+    # query patterns (pure-pushdown Q6, LIKE-filtered profit Q9,
+    # conditional-count Q12, nested-semi Q20) and the DPO preference-
+    # pair construction (cluster argmax/argmin over the shared cached
+    # kmeans partitioning). Streaming marts stay out by convention.
+    "discount_revenue_q6ish",
+    "nation_profit_q9ish",
+    "linestatus_priority_q12ish",
+    "promo_part_suppliers_q20ish",
+    "preference_pair_prep",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -294,6 +322,12 @@ SF1_SPOT = [
     # K ~ corpus size (the paper runs 50k clusters for LAION), which
     # the 10x replication can't exercise without retuning k.
     "winnowing_fingerprints",
+    # r9 second batch: segment dedup's one-shuffle-on-the-segment-key
+    # contract and span corruption's single-sort window stack are the
+    # two new corpus-linear shapes — their ratios certify that the
+    # dedup exchange and the window pass both track corpus tokens
+    "segment_dedup_docs",
+    "span_corruption_pairs",
 ]
 
 

@@ -1126,3 +1126,116 @@ QUERIES["subword_sequences_mart_check"] = QUERIES[
     oracle=QUERIES["packed_subword_sequences"].oracle,
     doc=QUERIES["subword_sequences_mart_check"].doc,
 )
+
+
+@register(
+    "segment_dedup_docs",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, r.i AS i, toks[r.i] AS tok
+    FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+), seg AS (
+    SELECT doc_id, (i - 1) // 5 AS seg_idx,
+           string_agg(tok, ' ' ORDER BY i) AS seg_text
+    FROM tok GROUP BY doc_id, (i - 1) // 5
+), rn AS (
+    SELECT doc_id, seg_idx, seg_text,
+           ROW_NUMBER() OVER (PARTITION BY seg_text
+                              ORDER BY doc_id, seg_idx) AS rn
+    FROM seg
+), tot AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs FROM seg GROUP BY doc_id
+), kept AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(seg_text, ' ' ORDER BY seg_idx) AS clean_text
+    FROM rn WHERE rn = 1 GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_segs,
+       CAST(tot.n_segs - COALESCE(kept.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(kept.clean_text, '') AS clean_text
+FROM tot LEFT JOIN kept ON kept.doc_id = tot.doc_id
+""",
+    doc="CCNet-style segment-level dedup (Wenzek et al.: dedup "
+    "paragraphs by hash, keep-first): consecutive 5-token segments "
+    "deduped corpus-wide at their first (doc_id, seg_idx) occurrence, "
+    "docs rebuilt from surviving segments (~6% of segment occurrences "
+    "drop at sf0.01). One shuffle on the segment key — the same "
+    "exchange exact dedup pays; the 100 TB variant swaps the text key "
+    "for xxhash64 like the contamination twin "
+    "(operators/corpus.py::segment_dedup_documents).",
+)
+def q_segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.segment_dedup_documents(
+        read_table(spark, sf_dir, "documents"), k=5
+    )
+
+
+@register(
+    "span_corruption_pairs",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), tok AS (
+    SELECT doc_id, r.i AS i, toks[r.i] AS tok
+    FROM t, UNNEST(range(1, len(toks) + 1)) AS r(i)
+), st AS (
+    SELECT doc_id, i, tok,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 17 = 0 THEN 1 ELSE 0 END AS trig
+    FROM tok
+), mk AS (
+    SELECT doc_id, i, tok,
+           MAX(trig) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS masked
+    FROM st
+), rs AS (
+    SELECT doc_id, i, tok, masked,
+           CASE WHEN masked = 1 AND COALESCE(LAG(masked) OVER (
+                    PARTITION BY doc_id ORDER BY i), 0) = 0
+                THEN 1 ELSE 0 END AS start
+    FROM mk
+), sp AS (
+    SELECT doc_id, i, tok, masked, start,
+           SUM(start) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS span
+    FROM rs
+), pieces AS (
+    SELECT doc_id, i, masked, span,
+           CASE WHEN masked = 0 THEN tok
+                WHEN start = 1
+                THEN '<extra_id_' || CAST(span - 1 AS VARCHAR) || '>'
+                ELSE NULL END AS inp_piece,
+           CASE WHEN masked = 1 AND start = 1
+                THEN '<extra_id_' || CAST(span - 1 AS VARCHAR) || '> ' || tok
+                WHEN masked = 1 THEN tok
+                ELSE NULL END AS tgt_piece
+    FROM sp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(masked) AS BIGINT) AS n_masked,
+       CAST(MAX(span) AS BIGINT) AS n_spans,
+       COALESCE(string_agg(inp_piece, ' ' ORDER BY i), '') AS input_text,
+       COALESCE(string_agg(tgt_piece, ' ' ORDER BY i), '') AS target_text
+FROM pieces GROUP BY doc_id
+""",
+    doc="T5 span corruption (Raffel et al. §3.1.4) made deterministic: "
+    "md5-triggered 3-token spans (~15% of tokens masked) collapse to "
+    "<extra_id_K> sentinels in the input; targets carry sentinel + "
+    "replaced tokens — the exact T5 seq2seq pretraining pair layout. "
+    "One explode + three window passes sharing a single (doc, pos) "
+    "sort + one regroup; all integer/md5 arithmetic, replayed "
+    "bit-exactly by the oracle "
+    "(operators/corpus.py::span_corruption_pairs).",
+)
+def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.span_corruption_pairs(
+        read_table(spark, sf_dir, "documents"), span_len=3, one_in=17
+    )

@@ -1377,3 +1377,114 @@ def q_media_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     bands = docs.mapInPandas(run, schema="doc_id long, bands array<int>")
     return M.dhash_near_dup_pairs(bands, max_hamming=4)
+
+
+@register(
+    "media_spectral_hash_near_dups",
+    oracle="""
+WITH px AS (
+    SELECT doc_id, g.g AS g, (g.g % 32) AS x, (g.g // 32) AS y,
+           ((doc_id // 2) * (doc_id // 2) + ((doc_id // 2) + 7) * g.g
+            + ((g.g + doc_id // 2) * (g.g + doc_id // 2)) % 241
+            + CASE WHEN doc_id % 2 = 1 AND g.g % 37 = 0
+                   THEN 1 ELSE 0 END) % 256 AS v
+    FROM documents, UNNEST(generate_series(0, 1023)) AS g(g)
+),
+uv AS (
+    SELECT u.u AS u, v.v AS v
+    FROM UNNEST(generate_series(0, 7)) AS u(u),
+         UNNEST(generate_series(0, 7)) AS v(v)
+),
+coef AS (
+    SELECT p.doc_id, uv.u * 8 + uv.v AS idx,
+           SUM(p.v * (1 - 2 * ((bit_count(p.y & uv.u)
+                                + bit_count(p.x & uv.v)) % 2))) AS c
+    FROM px p, uv
+    GROUP BY p.doc_id, uv.u * 8 + uv.v
+),
+rk AS (
+    SELECT doc_id, idx,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c, idx) AS rank
+    FROM coef
+),
+bands AS (
+    SELECT doc_id, idx // 8 AS r,
+           CAST(SUM(CASE WHEN rank > 32 THEN 1 << (idx % 8)
+                    ELSE 0 END) AS INT) AS band
+    FROM rk GROUP BY doc_id, idx // 8
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(SUM(bit_count(xor(a.band, b.band))) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON b.r = a.r AND b.doc_id > a.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING SUM(bit_count(xor(a.band, b.band))) <= 4
+""",
+    doc="IMAGE near-duplicate detection via a SPECTRAL perceptual hash "
+    "— the pHash construction (Krawetz) with the DCT swapped for the "
+    "Walsh-Hadamard transform, whose +/-1 basis keeps every "
+    "coefficient exact INTEGER arithmetic (a float DCT could never "
+    "be bit-checked cross-engine). Each doc gets a deterministic "
+    "32x32 grayscale image (pairs 2k/2k+1 share a base, odd docs "
+    "perturbed +1 every 37th pixel), round-trips through the real "
+    "BMP codec, then: 8x8 low-frequency WHT block -> coefficients "
+    "ranked (value, index) -> bit = rank > 32 (exactly balanced, the "
+    "deterministic form of pHash's median threshold) -> 8 row-bands. "
+    "Pairing reuses the guaranteed-recall pigeonhole banding "
+    "(hamming <= 4 over 8 bands => one band exact), so the banded "
+    "plan matches the oracle's all-pairs restatement bit-for-bit. "
+    "Measured separation: sibling pairs <= 4, unrelated docs >= 26 "
+    "(operators/multimodal.py::dhash_near_dup_pairs).",
+)
+def q_media_spectral_hash_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [
+            [1 - 2 * (bin(x & u).count("1") % 2) for x in range(32)]
+            for u in range(8)
+        ],
+        dtype=np.int64,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bands_out = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                base = doc_id // 2
+                g = np.arange(1024, dtype=np.int64)
+                v = (
+                    base * base
+                    + (base + 7) * g
+                    + ((g + base) * (g + base)) % 241
+                ) % 256
+                if doc_id % 2 == 1:
+                    v = (v + (g % 37 == 0).astype(np.int64)) % 256
+                gray = v.reshape(32, 32).astype(np.uint8)
+                payload = M.encode_bmp(
+                    np.repeat(gray[:, :, None], 3, axis=2)
+                )
+                img, _dw, _dh = M.decode_image(payload, fake=False)
+                px = img[:, :, 0].astype(np.int64)  # y rows, x cols
+                coef = (S @ px @ S.T).flatten()  # idx = u*8 + v
+                idx = np.arange(64)
+                order = np.lexsort((idx, coef))
+                rank = np.empty(64, dtype=np.int64)
+                rank[order] = np.arange(1, 65)
+                bits = (rank > 32).astype(np.int64)
+                band = (
+                    bits.reshape(8, 8) << np.arange(8, dtype=np.int64)
+                ).sum(axis=1)
+                ids.append(doc_id)
+                bands_out.append([int(x) for x in band])
+            yield pd.DataFrame({"doc_id": ids, "bands": bands_out})
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    bands = docs.mapInPandas(run, schema="doc_id long, bands array<int>")
+    return M.dhash_near_dup_pairs(bands, max_hamming=4)

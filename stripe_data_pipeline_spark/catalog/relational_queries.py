@@ -2571,3 +2571,562 @@ def q_top_supplier_revenue_q15ish(
         .select("s_suppkey", "s_name", "total_cents")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped decorrelation breadth (r9b): Q17 / Q13 / Q2 / Q21 / Q11 / Q8
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "small_quantity_revenue_q17ish",
+    oracle="""
+WITH pb AS (
+    SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'
+),
+pa AS (
+    SELECT l.l_partkey,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l JOIN pb ON pb.p_partkey = l.l_partkey
+    GROUP BY l.l_partkey
+)
+SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) // 7
+            AS BIGINT) AS avg_weekly_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * pa.cnt < pa.sum_qty
+""",
+    doc="TPC-H Q17-shaped small-quantity revenue: for one brand's "
+    "parts, sum the revenue of line items whose quantity is below "
+    "20%% of that part's average quantity — the correlated scalar "
+    "AVG subquery Catalyst decorrelates into a per-part aggregate "
+    "joined back to the fact. The avg comparison is cross-multiplied "
+    "into exact integers (5*qty*cnt < sum_qty <=> qty < 0.2*avg; "
+    "quantities are integral by data contract), so no float division "
+    "enters the predicate. Brand filter pushed to the part scan; the "
+    "per-part agg table is brand-sized and broadcast back.",
+)
+def q_small_quantity_revenue_q17ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pb = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(pb), li["l_partkey"] == pb["p_partkey"]).drop(
+        "p_partkey"
+    )
+    pa = li_b.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    cents = F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        li_b.alias("l")
+        .join(F.broadcast(pa).alias("pa"), F.col("l.l_partkey") == F.col("pa.l_partkey"))
+        .filter(
+            F.lit(5) * F.col("l.l_quantity").cast("bigint") * F.col("pa.cnt")
+            < F.col("pa.sum_qty")
+        )
+        .agg(
+            F.sum(cents).cast("bigint").alias("total_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .select(
+            "total_cents",
+            F.expr("total_cents div 7").cast("bigint").alias("avg_weekly_cents"),
+            "n_lines",
+        )
+    )
+
+
+@register(
+    "customer_order_distribution_q13ish",
+    oracle="""
+WITH oc AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+),
+co AS (
+    SELECT c.c_custkey, COALESCE(oc.n, 0) AS c_count
+    FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13-shaped customer order-count distribution: orders "
+    "outside one priority class pre-aggregated per customer (NOT "
+    "join-then-count — the pre-agg shuffles |custkey| rows instead "
+    "of |orders|), left-joined so order-less customers land in the "
+    "c_count=0 bucket, then the distribution histogram. Two "
+    "partial-combined aggs + one key join; output cardinality is "
+    "max orders-per-customer, independent of fact volume.",
+)
+def q_customer_order_distribution_q13ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    oc = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(oc, c["c_custkey"] == oc["o_custkey"], "left")
+        .select(F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "cheapest_part_per_type_q2ish",
+    oracle="""
+WITH m AS (
+    SELECT p_type,
+           MIN(CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT))
+               AS min_cents
+    FROM part WHERE p_size <= 10 GROUP BY p_type
+)
+SELECT p.p_type, CAST(p.p_partkey AS BIGINT) AS partkey, p.p_name,
+       m.min_cents
+FROM part p
+JOIN m ON m.p_type = p.p_type
+      AND CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT) = m.min_cents
+WHERE p.p_size <= 10
+ORDER BY p.p_type, partkey
+""",
+    doc="TPC-H Q2-shaped grouped argmin: within a size slice, the "
+    "cheapest part(s) per type — Q2's correlated MIN(ps_supplycost) "
+    "subquery decorrelated into a grouped-min aggregate broadcast "
+    "back as an equality filter (ties all returned, deterministic "
+    "order). The size predicate pushes to both scans; the min table "
+    "is |types| rows, broadcast — no self-join shuffle.",
+)
+def q_cheapest_part_per_type_q2ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    cents = F.floor(F.col("p_retailprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    m = p.groupBy(F.col("p_type").alias("m_type")).agg(
+        F.min(cents).alias("min_cents")
+    )
+    return (
+        p.withColumn("cents", cents)
+        .join(
+            F.broadcast(m),
+            (F.col("p_type") == F.col("m_type"))
+            & (F.col("cents") == F.col("min_cents")),
+        )
+        .select(
+            "p_type",
+            F.col("p_partkey").cast("bigint").alias("partkey"),
+            "p_name",
+            "min_cents",
+        )
+        .orderBy("p_type", "partkey")
+    )
+
+
+@register(
+    "sole_returning_supplier_q21ish",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey AND l1.l_returnflag = 'R'
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10
+""",
+    doc="TPC-H Q21-shaped sole-blame analysis: suppliers who were the "
+    "ONLY supplier with a returned line on a multi-supplier order. "
+    "The oracle states it as the textbook EXISTS + NOT EXISTS "
+    "correlated pair; the Spark plan decorrelates BOTH into one "
+    "per-order aggregate (countDistinct suppliers, countDistinct "
+    "returning suppliers) — n_supp > 1 AND n_ret_supp = 1 is "
+    "equivalent and costs ONE shuffle on orderkey instead of two "
+    "self-join decorrelations over the fact. Supplier dim broadcast "
+    "at the end; bounded top-10 with a name tiebreak.",
+)
+def q_sole_returning_supplier_q21ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    ret_pairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        ret_pairs.join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), ret_pairs["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "important_nation_balances_q11ish",
+    oracle="""
+WITH nb AS (
+    SELECT n.n_name,
+           CAST(SUM(CAST(FLOOR(s.s_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM nb)
+SELECT nb.n_name, nb.cents
+FROM nb, tot
+WHERE nb.cents * 20 > tot.t
+ORDER BY nb.cents DESC, nb.n_name
+""",
+    doc="TPC-H Q11-shaped important-balance nations: per-nation "
+    "supplier balance totals kept only where the nation holds more "
+    "than 1/20 of the GLOBAL total — HAVING against an aggregate-of-"
+    "aggregates, decorrelated as a 1-row scalar cross join broadcast "
+    "into the filter. The share test is cross-multiplied (cents*20 > "
+    "total) so it stays exact integer arithmetic; negative balances "
+    "flow through both sums identically.",
+)
+def q_important_nation_balances_q11ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("s_acctbal") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    nb = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    tot = nb.agg(F.sum("cents").cast("bigint").alias("t"))
+    return (
+        nb.crossJoin(F.broadcast(tot))
+        .filter(F.col("cents") * F.lit(20) > F.col("t"))
+        .select("n_name", "cents")
+        .orderBy(F.desc("cents"), "n_name")
+    )
+
+
+@register(
+    "nation_market_share_q8ish",
+    oracle="""
+WITH rev AS (
+    SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           n2.n_name AS supp_nation,
+           CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+            * 10000 // SUM(cents) AS BIGINT) AS share_bp
+FROM rev GROUP BY o_year ORDER BY o_year
+""",
+    doc="TPC-H Q8-shaped market share: within one customer region, "
+    "the share of yearly revenue supplied by one nation — the "
+    "seven-table join chain where every dimension (customer-side "
+    "nation/region, supplier-side nation, supplier) broadcasts and "
+    "the single fact-fact edge (lineitem->orders) is the only "
+    "shuffle; share emitted in exact integer basis points with the "
+    "cents floored before both conditional sums.",
+)
+def q_nation_market_share_q8ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = read_table(spark, sf_dir, "supplier")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    cust_asia = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("c_custkey")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_7", F.col("cents")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(cust_asia), o["o_custkey"] == cust_asia["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(nat).cast("bigint").alias("nation_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            F.expr("nation_cents * 10000 div total_cents")
+            .cast("bigint")
+            .alias("share_bp"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "discount_revenue_q6ish",
+    oracle="""
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS forecast_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6-shaped forecast-revenue change: the pure predicate-"
+    "pushdown aggregate — every filter (ship-year range, discount "
+    "band, quantity cap) lands in PushedFilters on the single "
+    "lineitem scan, no join, no shuffle beyond the 1-row partial-"
+    "combined sum. The canonical 'is the scan doing the work' probe; "
+    "per-row cents floored before the sum.",
+)
+def q_discount_revenue_q6ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return li.agg(
+        F.sum(cents).cast("bigint").alias("forecast_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+@register(
+    "nation_profit_q9ish",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                           * 100.0 + 0.5) AS BIGINT)
+                - CAST(FLOOR(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                  * CAST(l.l_quantity AS BIGINT) // 10)
+            AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year DESC
+""",
+    doc="TPC-H Q9-shaped product-line profit: parts selected by an "
+    "infix LIKE (no pushdown-able prefix — the residual filter still "
+    "prunes before any join), profit = revenue minus a retail-"
+    "price-derived unit cost (1/10th retail stands in for "
+    "ps_supplycost; the schema has no partsupp), grouped by supplier "
+    "nation x order year. Part/supplier/nation broadcast; the only "
+    "shuffle is lineitem->orders; all money exact integer cents "
+    "(cost floored per unit BEFORE the multiply, integer-divided "
+    "once).",
+)
+def q_nation_profit_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders")
+    amount = (
+        F.floor(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        ).cast("bigint")
+        - F.expr(
+            "CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT)"
+            " * CAST(l_quantity AS BIGINT) div 10"
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("bigint").alias("profit_cents"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "linestatus_priority_q12ish",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l.l_linestatus
+ORDER BY l.l_linestatus
+""",
+    doc="TPC-H Q12-shaped shipping-priority profile: one ship-year of "
+    "line items joined to their orders (the fact-fact shuffle; the "
+    "year predicate pushes to the lineitem scan and prunes BEFORE "
+    "the join), urgent-vs-other conditional counts per line status "
+    "(l_linestatus stands in for l_shipmode). The classic "
+    "conditional-aggregation-after-join shape; output cardinality 2.",
+)
+def q_linestatus_priority_q12ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "promo_part_suppliers_q20ish",
+    oracle="""
+WITH promo_ship AS (
+    SELECT l.l_suppkey, l.l_partkey,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type = 'PROMO'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE EXISTS (SELECT 1 FROM promo_ship ps
+              WHERE ps.l_suppkey = s.s_suppkey AND ps.qty > 100)
+ORDER BY s.s_name
+""",
+    doc="TPC-H Q20-shaped excess-inventory suppliers: suppliers who "
+    "shipped more than 100 units of some PROMO part in one ship-year "
+    "— Q20's nested IN-subquery chain decorrelated into a grouped "
+    "per-(supplier, part) aggregate followed by a LEFT SEMI join "
+    "(each supplier surfaces once no matter how many qualifying "
+    "parts). Type + year predicates push to their scans; part dim "
+    "broadcast into the fact agg; the semi probe side is "
+    "|suppliers|-sized.",
+)
+def q_promo_part_suppliers_q20ish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    promo_ship = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        s.join(promo_ship, s["s_suppkey"] == promo_ship["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

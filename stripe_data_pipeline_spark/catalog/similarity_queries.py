@@ -1408,3 +1408,114 @@ def q_ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_overlap"),
         F.expr("count(1) * 10000 div 10").cast("bigint").alias("recall_bp"),
     )
+
+
+@register(
+    "preference_pair_prep",
+    oracle=_KMEANS_REPLAY
+    + """
+, q AS (
+    SELECT doc_id,
+           CAST(FLOOR((least(CAST(length(text) AS DOUBLE) / 5e2, 1e0) * 5e-1
+                 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) * 3e-1
+                 + least(CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                            AS DOUBLE)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                         * 5e0, 1e0) * 2e-1) * 1e6 + 5e-1) AS BIGINT) AS q_bp
+    FROM documents
+), j AS (
+    SELECT a2.k AS cluster, q.doc_id, q.q_bp
+    FROM a2 JOIN q ON q.doc_id = a2.vec_id
+), w AS (
+    SELECT cluster, doc_id, q_bp,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY q_bp DESC, doc_id ASC) AS rn_hi,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY q_bp ASC, doc_id DESC) AS rn_lo,
+           COUNT(*) OVER (PARTITION BY cluster) AS n_in
+    FROM j
+)
+SELECT h.cluster,
+       h.doc_id AS chosen_id, l.doc_id AS rejected_id,
+       h.q_bp AS chosen_q_bp, l.q_bp AS rejected_q_bp,
+       CAST(h.q_bp - l.q_bp AS BIGINT) AS margin_bp,
+       CAST(h.n_in AS BIGINT) AS n_in_cluster
+FROM (SELECT * FROM w WHERE rn_hi = 1) h
+JOIN (SELECT * FROM w WHERE rn_lo = 1) l ON l.cluster = h.cluster
+WHERE h.n_in >= 2
+ORDER BY h.cluster
+""",
+    doc="PREFERENCE-PAIR construction (the DPO/RLHF data-prep shape): "
+    "within each semantic cluster — the shared cached kmeans "
+    "partitioning — pair the highest-quality document (chosen) with "
+    "the lowest-quality one (rejected), quality being the composite "
+    "fixed-point score in integer millionths so the argmax/argmin "
+    "rank identically cross-engine. Opposed tiebreaks ((q DESC, id "
+    "ASC) vs (q ASC, id DESC)) guarantee chosen != rejected whenever "
+    "a cluster has >= 2 members. Cost: the map-side cluster "
+    "assignment + two row_number passes over ONE (cluster) "
+    "partition sort; pairing is per-cluster argmax/argmin, never "
+    "all-pairs — at 100 TB the quality join shuffles on doc_id and "
+    "the window on cluster, both linear.",
+)
+def q_preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stripe_data_pipeline_spark.operators.kmeans import assign_clusters
+    from stripe_data_pipeline_spark.operators.text import with_quality_score
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = assign_clusters(emb, _kmeans_cents(spark, sf_dir)).select(
+        "vec_id", "cluster"
+    )
+    docs = with_quality_score(read_table(spark, sf_dir, "documents"))
+    q = docs.select(
+        "doc_id",
+        F.floor(F.col("quality_score") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q_bp"),
+    )
+    j = assigned.join(q, assigned["vec_id"] == q["doc_id"]).select(
+        "cluster", "doc_id", "q_bp"
+    )
+    w_hi = Window.partitionBy("cluster").orderBy(
+        F.desc("q_bp"), F.asc("doc_id")
+    )
+    w_lo = Window.partitionBy("cluster").orderBy(
+        F.asc("q_bp"), F.desc("doc_id")
+    )
+    w_n = Window.partitionBy("cluster")
+    flagged = (
+        j.withColumn("rn_hi", F.row_number().over(w_hi))
+        .withColumn("rn_lo", F.row_number().over(w_lo))
+        .withColumn("n_in", F.count(F.lit(1)).over(w_n))
+    )
+    hi = flagged.filter(F.col("rn_hi") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("q_bp").alias("chosen_q_bp"),
+        "n_in",
+    )
+    lo = flagged.filter(F.col("rn_lo") == 1).select(
+        F.col("cluster").alias("l_cluster"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("q_bp").alias("rejected_q_bp"),
+    )
+    return (
+        hi.join(lo, hi["cluster"] == lo["l_cluster"])
+        .filter(F.col("n_in") >= 2)
+        .select(
+            "cluster",
+            "chosen_id",
+            "rejected_id",
+            "chosen_q_bp",
+            "rejected_q_bp",
+            (F.col("chosen_q_bp") - F.col("rejected_q_bp"))
+            .cast("bigint")
+            .alias("margin_bp"),
+            F.col("n_in").cast("bigint").alias("n_in_cluster"),
+        )
+        .orderBy("cluster")
+    )

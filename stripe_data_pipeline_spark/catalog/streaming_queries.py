@@ -1717,3 +1717,366 @@ def q_incremental_join_mart_check(
         "o_orderstatus",
         F.col("rev_cents").cast("bigint").alias("rev_cents"),
     )
+
+
+def _materialized_outer_join_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER interval join (r9 — the outer-emission
+    semantics none of the inner-join checks exercise): views LEFT
+    OUTER joined to purchases on user_id with ``p_ts in [v_ts,
+    v_ts + 1h]``, both sides under 2-hour watermarks, drained
+    append-mode under Trigger.AvailableNow. The outer half of the
+    contract: an unmatched view's null row is emitted only once the
+    GLOBAL watermark — min over both inputs of max(event time) minus
+    the 2h delay (Spark's default multipleWatermarkPolicy=min) —
+    passes v_ts + 1h, i.e. once no future purchase could still join
+    it. Views younger than that stay in state and are dropped at
+    availableNow termination, so the mart is exactly: every batch
+    inner-join pair, plus a null row per unmatched view whose join
+    window CLOSED under the final watermark (the oracle restates
+    both terms in closed form; calibrated set-exact at sf0.001 and
+    sf0.01)."""
+    import atexit
+    import os
+    import tempfile
+
+    cache_key = f"{sf_dir}::outer_join"
+    path = _STREAM_MART_CACHE.get(cache_key)
+    if path is not None:
+        return spark.read.parquet(os.path.join(path, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_oj_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return convert_nanos_ts(raw)
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 1 hour"
+        ),
+        "left_outer",
+    ).select("user_id", "view_id", "purchase_id", "v_ts", "p_ts")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", mart)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_outer_join_mart_check",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts AS v_ts, event_id AS view_id
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT v.view_id FROM v JOIN p ON p.p_user = v.user_id
+                      AND p.p_ts >= v.v_ts
+                      AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+),
+wm AS (
+    SELECT least((SELECT MAX(v_ts) FROM v), (SELECT MAX(p_ts) FROM p))
+           - INTERVAL 2 HOUR AS w
+),
+nulls AS (
+    SELECT u.view_id, u.v_ts
+    FROM v u, wm
+    WHERE NOT EXISTS (SELECT 1 FROM p
+                      WHERE p.p_user = u.user_id
+                        AND p.p_ts >= u.v_ts
+                        AND p.p_ts <= u.v_ts + INTERVAL 1 HOUR)
+      AND u.v_ts + INTERVAL 1 HOUR < wm.w
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_matched,
+       CAST(COUNT(*) AS BIGINT) AS n_null_views,
+       MIN(v_ts) AS null_min_v_ts,
+       MAX(v_ts) AS null_max_v_ts
+FROM nulls
+""",
+    doc="STREAM-STREAM LEFT OUTER interval join round trip (r9): the "
+    "outer-emission contract — null rows appear exactly for "
+    "unmatched views whose join window closed under the final "
+    "global watermark (min over both inputs, Spark's default "
+    "multipleWatermarkPolicy) — stated in closed form by the "
+    "oracle: batch-inner-join pairs + watermark-filtered anti-join "
+    "views. Set-exact calibration at two SFs; the check aggregates "
+    "the drained mart so the driver hashes both halves.",
+)
+def q_streaming_outer_join_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_outer_join_mart(spark, sf_dir)
+    nulls = mart.filter(F.col("purchase_id").isNull())
+    matched = mart.filter(F.col("purchase_id").isNotNull())
+    return (
+        matched.agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+        .crossJoin(
+            nulls.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_null_views"),
+                F.min("v_ts").cast("timestamp_ntz").alias("null_min_v_ts"),
+                F.max("v_ts").cast("timestamp_ntz").alias("null_max_v_ts"),
+            )
+        )
+    )
+
+
+def _materialized_clone_marts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shallow-clone round trip (r9): orders before 1998 merge into a
+    SOURCE atomic table (status-partitioned); ``clone_table`` commits
+    a zero-copy clone (one JSON write — the clone's v1 manifest
+    points at the source's immutable dirs by absolute path); the
+    1998+ orders then merge into the CLONE ONLY. Returns (source,
+    clone, clone@v1): the source must still be exactly the pre-1998
+    set (copy-on-write isolation), the clone the full set, and the
+    clone's v1 time-travel read the original snapshot."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    cache_key = f"{sf_dir}::clone"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="clone_mart_")
+        src = os.path.join(root, "src")
+        dst = os.path.join(root, "dst")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        cut = F.to_timestamp(F.lit("1998-01-01"))
+        MT.merge_upsert_atomic(
+            spark,
+            src,
+            orders.filter(F.col("o_orderdate") < cut),
+            keys=["o_orderkey"],
+            partition_by="o_orderstatus",
+        )
+        MT.clone_table(src, dst)
+        MT.merge_upsert_atomic(
+            spark,
+            dst,
+            orders.filter(F.col("o_orderdate") >= cut),
+            keys=["o_orderkey"],
+            partition_by="o_orderstatus",
+        )
+        _STREAM_MART_CACHE[cache_key] = root
+    src = os.path.join(root, "src")
+    dst = os.path.join(root, "dst")
+    return (
+        MT.read_table(spark, src),
+        MT.read_table(spark, dst),
+        MT.read_table(spark, dst, version=1),
+    )
+
+
+@register(
+    "atomic_clone_check",
+    oracle="""
+WITH pre AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+),
+full_t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+)
+SELECT pre.n AS src_rows, pre.cents AS src_cents,
+       full_t.n AS clone_rows, full_t.cents AS clone_cents,
+       pre.n AS clone_v1_rows,
+       full_t.n - pre.n AS clone_only_rows
+FROM pre, full_t
+""",
+    doc="ZERO-COPY SHALLOW CLONE round trip (r9, the Delta "
+    "CLONE-SHALLOW shape): source = pre-1998 orders through the "
+    "crash-atomic merge sink; clone_table commits a v1 manifest "
+    "pointing at the source's immutable dirs (one JSON write, no "
+    "data IO); 1998+ orders merge into the CLONE only. The check "
+    "reads all three surfaces — source (must still be the pre-1998 "
+    "snapshot: copy-on-write isolation), clone (the full set), and "
+    "the clone's v1 time travel (the original snapshot) — and the "
+    "oracle restates each as plain SQL over orders "
+    "(manifest_table.py::clone_table).",
+)
+def q_atomic_clone_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src, clone, clone_v1 = _materialized_clone_marts(spark, sf_dir)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+
+    def prof(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.sum(cents).cast("bigint").alias(c_name),
+        )
+
+    return (
+        prof(src, "src_rows", "src_cents")
+        .crossJoin(prof(clone, "clone_rows", "clone_cents"))
+        .crossJoin(
+            clone_v1.agg(
+                F.count(F.lit(1)).cast("bigint").alias("clone_v1_rows")
+            )
+        )
+        .select(
+            "src_rows",
+            "src_cents",
+            "clone_rows",
+            "clone_cents",
+            "clone_v1_rows",
+            (F.col("clone_rows") - F.col("src_rows"))
+            .cast("bigint")
+            .alias("clone_only_rows"),
+        )
+    )
+
+
+def _materialized_stateful_latest_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSTOM STATEFUL operator through the streaming engine (r9 —
+    applyInPandasWithState, the one §2.10 surface previously covered
+    only by pytest): the events file stream folds into a per-user
+    running-latest state (streaming/stateful.py::streaming_latest_state
+    — newest ts wins, event_id breaks ties), each micro-batch's
+    update-mode emissions merged by key into a parquet state table via
+    foreachBatch. Converges to the batch ROW_NUMBER compaction no
+    matter how the input is micro-batched (out-of-order and duplicate
+    delivery fold to the same winner)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.incremental import merge_upsert
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_latest_state,
+    )
+
+    cache_key = f"{sf_dir}::stateful_latest"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_state_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    staged = convert_nanos_ts(raw).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            merge_upsert(
+                batch.sparkSession, mart, batch, keys=["user_id"]
+            )
+
+    (
+        streaming_latest_state(staged)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_stateful_latest_mart_check",
+    oracle="""
+WITH r AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_id, ts AS latest_ts, event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM r WHERE rn = 1
+""",
+    doc="CUSTOM STATEFUL streaming operator round trip (r9): "
+    "applyInPandasWithState folds each user's events into a "
+    "running-latest state (newest ts, event_id tiebreak) and the "
+    "update-mode emissions merge into a keyed mart — the mart must "
+    "equal the batch ROW_NUMBER changelog compaction row-for-row "
+    "(the oracle). The continuous form of latest_event_per_user; "
+    "state is one tuple per key, so executor memory scales with "
+    "|keys|, never with event volume "
+    "(streaming/stateful.py::streaming_latest_state).",
+)
+def q_streaming_stateful_latest_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_stateful_latest_mart(spark, sf_dir)
+    return mart.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros"))
+        .cast("timestamp_ntz")
+        .alias("latest_ts"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -1517,3 +1517,53 @@ def update_where(
         _commit(root, manifest)
         spark.catalog.refreshByPath(root)
         return n
+
+
+def clone_table(
+    src_root: str, dst_root: str, version: int | None = None
+) -> int:
+    """ZERO-COPY shallow clone (the Delta `CLONE ... SHALLOW` /
+    Iceberg snapshot-ref shape): commit a fresh v1 manifest at
+    ``dst_root`` whose parts point at the SOURCE's immutable
+    versioned dirs by ABSOLUTE path — no data file is read, copied,
+    or moved, so cloning a petabyte table is one JSON write. Readers
+    resolve those dirs exactly like local ones (``read_table``
+    path-joins are absolute-safe: ``os.path.join(root, abs) == abs``);
+    later merges into the clone stage fresh dirs under ``dst_root``
+    and re-point only the touched partitions, so the clone diverges
+    COPY-ON-WRITE while the source never observes any change.
+    ``version`` clones a historical snapshot (time-travel clone).
+
+    Vacuum on the clone sweeps only ``dst_root``'s own parts/ (source
+    dirs are never candidates — the sweep lists the local parts dir);
+    vacuum on the SOURCE can collect dirs a clone still references —
+    the same documented caveat Delta shallow clones carry (retain
+    source history over the clone's lifetime, or materialize).
+    Returns the source version that was cloned."""
+    m = read_manifest(src_root, version)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {src_root}")
+    os.makedirs(dst_root, exist_ok=True)
+    src_abs = os.path.abspath(src_root)
+    manifest = {
+        "version": 1,
+        "partition_by": m.get("partition_by"),
+        "schema": m["schema"],
+        "parts": {
+            k: os.path.join(src_abs, rel) for k, rel in m["parts"].items()
+        },
+        "operation": {
+            "type": "clone",
+            "source": src_abs,
+            "source_version": int(m["version"]),
+        },
+    }
+    if "stats" in m:
+        manifest["stats"] = m["stats"]
+    if "file_stats" in m:
+        manifest["file_stats"] = m["file_stats"]
+    with _writer_lock(dst_root):
+        if read_manifest(dst_root) is not None:
+            raise ValueError(f"{dst_root} already holds a table")
+        _commit(dst_root, manifest)
+    return int(m["version"])

@@ -762,3 +762,176 @@ def span_scrub_documents(
         F.lit("keep").alias("action"),
     )
     return untouched.unionByName(trimmed)
+
+
+def segment_dedup_documents(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style segment-level dedup (Wenzek et al. 2020 dedup
+    paragraphs by hash; Lee et al. 2022 keep the FIRST occurrence):
+    split each doc into consecutive ``k``-token segments (the
+    'paragraph' unit of this whitespace corpus), and keep each
+    distinct segment text only at its first corpus occurrence —
+    ordered by (doc_id, seg_idx) — dropping every later repeat.
+    Returns one row per doc: segment counts and the rebuilt text.
+
+    Scale shape: one posexplode + per-(doc, seg) regroup builds the
+    segment table (linear, keyed by doc so it co-partitions with the
+    scan), then ONE shuffle on the segment text assigns first-
+    occurrence row numbers (the same dedup-key exchange an exact-hash
+    dedup pays; at 100 TB swap the text key for xxhash64(text) —
+    8-byte shuffle keys — exactly like ngram_contamination's hashed
+    twin). The rebuild regroups kept segments per doc. No driver
+    state, no quadratic stage; a duplicated segment costs the same as
+    a unique one.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("__i", "__tok")
+    )
+    seg = (
+        toks.groupBy(
+            id_col, F.floor(F.col("__i") / F.lit(k)).alias("seg_idx")
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__i", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+            ).alias("seg_text")
+        )
+    )
+    first = F.row_number().over(
+        Window.partitionBy("seg_text").orderBy(id_col, "seg_idx")
+    )
+    flagged = seg.withColumn("__rn", first)
+    totals = seg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segs")
+    )
+    kept = (
+        flagged.filter(F.col("__rn") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seg_idx", "seg_text"))
+                    ),
+                    lambda s: s["seg_text"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return totals.join(kept, id_col, "left").select(
+        F.col(id_col),
+        "n_segs",
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def span_corruption_pairs(
+    df: DataFrame,
+    span_len: int = 3,
+    one_in: int = 17,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): replace
+    token spans with sentinel tokens and emit (input, target) training
+    pairs. The stochastic span sampler is made deterministic and
+    engine-portable: position ``i`` (1-based) STARTS a ``span_len``
+    span iff md5(doc_id ':' i) — the repo's portable-hash recipe
+    (operators/winnow.py) — is divisible by ``one_in``; a token is
+    masked iff any of the ``span_len`` trailing positions triggered.
+    Consecutive masked runs collapse to one '<extra_id_K>' sentinel in
+    the input; the target is each sentinel followed by the tokens it
+    replaced (the exact T5 target layout). With the defaults ~6% of
+    positions trigger, masking ~15% of tokens — T5's corruption rate.
+
+    Scale shape: one posexplode, three window passes over the SAME
+    (doc, pos) ordering (one partition sort, reused), one regroup per
+    doc. Everything is integer/md5 arithmetic, so the DuckDB oracle
+    replays it bit-exactly.
+    """
+    w = Window.partitionBy(id_col).orderBy("__i")
+    toks = df.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("__i0", "__tok")
+    ).select(
+        F.col(id_col), (F.col("__i0") + 1).alias("__i"), "__tok"
+    )
+    trig_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col), F.col("__i"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    staged = (
+        toks.withColumn(
+            "__trig", (trig_hash % one_in == 0).cast("int")
+        )
+        .withColumn(
+            "__masked",
+            F.max("__trig").over(w.rowsBetween(-(span_len - 1), 0)),
+        )
+        .withColumn(
+            "__start",
+            (
+                (F.col("__masked") == 1)
+                & (F.coalesce(F.lag("__masked").over(w), F.lit(0)) == 0)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__span",
+            F.sum("__start").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("__span") - 1).cast("string"), F.lit(">")
+    )
+    inp_piece = (
+        F.when(F.col("__masked") == 0, F.col("__tok"))
+        .when(F.col("__start") == 1, sentinel)
+    )
+    tgt_piece = F.when(
+        F.col("__masked") == 1,
+        F.when(
+            F.col("__start") == 1,
+            F.concat(sentinel, F.lit(" "), F.col("__tok")),
+        ).otherwise(F.col("__tok")),
+    )
+
+    def _joined(piece: Column) -> Column:
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(),
+                            F.struct(F.col("__i").alias("i"), piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ),
+        )
+
+    return staged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__masked").cast("bigint").alias("n_masked"),
+        F.max("__span").cast("bigint").alias("n_spans"),
+        _joined(inp_piece).alias("input_text"),
+        _joined(tgt_piece).alias("target_text"),
+    )
