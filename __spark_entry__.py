@@ -85,9 +85,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 10 newest queries first (Q17/Q13/Q2/Q21/Q11/Q8
-# decorrelation shapes, CCNet segment dedup, T5 span corruption, BPE
-# decode round-trip, WHT spectral-hash image near-dups), then the 22
+# Round-9 rotation: the 9 newest queries (WordPiece tokenizer trio
+# completion; BLEU-2 pair scoring; audio signal features; triangle
+# counts + clustering coefficients; TextRank keywords; KMV
+# theta-sketch set ops; ColBERT MaxSim late interaction), then the
+# 18 second/third-batch queries (Q17/Q13/Q2/Q21/
+# Q11/Q8 decorrelation shapes, CCNet segment dedup, T5 span corruption,
+# BPE decode round-trip, WHT spectral-hash image near-dups), then the 22
 # earlier-r9 queries (SemDeDup, RRF fusion, histogram quantile sketch
 # family, winnowing fingerprints, Q4/Q7/Q14/Q15/Q16/Q18/Q19/Q22
 # shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling,
@@ -97,7 +101,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # window), then the 6 whose code changed earlier this round, then the
 # OLDEST-driver-verdict block (r3/r4 queries lead). Policy per
 # VERDICT r5 #5 / r7 #8, enforced by tests/test_driver_contract.py.
+# NOTE: round 9 added 51 never-checked queries — one more than the
+# 50-slot window — so incremental_cms_mart_check (slot 51, already
+# CI-verified at sf0.001+sf0.01 by tests/test_oracle_catalog.py and
+# tools/check_oracle.py) spills to lead the r10 window.
 _PRIORITY = [
+    "wordpiece_merges_learned",
+    "wordpiece_encoded_docs",
+    "wordpiece_unk_stats",
+    "bleu_pair_scores",
+    "media_audio_features_check",
+    "triangle_counts_supplier",
+    "textrank_keywords",
+    "kmv_distinct_sketch_check",
+    "maxsim_late_interaction_topk",
     "atomic_clone_check",
     "streaming_stateful_latest_mart_check",
     "discount_revenue_q6ish",

@@ -232,6 +232,33 @@ HEADLINE = [
     "linestatus_priority_q12ish",
     "promo_part_suppliers_q20ish",
     "preference_pair_prep",
+    # round-9 fourth batch: WordPiece — the tokenizer-trio completion
+    # (BPE + unigram + WordPiece). Training is one corpus groupBy +
+    # the bounded-vocab fixpoint; the encode is 16 unrolled JVM
+    # MaxMatch projections over DISTINCT words + a broadcast join-back
+    # (the word-level shape). The three queries share one cached
+    # tokenizer artifact per corpus dir, like the BPE family.
+    "wordpiece_merges_learned",
+    "wordpiece_encoded_docs",
+    "wordpiece_unk_stats",
+    # round-9 fifth batch: graph depth (exactly-once wedge-close
+    # triangle enumeration over the dim-bounded co-order supplier
+    # graph; TextRank = the pagerank power iteration over the word
+    # co-occurrence graph, rank vector broadcast per round), KMV
+    # theta-sketch distinct/union/intersection estimates (one
+    # distinct shuffle, k-row state per set), and ColBERT MaxSim
+    # late interaction (8 literal query folds on one scan + one
+    # groupBy(label) of fixed-point maxes).
+    "triangle_counts_supplier",
+    "textrank_keywords",
+    "kmv_distinct_sketch_check",
+    "maxsim_late_interaction_topk",
+    # ... plus BLEU-2 over the LSH candidate pairs (clipped-count
+    # gram joins on (doc, gram), never all-pairs) and the audio
+    # signal features over the real WAV decode path (Arrow-batched,
+    # one pass, no shuffle).
+    "bleu_pair_scores",
+    "media_audio_features_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

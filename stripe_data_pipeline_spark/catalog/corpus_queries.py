@@ -1239,3 +1239,194 @@ def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.span_corruption_pairs(
         read_table(spark, sf_dir, "documents"), span_len=3, one_in=17
     )
+
+
+# --------------------------------------------------------------------
+# KMV distinct sketch (round 9): the Theta-sketch family — bounded
+# k-min-hash state per set, mergeable union, NATIVE set-intersection
+# estimates (the operation HLL can only reach via inclusion-exclusion
+# blowup). Self-validating check: estimates and exact counts side by
+# side for one source pair.
+# --------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_DOM = 1 << 60
+_KMV_H = "CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT)"
+_KMV_EST = (
+    f"CAST(CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_DOM} // {{hk}} AS BIGINT)"
+)
+
+
+@register(
+    "kmv_distinct_sketch_check",
+    oracle=f"""
+WITH bg AS MATERIALIZED (
+    SELECT source, ws[i] || ' ' || ws[i + 1] AS v
+    FROM (SELECT source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE source IN ('src0', 'src1')),
+         UNNEST(range(1, len(ws))) AS t(i)
+),
+dv AS MATERIALIZED (SELECT DISTINCT source, v FROM bg),
+hs AS MATERIALIZED (
+    SELECT DISTINCT source AS g, {_KMV_H} AS h FROM dv
+),
+sk AS MATERIALIZED (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hs QUALIFY rn <= {_KMV_K}
+),
+estv AS MATERIALIZED (
+    SELECT g, CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                   ELSE {_KMV_EST.format(hk='hk')} END AS est
+    FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS hk
+          FROM sk GROUP BY g)
+),
+u AS MATERIALIZED (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM sk) QUALIFY rn <= {_KMV_K}
+),
+uestv AS MATERIALIZED (
+    SELECT n_u, CASE WHEN n_u < {_KMV_K} THEN n_u
+                     ELSE {_KMV_EST.format(hk='hk')} END AS est_union
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS hk FROM u)
+),
+common AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM u
+    WHERE EXISTS (SELECT 1 FROM sk a WHERE a.g = 'src0' AND a.h = u.h)
+      AND EXISTS (SELECT 1 FROM sk b WHERE b.g = 'src1' AND b.h = u.h)
+),
+ex AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_inter
+    FROM (SELECT v, COUNT(*) AS ns FROM dv GROUP BY v)
+),
+exs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM dv GROUP BY source)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       (SELECT est FROM estv WHERE g = 'src0') AS est_a,
+       (SELECT est FROM estv WHERE g = 'src1') AS est_b,
+       (SELECT est_union FROM uestv) AS est_union,
+       CAST(CASE WHEN (SELECT n_u FROM uestv) < {_KMV_K}
+                 THEN (SELECT n_common FROM common)
+                 ELSE (SELECT n_common FROM common)
+                      * (SELECT est_union FROM uestv) // {_KMV_K}
+            END AS BIGINT) AS est_inter,
+       (SELECT exact FROM exs WHERE source = 'src0') AS exact_a,
+       (SELECT exact FROM exs WHERE source = 'src1') AS exact_b,
+       (SELECT exact_union FROM ex) AS exact_union,
+       (SELECT exact_inter FROM ex) AS exact_inter
+""",
+    doc="KMV / theta distinct sketch (Bar-Yossef et al. 2002; Beyer "
+    "et al. 2007; the Apache DataSketches theta family): per-source "
+    "k=64 minimum md5-60-bit hashes of the DISTINCT token bigrams, "
+    "estimate = (k-1)*2^60 // h_k (HUGEINT/DECIMAL(38,0) exact "
+    "integer arithmetic; degenerates to the exact count below k). "
+    "Union = k-min over the merged sketches; intersection = "
+    "|combined-k-min present in BOTH sketches| / k scaling the union "
+    "estimate — the set operation HLL cannot express natively. The "
+    "check emits estimates AND exact distinct counts side by side "
+    "(self-validating, ann_recall_check's pattern). Corpus-scale "
+    "work: one distinct shuffle over (source, hash); sketch state is "
+    "k rows per set by construction (operators/sketch.py).",
+)
+def q_kmv_distinct_sketch_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stripe_data_pipeline_spark.operators.sketch import (
+        KMV_DOMAIN,
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    k = _KMV_K
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    bg = docs.select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("v"),
+    )
+    sk = kmv_sketch(bg, "v", "source", k).localCheckpoint(eager=True)
+    est = kmv_estimate(sk, k)
+    est_a = est.filter(F.col("g") == "src0").select(
+        F.col("est").alias("est_a")
+    )
+    est_b = est.filter(F.col("g") == "src1").select(
+        F.col("est").alias("est_b")
+    )
+    u = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= k)
+    )
+    uest = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_u"), F.max("h").alias("hk")
+    ).select(
+        "n_u",
+        F.when(F.col("n_u") < k, F.col("n_u"))
+        .otherwise(
+            F.expr(f"CAST({k - 1} AS DECIMAL(38,0)) * {KMV_DOMAIN} div hk")
+        )
+        .cast("bigint")
+        .alias("est_union"),
+    )
+    common = (
+        u.join(
+            sk.filter(F.col("g") == "src0").select("h"), "h", "left_semi"
+        )
+        .join(sk.filter(F.col("g") == "src1").select("h"), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    dv = bg.distinct()
+    exs = dv.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact")
+    )
+    exact_a = exs.filter(F.col("source") == "src0").select(
+        F.col("exact").alias("exact_a")
+    )
+    exact_b = exs.filter(F.col("source") == "src1").select(
+        F.col("exact").alias("exact_b")
+    )
+    ex = (
+        dv.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_union"),
+            F.sum((F.col("ns") == 2).cast("int"))
+            .cast("bigint")
+            .alias("exact_inter"),
+        )
+    )
+    return (
+        uest.crossJoin(common)
+        .crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(exact_a)
+        .crossJoin(exact_b)
+        .crossJoin(ex)
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.when(F.col("n_u") < k, F.col("n_common"))
+            .otherwise(F.expr(f"n_common * est_union div {k}"))
+            .cast("bigint")
+            .alias("est_inter"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+        )
+    )

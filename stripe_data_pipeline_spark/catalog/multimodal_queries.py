@@ -1488,3 +1488,86 @@ def q_media_spectral_hash_near_dups(
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     bands = docs.mapInPandas(run, schema="doc_id long, bands array<int>")
     return M.dhash_near_dup_pairs(bands, max_hamming=4)
+
+
+@register(
+    "media_audio_features_check",
+    oracle="""
+WITH dims AS (
+    SELECT doc_id, 200 + doc_id % 100 AS n FROM documents
+),
+s AS (
+    SELECT d.doc_id, g.i AS i,
+           ((d.doc_id * 31 + g.i * 9973) % 65536) - 32768 AS v
+    FROM dims d, UNNEST(generate_series(0, d.n - 1)) AS g(i)
+),
+lagged AS (
+    SELECT doc_id, i, v,
+           LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+    FROM s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(SUM(CASE WHEN ABS(v) < 1000 THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS silence_bp
+FROM lagged
+GROUP BY doc_id
+""",
+    doc="Audio SIGNAL features over the REAL decode path — the "
+    "feature-extraction stage of an audio training-data pipeline "
+    "(energy/ZCR/silence are the classic VAD + quality-filter "
+    "signals, e.g. for filtering silent or clipped clips before "
+    "transcription): each doc's deterministic PCM16 signal is "
+    "round-tripped through an actual RIFF/WAVE encode + the chunk-"
+    "walking numpy decoder INSIDE mapInPandas, then total energy "
+    "(sum v^2), peak amplitude, sign-change zero-crossing count and "
+    "the |v|<1000 silence ratio (basis points, exact integer "
+    "division) are computed FROM THE DECODED SAMPLES — the oracle "
+    "restates them in closed form over the generator, so any decode "
+    "bug (byte order, chunk offset, interleave) breaks parity on "
+    "every feature. Arrow-batched, one pass, no shuffle.",
+)
+def q_media_audio_features_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "energy": [],
+                "peak_abs": [], "zero_crossings": [], "silence_bp": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 200 + doc_id % 100
+                i = np.arange(n, dtype=np.int64)
+                sig = ((doc_id * 31 + i * 9973) % 65536) - 32768
+                payload = M.encode_wav(sig.astype(np.int16), 16_000)
+                dec, _rate = M.decode_audio(payload, fake=False)
+                v = dec.astype(np.int64).reshape(-1)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(v))
+                out["energy"].append(int((v * v).sum()))
+                out["peak_abs"].append(int(np.abs(v).max()))
+                out["zero_crossings"].append(
+                    int(((v[1:] < 0) != (v[:-1] < 0)).sum())
+                )
+                out["silence_bp"].append(
+                    int((np.abs(v) < 1000).sum() * 10000 // len(v))
+                )
+            yield pd.DataFrame(out)
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, energy long, "
+        "peak_abs long, zero_crossings long, silence_bp long",
+    )

@@ -3130,3 +3130,77 @@ def q_promo_part_suppliers_q20ish(
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@register(
+    "triangle_counts_supplier",
+    oracle="""
+WITH os AS (
+    SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+edges AS MATERIALIZED (
+    SELECT DISTINCT a.s AS src, b.s AS dst
+    FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+),
+tri AS (
+    SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pn AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT src AS node FROM edges
+          UNION ALL SELECT dst AS node FROM edges)
+    GROUP BY node
+)
+SELECT deg.node AS suppkey, deg.degree,
+       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN 2 * COALESCE(pn.triangles, 0) * 10000
+                      // (deg.degree * (deg.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_bp
+FROM deg LEFT JOIN pn ON pn.node = deg.node
+""",
+    doc="Triangle counting + local clustering coefficients (Watts & "
+    "Strogatz; the ordered wedge-close join of Suri & Vassilvitskii's "
+    "MapReduce scheme) over the co-order supplier graph: suppliers "
+    "sharing an order are connected, edges canonicalized low->high so "
+    "each triangle {x<y<z} is enumerated exactly once by two "
+    "equi-joins — no double counting, no post-dedup. The corpus-"
+    "scale work is ONE distinct over (order, supplier); the edge "
+    "list is dim-bounded (|suppliers|^2 worst case) so the triangle "
+    "joins never touch fact-table volume. Coefficients are exact "
+    "integer basis points (operators/graph.py::triangle_counts).",
+)
+def q_triangle_counts_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.graph import triangle_counts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("suppkey"),
+        "degree",
+        "triangles",
+        "clustering_bp",
+    )

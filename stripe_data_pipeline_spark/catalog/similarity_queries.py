@@ -1519,3 +1519,56 @@ def q_preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------
+# Late interaction (round 9): multi-vector retrieval — each label's
+# member vectors act as its "token embeddings" and the query is a
+# fixed 8-vector set, so MaxSim exercises the ColBERT scoring shape
+# on the existing embeddings table.
+# --------------------------------------------------------------------
+
+_MAXSIM_QIDS = tuple(range(8))
+
+
+@register(
+    "maxsim_late_interaction_topk",
+    oracle=f"""
+WITH qs AS (
+    SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    WHERE vec_id IN {_MAXSIM_QIDS}
+),
+persim AS (
+    SELECT c.label, q.qid,
+           MAX(CAST(FLOOR({_dot_sql('c.embedding', 'q.qv')}
+               / (sqrt({_dot_sql('c.embedding', 'c.embedding')})
+                  * sqrt({_dot_sql('q.qv', 'q.qv')}))
+               * 1e9 + 5e-1) AS BIGINT)) AS best
+    FROM embeddings c, qs q
+    WHERE c.vec_id NOT IN {_MAXSIM_QIDS}
+    GROUP BY c.label, q.qid
+)
+SELECT label, CAST(SUM(best) AS BIGINT) AS maxsim_fp
+FROM persim GROUP BY label
+ORDER BY maxsim_fp DESC, label
+LIMIT 10
+""",
+    doc="ColBERT-style MaxSim late interaction (Khattab & Zaharia "
+    "2020): score(label) = sum over the 8 query vectors of the max "
+    "member cosine — multi-vector retrieval where relevance is "
+    "carried by individual members, not the pooled embedding. Query "
+    "vectors are plan literals, so scoring is 8 narrow JVM folds on "
+    "ONE corpus scan + one groupBy(label) shuffle (map-side partial "
+    "maxes); cosines are floored to 1e-9 fixed point BEFORE max/sum "
+    "so every aggregate is an order-invariant integer and the "
+    "oracle's MAX/SUM replay bit-exactly "
+    "(operators/similarity.py::maxsim_topk).",
+)
+def q_maxsim_late_interaction_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvecs = [S.query_vector(emb, qid) for qid in _MAXSIM_QIDS]
+    return S.maxsim_topk(
+        emb, qvecs, k=10, exclude_ids=list(_MAXSIM_QIDS)
+    )

@@ -2885,3 +2885,678 @@ def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_chars_counted", "n_distinct_chars", "entropy_fp"
         )
     )
+
+
+@register(
+    "bpe_roundtrip_check",
+    oracle=_bpe_oracle_prefix()
+    + """
+, dec AS (
+    SELECT doc_id,
+           rtrim(replace(string_agg(array_to_string(toks, ''), ''
+                                    ORDER BY pos), '</w>', ' '))
+               AS decoded
+    FROM enc GROUP BY doc_id
+), orig AS (
+    SELECT doc_id,
+           array_to_string(
+               list_filter(string_split(text, ' '),
+                           x -> x <> '' AND NOT contains(x, chr(31))
+                                AND NOT contains(x, chr(30))), ' ')
+               AS clean_text
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.decoded = o.clean_text THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ok,
+       COUNT(*) = SUM(CASE WHEN d.decoded = o.clean_text
+                      THEN 1 ELSE 0 END) AS all_ok
+FROM dec d JOIN orig o ON o.doc_id = d.doc_id
+""",
+    doc="BPE DECODE round-trip: every encoded doc's subword stream "
+    "concatenates back (</w> -> space) to exactly the cleaned "
+    "original text — the tokenizer-losslessness law (merges only "
+    "ever concatenate adjacent symbols, so decode is a single "
+    "string fold, no vocab needed). The oracle re-derives the "
+    "trained encoding through the unrolled 10-stage CTE chain and "
+    "replays the SAME decode, so all_ok=true is recomputed, not "
+    "pinned. Decode is one narrow projection over the encode "
+    "output — zero additional shuffles.",
+)
+def q_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import bpe as B
+
+    enc = _bpe_trained_encoding(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(B.clean_words("text"), " ").alias("clean_text")
+    )
+    dec = enc.select(
+        "doc_id",
+        F.rtrim(
+            F.replace(
+                F.concat_ws("", "subwords"), F.lit("</w>"), F.lit(" ")
+            )
+        ).alias("decoded"),
+    )
+    ok = (F.col("decoded") == F.col("clean_text")).cast("int")
+    return (
+        dec.join(docs, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ok).cast("bigint").alias("n_ok"),
+        )
+        .select(
+            "n_docs",
+            "n_ok",
+            (F.col("n_docs") == F.col("n_ok")).alias("all_ok"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# WordPiece (round 9): the third production tokenizer — likelihood-
+# score merges (Schuster & Nakajima 2012; BERT) + greedy longest-
+# match-first inference. The oracles unroll the training stages as
+# chained CTEs exactly like the BPE family, with the pair argmax
+# swapped from raw count to the floored fixed-point likelihood score
+# (HUGEINT cross-arithmetic — cnt * 1e12 overflows BIGINT at corpus
+# scale), and unroll the MaxMatch encode loop as MAX_WORD_LEN chained
+# lateral-join steps (each consumes >= 1 char, so 16 steps cover
+# every non-[UNK] word by construction).
+# --------------------------------------------------------------------
+
+_WP_N_MERGES = 8
+
+
+def _wp_oracle_prefix(
+    n_merges: int = _WP_N_MERGES, encode: bool = False
+) -> str:
+    from stripe_data_pipeline_spark.operators.wordpiece import (
+        MAX_WORD_LEN,
+        SCORE_SCALE,
+    )
+
+    s = "chr(31)"
+    o = "chr(30)"
+    keep = (
+        "x -> x <> '' AND NOT contains(x, '#') "
+        f"AND NOT contains(x, {s}) AND NOT contains(x, {o})"
+    )
+    toks = (
+        f"list_filter(string_split(replace(%s, {o}, ''), {s}), x -> x <> '')"
+    )
+    parts = [
+        f"""w0 AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+           {o} || word[1] || {s}
+             || COALESCE(array_to_string(
+                    list_transform(range(2, length(word) + 1),
+                        i -> {o} || '##' || word[i] || {s}), ''), '') AS s
+    FROM (SELECT w.word AS word
+          FROM documents,
+               UNNEST(list_filter(string_split(text, ' '),
+                       {keep})) AS w(word))
+    GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""u{i} AS MATERIALIZED (
+    SELECT sy[j] AS sym, CAST(SUM(n) AS BIGINT) AS u
+    FROM (SELECT n, {toks % 's'} AS sy FROM w{i - 1}),
+         UNNEST(range(1, len(sy) + 1)) AS t(j)
+    GROUP BY 1
+),
+m{i} AS MATERIALIZED (
+    SELECT p.l AS l, p.r AS r, p.l || substr(p.r, 3) AS merged,
+           CAST((CAST(p.cnt AS HUGEINT) * {SCORE_SCALE})
+                // (CAST(ul.u AS HUGEINT) * ur.u) AS BIGINT) AS score_fp
+    FROM (
+        SELECT sy[j] AS l, sy[j + 1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, {toks % 's'} AS sy FROM w{i - 1}),
+             UNNEST(range(1, len(sy))) AS t(j)
+        GROUP BY 1, 2
+    ) p
+    JOIN u{i} ul ON ul.sym = p.l
+    JOIN u{i} ur ON ur.sym = p.r
+    WHERE p.cnt >= 2
+    ORDER BY score_fp DESC, l, r LIMIT 1
+),
+w{i} AS MATERIALIZED (
+    SELECT w.word, w.n,
+           CASE WHEN m.l IS NULL THEN w.s
+                ELSE replace(w.s, {o} || m.l || {s} || {o} || m.r || {s},
+                             {o} || m.merged || {s}) END AS s
+    FROM w{i - 1} w LEFT JOIN m{i} m ON TRUE
+)"""
+        )
+    if encode:
+        union_merged = "\n    UNION\n    ".join(
+            f"SELECT merged AS piece FROM m{i}"
+            for i in range(1, n_merges + 1)
+        )
+        parts.append(
+            f"""vp AS MATERIALIZED (
+    SELECT piece,
+           CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+                ELSE piece END AS body,
+           (piece LIKE '##%') AS cont
+    FROM (
+        SELECT DISTINCT sy[j] AS piece
+        FROM (SELECT {toks % 's'} AS sy FROM w0),
+             UNNEST(range(1, len(sy) + 1)) AS t(j)
+        UNION
+        {union_merged}
+    )
+),
+dw AS MATERIALIZED (
+    SELECT DISTINCT w.word AS word
+    FROM documents,
+         UNNEST(list_filter(string_split(text, ' '), {keep})) AS w(word)
+),
+e0 AS MATERIALIZED (
+    SELECT word, word AS rest, CAST([] AS VARCHAR[]) AS toks,
+           FALSE AS dead
+    FROM dw
+)"""
+        )
+        for k in range(1, MAX_WORD_LEN + 1):
+            cont = "TRUE" if k > 1 else "FALSE"
+            parts.append(
+                f"""e{k} AS MATERIALIZED (
+    SELECT e.word,
+           CASE WHEN e.rest = '' OR c.piece IS NULL THEN e.rest
+                ELSE substr(e.rest, length(c.body) + 1) END AS rest,
+           CASE WHEN e.rest = '' OR c.piece IS NULL THEN e.toks
+                ELSE list_append(e.toks, c.piece) END AS toks,
+           (e.dead OR (e.rest <> '' AND c.piece IS NULL)) AS dead
+    FROM e{k - 1} e
+    LEFT JOIN LATERAL (
+        SELECT v.piece, v.body FROM vp v
+        WHERE v.cont = {cont} AND e.rest <> ''
+          AND starts_with(e.rest, v.body)
+        ORDER BY length(v.body) DESC, v.piece LIMIT 1
+    ) c ON TRUE
+)"""
+            )
+        parts.append(
+            f"""wenc AS MATERIALIZED (
+    SELECT word,
+           CASE WHEN length(word) > {MAX_WORD_LEN} OR dead OR rest <> ''
+                THEN ['[UNK]'] ELSE toks END AS pieces
+    FROM e{MAX_WORD_LEN}
+),
+docs_w AS MATERIALIZED (
+    SELECT doc_id, list_filter(string_split(text, ' '), {keep}) AS ws
+    FROM documents
+),
+occ AS MATERIALIZED (
+    SELECT d.doc_id, t.i AS pos, d.ws[t.i] AS word
+    FROM docs_w d, UNNEST(range(1, len(d.ws) + 1)) AS t(i)
+),
+enc AS MATERIALIZED (
+    SELECT o.doc_id, o.pos, w.pieces
+    FROM occ o JOIN wenc w ON w.word = o.word
+)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
+# Session-scoped tokenizer-artifact cache per corpus dir (the
+# _BPE_MERGES_CACHE rationale: train once, ship to every consumer;
+# merges and vocab are pure functions of the corpus).
+_WP_CACHE: dict[str, tuple[list, list]] = {}
+
+
+def _wp_artifacts(spark: SparkSession, sf_dir: str) -> tuple[list, list]:
+    from stripe_data_pipeline_spark.operators import wordpiece as W
+
+    art = _WP_CACHE.get(sf_dir)
+    if art is None:
+        docs = read_table(spark, sf_dir, "documents")
+        merges = W.train_wordpiece(docs, n_merges=_WP_N_MERGES)
+        pieces = W.wordpiece_vocab(docs, merges)
+        art = (merges, pieces)
+        _WP_CACHE[sf_dir] = art
+    return art
+
+
+@register(
+    "wordpiece_merges_learned",
+    oracle=_wp_oracle_prefix()
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, merged,"
+        f" score_fp FROM m{i}"
+        for i in range(1, _WP_N_MERGES + 1)
+    ),
+    doc="WordPiece tokenizer training (Schuster & Nakajima 2012; the "
+    "BERT vocab builder): 8 merges learned by the LIKELIHOOD score "
+    "count(lr)/(count(l)*count(r)) over the current segmentation — "
+    "the score floored to 1e12 fixed point BEFORE the argmax "
+    "(Python big ints driver-side, HUGEINT in the oracle, "
+    "DECIMAL(38,0) div on the distributed path — all exact floor "
+    "division), ties broken (left, right) ASC, so the oracle's 8 "
+    "unrolled stages (pair counts + unit counts + score argmax + "
+    "framed-replace rewrite) replay every rank, pair, merged piece "
+    "and score bit-for-bit. Training touches the corpus once (one "
+    "groupBy(word) shuffle); the loop runs over the bounded word "
+    "table (operators/wordpiece.py).",
+)
+def q_wordpiece_merges_learned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    merges, _pieces = _wp_artifacts(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (i + 1, left, right, merged, fp)
+            for i, (left, right, merged, fp) in enumerate(merges)
+        ],
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, score_fp bigint",
+    )
+
+
+@register(
+    "wordpiece_encoded_docs",
+    oracle=_wp_oracle_prefix(encode=True)
+    + """
+SELECT doc_id,
+       CAST(SUM(len(pieces)) AS BIGINT) AS n_wp_tokens,
+       md5(string_agg(array_to_string(pieces, chr(31)), chr(31)
+           ORDER BY pos)) AS wp_fingerprint
+FROM enc GROUP BY doc_id
+""",
+    doc="WordPiece ENCODE pass — BERT's WordpieceTokenizer: greedy "
+    "longest-match-first against the trained piece vocab, ## "
+    "continuations, words longer than 16 chars or hitting an "
+    "unmatchable position -> [UNK]. The matcher runs once per "
+    "DISTINCT word as 16 unrolled pure-JVM when-chain steps (the "
+    "word-level shape of VERDICT r7 #1 — vocab is a plan literal, "
+    "each step's matcher lands in its own projection so it is "
+    "evaluated once), occurrences rejoin via broadcast hash join + "
+    "one doc regroup. The oracle unrolls BOTH the 8 training stages "
+    "and the 16 MaxMatch steps (chained lateral joins picking the "
+    "longest matching piece), so per-doc piece counts and the "
+    "order-sensitive md5 fingerprint are bit-checked end to end.",
+)
+def q_wordpiece_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import wordpiece as W
+    from stripe_data_pipeline_spark.operators.bpe import SEP
+
+    _merges, pieces = _wp_artifacts(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    enc = W.encode_documents_wordpiece(docs, pieces)
+    return enc.select(
+        "doc_id",
+        F.size("pieces").cast("bigint").alias("n_wp_tokens"),
+        F.md5(F.concat_ws(SEP, "pieces")).alias("wp_fingerprint"),
+    )
+
+
+@register(
+    "wordpiece_unk_stats",
+    oracle=_wp_oracle_prefix(encode=True)
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_word_occurrences,
+       CAST(SUM(CASE WHEN len(pieces) = 1 AND pieces[1] = '[UNK]'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       CAST(SUM(CASE WHEN len(pieces) = 1 AND pieces[1] = '[UNK]'
+                     THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS unk_bp,
+       CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+       CAST(SUM(len(pieces)) * 1000000 // COUNT(*) AS BIGINT)
+           AS fertility_micro
+FROM enc
+""",
+    doc="Tokenizer health check over the WordPiece encode: corpus "
+    "[UNK] rate (basis points) and fertility (pieces per word "
+    "occurrence, 1e-6 fixed point) — the two numbers a tokenizer "
+    "report always leads with (a production vocab targets <0.1% UNK "
+    "and fertility near 1). Pure integer arithmetic over the "
+    "occurrence-joined encode; same artifact-cached tokenizer as "
+    "the sibling queries.",
+)
+def q_wordpiece_unk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import wordpiece as W
+
+    _merges, pieces = _wp_artifacts(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(W.clean_words_wp("text")).alias("word")
+    )
+    enc = F.broadcast(
+        W.encode_words_wordpiece(
+            words.distinct(), pieces
+        )
+    )
+    per_occ = words.join(enc, "word").select(
+        F.size("pieces").cast("bigint").alias("n_p"),
+        (
+            (F.size("pieces") == 1)
+            & (F.element_at("pieces", 1) == W.UNK)
+        )
+        .cast("bigint")
+        .alias("is_unk"),
+    )
+    return per_occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_occurrences"),
+        F.sum("is_unk").cast("bigint").alias("n_unk"),
+        F.expr("sum(is_unk) * 10000 div count(1)")
+        .cast("bigint")
+        .alias("unk_bp"),
+        F.sum("n_p").cast("bigint").alias("n_pieces"),
+        F.expr("sum(n_p) * 1000000 div count(1)")
+        .cast("bigint")
+        .alias("fertility_micro"),
+    )
+
+
+# --------------------------------------------------------------------
+# TextRank (round 9): keyword extraction = PageRank over the word
+# co-occurrence graph (Mihalcea & Tarau 2004, public). Reuses the
+# fixed-point power iteration of operators/graph.py — node ids are the
+# cross-engine md5-60-bit word hashes, so the oracle replays the same
+# 5 unrolled integer rounds over the same edge list.
+# --------------------------------------------------------------------
+
+_TR_ID = "CAST(('0x' || substr(md5({w}), 1, 15)) AS BIGINT)"
+
+
+def _textrank_oracle() -> str:
+    from stripe_data_pipeline_spark.catalog.relational_queries import (
+        _pr_iter_cte,
+    )
+
+    return (
+        f"""
+WITH toks AS (
+    SELECT doc_id, t.i AS i, ws[t.i] AS w, ws[t.i + 1] AS w2
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents),
+         UNNEST(range(1, len(ws))) AS t(i)
+),
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(w, w2) AS lw, GREATEST(w, w2) AS rw
+    FROM toks WHERE w <> w2
+),
+wm AS MATERIALIZED (
+    SELECT word, {_TR_ID.format(w='word')} AS id
+    FROM (SELECT lw AS word FROM und UNION SELECT rw AS word FROM und)
+),
+edges AS MATERIALIZED (
+    SELECT l.id AS src, r.id AS dst
+    FROM und JOIN wm l ON l.word = und.lw JOIN wm r ON r.word = und.rw
+    UNION ALL
+    SELECT r.id AS src, l.id AS dst
+    FROM und JOIN wm l ON l.word = und.lw JOIN wm r ON r.word = und.rw
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT src AS node FROM edges
+    UNION SELECT DISTINCT dst AS node FROM edges
+),
+deg AS MATERIALIZED (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+),
+sc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           1000000000000000 // COUNT(*) AS r0,
+           (15 * 1000000000000000) // (100 * COUNT(*)) AS base
+    FROM nodes
+),
+"""
+        + ",\n".join(_pr_iter_cte(i) for i in range(1, 6))
+        + """
+SELECT wm.word, r.rank_fp
+FROM r5 r JOIN wm ON wm.id = r.node
+ORDER BY r.rank_fp DESC, wm.word
+LIMIT 20
+"""
+    )
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc="TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank "
+    "over the undirected word co-occurrence graph (adjacent-token "
+    "pairs, distinct, self-loops dropped), 5 integer fixed-point "
+    "rounds with damping 0.85 — the same power iteration and oracle "
+    "unrolling as pagerank_customer_supplier, with node ids from the "
+    "cross-engine md5-60-bit hash so both engines run the identical "
+    "edge list. Corpus-scale work is one explode + one distinct; the "
+    "vocabulary-sized rank vector broadcasts into every round, so "
+    "the iteration never reshuffles the edge table. Top-20 keywords "
+    "by (rank DESC, word).",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.dedup import md5_base60
+    from stripe_data_pipeline_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.struct(a.alias("w"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).filter(F.col("p.w") != F.col("p.w2"))
+    und = pairs.select(
+        F.least("p.w", "p.w2").alias("lw"),
+        F.greatest("p.w", "p.w2").alias("rw"),
+    ).distinct()
+    wm = (
+        und.select(F.col("lw").alias("word"))
+        .unionByName(und.select(F.col("rw").alias("word")))
+        .distinct()
+        .select("word", md5_base60(F.col("word")).alias("id"))
+    )
+    ids = und.join(
+        F.broadcast(wm.select(F.col("word").alias("lw"), F.col("id").alias("lid"))),
+        "lw",
+    ).join(
+        F.broadcast(wm.select(F.col("word").alias("rw"), F.col("id").alias("rid"))),
+        "rw",
+    )
+    edges = ids.select(
+        F.col("lid").alias("src"), F.col("rid").alias("dst")
+    ).unionByName(
+        ids.select(F.col("rid").alias("src"), F.col("lid").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=5, broadcast_ranks=True)
+    return (
+        ranks.join(F.broadcast(wm), ranks["node"] == wm["id"])
+        .select("word", "rank_fp")
+        .orderBy(F.desc("rank_fp"), "word")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------
+# BLEU pair scoring (round 9): the canonical n-gram overlap metric
+# (Papineni et al. 2002) over the LSH candidate pairs — the eval
+# metric a dedup/contamination pipeline reports when "how similar"
+# matters beyond a set-Jaccard bit (clipped counts catch repetition
+# gaming; the brevity term catches truncation).
+# --------------------------------------------------------------------
+
+
+@register(
+    "bleu_pair_scores",
+    oracle=_minhash_cands_cte()
+    + f""",
+toks_b AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+),
+g1 AS MATERIALIZED (
+    SELECT doc_id, ws[i] AS gram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks_b, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    GROUP BY doc_id, ws[i]
+),
+g2 AS MATERIALIZED (
+    SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks_b, UNNEST(range(1, len(ws))) AS t(i)
+    GROUP BY doc_id, ws[i] || ' ' || ws[i + 1]
+),
+lens AS MATERIALIZED (
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks FROM toks_b
+),
+m1 AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS m
+    FROM cand c
+    JOIN g1 b ON b.doc_id = c.doc_b
+    JOIN g1 a ON a.doc_id = c.doc_a AND a.gram = b.gram
+    GROUP BY c.doc_a, c.doc_b
+),
+m2 AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(LEAST(a.cnt, b.cnt)) AS BIGINT) AS m
+    FROM cand c
+    JOIN g2 b ON b.doc_id = c.doc_b
+    JOIN g2 a ON a.doc_id = c.doc_a AND a.gram = b.gram
+    GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(m1.m, 0) AS mm1, COALESCE(m2.m, 0) AS mm2,
+           lb.n_toks AS t1, lb.n_toks - 1 AS t2,
+           la.n_toks AS ref_len, lb.n_toks AS cand_len
+    FROM cand c
+    LEFT JOIN m1 ON m1.doc_a = c.doc_a AND m1.doc_b = c.doc_b
+    LEFT JOIN m2 ON m2.doc_a = c.doc_a AND m2.doc_b = c.doc_b
+    JOIN lens la ON la.doc_id = c.doc_a
+    JOIN lens lb ON lb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(mm1 * 10000 // t1 AS BIGINT) AS p1_bp,
+       CAST(mm2 * 10000 // t2 AS BIGINT) AS p2_bp,
+       CAST(cand_len * 10000 // ref_len AS BIGINT) AS len_ratio_bp,
+       CAST(FLOOR((
+           5e-1 * (ln(CAST(mm1 AS DOUBLE) / CAST(t1 AS DOUBLE))
+                   + ln(CAST(mm2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+           + LEAST(0e0, 1e0 - CAST(ref_len AS DOUBLE)
+                             / CAST(cand_len AS DOUBLE))
+       ) * 1000 + 5e-1) AS BIGINT) AS bleu_log_milli
+FROM scored
+WHERE mm2 > 0 AND t2 > 0
+""",
+    doc="BLEU-2 scoring of every LSH candidate pair (Papineni et al. "
+    "2002; doc_a = reference, doc_b = hypothesis): CLIPPED unigram/"
+    "bigram precisions (sum of min(count_hyp, count_ref) per gram — "
+    "the clip that defeats repetition gaming) as exact basis points, "
+    "the length ratio, and the composite in LOG space — "
+    "0.5*(ln p1 + ln p2) + min(0, 1 - ref/cand), the log of "
+    "BLEU-with-brevity-penalty — floored to 1e-3 fixed point under "
+    "the established cross-engine ln() contract (BM25/LM). Pair "
+    "generation is the banded-LSH candidate set (bounded, hot-bucket "
+    "capped), per-doc gram tables join the pairs on (doc, gram) — "
+    "never all-pairs. Pairs with zero bigram overlap are dropped "
+    "(ln undefined), mirrored in the oracle.",
+)
+def q_bleu_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    toks = docs.select("doc_id", ws.alias("ws"))
+    g1 = toks.select(
+        "doc_id", F.explode("ws").alias("gram")
+    ).groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    g2 = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    ).groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    lens = toks.select(
+        "doc_id", F.size("ws").cast("bigint").alias("n_toks")
+    )
+
+    def _matches(g: DataFrame, name: str) -> DataFrame:
+        a = g.select(
+            F.col("doc_id").alias("doc_a"),
+            "gram",
+            F.col("cnt").alias("ca"),
+        )
+        b = g.select(
+            F.col("doc_id").alias("doc_b"),
+            "gram",
+            F.col("cnt").alias("cb"),
+        )
+        return (
+            cands.join(b, "doc_b")
+            .join(a, ["doc_a", "gram"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias(name))
+        )
+
+    scored = (
+        cands.join(_matches(g1, "mm1"), ["doc_a", "doc_b"], "left")
+        .join(_matches(g2, "mm2"), ["doc_a", "doc_b"], "left")
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_toks").alias("ref_len"),
+            ),
+            "doc_a",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_toks").alias("cand_len"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("mm1", F.lit(0)).alias("mm1"),
+            F.coalesce("mm2", F.lit(0)).alias("mm2"),
+            F.col("cand_len").alias("t1"),
+            (F.col("cand_len") - 1).alias("t2"),
+            "ref_len",
+            "cand_len",
+        )
+        .filter((F.col("mm2") > 0) & (F.col("t2") > 0))
+    )
+    logp = (
+        F.lit(0.5)
+        * (
+            F.log(F.col("mm1").cast("double") / F.col("t1").cast("double"))
+            + F.log(F.col("mm2").cast("double") / F.col("t2").cast("double"))
+        )
+        + F.least(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("ref_len").cast("double")
+            / F.col("cand_len").cast("double"),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.expr("mm1 * 10000 div t1").cast("bigint").alias("p1_bp"),
+        F.expr("mm2 * 10000 div t2").cast("bigint").alias("p2_bp"),
+        F.expr("cand_len * 10000 div ref_len")
+        .cast("bigint")
+        .alias("len_ratio_bp"),
+        F.floor(logp * F.lit(1000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("bleu_log_milli"),
+    )

@@ -652,3 +652,62 @@ def rrf_fuse(
         name_b,
     )
     return fused.orderBy(F.desc("rrf_fp"), id_col).limit(k)
+
+
+def maxsim_topk(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    exclude_ids: list[int] | None = None,
+    group_col: str = "label",
+) -> DataFrame:
+    """ColBERT-style LATE INTERACTION scoring (Khattab & Zaharia 2020,
+    public): treat each ``group_col`` group as a multi-vector document
+    and score it against a multi-vector query by
+
+        MaxSim(Q, D) = sum_{q in Q} max_{m in D} cos(q, m)
+
+    — the retrieval shape that beats single-vector similarity when
+    relevance is carried by individual tokens/passages rather than
+    the pooled embedding.
+
+    Execution: the query vectors are PLAN LITERALS (bounded: |Q| x d
+    doubles), so per-row cosines are |Q| narrow JVM folds over one
+    corpus scan — no join, no Python; each cosine is floored to 1e-9
+    fixed point BEFORE aggregation so the per-group max and the
+    cross-query sum are order-invariant integers (the BM25 contract);
+    ONE groupBy(group) shuffle computes all |Q| maxes map-side-
+    partially, and the final score is a fixed |Q|-term addition tree.
+    Returns the top-``k`` (group, maxsim_fp)."""
+    from stripe_data_pipeline_spark.operators.partitioning import (
+        spread_scan,
+    )
+
+    df = spread_scan(df)
+    if exclude_ids:
+        df = df.filter(~F.col("vec_id").isin(*exclude_ids))
+    emb = _as_double(F.col("embedding"))
+    cols = []
+    for j, qv in enumerate(query_vecs):
+        q = _lit_vec(qv)
+        cos = _dot(emb, q) / (_norm(emb) * _norm(q))
+        cols.append(
+            F.floor(cos * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias(f"c{j}")
+        )
+    scored = df.select(F.col(group_col).alias("g"), *cols)
+    per = scored.groupBy("g").agg(
+        *[F.max(f"c{j}").alias(f"m{j}") for j in range(len(query_vecs))]
+    )
+    score = F.col("m0")
+    for j in range(1, len(query_vecs)):
+        score = score + F.col(f"m{j}")
+    return (
+        per.select(
+            F.col("g").alias(group_col),
+            score.cast("bigint").alias("maxsim_fp"),
+        )
+        .orderBy(F.desc("maxsim_fp"), group_col)
+        .limit(k)
+    )

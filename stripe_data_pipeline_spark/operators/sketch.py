@@ -209,3 +209,61 @@ def hist_quantile_bounds(
             .alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — the Theta-sketch family
+# (Bar-Yossef et al. 2002; Beyer et al. 2007; Apache DataSketches'
+# theta sketch is this estimator). Unlike HLL (sketch.py's sibling in
+# operators/ via hll_mergeable_user_counts), KMV supports SET
+# INTERSECTION natively: keep the k smallest 60-bit hashes per set;
+# distinct estimate = (k-1) * 2^60 // h_k (exact when fewer than k
+# values exist); union = k-min over the union of sketches; the
+# Jaccard estimate |combined-k-min ∩ A ∩ B| / k scales the union
+# estimate into an intersection estimate. Every quantity is integer
+# (HUGEINT/DECIMAL(38,0) for the (k-1)*2^60 numerator), so DuckDB
+# replays the estimator bit-for-bit.
+# --------------------------------------------------------------------
+
+KMV_DOMAIN = 1 << 60  # md5_base60 hashes are uniform on [0, 2^60)
+
+
+def kmv_sketch(
+    df: DataFrame, val_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest md5-60-bit hashes of the
+    group's DISTINCT values — (g, h, rn) with rn the 1-based rank.
+    One distinct shuffle over (group, hash) is the only corpus-scale
+    exchange; per-group state is bounded at k rows by construction."""
+    from pyspark.sql import Window
+
+    from stripe_data_pipeline_spark.operators.dedup import md5_base60
+
+    d = df.select(
+        F.col(group_col).alias("g"), md5_base60(F.col(val_col)).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return d.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """(g, n_kept, est): the KMV distinct-count estimate per group —
+    exact n_kept when the sketch holds fewer than k hashes (the set
+    was smaller than k), else (k-1) * 2^60 // h_k."""
+    return sketch.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("hk"),
+    ).select(
+        "g",
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(
+                f"CAST({k - 1} AS DECIMAL(38,0)) * {KMV_DOMAIN} div hk"
+            )
+        )
+        .cast("bigint")
+        .alias("est"),
+    )

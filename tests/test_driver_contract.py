@@ -45,15 +45,27 @@ def test_ordering_covers_the_registry_exactly_once():
 
 
 def test_window_covers_every_query_without_a_driver_verdict():
+    """When the never-checked set fits the window, all of it must be
+    inside; when a round adds MORE than 50 new queries (round 9 did),
+    full same-round coverage is impossible — the strongest achievable
+    invariant is that no window slot is WASTED on an already-verified
+    query, and the spill-over (window-sized backlog minus window)
+    must lead the next round's rotation."""
     from stripe_data_pipeline_spark.catalog import QUERIES
 
     checked = _latest_correctness()
     window = set(list(entry.queries())[:WINDOW])
     unchecked = set(QUERIES) - checked
-    assert unchecked <= window, (
-        "queries with no driver verdict are outside the next check "
-        f"window: {sorted(unchecked - window)}"
-    )
+    if len(unchecked) <= WINDOW:
+        assert unchecked <= window, (
+            "queries with no driver verdict are outside the next check "
+            f"window: {sorted(unchecked - window)}"
+        )
+    else:
+        assert window <= unchecked, (
+            "window slots wasted on already-verified queries while "
+            f"unchecked ones spill: {sorted(window - unchecked)}"
+        )
 
 
 def test_every_oracle_names_a_registered_query():
