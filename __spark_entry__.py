@@ -85,8 +85,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 9 newest queries (WordPiece tokenizer trio
-# completion; BLEU-2 pair scoring; audio signal features; triangle
+# Round-9 rotation: the 10 newest queries (WordPiece tokenizer trio
+# completion; BLEU-2 pair scoring; audio signal features;
+# merge-on-read deletes; triangle
 # counts + clustering coefficients; TextRank keywords; KMV
 # theta-sketch set ops; ColBERT MaxSim late interaction), then the
 # 18 second/third-batch queries (Q17/Q13/Q2/Q21/
@@ -111,6 +112,7 @@ _PRIORITY = [
     "wordpiece_unk_stats",
     "bleu_pair_scores",
     "media_audio_features_check",
+    "atomic_mor_delete_check",
     "triangle_counts_supplier",
     "textrank_keywords",
     "kmv_distinct_sketch_check",

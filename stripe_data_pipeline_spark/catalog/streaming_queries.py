@@ -2080,3 +2080,93 @@ def q_streaming_stateful_latest_mart_check(
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+def _materialized_mor_marts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two identical event marts driven through the MERGE-ON-READ
+    delete path (round 9): both merge events keyed by event_id and
+    delete value >= 300 via delete_where_mor — a zero-rewrite commit
+    whose cost is one small equality-delete file (the Iceberg
+    equality-delete / Delta deletion-vector economics); the second
+    mart then runs apply_deletes, the single copy-on-write pass that
+    rewrites only partitions still holding deleted keys and clears the
+    delete list. Readers of BOTH states must produce the identical
+    relation — the pending state through the scan-time anti-join, the
+    materialized state from the rewritten files alone."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#mor"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="mor_mart_")
+        ev = _rt(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        for name in ("pending", "materialized"):
+            mart = os.path.join(root, name)
+            MT.merge_upsert_atomic(
+                spark, mart, ev, keys=["event_id"], partition_by="event_type"
+            )
+            n = MT.delete_where_mor(
+                spark, mart, F.col("value") >= 300.0, keys=["event_id"]
+            )
+            assert n > 0  # the check must exercise a non-empty delete
+        MT.apply_deletes(spark, os.path.join(root, "materialized"))
+        _STREAM_MART_CACHE[cache_key] = root
+    return (
+        MT.read_table(spark, os.path.join(root, "pending")),
+        MT.read_table(spark, os.path.join(root, "materialized")),
+    )
+
+
+@register(
+    "atomic_mor_delete_check",
+    oracle=f"""
+WITH agg AS (
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sum_usd_cents_sql("value")} AS total_value
+    FROM events
+    WHERE value < 3e2
+    GROUP BY event_type
+)
+SELECT p.phase, a.event_type, a.n_events, a.n_users, a.total_value
+FROM agg a, (SELECT UNNEST(['pending', 'materialized']) AS phase) p
+""",
+    doc="MERGE-ON-READ deletes under the driver oracle (the Iceberg "
+    "equality-delete / Delta deletion-vector shape): merge events "
+    "into an atomic mart, delete value >= 300 as ONE small equality-"
+    "delete file — the data parts mapping is untouched, commit cost "
+    "∝ deleted keys, not data — then read back in BOTH states: "
+    "'pending' (scan-time anti-join of the delete keys) and "
+    "'materialized' (after apply_deletes' single copy-on-write pass "
+    "over only the partitions holding deleted keys). Both phases "
+    "must bit-match plain SQL with the delete restated as a filter. "
+    "Zero-rewrite commit, vacuum safety, resurrection guard and "
+    "clone transfer are pytest-pinned in tests/test_mor_deletes.py.",
+)
+def q_atomic_mor_delete_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pending, materialized = _materialized_mor_marts(spark, sf_dir)
+
+    def prof(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_usd_cents(F.col("value")).alias("total_value"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return prof(pending, "pending").unionByName(
+        prof(materialized, "materialized")
+    )

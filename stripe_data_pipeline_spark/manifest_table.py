@@ -377,7 +377,9 @@ def read_table(
     # Explicit manifest schema, not footer inference: deterministic,
     # skips the mergeSchema footer pass, and makes schema evolution
     # work — files from before a column was added simply read it NULL.
-    return spark.read.schema(schema).parquet(*paths)
+    return _apply_delete_files(
+        spark, root, m, spark.read.schema(schema).parquet(*paths)
+    )
 
 
 def _stage_versioned(
@@ -481,6 +483,7 @@ def merge_upsert_atomic(
     """
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
+    _require_no_pending_deletes(read_manifest(root), "merge_upsert_atomic")
     if txn_app is not None and _txn_already_applied(
         read_manifest(root), txn_app, txn_version
     ):
@@ -560,7 +563,9 @@ def _read_at(
     paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    return _apply_delete_files(
+        spark, root, m, spark.read.schema(schema).parquet(*paths)
+    )
 
 
 def _plan_merge(
@@ -818,7 +823,7 @@ def _vacuum_locked(
             return False  # vanished or unreadable: not ours to spare
 
     m = read_manifest(root)
-    referenced = set(m["parts"].values()) if m else set()
+    referenced = _referenced_rels(m) if m else set()
     removed: list[str] = []
     hist_dir = os.path.join(root, _HISTORY)
     if os.path.isdir(hist_dir) and m is not None:
@@ -828,7 +833,7 @@ def _vacuum_locked(
             v = int(f[1:-5])  # v%08d.json
             if keep_from <= v <= current_v:
                 with open(os.path.join(hist_dir, f)) as fh:
-                    referenced |= set(json.load(fh)["parts"].values())
+                    referenced |= _referenced_rels(json.load(fh))
             else:
                 # older than the retention window, or an uncommitted
                 # orphan from a crashed writer (v > current)
@@ -1444,9 +1449,13 @@ def update_where(
     Updated columns must already exist (use merge for schema
     evolution); an update may NOT move rows across partitions — set
     the partition column through a merge instead, which handles the
-    displacement semantics. Returns rows updated."""
+    displacement semantics. Refuses to run while merge-on-read
+    deletes are pending (a SET could rewrite a key column into a
+    deleted key, which the readers' anti-join would then mask).
+    Returns rows updated."""
     with _writer_lock(root):
         m = read_manifest(root)
+        _require_no_pending_deletes(m, "update_where")
         if m is None:
             raise FileNotFoundError(f"no MANIFEST at {root}")
         partition_by = m.get("partition_by")
@@ -1562,8 +1571,208 @@ def clone_table(
         manifest["stats"] = m["stats"]
     if "file_stats" in m:
         manifest["file_stats"] = m["file_stats"]
+    if m.get("deletes"):
+        # pending merge-on-read deletes travel with the snapshot —
+        # the clone anti-joins the source's delete files until its
+        # own apply_deletes materializes them copy-on-write
+        manifest["deletes"] = [
+            os.path.join(src_abs, rel) for rel in m["deletes"]
+        ]
+        manifest["delete_keys"] = list(m["delete_keys"])
     with _writer_lock(dst_root):
         if read_manifest(dst_root) is not None:
             raise ValueError(f"{dst_root} already holds a table")
         _commit(dst_root, manifest)
     return int(m["version"])
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read deletes (round 9): the Iceberg EQUALITY-DELETE /
+# Delta deletion-vector shape. delete_where rewrites every partition
+# holding a match (copy-on-write — cost ∝ touched data); at 100 TB a
+# GDPR-style trickle of row deletes cannot afford a rewrite per
+# request. delete_where_mor instead writes the matching rows' KEY
+# TUPLES as a small immutable delete file and commits a manifest that
+# carries it; every reader anti-joins the delete keys at scan time
+# (cost ∝ |deleted keys|, broadcast-sized in practice), and
+# apply_deletes materializes the backlog in ONE copy-on-write pass
+# over only the partitions that still hold deleted keys.
+# ---------------------------------------------------------------------------
+
+
+def _referenced_rels(m: dict) -> set[str]:
+    """Every parts/-relative dir a manifest references: data parts
+    plus merge-on-read delete files (vacuum must spare both)."""
+    return set(m["parts"].values()) | set(m.get("deletes", []))
+
+
+def _apply_delete_files(
+    spark: SparkSession, root: str, m: dict, df: DataFrame
+) -> DataFrame:
+    """Anti-join a snapshot's pending equality-delete keys onto a scan
+    of its data parts — the merge-on-read half of delete_where_mor.
+    No-op (and zero plan nodes) when the snapshot has no deletes."""
+    rels = m.get("deletes") or []
+    if not rels:
+        return df
+    keys = m["delete_keys"]
+    dels = (
+        spark.read.parquet(*[os.path.join(root, rel) for rel in rels])
+        .select(*keys)
+        .distinct()
+    )
+    return df.join(dels, keys, "left_anti")
+
+
+def _require_no_pending_deletes(m: dict | None, op: str) -> None:
+    if m is not None and m.get("deletes"):
+        raise ValueError(
+            f"{op}: table has pending merge-on-read deletes; run "
+            "apply_deletes() first. Inserting rows while equality-"
+            "delete files are pending could silently mask a re-"
+            "inserted key (the resurrection hazard Iceberg prevents "
+            "with sequence numbers; this format prevents it by "
+            "requiring materialization before the next upsert)."
+        )
+
+
+def delete_where_mor(
+    spark: SparkSession, root: str, predicate, keys: list[str]
+) -> int:
+    """MERGE-ON-READ row-level DELETE: select the rows matching
+    ``predicate``, write their ``keys`` tuples as one small immutable
+    delete file under parts/, and commit a manifest that references it
+    — NO data partition is rewritten, so the commit cost is
+    proportional to the matched keys, not the touched data (the
+    Iceberg equality-delete / Delta deletion-vector economics).
+    Readers (read_table at any version, and every writer's internal
+    scan) apply the deletes as a left anti join on ``keys``.
+
+    Semantics are EQUALITY deletes: every row whose key tuple matches
+    dies — identical to predicate deletion under the merge sink's
+    key-uniqueness invariant. Repeated calls accumulate delete files
+    (all must use the same ``keys``); ``apply_deletes`` materializes
+    and clears them. ``merge_upsert_atomic``/``update_where`` REFUSE
+    to run while deletes are pending (re-inserted keys would be
+    masked). Time travel is exact: each snapshot carries its own
+    deletes list; vacuum spares referenced delete files. Returns the
+    number of distinct keys deleted (0 commits nothing)."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        old_keys = m.get("delete_keys")
+        if old_keys is not None and list(old_keys) != list(keys):
+            raise ValueError(
+                f"delete_where_mor: pending deletes use keys {old_keys}; "
+                f"got {keys} — one key set per table until apply_deletes"
+            )
+        df = _read_at(spark, root, m)  # pending deletes already applied
+        matches = df.filter(predicate).select(*keys).distinct()
+        matches = matches.localCheckpoint(eager=True)
+        n = matches.count()
+        if n == 0:
+            return 0
+        rel = f"{_PARTS}/__DELETES__-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+        matches.coalesce(1).write.mode("overwrite").parquet(staging)
+        os.replace(staging, os.path.join(root, rel))
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "deletes": list(m.get("deletes", [])) + [rel],
+            "delete_keys": list(keys),
+            "operation": {"type": "delete_mor", "n_keys": int(n)},
+        }
+        for carry in ("txns", "stats", "file_stats"):
+            if carry in m:
+                manifest[carry] = m[carry]
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return int(n)
+
+
+def apply_deletes(
+    spark: SparkSession, root: str, _fault=None
+) -> int:
+    """Materialize the pending merge-on-read deletes: rewrite ONLY the
+    partitions that still hold deleted keys (one probe semi-join finds
+    them), drop emptied partitions, and commit a manifest with the
+    deletes list cleared — one copy-on-write pass amortized over the
+    whole delete backlog. Untouched partitions keep their dirs (and
+    stats). Returns the number of rows physically removed."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        rels = m.get("deletes") or []
+        if not rels:
+            return 0
+        keys = m["delete_keys"]
+        partition_by = m.get("partition_by")
+        dels = (
+            spark.read.parquet(*[os.path.join(root, r) for r in rels])
+            .select(*keys)
+            .distinct()
+        )
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        paths = [
+            os.path.join(root, rel) for rel in sorted(m["parts"].values())
+        ]
+        raw = (
+            spark.read.schema(schema).parquet(*paths)
+            if paths
+            else spark.createDataFrame([], schema)
+        )
+        hit = raw.join(dels, keys, "left_semi")
+        n = hit.count()
+        if partition_by is None:
+            touched_keys = {_FULL}
+            keep = raw.join(dels, keys, "left_anti")
+        else:
+            touched_vals = [
+                r[0]
+                for r in hit.select(partition_by).distinct().collect()
+            ]
+            touched_keys = {
+                _spark_partition_dir_value(spark, v) for v in touched_vals
+            }
+            keep = _read_at(  # deletes applied by _read_at
+                spark, root, m, partition_values=touched_vals
+            )
+        staged = _stage_versioned(keep, root, partition_by, _fault)
+        new_parts = {
+            k: v for k, v in m["parts"].items() if k not in touched_keys
+        }
+        new_parts.update(staged)
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": partition_by,
+            "schema": m["schema"],
+            "parts": new_parts,
+            "operation": {
+                "type": "apply_deletes",
+                "touched": sorted(touched_keys),
+                "n_rows": int(n),
+                "n_delete_files": len(rels),
+            },
+        }
+        if "txns" in m:
+            manifest["txns"] = m["txns"]
+        if "stats" in m:
+            manifest["stats"] = {
+                k: v
+                for k, v in m["stats"].items()
+                if k in new_parts and k not in staged
+            }
+        if "file_stats" in m:
+            manifest["file_stats"] = {
+                k: v
+                for k, v in m["file_stats"].items()
+                if k in new_parts and k not in staged
+            }
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return int(n)
