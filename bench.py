@@ -355,6 +355,13 @@ SF1_SPOT = [
     # dedup exchange and the window pass both track corpus tokens
     "segment_dedup_docs",
     "span_corruption_pairs",
+    # r9 fourth/fifth batch corpus-linear shapes: WordPiece encode
+    # certifies the unrolled-MaxMatch projection + join-back tracks
+    # corpus tokens; TextRank certifies the explode + distinct edge
+    # build (the 5 power-iteration rounds run on the vocabulary-
+    # bounded graph, so the ratio isolates the corpus-scale stages).
+    "wordpiece_encoded_docs",
+    "textrank_keywords",
 ]
 
 

@@ -3095,17 +3095,19 @@ SELECT s.s_name, n.n_name
 FROM supplier s
 JOIN nation n ON n.n_nationkey = s.s_nationkey
 WHERE EXISTS (SELECT 1 FROM promo_ship ps
-              WHERE ps.l_suppkey = s.s_suppkey AND ps.qty > 100)
+              WHERE ps.l_suppkey = s.s_suppkey AND ps.qty > 60)
 ORDER BY s.s_name
 """,
     doc="TPC-H Q20-shaped excess-inventory suppliers: suppliers who "
-    "shipped more than 100 units of some PROMO part in one ship-year "
+    "shipped more than 60 units of some PROMO part in one ship-year "
     "— Q20's nested IN-subquery chain decorrelated into a grouped "
     "per-(supplier, part) aggregate followed by a LEFT SEMI join "
     "(each supplier surfaces once no matter how many qualifying "
     "parts). Type + year predicates push to their scans; part dim "
     "broadcast into the fact agg; the semi probe side is "
-    "|suppliers|-sized.",
+    "|suppliers|-sized. Threshold 60 (not TPC-H's 0.5*avg) keeps "
+    "the check non-vacuous at every test SF — this synthetic data "
+    "tops out near qty 91 per (supplier, part, year).",
 )
 def q_promo_part_suppliers_q20ish(
     spark: SparkSession, sf_dir: str
@@ -3119,7 +3121,7 @@ def q_promo_part_suppliers_q20ish(
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
-        .filter(F.col("qty") > 100)
+        .filter(F.col("qty") > 60)
         .select("l_suppkey")
     )
     s = read_table(spark, sf_dir, "supplier")
@@ -3139,8 +3141,9 @@ WITH os AS (
     SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
 ),
 edges AS MATERIALIZED (
-    SELECT DISTINCT a.s AS src, b.s AS dst
+    SELECT a.s AS src, b.s AS dst
     FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
 ),
 tri AS (
     SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
@@ -3171,14 +3174,18 @@ FROM deg LEFT JOIN pn ON pn.node = deg.node
 """,
     doc="Triangle counting + local clustering coefficients (Watts & "
     "Strogatz; the ordered wedge-close join of Suri & Vassilvitskii's "
-    "MapReduce scheme) over the co-order supplier graph: suppliers "
-    "sharing an order are connected, edges canonicalized low->high so "
-    "each triangle {x<y<z} is enumerated exactly once by two "
-    "equi-joins — no double counting, no post-dedup. The corpus-"
-    "scale work is ONE distinct over (order, supplier); the edge "
-    "list is dim-bounded (|suppliers|^2 worst case) so the triangle "
-    "joins never touch fact-table volume. Coefficients are exact "
-    "integer basis points (operators/graph.py::triangle_counts).",
+    "MapReduce scheme) over the SUPPORT-THRESHOLDED co-order supplier "
+    "graph: suppliers sharing >= 5 orders are connected — the "
+    "market-basket sparsification, because raw co-occurrence "
+    "saturates to a complete graph as order volume grows (at sf0.1 "
+    "the unthresholded graph is 91%-dense K1000 with ~1.6e8 "
+    "triangles — all noise). Edges canonicalized low->high so each "
+    "triangle {x<y<z} is enumerated exactly once by two equi-joins — "
+    "no double counting, no post-dedup. The corpus-scale work is ONE "
+    "distinct + one groupBy over (order, supplier) pairs; the edge "
+    "list is dim-bounded so the triangle joins never touch fact-"
+    "table volume. Coefficients are exact integer basis points "
+    "(operators/graph.py::triangle_counts).",
 )
 def q_triangle_counts_supplier(
     spark: SparkSession, sf_dir: str
@@ -3195,8 +3202,10 @@ def q_triangle_counts_supplier(
             b,
             (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
         )
-        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
-        .distinct()
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
     )
     return triangle_counts(edges).select(
         F.col("node").alias("suppkey"),

@@ -183,7 +183,15 @@ def _commit(root: str, manifest: dict, _fault=None) -> None:
     writer dies between the history write and the pointer rename, the
     history entry is an uncommitted orphan — the next successful commit
     of that version number overwrites it, and reads of the CURRENT
-    table never consult history at all."""
+    table never consult history at all.
+
+    Every commit is stamped with wall-clock ``committed_at_ms`` —
+    metadata only (never part of any oracle-compared relation), it
+    powers TIMESTAMP-AS-OF time travel (version_as_of/read_table)
+    exactly like the Delta commit timestamp."""
+    import time as _time
+
+    manifest.setdefault("committed_at_ms", int(_time.time() * 1000))
     hist_dir = os.path.join(root, _HISTORY)
     os.makedirs(hist_dir, exist_ok=True)
     with open(os.path.join(hist_dir, f"v{int(manifest['version']):08d}.json"), "w") as f:
@@ -305,6 +313,7 @@ def read_table(
     partition_values: list | None = None,
     version: int | None = None,
     stats_filter: dict | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Resolve MANIFEST -> multi-path parquet scan of immutable dirs.
 
@@ -318,8 +327,14 @@ def read_table(
     ({col: (lo, hi)}) additionally drops dirs whose manifest-recorded
     [min, max] cannot overlap the wanted range — Iceberg-style file
     skipping on NON-partition columns (dirs without stats for a column
-    are conservatively kept).
+    are conservatively kept). ``as_of_ms`` is TIMESTAMP-AS-OF time
+    travel — resolved to a version via commit timestamps
+    (:func:`version_as_of`); mutually exclusive with ``version``.
     """
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ms, not both")
+        version = version_as_of(root, as_of_ms)
     m = read_manifest(root, version)
     if m is None:
         raise FileNotFoundError(f"no MANIFEST at {root}")
@@ -1201,9 +1216,29 @@ def history(root: str) -> list[dict]:
                 "type": op.get("type", "unknown"),
                 "touched": op.get("touched", []),
                 "n_parts": len(m["parts"]),
+                "committed_at_ms": m.get("committed_at_ms"),
             }
         )
     return out
+
+
+def version_as_of(root: str, ts_ms: int) -> int:
+    """TIMESTAMP-AS-OF resolution (the Delta/Iceberg idiom): the
+    highest retained version whose commit timestamp is <= ``ts_ms``.
+    Purely manifest metadata — no Spark, no data reads. Raises when
+    the timestamp predates the oldest retained commit (or the table
+    predates commit timestamps — tables written before this field
+    existed only support VERSION AS OF)."""
+    best = None
+    for h in history(root):
+        ts = h.get("committed_at_ms")
+        if ts is not None and ts <= ts_ms:
+            best = h["version"]
+    if best is None:
+        raise ValueError(
+            f"version_as_of: no retained commit at or before {ts_ms} ms"
+        )
+    return int(best)
 
 
 def maintain(

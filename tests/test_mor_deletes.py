@@ -128,3 +128,37 @@ def test_clone_carries_pending_deletes(spark, tmp_path):
     assert len(MT.read_manifest(src)["deletes"]) == 1
     ids_src = {r["id"] for r in MT.read_table(spark, src).collect()}
     assert ids_src == {3, 4, 5}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    import time
+
+    root = str(tmp_path / "t")
+    _mk(spark, root)  # v1
+    t_between = int(time.time() * 1000)
+    time.sleep(0.05)
+    batch = spark.createDataFrame(
+        [(9, "c", 90.0)], "id long, part string, v double"
+    )
+    MT.merge_upsert_atomic(
+        spark, root, batch, keys=["id"], partition_by="part"
+    )  # v2
+    ids_then = {
+        r["id"]
+        for r in MT.read_table(spark, root, as_of_ms=t_between).collect()
+    }
+    assert ids_then == {1, 2, 3, 4, 5}
+    ids_now = {
+        r["id"]
+        for r in MT.read_table(
+            spark, root, as_of_ms=int(time.time() * 1000)
+        ).collect()
+    }
+    assert ids_now == {1, 2, 3, 4, 5, 9}
+    hist = MT.history(root)
+    assert all(h["committed_at_ms"] is not None for h in hist)
+    assert MT.version_as_of(root, t_between) == 1
+    with pytest.raises(ValueError, match="no retained commit"):
+        MT.version_as_of(root, hist[0]["committed_at_ms"] - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        MT.read_table(spark, root, version=1, as_of_ms=t_between)
