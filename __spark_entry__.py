@@ -85,86 +85,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-9 rotation: the 10 newest queries (WordPiece tokenizer trio
-# completion; BLEU-2 pair scoring; audio signal features;
-# merge-on-read deletes; triangle
-# counts + clustering coefficients; TextRank keywords; KMV
-# theta-sketch set ops; ColBERT MaxSim late interaction), then the
-# 18 second/third-batch queries (Q17/Q13/Q2/Q21/
-# Q11/Q8 decorrelation shapes, CCNet segment dedup, T5 span corruption,
-# BPE decode round-trip, WHT spectral-hash image near-dups), then the 22
-# earlier-r9 queries (SemDeDup, RRF fusion, histogram quantile sketch
-# family, winnowing fingerprints, Q4/Q7/Q14/Q15/Q16/Q18/Q19/Q22
-# shapes, ANN recall eval, Zipf fit, PMI, E-S weighted sampling,
-# delta-join IVM, Stupid Backoff LM) — none has EVER had a driver
-# verdict — then the two r8 queries the driver never checked
-# (hilbert_key_check, incremental_cms_mart_check missed the r8
-# window), then the 6 whose code changed earlier this round, then the
-# OLDEST-driver-verdict block (r3/r4 queries lead). Policy per
-# VERDICT r5 #5 / r7 #8, enforced by tests/test_driver_contract.py.
-# NOTE: round 9 added 51 never-checked queries — one more than the
-# 50-slot window — so incremental_cms_mart_check (slot 51, already
-# CI-verified at sf0.001+sf0.01 by tests/test_oracle_catalog.py and
-# tools/check_oracle.py) spills to lead the r10 window.
+# Round-10 rotation: FIRST the two r8/r9 spill-overs that have never
+# had a driver verdict in ANY round (hilbert_key_check slot 51 and
+# incremental_cms_mart_check slot 52 of the r9 window — the judge
+# verified BOTH spilled, and the rotation contract test fired red on
+# exactly this), then the 6 new r10 queries (streamed CDC with
+# merge-on-read deletes, MOR-aware change feed, xxhash64 winnowing,
+# Spark-4 VARIANT shredding, label-propagation communities, in-batch
+# hard-negative mining), then the 10 queries whose code changed this
+# round (BM25 top-k rewritten to orderBy+limit, single-scan TextRank
+# edges, the winnow_select signature, and the lakehouse family over
+# the ADVICE-r9 manifest fixes), then the OLDEST-driver-verdict block
+# (r3/r4-era queries lead — their verdicts are the stalest). Policy
+# per VERDICT r5 #5 / r7 #8 / r9 #1+#4, enforced by
+# tests/test_driver_contract.py.
 _PRIORITY = [
-    "wordpiece_merges_learned",
-    "wordpiece_encoded_docs",
-    "wordpiece_unk_stats",
-    "bleu_pair_scores",
-    "media_audio_features_check",
-    "atomic_mor_delete_check",
-    "triangle_counts_supplier",
-    "textrank_keywords",
-    "kmv_distinct_sketch_check",
-    "maxsim_late_interaction_topk",
-    "atomic_clone_check",
-    "streaming_stateful_latest_mart_check",
-    "discount_revenue_q6ish",
-    "nation_profit_q9ish",
-    "linestatus_priority_q12ish",
-    "promo_part_suppliers_q20ish",
-    "preference_pair_prep",
-    "streaming_outer_join_mart_check",
-    "small_quantity_revenue_q17ish",
-    "customer_order_distribution_q13ish",
-    "cheapest_part_per_type_q2ish",
-    "sole_returning_supplier_q21ish",
-    "important_nation_balances_q11ish",
-    "nation_market_share_q8ish",
-    "segment_dedup_docs",
-    "span_corruption_pairs",
-    "bpe_roundtrip_check",
-    "media_spectral_hash_near_dups",
-    "semdedup_keepers",
-    "rrf_hybrid_topk",
-    "hist_quantile_prices",
-    "hist_quantile_merge_check",
-    "incremental_hist_mart_check",
-    "winnowing_fingerprints",
-    "winnowing_shared_pairs",
-    "promo_revenue_share_q14ish",
-    "parts_supplier_counts_q16ish",
-    "large_volume_orders_q18ish",
-    "nation_volume_shipping_q7ish",
-    "disjunctive_parts_revenue_q19ish",
-    "ann_recall_check",
-    "zipf_fit_tokens",
-    "pmi_collocations",
-    "weighted_sample_docs",
-    "incremental_join_mart_check",
-    "stupid_backoff_scores",
-    "idle_rich_customers_q22ish",
-    "char_entropy_scores",
-    "priority_order_counts_q4ish",
-    "top_supplier_revenue_q15ish",
     "hilbert_key_check",
     "incremental_cms_mart_check",
-    "cms_token_estimates",
-    "cms_merge_check",
-    "unimax_lang_budgets",
-    "pagerank_customer_supplier",
-    "bpe_encoded_docs",
-    "kmeans_cluster_profile",
+    "streaming_mor_delete_mart_check",
+    "atomic_mor_cdf_check",
+    "winnowing_fingerprints_fast",
+    "variant_shredding_check",
+    "label_propagation_communities",
+    "hard_negatives_inbatch",
+    "bm25_top_docs",
+    "textrank_keywords",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "atomic_mor_delete_check",
+    "atomic_clone_check",
+    "atomic_mart_change_feed",
+    "atomic_merge_mart_check",
+    "streaming_atomic_merge_mart_check",
+    "incremental_join_mart_check",
     "column_null_audit",
     "daily_value_anomalies",
     "event_funnel_conversion",
@@ -192,13 +145,61 @@ _PRIORITY = [
     "recognized_quarter_calendar",
     "revenue_trend_daily",
     "asof_join_events_orders",
-    "atomic_mart_change_feed",
-    "atomic_merge_mart_check",
     "customer_orders_left_join",
     "customers_with_open_orders_semi",
     "customers_without_orders_anti",
     "dedup_clusters",
     "dedup_exact_summary",
+    "wordpiece_merges_learned",
+    "wordpiece_encoded_docs",
+    "wordpiece_unk_stats",
+    "bleu_pair_scores",
+    "media_audio_features_check",
+    "triangle_counts_supplier",
+    "kmv_distinct_sketch_check",
+    "maxsim_late_interaction_topk",
+    "streaming_stateful_latest_mart_check",
+    "discount_revenue_q6ish",
+    "nation_profit_q9ish",
+    "linestatus_priority_q12ish",
+    "promo_part_suppliers_q20ish",
+    "preference_pair_prep",
+    "streaming_outer_join_mart_check",
+    "small_quantity_revenue_q17ish",
+    "customer_order_distribution_q13ish",
+    "cheapest_part_per_type_q2ish",
+    "sole_returning_supplier_q21ish",
+    "important_nation_balances_q11ish",
+    "nation_market_share_q8ish",
+    "segment_dedup_docs",
+    "span_corruption_pairs",
+    "bpe_roundtrip_check",
+    "media_spectral_hash_near_dups",
+    "semdedup_keepers",
+    "rrf_hybrid_topk",
+    "hist_quantile_prices",
+    "hist_quantile_merge_check",
+    "incremental_hist_mart_check",
+    "promo_revenue_share_q14ish",
+    "parts_supplier_counts_q16ish",
+    "large_volume_orders_q18ish",
+    "nation_volume_shipping_q7ish",
+    "disjunctive_parts_revenue_q19ish",
+    "ann_recall_check",
+    "zipf_fit_tokens",
+    "pmi_collocations",
+    "weighted_sample_docs",
+    "stupid_backoff_scores",
+    "idle_rich_customers_q22ish",
+    "char_entropy_scores",
+    "priority_order_counts_q4ish",
+    "top_supplier_revenue_q15ish",
+    "cms_token_estimates",
+    "cms_merge_check",
+    "unimax_lang_budgets",
+    "pagerank_customer_supplier",
+    "bpe_encoded_docs",
+    "kmeans_cluster_profile",
     "dim_chain_join",
     "doc_fingerprints",
     "doc_lang_id",
@@ -222,7 +223,6 @@ _PRIORITY = [
     "scd2_customer_segments",
     "simhash_signatures",
     "stats_pruned_scan_check",
-    "streaming_atomic_merge_mart_check",
     "top20_orders",
     "top3_orders_per_status",
     "approx_percentile_prices",
@@ -231,7 +231,6 @@ _PRIORITY = [
     "atomic_partition_evolution_check",
     "atomic_schema_evolution_mart_check",
     "atomic_time_travel_check",
-    "bm25_top_docs",
     "boilerplate_ngrams",
     "corpus_curation_funnel",
     "cross_doc_novelty",

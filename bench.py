@@ -259,6 +259,19 @@ HEADLINE = [
     # one pass, no shuffle).
     "bleu_pair_scores",
     "media_audio_features_check",
+    # round-10 additions: the xxhash64 winnowing path (must bench
+    # BELOW the md5 variant — the hash constant was the heaviest sf1
+    # query's dominant cost), Spark-4 VARIANT shredding round trip,
+    # synchronous label-propagation communities (one edges×labels
+    # broadcast join + two partial-combined groupBys per round over
+    # the dim-bounded supplier graph), and in-batch hard-negative
+    # mining (batch_size²-bounded pair work, one max(struct) argmax).
+    # The streamed-CDC MOR mart and the change-feed check stay out of
+    # HEADLINE by the streaming/atomic-mart convention.
+    "winnowing_fingerprints_fast",
+    "variant_shredding_check",
+    "label_propagation_communities",
+    "hard_negatives_inbatch",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -362,6 +375,10 @@ SF1_SPOT = [
     # bounded graph, so the ratio isolates the corpus-scale stages).
     "wordpiece_encoded_docs",
     "textrank_keywords",
+    # r10 (VERDICT r9 #5): the xxhash64 winnowing path must beat the
+    # md5 variant at sf1 — same plan, cheaper hash constant; keeping
+    # BOTH in the gate makes the win (and any drift) measurable
+    "winnowing_fingerprints_fast",
 ]
 
 

@@ -635,6 +635,63 @@ def q_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "variant_shredding_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sum_usd_cents_sql("value")} AS total_value,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+           AS total_k,
+       CAST(SUM(user_id % 10) AS BIGINT) AS total_tag1,
+       CAST(0 AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+""",
+    doc="Spark 4 VARIANT semi-structured round trip: each event is "
+    "re-serialized as a nested JSON document (scalars + a nested "
+    "object + an array + the re-parsed props payload), parsed into "
+    "the binary VariantType with parse_json, and every field read "
+    "back through variant_get typed-path extraction — nested-object "
+    "path, array index, cross-document payload, and a "
+    "try_variant_get on a missing path (NULL, counted as 0). The "
+    "per-type aggregate must bit-match plain SQL over the base "
+    "columns, proving the encode→shred→decode cycle is lossless. "
+    "VariantType is the engine's schema-on-read answer for ingest "
+    "pipelines where per-record shapes drift: the binary encoding "
+    "keeps extraction JVM-side and columnar-batch-friendly instead "
+    "of per-row JSON string re-parsing.",
+)
+def q_variant_shredding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("value").alias("amount"),
+            ).alias("meta"),
+            F.array(F.col("user_id"), F.col("user_id") % 10).alias("tags"),
+            F.from_json(F.col("props"), "k INT").alias("props"),
+        )
+    )
+    v = F.parse_json(doc)
+    shredded = ev.select(
+        F.variant_get(v, "$.meta.type", "string").alias("event_type"),
+        F.variant_get(v, "$.meta.amount", "double").alias("amount"),
+        F.variant_get(v, "$.props.k", "int").alias("k"),
+        F.variant_get(v, "$.tags[1]", "bigint").alias("tag1"),
+        F.try_variant_get(v, "$.missing.path", "int").alias("missing"),
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        sum_usd_cents(F.col("amount")).alias("total_value"),
+        F.sum("k").cast("bigint").alias("total_k"),
+        F.sum("tag1").cast("bigint").alias("total_tag1"),
+        F.count("missing").alias("n_missing"),
+    )
+
+
+@register(
     "conditional_functions",
     oracle="""
 SELECT CASE WHEN p_retailprice >= 1500 THEN 'premium'
@@ -3212,4 +3269,94 @@ def q_triangle_counts_supplier(
         "degree",
         "triangles",
         "clustering_bp",
+    )
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""
+m{i} AS (
+    SELECT e.dst AS node, l.label, COUNT(*) AS cnt
+    FROM sym e JOIN l{i - 1} l ON l.node = e.src
+    GROUP BY e.dst, l.label
+),
+l{i} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label ASC) AS rn
+        FROM m{i}
+    ) WHERE rn = 1
+)"""
+
+
+@register(
+    "label_propagation_communities",
+    oracle="""
+WITH os AS (
+    SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+edges AS MATERIALIZED (
+    SELECT a.s AS src, b.s AS dst
+    FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+    GROUP BY 1, 2 HAVING COUNT(*) >= 5
+),
+sym AS MATERIALIZED (
+    SELECT src, dst FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges
+),
+l0 AS MATERIALIZED (
+    SELECT DISTINCT src AS node, src AS label FROM sym
+),"""
+    + ",".join(_lpa_round_sql(i) for i in (1, 2, 3, 4))
+    + """
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_member,
+       MAX(node) AS max_member
+FROM l4
+GROUP BY label
+ORDER BY community
+""",
+    doc="Synchronous label-propagation communities (Raghavan, Albert "
+    "& Kumara 2007; the GraphFrames labelPropagation shape) over the "
+    "same support-thresholded supplier co-order graph as "
+    "triangle_counts_supplier: 4 deterministic rounds — each node "
+    "adopts its neighbors' most frequent label, ties to the SMALLEST "
+    "label (argmax-with-tiebreak as ONE max(struct(cnt, -label)) "
+    "aggregate, a total order both engines replay; the oracle "
+    "unrolls the rounds as ROW_NUMBER CTEs). Per round one "
+    "edges×labels join + two partial-combined groupBys; per-node "
+    "state is a single label, the symmetrized edge list "
+    "materializes once (operators/graph.py::label_propagation).",
+)
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 5)
+        .select("src", "dst")
+    )
+    labels = label_propagation(edges, iterations=4, broadcast_labels=True)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("node").alias("min_member"),
+            F.max("node").alias("max_member"),
+        )
+        .orderBy("community")
     )

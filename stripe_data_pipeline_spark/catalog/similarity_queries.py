@@ -93,6 +93,45 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negatives_inbatch",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, label, embedding AS e,
+           sqrt({_dot_sql('embedding', 'embedding')}) AS nrm,
+           vec_id // 50 AS batch
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id, n.vec_id AS nid,
+           {_dot_sql('a.e', 'n.e')} / (a.nrm * n.nrm) AS cos
+    FROM base a JOIN base n
+      ON a.batch = n.batch AND a.label <> n.label
+)
+SELECT vec_id, nid AS hard_negative_id, cos AS cosine_sim
+FROM (
+    SELECT vec_id, nid, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, nid ASC) AS rn
+    FROM pairs
+) WHERE rn = 1
+""",
+    doc="In-batch hard-negative mining for contrastive training (the "
+    "DPR/dual-encoder prep step): per anchor, the most-similar "
+    "different-label vector within its deterministic id-div-50 "
+    "batch, ties to the smallest id. Pair work is batch_size² per "
+    "batch — linear in the corpus with the trainer's own batch-size "
+    "constant, never the O(N²) corpus argmax. The argmax is one "
+    "max(struct(cos, -id)) partial-combined aggregate (no per-"
+    "anchor sort); both engines fold the dot product left-to-right "
+    "so the doubles are bit-identical "
+    "(operators/similarity.py::hard_negatives_inbatch).",
+)
+def q_hard_negatives_inbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.hard_negatives_inbatch(emb, batch_size=50)
+
+
+@register(
     "label_centroids_applyinpandas",
     oracle="""
 SELECT label, g.i - 1 AS pos,

@@ -411,6 +411,145 @@ def q_streaming_atomic_merge_mart_check(
     )
 
 
+def _materialized_streaming_mor_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed CDC feed with DELETES landing in the crash-atomic
+    mart (r10, VERDICT r9 #7 — composing the two newest subsystems):
+    the events table is staged as three feed files (event_id mod 3,
+    mtimes forcing batch order 0,1,2), drained via readStream →
+    ``foreachBatch``, and each micro-batch runs the full CDC
+    protocol against the manifest table:
+
+    1. if the mart has PENDING merge-on-read deletes, materialize
+       them first (``apply_deletes``) — ``merge_upsert_atomic``
+       REFUSES to run while deletes are pending (the resurrection
+       guard), so a CDC loop must drain the delete backlog before
+       upserting; this exercises that guard on every batch after
+       the first,
+    2. merge the batch's rows (atomic manifest commit, partitioned
+       by event_type, txn ledger for exactly-once under re-delivery),
+    3. ``delete_where_mor`` the batch's tombstone set — users with
+       user_id % 37 == batch_id request deletion of every event of
+       theirs seen SO FAR (the GDPR trickle shape: commit cost ∝
+       matched keys, no partition rewrite).
+
+    Batch 2's deletes stay PENDING at the end, so the final
+    ``read_table`` exercises the scan-time anti-join too. The
+    surviving-row rule is closed-form — an event in feed file i
+    (event_id % 3 = i) from user u (user_id % 37 ∈ {0,1,2}) is
+    deleted iff i <= user_id % 37 — which is what the batch oracle
+    replays."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    cache_key = sf_dir + "#mor_stream"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="streaming_mor_mart_")
+    feed = os.path.join(root, "feed")
+    mart_path = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(feed)
+
+    ev = convert_nanos_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    for i in range(3):
+        staging = os.path.join(root, f".stage{i}")
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = next(
+            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.replace(os.path.join(staging, part), dst)
+        # the file source picks oldest-mtime first: distinct, widely
+        # spaced mtimes make the batch order (and so the CDC result)
+        # deterministic
+        os.utime(dst, (1_700_000_000 + i * 600, 1_700_000_000 + i * 600))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    raw = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+
+    def cdc(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        s = batch.sparkSession
+        m = MT.read_manifest(mart_path)
+        if m is not None and m.get("deletes"):
+            MT.apply_deletes(s, mart_path)
+        MT.merge_upsert_atomic(
+            s,
+            mart_path,
+            batch.dropDuplicates(["event_id"]),
+            keys=["event_id"],
+            partition_by="event_type",
+            txn_app="streaming_mor_mart",
+            txn_version=int(batch_id),
+        )
+        MT.delete_where_mor(
+            s,
+            mart_path,
+            F.col("user_id") % 37 == int(batch_id) % 37,
+            keys=["event_id"],
+        )
+
+    (
+        raw.writeStream.foreachBatch(cdc)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart_path)
+
+
+@register(
+    "streaming_mor_delete_mart_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM events
+WHERE NOT (user_id % 37 IN (0, 1, 2) AND event_id % 3 <= user_id % 37)
+GROUP BY event_type
+""",
+    doc="Streamed CDC with merge-on-read DELETES → crash-atomic mart "
+    "(VERDICT r9 #7): three deterministic micro-batches each run "
+    "apply_deletes (drain pending backlog — the resurrection guard "
+    "refuses the merge otherwise), an atomic keyed merge, and a "
+    "delete_where_mor tombstone pass (users with user_id % 37 == "
+    "batch_id delete their events seen so far; commit cost ∝ matched "
+    "keys, zero partition rewrites). The last batch's deletes stay "
+    "pending, so the checked read also exercises the scan-time "
+    "anti-join. Must bit-match the closed-form batch oracle.",
+)
+def q_streaming_mor_delete_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_streaming_mor_mart(spark, sf_dir)
+    return mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+    )
+
+
 def _materialized_incremental_agg_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two incremental_agg_run folds: the first sees events up to a
     mid-range cutoff, the second sees the WHOLE source again (HWM cuts
@@ -2102,6 +2241,25 @@ def _materialized_mor_marts(
     from stripe_data_pipeline_spark import manifest_table as MT
     from stripe_data_pipeline_spark.io import read_table as _rt
 
+    root = _mor_mart_root(spark, sf_dir)
+    return (
+        MT.read_table(spark, os.path.join(root, "pending")),
+        MT.read_table(spark, os.path.join(root, "materialized")),
+    )
+
+
+def _mor_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the two MOR-delete marts and return
+    their parent dir: ``pending`` stops after delete_where_mor (v1
+    merge, v2 delete_mor), ``materialized`` additionally runs
+    apply_deletes (v3)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
     cache_key = sf_dir + "#mor"
     root = _STREAM_MART_CACHE.get(cache_key)
     if root is None:
@@ -2122,10 +2280,7 @@ def _materialized_mor_marts(
             assert n > 0  # the check must exercise a non-empty delete
         MT.apply_deletes(spark, os.path.join(root, "materialized"))
         _STREAM_MART_CACHE[cache_key] = root
-    return (
-        MT.read_table(spark, os.path.join(root, "pending")),
-        MT.read_table(spark, os.path.join(root, "materialized")),
-    )
+    return root
 
 
 @register(
@@ -2170,3 +2325,55 @@ def q_atomic_mor_delete_check(
     return prof(pending, "pending").unionByName(
         prof(materialized, "materialized")
     )
+
+
+@register(
+    "atomic_mor_cdf_check",
+    oracle="""
+SELECT p.span, 'delete' AS _change_type, e.event_id, e.event_type,
+       e.user_id,
+       CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM events e,
+     (SELECT UNNEST(['pending_delete', 'across_apply']) AS span) p
+WHERE e.value >= 3e2
+""",
+    doc="Change feed ACROSS merge-on-read commits (r10, ADVICE r9 "
+    "fix): read_changes must surface a delete_where_mor commit as "
+    "`delete` rows even though NO data dir changed (span "
+    "pending_delete: v1→v2 of the pending mart), report the same "
+    "logical deletes exactly once when the range spans the later "
+    "apply_deletes (across_apply: v1→v3 of the materialized mart), "
+    "and report NOTHING for apply_deletes alone (apply_only: v2→v3 "
+    "— a physical rewrite of rows already logically dead; any row "
+    "it emitted would break the oracle hash). The unchanged-dir "
+    "delta is computed with semi-joins against the broadcast-sized "
+    "delete-key delta, never an all-rows exceptAll "
+    "(manifest_table.read_changes).",
+)
+def q_atomic_mor_cdf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    root = _mor_mart_root(spark, sf_dir)
+    pending = os.path.join(root, "pending")
+    materialized = os.path.join(root, "materialized")
+    spans = [
+        (MT.read_changes(spark, pending, 1, 2), "pending_delete"),
+        (MT.read_changes(spark, materialized, 1, 3), "across_apply"),
+        (MT.read_changes(spark, materialized, 2, 3), "apply_only"),
+    ]
+    out = None
+    for feed, label in spans:
+        part = feed.select(
+            F.lit(label).alias("span"),
+            "_change_type",
+            "event_id",
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -2596,6 +2596,32 @@ def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winnowing_fingerprints_fast",
+    oracle=None,  # xxhash64 has no DuckDB replay, and here the hash
+    # VALUES shape the selection (unlike duplicate_span_stats_hashed,
+    # whose doc-level output is hash-independent) — so this is a
+    # rows-only driver check; the algorithmic invariants are
+    # pytest-pinned instead (tests/test_winnow.py: the k+w-1 locality
+    # guarantee on planted overlaps, every-window coverage, and
+    # selection-density parity with the oracle-checked md5 variant).
+    doc="The PRODUCTION winnowing variant (VERDICT r9 #5): identical "
+    "plan to winnowing_fingerprints but the k-gram hash is one JVM "
+    "xxhash64 instead of md5 + hex-prefix parse — the md5 portability "
+    "tax dominated the repo's heaviest sf1 query (35.9 s at sf1; the "
+    "fast path drops the constant, same locality guarantee since any "
+    "total order over k-gram hashes satisfies the winnowing proof).",
+)
+def q_winnowing_fingerprints_fast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.winnow import winnow_profile
+
+    return winnow_profile(
+        read_table(spark, sf_dir, "documents"), k=8, w=4, fast=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Zipf rank-frequency fit (r9): corpus-law diagnostics
 # ---------------------------------------------------------------------------
@@ -3364,11 +3390,18 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(wm.select(F.col("word").alias("rw"), F.col("id").alias("rid"))),
         "rw",
     )
+    # both orientations from ONE pass: a self-union of `ids` would
+    # recompute its whole lineage per branch — two FileScans of
+    # documents (VERDICT r9 minor); exploding a 2-element struct
+    # array emits the same rows from a single scan
     edges = ids.select(
-        F.col("lid").alias("src"), F.col("rid").alias("dst")
-    ).unionByName(
-        ids.select(F.col("rid").alias("src"), F.col("lid").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("lid").alias("src"), F.col("rid").alias("dst")),
+                F.struct(F.col("rid").alias("src"), F.col("lid").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     ranks = pagerank_fixed_point(edges, iterations=5, broadcast_ranks=True)
     return (
         ranks.join(F.broadcast(wm), ranks["node"] == wm["id"])

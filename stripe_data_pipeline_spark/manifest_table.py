@@ -524,6 +524,14 @@ def merge_upsert_atomic(
         try:
             with _writer_lock(root):
                 current = read_manifest(root)
+                if current is not None and current.get("deletes"):
+                    # a delete_where_mor raced in since the entry
+                    # pre-check: committing would drop its delete list
+                    # (the resurrection hazard) — clean up and refuse,
+                    # exactly as the pre-check would have (ADVICE r9)
+                    for rel in plan["staged"].values():
+                        shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                    _require_no_pending_deletes(current, "merge_upsert_atomic")
                 if txn is not None and _txn_already_applied(current, *txn):
                     # replay raced in meanwhile: discard the staging
                     for rel in plan["staged"].values():
@@ -755,6 +763,12 @@ def _can_rebase(
         return False
     if current.get("partition_by") != base.get("partition_by"):
         return False
+    if current.get("deletes", []) != base.get("deletes", []):
+        # an intervening MOR delete / apply_deletes / restore changed
+        # the LOGICAL snapshot in a way the parts diff below cannot
+        # see — never rebase across it (defense in depth: the locked
+        # pending-deletes re-check already refuses the commit)
+        return False
     all_keys = set(base["parts"]) | set(current["parts"])
     delta = {
         k for k in all_keys if base["parts"].get(k) != current["parts"].get(k)
@@ -787,6 +801,9 @@ def _merge_upsert_atomic_locked(
     txn: tuple[str, int] | None = None,
 ) -> None:
     current = read_manifest(root)
+    # re-check INSIDE the lock: the entry pre-check ran unlocked, so a
+    # concurrent delete_where_mor may have committed since (ADVICE r9)
+    _require_no_pending_deletes(current, "merge_upsert_atomic")
     if txn is not None and _txn_already_applied(current, *txn):
         return  # exactly-once: this epoch already committed
     plan = _plan_merge(
@@ -935,6 +952,9 @@ def compact_partition(
             "parts": new_parts,
             "operation": {"type": "compact", "touched": [key]},
         }
+        # compaction rewrites RAW files (deleted rows still physically
+        # present), so pending MOR deletes must ride along
+        _carry_deletes(manifest, current)
         if "txns" in current:
             manifest["txns"] = current["txns"]
         if "stats" in current:
@@ -992,6 +1012,9 @@ def _compact_partition_locked(
         "parts": new_parts,
         "operation": {"type": "compact", "touched": [key]},
     }
+    # the compacted dir was rewritten from the RAW scan — MOR-deleted
+    # rows are still physically in it, so the delete files must ride
+    _carry_deletes(manifest, m)
     if "txns" in m:
         manifest["txns"] = m["txns"]  # exactly-once ledger carries over
     if "stats" in m:
@@ -1165,6 +1188,17 @@ def read_changes(
     full-row exceptAll both ways, with the older side aligned to the
     newer schema (added columns read NULL, matching what a reader of
     the old snapshot under the new schema would see).
+
+    Each side is the snapshot's LOGICAL rows: pending merge-on-read
+    delete files are anti-joined per side (ADVICE r9, medium). A
+    ``delete_where_mor`` commit therefore surfaces as ``delete`` rows
+    even though no data dir changed, the later ``apply_deletes``
+    (a physical rewrite of rows already logically dead) surfaces as
+    an empty feed, and a restore that re-pends or clears delete files
+    shows the matching delete/insert rows. When only the delete list
+    changed, the unchanged dirs are scanned ONCE and filtered with
+    semi-joins against the (broadcast-sized) key DELTA — never an
+    all-rows exceptAll.
     """
     m_new = read_manifest(root, to_version)
     m_old = read_manifest(root, from_version)
@@ -1181,16 +1215,65 @@ def read_changes(
             return spark.createDataFrame([], schema)
         return spark.read.schema(schema).parquet(*paths)
 
-    new_df, old_df = scan(changed_new), scan(changed_old)
+    new_df = _apply_delete_files(spark, root, m_new, scan(changed_new))
+    old_df = _apply_delete_files(spark, root, m_old, scan(changed_old))
     cols = [f.name for f in schema.fields]
-    return (
+    diff = (
         new_df.exceptAll(old_df)
         .withColumn("_change_type", F.lit("insert"))
         .unionByName(
             old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
         )
-        .select("_change_type", *cols)
     )
+    old_rels = list(m_old.get("deletes") or [])
+    new_rels = list(m_new.get("deletes") or [])
+    if old_rels != new_rels:
+        # the delete list moved between the snapshots, so UNCHANGED
+        # dirs (identical bytes) still changed logically
+        unchanged = {
+            k: v for k, v in new_parts.items() if old_parts.get(k) == v
+        }
+        raw = scan(unchanged)
+        old_keys = m_old.get("delete_keys")
+        new_keys = m_new.get("delete_keys")
+
+        def _keys_df(rels: list[str], keys: list[str]) -> DataFrame:
+            return (
+                spark.read.parquet(*[os.path.join(root, r) for r in rels])
+                .select(*keys)
+                .distinct()
+            )
+
+        if old_rels and new_rels and list(old_keys) != list(new_keys):
+            # different key columns across an apply_deletes boundary —
+            # rare; fall back to the general logical diff on the
+            # unchanged dirs
+            old_l = _apply_delete_files(spark, root, m_old, raw)
+            new_l = _apply_delete_files(spark, root, m_new, raw)
+            extra_ins, extra_del = new_l.exceptAll(old_l), old_l.exceptAll(new_l)
+        else:
+            keys = list(new_keys if new_rels else old_keys)
+            kd_old = (
+                _keys_df(old_rels, keys)
+                if old_rels
+                else raw.select(*keys).limit(0)
+            )
+            kd_new = (
+                _keys_df(new_rels, keys)
+                if new_rels
+                else raw.select(*keys).limit(0)
+            )
+            # a key newly deleted cannot ALSO be in the old delete set,
+            # and an un-deleted key cannot be in the new one — so the
+            # key delta alone selects exactly the rows that moved
+            extra_del = raw.join(kd_new.exceptAll(kd_old), keys, "left_semi")
+            extra_ins = raw.join(kd_old.exceptAll(kd_new), keys, "left_semi")
+        diff = diff.unionByName(
+            extra_ins.withColumn("_change_type", F.lit("insert"))
+        ).unionByName(
+            extra_del.withColumn("_change_type", F.lit("delete"))
+        )
+    return diff.select("_change_type", *cols)
 
 
 def history(root: str) -> list[dict]:
@@ -1358,6 +1441,9 @@ def delete_partitions(
             "parts": new_parts,
             "operation": {"type": "delete_partitions", "touched": dropped},
         }
+        # metadata-only drop: surviving dirs still physically hold any
+        # MOR-deleted rows, so pending delete files must ride along
+        _carry_deletes(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1416,6 +1502,11 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
             "parts": new_parts,
             "operation": {"type": "delete", "touched": sorted(touched_keys)},
         }
+        # only predicate-touched dirs were rewritten (with deletes
+        # applied, via _read_at); untouched dirs still hold MOR-deleted
+        # rows physically — the delete files stay pending (their
+        # anti-join is a no-op on the rewritten dirs)
+        _carry_deletes(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1447,7 +1538,10 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
         target = read_manifest(root, version)
         if current is None or target is None:
             raise FileNotFoundError(f"missing snapshot at {root}")
-        for rel in target["parts"].values():
+        # data dirs AND the target's MOR delete files must both have
+        # survived vacuum — restoring parts without their delete files
+        # would resurrect the logically-deleted rows
+        for rel in _referenced_rels(target):
             if not os.path.isdir(os.path.join(root, rel)):
                 raise FileNotFoundError(
                     f"snapshot v{version} dir {rel} was vacuumed; restore "
@@ -1464,6 +1558,10 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
                 "restored_version": int(version),
             },
         }
+        # the restored snapshot's LOGICAL rows include its pending MOR
+        # deletes — restore re-points parts, so it must re-point the
+        # delete files too or those rows resurrect
+        _carry_deletes(manifest, target)
         if "txns" in current:
             manifest["txns"] = current["txns"]  # exactly-once ledger survives
         if "stats" in target:
@@ -1639,6 +1737,22 @@ def _referenced_rels(m: dict) -> set[str]:
     """Every parts/-relative dir a manifest references: data parts
     plus merge-on-read delete files (vacuum must spare both)."""
     return set(m["parts"].values()) | set(m.get("deletes", []))
+
+
+def _carry_deletes(manifest: dict, m: dict) -> dict:
+    """Carry pending merge-on-read delete files from snapshot ``m``
+    into a derived ``manifest``. Required for every commit that does
+    NOT materialize the deletes (compaction, metadata partition
+    drops, copy-on-write deletes of OTHER rows, restore): the
+    equality anti-join is valid on any physical layout of the same
+    logical rows, while OMITTING the list would resurrect every
+    MOR-deleted row still physically present in the dirs the commit
+    did not rewrite — and the then-orphaned delete files would be
+    vacuumed (ADVICE r9, high)."""
+    if m.get("deletes"):
+        manifest["deletes"] = list(m["deletes"])
+        manifest["delete_keys"] = list(m["delete_keys"])
+    return manifest
 
 
 def _apply_delete_files(

@@ -121,6 +121,85 @@ def pagerank_fixed_point(
     return rank
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation communities (Raghavan, Albert &
+    Kumara 2007; the GraphFrames ``labelPropagation`` shape) over an
+    UNDIRECTED edge list in canonical form (one row per unordered
+    pair, src < dst, deduplicated).
+
+    Each node starts labeled with its own id; every round it adopts
+    the label most frequent among its neighbors, ties broken by the
+    SMALLEST label — a deterministic total order, so a fixed round
+    count is a pure function of the edge list and any engine replays
+    it (the async/randomized variant of the paper trades determinism
+    for faster mixing; pipelines that need reproducible shards want
+    this form). Returns (node, label) after ``iterations`` rounds.
+
+    Scale shape (the Pregel message pass in DataFrame ops, same as
+    pagerank_fixed_point): the symmetrized edge list materializes
+    ONCE (eager localCheckpoint, both orientations emitted from a
+    single pass via a 2-struct explode); each round is one
+    edges×labels join + two partial-combined groupBys, with per-node
+    state exactly one (label) tuple. ``broadcast_labels=True`` makes
+    the per-round join map-side for dim-bounded graphs; web-scale
+    node sets keep the default shuffle join. Lineage is cut per
+    round on the |V|-row label vector.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("s"),
+        F.col(dst_col).cast("long").alias("d"),
+    )
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("src"), F.col("d").alias("dst")),
+                    F.struct(F.col("d").alias("src"), F.col("s").alias("dst")),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .localCheckpoint(eager=True)
+    )
+    # every node has >= 1 neighbor by construction (each edge emits
+    # both orientations), so src alone enumerates the node set and no
+    # node can drop out of a round's message aggregation
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        lab = F.broadcast(labels) if broadcast_labels else labels
+        msg = sym.join(lab, sym["src"] == lab["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        cnt = msg.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # argmax(cnt) with min-label tie-break as one max(struct):
+        # struct comparison orders by cnt first, then -label — a
+        # total order, so the per-node winner is unique
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.neg")).cast("long").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def triangle_counts(
     edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
 ) -> DataFrame:

@@ -122,6 +122,62 @@ def cosine_near_dup_pairs(
     )
 
 
+def hard_negatives_inbatch(
+    df: DataFrame,
+    batch_size: int = 50,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IN-BATCH hard-negative mining — the contrastive-training prep
+    step (the in-batch-negatives economics of dual-encoder training,
+    e.g. DPR, Karpukhin et al. 2020): for every anchor, the
+    most-cosine-similar vector with a DIFFERENT label inside the
+    anchor's deterministic batch (id div batch_size), ties broken by
+    the smallest negative id.
+
+    Corpus-wide argmax negatives are an O(N²) all-pairs scan; batching
+    bounds pair work at batch_size² per batch — linear in the corpus
+    with a constant the trainer already chose (its batch size). The
+    argmax is ONE max(struct(cos, -id)) partial-combined aggregate
+    (no per-anchor sort); anchors whose whole batch shares their
+    label have no negative and drop out, mirroring the trainer's
+    in-batch loss. Returns (id_col, hard_negative_id, cosine_sim)."""
+    emb = _as_double(F.col(vec_col))
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("lbl"),
+        emb.alias("e"),
+        _norm(emb).alias("nrm"),
+    ).withColumn("batch", F.expr(f"vid div {int(batch_size)}"))
+    a, n = base.alias("a"), base.alias("n")
+    pairs = a.join(
+        n,
+        (F.col("a.batch") == F.col("n.batch"))
+        & (F.col("a.lbl") != F.col("n.lbl")),
+    ).select(
+        F.col("a.vid").alias(id_col),
+        F.col("n.vid").alias("nid"),
+        (
+            _dot(F.col("a.e"), F.col("n.e"))
+            / (F.col("a.nrm") * F.col("n.nrm"))
+        ).alias("cos"),
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("nid")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            (-F.col("m.neg")).cast("long").alias("hard_negative_id"),
+            F.col("m.cos").alias("cosine_sim"),
+        )
+    )
+
+
 def srp_plane_strs(
     bands: int, band_bits: int, d: int, seed: int = 42
 ) -> list[list[str]]:

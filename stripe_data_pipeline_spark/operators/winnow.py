@@ -47,7 +47,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _kgram_hash(sub) -> F.Column:
+def _kgram_hash(sub, fast: bool = False) -> F.Column:
+    if fast:
+        # the production hash (r10, VERDICT r9 #5): one JVM xxhash64
+        # per k-gram instead of a full md5 + hex-prefix parse — same
+        # plan, same locality guarantee (any total order over k-gram
+        # hashes satisfies the winnowing proof), ~2x cheaper on the
+        # dominant stage. No cross-engine oracle: DuckDB cannot replay
+        # Spark's xxhash64, and here the hash VALUES shape the
+        # selection — the invariants are pytest-pinned instead
+        # (tests/test_winnow.py: locality on planted overlaps,
+        # every-window coverage, density parity with the md5 variant).
+        return F.xxhash64(sub)
     return F.conv(F.substring(F.md5(sub), 1, 8), 16, 10).cast("bigint")
 
 
@@ -57,6 +68,7 @@ def winnow_select(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fast: bool = False,
 ) -> DataFrame:
     """The selected fingerprint set: (id_col, pos, h) — pos is the
     1-based k-gram start, h the md5-prefix hash. Documents with
@@ -88,7 +100,7 @@ def winnow_select(
             "_L",
             "pos",
             _kgram_hash(
-                F.col("_t").substr(F.col("pos"), F.lit(k))
+                F.col("_t").substr(F.col("pos"), F.lit(k)), fast=fast
             ).alias("h"),
         )
     )
@@ -121,12 +133,17 @@ def winnow_profile(
     w: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fast: bool = False,
 ) -> DataFrame:
     """Per-document fingerprint profile: (id_col, n_kgrams,
     n_selected, fingerprint) with fingerprint = md5 of the
     pos-ordered "h:pos" list — an order-sensitive digest both
-    engines reproduce bit-for-bit."""
-    sel = winnow_select(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    engines reproduce bit-for-bit (``fast=True`` swaps the k-gram
+    hash for xxhash64; the digest is then deterministic but only
+    Spark-replayable)."""
+    sel = winnow_select(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, fast=fast
+    )
     n_kg = (
         df.select(
             F.col(id_col),

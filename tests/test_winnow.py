@@ -1,0 +1,107 @@
+"""Invariants for the xxhash64 winnowing variant (VERDICT r9 #5).
+
+The fast path has no DuckDB oracle — the hash VALUES shape the
+selection and DuckDB cannot replay Spark's xxhash64 — so the
+algorithmic guarantees are pinned here instead: the paper's k+w-1
+locality theorem on planted overlaps, the every-window-coverage
+property the selection rule implies, and density parity with the
+oracle-checked md5 variant (the selection rule keeps ~2/(w+1) of
+the k-gram stream regardless of which well-mixed hash ranks them).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stripe_data_pipeline_spark.operators.winnow import (
+    winnow_profile,
+    winnow_select,
+)
+
+K, W = 8, 4
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_locality_guarantee_planted_overlap(spark, fast):
+    """Any shared substring of length >= k+w-1 (= 11) must surface as
+    at least one shared fingerprint — for BOTH hash functions (the
+    winnowing proof only needs a total order over k-gram hashes)."""
+    shared = "QWERTYUIOPA"  # 11 chars
+    df = spark.createDataFrame(
+        [
+            (1, "xqzkvwpm" + shared + "rtldnbgshjfy"),
+            (2, "mfjdkwlsnvbc" + shared + "pzqoxhtu"),
+            (3, "thequickbrownfoxjumpsoverthelazy"),
+        ],
+        "doc_id long, text string",
+    )
+    sel = winnow_select(df, k=K, w=W, fast=fast).collect()
+    by_doc: dict = {}
+    for r in sel:
+        by_doc.setdefault(r["doc_id"], set()).add(r["h"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+
+
+@pytest.mark.parametrize("fast", [False, True])
+def test_every_window_contains_a_selection(spark, fast):
+    """Selection must cover every w-window of the k-gram stream: for
+    each window start p in [1, L-w+1] some selected pos lies in
+    [p, p+w-1]. This is the structural property the rightmost-min
+    rule guarantees independent of hash choice."""
+    import random
+
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefghij") for _ in range(120))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sel_pos = sorted(
+        r["pos"] for r in winnow_select(df, k=K, w=W, fast=fast).collect()
+    )
+    L = len(text) - K + 1
+    for p in range(1, L - W + 2):
+        assert any(p <= s <= p + W - 1 for s in sel_pos), (
+            f"window at {p} has no selected fingerprint"
+        )
+
+
+def test_density_parity_with_md5_variant(spark, sf_dir):
+    """Selection density (n_selected / n_kgrams) is a property of the
+    RULE, not the hash: on real corpus data the xxhash64 variant must
+    keep essentially the same fraction (~2/(w+1)) as the md5 one."""
+    from stripe_data_pipeline_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    out = {}
+    for fast in (False, True):
+        rows = winnow_profile(docs, k=K, w=W, fast=fast).collect()
+        out[fast] = sum(r["n_selected"] for r in rows) / max(
+            1, sum(r["n_kgrams"] for r in rows)
+        )
+    # same docs, same rule: densities agree within 5% relative
+    assert abs(out[True] - out[False]) / out[False] < 0.05
+    # and both sit near the paper's expected 2/(w+1) = 0.4
+    assert 0.25 < out[True] < 0.55
+
+
+def test_fast_variant_same_doc_set_and_counts_shape(spark):
+    """Both variants must select fingerprints for exactly the same
+    documents (the L >= w precondition is hash-independent) and obey
+    the per-doc bounds: 1 <= n_selected <= n_windows."""
+    df = spark.createDataFrame(
+        [
+            (1, "abcdefghijklmnopqrstuvwxyz"),
+            (2, "short"),  # below k+w-1: skipped by both
+            (3, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    prof_md5 = {r["doc_id"]: r for r in winnow_profile(df, k=K, w=W).collect()}
+    prof_fast = {
+        r["doc_id"]: r
+        for r in winnow_profile(df, k=K, w=W, fast=True).collect()
+    }
+    assert set(prof_md5) == set(prof_fast) == {1, 3}
+    for d, r in prof_fast.items():
+        n_windows = r["n_kgrams"] - W + 1
+        assert 1 <= r["n_selected"] <= n_windows
+        assert r["fingerprint"] is not None
