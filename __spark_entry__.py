@@ -108,6 +108,10 @@ _PRIORITY = [
     "variant_shredding_check",
     "label_propagation_communities",
     "hard_negatives_inbatch",
+    "bytebpe_encoded_docs",
+    "bytebpe_roundtrip_check",
+    "incremental_kmv_mart_check",
+    "orc_roundtrip_check",
     "bm25_top_docs",
     "textrank_keywords",
     "winnowing_fingerprints",

@@ -272,6 +272,15 @@ HEADLINE = [
     "variant_shredding_check",
     "label_propagation_communities",
     "hard_negatives_inbatch",
+    # round-10 second batch: byte-level BPE (the GPT-2 tokenizer
+    # family — one corpus shuffle to the pretoken-frequency table,
+    # driver fixpoint under the bounded-vocab threshold, DISTINCT-
+    # pretoken encode broadcast-joined back) + its decode law.
+    "bytebpe_encoded_docs",
+    "bytebpe_roundtrip_check",
+    # round-10 third batch: the ORC source/sink equivalence check
+    # (the incremental KMV mart stays out per the mart convention).
+    "orc_roundtrip_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

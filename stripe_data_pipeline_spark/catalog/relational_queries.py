@@ -3272,6 +3272,66 @@ def q_triangle_counts_supplier(
     )
 
 
+_ORC_CACHE: dict[str, str] = {}
+
+
+def _cleanup_orc_cache() -> None:
+    import shutil
+
+    for p in _ORC_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@register(
+    "orc_roundtrip_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+           AS total_k
+FROM events
+GROUP BY event_type
+""",
+    doc="ORC source/sink round trip — the second columnar format of "
+    "the source surface (SURVEY §2.1): the events table is written "
+    "as ORC (snappy, engine-native writer) and read back through "
+    "spark.read.orc with an explicit schema; the per-type aggregate "
+    "over the ORC scan must bit-match plain SQL over the original "
+    "parquet (doubles, strings, timestamps and the JSON payload all "
+    "survive the format hop losslessly). ORC carries its own "
+    "predicate-pushdown/stats machinery, so a lakehouse migrating "
+    "between the two formats needs exactly this equivalence check.",
+)
+def q_orc_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    orc_dir = _ORC_CACHE.get(sf_dir)
+    if orc_dir is None:
+        if not _ORC_CACHE:
+            atexit.register(_cleanup_orc_cache)
+        orc_dir = os.path.join(
+            tempfile.mkdtemp(prefix="orc_roundtrip_"), "events_orc"
+        )
+        read_table(spark, sf_dir, "events").write.mode("overwrite").orc(
+            orc_dir
+        )
+        _ORC_CACHE[sf_dir] = orc_dir
+    ev = spark.read.schema(
+        read_table(spark, sf_dir, "events").schema
+    ).orc(orc_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+        F.sum(k).cast("bigint").alias("total_k"),
+    )
+
+
 def _lpa_round_sql(i: int) -> str:
     return f"""
 m{i} AS (

@@ -1660,6 +1660,151 @@ def _materialized_hist_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MT.read_table(spark, mart)
 
 
+def _materialized_kmv_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV sketches maintained in a STORED mart through two
+    OVERLAPPING batches — deliberately with NO high-watermark cut:
+    unlike the CMS/histogram counter marts (where re-delivered rows
+    would double-count and the HWM cut supplies exactly-once), the
+    k-min-hash fold is IDEMPOTENT — union with already-seen values
+    cannot change the k smallest — so at-least-once re-delivery is
+    exactly-once by algebra. Per batch: sketch the batch, union hash
+    sets with the stored sketch, re-rank, and upsert keyed (g, rn) —
+    rank rows only ever tighten (a group's row count is monotone up
+    to k), so the keyed merge is a complete fold. The mart is only
+    ever k rows per set."""
+    import atexit
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+    from stripe_data_pipeline_spark.operators.sketch import kmv_sketch
+
+    k = 64
+    cache_key = sf_dir + "#kmvmart"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="kmv_mart_")
+    mart = os.path.join(root, "mart")
+
+    docs = _rt(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    bg = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 1),
+                F.slice(ws, 2, F.size(ws) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("v"),
+    )
+    cutoff = docs.agg(F.expr("percentile_approx(doc_id, 0.6)")).first()[0]
+    day1 = bg.filter(F.col("doc_id") <= F.lit(cutoff))
+    w = Window.partitionBy("g").orderBy("h")
+    for batch in (day1, bg):  # second batch OVERLAPS the first
+        batch_sk = kmv_sketch(batch, "v", "source", k).select("g", "h")
+        try:
+            stored = MT.read_table(spark, mart).select("g", "h")
+            merged = stored.unionByName(batch_sk).distinct()
+        except FileNotFoundError:
+            merged = batch_sk
+        folded = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+        )
+        MT.merge_upsert_atomic(spark, mart, folded, keys=["g", "rn"])
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+_KMV_MART_H = "CAST(('0x' || substr(md5(v), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "incremental_kmv_mart_check",
+    oracle=f"""
+WITH bg AS MATERIALIZED (
+    SELECT source, ws[i] || ' ' || ws[i + 1] AS v
+    FROM (SELECT source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE source IN ('src0', 'src1')),
+         UNNEST(range(1, len(ws))) AS t(i)
+),
+dv AS MATERIALIZED (SELECT DISTINCT source, v FROM bg),
+hs AS (SELECT DISTINCT source AS g, {_KMV_MART_H} AS h FROM dv),
+sk AS (
+    SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hs QUALIFY rn <= 64
+),
+estv AS (
+    SELECT g, n_kept,
+           CASE WHEN n_kept < 64 THEN n_kept
+                ELSE CAST(CAST(63 AS HUGEINT) * {1 << 60} // hk AS BIGINT)
+           END AS est
+    FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS hk
+          FROM sk GROUP BY g)
+),
+exs AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS exact
+        FROM dv GROUP BY source)
+SELECT e.g AS source, e.n_kept, e.est, x.exact
+FROM estv e JOIN exs x USING (g)
+""",
+    doc="INCREMENTAL theta/KMV sketch maintenance — the mergeable-"
+    "but-NOT-a-counter contrast to the CMS/histogram marts: the "
+    "per-source k=64 min-hash sketch is folded into a stored mart "
+    "through two OVERLAPPING batches with NO high-watermark cut, "
+    "because the k-min fold is IDEMPOTENT (re-delivered values "
+    "cannot change the k smallest) — exactly-once by algebra where "
+    "counters need the HWM. Each batch unions hash sets, re-ranks, "
+    "and upserts keyed (g, rn) — rank rows only tighten, so the "
+    "keyed merge is a complete fold and the STORED sketch must "
+    "bit-match the one-shot sketch: per-source estimates and exact "
+    "distinct counts under the same estimator oracle as "
+    "kmv_distinct_sketch_check. Sketch-sized state (k rows/set) "
+    "under corpus-sized ingest.",
+)
+def q_incremental_kmv_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.io import read_table as _rt
+    from stripe_data_pipeline_spark.operators.sketch import kmv_estimate
+
+    k = 64
+    mart = _materialized_kmv_mart(spark, sf_dir).select("g", "h", "rn")
+    est = kmv_estimate(mart, k)
+    docs = _rt(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    exact = (
+        docs.select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice(ws, 1, F.size(ws) - 1),
+                    F.slice(ws, 2, F.size(ws) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("v"),
+        )
+        .distinct()
+        .groupBy(F.col("source").alias("g"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    return est.join(exact, "g").select(
+        F.col("g").alias("source"), "n_kept", "est", "exact"
+    )
+
+
 from stripe_data_pipeline_spark.catalog.relational_queries import (
     _HIST_ORACLE as _HIST_ORACLE_SHARED,
 )

@@ -2913,6 +2913,192 @@ def q_char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Byte-level BPE (round 10): the GPT-2 tokenizer family — leading
+# spaces carried as Ġ, no end-of-word marker, merges per pre-token.
+# Completes the production-tokenizer QUARTET (word-level BPE, unigram
+# LM, WordPiece, byte-level BPE). The oracle unrolls training over
+# the pretoken-frequency table exactly like _bpe_oracle_prefix —
+# same frame delimiters, same argmax+replace stages — with w0 built
+# from the Ġ-prefixed pretoken stream instead of </w>-terminated
+# words (operators/bytebpe.py documents why the GPT-2 regex reduces
+# to the closed pos==first conditional on this corpus).
+# --------------------------------------------------------------------
+
+_BYTEBPE_N_MERGES = 10
+
+
+def _bytebpe_oracle_prefix(n_merges: int = _BYTEBPE_N_MERGES) -> str:
+    s = "chr(31)"
+    o = "chr(30)"
+    g = "chr(288)"  # Ġ, U+0120 — bytes_to_unicode(0x20)
+    keep = (
+        f"x -> x <> '' AND NOT contains(x, {s}) AND NOT contains(x, {o}) "
+        f"AND NOT contains(x, {g})"
+    )
+    toks = f"list_filter(string_split(replace(%s, {o}, ''), {s}), x -> x <> '')"
+    parts = [
+        f"""docs_w AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), {keep}) AS ws
+    FROM documents
+),
+occ AS MATERIALIZED (
+    SELECT d.doc_id, t.i AS pos,
+           CASE WHEN t.i = 1 THEN d.ws[t.i]
+                ELSE {g} || d.ws[t.i] END AS word
+    FROM docs_w d, UNNEST(range(1, len(d.ws) + 1)) AS t(i)
+),
+w0 AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+           array_to_string(list_transform(range(1, length(word) + 1),
+                                          i -> {o} || word[i] || {s}), '')
+               AS s
+    FROM occ GROUP BY word
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""m{i} AS (
+    SELECT l, r FROM (
+        SELECT sy[j] AS l, sy[j + 1] AS r, SUM(n) AS cnt
+        FROM (SELECT n, {toks % 's'} AS sy
+              FROM w{i - 1}),
+             UNNEST(range(1, len(sy))) AS t(j)
+        GROUP BY 1, 2
+    ) WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+),
+w{i} AS (
+    SELECT w.word, w.n,
+           CASE WHEN m.l IS NULL THEN w.s
+                ELSE replace(w.s, {o} || m.l || {s} || {o} || m.r || {s},
+                             {o} || m.l || m.r || {s}) END AS s
+    FROM w{i - 1} w LEFT JOIN m{i} m ON TRUE
+)"""
+        )
+    parts.append(
+        f"""enc AS (
+    SELECT o.doc_id, o.pos, {toks % 'v.s'} AS toks
+    FROM occ o JOIN w{n_merges} v ON v.word = o.word
+)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+# Trained byte-level merge list per corpus dir — a build artifact,
+# same caching rationale as _BPE_MERGES_CACHE.
+_BYTEBPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def _bytebpe_trained_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import bytebpe as BB
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = _BYTEBPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = BB.train_bytebpe(docs, n_merges=_BYTEBPE_N_MERGES)
+        _BYTEBPE_MERGES_CACHE[sf_dir] = merges
+    return BB.encode_documents_bytelevel(docs, merges)
+
+
+@register(
+    "bytebpe_encoded_docs",
+    oracle=_bytebpe_oracle_prefix()
+    + """
+SELECT doc_id,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_subword_tokens,
+       md5(string_agg(array_to_string(toks, chr(31)), chr(31)
+           ORDER BY pos)) AS subword_fingerprint
+FROM enc GROUP BY doc_id
+""",
+    doc="BYTE-LEVEL BPE train + encode (the GPT-2 tokenizer family — "
+    "Radford et al. 2019; completes the production quartet with "
+    "word-level BPE, unigram LM and WordPiece): pre-tokens carry "
+    "their leading space as Ġ (bytes_to_unicode(0x20)), NO "
+    "end-of-word marker, 10 merges learned over the "
+    "pretoken-frequency table with (count DESC, pair ASC) ties. One "
+    "corpus shuffle builds the table; the fixpoint runs driver-side "
+    "under the bounded-vocab threshold; encoding tokenizes DISTINCT "
+    "pretokens and broadcast-joins them back (the Zipf economics of "
+    "VERDICT r7 #1). The oracle unrolls all 10 argmax+replace "
+    "stages over its own Ġ-prefixed pretoken stream, so token count "
+    "and the order-sensitive md5 of the full subword stream are "
+    "bit-checked end to end (operators/bytebpe.py).",
+)
+def q_bytebpe_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.bpe import SEP
+
+    enc = _bytebpe_trained_encoding(spark, sf_dir)
+    return enc.select(
+        "doc_id",
+        F.size("subwords").cast("bigint").alias("n_subword_tokens"),
+        F.md5(F.concat_ws(SEP, "subwords")).alias("subword_fingerprint"),
+    )
+
+
+@register(
+    "bytebpe_roundtrip_check",
+    oracle=_bytebpe_oracle_prefix()
+    + """
+, dec AS (
+    SELECT doc_id,
+           replace(string_agg(array_to_string(toks, ''), ''
+                              ORDER BY pos), chr(288), ' ') AS decoded
+    FROM enc GROUP BY doc_id
+), orig AS (
+    SELECT doc_id,
+           array_to_string(
+               list_filter(string_split(text, ' '),
+                           x -> x <> '' AND NOT contains(x, chr(31))
+                                AND NOT contains(x, chr(30))
+                                AND NOT contains(x, chr(288))), ' ')
+               AS clean_text
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.decoded = o.clean_text THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ok,
+       COUNT(*) = SUM(CASE WHEN d.decoded = o.clean_text
+                      THEN 1 ELSE 0 END) AS all_ok
+FROM dec d JOIN orig o ON o.doc_id = d.doc_id
+""",
+    doc="Byte-level BPE DECODE round trip — the GPT-2 losslessness "
+    "law: concatenate the subword stream and map Ġ -> space; no "
+    "vocabulary, no trim (the first pretoken carries no Ġ). Unlike "
+    "the word-level `</w>` decode this reconstruction is exact for "
+    "ANY whitespace placement the pre-tokenizer emits, which is the "
+    "point of byte-level tokenization. The oracle re-derives the "
+    "trained encoding through the unrolled stages and replays the "
+    "same fold — all_ok recomputed, not pinned.",
+)
+def q_bytebpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import bytebpe as BB
+
+    enc = _bytebpe_trained_encoding(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(BB.clean_words_bytelevel("text"), " ").alias(
+            "clean_text"
+        ),
+    )
+    dec = enc.select(
+        "doc_id",
+        BB.decode_subwords_bytelevel(F.col("subwords")).alias("decoded"),
+    )
+    ok = (F.col("decoded") == F.col("clean_text")).cast("int")
+    return (
+        dec.join(docs, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(ok).cast("bigint").alias("n_ok"),
+        )
+        .select(
+            "n_docs",
+            "n_ok",
+            (F.col("n_docs") == F.col("n_ok")).alias("all_ok"),
+        )
+    )
+
+
 @register(
     "bpe_roundtrip_check",
     oracle=_bpe_oracle_prefix()
