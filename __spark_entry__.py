@@ -112,6 +112,7 @@ _PRIORITY = [
     "bytebpe_roundtrip_check",
     "incremental_kmv_mart_check",
     "orc_roundtrip_check",
+    "streaming_wm_dedup_mart_check",
     "bm25_top_docs",
     "textrank_keywords",
     "winnowing_fingerprints",

@@ -1660,6 +1660,102 @@ def _materialized_hist_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MT.read_table(spark, mart)
 
 
+def _materialized_wm_dedup_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-NATIVE bounded-state streaming dedup
+    (``dropDuplicatesWithinWatermark``, the Spark 3.5+ operator):
+    the events table is staged TWICE into the feed (two files, forced
+    batch order), so every row is re-delivered in a later micro-batch;
+    the operator holds per-key state only until the watermark passes
+    the key's event time — state is bounded by the delay window, NOT
+    by stream history, which is what distinguishes it from a plain
+    ``dropDuplicates`` whose state grows forever at 100 TB/day. With
+    a delay longer than the data's time span nothing is late, so
+    every batch-2 row is dropped by the dedup state specifically and
+    the appended mart must equal the distinct event set. Complements
+    streaming_dedup_mart_check, which implements dedup MANUALLY via
+    per-batch content fingerprints + keyed merge."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    cache_key = sf_dir + "#wmdedup"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="wm_dedup_mart_")
+    feed = os.path.join(root, "feed")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(feed)
+
+    ev = convert_nanos_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for i in range(2):  # second file re-delivers every row
+        staging = os.path.join(root, f".stage{i}")
+        ev.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")
+        )
+        dst = os.path.join(feed, f"batch-{i}.parquet")
+        os.replace(os.path.join(staging, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 600,) * 2)
+        shutil.rmtree(staging, ignore_errors=True)
+
+    deduped = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .withWatermark("ts", "3650 days")  # nothing late: pure state dedup
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", mart)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_wm_dedup_mart_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="dropDuplicatesWithinWatermark round trip — the engine-native "
+    "BOUNDED-STATE streaming dedup (Spark 3.5+): the events table is "
+    "re-delivered in full by a second micro-batch and every replayed "
+    "row must be dropped by the per-key dedup state, so the appended "
+    "mart bit-matches the batch aggregate over distinct events. The "
+    "operator's state is bounded by the watermark delay window, not "
+    "by stream history — the property that makes streaming dedup "
+    "viable at 100 TB/day where a plain dropDuplicates accumulates "
+    "unbounded keys (the manual fingerprint+merge alternative is "
+    "streaming_dedup_mart_check).",
+)
+def q_streaming_wm_dedup_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_wm_dedup_mart(spark, sf_dir)
+    return mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+    )
+
+
 def _materialized_kmv_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV sketches maintained in a STORED mart through two
     OVERLAPPING batches — deliberately with NO high-watermark cut:

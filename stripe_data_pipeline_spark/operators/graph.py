@@ -1,4 +1,5 @@
-"""Iterative graph analytics over DataFrame joins — PageRank.
+"""Iterative graph analytics over DataFrame joins — PageRank,
+synchronous label propagation, and exactly-once triangle counting.
 
 Beyond connected components (cluster.py), corpus pipelines use link
 analysis for source weighting: Common Crawl derives per-host ranks
