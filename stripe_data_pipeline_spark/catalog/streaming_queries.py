@@ -2244,6 +2244,153 @@ def q_streaming_outer_join_mart_check(
     )
 
 
+def _materialized_full_outer_join_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM FULL OUTER interval join (r10 — one shape past
+    r9's left outer): same views⟗purchases interval join under 2-hour
+    watermarks, append-mode, Trigger.AvailableNow. BOTH outer halves
+    now carry emission contracts under the global min-policy
+    watermark wm = min(max v_ts, max p_ts) − 2h:
+
+    - an unmatched VIEW's null row emits once wm passes v_ts + 1h
+      (no future purchase in [v_ts, v_ts+1h] can arrive) — identical
+      to the left-outer mart;
+    - an unmatched PURCHASE's null row emits once wm passes p_ts:
+      its joinable views live in [p_ts − 1h, p_ts], and once wm > p_ts
+      any such view would be late and dropped, so the state evicts.
+
+    Both predicates verified SET-exact against the drained mart at
+    sf0.001 and sf0.01 (count + row-level parity via the oracle's
+    hash over all three row classes)."""
+    import atexit
+    import os
+    import tempfile
+
+    cache_key = f"{sf_dir}::full_outer_join"
+    path = _STREAM_MART_CACHE.get(cache_key)
+    if path is not None:
+        return spark.read.parquet(os.path.join(path, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_foj_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src() -> DataFrame:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return convert_nanos_ts(raw)
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND p_ts >= v_ts "
+            "AND p_ts <= v_ts + interval 1 hour"
+        ),
+        "full_outer",
+    ).select("user_id", "view_id", "purchase_id", "v_ts", "p_ts")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", mart)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_full_outer_join_mart_check",
+    oracle="""
+WITH v AS (
+    SELECT user_id, ts AS v_ts, event_id AS view_id
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+    SELECT least((SELECT MAX(v_ts) FROM v), (SELECT MAX(p_ts) FROM p))
+           - INTERVAL 2 HOUR AS w
+)
+SELECT 'matched' AS side, v.view_id, p.purchase_id
+FROM v JOIN p ON p.p_user = v.user_id
+             AND p.p_ts >= v.v_ts
+             AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT 'null_view' AS side, u.view_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM v u, wm
+WHERE NOT EXISTS (SELECT 1 FROM p
+                  WHERE p.p_user = u.user_id
+                    AND p.p_ts >= u.v_ts
+                    AND p.p_ts <= u.v_ts + INTERVAL 1 HOUR)
+  AND u.v_ts + INTERVAL 1 HOUR < wm.w
+UNION ALL
+SELECT 'null_purchase' AS side, CAST(NULL AS BIGINT) AS view_id,
+       pp.purchase_id
+FROM p pp, wm
+WHERE NOT EXISTS (SELECT 1 FROM v
+                  WHERE v.user_id = pp.p_user
+                    AND pp.p_ts >= v.v_ts
+                    AND pp.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+  AND pp.p_ts < wm.w
+""",
+    doc="STREAM-STREAM FULL OUTER interval join (r10 — one shape past "
+    "the r9 left outer): BOTH outer halves carry closed-form "
+    "emission contracts under the global min-policy watermark wm. "
+    "Unmatched views null-emit once wm > v_ts + 1h (their purchase "
+    "window closed); unmatched purchases null-emit once wm > p_ts "
+    "(their joinable views live in [p_ts − 1h, p_ts], and anything "
+    "arriving below wm would be dropped as late). The check is "
+    "ROW-LEVEL — every matched pair and every null row of both "
+    "sides hashes against the oracle's three-way union, stronger "
+    "than the left-outer mart's aggregate check.",
+)
+def q_streaming_full_outer_join_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_full_outer_join_mart(spark, sf_dir)
+    side = (
+        F.when(
+            F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull(),
+            F.lit("matched"),
+        )
+        .when(F.col("purchase_id").isNull(), F.lit("null_view"))
+        .otherwise(F.lit("null_purchase"))
+    )
+    return mart.select(side.alias("side"), "view_id", "purchase_id")
+
+
 def _materialized_clone_marts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
