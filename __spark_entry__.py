@@ -89,16 +89,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # had a driver verdict in ANY round (hilbert_key_check slot 51 and
 # incremental_cms_mart_check slot 52 of the r9 window — the judge
 # verified BOTH spilled, and the rotation contract test fired red on
-# exactly this), then the 12 new r10 queries (streamed CDC with
+# exactly this), then the 14 new r10 queries (streamed CDC with
 # merge-on-read deletes, MOR-aware change feed, xxhash64 winnowing,
 # Spark-4 VARIANT shredding, label-propagation communities, in-batch
 # hard-negative mining, byte-level BPE encode + round trip, the
 # idempotent incremental KMV mart, the ORC round trip, the
 # bounded-state watermark dedup mart, and the stream-stream FULL
-# OUTER interval join with row-level parity), then the 10 queries whose code
+# OUTER interval join with row-level parity, the correlated-LATERAL
+# top-k SQL, and the MAP-type scalar family), then the 10 queries whose code
 # changed this round (BM25 top-k rewritten to orderBy+limit,
 # single-scan TextRank edges, the winnow_select signature, and the
-# lakehouse family over the ADVICE-r9 manifest fixes — three of those
+# lakehouse family over the ADVICE-r9 manifest fixes — five of those
 # slots spill past 50 and roll to r11), then the OLDEST-driver-verdict block
 # (r3/r4-era queries lead — their verdicts are the stalest). Policy
 # per VERDICT r5 #5 / r7 #8 / r9 #1+#4, enforced by
@@ -118,6 +119,8 @@ _PRIORITY = [
     "orc_roundtrip_check",
     "streaming_wm_dedup_mart_check",
     "streaming_full_outer_join_mart_check",
+    "lateral_topk_per_order",
+    "map_functions_check",
     "bm25_top_docs",
     "textrank_keywords",
     "winnowing_fingerprints",

@@ -281,6 +281,10 @@ HEADLINE = [
     # round-10 third batch: the ORC source/sink equivalence check
     # (the incremental KMV mart stays out per the mart convention).
     "orc_roundtrip_check",
+    # round-10 fourth batch: the correlated-LATERAL top-k SQL shape
+    # and the MAP-type scalar family.
+    "lateral_topk_per_order",
+    "map_functions_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

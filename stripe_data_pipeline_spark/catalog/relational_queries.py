@@ -3272,6 +3272,107 @@ def q_triangle_counts_supplier(
     )
 
 
+@register(
+    "lateral_topk_per_order",
+    oracle="""
+SELECT o.o_orderkey, t.l_linenumber, t.rev_cents
+FROM orders o, LATERAL (
+    SELECT CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                AS BIGINT) AS rev_cents
+    FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+    ORDER BY rev_cents DESC, l_linenumber ASC
+    LIMIT 2
+) t
+WHERE o.o_orderkey % 10 = 0
+""",
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT — "
+    "the SQL-surface form of grouped top-k (both engines run the "
+    "IDENTICAL SQL text; Spark decorrelates the lateral into a "
+    "ranked window + filter, DuckDB into a grouped top-n — same "
+    "relation either way, integer-cents revenue with a (rev, "
+    "linenumber) total order so ties are deterministic). The "
+    "orderkey slice keeps the check focused; the DataFrame-API "
+    "equivalent shape is pinned by top3_orders_per_status.",
+)
+def q_lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    _rt(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    _rt(spark, sf_dir, "lineitem").createOrReplaceTempView("_lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.rev_cents
+        FROM _lat_orders o, LATERAL (
+            SELECT CAST(l_linenumber AS INT) AS l_linenumber,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0
+                              + 0.5) AS BIGINT) AS rev_cents
+            FROM _lat_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY rev_cents DESC, l_linenumber ASC
+            LIMIT 2
+        ) t
+        WHERE o.o_orderkey % 10 = 0
+        """
+    )
+
+
+@register(
+    "map_functions_check",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+           AS total_k,
+       CAST(SUM((CASE WHEN CAST(json_extract(props, '$.k') AS INT)
+                           % 2 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN user_id % 10 % 2 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                             % 100 % 2 = 0 THEN 1 ELSE 0 END))
+            AS BIGINT) AS n_even_entries,
+       CAST(SUM(2 * (user_id % 10)) AS BIGINT) AS total_u_doubled,
+       CAST(SUM(1) AS BIGINT) AS total_extra
+FROM events
+GROUP BY event_type
+""",
+    doc="MAP-type scalar family — the one container type the catalog "
+    "had not yet exercised end-to-end: each event builds a "
+    "map<string,bigint> with create_map, then element_at extraction, "
+    "map_filter (keep even values, counted via size), "
+    "transform_values (double every value, re-extracted), and "
+    "map_concat with a literal map (the added entry re-extracted) "
+    "all run JVM-side; the per-type aggregate must bit-match the "
+    "oracle's closed-form restatement over the base columns — same "
+    "encode→operate→decode proof pattern as variant_shredding_check.",
+)
+def q_map_functions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    u = (F.col("user_id") % 10).cast("bigint")
+    z = (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") % 100)
+    m = F.create_map(
+        F.lit("k"), k, F.lit("u"), u, F.lit("z"), z
+    )
+    evens = F.map_filter(m, lambda _, v: v % 2 == 0)
+    doubled = F.transform_values(m, lambda _, v: v * 2)
+    extra = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(1).cast("bigint")))
+    row = ev.select(
+        "event_type",
+        F.element_at(m, "k").alias("mk"),
+        F.size(evens).cast("bigint").alias("n_even"),
+        F.element_at(doubled, "u").alias("u2"),
+        F.element_at(extra, "extra").alias("ex"),
+    )
+    return row.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("mk").cast("bigint").alias("total_k"),
+        F.sum("n_even").cast("bigint").alias("n_even_entries"),
+        F.sum("u2").cast("bigint").alias("total_u_doubled"),
+        F.sum("ex").cast("bigint").alias("total_extra"),
+    )
+
+
 _ORC_CACHE: dict[str, str] = {}
 
 
