@@ -99,8 +99,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # top-k SQL, and the MAP-type scalar family), then the 10 queries whose code
 # changed this round (BM25 top-k rewritten to orderBy+limit,
 # single-scan TextRank edges, the winnow_select signature, and the
-# lakehouse family over the ADVICE-r9 manifest fixes — five of those
-# slots spill past 50 and roll to r11), then the OLDEST-driver-verdict block
+# lakehouse family over the ADVICE-r9 manifest fixes — all 10 fit
+# inside the window), then the OLDEST-driver-verdict block
 # (r3/r4-era queries lead — their verdicts are the stalest). Policy
 # per VERDICT r5 #5 / r7 #8 / r9 #1+#4, enforced by
 # tests/test_driver_contract.py.
