@@ -498,7 +498,17 @@ def merge_upsert_atomic(
     """
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
-    _require_no_pending_deletes(read_manifest(root), "merge_upsert_atomic")
+    _m0 = read_manifest(root)
+    _require_no_pending_deletes(_m0, "merge_upsert_atomic")
+    # CHECK constraints: validate the BATCH before anything stages — a
+    # violating merge fails with the table unchanged (kept rows were
+    # validated when the constraint was added, so the batch is the
+    # only new surface)
+    _validate_constraints(
+        updates,
+        None if _m0 is None else _m0.get("constraints"),
+        "merge_upsert_atomic",
+    )
     if txn_app is not None and _txn_already_applied(
         read_manifest(root), txn_app, txn_version
     ):
@@ -734,6 +744,7 @@ def _commit_plan(
         if txn is not None:
             txns[txn[0]] = txn[1]
         manifest["txns"] = txns
+    _carry_constraints(manifest, current)
     _commit(root, manifest, _fault)
     # Post-commit: superseded dirs are unreferenced garbage. Leave them
     # for vacuum() — deleting here would break a reader that resolved
@@ -955,6 +966,7 @@ def compact_partition(
         # compaction rewrites RAW files (deleted rows still physically
         # present), so pending MOR deletes must ride along
         _carry_deletes(manifest, current)
+        _carry_constraints(manifest, current)
         if "txns" in current:
             manifest["txns"] = current["txns"]
         if "stats" in current:
@@ -1015,6 +1027,7 @@ def _compact_partition_locked(
     # the compacted dir was rewritten from the RAW scan — MOR-deleted
     # rows are still physically in it, so the delete files must ride
     _carry_deletes(manifest, m)
+    _carry_constraints(manifest, m)
     if "txns" in m:
         manifest["txns"] = m["txns"]  # exactly-once ledger carries over
     if "stats" in m:
@@ -1389,6 +1402,7 @@ def repartition_table(
             "parts": staged,
             "operation": {"type": "repartition", "touched": sorted(staged)},
         }
+        _carry_constraints(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if stats_cols:
@@ -1444,6 +1458,7 @@ def delete_partitions(
         # metadata-only drop: surviving dirs still physically hold any
         # MOR-deleted rows, so pending delete files must ride along
         _carry_deletes(manifest, m)
+        _carry_constraints(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1507,6 +1522,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
         # rows physically — the delete files stay pending (their
         # anti-join is a no-op on the rewritten dirs)
         _carry_deletes(manifest, m)
+        _carry_constraints(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1532,7 +1548,14 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
     metadata-only (the Delta RESTORE shape): nothing is copied, the
     restore itself is time-travelable and audited, and it only
     requires the target snapshot's dirs to still be inside vacuum's
-    retention window."""
+    retention window.
+
+    CHECK constraints are administrative metadata and survive from
+    the CURRENT manifest (like the txn ledger), not the target's —
+    with the documented Delta-shared caveat that restoring to a
+    snapshot taken BEFORE a constraint was added can resurrect rows
+    that predate it (restore stays metadata-only by design; run
+    add_constraint's validation manually when that matters)."""
     with _writer_lock(root):
         current = read_manifest(root)
         target = read_manifest(root, version)
@@ -1562,6 +1585,7 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
         # deletes — restore re-points parts, so it must re-point the
         # delete files too or those rows resurrect
         _carry_deletes(manifest, target)
+        _carry_constraints(manifest, current)
         if "txns" in current:
             manifest["txns"] = current["txns"]  # exactly-once ledger survives
         if "stats" in target:
@@ -1630,6 +1654,11 @@ def update_where(
                 for c in schema_cols
             ]
         )
+        # CHECK constraints: validate the post-update rows BEFORE
+        # staging — a violating SET fails with the table unchanged
+        _validate_constraints(
+            updated, m.get("constraints"), "update_where"
+        )
         staged = _stage_versioned(updated, root, partition_by)
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
@@ -1642,6 +1671,7 @@ def update_where(
             "parts": new_parts,
             "operation": {"type": "update", "touched": sorted(touched_keys)},
         }
+        _carry_constraints(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1704,6 +1734,9 @@ def clone_table(
         manifest["stats"] = m["stats"]
     if "file_stats" in m:
         manifest["file_stats"] = m["file_stats"]
+    # CHECK constraints travel with the clone (its rows passed them at
+    # the source; future merges into the clone enforce them there)
+    _carry_constraints(manifest, m)
     if m.get("deletes"):
         # pending merge-on-read deletes travel with the snapshot —
         # the clone anti-joins the source's delete files until its
@@ -1737,6 +1770,98 @@ def _referenced_rels(m: dict) -> set[str]:
     """Every parts/-relative dir a manifest references: data parts
     plus merge-on-read delete files (vacuum must spare both)."""
     return set(m["parts"].values()) | set(m.get("deletes", []))
+
+
+def _carry_constraints(manifest: dict, m: dict) -> dict:
+    """CHECK constraints survive every derived commit, like the txn
+    ledger (they are administrative metadata, not data — compaction,
+    deletes, restores and repartitions cannot invalidate them because
+    none of those commits introduces rows the constraint has not
+    already passed)."""
+    if m.get("constraints"):
+        manifest["constraints"] = dict(m["constraints"])
+    return manifest
+
+
+def _validate_constraints(
+    df: DataFrame, constraints: dict | None, op: str
+) -> None:
+    """Refuse rows violating any CHECK constraint (standard SQL
+    semantics: NULL passes, only FALSE violates — the Delta CHECK
+    rule). One limit-1 probe per constraint over ``df``; nothing is
+    staged or committed when this raises."""
+    for name, expression in sorted((constraints or {}).items()):
+        bad = df.filter(
+            ~F.coalesce(F.expr(expression), F.lit(True))
+        ).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"{op}: rows violate CHECK constraint {name!r} "
+                f"({expression}); nothing was committed"
+            )
+
+
+def add_constraint(
+    spark: SparkSession, root: str, name: str, expression: str
+) -> None:
+    """Add a named CHECK constraint (the Delta ``ALTER TABLE ... ADD
+    CONSTRAINT ... CHECK`` shape): ``expression`` is a SQL boolean
+    over the table's columns. The CURRENT table must already satisfy
+    it (one full validation scan, the honest cost Delta also pays);
+    afterwards every ``merge_upsert_atomic`` batch and every
+    ``update_where`` result is validated BEFORE anything commits, so
+    a violating write fails atomically with the table unchanged.
+    Constraints are stored in the manifest and survive compaction,
+    deletes, restore and clone like the txn ledger."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        existing = dict(m.get("constraints", {}))
+        if name in existing:
+            raise ValueError(f"constraint {name!r} already exists")
+        _validate_constraints(
+            _read_at(spark, root, m), {name: expression}, "add_constraint"
+        )
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "constraints": {**existing, name: expression},
+            "operation": {"type": "add_constraint", "name": name},
+        }
+        _carry_deletes(manifest, m)
+        for k in ("txns", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+
+
+def drop_constraint(root: str, name: str) -> None:
+    """Remove a named CHECK constraint — metadata-only commit."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        existing = dict(m.get("constraints", {}))
+        if name not in existing:
+            raise KeyError(f"no constraint {name!r}")
+        existing.pop(name)
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "operation": {"type": "drop_constraint", "name": name},
+        }
+        if existing:
+            manifest["constraints"] = existing
+        _carry_deletes(manifest, m)
+        for k in ("txns", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
 
 
 def _carry_deletes(manifest: dict, m: dict) -> dict:
@@ -1835,7 +1960,7 @@ def delete_where_mor(
             "delete_keys": list(keys),
             "operation": {"type": "delete_mor", "n_keys": int(n)},
         }
-        for carry in ("txns", "stats", "file_stats"):
+        for carry in ("txns", "constraints", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)
@@ -1908,6 +2033,7 @@ def apply_deletes(
                 "n_delete_files": len(rels),
             },
         }
+        _carry_constraints(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
