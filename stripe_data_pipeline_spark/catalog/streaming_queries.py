@@ -1660,6 +1660,99 @@ def _materialized_hist_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MT.read_table(spark, mart)
 
 
+def _materialized_constrained_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK-constrained atomic mart round trip (r10): merge a first
+    slice of events, add the constraint ``value >= 0 AND event_id >=
+    0`` (validated against the stored rows), then attempt a POISONED
+    second merge — the real batch plus one violating row — which must
+    fail atomically (version unchanged, no rows landed), and finally
+    land the clean remainder. The checked table is therefore exactly
+    the full event set iff (a) add-time validation passed, (b) the
+    violating batch was refused without partial effects, and (c) the
+    constraint survived the intermediate commits."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#constrained"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return MT.read_table(spark, os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="constrained_mart_")
+    mart = os.path.join(root, "mart")
+
+    ev = _rt(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    cutoff = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).first()[0]
+    first = ev.filter(F.col("event_id") <= F.lit(cutoff))
+    rest = ev.filter(F.col("event_id") > F.lit(cutoff))
+    MT.merge_upsert_atomic(
+        spark, mart, first, keys=["event_id"], partition_by="event_type"
+    )
+    MT.add_constraint(
+        spark, mart, "valid_event", "value >= 0.0 AND event_id >= 0"
+    )
+    poisoned = rest.unionByName(
+        spark.createDataFrame(
+            [(-1, "view", 0, -123.0)],
+            "event_id long, event_type string, user_id long, value double",
+        )
+    )
+    v_before = int(MT.read_manifest(mart)["version"])
+    try:
+        MT.merge_upsert_atomic(
+            spark, mart, poisoned, keys=["event_id"], partition_by="event_type"
+        )
+        raise AssertionError("violating merge was not refused")
+    except ValueError:
+        pass
+    assert int(MT.read_manifest(mart)["version"]) == v_before
+    MT.merge_upsert_atomic(
+        spark, mart, rest, keys=["event_id"], partition_by="event_type"
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return MT.read_table(spark, mart)
+
+
+@register(
+    "atomic_constraint_mart_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM events
+GROUP BY event_type
+""",
+    doc="CHECK constraints under the driver oracle (the Delta ALTER "
+    "TABLE ... ADD CONSTRAINT CHECK shape): merge half the events, "
+    "add a validated constraint, attempt a POISONED batch (real rows "
+    "+ one violating row) — refused atomically, version unchanged, "
+    "zero partial effects — then land the clean remainder. The final "
+    "aggregate bit-matches plain SQL over ALL events iff add-time "
+    "validation, the atomic refusal, and constraint carry-through "
+    "all behaved; add/drop/carry/clone unit semantics are pinned in "
+    "tests/test_constraints.py.",
+)
+def q_atomic_constraint_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_constrained_mart(spark, sf_dir)
+    return mart.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+    )
+
+
 def _materialized_wm_dedup_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ENGINE-NATIVE bounded-state streaming dedup
     (``dropDuplicatesWithinWatermark``, the Spark 3.5+ operator):
