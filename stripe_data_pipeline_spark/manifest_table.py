@@ -905,6 +905,7 @@ def compact_partition(
     partition_value,
     target_rows_per_file: int = 1_000_000,
     concurrency: str = "fail",
+    cluster_by: list[str] | None = None,
 ) -> int:
     """Crash-atomic small-file compaction: rewrite ONE partition's
     current dir as fewer larger files and re-point the manifest — the
@@ -925,10 +926,16 @@ def compact_partition(
     if concurrency == "fail":
         with _writer_lock(root):
             return _compact_partition_locked(
-                spark, root, partition_value, target_rows_per_file
+                spark, root, partition_value, target_rows_per_file,
+                cluster_by=cluster_by,
             )
     if concurrency != "occ":
         raise ValueError(f"concurrency must be 'fail' or 'occ', got {concurrency!r}")
+    if cluster_by:
+        raise ValueError(
+            "cluster_by is a locked-maintenance feature; run it via "
+            "maintain()/compact_partition(concurrency='fail')"
+        )
     import math
 
     m = read_manifest(root)
@@ -994,6 +1001,7 @@ def _compact_partition_locked(
     partition_value,
     target_rows_per_file: int = 1_000_000,
     _key: str | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     import math
 
@@ -1012,7 +1020,26 @@ def _compact_partition_locked(
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
     staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
-    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    if cluster_by:
+        # the OPTIMIZE ... ZORDER/ORDER BY shape: range-partition the
+        # partition's rows on the clustering expressions and sort
+        # within each file, so per-FILE [min,max] ranges come out
+        # (near-)disjoint and the file_stats skipping below resolves a
+        # point predicate to ~one file. cluster_by entries are SQL
+        # expressions — pass layout.zorder_key_sql / hilbert_key_sql
+        # output for multi-column interleaved keys. Same row set, so
+        # every other commit invariant (stats carry, MOR deletes,
+        # constraints, txns) is untouched.
+        exprs = [F.expr(e) for e in cluster_by]
+        clustered = (
+            df.repartitionByRange(n_files, *exprs)
+            .sortWithinPartitions(*exprs)
+            if n_files > 1
+            else df.coalesce(1).sortWithinPartitions(*exprs)
+        )
+        clustered.write.mode("overwrite").parquet(staging)
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(staging)
     new_rel = f"{_PARTS}/{key}-{uuid.uuid4().hex[:8]}"
     os.replace(staging, os.path.join(root, new_rel))
     new_parts = dict(m["parts"])
@@ -1344,11 +1371,23 @@ def maintain(
     max_files_per_partition: int = 4,
     retain_history: int = 3,
     grace_sec: float = 600.0,
+    cluster_by: list[str] | None = None,
 ) -> dict:
     """The scheduled maintenance pass a continuously-merged table
     needs: compact partitions whose file count exceeds the threshold
     (each compaction is one atomic commit), then vacuum past the
     retention window. Returns {"compacted": [...], "vacuumed": [...]}.
+
+    ``cluster_by`` turns the pass into the Delta ``OPTIMIZE ...
+    ZORDER BY`` shape: EVERY partition is rewritten range-partitioned
+    + sorted on the given SQL expressions (pass layout.zorder_key_sql
+    / hilbert_key_sql output for multi-column interleaved keys), so
+    per-file [min,max] ranges come out near-disjoint and the
+    ``file_stats`` skipping in :func:`read_table` resolves a point
+    predicate to ~one file per partition. Streaming merges append in
+    arrival order — exactly the layout that makes range predicates
+    read everything — and this pass is how the table earns its
+    skipping back, one atomic commit per partition.
 
     ONE writer lock spans the whole pass (ADVICE r4): compactions and
     the vacuum run as a single critical section, so a concurrent merge
@@ -1363,12 +1402,16 @@ def maintain(
         for key, rel in sorted(m["parts"].items()):
             d = os.path.join(root, rel)
             n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-            if n_files > max_files_per_partition:
+            # clustering rewrites every partition (layout, not just
+            # file count, is the goal); plain compaction only touches
+            # partitions over the small-file threshold
+            if cluster_by or n_files > max_files_per_partition:
                 # pass the manifest key directly — partition dir values
                 # are already Spark-escaped; re-escaping would corrupt
                 # them
                 _compact_partition_locked(
-                    spark, root, None, target_rows_per_file, _key=key
+                    spark, root, None, target_rows_per_file, _key=key,
+                    cluster_by=cluster_by,
                 )
                 compacted.append(key)
         removed = _vacuum_locked(root, retain_history, grace_sec)

@@ -111,3 +111,49 @@ def test_clone_carries_constraints(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="v_pos"):
         MT.merge_upsert_atomic(spark, dst, bad, keys=["id"], partition_by="part")
+
+
+def test_maintain_cluster_by_yields_file_skipping(spark, tmp_path):
+    """maintain(cluster_by=...) — the OPTIMIZE ... ORDER/ZORDER BY
+    shape: after the pass, per-file [min,max] ranges on the cluster
+    key are disjoint and a stats_filter point read resolves to ONE
+    file; rows are unchanged."""
+    root = str(tmp_path / "t")
+    # shuffled key so arrival order anti-correlates with ts
+    rows = [(i, "a", float((i * 37) % 1000)) for i in range(1, 401)]
+    df = spark.createDataFrame(rows, "id long, part string, ts double")
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(8), keys=["id"], partition_by="part",
+        stats_cols=["ts"],
+    )
+    before = {r["id"] for r in MT.read_table(spark, root).collect()}
+    out = MT.maintain(
+        spark, root, target_rows_per_file=100, cluster_by=["ts"],
+        retain_history=0, grace_sec=0.0,
+    )
+    assert out["compacted"] == ["a"]
+    m = MT.read_manifest(root)
+    per_file = m["file_stats"]["a"]
+    assert len(per_file) >= 3  # 400 rows / 100 per file
+    ranges = sorted(st["ts"] for st in per_file.values())
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "clustered file ranges overlap"
+    # point predicate reads exactly one file
+    probe = MT.read_table(spark, root, stats_filter={"ts": (37.0, 37.0)})
+    assert len(probe.inputFiles()) == 1
+    assert {r["id"] for r in MT.read_table(spark, root).collect()} == before
+
+
+def test_cluster_by_preserves_constraints_and_mor(spark, tmp_path):
+    """The clustering rewrite is just another compaction commit: the
+    constraint set and pending MOR deletes must both ride along."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    MT.add_constraint(spark, root, "v_pos", "v > 0.0")
+    MT.delete_where_mor(spark, root, F.col("id") == 2, keys=["id"])
+    MT.maintain(spark, root, cluster_by=["v"], retain_history=0,
+                grace_sec=0.0)
+    m = MT.read_manifest(root)
+    assert m["constraints"] == {"v_pos": "v > 0.0"}
+    assert len(m["deletes"]) == 1
+    assert {r["id"] for r in MT.read_table(spark, root).collect()} == {1, 3}
