@@ -89,15 +89,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # had a driver verdict in ANY round (hilbert_key_check slot 51 and
 # incremental_cms_mart_check slot 52 of the r9 window — the judge
 # verified BOTH spilled, and the rotation contract test fired red on
-# exactly this), then the 15 new r10 queries (streamed CDC with
+# exactly this), then the 16 new r10 queries (streamed CDC with
 # merge-on-read deletes, MOR-aware change feed, xxhash64 winnowing,
 # Spark-4 VARIANT shredding, label-propagation communities, in-batch
 # hard-negative mining, byte-level BPE encode + round trip, the
 # idempotent incremental KMV mart, the ORC round trip, the
 # bounded-state watermark dedup mart, and the stream-stream FULL
 # OUTER interval join with row-level parity, the correlated-LATERAL
-# top-k SQL, the MAP-type scalar family, and the CHECK-constrained
-# mart round trip), then the 10 queries whose code
+# top-k SQL, the MAP and ARRAY scalar families, and the CHECK-
+# constrained mart round trip), then the 10 queries whose code
 # changed this round (BM25 top-k rewritten to orderBy+limit,
 # single-scan TextRank edges, the winnow_select signature, and the
 # lakehouse family over the ADVICE-r9 manifest fixes — all 10 fit
@@ -123,6 +123,7 @@ _PRIORITY = [
     "lateral_topk_per_order",
     "map_functions_check",
     "atomic_constraint_mart_check",
+    "array_functions_check",
     "bm25_top_docs",
     "textrank_keywords",
     "winnowing_fingerprints",

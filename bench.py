@@ -285,6 +285,7 @@ HEADLINE = [
     # and the MAP-type scalar family.
     "lateral_topk_per_order",
     "map_functions_check",
+    "array_functions_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

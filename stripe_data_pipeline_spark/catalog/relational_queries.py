@@ -3373,6 +3373,51 @@ def q_map_functions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "array_functions_check",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS ws
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS n_words,
+       CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+       CAST(COALESCE(list_position(ws, 'table'), 0) AS INT)
+           AS first_table_pos,
+       list_contains(ws, 'key') AS has_key,
+       md5(array_to_string(list_sort(ws), ' ')) AS sorted_fp,
+       md5(array_to_string(ws[1:3], ' ')) AS head3_fp,
+       md5(array_to_string(list_reverse(ws), ' ')) AS reversed_fp
+FROM t
+""",
+    doc="ARRAY scalar family — rounding out the container-type "
+    "families (map_functions_check, variant_shredding_check, "
+    "json_extraction): array_distinct cardinality, array_position "
+    "1-based lookup (0 when absent on both engines after the "
+    "COALESCE), array_contains, and order-SENSITIVE md5 fingerprints "
+    "of array_sort / slice / reverse — sorted output is a total "
+    "order, so the fingerprints are engine-portable without any "
+    "set-comparison slack. All JVM-side, one narrow projection, no "
+    "shuffle.",
+)
+def q_array_functions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda t: t != "")
+    base = docs.select("doc_id", ws.alias("ws"))
+    return base.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+        F.array_position("ws", "table").cast("int").alias("first_table_pos"),
+        F.array_contains("ws", "key").alias("has_key"),
+        F.md5(F.array_join(F.array_sort("ws"), " ")).alias("sorted_fp"),
+        F.md5(F.array_join(F.slice("ws", 1, 3), " ")).alias("head3_fp"),
+        F.md5(F.array_join(F.reverse("ws"), " ")).alias("reversed_fp"),
+    )
+
+
 _ORC_CACHE: dict[str, str] = {}
 
 
