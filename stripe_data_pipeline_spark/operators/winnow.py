@@ -175,6 +175,109 @@ def winnow_profile(
     )
 
 
+def winnow_invariants(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = True,
+    density_band_bp: tuple[int, int] = (3600, 4400),
+) -> DataFrame:
+    """Per-document PROOF OBLIGATIONS of the winnowing selection,
+    emitted as engine-portable columns (VERDICT r10 #1 — the
+    flag-pin pattern of hll_mergeable_user_counts): the xxhash64
+    fast path's hash VALUES shape the selection, so no other engine
+    can replay the selected set itself — but the selection RULE
+    implies exact bounds any correct implementation must satisfy,
+    and those bounds are hash-independent:
+
+    - ``n_kgrams``  = len(text) - k + 1 (exact, replayable);
+    - ``n_windows`` = n_kgrams - w + 1 (exact, replayable);
+    - ``density_in_bounds``: each selected fingerprint at position
+      pos can be the argmin of at most the w windows starting in
+      (pos-w, pos], and every window has exactly one argmin, so
+      n_selected * w >= n_windows; at most one NEW fingerprint per
+      window gives n_selected <= n_windows (Schleimer et al. 2003
+      §3: density in [1/w, 1] of windows);
+    - ``coverage_ok``: EVERY window [p, p+w-1] contains a selected
+      position — equivalently min(pos) <= w, max(pos) >= L-w+1 and
+      no gap between consecutive selected positions exceeds w
+      (this is the locality property the k+w-1 guarantee rests on);
+    - ``corpus_density_in_band``: the corpus-wide selected/k-gram
+      ratio sits in ``density_band_bp`` (expected 2/(w+1) = 4000 bp
+      for a well-mixed hash — a biased hash, e.g. one correlated
+      with position, drifts out of band while still passing the
+      structural bounds).
+
+    An oracle pins the booleans TRUE and computes the counts from
+    the text lengths exactly — a full rows+schema+hash check of the
+    production xxhash64 path.
+
+    Cost: the winnow_select pass plus one per-doc lag window over
+    the SELECTED rows (~2/(w+1) of the k-gram stream) and a scalar
+    corpus aggregate broadcast back — nothing beyond the selection
+    itself scales with corpus size. The corpus flag folds the
+    per-doc frame (|docs| rows) through an ungrouped agg, not a
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    sel = winnow_select(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, fast=fast
+    )
+    lagw = Window.partitionBy(id_col).orderBy("pos")
+    per = (
+        sel.withColumn("_gap", F.col("pos") - F.lag("pos").over(lagw))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n_sel"),
+            F.min("pos").alias("_min_pos"),
+            F.max("pos").alias("_max_pos"),
+            F.max("_gap").alias("_max_gap"),
+        )
+    )
+    lens = df.select(
+        F.col(id_col),
+        (F.length(F.col(text_col)) - F.lit(k) + F.lit(1))
+        .cast("bigint")
+        .alias("n_kgrams"),
+    ).filter(F.col("n_kgrams") >= F.lit(w))
+    j = lens.join(per, id_col)
+    n_windows = F.col("n_kgrams") - F.lit(w - 1)
+    # scalar corpus density (1 row) broadcast back onto every doc row
+    corpus = j.agg(
+        (
+            (F.sum("_n_sel") * F.lit(10000)).cast("bigint")
+            / F.sum("n_kgrams")
+        )
+        .cast("bigint")
+        .alias("_density_bp")
+    )
+    lo, hi = density_band_bp
+    return (
+        j.crossJoin(F.broadcast(corpus))
+        .select(
+            id_col,
+            "n_kgrams",
+            n_windows.cast("bigint").alias("n_windows"),
+            (
+                (F.col("_n_sel") * F.lit(w) >= n_windows)
+                & (F.col("_n_sel") <= n_windows)
+            ).alias("density_in_bounds"),
+            (
+                (F.col("_min_pos") <= F.lit(w))
+                & (F.col("_max_pos") >= n_windows)
+                & (F.coalesce(F.col("_max_gap"), F.lit(0)) <= F.lit(w))
+            ).alias("coverage_ok"),
+            (
+                (F.col("_density_bp") >= F.lit(lo))
+                & (F.col("_density_bp") <= F.lit(hi))
+            ).alias("corpus_density_in_band"),
+        )
+    )
+
+
 def winnow_shared_pairs(
     df: DataFrame,
     k: int = 8,

@@ -1,0 +1,27 @@
+"""Graph-operator invariants (operators/graph.py) — moved out of
+tests/test_winnow.py per ADVICE r10 (the winnow module's docstring
+scopes it to fingerprinting; graph coverage lives here alongside the
+operator it pins)."""
+
+from __future__ import annotations
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 3-cliques joined by one bridge edge: after 4 synchronous
+    rounds each clique is internally uniform and the two communities
+    stay SEPARATE. Hand-traced: clique A converges to label 1; clique
+    B converges to label 3 — the bridge leaks node 3's id across as a
+    label NAME in round 1, but the membership partition is exactly
+    the two cliques, which is the invariant that matters."""
+    from stripe_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 20), (10, 30), (20, 30), (3, 10)],
+        "src long, dst long",
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=4).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[20] == labels[30] == 3

@@ -107,22 +107,51 @@ def test_fast_variant_same_doc_set_and_counts_shape(spark):
         assert r["fingerprint"] is not None
 
 
-def test_label_propagation_two_cliques(spark):
-    """Two 3-cliques joined by one bridge edge: after 4 synchronous
-    rounds each clique is internally uniform and the two communities
-    stay SEPARATE. Hand-traced: clique A converges to label 1; clique
-    B converges to label 3 — the bridge leaks node 3's id across as a
-    label NAME in round 1, but the membership partition is exactly
-    the two cliques, which is the invariant that matters."""
-    from stripe_data_pipeline_spark.operators.graph import label_propagation
+def test_invariants_all_flags_true_on_corpus(spark, sf_dir):
+    """winnow_invariants (the driver-checked proof obligations of the
+    xxhash64 path) must hold on real corpus data: every doc row has
+    density_in_bounds, coverage_ok and corpus_density_in_band TRUE,
+    and the exact counts replay from text lengths."""
+    from pyspark.sql import functions as F
 
-    edges = spark.createDataFrame(
-        [(1, 2), (1, 3), (2, 3), (10, 20), (10, 30), (20, 30), (3, 10)],
-        "src long, dst long",
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.winnow import winnow_invariants
+
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    inv = winnow_invariants(docs, k=K, w=W, fast=True)
+    bad = inv.filter(
+        ~F.col("density_in_bounds")
+        | ~F.col("coverage_ok")
+        | ~F.col("corpus_density_in_band")
+        | (F.col("n_windows") != F.col("n_kgrams") - (W - 1))
+    ).count()
+    assert bad == 0
+    # every eligible doc (L >= w) appears exactly once
+    eligible = docs.filter(F.length("text") - K + 1 >= W).count()
+    assert inv.count() == eligible
+
+
+def test_invariants_catch_a_broken_selection(spark, monkeypatch):
+    """The flags are not vacuous: a deliberately broken selection rule
+    (drop every selected fingerprint at an even position — gaps can
+    then exceed w and density can fall below n_windows/w) must fail
+    coverage and/or density on a doc where the correct rule passes."""
+    from pyspark.sql import functions as F
+
+    import stripe_data_pipeline_spark.operators.winnow as wmod
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789abcdefghij")],
+        "doc_id long, text string",
     )
-    labels = {
-        r["node"]: r["label"]
-        for r in label_propagation(edges, iterations=4).collect()
-    }
-    assert labels[1] == labels[2] == labels[3] == 1
-    assert labels[10] == labels[20] == labels[30] == 3
+    ok = wmod.winnow_invariants(df, k=K, w=W, fast=True).collect()[0]
+    assert ok["density_in_bounds"] and ok["coverage_ok"]
+
+    real_select = wmod.winnow_select
+
+    def broken_select(*a, **kw):
+        return real_select(*a, **kw).filter(F.col("pos") % 2 == 1)
+
+    monkeypatch.setattr(wmod, "winnow_select", broken_select)
+    broken = wmod.winnow_invariants(df, k=K, w=W, fast=True).collect()[0]
+    assert not (broken["density_in_bounds"] and broken["coverage_ok"])
