@@ -503,11 +503,19 @@ def merge_upsert_atomic(
     # CHECK constraints: validate the BATCH before anything stages — a
     # violating merge fails with the table unchanged (kept rows were
     # validated when the constraint was added, so the batch is the
-    # only new surface)
+    # only new surface). This is the cheap FAIL-FAST pass; the locked
+    # commit re-validates any constraint delta that raced in since
+    # (ADVICE r10 — same TOCTOU shape as the pending-deletes re-check)
+    _validated_cons = (
+        {} if _m0 is None else dict(_m0.get("constraints") or {})
+    )
     _validate_constraints(
         updates,
-        None if _m0 is None else _m0.get("constraints"),
+        _validated_cons,
         "merge_upsert_atomic",
+        table_schema=None
+        if _m0 is None
+        else StructType.fromJson(json.loads(_m0["schema"])),
     )
     if txn_app is not None and _txn_already_applied(
         read_manifest(root), txn_app, txn_version
@@ -518,7 +526,7 @@ def merge_upsert_atomic(
         with _writer_lock(root):
             _merge_upsert_atomic_locked(
                 spark, root, updates, keys, partition_by, stats_cols, _fault,
-                txn=txn,
+                txn=txn, validated_constraints=_validated_cons,
             )
         return
     if concurrency != "occ":
@@ -547,6 +555,23 @@ def merge_upsert_atomic(
                     for rel in plan["staged"].values():
                         shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
                     return
+                try:
+                    # a constraint added/redefined since the entry
+                    # pre-check was never enforced on this batch —
+                    # validate the delta before any commit path
+                    # (including rebase, which permits pure
+                    # add_constraint commits) can reference the
+                    # staged dirs (ADVICE r10, medium)
+                    _revalidate_constraint_delta(
+                        updates, _validated_cons, current,
+                        "merge_upsert_atomic",
+                    )
+                except ValueError:
+                    for rel in plan["staged"].values():
+                        shutil.rmtree(
+                            os.path.join(root, rel), ignore_errors=True
+                        )
+                    raise
                 base_v = -1 if base is None else int(base["version"])
                 cur_v = -1 if current is None else int(current["version"])
                 if cur_v == base_v or _can_rebase(
@@ -810,11 +835,18 @@ def _merge_upsert_atomic_locked(
     stats_cols: list[str] | None = None,
     _fault=None,
     txn: tuple[str, int] | None = None,
+    validated_constraints: dict | None = None,
 ) -> None:
     current = read_manifest(root)
     # re-check INSIDE the lock: the entry pre-check ran unlocked, so a
     # concurrent delete_where_mor may have committed since (ADVICE r9)
     _require_no_pending_deletes(current, "merge_upsert_atomic")
+    # likewise for constraints added/redefined since the pre-check —
+    # only the delta re-validates, so the unchanged path stays free
+    # (ADVICE r10, medium)
+    _revalidate_constraint_delta(
+        updates, validated_constraints, current, "merge_upsert_atomic"
+    )
     if txn is not None and _txn_already_applied(current, *txn):
         return  # exactly-once: this epoch already committed
     plan = _plan_merge(
@@ -995,6 +1027,38 @@ def compact_partition(
     return n_files
 
 
+def _cluster_spec_hash(cluster_by: list[str]) -> str:
+    """Stable 8-hex digest of a clustering spec. Embedded in the
+    relpath of every dir the clustering pass writes (``-c{hash}-``),
+    which makes "is this partition already clustered with THIS spec,
+    and untouched since?" answerable from the manifest alone: dirs
+    are immutable and every other commit (merge, plain compaction,
+    update) mints an unmarked relpath, so a marked rel IS the
+    staleness predicate — no extra manifest field to carry, and it
+    survives every derived commit for free."""
+    import hashlib
+
+    return hashlib.md5(json.dumps(list(cluster_by)).encode()).hexdigest()[:8]
+
+
+def _cluster_stat_cols(
+    cluster_by: list[str], schema_cols: list[str]
+) -> list[str]:
+    """Table columns referenced by the clustering expressions —
+    identifier tokens of each SQL expr intersected with the schema.
+    These are the columns whose per-file ranges the clustered layout
+    makes disjoint, i.e. exactly the ones worth footer stats when the
+    table has never recorded any (ADVICE r10: a cluster_by pass on a
+    stats-less table otherwise pays the full rewrite and buys zero
+    skipping, silently)."""
+    import re
+
+    toks = set()
+    for e in cluster_by:
+        toks |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", e))
+    return [c for c in schema_cols if c in toks]
+
+
 def _compact_partition_locked(
     spark: SparkSession,
     root: str,
@@ -1040,7 +1104,11 @@ def _compact_partition_locked(
         clustered.write.mode("overwrite").parquet(staging)
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    new_rel = f"{_PARTS}/{key}-{uuid.uuid4().hex[:8]}"
+    # clustered dirs carry the spec digest in their relpath; see
+    # _cluster_spec_hash — this is what lets maintain() skip
+    # already-clustered, untouched partitions on the next pass
+    marker = f"-c{_cluster_spec_hash(cluster_by)}" if cluster_by else ""
+    new_rel = f"{_PARTS}/{key}{marker}-{uuid.uuid4().hex[:8]}"
     os.replace(staging, os.path.join(root, new_rel))
     new_parts = dict(m["parts"])
     new_parts[key] = new_rel
@@ -1059,23 +1127,36 @@ def _compact_partition_locked(
         manifest["txns"] = m["txns"]  # exactly-once ledger carries over
     if "stats" in m:
         manifest["stats"] = m["stats"]  # row set unchanged -> stats carry over
+    # Carry per-FILE stats for untouched dirs and RECOMPUTE them for
+    # the compacted dir (its files are new) — dropping the key would
+    # silently disable footer-granular skipping table-wide after
+    # every maintenance pass (ADVICE r4). Columns tracked = whatever
+    # the table has been recording, UNIONED with the columns the
+    # clustering expressions reference: a cluster_by pass on a table
+    # that never recorded file stats must still come out skippable —
+    # the disjoint per-file ranges are the entire point of paying the
+    # rewrite (ADVICE r10, low).
+    fstat_cols: set[str] = set()
     if "file_stats" in m:
-        # Carry per-FILE stats for untouched dirs and RECOMPUTE them for
-        # the compacted dir (its files are new) — dropping the key would
-        # silently disable footer-granular skipping table-wide after
-        # every maintenance pass (ADVICE r4). Columns tracked = whatever
-        # the table has been recording.
-        cols = sorted(
-            {
-                c
-                for per_file in m["file_stats"].values()
-                for st in per_file.values()
-                for c in st
-            }
-        )
-        fstats = {k: v for k, v in m["file_stats"].items() if k != key}
-        fstats.update(_file_stats(root, {key: new_rel}, cols))
-        manifest["file_stats"] = fstats
+        fstat_cols |= {
+            c
+            for per_file in m["file_stats"].values()
+            for st in per_file.values()
+            for c in st
+        }
+    if cluster_by:
+        schema_cols = [
+            f.name
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+        ]
+        fstat_cols |= set(_cluster_stat_cols(cluster_by, schema_cols))
+    if fstat_cols:
+        fstats = {
+            k: v for k, v in m.get("file_stats", {}).items() if k != key
+        }
+        fstats.update(_file_stats(root, {key: new_rel}, sorted(fstat_cols)))
+        if fstats:
+            manifest["file_stats"] = fstats
     _commit(root, manifest)
     spark.catalog.refreshByPath(root)
     return n_files
@@ -1372,6 +1453,7 @@ def maintain(
     retain_history: int = 3,
     grace_sec: float = 600.0,
     cluster_by: list[str] | None = None,
+    recluster_all: bool = False,
 ) -> dict:
     """The scheduled maintenance pass a continuously-merged table
     needs: compact partitions whose file count exceeds the threshold
@@ -1379,15 +1461,26 @@ def maintain(
     retention window. Returns {"compacted": [...], "vacuumed": [...]}.
 
     ``cluster_by`` turns the pass into the Delta ``OPTIMIZE ...
-    ZORDER BY`` shape: EVERY partition is rewritten range-partitioned
-    + sorted on the given SQL expressions (pass layout.zorder_key_sql
-    / hilbert_key_sql output for multi-column interleaved keys), so
-    per-file [min,max] ranges come out near-disjoint and the
-    ``file_stats`` skipping in :func:`read_table` resolves a point
-    predicate to ~one file per partition. Streaming merges append in
-    arrival order — exactly the layout that makes range predicates
-    read everything — and this pass is how the table earns its
-    skipping back, one atomic commit per partition.
+    ZORDER BY`` shape: stale partitions are rewritten
+    range-partitioned + sorted on the given SQL expressions (pass
+    layout.zorder_key_sql / hilbert_key_sql output for multi-column
+    interleaved keys), so per-file [min,max] ranges come out
+    near-disjoint and the ``file_stats`` skipping in
+    :func:`read_table` resolves a point predicate to ~one file per
+    partition. Streaming merges append in arrival order — exactly the
+    layout that makes range predicates read everything — and this
+    pass is how the table earns its skipping back, one atomic commit
+    per partition.
+
+    The pass is INCREMENTAL (VERDICT r10 #7, the way production
+    OPTIMIZE runs daily): every clustered dir's relpath carries the
+    spec digest (``-c{hash}-``), dirs are immutable, and every other
+    commit mints an unmarked relpath — so a partition is rewritten
+    iff its current dir lacks THIS spec's marker, i.e. it was merged
+    into / compacted / never clustered since the last pass. Repeated
+    passes cost proportional to new data, not table size; pass
+    ``recluster_all=True`` to force a full rewrite (e.g. after
+    target_rows_per_file changes, which the marker cannot see).
 
     ONE writer lock spans the whole pass (ADVICE r4): compactions and
     the vacuum run as a single critical section, so a concurrent merge
@@ -1399,12 +1492,20 @@ def maintain(
         if m is None:
             return {"compacted": [], "vacuumed": []}
         compacted = []
+        marker = (
+            f"-c{_cluster_spec_hash(cluster_by)}-" if cluster_by else None
+        )
         for key, rel in sorted(m["parts"].items()):
+            if marker is not None and not recluster_all and marker in rel:
+                # already clustered with THIS spec and untouched since
+                # (any intervening merge/compaction minted an unmarked
+                # relpath) — the incremental-OPTIMIZE skip
+                continue
             d = os.path.join(root, rel)
             n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-            # clustering rewrites every partition (layout, not just
-            # file count, is the goal); plain compaction only touches
-            # partitions over the small-file threshold
+            # clustering rewrites every stale partition (layout, not
+            # just file count, is the goal); plain compaction only
+            # touches partitions over the small-file threshold
             if cluster_by or n_files > max_files_per_partition:
                 # pass the manifest key directly — partition dir values
                 # are already Spark-escaped; re-escaping would corrupt
@@ -1827,13 +1928,35 @@ def _carry_constraints(manifest: dict, m: dict) -> dict:
 
 
 def _validate_constraints(
-    df: DataFrame, constraints: dict | None, op: str
+    df: DataFrame,
+    constraints: dict | None,
+    op: str,
+    table_schema: StructType | None = None,
 ) -> None:
     """Refuse rows violating any CHECK constraint (standard SQL
     semantics: NULL passes, only FALSE violates — the Delta CHECK
     rule). One limit-1 probe per constraint over ``df``; nothing is
-    staged or committed when this raises."""
-    for name, expression in sorted((constraints or {}).items()):
+    staged or committed when this raises.
+
+    ``table_schema`` (when given) projects table columns the batch
+    legitimately omits — schema evolution via
+    unionByName(allowMissingColumns=True) — as typed NULLs BEFORE
+    filtering, so a constraint over an omitted column evaluates
+    against the NULL the merged rows will actually hold (NULL passes)
+    instead of failing resolution (ADVICE r10, low)."""
+    if not constraints:
+        return
+    if table_schema is not None:
+        have = set(df.columns)
+        missing = [f for f in table_schema.fields if f.name not in have]
+        if missing:
+            df = df.withColumns(
+                {
+                    f.name: F.lit(None).cast(f.dataType)
+                    for f in missing
+                }
+            )
+    for name, expression in sorted(constraints.items()):
         bad = df.filter(
             ~F.coalesce(F.expr(expression), F.lit(True))
         ).limit(1)
@@ -1842,6 +1965,36 @@ def _validate_constraints(
                 f"{op}: rows violate CHECK constraint {name!r} "
                 f"({expression}); nothing was committed"
             )
+
+
+def _revalidate_constraint_delta(
+    updates: DataFrame,
+    validated: dict | None,
+    current: dict | None,
+    op: str,
+) -> None:
+    """In-lock closing of the constraint TOCTOU window (ADVICE r10,
+    medium): the entry pre-check validated ``updates`` against the
+    constraints of the manifest it sampled OUTSIDE the lock, so a
+    constraint added (or redefined) by a concurrent writer between
+    that pre-check and this commit was never enforced on the batch —
+    and ``_can_rebase`` rightly permits rebasing across a pure
+    add_constraint (it changes no schema/parts/deletes). Re-validate
+    exactly the DELTA — constraints in the committed ``current`` the
+    pre-check did not already cover — so the common unchanged path
+    costs zero extra Spark jobs while the raced path refuses before
+    anything commits. Applies identically to the locked-merge and OCC
+    commit sections."""
+    cur = {} if current is None else (current.get("constraints") or {})
+    seen = validated or {}
+    delta = {k: v for k, v in cur.items() if seen.get(k) != v}
+    if delta:
+        _validate_constraints(
+            updates,
+            delta,
+            op,
+            table_schema=StructType.fromJson(json.loads(current["schema"])),
+        )
 
 
 def add_constraint(
