@@ -307,6 +307,69 @@ def _collect_stats(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (VERDICT r10 #5 — the Delta column-mapping shape)
+#
+# The manifest's ``schema`` is the LOGICAL schema readers see; data
+# files on disk carry PHYSICAL column names, pinned forever at column
+# creation. ``column_mapping`` records only the non-identity entries
+# (logical -> physical); ``retired_physical`` lists physical names of
+# dropped columns, so a later re-add of the same logical name mints a
+# fresh physical name instead of resurrecting the dropped column's
+# bytes. rename_column / drop_column are therefore METADATA-ONLY
+# commits: no data dir is rewritten, every historical snapshot remains
+# exactly readable under its own mapping, and per-file footer stats
+# (recorded under physical names) survive renames untouched.
+# ---------------------------------------------------------------------------
+
+
+def _mapping(m: dict | None) -> dict[str, str]:
+    return {} if m is None else (m.get("column_mapping") or {})
+
+
+def _phys(m: dict | None, col: str) -> str:
+    """Physical (on-disk) name of logical column ``col``."""
+    return _mapping(m).get(col, col)
+
+
+def _physical_schema(m: dict) -> StructType:
+    from pyspark.sql.types import StructField
+
+    mp = _mapping(m)
+    logical = StructType.fromJson(json.loads(m["schema"]))
+    if not mp:
+        return logical
+    return StructType(
+        [
+            StructField(mp.get(f.name, f.name), f.dataType, f.nullable, f.metadata)
+            for f in logical.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, m: dict) -> DataFrame:
+    """Project a physical-named scan back to the logical schema."""
+    mp = _mapping(m)
+    if not mp:
+        return df
+    logical = StructType.fromJson(json.loads(m["schema"]))
+    return df.select(
+        *[F.col(mp.get(f.name, f.name)).alias(f.name) for f in logical.fields]
+    )
+
+
+def _carry_mapping(manifest: dict, m: dict | None) -> dict:
+    """column_mapping / retired_physical survive every derived commit,
+    like constraints and the txn ledger."""
+    if m is None:
+        return manifest
+    if m.get("column_mapping"):
+        manifest["column_mapping"] = dict(m["column_mapping"])
+    if m.get("retired_physical"):
+        manifest["retired_physical"] = list(m["retired_physical"])
+    return manifest
+
+
 def read_table(
     spark: SparkSession,
     root: str,
@@ -343,6 +406,13 @@ def read_table(
         want = {_spark_partition_dir_value(spark, v) for v in partition_values}
         parts = {k: v for k, v in parts.items() if k in want}
     if stats_filter:
+        # stats are recorded under PHYSICAL column names (they come
+        # from raw staged files / footers), so a logical filter maps
+        # through the column mapping before lookup — which is also why
+        # renames never invalidate recorded stats
+        stats_filter = {
+            _phys(m, col): rng for col, rng in stats_filter.items()
+        }
         stats = m.get("stats", {})
 
         def _overlaps(rng, lo, hi) -> bool:
@@ -392,18 +462,37 @@ def read_table(
     # Explicit manifest schema, not footer inference: deterministic,
     # skips the mergeSchema footer pass, and makes schema evolution
     # work — files from before a column was added simply read it NULL.
-    return _apply_delete_files(
-        spark, root, m, spark.read.schema(schema).parquet(*paths)
+    # The scan uses PHYSICAL names and projects back to logical, so a
+    # renamed column reads its original bytes and a dropped-then-readded
+    # one reads NULL from old files (distinct physical name).
+    df = _to_logical(
+        spark.read.schema(_physical_schema(m)).parquet(*paths), m
     )
+    return _apply_delete_files(spark, root, m, df)
 
 
 def _stage_versioned(
-    df: DataFrame, root: str, partition_by: str | None, _fault=None
+    df: DataFrame,
+    root: str,
+    partition_by: str | None,
+    _fault=None,
+    column_mapping: dict | None = None,
 ) -> dict[str, str]:
     """Write ``df`` as fresh immutable dirs under parts/; return the
     {partition-dir-value: relpath} mapping for the manifest. One Spark
     job regardless of partition count (partitionBy on a duplicated
-    column, so data files RETAIN the partition column)."""
+    column, so data files RETAIN the partition column).
+
+    ``df`` arrives in LOGICAL column names; ``column_mapping``
+    (logical -> physical, non-identity entries) renames to the pinned
+    physical names right before the write, so files on disk always
+    carry physical names regardless of how many renames preceded."""
+    if column_mapping:
+        df = df.withColumnsRenamed(
+            {l: p for l, p in column_mapping.items() if l in df.columns}
+        )
+        if partition_by is not None:
+            partition_by = column_mapping.get(partition_by, partition_by)
     parts_dir = os.path.join(root, _PARTS)
     os.makedirs(parts_dir, exist_ok=True)
     staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
@@ -621,9 +710,10 @@ def _read_at(
     paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
         return spark.createDataFrame([], schema)
-    return _apply_delete_files(
-        spark, root, m, spark.read.schema(schema).parquet(*paths)
+    df = _to_logical(
+        spark.read.schema(_physical_schema(m)).parquet(*paths), m
     )
+    return _apply_delete_files(spark, root, m, df)
 
 
 def _plan_merge(
@@ -659,13 +749,26 @@ def _plan_merge(
         return plan
 
     old = _read_at(spark, root, base)
+    # column mapping: batch-added columns get a physical name — their
+    # own name unless that physical name is already taken (a renamed
+    # column's original) or retired (a dropped column's) — re-binding
+    # either would resurrect old bytes under the new logical column
+    mp = dict(_mapping(base))
+    retired = set(base.get("retired_physical") or [])
+    base_names = {
+        f.name for f in StructType.fromJson(json.loads(base["schema"])).fields
+    }
+    phys_in_use = {_phys(base, n) for n in base_names} | retired
+    for f in updates.schema.fields:
+        if f.name not in base_names and f.name in phys_in_use:
+            mp[f.name] = f"{f.name}_{uuid.uuid4().hex[:8]}"
     update_keys = updates.select(*keys).distinct()
     if partition_by is None:
         kept = old.join(updates.select(*keys), keys, "left_anti")
         # allowMissingColumns == additive schema evolution: a batch may
         # add columns (old rows read NULL) or omit dropped ones
         merged = kept.unionByName(updates, allowMissingColumns=True)
-        staged = _stage_versioned(merged, root, None, _fault)
+        staged = _stage_versioned(merged, root, None, _fault, column_mapping=mp)
         touched = {_FULL}
     else:
         # Touched = partitions of the updates UNION partitions of old
@@ -686,7 +789,9 @@ def _plan_merge(
         old_touched = _read_at(spark, root, base, partition_values=list(touched_vals))
         kept = old_touched.join(update_keys, keys, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=True)
-        staged = _stage_versioned(merged, root, partition_by, _fault)
+        staged = _stage_versioned(
+            merged, root, partition_by, _fault, column_mapping=mp
+        )
     plan = {
         "initial": False,
         "staged": staged,
@@ -696,12 +801,17 @@ def _plan_merge(
         # the explicit-schema scan in read_table
         "schema": merged.schema.json(),
         "update_keys": update_keys,
+        "column_mapping": mp,
+        "retired_physical": sorted(retired),
     }
     if stats_cols:
+        # staged files carry physical names; stats are keyed physical
+        phys_stats_cols = [mp.get(c, c) for c in stats_cols]
+        phys_pb = None if partition_by is None else mp.get(partition_by, partition_by)
         plan["stats_fresh"] = _collect_stats(
-            spark, root, staged, partition_by, stats_cols
+            spark, root, staged, phys_pb, phys_stats_cols
         )
-        plan["fstats_fresh"] = _file_stats(root, staged, stats_cols)
+        plan["fstats_fresh"] = _file_stats(root, staged, phys_stats_cols)
     return plan
 
 
@@ -770,6 +880,13 @@ def _commit_plan(
             txns[txn[0]] = txn[1]
         manifest["txns"] = txns
     _carry_constraints(manifest, current)
+    # the plan's mapping is authoritative (it may have minted physical
+    # names for batch-added columns); _can_rebase refuses to commit a
+    # plan across an intervening mapping change, so plan/current agree
+    if plan.get("column_mapping"):
+        manifest["column_mapping"] = dict(plan["column_mapping"])
+    if plan.get("retired_physical"):
+        manifest["retired_physical"] = list(plan["retired_physical"])
     _commit(root, manifest, _fault)
     # Post-commit: superseded dirs are unreferenced garbage. Leave them
     # for vacuum() — deleting here would break a reader that resolved
@@ -799,6 +916,12 @@ def _can_rebase(
         return False
     if current.get("partition_by") != base.get("partition_by"):
         return False
+    if _mapping(current) != _mapping(base) or set(
+        current.get("retired_physical") or []
+    ) != set(base.get("retired_physical") or []):
+        # an intervening rename/drop changed the logical<->physical
+        # binding the plan's staged files were written under
+        return False
     if current.get("deletes", []) != base.get("deletes", []):
         # an intervening MOR delete / apply_deletes / restore changed
         # the LOGICAL snapshot in a way the parts diff below cannot
@@ -813,9 +936,11 @@ def _can_rebase(
         return False
     changed_rels = [current["parts"][k] for k in delta if k in current["parts"]]
     if changed_rels:
-        schema = StructType.fromJson(json.loads(current["schema"]))
-        changed_df = spark.read.schema(schema).parquet(
-            *[os.path.join(root, rel) for rel in changed_rels]
+        changed_df = _to_logical(
+            spark.read.schema(_physical_schema(current)).parquet(
+                *[os.path.join(root, rel) for rel in changed_rels]
+            ),
+            current,
         )
         if (
             changed_df.join(plan["update_keys"], keys, "left_semi")
@@ -1006,6 +1131,7 @@ def compact_partition(
         # present), so pending MOR deletes must ride along
         _carry_deletes(manifest, current)
         _carry_constraints(manifest, current)
+        _carry_mapping(manifest, current)
         if "txns" in current:
             manifest["txns"] = current["txns"]
         if "stats" in current:
@@ -1094,7 +1220,12 @@ def _compact_partition_locked(
         # output for multi-column interleaved keys. Same row set, so
         # every other commit invariant (stats carry, MOR deletes,
         # constraints, txns) is untouched.
-        exprs = [F.expr(e) for e in cluster_by]
+        # cluster_by expressions are written over LOGICAL names; the
+        # raw scan has physical ones — rewrite the exprs through the
+        # mapping (word-boundary identifier substitution, same rule
+        # rename_column applies to constraint expressions)
+        mp = _mapping(m)
+        exprs = [F.expr(_rename_idents_in_expr(e, mp)) for e in cluster_by]
         clustered = (
             df.repartitionByRange(n_files, *exprs)
             .sortWithinPartitions(*exprs)
@@ -1123,6 +1254,7 @@ def _compact_partition_locked(
     # rows are still physically in it, so the delete files must ride
     _carry_deletes(manifest, m)
     _carry_constraints(manifest, m)
+    _carry_mapping(manifest, m)
     if "txns" in m:
         manifest["txns"] = m["txns"]  # exactly-once ledger carries over
     if "stats" in m:
@@ -1149,7 +1281,10 @@ def _compact_partition_locked(
             f.name
             for f in StructType.fromJson(json.loads(m["schema"])).fields
         ]
-        fstat_cols |= set(_cluster_stat_cols(cluster_by, schema_cols))
+        # footer stats live under PHYSICAL names
+        fstat_cols |= {
+            _phys(m, c) for c in _cluster_stat_cols(cluster_by, schema_cols)
+        }
     if fstat_cols:
         fstats = {
             k: v for k, v in m.get("file_stats", {}).items() if k != key
@@ -1176,7 +1311,8 @@ def resolve_high_watermark(spark: SparkSession, root: str, cursor_col: str):
     if m is None:
         return None
     stats = m.get("stats", {})
-    his = [stats.get(k, {}).get(cursor_col) for k in m["parts"]]
+    phys_cursor = _phys(m, cursor_col)  # stats are keyed physical
+    his = [stats.get(k, {}).get(phys_cursor) for k in m["parts"]]
     if his and all(h is not None and h[1] is not None for h in his):
         return max(h[1] for h in his)
     try:
@@ -1329,15 +1465,36 @@ def read_changes(
     changed_old = {k: v for k, v in old_parts.items() if new_parts.get(k) != v}
     changed_new = {k: v for k, v in new_parts.items() if old_parts.get(k) != v}
     schema = StructType.fromJson(json.loads(m_new["schema"]))
+    # both sides scan under the NEWER snapshot's physical schema and
+    # project to its logical names (physical names are pinned at column
+    # creation, so older dirs read renamed columns' original bytes and
+    # later-added columns as NULL). A metadata-only rename/drop changes
+    # no dir and no delete file, so it yields — correctly — an empty
+    # feed. Each side's MOR delete keys map through ITS OWN manifest to
+    # physical, then through the newer mapping back to logical, so
+    # deletes recorded before a rename still anti-join after it.
+    inv_new = {p: l for l, p in _mapping(m_new).items()}
+
+    def keys_in_new_logical(m: dict) -> list[str] | None:
+        if not m.get("deletes"):
+            return None
+        return [
+            inv_new.get(_phys(m, k), _phys(m, k)) for k in m["delete_keys"]
+        ]
 
     def scan(parts: dict[str, str]) -> DataFrame:
         paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        return _to_logical(
+            spark.read.schema(_physical_schema(m_new)).parquet(*paths), m_new
+        )
 
     new_df = _apply_delete_files(spark, root, m_new, scan(changed_new))
-    old_df = _apply_delete_files(spark, root, m_old, scan(changed_old))
+    old_df = _apply_delete_files(
+        spark, root, m_old, scan(changed_old),
+        df_keys=keys_in_new_logical(m_old),
+    )
     cols = [f.name for f in schema.fields]
     diff = (
         new_df.exceptAll(old_df)
@@ -1355,32 +1512,41 @@ def read_changes(
             k: v for k, v in new_parts.items() if old_parts.get(k) == v
         }
         raw = scan(unchanged)
-        old_keys = m_old.get("delete_keys")
-        new_keys = m_new.get("delete_keys")
+        # key identity is PHYSICAL (what the delete files store);
+        # logical names may differ across a rename boundary
+        old_keys_phys = [
+            _phys(m_old, k) for k in (m_old.get("delete_keys") or [])
+        ]
+        new_keys_phys = [
+            _phys(m_new, k) for k in (m_new.get("delete_keys") or [])
+        ]
 
-        def _keys_df(rels: list[str], keys: list[str]) -> DataFrame:
+        def _keys_df(rels: list[str], phys: list[str], out: list[str]) -> DataFrame:
             return (
                 spark.read.parquet(*[os.path.join(root, r) for r in rels])
-                .select(*keys)
+                .select(*[F.col(p).alias(o) for p, o in zip(phys, out)])
                 .distinct()
             )
 
-        if old_rels and new_rels and list(old_keys) != list(new_keys):
+        if old_rels and new_rels and old_keys_phys != new_keys_phys:
             # different key columns across an apply_deletes boundary —
             # rare; fall back to the general logical diff on the
             # unchanged dirs
-            old_l = _apply_delete_files(spark, root, m_old, raw)
+            old_l = _apply_delete_files(
+                spark, root, m_old, raw, df_keys=keys_in_new_logical(m_old)
+            )
             new_l = _apply_delete_files(spark, root, m_new, raw)
             extra_ins, extra_del = new_l.exceptAll(old_l), old_l.exceptAll(new_l)
         else:
-            keys = list(new_keys if new_rels else old_keys)
+            keys_phys = list(new_keys_phys if new_rels else old_keys_phys)
+            keys = [inv_new.get(p, p) for p in keys_phys]  # new-logical
             kd_old = (
-                _keys_df(old_rels, keys)
+                _keys_df(old_rels, keys_phys, keys)
                 if old_rels
                 else raw.select(*keys).limit(0)
             )
             kd_new = (
-                _keys_df(new_rels, keys)
+                _keys_df(new_rels, keys_phys, keys)
                 if new_rels
                 else raw.select(*keys).limit(0)
             )
@@ -1538,7 +1704,9 @@ def repartition_table(
         if m is None:
             raise FileNotFoundError(f"no MANIFEST at {root}")
         df = _read_at(spark, root, m)
-        staged = _stage_versioned(df, root, new_partition_by)
+        staged = _stage_versioned(
+            df, root, new_partition_by, column_mapping=_mapping(m)
+        )
         manifest = {
             "version": int(m["version"]) + 1,
             "partition_by": new_partition_by,
@@ -1547,13 +1715,19 @@ def repartition_table(
             "operation": {"type": "repartition", "touched": sorted(staged)},
         }
         _carry_constraints(manifest, m)
+        _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if stats_cols:
+            phys_cols = [_phys(m, c) for c in stats_cols]
             manifest["stats"] = _collect_stats(
-                spark, root, staged, new_partition_by, stats_cols
+                spark, root, staged,
+                None
+                if new_partition_by is None
+                else _phys(m, new_partition_by),
+                phys_cols,
             )
-            manifest["file_stats"] = _file_stats(root, staged, stats_cols)
+            manifest["file_stats"] = _file_stats(root, staged, phys_cols)
         _commit(root, manifest)
         spark.catalog.refreshByPath(root)
 
@@ -1603,6 +1777,7 @@ def delete_partitions(
         # MOR-deleted rows, so pending delete files must ride along
         _carry_deletes(manifest, m)
         _carry_constraints(manifest, m)
+        _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1649,7 +1824,9 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
             keep = _read_at(
                 spark, root, m, partition_values=touched_vals
             ).filter(~predicate)
-        staged = _stage_versioned(keep, root, partition_by)
+        staged = _stage_versioned(
+            keep, root, partition_by, column_mapping=_mapping(m)
+        )
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
         }
@@ -1667,6 +1844,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
         # anti-join is a no-op on the rewritten dirs)
         _carry_deletes(manifest, m)
         _carry_constraints(manifest, m)
+        _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1730,6 +1908,17 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
         # delete files too or those rows resurrect
         _carry_deletes(manifest, target)
         _carry_constraints(manifest, current)
+        # the mapping binds the TARGET's logical schema to its physical
+        # files, so it restores with the schema; retired names are a
+        # monotone safety set — union both sides so no future re-add
+        # can ever bind a physical name either snapshot had dropped
+        _carry_mapping(manifest, target)
+        retired_union = sorted(
+            set(current.get("retired_physical") or [])
+            | set(target.get("retired_physical") or [])
+        )
+        if retired_union:
+            manifest["retired_physical"] = retired_union
         if "txns" in current:
             manifest["txns"] = current["txns"]  # exactly-once ledger survives
         if "stats" in target:
@@ -1803,7 +1992,9 @@ def update_where(
         _validate_constraints(
             updated, m.get("constraints"), "update_where"
         )
-        staged = _stage_versioned(updated, root, partition_by)
+        staged = _stage_versioned(
+            updated, root, partition_by, column_mapping=_mapping(m)
+        )
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
         }
@@ -1816,6 +2007,7 @@ def update_where(
             "operation": {"type": "update", "touched": sorted(touched_keys)},
         }
         _carry_constraints(manifest, m)
+        _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
@@ -1881,6 +2073,7 @@ def clone_table(
     # CHECK constraints travel with the clone (its rows passed them at
     # the source; future merges into the clone enforce them there)
     _carry_constraints(manifest, m)
+    _carry_mapping(manifest, m)
     if m.get("deletes"):
         # pending merge-on-read deletes travel with the snapshot —
         # the clone anti-joins the source's delete files until its
@@ -2060,6 +2253,147 @@ def drop_constraint(root: str, name: str) -> None:
         _commit(root, manifest)
 
 
+def _rename_idents_in_expr(expr: str, renames: dict[str, str]) -> str:
+    """Word-boundary identifier substitution in a SQL expression —
+    how constraint expressions and clustering specs follow a column
+    rename. Textual by design (this format stores expressions as SQL
+    strings, like Delta); a string literal that happens to contain a
+    column name as a whole word would be rewritten too — the same
+    documented sharp edge other text-stored-expression systems carry."""
+    import re
+
+    out = expr
+    for old, new in renames.items():
+        out = re.sub(rf"\b{re.escape(old)}\b", new, out)
+    return out
+
+
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> None:
+    """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit (the
+    Delta column-mapping shape, VERDICT r10 #5): the logical schema
+    renames the field; the column's PHYSICAL on-disk name — pinned at
+    creation — is recorded in ``column_mapping`` and never changes, so
+    no data dir is rewritten at any table size. Reads project through
+    the mapping (read_table scans physical names and aliases back);
+    every historical snapshot stays exactly readable under its own
+    mapping, so time travel across the rename bit-matches. CHECK
+    constraints and pending MOR ``delete_keys`` follow the rename
+    (constraint SQL via word-boundary substitution — the textual
+    rule stored-SQL systems share); manifest stats / per-file footer
+    stats are keyed by physical name and survive untouched."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise KeyError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        mapping = dict(_mapping(m))
+        phys = mapping.pop(old, old)
+        if new != phys:
+            mapping[new] = phys
+        from pyspark.sql.types import StructField
+
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": (
+                new if m.get("partition_by") == old else m.get("partition_by")
+            ),
+            "schema": new_schema.json(),
+            "parts": dict(m["parts"]),
+            "operation": {"type": "rename_column", "from": old, "to": new},
+        }
+        if mapping:
+            manifest["column_mapping"] = mapping
+        if m.get("retired_physical"):
+            manifest["retired_physical"] = list(m["retired_physical"])
+        if m.get("constraints"):
+            manifest["constraints"] = {
+                name: _rename_idents_in_expr(e, {old: new})
+                for name, e in m["constraints"].items()
+            }
+        if m.get("deletes"):
+            manifest["deletes"] = list(m["deletes"])
+            manifest["delete_keys"] = [
+                new if k == old else k for k in m["delete_keys"]
+            ]
+        for k in ("txns", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> None:
+    """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the
+    field leaves the logical schema; its bytes stay in the immutable
+    data files (readers simply never project them — the physical-
+    schema scan selects only mapped fields) and its physical name is
+    RETIRED, so a later re-add of the same logical name mints a fresh
+    physical name instead of resurrecting the dropped bytes from old
+    files. Refuses to drop the partition column, a column a CHECK
+    constraint references (drop the constraint first — Delta's rule),
+    a pending MOR delete key, or the last column."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise KeyError(f"no column {name!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the last column")
+        if m.get("partition_by") == name:
+            raise ValueError(
+                f"cannot drop partition column {name!r}; repartition_table first"
+            )
+        import re
+
+        for cname, e in (m.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", e):
+                raise ValueError(
+                    f"constraint {cname!r} references {name!r}; drop it first"
+                )
+        if name in (m.get("delete_keys") or []):
+            raise ValueError(
+                f"{name!r} is a pending MOR delete key; apply_deletes first"
+            )
+        mapping = dict(_mapping(m))
+        phys = mapping.pop(name, name)
+        retired = sorted(set(m.get("retired_physical") or []) | {phys})
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": new_schema.json(),
+            "parts": dict(m["parts"]),
+            "retired_physical": retired,
+            "operation": {"type": "drop_column", "name": name},
+        }
+        if mapping:
+            manifest["column_mapping"] = mapping
+        _carry_deletes(manifest, m)
+        if m.get("constraints"):
+            manifest["constraints"] = dict(m["constraints"])
+        for k in ("txns", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+
+
 def _carry_deletes(manifest: dict, m: dict) -> dict:
     """Carry pending merge-on-read delete files from snapshot ``m``
     into a derived ``manifest``. Required for every commit that does
@@ -2077,21 +2411,37 @@ def _carry_deletes(manifest: dict, m: dict) -> dict:
 
 
 def _apply_delete_files(
-    spark: SparkSession, root: str, m: dict, df: DataFrame
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    df: DataFrame,
+    df_keys: list[str] | None = None,
 ) -> DataFrame:
     """Anti-join a snapshot's pending equality-delete keys onto a scan
     of its data parts — the merge-on-read half of delete_where_mor.
-    No-op (and zero plan nodes) when the snapshot has no deletes."""
+    No-op (and zero plan nodes) when the snapshot has no deletes.
+
+    Delete FILES hold physical key names (pinned at write; renames
+    never touch them); the manifest's ``delete_keys`` are logical and
+    follow renames. ``df_keys`` names the key columns in ``df``'s own
+    space when it is not ``m``'s logical space (read_changes diffs in
+    physical space)."""
     rels = m.get("deletes") or []
     if not rels:
         return df
     keys = m["delete_keys"]
+    df_keys = list(df_keys) if df_keys is not None else list(keys)
     dels = (
         spark.read.parquet(*[os.path.join(root, rel) for rel in rels])
-        .select(*keys)
+        .select(
+            *[
+                F.col(_phys(m, k)).alias(dk)
+                for k, dk in zip(keys, df_keys)
+            ]
+        )
         .distinct()
     )
-    return df.join(dels, keys, "left_anti")
+    return df.join(dels, df_keys, "left_anti")
 
 
 def _require_no_pending_deletes(m: dict | None, op: str) -> None:
@@ -2138,7 +2488,13 @@ def delete_where_mor(
                 f"got {keys} — one key set per table until apply_deletes"
             )
         df = _read_at(spark, root, m)  # pending deletes already applied
-        matches = df.filter(predicate).select(*keys).distinct()
+        # delete files persist PHYSICAL key names (stable across
+        # renames); manifest delete_keys stay logical and follow them
+        matches = (
+            df.filter(predicate)
+            .select(*[F.col(k).alias(_phys(m, k)) for k in keys])
+            .distinct()
+        )
         matches = matches.localCheckpoint(eager=True)
         n = matches.count()
         if n == 0:
@@ -2156,6 +2512,7 @@ def delete_where_mor(
             "delete_keys": list(keys),
             "operation": {"type": "delete_mor", "n_keys": int(n)},
         }
+        _carry_mapping(manifest, m)
         for carry in ("txns", "constraints", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
@@ -2182,9 +2539,10 @@ def apply_deletes(
             return 0
         keys = m["delete_keys"]
         partition_by = m.get("partition_by")
+        # delete files hold PHYSICAL key names; alias back to logical
         dels = (
             spark.read.parquet(*[os.path.join(root, r) for r in rels])
-            .select(*keys)
+            .select(*[F.col(_phys(m, k)).alias(k) for k in keys])
             .distinct()
         )
         schema = StructType.fromJson(json.loads(m["schema"]))
@@ -2192,7 +2550,9 @@ def apply_deletes(
             os.path.join(root, rel) for rel in sorted(m["parts"].values())
         ]
         raw = (
-            spark.read.schema(schema).parquet(*paths)
+            _to_logical(
+                spark.read.schema(_physical_schema(m)).parquet(*paths), m
+            )
             if paths
             else spark.createDataFrame([], schema)
         )
@@ -2212,7 +2572,9 @@ def apply_deletes(
             keep = _read_at(  # deletes applied by _read_at
                 spark, root, m, partition_values=touched_vals
             )
-        staged = _stage_versioned(keep, root, partition_by, _fault)
+        staged = _stage_versioned(
+            keep, root, partition_by, _fault, column_mapping=_mapping(m)
+        )
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
         }
@@ -2230,6 +2592,7 @@ def apply_deletes(
             },
         }
         _carry_constraints(manifest, m)
+        _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
         if "stats" in m:
