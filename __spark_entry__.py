@@ -85,53 +85,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-10 rotation: FIRST the two r8/r9 spill-overs that have never
-# had a driver verdict in ANY round (hilbert_key_check slot 51 and
-# incremental_cms_mart_check slot 52 of the r9 window — the judge
-# verified BOTH spilled, and the rotation contract test fired red on
-# exactly this), then the 16 new r10 queries (streamed CDC with
-# merge-on-read deletes, MOR-aware change feed, xxhash64 winnowing,
-# Spark-4 VARIANT shredding, label-propagation communities, in-batch
-# hard-negative mining, byte-level BPE encode + round trip, the
-# idempotent incremental KMV mart, the ORC round trip, the
-# bounded-state watermark dedup mart, and the stream-stream FULL
-# OUTER interval join with row-level parity, the correlated-LATERAL
-# top-k SQL, the MAP and ARRAY scalar families, and the CHECK-
-# constrained mart round trip), then the 10 queries whose code
-# changed this round (BM25 top-k rewritten to orderBy+limit,
-# single-scan TextRank edges, the winnow_select signature, and the
-# lakehouse family over the ADVICE-r9 manifest fixes — all 10 fit
-# inside the window), then the OLDEST-driver-verdict block
-# (r3/r4-era queries lead — their verdicts are the stalest). Policy
-# per VERDICT r5 #5 / r7 #8 / r9 #1+#4, enforced by
-# tests/test_driver_contract.py.
+# Round-11 rotation (policy per VERDICT r5 #5 / r7 #8 / r10 #2,
+# enforced by tests/test_driver_contract.py): FIRST the 5 queries with
+# no prior driver verdict or changed semantics this round — the Python
+# UDTF chunker, the column-mapping rename round trip, the
+# transformWithState stateful mart, the two-mart atomic transaction,
+# and winnowing_fingerprints_fast (rewritten from rows-only to the
+# flag-pinned invariant oracle, VERDICT r10 #1); THEN 10 queries whose
+# code paths changed this round (the manifest-table family over the
+# column-mapping rewrite + the constraint TOCTOU fix + incremental
+# clustered maintenance: constraint mart, MOR CDF/change feed/delete,
+# clone, merge mart, KMV fold, streamed MOR deletes, and the
+# zorder/hilbert clustering checks); THEN the ENTIRE stale backlog —
+# the four round-4 flagship queries (revenue_trend_daily,
+# recognized_quarter_calendar, recognized_monthly_halfopen,
+# pandas_udf_normalize) and all 31 round-5 stragglers (VERDICT r10
+# #2) — exactly 50, leaving every query's latest driver verdict <= 5
+# rounds old after r11.
 _PRIORITY = [
-    "hilbert_key_check",
-    "incremental_cms_mart_check",
-    "streaming_mor_delete_mart_check",
-    "atomic_mor_cdf_check",
+    # --- new/changed-semantics this round (5) ---
+    "udtf_doc_chunks",
+    "atomic_column_rename_check",
+    "streaming_tws_latest_mart_check",
+    "atomic_two_mart_txn_check",
     "winnowing_fingerprints_fast",
+    # --- changed-code (manifest_table rewrite) (10) ---
+    "atomic_constraint_mart_check",
+    "atomic_mor_cdf_check",
+    "atomic_mart_change_feed",
+    "atomic_clone_check",
+    "atomic_merge_mart_check",
+    "streaming_mor_delete_mart_check",
+    "atomic_mor_delete_check",
+    "incremental_kmv_mart_check",
+    "zorder_key_check",
+    "hilbert_key_check",
+    # --- the r4-stale flagship (4) ---
+    "revenue_trend_daily",
+    "recognized_quarter_calendar",
+    "recognized_monthly_halfopen",
+    "pandas_udf_normalize",
+    # --- the 31 r5-stale stragglers ---
+    "asof_join_events_orders",
+    "customer_orders_left_join",
+    "customers_with_open_orders_semi",
+    "customers_without_orders_anti",
+    "dedup_clusters",
+    "dedup_exact_summary",
+    "dim_chain_join",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_text_stats",
+    "doc_words_exploded_top20",
+    "embedding_lsh_near_dups",
+    "event_gaps",
+    "incremental_agg_mart_check",
+    "jaccard_verify_lsh",
+    "label_centroids_applyinpandas",
+    "latest_event_per_user",
+    "max_cursor",
+    "media_metadata",
+    "near_dup_jaccard_pairs",
+    "orders_high_watermark",
+    "orders_lineitem_join",
+    "orders_rename_cast",
+    "orders_status_filter",
+    "pricing_summary",
+    "scd2_customer_segments",
+    "simhash_signatures",
+    "stats_pruned_scan_check",
+    "top20_orders",
+    "top3_orders_per_status",
+    # --- below the 50-query window: newest-first continuation ---
+    "incremental_cms_mart_check",
     "variant_shredding_check",
     "label_propagation_communities",
     "hard_negatives_inbatch",
     "bytebpe_encoded_docs",
     "bytebpe_roundtrip_check",
-    "incremental_kmv_mart_check",
     "orc_roundtrip_check",
     "streaming_wm_dedup_mart_check",
     "streaming_full_outer_join_mart_check",
     "lateral_topk_per_order",
     "map_functions_check",
-    "atomic_constraint_mart_check",
     "array_functions_check",
     "bm25_top_docs",
     "textrank_keywords",
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
-    "atomic_mor_delete_check",
-    "atomic_clone_check",
-    "atomic_mart_change_feed",
-    "atomic_merge_mart_check",
     "streaming_atomic_merge_mart_check",
     "incremental_join_mart_check",
     "column_null_audit",
@@ -156,16 +198,6 @@ _PRIORITY = [
     "fx_literal_dim",
     "ivf_topk",
     "missing_period_end_threshold",
-    "pandas_udf_normalize",
-    "recognized_monthly_halfopen",
-    "recognized_quarter_calendar",
-    "revenue_trend_daily",
-    "asof_join_events_orders",
-    "customer_orders_left_join",
-    "customers_with_open_orders_semi",
-    "customers_without_orders_anti",
-    "dedup_clusters",
-    "dedup_exact_summary",
     "wordpiece_merges_learned",
     "wordpiece_encoded_docs",
     "wordpiece_unk_stats",
@@ -216,31 +248,6 @@ _PRIORITY = [
     "pagerank_customer_supplier",
     "bpe_encoded_docs",
     "kmeans_cluster_profile",
-    "dim_chain_join",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_text_stats",
-    "doc_words_exploded_top20",
-    "embedding_lsh_near_dups",
-    "event_gaps",
-    "incremental_agg_mart_check",
-    "jaccard_verify_lsh",
-    "label_centroids_applyinpandas",
-    "latest_event_per_user",
-    "max_cursor",
-    "media_metadata",
-    "near_dup_jaccard_pairs",
-    "orders_high_watermark",
-    "orders_lineitem_join",
-    "orders_rename_cast",
-    "orders_status_filter",
-    "pricing_summary",
-    "scd2_customer_segments",
-    "simhash_signatures",
-    "stats_pruned_scan_check",
-    "top20_orders",
-    "top3_orders_per_status",
     "approx_percentile_prices",
     "array_agg_sorted",
     "atomic_history_audit_check",
@@ -322,7 +329,6 @@ _PRIORITY = [
     "string_functions",
     "union_all_slices",
     "vocab_overlap_hll_check",
-    "zorder_key_check",
     "approx_distinct_parts",
     "atomic_dml_mart_check",
     "atomic_recognized_mart_check",

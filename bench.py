@@ -286,6 +286,13 @@ HEADLINE = [
     "lateral_topk_per_order",
     "map_functions_check",
     "array_functions_check",
+    # round-11 addition: the Python UDTF chunker — benched so the
+    # Arrow-batched lateral stage's cost stays visible next to the
+    # JVM Generate it mirrors (doc_chunks). The rename / group-txn /
+    # transformWithState marts stay out per the atomic/streaming-mart
+    # convention; winnowing_fingerprints_fast keeps its pin with the
+    # invariant-emitting body (re-measured 3.27 standalone vs 3.9 pin).
+    "udtf_doc_chunks",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -2958,3 +2958,261 @@ def q_atomic_column_rename_check(
     return cur.join(v1, "event_type", "left").withColumn(
         "v1_n_events", F.coalesce(F.col("v1_n_events"), F.lit(0))
     )
+
+
+def _materialized_tws_latest_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The running-latest mart on Spark 4's ``transformWithState``
+    (VERDICT r10 #4 — the successor state API): same per-user fold as
+    _materialized_stateful_latest_mart but the state lives in a NAMED
+    ValueState on a StatefulProcessorHandle (RocksDB-backed; the API
+    requires the RocksDB state store provider) instead of
+    applyInPandasWithState's single per-key blob. update-mode
+    emissions merge into a keyed parquet mart via foreachBatch, and
+    the mart must converge to the batch ROW_NUMBER compaction
+    regardless of micro-batching. The Python<->JVM state protocol is
+    protobuf; streaming/pbshim.py bootstraps a runtime on hosts
+    without one (the reason this query exists alongside the
+    applyInPandasWithState twin rather than replacing it)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.incremental import merge_upsert
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_latest_state_tws,
+    )
+
+    cache_key = f"{sf_dir}::tws_latest"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_tws_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    staged = convert_nanos_ts(raw).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            merge_upsert(
+                batch.sparkSession, mart, batch, keys=["user_id"]
+            )
+
+    (
+        streaming_latest_state_tws(staged)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_tws_latest_mart_check",
+    oracle="""
+WITH r AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_id, ts AS latest_ts, event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM r WHERE rn = 1
+""",
+    doc="transformWithState round trip (VERDICT r10 #4 — Spark 4's "
+    "replacement for the groupState APIs): the per-user running-"
+    "latest fold as a StatefulProcessor with a named ValueState "
+    "(RocksDB-backed), update-mode emissions merged into a keyed "
+    "mart; must equal the batch ROW_NUMBER changelog compaction "
+    "row-for-row — the exact oracle of its applyInPandasWithState "
+    "twin streaming_stateful_latest_mart_check, making the two state "
+    "APIs interchangeable by construction. Value-state TTL expiry "
+    "(the bounded-state knob for churning key spaces) is pinned in "
+    "tests/test_streaming_stateful.py; the protobuf runtime "
+    "bootstrap the Python state protocol needs on wheel-less hosts "
+    "lives in streaming/pbshim.py "
+    "(streaming/stateful.py::streaming_latest_state_tws).",
+)
+def q_streaming_tws_latest_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_tws_latest_mart(spark, sf_dir)
+    return mart.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros"))
+        .cast("timestamp_ntz")
+        .alias("latest_ts"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+def _materialized_group_txn_marts(spark: SparkSession, sf_dir: str) -> str:
+    """TWO-MART ATOMIC TRANSACTION (VERDICT r10 #8 — the reference's
+    implicit DAG-run atomicity, stripe_update_dag.py:7-42, as an
+    explicit visibility unit): a by-type mart and a by-user mart
+    advance through group_merge_atomic in two nightly "runs" (even
+    event_ids, then the rest). Run 2 is first attempted with a KILL
+    injected after the first table's commit — the group pointer must
+    still serve run-1 state for BOTH marts (no torn read; asserted
+    here), then the same run re-delivers with the same txn version:
+    already-committed tables skip via their ledgers, the group pointer
+    lands, and the final group read equals plain SQL over ALL events."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import table_group as TG
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#grouptxn"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return os.path.join(root, "group")
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="group_txn_")
+    group = os.path.join(root, "group")
+    TG.create_group(
+        group,
+        {
+            "by_type": os.path.join(root, "by_type"),
+            "by_user": os.path.join(root, "by_user"),
+        },
+    )
+
+    ev = _rt(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+
+    def batches(rows: DataFrame) -> dict:
+        by_type = rows.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+        by_user = rows.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+        return {
+            "by_type": {"updates": by_type, "keys": ["event_type"]},
+            "by_user": {"updates": by_user, "keys": ["user_id"]},
+        }
+
+    # NOTE the marts are rebuilt per run from the FULL prefix (runs
+    # are cumulative aggregates, not folds) so the replayed batch is
+    # idempotent by construction — the transaction machinery is what
+    # is under test here, not incremental folding (that is
+    # incremental_agg_mart_check's job).
+    evens = ev.filter(F.col("event_id") % 2 == 0)
+    TG.group_merge_atomic(
+        spark, group, batches(evens), txn_app="nightly", txn_version=1
+    )
+    run1 = {
+        n: TG.read_group_table(spark, group, n).count()
+        for n in ("by_type", "by_user")
+    }
+
+    class _Kill(Exception):
+        pass
+
+    def kill_after_first(point: str) -> None:
+        if point == "table_committed:by_type":
+            raise _Kill(point)
+
+    try:
+        TG.group_merge_atomic(
+            spark, group, batches(ev), txn_app="nightly", txn_version=2,
+            _fault=kill_after_first,
+        )
+        raise AssertionError("kill point did not fire")
+    except _Kill:
+        pass
+    # no torn read: BOTH marts still serve run 1 through the group
+    torn = {
+        n: TG.read_group_table(spark, group, n).count()
+        for n in ("by_type", "by_user")
+    }
+    assert torn == run1, f"torn group read: {torn} != {run1}"
+    # re-deliver the same run: by_type skips via its txn ledger,
+    # by_user commits, the pointer lands
+    TG.group_merge_atomic(
+        spark, group, batches(ev), txn_app="nightly", txn_version=2
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return group
+
+
+@register(
+    "atomic_two_mart_txn_check",
+    oracle="""
+SELECT 'by_type' AS mart, event_type AS k,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'by_user', CAST(user_id AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+FROM events GROUP BY user_id
+""",
+    doc="Two-mart atomic transaction under the driver oracle (VERDICT "
+    "r10 #8): a by-type and a by-user mart commit through "
+    "group_merge_atomic — per-table crash-atomic merges made visible "
+    "by ONE group-pointer rename (the visibility unit of the "
+    "reference's nightly DAG run). The materializer kills run 2 after "
+    "the first table's commit and asserts the group still serves run "
+    "1 for BOTH marts (no torn read), then re-delivers with the same "
+    "txn version (the committed table skips via its ledger). The "
+    "final group read must equal plain SQL over all events for both "
+    "groupings; every kill boundary is additionally pytest-pinned "
+    "(tests/test_table_group.py; stripe_data_pipeline_spark/"
+    "table_group.py).",
+)
+def q_atomic_two_mart_txn_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark import table_group as TG
+
+    group = _materialized_group_txn_marts(spark, sf_dir)
+    by_type = TG.read_group_table(spark, group, "by_type").select(
+        F.lit("by_type").alias("mart"),
+        F.col("event_type").alias("k"),
+        "n",
+        "total_cents",
+    )
+    by_user = TG.read_group_table(spark, group, "by_user").select(
+        F.lit("by_user").alias("mart"),
+        F.col("user_id").cast("string").alias("k"),
+        "n",
+        "total_cents",
+    )
+    return by_type.unionByName(by_user)

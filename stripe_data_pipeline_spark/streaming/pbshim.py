@@ -1,0 +1,126 @@
+"""protobuf runtime bootstrap for ``transformWithState``.
+
+Spark 4's Python transformWithState speaks a protobuf protocol
+between the JVM and the Python state server
+(pyspark/sql/streaming/proto/StateMessage_pb2.py), so the Python
+workers — including the DRIVER-SIDE pre-init runner the JVM launches
+before the query starts — must be able to ``import google.protobuf``.
+This container ships no protobuf wheel (and installs are off), but a
+pure-Python protobuf 4.23.2 runtime is present inside the
+google-cloud-sdk tree; pyspark's generated code only additionally
+needs ``google.protobuf.runtime_version`` (a 5.27+ version-pinning
+module whose single entry point the gencode calls once), which this
+shim provides as a no-op.
+
+Delivery matters more than the shim: the pre-init runner is a fresh
+subprocess whose sys.path comes from the JVM's env plus the UDF's
+``envVars`` — NOT from driver sys.path hacks and NOT from
+``addPyFile`` includes. ``SparkContext.environment`` feeds those
+envVars at UDF-creation time, so setting PYTHONPATH there (plus
+addPyFile for ordinary executor workers) reaches every process that
+will import the proto module. No-ops when a real protobuf runtime is
+already importable.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+# pure-python protobuf 4.23.2 vendored by the google-cloud-sdk; its
+# internal imports use the cloudsdk.google.protobuf namespace, so the
+# zip carries the tree under BOTH names
+_VENDOR_SRC = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+
+_RUNTIME_VERSION_SHIM = (
+    "# shim for protobuf<5.27: pyspark's gencode imports this module\n"
+    "# and calls ValidateProtobufRuntimeVersion once at import time\n"
+    "class Domain:\n"
+    "    GOOGLE_INTERNAL = 1\n"
+    "    PUBLIC = 2\n"
+    "\n"
+    "def ValidateProtobufRuntimeVersion(*a, **k):\n"
+    "    return None\n"
+)
+
+_ZIP_CACHE: str | None = None
+_APPLIED: set[str] = set()
+
+
+def protobuf_available() -> bool:
+    """Is a usable ``google.protobuf`` importable (real install)?"""
+    try:
+        return (
+            importlib.util.find_spec("google.protobuf.descriptor")
+            is not None
+        )
+    except ModuleNotFoundError:
+        return False
+
+
+def shim_available() -> bool:
+    return os.path.isdir(_VENDOR_SRC)
+
+
+def _build_zip() -> str:
+    global _ZIP_CACHE
+    if _ZIP_CACHE is not None and os.path.exists(_ZIP_CACHE):
+        return _ZIP_CACHE
+    zdir = tempfile.mkdtemp(prefix="sdps_pb_")
+    zpath = os.path.join(zdir, "protobuf_runtime.zip")
+    ns_init = (
+        "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("google/__init__.py", ns_init)
+        z.writestr("cloudsdk/__init__.py", "")
+        z.writestr("cloudsdk/google/__init__.py", ns_init)
+        for base, _, files in os.walk(_VENDOR_SRC):
+            rel = os.path.relpath(base, _VENDOR_SRC)
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                arc = (
+                    f"google/protobuf/{f}"
+                    if rel == "."
+                    else f"google/protobuf/{rel}/{f}".replace(os.sep, "/")
+                )
+                data = open(os.path.join(base, f), "rb").read()
+                z.writestr(arc, data)
+                z.writestr(f"cloudsdk/{arc}", data)
+        z.writestr("google/protobuf/runtime_version.py", _RUNTIME_VERSION_SHIM)
+        z.writestr(
+            "cloudsdk/google/protobuf/runtime_version.py",
+            _RUNTIME_VERSION_SHIM,
+        )
+    _ZIP_CACHE = zpath
+    return zpath
+
+
+def ensure_protobuf_runtime(spark: SparkSession) -> bool:
+    """Make ``google.protobuf`` importable in every Python process the
+    transformWithState query will spawn. Returns True when the runtime
+    is (or was already) available, False when neither a real protobuf
+    nor the vendor source exists (callers should skip the operator).
+    Idempotent per application."""
+    if protobuf_available():
+        return True
+    if not shim_available():
+        return False
+    sc = spark.sparkContext
+    app_id = sc.applicationId
+    if app_id in _APPLIED:
+        return True
+    zpath = _build_zip()
+    sc.addPyFile(zpath)  # ordinary executor workers
+    prev = sc.environment.get("PYTHONPATH", os.environ.get("PYTHONPATH", ""))
+    if zpath not in prev.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = (
+            zpath + (os.pathsep + prev if prev else "")
+        )
+    _APPLIED.add(app_id)
+    return True

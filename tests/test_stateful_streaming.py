@@ -115,3 +115,100 @@ def test_stateful_matches_batch_compaction(spark, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM latest_all").collect()
     }
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4) — the successor API, same fold contract
+# ---------------------------------------------------------------------------
+
+
+def _drain_tws(spark, inbox, ckpt, target, ttl_ms=None):
+    from stripe_data_pipeline_spark.incremental import merge_upsert
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_latest_state_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inbox))
+
+    def merge(batch, _id):
+        if not batch.isEmpty():
+            merge_upsert(batch.sparkSession, str(target), batch, keys=["user_id"])
+
+    writer = (
+        streaming_latest_state_tws(stream, ttl_ms=ttl_ms)
+        .writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+    )
+    if ttl_ms is None:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        # ProcessingTime timeMode (required for TTL) keeps issuing
+        # empty state-cleanup batches forever, so neither availableNow
+        # termination nor processAllAvailable ever returns — poll for
+        # the completed DATA batch instead, then stop
+        import time
+
+        q = writer.start()
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(
+                getattr(p, "numInputRows", 0) > 0
+                for p in (q.recentProgress or [])
+            ):
+                break
+            time.sleep(0.25)
+        else:
+            q.stop()
+            raise AssertionError("TTL drain never processed its batch")
+        q.stop()
+        q.awaitTermination()
+    return {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(str(target)).collect()
+    }
+
+
+def test_tws_latest_state_converges_across_batches(spark, tmp_path):
+    """transformWithState (named ValueState on the handle) must fold
+    to the same winners as the applyInPandasWithState operator —
+    including out-of-order delivery across separate drains (state
+    recovered from the RocksDB checkpoint)."""
+    inbox, ckpt, target = tmp_path / "in", tmp_path / "ck", tmp_path / "st"
+    _write_ndjson(
+        inbox / "b1.json",
+        [_event(1, "2024-01-01T00:00:00Z"), _event(2, "2024-01-03T00:00:00Z")],
+    )
+    got = _drain_tws(spark, inbox, ckpt, target)
+    assert got == {1: 2}
+    # older event arrives later: state must keep the newer winner
+    _write_ndjson(inbox / "b2.json", [_event(3, "2024-01-02T00:00:00Z")])
+    got = _drain_tws(spark, inbox, ckpt, target)
+    assert got == {1: 2}
+    # genuinely newer event replaces it
+    _write_ndjson(inbox / "b3.json", [_event(4, "2024-01-04T00:00:00Z")])
+    got = _drain_tws(spark, inbox, ckpt, target)
+    assert got == {1: 4}
+
+
+def test_tws_value_state_ttl_expires_idle_keys(spark, tmp_path):
+    """ValueState TTL (processing-time): after the TTL elapses between
+    drains, the key's state is gone — an OLDER event then wins the
+    fresh fold, which is observable proof of expiry (without TTL the
+    newer batch-1 winner would survive, as the test above pins)."""
+    import time
+
+    inbox, ckpt, target = tmp_path / "in", tmp_path / "ck", tmp_path / "st"
+    _write_ndjson(inbox / "b1.json", [_event(10, "2024-06-01T00:00:00Z")])
+    got = _drain_tws(spark, inbox, ckpt, target, ttl_ms=1000)
+    assert got == {1: 10}
+    time.sleep(3.0)  # let the 1s TTL lapse
+    _write_ndjson(inbox / "b2.json", [_event(11, "2024-01-01T00:00:00Z")])
+    got = _drain_tws(spark, inbox, ckpt, target, ttl_ms=1000)
+    assert got == {1: 11}  # expired state: the OLDER event wins anew
