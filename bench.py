@@ -293,6 +293,17 @@ HEADLINE = [
     # convention; winnowing_fingerprints_fast keeps its pin with the
     # invariant-emitting body (re-measured 3.27 standalone vs 3.9 pin).
     "udtf_doc_chunks",
+    # round-11 second batch: sorted-neighborhood blocking (exact-rank
+    # sort + integer-keyed neighborhood join + Jaccard verify), the
+    # bitmap exact-distinct family (the exact counterpart to the HLL
+    # sketch — mergeability law included), and the XML / URL / AES
+    # scalar families. The rename/group-txn/TWS marts stay out per
+    # the atomic/streaming-mart convention.
+    "sorted_neighborhood_pairs",
+    "bitmap_exact_distinct_check",
+    "xml_shredding_check",
+    "url_functions_check",
+    "crypto_functions_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -3566,3 +3566,212 @@ def q_label_propagation_communities(
         )
         .orderBy("community")
     )
+
+
+@register(
+    "bitmap_exact_distinct_check",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_bitmap,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users_merged,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events
+GROUP BY event_type
+""",
+    doc="EXACT mergeable distinct counts via bitmap aggregation "
+    "(Spark 3.5 bitmap_* family, r11) — the exact counterpart to the "
+    "hll_mergeable_user_counts sketch: each user_id maps to "
+    "(bitmap_bucket_number, bitmap_bit_position), per-(type,bucket) "
+    "bitmaps build with bitmap_construct_agg, and distinct = "
+    "SUM(bitmap_count) — then the same counts are REBUILT from "
+    "per-slice partial bitmaps folded with bitmap_or_agg, proving "
+    "the mergeability law (bitmap-of-union == OR-of-bitmaps) that "
+    "lets 100 TB pipelines compute exact distincts from per-day "
+    "partials without re-shuffling raw keys. Unlike HLL both paths "
+    "are EXACT, so the oracle is plain COUNT(DISTINCT) three ways — "
+    "no tolerance flags. Memory is bounded: one 4096-byte bitmap per "
+    "(group, 32k-id bucket), dense where HLL is constant — the "
+    "documented trade (bitmaps win on exactness and intersections, "
+    "HLL on unbounded key domains).",
+)
+def q_bitmap_exact_distinct_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("event_type", "user_id")
+    pos = ev.select(
+        "event_type",
+        "user_id",
+        F.bitmap_bucket_number(F.col("user_id")).alias("b"),
+        F.bitmap_bit_position(F.col("user_id")).alias("p"),
+    )
+    direct = (
+        pos.groupBy("event_type", "b")
+        .agg(F.bitmap_construct_agg(F.col("p")).alias("bm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bm")))
+            .cast("bigint")
+            .alias("exact_users_bitmap")
+        )
+    )
+    merged = (
+        pos.withColumn("slice", F.col("user_id") % 4)
+        .groupBy("event_type", "slice", "b")
+        .agg(F.bitmap_construct_agg(F.col("p")).alias("bm"))
+        .groupBy("event_type", "b")
+        .agg(F.bitmap_or_agg(F.col("bm")).alias("bm"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.bitmap_count(F.col("bm")))
+            .cast("bigint")
+            .alias("exact_users_merged")
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return direct.join(merged, "event_type").join(exact, "event_type")
+
+
+@register(
+    "xml_shredding_check",
+    oracle="""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       CAST(SUM(o_custkey) AS BIGINT) AS total_cust,
+       CAST(0 AS BIGINT) AS n_missing
+FROM orders
+GROUP BY o_orderstatus
+""",
+    doc="XML semi-structured round trip (from_xml, Spark 4 — the "
+    "last container format after JSON/VARIANT/MAP/ARRAY): each order "
+    "re-serialized as an XML document with an ATTRIBUTE (the _-prefix "
+    "attribute convention), nested elements and integer-cents "
+    "amounts, parsed back with from_xml under an explicit struct "
+    "schema, every field extracted and aggregated per status — must "
+    "bit-match plain SQL over the base columns (the encode→shred→"
+    "decode lossless-cycle pattern of variant_shredding_check). A "
+    "missing element reads NULL (counted, pinned 0). Cents ride as "
+    "integers through the XML text so no float formatting ever "
+    "enters the document.",
+)
+def q_xml_shredding_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    xml = F.format_string(
+        '<order id="%s"><status>%s</status><cents>%s</cents>'
+        "<cust>%s</cust></order>",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents.cast("string"),
+        F.col("o_custkey").cast("string"),
+    )
+    parsed = o.select(
+        F.from_xml(
+            xml,
+            "_id BIGINT, status STRING, cents BIGINT, cust BIGINT, "
+            "missing BIGINT",
+        ).alias("x")
+    )
+    return parsed.groupBy(F.col("x.status").alias("status")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("x.cents").cast("bigint").alias("total_cents"),
+        F.sum("x.cust").cast("bigint").alias("total_cust"),
+        F.count("x.missing").cast("bigint").alias("n_missing"),
+    )
+
+
+@register(
+    "url_functions_check",
+    oracle="""
+SELECT 'shop.example.com' AS host,
+       '/orders/' || CAST(o_orderkey AS VARCHAR) AS path,
+       o_orderstatus AS status_param,
+       'clerk ' || CAST(o_custkey % 100 AS VARCHAR) AS clerk_decoded,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey
+FROM orders
+WHERE o_orderkey % 20 = 0
+""",
+    doc="URL scalar family (parse_url + url_encode/url_decode, r11): "
+    "synthesize a URL per order (host, per-key path, query string "
+    "with a url_encoded space-bearing value), then extract HOST, "
+    "PATH, a named QUERY parameter, and url_decode the encoded one "
+    "back — the log-ingest parsing shape every clickstream pipeline "
+    "needs. The oracle restates every extraction in closed form from "
+    "the base columns, so any drift in parsing or percent-encoding "
+    "(space -> +/%20) hash-fails. Deterministic 1-in-20 key slice "
+    "keeps the check scan-light; all JVM-side, zero UDFs.",
+)
+def q_url_functions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 20 == 0
+    )
+    clerk = F.concat(
+        F.lit("clerk "), (F.col("o_custkey") % 100).cast("string")
+    )
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+        F.lit("&clerk="),
+        F.url_encode(clerk),
+    )
+    return o.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("status")).alias(
+            "status_param"
+        ),
+        F.url_decode(
+            F.parse_url(url, F.lit("QUERY"), F.lit("clerk"))
+        ).alias("clerk_decoded"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+    )
+
+
+@register(
+    "crypto_functions_check",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(0 AS BIGINT) AS n_wrong_key_decrypts,
+       CAST(SUM(c_custkey) AS BIGINT) AS custkey_sum
+FROM customer
+GROUP BY c_mktsegment
+""",
+    doc="Column-encryption round trip (aes_encrypt/aes_decrypt/"
+    "try_aes_decrypt, r11 — the at-rest PII pattern for fields like "
+    "customer names): every c_name encrypts under AES-ECB (the "
+    "deterministic mode; GCM's random IV would defeat a bit-exact "
+    "check), decrypts back, and the round-trip-equal count is pinned "
+    "to the row count; try_aes_decrypt under the WRONG key must "
+    "yield NULL (never garbage, never throw) — its success count is "
+    "pinned 0. custkey_sum anchors the slice. All JVM-side "
+    "expressions; keys are 16-byte literals, not data.",
+)
+def q_crypto_functions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.lit("0123456789abcdef")
+    wrong = F.lit("fedcba9876543210")
+    c = read_table(spark, sf_dir, "customer")
+    enc = F.aes_encrypt(F.col("c_name"), key, F.lit("ECB"))
+    out = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        (
+            F.aes_decrypt(enc, key, F.lit("ECB")).cast("string")
+            == F.col("c_name")
+        ).alias("rt_ok"),
+        F.try_aes_decrypt(enc, wrong, F.lit("ECB")).alias("wrong_dec"),
+    )
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("rt_ok").cast("bigint")).cast("bigint").alias(
+            "n_roundtrip_ok"
+        ),
+        F.count("wrong_dec").cast("bigint").alias("n_wrong_key_decrypts"),
+        F.sum("c_custkey").cast("bigint").alias("custkey_sum"),
+    )

@@ -3803,3 +3803,62 @@ def q_bleu_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bleu_log_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (r11): the third blocking family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=r"""
+WITH keyed AS (
+    SELECT doc_id,
+           substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                  1, 24) AS k,
+           list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, toks,
+           ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+    FROM keyed
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.toks, b.toks)) AS i,
+           len(a.toks) + len(b.toks) AS s
+    FROM ranked a JOIN ranked b ON b.r >= a.r + 1 AND b.r <= a.r + 4
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(s - i AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(i AS DOUBLE) / CAST(s - i AS DOUBLE) >= 0.5
+""",
+    doc="Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the "
+    "classic entity-resolution candidate generator, r11): sort the "
+    "corpus by a 24-char normalized prefix and compare each record "
+    "only with the window-1=4 records that follow it in sort order — "
+    "candidate volume is exactly 4N regardless of skew, the "
+    "complementary shape to hash blocking (near_dup_jaccard_pairs, "
+    "quadratic within hot blocks) and MinHash LSH (probabilistic), "
+    "completing the dedup family's blocking trio. Scale shape: the "
+    "global sort order materializes as an EXACT rank via "
+    "range-partition + local row_number + partition-size offsets "
+    "(suffix._dense_ranks — no single-partition window), and the "
+    "neighborhood join is an explode of 4 integers per row equi-"
+    "joined ON THE RANK, a perfectly uniform integer key. Verified "
+    "with exact token Jaccard >= 0.5 "
+    "(operators/dedup.py::sorted_neighborhood_pairs).",
+)
+def q_sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(
+        read_table(spark, sf_dir, "documents"), window=5, threshold=0.5
+    )

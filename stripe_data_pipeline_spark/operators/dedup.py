@@ -528,3 +528,67 @@ def edit_distance_pairs(
         F.col(f"b.{id_col}").alias("doc_b"),
         F.levenshtein(F.col("a.title"), F.col("b.title")).alias("edit_dist"),
     ).filter(F.col("edit_dist") <= max_dist)
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    window: int = 5,
+    key_len: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parts: int = 16,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995 — the
+    classic entity-resolution candidate generator): sort the corpus by
+    a normalized key and pair each record with the ``window-1``
+    records that follow it in sort order. Near-duplicates whose
+    normalized prefixes agree land adjacent and get compared;
+    candidate count is exactly (window-1) * N regardless of skew —
+    the complementary shape to hash blocking (jaccard_candidate_pairs,
+    whose hot blocks go quadratic and need caps) and to MinHash LSH
+    (probabilistic), completing the dedup family's blocking trio.
+
+    Scale shape: the global sort order materializes as an EXACT rank
+    via range-partition + local row_number + partition-size offsets
+    (suffix._dense_ranks — no single-partition global window); the
+    neighborhood join is then one explode of w-1 integers per row and
+    an equi-join ON THE RANK — an integer key with perfectly uniform
+    distribution, immune to key skew at any corpus size.
+
+    Returns (doc_a, doc_b) with doc_a's rank below doc_b's; feed to
+    jaccard_verify for exact similarity.
+    """
+    from stripe_data_pipeline_spark.operators.suffix import _dense_ranks
+
+    key = F.substring(normalized_text(text_col), 1, key_len)
+    keyed = df.select(
+        key.alias("__snkey"), F.col(id_col).cast("long").alias(id_col)
+    )
+    ranked = _dense_ranks(keyed, ["__snkey", id_col], parts=parts)
+    a = ranked.select(
+        F.col(id_col).alias("doc_a"),
+        F.explode(
+            F.sequence(
+                F.col("__rank") + 1, F.col("__rank") + (window - 1)
+            )
+        ).alias("__nbr"),
+    )
+    b = ranked.select(
+        F.col(id_col).alias("doc_b"), F.col("__rank").alias("__nbr")
+    )
+    return a.join(b, "__nbr").select("doc_a", "doc_b")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 5,
+    key_len: int = 24,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood blocking + exact token-Jaccard verify."""
+    cands = sorted_neighborhood_candidates(
+        df, window=window, key_len=key_len, id_col=id_col, text_col=text_col
+    )
+    return jaccard_verify(df, cands, threshold=threshold, id_col=id_col)
