@@ -86,25 +86,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
 # Round-11 rotation (policy per VERDICT r5 #5 / r7 #8 / r10 #2,
-# enforced by tests/test_driver_contract.py): FIRST the 10 queries
+# enforced by tests/test_driver_contract.py): FIRST the 12 queries
 # with no prior driver verdict or changed semantics this round — the
 # Python UDTF chunker, the column-mapping rename round trip, the
 # transformWithState stateful mart, the two-mart atomic transaction,
 # winnowing_fingerprints_fast (rewritten from rows-only to the
 # flag-pinned invariant oracle, VERDICT r10 #1), sorted-neighborhood
-# blocking, the bitmap exact-distinct family, and the XML / URL /
-# crypto scalar families; THEN 5 queries over the manifest-table
-# code paths this round rewrote (column mapping + the constraint
-# TOCTOU fix: constraint mart, MOR CDF, change feed, clone, merge
-# mart — the rest of the lakehouse family carries fresh r10 verdicts
-# and sits immediately below the window); THEN the ENTIRE stale
-# backlog — the four round-4 flagship queries (revenue_trend_daily,
+# blocking, the bitmap exact-distinct family, the XML / URL / crypto
+# scalar families, the hourly forward-fill resample, and the
+# round-robin domain interleave; THEN 3 queries over the
+# manifest-table code paths this round rewrote (column mapping + the
+# constraint TOCTOU fix: constraint mart, MOR CDF, change feed — the
+# rest of the lakehouse family carries fresh r10 verdicts and sits
+# immediately below the window); THEN the ENTIRE stale backlog — the
+# four round-4 flagship queries (revenue_trend_daily,
 # recognized_quarter_calendar, recognized_monthly_halfopen,
 # pandas_udf_normalize) and all 31 round-5 stragglers (VERDICT r10
 # #2) — exactly 50, leaving every query's latest driver verdict <= 5
 # rounds old after r11.
 _PRIORITY = [
-    # --- new/changed-semantics this round (10) ---
+    # --- new/changed-semantics this round (12) ---
     "udtf_doc_chunks",
     "atomic_column_rename_check",
     "streaming_tws_latest_mart_check",
@@ -115,14 +116,12 @@ _PRIORITY = [
     "xml_shredding_check",
     "url_functions_check",
     "crypto_functions_check",
-    # --- changed-code (manifest_table rewrite) (5; the rest of the
-    # --- lakehouse family carries fresh r10 verdicts and follows
-    # --- immediately below the window) ---
+    "gap_filled_hourly_values",
+    "interleaved_training_order",
+    # --- changed-code (manifest_table rewrite) (3) ---
     "atomic_constraint_mart_check",
     "atomic_mor_cdf_check",
     "atomic_mart_change_feed",
-    "atomic_clone_check",
-    "atomic_merge_mart_check",
     # --- the r4-stale flagship (4) ---
     "revenue_trend_daily",
     "recognized_quarter_calendar",
@@ -161,6 +160,8 @@ _PRIORITY = [
     "top20_orders",
     "top3_orders_per_status",
     # --- below the 50-query window: newest-first continuation ---
+    "atomic_clone_check",
+    "atomic_merge_mart_check",
     "streaming_mor_delete_mart_check",
     "atomic_mor_delete_check",
     "incremental_kmv_mart_check",

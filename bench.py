@@ -304,6 +304,12 @@ HEADLINE = [
     "xml_shredding_check",
     "url_functions_check",
     "crypto_functions_check",
+    # round-11 third batch: the hourly forward-fill resample (dense
+    # spine Generate + per-user last(ignoreNulls) frame) and the
+    # round-robin domain interleave (exact offset ranks + closed-form
+    # position fold — no global sort).
+    "gap_filled_hourly_values",
+    "interleaved_training_order",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

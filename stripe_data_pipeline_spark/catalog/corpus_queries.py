@@ -1473,3 +1473,81 @@ def q_kmv_distinct_sketch_check(
             "exact_inter",
         )
     )
+
+
+@register(
+    "interleaved_training_order",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS o
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY o, doc_id)
+               AS rank_in_lang
+    FROM t
+)
+SELECT doc_id, lang, rank_in_lang,
+       ROW_NUMBER() OVER (ORDER BY rank_in_lang, lang) AS pos
+FROM r
+""",
+    doc="Round-robin domain interleave (r11 — the training-batch "
+    "ordering that keeps every micro-batch domain-balanced): docs "
+    "shuffle deterministically within each lang (md5 order), then "
+    "interleave one-per-lang until domains exhaust. The global "
+    "position is computed WITHOUT a global sort: per-lang ranks come "
+    "from the exact range-partitioned rank (suffix._dense_ranks + "
+    "per-lang offsets — no single-partition window even though one "
+    "lang may hold most of a 100 TB corpus), and pos is a CLOSED "
+    "FORM over the bounded per-lang count map: pos(r,l) = 1 + "
+    "sum_l'( cnt_l' >= r ? (r-1) + [l' < l] : cnt_l' ), folded as a "
+    "literal-array F.aggregate — one JVM expression per row, zero "
+    "extra shuffles. The oracle replays it as ROW_NUMBER over "
+    "(rank, lang), proving the closed form exact.",
+)
+def q_interleaved_training_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.suffix import _dense_ranks
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("o")
+    )
+    ranked = _dense_ranks(docs, ["lang", "o", "doc_id"])
+    counts = sorted(
+        (r["lang"], int(r["n"]))
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # per-lang rank = global (lang, o) rank minus preceding langs' rows
+    off, offsets = 0, []
+    for lang, n in counts:
+        offsets.extend([F.lit(lang), F.lit(off)])
+        off += n
+    rank_in_lang = F.col("__rank") - F.element_at(
+        F.create_map(*offsets), F.col("lang")
+    )
+    cnt_map = F.array(
+        *[
+            F.struct(F.lit(lang).alias("l"), F.lit(n).alias("c"))
+            for lang, n in counts
+        ]
+    )
+    r = F.col("rank_in_lang")
+    pos = F.aggregate(
+        cnt_map,
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc
+        + F.when(
+            s["c"] >= r,
+            (r - 1)
+            + F.when(s["l"] < F.col("lang"), F.lit(1)).otherwise(F.lit(0)),
+        ).otherwise(s["c"]).cast("bigint"),
+    ) + F.lit(1)
+    return (
+        ranked.withColumn("rank_in_lang", rank_in_lang.cast("bigint"))
+        .withColumn("pos", pos.cast("bigint"))
+        .select("doc_id", "lang", "rank_in_lang", "pos")
+    )

@@ -3775,3 +3775,96 @@ def q_crypto_functions_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("wrong_dec").cast("bigint").alias("n_wrong_key_decrypts"),
         F.sum("c_custkey").cast("bigint").alias("custkey_sum"),
     )
+
+
+@register(
+    "gap_filled_hourly_values",
+    oracle="""
+WITH hourly AS (
+    SELECT user_id, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE user_id % 50 = 0
+    GROUP BY user_id, date_trunc('hour', ts)
+),
+spans AS (
+    SELECT user_id, MIN(h) AS h_lo, MAX(h) AS h_hi FROM hourly
+    GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, UNNEST(generate_series(h_lo, h_hi,
+                                           INTERVAL 1 HOUR)) AS h
+    FROM spans
+),
+joined AS (
+    SELECT s.user_id, s.h, hourly.cents,
+           CASE WHEN hourly.cents IS NULL THEN 1 ELSE 0 END AS is_filled
+    FROM spine s LEFT JOIN hourly USING (user_id, h)
+)
+SELECT user_id, h,
+       LAST_VALUE(cents IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS cents_ffill,
+       CAST(is_filled AS BIGINT) AS is_filled
+FROM joined
+""",
+    doc="Time-series RESAMPLE + forward fill (r11 — the ops-metrics "
+    "gap-fill every monitoring pipeline needs): per-user hourly cents "
+    "re-gridded onto a dense hour spine between each user's first and "
+    "last active hour (explode(sequence) — a Generate, no join blowup) "
+    "and missing hours carried forward with last_value(ignoreNulls) "
+    "over an ordered per-user frame. Deterministic 1-in-50 user slice "
+    "bounds the spine size; is_filled marks synthesized rows. The "
+    "oracle replays spine + LAST_VALUE IGNORE NULLS exactly; "
+    "fixed-point cents keep the fill values bit-comparable. Plan: one "
+    "partial-combined hourly agg, a per-user MIN/MAX, the spine "
+    "Generate, one left join and one per-user window — every stage "
+    "keyed on user_id, so the whole pipeline is one shuffle family at "
+    "any scale.",
+)
+def q_gap_filled_hourly_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 50 == 0
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = spine.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        "h",
+        "cents",
+        F.when(F.col("cents").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_filled"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").cast("timestamp_ntz").alias("h"),
+        F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
+        "is_filled",
+    )
