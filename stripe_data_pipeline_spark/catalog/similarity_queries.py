@@ -1611,3 +1611,74 @@ def q_maxsim_late_interaction_topk(
     return S.maxsim_topk(
         emb, qvecs, k=10, exclude_ids=list(_MAXSIM_QIDS)
     )
+
+
+@register(
+    "matryoshka_topk_check",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QID}),
+scored AS (
+    SELECT e.vec_id,
+           {_dot_sql('(e.embedding[1:16])', '(q.qv[1:16])')}
+           / (sqrt({_dot_sql('(e.embedding[1:16])', '(e.embedding[1:16])')})
+              * sqrt({_dot_sql('(q.qv[1:16])', '(q.qv[1:16])')}))
+               AS cos_16,
+           {_dot_sql('e.embedding', 'q.qv')}
+           / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({_dot_sql('q.qv', 'q.qv')})) AS cos_full
+    FROM embeddings e, q
+    WHERE e.vec_id <> {_QID}
+),
+top_t AS (
+    SELECT vec_id, cos_16, cos_full FROM scored
+    ORDER BY cos_16 DESC, vec_id LIMIT 10
+),
+top_f AS (
+    SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT 10
+),
+hits AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM top_t JOIN top_f USING (vec_id)
+)
+SELECT t.vec_id, t.cos_16, t.cos_full, hits.n AS recall_hits_at_10
+FROM top_t t CROSS JOIN hits
+""",
+    doc="Matryoshka-truncation retrieval (Kusupati et al. 2022 — MRL, "
+    "the modern serve-cheap/rerank-rich trick, r11): score the corpus "
+    "with only the FIRST 16 of 64 dims (a 4x cheaper fold; MRL-"
+    "trained embeddings front-load information exactly for this), "
+    "take the truncated top-10, carry each candidate's full-dim "
+    "cosine, and report recall@10 against the exact full-dim top-10 "
+    "as a corpus-level column. Everything is exact scalar arithmetic "
+    "— both cosines use the shared left-fold tree over slices, so "
+    "the oracle replays scores AND the recall count bit-for-bit (no "
+    "tolerance flags, unlike the ANN recall evaluator "
+    "ann_recall_check which judges a lossy index).",
+)
+def q_matryoshka_topk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+    from stripe_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _lit_vec,
+        _norm,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = S.query_vector(emb, _QID)
+    q16, qf = _lit_vec(qv[:16]), _lit_vec(qv)
+    e = _as_double(F.col("embedding"))
+    e16 = F.slice(e, 1, 16)
+    scored = spread_scan(emb).filter(F.col("vec_id") != _QID).select(
+        "vec_id",
+        (_dot(e16, q16) / (_norm(e16) * _norm(q16))).alias("cos_16"),
+        (_dot(e, qf) / (_norm(e) * _norm(qf))).alias("cos_full"),
+    )
+    top_t = scored.orderBy(F.desc("cos_16"), "vec_id").limit(10)
+    top_f = scored.orderBy(F.desc("cos_full"), "vec_id").limit(10)
+    hits = top_t.join(top_f.select("vec_id"), "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("recall_hits_at_10")
+    )
+    return top_t.crossJoin(F.broadcast(hits)).select(
+        "vec_id", "cos_16", "cos_full", "recall_hits_at_10"
+    )

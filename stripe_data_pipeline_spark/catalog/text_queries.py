@@ -3862,3 +3862,104 @@ def q_sorted_neighborhood_pairs(
     return sorted_neighborhood_pairs(
         read_table(spark, sf_dir, "documents"), window=5, threshold=0.5
     )
+
+
+@register(
+    "kneser_ney_scores",
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents
+), bg AS (
+    SELECT toks[r.i] AS w1, toks[r.i + 1] AS w2
+    FROM t, UNNEST(range(1, len(toks))) AS r(i)
+), bc AS (
+    SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM bg GROUP BY w1, w2
+), ctx AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+    FROM bc GROUP BY w1
+), cont AS (
+    SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd
+    FROM bc GROUP BY w2
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM bc
+)
+SELECT bc.w1, bc.w2, bc.c12,
+       (CAST(bc.c12 AS DOUBLE) - 0.75) / CAST(ctx.c1 AS DOUBLE)
+       + ((0.75 * CAST(ctx.n1p_fwd AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
+         * (CAST(cont.n1p_bwd AS DOUBLE) / CAST(tot.nbig AS DOUBLE))
+           AS p_kn
+FROM bc
+JOIN ctx USING (w1)
+JOIN cont USING (w2)
+CROSS JOIN tot
+WHERE CAST(('0x' || substr(md5(bc.w1 || ' ' || bc.w2), 1, 8)) AS BIGINT)
+      % 20 = 0
+""",
+    doc="Interpolated Kneser-Ney bigram probabilities (Kneser & Ney "
+    "1995; Chen & Goodman 1999 — THE n-gram smoothing standard, the "
+    "step past stupid_backoff_scores): P(w2|w1) = (c12 - d)/c1 + "
+    "d*N1+(w1.)/c1 * N1+(.w2)/N1+(..) with absolute discount d=0.75, "
+    "where the continuation counts N1+ come from DISTINCT bigram "
+    "types — the insight that 'Francisco' is frequent but only ever "
+    "follows 'San'. All four count relations derive from ONE bigram "
+    "groupBy (the zip-slice explode needs no self-join); the "
+    "per-row probability is pure IEEE scalar arithmetic, identical "
+    "on both engines; a deterministic md5 1-in-20 bigram slice "
+    "bounds the output.",
+)
+def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = read_table(spark, sf_dir, "documents").select(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias(
+            "toks"
+        )
+    )
+    n = F.size("toks")
+    pairs = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), F.lit(1), n - 1).alias("w1"),
+                F.slice(F.col("toks"), F.lit(2), n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
+    )
+    cont = bc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
+    )
+    tot = bc.agg(F.count(F.lit(1)).cast("bigint").alias("nbig"))
+    sample = bc.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.col("w1"), F.col("w2"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+        == 0
+    )
+    p_kn = (
+        (F.col("c12").cast("double") - F.lit(0.75))
+        / F.col("c1").cast("double")
+    ) + (
+        (F.lit(0.75) * F.col("n1p_fwd").cast("double"))
+        / F.col("c1").cast("double")
+    ) * (
+        F.col("n1p_bwd").cast("double") / F.col("nbig").cast("double")
+    )
+    return (
+        sample.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c12", p_kn.alias("p_kn"))
+    )
