@@ -384,6 +384,12 @@ SF1_SPOT = [
     # slice (1% of the corpus at every sf) pins it — measured 3.1x at
     # 10x data (rounds grow log-linearly, each round linearly)
     "suffix_array_ranks_scaled",
+    # r11: the sorted-neighborhood rank is the repo's newest
+    # global-order structure (range-partition + offsets, no
+    # single-partition window) — measured 8.1x at 10x; KN smoothing's
+    # bigram shuffle tracks corpus tokens (4.4x at 10x)
+    "sorted_neighborhood_pairs",
+    "kneser_ney_scores",
     # r8: the end-to-end LSH dedup composition must scale like its
     # edge stage (~linear banding), not like the quadratic demo
     "lsh_quality_keepers",
