@@ -264,3 +264,145 @@ def test_occ_refuses_rebase_across_rename(spark, tmp_path):
     rows = {(r["id"], r["value_usd"])
             for r in MT.read_table(spark, root).collect()}
     assert rows == {(1, 10.0), (2, 20.0), (3, 30.0), (9, 90.0)}
+
+
+# --- model-based property test: random evolution sequences vs a model ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_POOL = ["v", "w", "x", "y"]  # small pool so drop-then-readd happens
+
+_merge_op = st.tuples(
+    st.just("merge"),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # id
+            st.sampled_from(["a", "b"]),             # day
+            st.integers(min_value=0, max_value=99),  # base value
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.booleans(),  # also introduce a new column from the pool?
+)
+_evolve_ops = st.lists(
+    st.one_of(
+        _merge_op,
+        st.tuples(st.just("rename"), st.integers(0, 3), st.integers(0, 3)),
+        st.tuples(st.just("drop"), st.integers(0, 3)),
+        st.just(("compact",)),
+        st.just(("vacuum",)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=_evolve_ops)
+def test_random_evolution_sequences_match_model(
+    spark, tmp_path_factory, ops
+):
+    """Any interleaving of merges (some introducing columns), renames,
+    drops (with re-adds of previously dropped/renamed names — the
+    byte-resurrection hazard), compactions and vacuums must read back
+    exactly what a dict model predicts, and every retained snapshot
+    must time-travel to its own recorded state under its own schema."""
+    from pyspark.sql import types as T
+
+    root = str(tmp_path_factory.mktemp("cmprop") / "t")
+    cols: list[str] = ["v"]
+    rows: dict[int, dict] = {}
+    snapshots: list[tuple[int, list[str], dict]] = []
+
+    def table_state():
+        if not MT.read_manifest(root):
+            return None
+        got = {}
+        for r in MT.read_table(spark, root).collect():
+            got[r["id"]] = {c: r[c] for c in cols}
+            assert sorted(r.asDict()) == sorted(["id", "day"] + cols)
+        return got
+
+    def model_state():
+        return {i: {c: row.get(c) for c in cols} for i, row in rows.items()}
+
+    for op in ops:
+        if op[0] == "merge":
+            _, triples, add_col = op
+            new_col = None
+            if add_col:
+                unused = [c for c in _POOL if c not in cols]
+                if unused:
+                    new_col = unused[0]
+            batch_cols = cols + ([new_col] if new_col else [])
+            fields = [
+                T.StructField("id", T.LongType()),
+                T.StructField("day", T.StringType()),
+            ] + [T.StructField(c, T.LongType()) for c in batch_cols]
+            data = []
+            seen = set()
+            for i, day, v in triples:
+                if i in seen:
+                    continue
+                seen.add(i)
+                data.append(
+                    (i, day, *[v + k for k in range(len(batch_cols))])
+                )
+            batch = spark.createDataFrame(data, T.StructType(fields))
+            MT.merge_upsert_atomic(spark, root, batch, ["id"], "day")
+            if new_col:
+                for row in rows.values():
+                    row.setdefault(new_col, None)
+                cols.append(new_col)
+            for i, day, v in triples:
+                if i in {d[0] for d in data}:
+                    pass
+            for d in data:
+                rows[d[0]] = {
+                    c: d[2 + k] for k, c in enumerate(batch_cols)
+                }
+                rows[d[0]]["__day"] = d[1]
+        elif op[0] == "rename" and MT.read_manifest(root):
+            _, i, j = op
+            old = cols[i % len(cols)]
+            unused = [c for c in _POOL + ["z"] if c not in cols]
+            if not unused:
+                continue
+            new = unused[j % len(unused)]
+            MT.rename_column(spark, root, old, new)
+            cols[cols.index(old)] = new
+            for row in rows.values():
+                if old in row:
+                    row[new] = row.pop(old)
+        elif op[0] == "drop" and MT.read_manifest(root):
+            if len(cols) <= 1:
+                continue
+            _, i = op
+            victim = cols[i % len(cols)]
+            MT.drop_column(spark, root, victim)
+            cols.remove(victim)
+            for row in rows.values():
+                row.pop(victim, None)
+        elif op[0] == "compact" and MT.read_manifest(root):
+            parts = MT.read_manifest(root)["parts"]
+            if parts:
+                MT.compact_partition(spark, root, sorted(parts)[0], 1000)
+        elif op[0] == "vacuum":
+            MT.vacuum(root, retain_history=20, grace_sec=0)
+        # invariant after EVERY op
+        got = table_state()
+        if got is not None:
+            assert got == model_state()
+            m = MT.read_manifest(root)
+            snapshots.append(
+                (int(m["version"]), list(cols), model_state())
+            )
+    # every retained snapshot time-travels to its own recorded state
+    for version, snap_cols, snap_rows in snapshots:
+        t = MT.read_table(spark, root, version=version)
+        got = {
+            r["id"]: {c: r[c] for c in snap_cols} for r in t.collect()
+        }
+        assert got == snap_rows, f"time travel to v{version} diverged"
