@@ -444,3 +444,49 @@ def test_lm_scoring_plan_stays_jvm(spark, sf_dir):
     p = plan(spark, sf_dir, "lm_perplexity_scores")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_sorted_neighborhood_has_no_global_window(spark, sf_dir):
+    """The global sort order must come from the exact offset-rank
+    (range partition + per-partition row_number), never a
+    single-partition global window — and the neighborhood join stays
+    a Generate + equi-join."""
+    p = plan(spark, sf_dir, "sorted_neighborhood_pairs")
+    assert "Window [row_number()" not in p.replace(
+        "Window [row_number() windowspecdefinition(__pid", ""
+    )  # only the per-__pid local window survives (checkpointed away)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode(sequence" in p  # w-1 neighbor ranks
+
+
+def test_udtf_plan_is_arrow_batched(spark, sf_dir):
+    p = plan(spark, sf_dir, "udtf_doc_chunks")
+    assert "ArrowEvalPythonUDTF" in p
+    assert "BatchEvalPythonUDTF" not in p  # never row-pickled
+
+
+def test_bitmap_distinct_has_partial_aggregation(spark, sf_dir):
+    """The bitmap build must partial-combine below the exchange: the
+    per-(type,bucket) bitmap_construct_agg appears in partial form so
+    raw rows never shuffle as individual positions."""
+    p = plan(spark, sf_dir, "bitmap_exact_distinct_check")
+    assert "partial_bitmap_construct_agg" in p
+    assert "CartesianProduct" not in p
+
+
+def test_gap_fill_generates_spine_without_join_blowup(spark, sf_dir):
+    p = plan(spark, sf_dir, "gap_filled_hourly_values")
+    assert "Generate explode(sequence" in p  # the hour spine
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_interleave_has_no_global_sort(spark, sf_dir):
+    """The round-robin position is a closed-form literal fold, so no
+    stage may globally sort the corpus or funnel it through one
+    partition (the only windows are per-__pid local ranks)."""
+    p = plan(spark, sf_dir, "interleaved_training_order")
+    assert "Exchange SinglePartition" not in p
+    assert "TakeOrderedAndProject" not in p
+    assert "aggregate(" in p  # the literal-array position fold
