@@ -155,3 +155,38 @@ def test_invariants_catch_a_broken_selection(spark, monkeypatch):
     monkeypatch.setattr(wmod, "winnow_select", broken_select)
     broken = wmod.winnow_invariants(df, k=K, w=W, fast=True).collect()[0]
     assert not (broken["density_in_bounds"] and broken["coverage_ok"])
+
+
+# --- property test: the driver-checked invariants hold on ANY text ---
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcdefgh ", min_size=K + W - 1, max_size=80),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_invariant_flags_hold_on_arbitrary_texts(spark, texts):
+    """density_in_bounds and coverage_ok are THEOREMS of the selection
+    rule — they must hold for any input, not just the corpus the
+    driver happens to check (low-entropy alphabets maximize hash ties,
+    the hardest case for the rightmost-min tie-break)."""
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.operators.winnow import winnow_invariants
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    inv = winnow_invariants(
+        df, k=K, w=W, fast=True, density_band_bp=(0, 10000)
+    )
+    bad = inv.filter(
+        ~F.col("density_in_bounds") | ~F.col("coverage_ok")
+    ).count()
+    assert bad == 0
