@@ -189,3 +189,35 @@ def read_group_table(
     return MT.read_table(
         spark, ent["root"], version=ent["version"], **read_kwargs
     )
+
+
+def vacuum_group(group_root: str, grace_sec: float = 600.0) -> dict:
+    """Vacuum every member table WITHOUT reaping anything the group
+    pointer still pins. A plain per-table ``vacuum(retain_history=0)``
+    keeps only the table's CURRENT version — but after a crashed group
+    run the pointer legitimately pins an OLDER version (the per-table
+    commit advanced, the group commit never landed), and reaping it
+    would turn the crash-consistent group read into a
+    FileNotFoundError. Here each table's retention is computed FROM
+    the pointer: retain exactly back to the pinned version (0 when
+    the pointer is current). The same retention interplay Delta/
+    Iceberg document for readers pinned to old snapshots, enforced
+    mechanically for the group's own reader. Returns
+    {table: removed_relpaths}."""
+    with MT._writer_lock(group_root):
+        g = read_group(group_root)
+        if g is None:
+            raise FileNotFoundError(f"no group at {group_root}")
+        removed: dict[str, list] = {}
+        for name, ent in g["tables"].items():
+            m = MT.read_manifest(ent["root"])
+            if m is None:
+                removed[name] = []
+                continue
+            current_v = int(m["version"])
+            pinned_v = int(ent["version"])
+            keep = max(0, current_v - pinned_v) if pinned_v >= 0 else 0
+            removed[name] = MT.vacuum(
+                ent["root"], retain_history=keep, grace_sec=grace_sec
+            )
+        return removed

@@ -128,3 +128,29 @@ def test_unknown_table_refused(spark, tmp_path):
             spark, g,
             {"mart_c": {"updates": None, "keys": ["id"]}},
         )
+
+
+def test_vacuum_group_spares_pinned_snapshots(spark, tmp_path):
+    """After a crashed group run (table A advanced past the pointer),
+    a naive per-table vacuum(retain_history=0) would reap the pinned
+    snapshot's dirs; vacuum_group must retain back to the pin so the
+    group read stays exact — and after the rerun completes the group,
+    a second vacuum_group reclaims the superseded dirs."""
+    g, roots = _mk_group(spark, tmp_path)
+    with pytest.raises(_Kill):
+        TG.group_merge_atomic(
+            spark, g, _batches(spark, "run2"),
+            txn_app="n", txn_version=2,
+            _fault=_kill_at("table_committed:mart_a"),
+        )
+    # mart_a advanced; the group still pins its previous version
+    TG.vacuum_group(g, grace_sec=0.0)
+    labels = _group_labels(spark, g)
+    assert labels == {"mart_a": ["a-run1", "a-run1"], "mart_b": ["b-run1"]}
+    # complete the run, vacuum again: current group state stays exact
+    TG.group_merge_atomic(
+        spark, g, _batches(spark, "run2"), txn_app="n", txn_version=2
+    )
+    TG.vacuum_group(g, grace_sec=0.0)
+    labels = _group_labels(spark, g)
+    assert labels == {"mart_a": ["a-run2", "a-run2"], "mart_b": ["b-run2"]}
