@@ -390,6 +390,17 @@ SF1_SPOT = [
     # bigram shuffle tracks corpus tokens (4.4x at 10x)
     "sorted_neighborhood_pairs",
     "kneser_ney_scores",
+    # r11 second batch (events now in the replication — sf_scale
+    # builds newly-listed tables incrementally): the bitmap distinct
+    # fold (4.2x at 10x — buckets grow with users), the hour-spine
+    # forward fill (2.5x), the closed-form interleave (2.9x), the FIM
+    # projection (2.6x), and the Arrow lateral UDTF (8.0x — the
+    # Python stage scales with rows, exactly what the pin watches)
+    "bitmap_exact_distinct_check",
+    "gap_filled_hourly_values",
+    "interleaved_training_order",
+    "fim_transform_pairs",
+    "udtf_doc_chunks",
     # r8: the end-to-end LSH dedup composition must scale like its
     # edge stage (~linear banding), not like the quadratic demo
     "lsh_quality_keepers",

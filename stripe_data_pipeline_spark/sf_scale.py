@@ -34,6 +34,7 @@ _SHIFT_COLS = {
     "part": ["p_partkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
     "region": [],
     "nation": [],
 }
@@ -46,12 +47,23 @@ def ensure_scaled_dir(
     copies: int = 10,
 ) -> str:
     """Materialize the replicated directory once (marker-file cached);
-    returns its path. ~1 min of one-off write at 10x sf0.1."""
+    returns its path. ~1 min of one-off write at 10x sf0.1. The marker
+    alone is not trusted: tables added to _SHIFT_COLS after a cached
+    build (events, r11) are detected as missing and built
+    incrementally instead of returning a partial directory."""
     marker = os.path.join(out_dir, "_ALL_TABLES_OK")
-    if os.path.exists(marker):
+    missing = [
+        t
+        for t in _SHIFT_COLS
+        if not os.path.isdir(os.path.join(out_dir, f"{t}.parquet"))
+    ]
+    if os.path.exists(marker) and not missing:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    todo = missing if os.path.exists(marker) else list(_SHIFT_COLS)
     for table, shift_cols in _SHIFT_COLS.items():
+        if table not in todo:
+            continue
         src = spark.read.parquet(os.path.join(base_dir, f"{table}.parquet"))
         if not shift_cols:  # dimensions replicate as a single copy
             out = src
