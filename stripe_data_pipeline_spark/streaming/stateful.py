@@ -178,3 +178,105 @@ def streaming_latest_state_tws(
         outputMode="Update",
         timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState TIMERS — session close on inactivity
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("status", T.StringType()),   # open | closed
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+    ]
+)
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Inactivity-closed sessions on transformWithState TIMERS — the
+    third leg of the new state API after named state and TTL: every
+    batch refreshes the key's state AND re-registers a processing-time
+    timer ``gap_ms`` ahead (deleting the previous one); when no batch
+    touches the key before the timer fires, ``handleExpiredTimer``
+    emits the key's CLOSED session row and evicts the state — the
+    push-based session close a foreachBatch poller can't express
+    (nothing arrives to trigger it; the ENGINE calls back). Per-key
+    cost: one state tuple + one registered timer."""
+
+    def __init__(self, gap_ms: int = 2000) -> None:
+        self._gap_ms = gap_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("sess", _SESSION_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = self._state.get() if self._state.exists() else (0, -1)
+        n, last = int(cur[0]), int(cur[1])
+        for pdf in rows:
+            for row in pdf.itertuples(index=False):
+                n += 1
+                last = max(last, int(row.event_id))
+        self._state.update((n, last))
+        # slide the inactivity timer: drop the old one, arm a new one
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._gap_ms
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "status": ["open"],
+                "n_events": [n],
+                "last_event_id": [last],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        cur = self._state.get() if self._state.exists() else (0, -1)
+        self._state.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "status": ["closed"],
+                "n_events": [int(cur[0])],
+                "last_event_id": [int(cur[1])],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_session_timeout(
+    events: DataFrame, gap_ms: int = 2000, key: str = "user_id"
+) -> DataFrame:
+    """Per-key inactivity sessions: 'open' rows on every update,
+    one 'closed' row when the processing-time gap elapses with no new
+    events (timer-driven state eviction)."""
+    from stripe_data_pipeline_spark.streaming.pbshim import (
+        ensure_protobuf_runtime,
+    )
+
+    if not ensure_protobuf_runtime(events.sparkSession):
+        raise ModuleNotFoundError(
+            "transformWithState needs a google.protobuf runtime "
+            "(streaming/pbshim.py)"
+        )
+    prepared = events.select(key, "event_id")
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=SessionTimeoutProcessor(gap_ms=gap_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )

@@ -212,3 +212,56 @@ def test_tws_value_state_ttl_expires_idle_keys(spark, tmp_path):
     _write_ndjson(inbox / "b2.json", [_event(11, "2024-01-01T00:00:00Z")])
     got = _drain_tws(spark, inbox, ckpt, target, ttl_ms=1000)
     assert got == {1: 11}  # expired state: the OLDER event wins anew
+
+
+def test_tws_timer_closes_idle_session(spark, tmp_path):
+    """transformWithState TIMERS: after gap_ms of inactivity the
+    ENGINE calls handleExpiredTimer — the session's 'closed' row is
+    emitted by a no-data batch (push-based close; nothing arrives to
+    trigger it) and the state is evicted."""
+    import time
+
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_session_timeout,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    inbox, ckpt = tmp_path / "in", tmp_path / "ck"
+    _write_ndjson(
+        inbox / "b1.json",
+        [_event(1, "2024-01-01T00:00:00Z"), _event(2, "2024-01-01T00:00:01Z")],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inbox))
+    rows: list = []
+
+    def sink(batch, _id):
+        rows.extend(batch.collect())  # foreachBatch runs driver-side
+
+    q = (
+        streaming_session_timeout(stream, gap_ms=1500)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if any(r["status"] == "closed" for r in rows):
+                break
+            time.sleep(0.25)
+        else:
+            raise AssertionError(f"no closed session within 90s: {rows}")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    opens = [r for r in rows if r["status"] == "open"]
+    closed = [r for r in rows if r["status"] == "closed"]
+    assert opens and opens[-1]["n_events"] == 2
+    assert closed[0]["user_id"] == 1
+    assert closed[0]["n_events"] == 2
+    assert closed[0]["last_event_id"] == 2
