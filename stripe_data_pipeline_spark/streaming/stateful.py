@@ -280,3 +280,102 @@ def streaming_session_timeout(
         outputMode="Update",
         timeMode="ProcessingTime",
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState LIST + MAP state — running per-key profile
+# ---------------------------------------------------------------------------
+
+PROFILE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("recent_ids", T.StringType()),  # csv of last-N ids
+    ]
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Running per-user profile on the remaining state-variable types
+    (completing the transformWithState sweep: ValueState/TTL/timers
+    elsewhere in this module):
+
+    - ``MapState[event_type -> count]``: per-type counters updated
+      point-wise — the engine stores each map ENTRY as its own
+      state-store key, so a key's map can grow wide without
+      rewriting a blob per update (what a ValueState of a dict
+      would do);
+    - ``ListState`` of recent event ids, truncated to the newest
+      ``keep`` client-side — append is O(1) in the store.
+
+    Emissions are deterministic: top_type breaks count ties by the
+    SMALLEST type string, recent ids are sorted ascending."""
+
+    def __init__(self, keep: int = 5) -> None:
+        self._keep = keep
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "cnt bigint"
+        )
+        self._recent = handle.getListState("recent", "event_id bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for row in pdf.itertuples(index=False):
+                t = str(row.event_type)
+                cur = (
+                    int(self._counts.getValue((t,))[0])
+                    if self._counts.containsKey((t,))
+                    else 0
+                )
+                self._counts.updateValue((t,), (cur + 1,))
+                self._recent.appendValue((int(row.event_id),))
+        ids = sorted(int(r[0]) for r in self._recent.get())
+        if len(ids) > self._keep:
+            ids = ids[-self._keep:]
+            self._recent.clear()
+            self._recent.put([(i,) for i in ids])
+        counts = {
+            str(k[0]): int(v[0]) for k, v in self._counts.iterator()
+        }
+        top = min(
+            counts, key=lambda t: (-counts[t], t)
+        )  # max count, ties to smallest type
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [sum(counts.values())],
+                "n_types": [len(counts)],
+                "top_type": [top],
+                "recent_ids": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_profile(
+    events: DataFrame, keep: int = 5, key: str = "user_id"
+) -> DataFrame:
+    """Per-key running profile (per-type MapState counters + a
+    bounded ListState of recent event ids), emitted every update."""
+    from stripe_data_pipeline_spark.streaming.pbshim import (
+        ensure_protobuf_runtime,
+    )
+
+    if not ensure_protobuf_runtime(events.sparkSession):
+        raise ModuleNotFoundError(
+            "transformWithState needs a google.protobuf runtime "
+            "(streaming/pbshim.py)"
+        )
+    prepared = events.select(key, "event_id", "event_type")
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(keep=keep),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -265,3 +265,55 @@ def test_tws_timer_closes_idle_session(spark, tmp_path):
     assert closed[0]["user_id"] == 1
     assert closed[0]["n_events"] == 2
     assert closed[0]["last_event_id"] == 2
+
+
+def test_tws_map_and_list_state_profile(spark, tmp_path):
+    """MapState per-type counters + bounded ListState recents — the
+    remaining transformWithState variable types. Two drains: counters
+    accumulate point-wise across batches (recovered from the RocksDB
+    checkpoint), the recents list truncates to the newest 5."""
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_user_profile,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    inbox, ckpt = tmp_path / "in", tmp_path / "ck"
+    rows: list = []
+
+    def drain():
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inbox))
+        q = (
+            streaming_user_profile(stream, keep=5)
+            .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["user_id"]: r for r in rows}
+
+    _write_ndjson(
+        inbox / "b1.json",
+        [_event(i, "2024-01-01T00:00:00Z", typ=t)
+         for i, t in [(1, "view"), (2, "view"), (3, "click")]],
+    )
+    got = drain()
+    assert got[1]["n_events"] == 3 and got[1]["n_types"] == 2
+    assert got[1]["top_type"] == "view"
+    assert got[1]["recent_ids"] == "1,2,3"
+    # second drain: counters accumulate, list truncates to newest 5
+    _write_ndjson(
+        inbox / "b2.json",
+        [_event(i, "2024-01-01T00:01:00Z", typ=t)
+         for i, t in [(4, "click"), (5, "click"), (6, "buy")]],
+    )
+    rows.clear()
+    got = drain()
+    assert got[1]["n_events"] == 6 and got[1]["n_types"] == 3
+    assert got[1]["top_type"] == "click"  # 3 clicks > 2 views
+    assert got[1]["recent_ids"] == "2,3,4,5,6"  # keep=5, id 1 aged out
