@@ -1478,9 +1478,29 @@ def read_changes(
     def keys_in_new_logical(m: dict) -> list[str] | None:
         if not m.get("deletes"):
             return None
-        return [
-            inv_new.get(_phys(m, k), _phys(m, k)) for k in m["delete_keys"]
-        ]
+        logical_new = {
+            f.name
+            for f in StructType.fromJson(json.loads(m_new["schema"])).fields
+        }
+        out = []
+        for k in m["delete_keys"]:
+            nk = inv_new.get(_phys(m, k), _phys(m, k))
+            if nk not in logical_new:
+                # the older snapshot's pending delete keys on a column
+                # the newer schema no longer carries (apply_deletes
+                # then drop_column happened inside the span) — the
+                # logical diff is not expressible under the newer
+                # schema. Delta blocks CDF across column-mapping
+                # changes wholesale; this format supports renames and
+                # fails loudly only on this one shape.
+                raise ValueError(
+                    f"read_changes: snapshot v{m['version']}'s pending "
+                    f"delete key {k!r} has no column in the newer "
+                    "schema (dropped inside the span); read the feed "
+                    "in sub-spans that do not cross the drop"
+                )
+            out.append(nk)
+        return out
 
     def scan(parts: dict[str, str]) -> DataFrame:
         paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
