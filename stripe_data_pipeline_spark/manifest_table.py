@@ -488,8 +488,14 @@ def _stage_versioned(
     physical names right before the write, so files on disk always
     carry physical names regardless of how many renames preceded."""
     if column_mapping:
-        df = df.withColumnsRenamed(
-            {l: p for l, p in column_mapping.items() if l in df.columns}
+        # SIMULTANEOUS projection, mirroring _to_logical's inverse — NOT
+        # withColumnsRenamed, which Spark folds sequentially over the
+        # pairs: on a chained/swapped mapping (rename b->c then a->b
+        # yields {c: b, b: a}) the fold renames two columns to the same
+        # name and every data-rewriting op dies with
+        # COLUMN_ALREADY_EXISTS (ADVICE r11, high).
+        df = df.select(
+            [F.col(c).alias(column_mapping.get(c, c)) for c in df.columns]
         )
         if partition_by is not None:
             partition_by = column_mapping.get(partition_by, partition_by)
@@ -982,7 +988,10 @@ def _merge_upsert_atomic_locked(
 
 
 def vacuum(
-    root: str, retain_history: int = 0, grace_sec: float = 600.0
+    root: str,
+    retain_history: int = 0,
+    grace_sec: float = 600.0,
+    retain_to_version: int | None = None,
 ) -> list[str]:
     """Remove parts/ dirs (and stale staging/tmp) not referenced by the
     committed MANIFEST — nor, with ``retain_history=K``, by the newest
@@ -1002,13 +1011,27 @@ def vacuum(
     by design, so its fresh, not-yet-referenced dirs are exactly the
     young ones — the same staged-file grace Delta's VACUUM applies.
     Pass 0 only where no concurrent OCC writer can exist (tests,
-    single-writer maintenance)."""
+    single-writer maintenance).
+
+    ``retain_to_version`` is a VERSION FLOOR: every snapshot from that
+    version up to current stays time-travelable, with the depth
+    resolved against the manifest read INSIDE this writer lock. A
+    caller that precomputes ``retain_history = current_v - pinned_v``
+    from its own earlier read races any table-level writer committing
+    in between — the window shifts forward and the pinned snapshot
+    gets reaped (ADVICE r11, medium; vacuum_group's crash-consistent
+    group read is exactly the reader that must never lose its pin)."""
     with _writer_lock(root):
-        return _vacuum_locked(root, retain_history, grace_sec)
+        return _vacuum_locked(
+            root, retain_history, grace_sec, retain_to_version
+        )
 
 
 def _vacuum_locked(
-    root: str, retain_history: int = 0, grace_sec: float = 0.0
+    root: str,
+    retain_history: int = 0,
+    grace_sec: float = 0.0,
+    retain_to_version: int | None = None,
 ) -> list[str]:
     import time as _time
 
@@ -1029,6 +1052,11 @@ def _vacuum_locked(
     if os.path.isdir(hist_dir) and m is not None:
         current_v = int(m["version"])
         keep_from = current_v - retain_history
+        if retain_to_version is not None and retain_to_version >= 0:
+            # version floor, resolved against the manifest as it exists
+            # under THIS lock — immune to writers that advanced the
+            # table between the caller's read and this vacuum
+            keep_from = min(keep_from, retain_to_version)
         for f in sorted(os.listdir(hist_dir)):
             v = int(f[1:-5])  # v%08d.json
             if keep_from <= v <= current_v:
@@ -1151,6 +1179,23 @@ def compact_partition(
         _commit(root, manifest)
     spark.catalog.refreshByPath(root)
     return n_files
+
+
+def _is_clustered_rel(rel: str, key: str, spec_hash: str) -> bool:
+    """True iff ``rel`` is structurally a dir minted by the clustering
+    pass for ``key`` with THIS spec: exactly
+    ``parts/{key}-c{spec_hash}-{8hex}``. Matching the marker as a bare
+    substring is unsound — a string partition VALUE may itself contain
+    ``-c<8hex>-`` and would then look permanently clustered (ADVICE
+    r11, low). Anchoring the full key prefix plus the 8-hex uuid tail
+    leaves no ambiguity: even for a key that itself ends with
+    ``-c{spec_hash}``, its UNCLUSTERED rel carries only ``-{8hex}``
+    after the key and fails the ``-c{spec_hash}-`` segment check."""
+    prefix = f"{_PARTS}/{key}-c{spec_hash}-"
+    if not rel.startswith(prefix):
+        return False
+    tail = rel[len(prefix):]
+    return len(tail) == 8 and all(ch in "0123456789abcdef" for ch in tail)
 
 
 def _cluster_spec_hash(cluster_by: list[str]) -> str:
@@ -1678,11 +1723,13 @@ def maintain(
         if m is None:
             return {"compacted": [], "vacuumed": []}
         compacted = []
-        marker = (
-            f"-c{_cluster_spec_hash(cluster_by)}-" if cluster_by else None
-        )
+        spec_hash = _cluster_spec_hash(cluster_by) if cluster_by else None
         for key, rel in sorted(m["parts"].items()):
-            if marker is not None and not recluster_all and marker in rel:
+            if (
+                spec_hash is not None
+                and not recluster_all
+                and _is_clustered_rel(rel, key, spec_hash)
+            ):
                 # already clustered with THIS spec and untouched since
                 # (any intervening merge/compaction minted an unmarked
                 # relpath) — the incremental-OPTIMIZE skip

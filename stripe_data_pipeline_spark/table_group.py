@@ -203,21 +203,29 @@ def vacuum_group(group_root: str, grace_sec: float = 600.0) -> dict:
     the pointer is current). The same retention interplay Delta/
     Iceberg document for readers pinned to old snapshots, enforced
     mechanically for the group's own reader. Returns
-    {table: removed_relpaths}."""
+    {table: removed_relpaths}.
+
+    The retention depth is resolved INSIDE each table's writer lock
+    (``retain_to_version`` floor), not precomputed from a manifest
+    read taken under only the group lock: a concurrent table-level
+    writer (legal — group_merge_atomic re-pins tables not written
+    this run) committing between that read and the vacuum would shift
+    a ``current_v - pinned_v`` window forward and reap the pinned
+    snapshot (ADVICE r11, medium)."""
     with MT._writer_lock(group_root):
         g = read_group(group_root)
         if g is None:
             raise FileNotFoundError(f"no group at {group_root}")
         removed: dict[str, list] = {}
         for name, ent in g["tables"].items():
-            m = MT.read_manifest(ent["root"])
-            if m is None:
+            if MT.read_manifest(ent["root"]) is None:
                 removed[name] = []
                 continue
-            current_v = int(m["version"])
             pinned_v = int(ent["version"])
-            keep = max(0, current_v - pinned_v) if pinned_v >= 0 else 0
             removed[name] = MT.vacuum(
-                ent["root"], retain_history=keep, grace_sec=grace_sec
+                ent["root"],
+                retain_history=0,
+                grace_sec=grace_sec,
+                retain_to_version=pinned_v if pinned_v >= 0 else None,
             )
         return removed

@@ -199,6 +199,37 @@ def test_rename_swap_chain_stays_consistent(spark, tmp_path):
     assert m["column_mapping"] == {"c": "b", "b": "a"}
 
 
+def test_write_after_swap_chain(spark, tmp_path):
+    """ADVICE r11 (high): after a chained/swapped mapping (b->c then
+    a->b => {c: b, b: a}) every DATA-REWRITING op must still work.
+    withColumnsRenamed folds the pairs sequentially and renames two
+    columns to the same name (COLUMN_ALREADY_EXISTS, table
+    un-writable); _stage_versioned must project simultaneously."""
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 100, 200), (2, 300, 400)], "id long, a long, b long"
+    )
+    MT.merge_upsert_atomic(spark, root, df, keys=["id"])
+    MT.rename_column(spark, root, "b", "c")
+    MT.rename_column(spark, root, "a", "b")
+    # merge: upsert one row, insert one, in the LOGICAL space
+    up = spark.createDataFrame([(2, 301, 401), (3, 500, 600)],
+                               "id long, b long, c long")
+    MT.merge_upsert_atomic(spark, root, up, keys=["id"])
+    MT.update_where(spark, root, F.col("id") == 1, {"b": F.col("b") + 1})
+    MT.delete_where(spark, root, F.col("id") == 3)
+    rows = {
+        (r["id"], r["b"], r["c"])
+        for r in MT.read_table(spark, root).collect()
+    }
+    assert rows == {(1, 101, 200), (2, 301, 401)}
+    # physical uniqueness on disk: files still carry a/b, never a dup
+    m = MT.read_manifest(root)
+    assert m["column_mapping"] == {"c": "b", "b": "a"}
+    phys = [f.name for f in MT._physical_schema(m).fields]
+    assert len(phys) == len(set(phys))
+
+
 def test_change_feed_across_rename(spark, tmp_path):
     """A metadata-only rename yields an EMPTY feed (no dir, no delete
     file changed); a merge after the rename diffs in the new logical

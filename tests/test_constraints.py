@@ -277,6 +277,36 @@ def test_maintain_cluster_by_is_incremental(spark, tmp_path):
     assert sorted(out5["compacted"]) == ["a", "b"]
 
 
+def test_cluster_marker_not_fooled_by_partition_value(spark, tmp_path):
+    """ADVICE r11 (low): a string partition VALUE that itself contains
+    ``-c{spec_hash}-`` must not make the partition look permanently
+    clustered (substring matching across the whole relpath would skip
+    it forever — never clustered, never even plain-compacted). The
+    marker is matched structurally: full key prefix + 8-hex uuid
+    tail."""
+    spec = ["ts"]
+    h = MT._cluster_spec_hash(spec)
+    evil = f"x-c{h}-deadbeef"  # partition value embedding the marker
+    rows = [(i, evil, float((i * 37) % 500)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "id long, part string, ts double")
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(8), keys=["id"], partition_by="part",
+    )
+    out1 = MT.maintain(
+        spark, root, target_rows_per_file=100, cluster_by=spec,
+        retain_history=0, grace_sec=0.0,
+    )
+    assert out1["compacted"] == [evil]  # NOT skipped on first pass
+    out2 = MT.maintain(
+        spark, root, target_rows_per_file=100, cluster_by=spec,
+        retain_history=0, grace_sec=0.0,
+    )
+    assert out2["compacted"] == []  # incremental skip still works
+    t = MT.read_table(spark, root)
+    assert t.count() == 200 and t.filter(F.col("part") == evil).count() == 200
+
+
 def test_maintain_cluster_by_records_stats_on_statless_table(spark, tmp_path):
     """ADVICE r10 (low): a table whose merges never passed stats_cols
     has no file_stats key — the clustering pass must still record

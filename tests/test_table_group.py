@@ -130,6 +130,46 @@ def test_unknown_table_refused(spark, tmp_path):
         )
 
 
+def test_vacuum_group_survives_concurrent_table_writer(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (medium): a table-level writer (legal — the group
+    model re-pins tables not written this run) committing BETWEEN
+    vacuum_group's group-locked manifest read and the per-table vacuum
+    shifts a precomputed current_v - pinned_v window forward, reaping
+    the group-pinned snapshot. The retention depth must be resolved as
+    a version FLOOR inside the table's own writer lock."""
+    g, roots = _mk_group(spark, tmp_path)
+    with pytest.raises(_Kill):
+        TG.group_merge_atomic(
+            spark, g, _batches(spark, "run2"),
+            txn_app="n", txn_version=2,
+            _fault=_kill_at("table_committed:mart_a"),
+        )
+    pinned_v = TG.read_group(g)["tables"]["mart_a"]["version"]
+    real_vacuum = MT.vacuum
+
+    def racing_vacuum(root, **kw):
+        if root == roots["mart_a"]:
+            # the concurrent writer lands after vacuum_group's read,
+            # before the table vacuum acquires the table lock
+            extra = spark.createDataFrame(
+                [(99, "a-race", 9.0)], "id long, label string, v double"
+            )
+            MT.merge_upsert_atomic(spark, root, extra, keys=["id"])
+        return real_vacuum(root, **kw)
+
+    monkeypatch.setattr(TG.MT, "vacuum", racing_vacuum)
+    TG.vacuum_group(g, grace_sec=0.0)
+    # the pinned snapshot must still resolve — exact, no
+    # FileNotFoundError on the crash-consistent group read
+    pinned = MT.read_table(
+        spark, roots["mart_a"], version=pinned_v
+    ).collect()
+    assert sorted(r["label"] for r in pinned) == ["a-run1", "a-run1"]
+    assert _group_labels(spark, g)["mart_a"] == ["a-run1", "a-run1"]
+
+
 def test_vacuum_group_spares_pinned_snapshots(spark, tmp_path):
     """After a crashed group run (table A advanced past the pointer),
     a naive per-table vacuum(retain_history=0) would reap the pinned
