@@ -1658,3 +1658,118 @@ def q_fim_transform_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_suffix"),
     )
+
+
+_HTML_FIXTURE_SQL = """
+    SELECT doc_id,
+      '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+      || '<style type="text/css">p { color: red }</style>'
+      || '<script>var x = 1; if (x < 2) { x = 3; }</script></head><body>'
+      || '<!-- generated fixture -->'
+      || '<div id="nav"><a href="/">Home</a> <a href="/about">About</a> <a href="/docs">Docs</a></div>'
+      || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || ' heading</h1>'
+      || '<p>' || substr(text, 1, 150) || ' &amp; more &lt;escaped&gt; text</p>'
+      || '<p>See <a href="/ref">reference link</a> within ' || substr(text, 151, 120) || '</p>'
+      || '<footer><a href="/privacy">Privacy</a> | <a href="/terms">Terms</a></footer>'
+      || '</body></html>' AS html
+    FROM documents
+"""
+
+
+def _html_oracle() -> str:
+    from stripe_data_pipeline_spark.operators import html as H
+
+    unesc_open = "".join("replace(" for _ in H.ENTITIES)
+    unesc_close = "".join(
+        f", '{e}', {repr(r) if r != chr(39) else 'chr(39)'})"
+        for e, r in H.ENTITIES
+    )
+
+    def norm(inner: str) -> str:
+        return (
+            f"trim(regexp_replace({unesc_open}"
+            f"regexp_replace({inner}, '{H.TAG_RE}', ' ', 'g')"
+            f"{unesc_close}, '\\s+', ' ', 'g'))"
+        )
+
+    return f"""
+WITH h AS ({_HTML_FIXTURE_SQL}
+), c AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+      '{H.SCRIPT_RE}', ' ', 'g'), '{H.STYLE_RE}', ' ', 'g'),
+      '{H.COMMENT_RE}', ' ', 'g') AS ch
+  FROM h
+), b AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(ch, '{H.BLOCK_SPLIT_RE}'),
+      x -> struct_pack(
+        txt := {norm('x')},
+        nolink := {norm(f"regexp_replace(x, '{H.ANCHOR_RE}', ' ', 'g')")}
+      )) AS bl
+  FROM c
+), f AS (
+  SELECT doc_id, list_filter(bl, s -> length(s.txt) > 0) AS ne FROM b
+), k AS (
+  SELECT doc_id, ne,
+    list_filter(ne, s -> (length(s.txt) - length(s.nolink)) * 10000
+                         <= {H.DEFAULT_MAX_LINK_DENSITY_BP} * length(s.txt)) AS kept
+  FROM f
+)
+SELECT doc_id,
+  CAST(len(ne) AS BIGINT) AS n_blocks,
+  CAST(len(kept) AS BIGINT) AS n_blocks_kept,
+  COALESCE(array_to_string(list_transform(kept, s -> s.txt), chr(10)), '') AS main_text,
+  CAST(length(COALESCE(array_to_string(list_transform(kept, s -> s.txt), chr(10)), '')) AS BIGINT) AS n_chars_kept
+FROM k
+"""
+
+
+@register(
+    "html_extracted_text_check",
+    oracle=_html_oracle(),
+    doc="HTML MAIN-CONTENT EXTRACTION (VERDICT r11 #2) — the raw-web "
+    "-> text head of the pipeline every downstream text operator "
+    "presupposes (the trafilatura/jusText step): script/style/comment "
+    "removal, block segmentation at block-tag boundaries, tag "
+    "stripping, entity unescaping, whitespace collapse, and "
+    "link-density boilerplate drop (nav/footer blocks are ~100% "
+    "anchor text; prose is not). Inputs are synthetic per-doc HTML "
+    "pages built from documents.text with planted nav/footer "
+    "boilerplate, entities, comments and an in-prose link (the "
+    "pii_scrub prove-it pattern), so the oracle proves real "
+    "extraction char-for-char, not no-op parity. All regexes in the "
+    "Java/RE2-common subset; density test is integer arithmetic. "
+    "One JVM-side projection - fuses into the scan, zero shuffle at "
+    "any scale.",
+)
+def q_html_extracted_text_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.html import extract_main_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><title>Doc '), sid, F.lit("</title>"),
+            F.lit('<style type="text/css">p { color: red }</style>'),
+            F.lit("<script>var x = 1; if (x < 2) { x = 3; }</script>"
+                  "</head><body>"),
+            F.lit("<!-- generated fixture -->"),
+            F.lit('<div id="nav"><a href="/">Home</a> '
+                  '<a href="/about">About</a> '
+                  '<a href="/docs">Docs</a></div>'),
+            F.lit("<h1>Doc "), sid, F.lit(" heading</h1>"),
+            F.lit("<p>"), F.substring("text", 1, 150),
+            F.lit(" &amp; more &lt;escaped&gt; text</p>"),
+            F.lit('<p>See <a href="/ref">reference link</a> within '),
+            F.substring("text", 151, 120), F.lit("</p>"),
+            F.lit('<footer><a href="/privacy">Privacy</a> | '
+                  '<a href="/terms">Terms</a></footer>'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return extract_main_text(pages, "html").select(
+        "doc_id", "n_blocks", "n_blocks_kept", "main_text", "n_chars_kept"
+    )

@@ -490,3 +490,20 @@ def test_interleave_has_no_global_sort(spark, sf_dir):
     assert "Exchange SinglePartition" not in p
     assert "TakeOrderedAndProject" not in p
     assert "aggregate(" in p  # the literal-array position fold
+
+
+def test_recursive_cte_uses_union_loop(spark, sf_dir):
+    """The recursive CTE must plan as Spark 4's native UnionLoop
+    (semi-naive iteration inside the engine), not some driver-side
+    unrolling — and the loop body must stay JVM-only."""
+    p = plan(spark, sf_dir, "recursive_cte_components_check")
+    assert "UnionLoop" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_html_extraction_is_single_projection(spark, sf_dir):
+    """Main-content extraction must fuse into the scan: no shuffle,
+    no Python boundary — one narrow projection at any scale."""
+    p = plan(spark, sf_dir, "html_extracted_text_check")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
