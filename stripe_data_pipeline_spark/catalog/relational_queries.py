@@ -1209,6 +1209,105 @@ def q_hll_mergeable_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datasketches_hll_check",
+    oracle="""
+WITH per_ck AS (
+    SELECT o_custkey,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f,
+           MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_o
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_all,
+       CAST(SUM(in_f) AS BIGINT) AS exact_f,
+       CAST(SUM(in_o) AS BIGINT) AS exact_o,
+       CAST(SUM(in_f * in_o) AS BIGINT) AS exact_f_and_o,
+       CAST(SUM(in_f * (1 - in_o)) AS BIGINT) AS exact_f_not_o,
+       CAST(SUM(in_f + in_o - in_f * in_o) AS BIGINT) AS exact_f_or_o,
+       TRUE AS hll_merge_within_10pct,
+       TRUE AS theta_union_within_10pct,
+       TRUE AS theta_intersection_within_10pct,
+       TRUE AS theta_difference_within_10pct
+FROM per_ck
+""",
+    doc="BUILT-IN DATASKETCHES interop (VERDICT r11 #5): the Apache "
+    "DataSketches aggregates a user reaches for FIRST, beside the "
+    "hand-rolled HLL/KMV — hll_sketch_agg partials built on TWO "
+    "SHARDS (orderkey parity) merged via the BINARY hll_union buffer "
+    "merge, plus the theta family for SET ALGEBRA sketches cannot "
+    "do in HLL: theta_union / theta_intersection / theta_difference "
+    "of the F-status vs O-status customer sets. Flag-pinned oracle "
+    "(the hll_mergeable_user_counts pattern): sketch buffers are "
+    "engine-specific bytes, so the row carries exact counts plus "
+    "within-10%% booleans the oracle pins TRUE (at this cardinality "
+    "theta runs in exact mode, so the set-op flags have zero slack "
+    "in practice). The 100 TB shape: per-shard constant-size "
+    "buffers, one driver-free merge, no distinct-key shuffle.",
+)
+def q_datasketches_hll_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey")
+    sketches = o.agg(
+        F.hll_sketch_agg(F.when(F.col("o_orderkey") % 2 == 0, ck)).alias("sk0"),
+        F.hll_sketch_agg(F.when(F.col("o_orderkey") % 2 == 1, ck)).alias("sk1"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "F", ck)
+        ).alias("th_f"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "O", ck)
+        ).alias("th_o"),
+    )
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "F").cast("int")).alias("in_f"),
+            F.max((F.col("o_orderstatus") == "O").cast("int")).alias("in_o"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_all"),
+            F.sum("in_f").cast("bigint").alias("exact_f"),
+            F.sum("in_o").cast("bigint").alias("exact_o"),
+            F.sum(F.col("in_f") * F.col("in_o"))
+            .cast("bigint")
+            .alias("exact_f_and_o"),
+            F.sum(F.col("in_f") * (1 - F.col("in_o")))
+            .cast("bigint")
+            .alias("exact_f_not_o"),
+            F.sum(F.col("in_f") + F.col("in_o") - F.col("in_f") * F.col("in_o"))
+            .cast("bigint")
+            .alias("exact_f_or_o"),
+        )
+    )
+    within = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - F.col(exact).cast("double"))
+        <= F.col(exact).cast("double") * F.lit(0.10)
+    )
+    return exact.crossJoin(F.broadcast(sketches)).select(
+        "exact_all",
+        "exact_f",
+        "exact_o",
+        "exact_f_and_o",
+        "exact_f_not_o",
+        "exact_f_or_o",
+        within(
+            F.hll_sketch_estimate(F.hll_union("sk0", "sk1")), "exact_all"
+        ).alias("hll_merge_within_10pct"),
+        within(
+            F.theta_sketch_estimate(F.theta_union("th_f", "th_o")),
+            "exact_f_or_o",
+        ).alias("theta_union_within_10pct"),
+        within(
+            F.theta_sketch_estimate(F.theta_intersection("th_f", "th_o")),
+            "exact_f_and_o",
+        ).alias("theta_intersection_within_10pct"),
+        within(
+            F.theta_sketch_estimate(F.theta_difference("th_f", "th_o")),
+            "exact_f_not_o",
+        ).alias("theta_difference_within_10pct"),
+    )
+
+
+@register(
     "key_skew_report_events",
     oracle="""
 WITH c AS (
@@ -1710,6 +1809,92 @@ def q_stats_pruned_scan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
             ).alias("total_cents"),
         )
+    )
+
+
+_BLOOM_MART_CACHE: dict[str, str] = {}
+
+
+def _cleanup_bloom_mart_cache() -> None:
+    import shutil
+
+    for p in _BLOOM_MART_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@register(
+    "bloom_pruned_scan_check",
+    oracle="""
+SELECT o_orderkey,
+       md5(CAST(o_orderkey AS VARCHAR)) AS key,
+       CAST(FLOOR(o_totalprice * 100 + 5e-1) AS BIGINT) AS total_cents,
+       TRUE AS bloom_pruned_strictly,
+       TRUE AS absent_key_reads_zero_files
+FROM orders
+WHERE md5(CAST(o_orderkey AS VARCHAR)) =
+      md5(CAST((SELECT MIN(o_orderkey) FROM orders) AS VARCHAR))
+""",
+    doc="BLOOM FILE-SKIPPING index proven correct under the driver "
+    "(VERDICT r11 #7 — the Delta/Iceberg bloom feature): orders land "
+    "in a manifest table keyed by an UNSORTED high-cardinality md5 "
+    "key across 8 hash-distributed files, so every file's [min,max] "
+    "range spans the whole domain and range stats can prune NOTHING. "
+    "merge_upsert_atomic(bloom_cols=['key']) records a per-file Bloom "
+    "sidecar (_blooms.json inside the immutable dir; md5-60-bit "
+    "positions, 62-bit words); read_table resolves a point "
+    "stats_filter through it in pure Python — zero Spark jobs. The "
+    "returned probe rows must bit-match the full-scan SQL oracle, "
+    "and two flag columns pin the physics: the probed scan reads "
+    "STRICTLY fewer files than the full scan, and a definitely-"
+    "absent key reads ZERO files.",
+)
+def q_bloom_pruned_scan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    root = _BLOOM_MART_CACHE.get(sf_dir)
+    if root is None:
+        if not _BLOOM_MART_CACHE:
+            atexit.register(_cleanup_bloom_mart_cache)
+        root = tempfile.mkdtemp(prefix="bloom_scan_mart_") + "/orders"
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.md5(F.col("o_orderkey").cast("string")).alias("key"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        MT.merge_upsert_atomic(
+            spark,
+            root,
+            orders.repartition(8),
+            keys=["o_orderkey"],
+            bloom_cols=["key"],
+        )
+        _BLOOM_MART_CACHE[sf_dir] = root
+
+    import hashlib
+
+    min_key = read_table(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey")
+    ).collect()[0][0]
+    probe = hashlib.md5(str(min_key).encode()).hexdigest()
+    full = MT.read_table(spark, root)
+    pruned = MT.read_table(spark, root, stats_filter={"key": (probe, probe)})
+    n_full = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    absent = MT.read_table(
+        spark, root, stats_filter={"key": ("not-a-real-key", "not-a-real-key")}
+    )
+    n_absent = len(absent.inputFiles())
+    return pruned.filter(F.col("key") == probe).select(
+        "o_orderkey",
+        "key",
+        "total_cents",
+        F.lit(n_pruned < n_full).alias("bloom_pruned_strictly"),
+        F.lit(n_absent == 0).alias("absent_key_reads_zero_files"),
     )
 
 

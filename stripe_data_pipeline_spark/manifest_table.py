@@ -347,6 +347,165 @@ def _physical_schema(m: dict) -> StructType:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom file-skipping index (VERDICT r11 #7 — the Delta/
+# Iceberg bloom feature): point predicates on high-cardinality,
+# UNSORTED columns (UUID-ish keys) can't be pruned by [min,max]
+# ranges — every file's range spans the whole domain. A per-file Bloom
+# filter answers "definitely not in this file" instead. The filters
+# live in a ``_blooms.json`` SIDECAR inside each immutable dir (the
+# underscore prefix makes the parquet scan ignore it; the sidecar is
+# written pre-commit, travels with the dir through time travel, and
+# vacuums away with it) — not in the manifest, whose JSON would bloat
+# by ~1.2 KB per file per column. Hashing is the repo's cross-engine
+# md5-60-bit family, so the probe side recomputes positions in pure
+# Python with hashlib — file skipping costs ZERO Spark jobs.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SIDECAR = "_blooms.json"
+
+
+def _bloom_positions_py(value, m_bits: int, k: int) -> list[int]:
+    """Probe-side positions: must mirror the write job's
+    ``md5_base60(concat('{i}|', cast(col as string))) pmod m`` exactly.
+    str(int) == Spark's bigint->string cast; strings pass through."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{i}|{s}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def _write_bloom_sidecars(
+    spark: SparkSession,
+    root: str,
+    staged: dict[str, str],
+    bloom_cols: list[str],
+    fpp: float = 0.01,
+) -> None:
+    """Build per-file Bloom filters for ``bloom_cols`` (PHYSICAL
+    names) over freshly staged dirs and write one sidecar per dir.
+
+    ONE narrow Spark pass over exactly the data just written (never
+    the table): k md5-derived positions per value, exploded, then a
+    per-(file, col, word) ``bit_or`` with map-side combine — the
+    collect is bounded at n_files * n_cols * n_words rows. Filter
+    size comes from the largest file's footer row count (no data read
+    driver-side)."""
+    import pyarrow.parquet as pq
+
+    from stripe_data_pipeline_spark.operators.bloom import (
+        WORD_BITS,
+        bloom_params,
+    )
+    from stripe_data_pipeline_spark.operators.dedup import md5_base60
+
+    file_rows: dict[str, int] = {}
+    dirs = sorted(os.path.join(root, rel) for rel in staged.values())
+    for d in dirs:
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            except Exception:  # noqa: BLE001 — unreadable: no bloom
+                continue
+            file_rows[os.path.join(d, fname)] = md.num_rows
+    if not file_rows:
+        return
+    m_bits, k = bloom_params(max(file_rows.values()), fpp)
+    df = spark.read.parquet(*dirs)
+    cols = [c for c in bloom_cols if c in df.columns]
+    if not cols:
+        return
+    longform = None
+    for c in cols:
+        pos = F.array(
+            *[
+                F.pmod(
+                    md5_base60(
+                        F.concat(
+                            F.lit(f"{i}|"), F.col(c).cast("string")
+                        )
+                    ),
+                    F.lit(m_bits),
+                )
+                for i in range(k)
+            ]
+        )
+        part = df.select(
+            F.input_file_name().alias("_f"),
+            F.lit(c).alias("_c"),
+            F.explode(pos).alias("_p"),
+        ).where(F.col("_p").isNotNull())
+        longform = part if longform is None else longform.unionByName(part)
+    words = (
+        longform.select(
+            "_f",
+            "_c",
+            F.floor(F.col("_p") / F.lit(WORD_BITS)).cast("int").alias("_w"),
+            # 2^(p % 62) as an exact long (powers of two are exact
+            # doubles far past 62 bits)
+            F.pow(F.lit(2.0), F.pmod(F.col("_p"), F.lit(WORD_BITS)))
+            .cast("long")
+            .alias("_bit"),
+        )
+        .groupBy("_f", "_c", "_w")
+        .agg(F.bit_or("_bit").alias("_word"))
+        .collect()
+    )
+    n_words = (m_bits + WORD_BITS - 1) // WORD_BITS
+    per_dir: dict[str, dict] = {
+        d: {"m": m_bits, "k": k, "cols": {c: {} for c in cols}}
+        for d in dirs
+    }
+    for r in words:
+        path = r["_f"]
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        d, fname = os.path.dirname(path), os.path.basename(path)
+        files = per_dir.get(d, {}).get("cols", {}).get(r["_c"])
+        if files is None:
+            continue
+        files.setdefault(fname, [0] * n_words)[r["_w"]] |= int(r["_word"])
+    for d, sidecar in per_dir.items():
+        tmp = os.path.join(d, f".{_BLOOM_SIDECAR}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sidecar, fh)
+        os.replace(tmp, os.path.join(d, _BLOOM_SIDECAR))
+
+
+def _bloom_skips_file(
+    sidecar: dict, fname: str, probes: dict
+) -> bool:
+    """True iff the sidecar PROVES some probed value is absent from
+    ``fname`` (missing sidecar/col/file entries are conservative
+    keeps; false positives only cost a read)."""
+    m_bits, k = sidecar["m"], sidecar["k"]
+    for col, val in probes.items():
+        words = sidecar["cols"].get(col, {}).get(fname)
+        if not words:
+            continue
+        from stripe_data_pipeline_spark.operators.bloom import WORD_BITS
+
+        for p in _bloom_positions_py(val, m_bits, k):
+            if not (words[p // WORD_BITS] >> (p % WORD_BITS)) & 1:
+                return True
+    return False
+
+
+def _load_bloom_sidecar(d: str) -> dict | None:
+    try:
+        with open(os.path.join(d, _BLOOM_SIDECAR)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
 def _to_logical(df: DataFrame, m: dict) -> DataFrame:
     """Project a physical-named scan back to the logical schema."""
     mp = _mapping(m)
@@ -432,29 +591,47 @@ def read_table(
 
         parts = {k: v for k, v in parts.items() if may_match(k)}
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if stats_filter and m.get("file_stats"):
+    # point probes (lo == hi) can additionally consult the per-file
+    # Bloom sidecars — the skipping path for unsorted high-cardinality
+    # keys whose [min,max] ranges never prune (VERDICT r11 #7)
+    point_probes = (
+        {
+            col: lo
+            for col, (lo, hi) in stats_filter.items()
+            if lo is not None and lo == hi
+        }
+        if stats_filter
+        else {}
+    )
+    if stats_filter and (m.get("file_stats") or point_probes):
         # file-granular skipping: within surviving dirs, keep only the
         # FILES whose footer ranges can overlap (files without recorded
         # stats are conservatively kept). Range-sorted layouts (Z-order,
         # clustered writes) make per-file ranges nearly disjoint, so a
         # point predicate resolves to ~one file per partition.
-        fstats = m["file_stats"]
+        fstats = m.get("file_stats", {})
         paths = []
         for key, rel in sorted(parts.items()):
             d = os.path.join(root, rel)
             per_file = fstats.get(key)
-            if per_file is None:
+            bloom = _load_bloom_sidecar(d) if point_probes else None
+            if per_file is None and bloom is None:
                 paths.append(d)
                 continue
             for fname in sorted(os.listdir(d)):
                 if not fname.endswith(".parquet"):
                     continue
-                st = per_file.get(fname)
-                if st is None or all(
+                st = None if per_file is None else per_file.get(fname)
+                if st is not None and not all(
                     _overlaps(st.get(col), lo, hi)
                     for col, (lo, hi) in stats_filter.items()
                 ):
-                    paths.append(os.path.join(d, fname))
+                    continue
+                if bloom is not None and _bloom_skips_file(
+                    bloom, fname, point_probes
+                ):
+                    continue
+                paths.append(os.path.join(d, fname))
     else:
         paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
@@ -538,6 +715,7 @@ def merge_upsert_atomic(
     keys: list[str],
     partition_by: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     _fault=None,
     concurrency: str = "fail",
     max_retries: int = 3,
@@ -622,6 +800,7 @@ def merge_upsert_atomic(
             _merge_upsert_atomic_locked(
                 spark, root, updates, keys, partition_by, stats_cols, _fault,
                 txn=txn, validated_constraints=_validated_cons,
+                bloom_cols=bloom_cols,
             )
         return
     if concurrency != "occ":
@@ -632,7 +811,8 @@ def merge_upsert_atomic(
     while True:
         base = read_manifest(root)
         plan = _plan_merge(
-            spark, root, base, updates, keys, partition_by, stats_cols, _fault
+            spark, root, base, updates, keys, partition_by, stats_cols, _fault,
+            bloom_cols=bloom_cols,
         )
         try:
             with _writer_lock(root):
@@ -731,6 +911,7 @@ def _plan_merge(
     partition_by: str | None,
     stats_cols: list[str] | None,
     _fault=None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Stage the merge against snapshot ``base`` WITHOUT committing.
     Returns the staged {key: relpath} mapping, the touched key set,
@@ -752,6 +933,8 @@ def _plan_merge(
                 spark, root, staged, partition_by, stats_cols
             )
             plan["fstats_fresh"] = _file_stats(root, staged, stats_cols)
+        if bloom_cols:
+            _write_bloom_sidecars(spark, root, staged, bloom_cols)
         return plan
 
     old = _read_at(spark, root, base)
@@ -818,6 +1001,11 @@ def _plan_merge(
             spark, root, staged, phys_pb, phys_stats_cols
         )
         plan["fstats_fresh"] = _file_stats(root, staged, phys_stats_cols)
+    if bloom_cols:
+        # sidecars key PHYSICAL names, like stats
+        _write_bloom_sidecars(
+            spark, root, staged, [mp.get(c, c) for c in bloom_cols]
+        )
     return plan
 
 
@@ -967,6 +1155,7 @@ def _merge_upsert_atomic_locked(
     _fault=None,
     txn: tuple[str, int] | None = None,
     validated_constraints: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> None:
     current = read_manifest(root)
     # re-check INSIDE the lock: the entry pre-check ran unlocked, so a
@@ -981,7 +1170,8 @@ def _merge_upsert_atomic_locked(
     if txn is not None and _txn_already_applied(current, *txn):
         return  # exactly-once: this epoch already committed
     plan = _plan_merge(
-        spark, root, current, updates, keys, partition_by, stats_cols, _fault
+        spark, root, current, updates, keys, partition_by, stats_cols, _fault,
+        bloom_cols=bloom_cols,
     )
     _commit_plan(root, current, plan, partition_by, stats_cols, _fault, txn=txn)
     spark.catalog.refreshByPath(root)
