@@ -3216,3 +3216,177 @@ def q_atomic_two_mart_txn_check(
         "total_cents",
     )
     return by_type.unionByName(by_user)
+
+
+_TWS_ORACLE = """
+WITH r AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_id, ts AS latest_ts, event_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents
+FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "statestore_reader_check",
+    oracle=_TWS_ORACLE,
+    doc="STATE-STORE READER (VERDICT r11 #4 — the operational "
+    "debugging surface every production streaming deployment uses): "
+    "after the transformWithState query drains, its RocksDB "
+    "checkpoint is read BACK as a DataFrame with "
+    "spark.read.format('statestore') (stateVarName='latest'), and "
+    "the keyed state itself — not the emissions — must bit-match the "
+    "batch ROW_NUMBER changelog compaction. Proves the named "
+    "ValueState holds exactly the converged fold for every key, and "
+    "that state introspection works against this engine's "
+    "checkpoints without touching the running query's code path.",
+)
+def q_statestore_reader_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    _materialized_tws_latest_mart(spark, sf_dir)  # drains + caches ckpt
+    root = _STREAM_MART_CACHE[f"{sf_dir}::tws_latest"]
+    state = (
+        spark.read.format("statestore")
+        .option("stateVarName", "latest")
+        .load(os.path.join(root, "ckpt"))
+    )
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("value.ts_micros"))
+        .cast("timestamp_ntz")
+        .alias("latest_ts"),
+        F.col("value.event_type").alias("event_type"),
+        F.floor(F.col("value.value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+def _materialized_tws_bootstrap_mart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch->streaming MIGRATION (VERDICT r11 #8): the per-user
+    latest mart is first computed in BATCH over the even-event_id
+    half (the pre-migration mart), then a NEW transformWithState
+    query starts with that mart as ``initialState`` and folds only
+    the odd-event_id half. The serving mart is seeded from the batch
+    rows (handleInitialState may only seed state, not emit) and
+    update-mode emissions converge it; after one incremental pass it
+    must equal the batch oracle over ALL events — which fails if the
+    bootstrap state is dropped, since a key whose true latest is in
+    the batch half would be overwritten by a stream-only maximum."""
+    import atexit
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_latest_state_tws_bootstrap,
+    )
+
+    cache_key = f"{sf_dir}::tws_bootstrap"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "mart"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_tws_boot_")
+    mart = os.path.join(root, "mart")
+    ckpt = os.path.join(root, "ckpt")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = read_table(spark, sf_dir, "events")
+    batch_half = ev.filter(F.col("event_id") % 2 == 0)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    batch_latest = (
+        batch_half.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                "ts_micros"
+            ),
+            "event_type",
+            "value",
+        )
+    )
+    # the pre-migration serving mart: seeded from batch, keyed on user
+    merge_upsert(spark, mart, batch_latest, keys=["user_id"])
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    staged = (
+        convert_nanos_ts(raw)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("event_id") % 2 == 1)
+    )
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            merge_upsert(
+                batch.sparkSession, mart, batch, keys=["user_id"]
+            )
+
+    (
+        streaming_latest_state_tws_bootstrap(staged, batch_latest)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(mart)
+
+
+@register(
+    "streaming_tws_bootstrap_mart_check",
+    oracle=_TWS_ORACLE,
+    doc="transformWithState INITIAL-STATE BOOTSTRAP (VERDICT r11 #8 "
+    "— the batch->streaming migration): the batch mart over the "
+    "even-event half becomes initialState of a fresh "
+    "transformWithState query that folds only the odd half; the "
+    "seeded serving mart must converge to the batch ROW_NUMBER "
+    "oracle over ALL events after one incremental pass. Dropping "
+    "the bootstrap diverges (stream-only maxima overwrite batch-half "
+    "winners), so the check proves handleInitialState actually "
+    "seeded every key's ValueState.",
+)
+def q_streaming_tws_bootstrap_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mart = _materialized_tws_bootstrap_mart(spark, sf_dir)
+    return mart.select(
+        "user_id",
+        "event_id",
+        F.timestamp_micros(F.col("ts_micros"))
+        .cast("timestamp_ntz")
+        .alias("latest_ts"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_cents"),
+    )

@@ -180,6 +180,67 @@ def streaming_latest_state_tws(
     )
 
 
+class LatestStateBootstrapProcessor(LatestStateProcessor):
+    """``LatestStateProcessor`` with INITIAL-STATE bootstrap (VERDICT
+    r11 #8 — the batch->streaming migration every production team
+    performs): the new streaming query starts from the batch mart's
+    current per-key state via ``transformWithStateInPandas(
+    initialState=...)`` instead of refolding history. Spark calls
+    ``handleInitialState`` once per bootstrapped key before its first
+    input rows; it may only SEED state (no emissions), so the
+    migration seeds the serving mart from the batch rows separately
+    and lets update-mode emissions converge it. Correctness is
+    load-bearing: a key whose overall latest lives in the batch half
+    but that receives new streaming rows would emit a WRONG
+    stream-only maximum if the seed were dropped."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        row = (
+            next(initialState.itertuples(index=False))
+            if isinstance(initialState, pd.DataFrame)
+            else initialState
+        )
+        self._state.update(
+            (
+                int(row.ts_micros),
+                int(row.event_id),
+                str(row.event_type),
+                float(row.value),
+            )
+        )
+
+
+def streaming_latest_state_tws_bootstrap(
+    events: DataFrame,
+    initial: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """``streaming_latest_state_tws`` bootstrapped from a batch mart:
+    ``initial`` carries one row per key in OUTPUT_SCHEMA shape (the
+    batch mart's current latest); the stream folds NEW events on top
+    of that seeded state. Same output contract, same batch ROW_NUMBER
+    oracle over the union of both halves."""
+    from stripe_data_pipeline_spark.streaming.pbshim import (
+        ensure_protobuf_runtime,
+    )
+
+    if not ensure_protobuf_runtime(events.sparkSession):
+        raise ModuleNotFoundError(
+            "transformWithState needs a google.protobuf runtime "
+            "(streaming/pbshim.py)"
+        )
+    prepared = events.withColumn(
+        "ts_micros", F.unix_micros(F.col("ts"))
+    ).select(key, "event_id", "ts_micros", "event_type", "value")
+    return prepared.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=LatestStateBootstrapProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=initial.groupBy(key),
+    )
+
+
 # ---------------------------------------------------------------------------
 # transformWithState TIMERS — session close on inactivity
 # ---------------------------------------------------------------------------
