@@ -85,185 +85,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-11 rotation (policy per VERDICT r5 #5 / r7 #8 / r10 #2,
-# enforced by tests/test_driver_contract.py): FIRST the 15 queries
-# with no prior driver verdict or changed semantics this round — the
-# Python UDTF chunker, the column-mapping rename round trip, the
-# transformWithState stateful mart, the two-mart atomic transaction,
-# winnowing_fingerprints_fast (rewritten from rows-only to the
-# flag-pinned invariant oracle, VERDICT r10 #1), sorted-neighborhood
-# blocking, the bitmap exact-distinct family, the XML / URL / crypto
-# scalar families, the hourly forward-fill resample, and the
-# round-robin domain interleave, the fill-in-the-middle transform,
-# Kneser-Ney bigram smoothing, and the matryoshka-truncation
-# retrieval check; THEN the ENTIRE stale backlog — the
-# four round-4 flagship queries (revenue_trend_daily,
-# recognized_quarter_calendar, recognized_monthly_halfopen,
-# pandas_udf_normalize) and all 31 round-5 stragglers (VERDICT r10
-# #2) — exactly 50, leaving every query's latest driver verdict <= 5
-# rounds old after r11. The manifest-family queries this round's
-# lakehouse rewrite touched all carry FRESH r10 verdicts and lead the
-# below-window continuation; re-checking them would evict stale
-# queries, and the full-catalog sweep covers them regardless.
+# Round-12 rotation (policy per VERDICT r5 #5 / r7 #8 / r11 #1,
+# enforced by tests/test_driver_contract.py): FIRST the 6 queries
+# with no prior driver verdict — HTML main-content extraction, the
+# SQL-surface recursive CTE, the built-in Datasketches row, the
+# per-file Bloom skipping check, the state-store reader, and the
+# transformWithState initial-state bootstrap (VERDICT r11 #2-#5, #7,
+# #8); THEN 44 of the 45 round-6-stale queries (the oldest backlog
+# the catalog carries — VERDICT r11 #1's named set is fully inside).
+# Six new entries displace exactly one backlog query
+# (media_mjpeg_decode_check, chosen because the JPEG decoder it
+# composes is re-verified in-window by media_jpeg_decode_check); it
+# leads the below-window continuation with the 38 round-7-stale
+# queries, which together form r13's window. Every query is also
+# covered each round by the full-catalog DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- new/changed-semantics this round (15) ---
-    "udtf_doc_chunks",
-    "atomic_column_rename_check",
-    "streaming_tws_latest_mart_check",
-    "atomic_two_mart_txn_check",
-    "winnowing_fingerprints_fast",
-    "sorted_neighborhood_pairs",
-    "bitmap_exact_distinct_check",
-    "xml_shredding_check",
-    "url_functions_check",
-    "crypto_functions_check",
-    "gap_filled_hourly_values",
-    "interleaved_training_order",
-    "fim_transform_pairs",
-    "kneser_ney_scores",
-    "matryoshka_topk_check",
-    # --- the r4-stale flagship (4) ---
-    "revenue_trend_daily",
-    "recognized_quarter_calendar",
-    "recognized_monthly_halfopen",
-    "pandas_udf_normalize",
-    # --- the 31 r5-stale stragglers ---
-    "asof_join_events_orders",
-    "customer_orders_left_join",
-    "customers_with_open_orders_semi",
-    "customers_without_orders_anti",
-    "dedup_clusters",
-    "dedup_exact_summary",
-    "dim_chain_join",
-    "doc_fingerprints",
-    "doc_lang_id",
-    "doc_quality_scores",
-    "doc_text_stats",
-    "doc_words_exploded_top20",
-    "embedding_lsh_near_dups",
-    "event_gaps",
-    "incremental_agg_mart_check",
-    "jaccard_verify_lsh",
-    "label_centroids_applyinpandas",
-    "latest_event_per_user",
-    "max_cursor",
-    "media_metadata",
-    "near_dup_jaccard_pairs",
-    "orders_high_watermark",
-    "orders_lineitem_join",
-    "orders_rename_cast",
-    "orders_status_filter",
-    "pricing_summary",
-    "scd2_customer_segments",
-    "simhash_signatures",
-    "stats_pruned_scan_check",
-    "top20_orders",
-    "top3_orders_per_status",
-    # --- below the 50-query window: newest-first continuation ---
-    # (the changed-code lakehouse family leads here — its r10 verdicts
-    # are fresh and this round's manifest rewrite is covered by the
-    # full-catalog sweep + the three new lakehouse queries inside the
-    # window, so no stale query loses its slot to a re-check)
-    "atomic_constraint_mart_check",
-    "atomic_mor_cdf_check",
-    "atomic_mart_change_feed",
-    "atomic_clone_check",
-    "atomic_merge_mart_check",
-    "streaming_mor_delete_mart_check",
-    "atomic_mor_delete_check",
-    "incremental_kmv_mart_check",
-    "zorder_key_check",
-    "hilbert_key_check",
-    "incremental_cms_mart_check",
-    "variant_shredding_check",
-    "label_propagation_communities",
-    "hard_negatives_inbatch",
-    "bytebpe_encoded_docs",
-    "bytebpe_roundtrip_check",
-    "orc_roundtrip_check",
-    "streaming_wm_dedup_mart_check",
-    "streaming_full_outer_join_mart_check",
-    "lateral_topk_per_order",
-    "map_functions_check",
-    "array_functions_check",
-    "bm25_top_docs",
-    "textrank_keywords",
-    "winnowing_fingerprints",
-    "winnowing_shared_pairs",
-    "streaming_atomic_merge_mart_check",
-    "incremental_join_mart_check",
-    "column_null_audit",
-    "daily_value_anomalies",
-    "event_funnel_conversion",
-    "semantic_dedup_keepers",
-    "semantic_split_leakage",
-    "source_mix_plan",
-    "streaming_windowed_counts_mart_check",
-    "token_rarity_scores",
-    "training_sequences_mart_check",
-    "user_rfm_features",
-    "weekly_retention_cohorts",
-    "active_periods_per_month_start",
-    "calendar_dim",
-    "cosine_topk_bruteforce",
-    "cube_counts",
-    "curated_line_items",
-    "dedup_exact_keepers",
-    "deferred_by_customer_asof",
-    "deferred_total_asof",
-    "fx_literal_dim",
-    "ivf_topk",
-    "missing_period_end_threshold",
-    "wordpiece_merges_learned",
-    "wordpiece_encoded_docs",
-    "wordpiece_unk_stats",
-    "bleu_pair_scores",
-    "media_audio_features_check",
-    "triangle_counts_supplier",
-    "kmv_distinct_sketch_check",
-    "maxsim_late_interaction_topk",
-    "streaming_stateful_latest_mart_check",
-    "discount_revenue_q6ish",
-    "nation_profit_q9ish",
-    "linestatus_priority_q12ish",
-    "promo_part_suppliers_q20ish",
-    "preference_pair_prep",
-    "streaming_outer_join_mart_check",
-    "small_quantity_revenue_q17ish",
-    "customer_order_distribution_q13ish",
-    "cheapest_part_per_type_q2ish",
-    "sole_returning_supplier_q21ish",
-    "important_nation_balances_q11ish",
-    "nation_market_share_q8ish",
-    "segment_dedup_docs",
-    "span_corruption_pairs",
-    "bpe_roundtrip_check",
-    "media_spectral_hash_near_dups",
-    "semdedup_keepers",
-    "rrf_hybrid_topk",
-    "hist_quantile_prices",
-    "hist_quantile_merge_check",
-    "incremental_hist_mart_check",
-    "promo_revenue_share_q14ish",
-    "parts_supplier_counts_q16ish",
-    "large_volume_orders_q18ish",
-    "nation_volume_shipping_q7ish",
-    "disjunctive_parts_revenue_q19ish",
-    "ann_recall_check",
-    "zipf_fit_tokens",
-    "pmi_collocations",
-    "weighted_sample_docs",
-    "stupid_backoff_scores",
-    "idle_rich_customers_q22ish",
-    "char_entropy_scores",
-    "priority_order_counts_q4ish",
-    "top_supplier_revenue_q15ish",
-    "cms_token_estimates",
-    "cms_merge_check",
-    "unimax_lang_budgets",
-    "pagerank_customer_supplier",
-    "bpe_encoded_docs",
-    "kmeans_cluster_profile",
+    # --- new this round (6; VERDICT r11 #2-#5, #7, #8) ---
+    "html_extracted_text_check",
+    "recursive_cte_components_check",
+    "datasketches_hll_check",
+    "bloom_pruned_scan_check",
+    "statestore_reader_check",
+    "streaming_tws_bootstrap_mart_check",
+    # --- the round-6-stale backlog (44 of 45; VERDICT r11 #1) ---
     "approx_percentile_prices",
     "array_agg_sorted",
     "atomic_history_audit_check",
@@ -291,10 +135,10 @@ _PRIORITY = [
     "incremental_doc_mart_check",
     "ivf_topk_persisted",
     "key_skew_report_events",
+    "kmeans_cluster_profile",
     "lang_rebalanced_sample",
     "media_alaw_decode_check",
     "media_jpeg_decode_check",
-    "media_mjpeg_decode_check",
     "media_rle_bmp_decode_check",
     "per_group_sample_docs",
     "pii_scrub",
@@ -308,6 +152,14 @@ _PRIORITY = [
     "streaming_merge_mart_check",
     "streaming_stripe_source_mart_check",
     "token_length_histogram",
+    # --- below the 50-query window: oldest-first continuation ---
+    # media_mjpeg_decode_check is the ONE r6 query displaced by
+    # the six new entries (documented one-round slip): it
+    # composes the JPEG decoder that media_jpeg_decode_check
+    # re-verifies INSIDE the window, so it is the most
+    # redundantly-covered candidate; it leads r13's rotation,
+    # followed by the 38 round-7-stale queries.
+    "media_mjpeg_decode_check",
     "bloom_blocklist_filter_persisted",
     "bpe_merges_learned",
     "conditional_functions",
@@ -345,51 +197,7 @@ _PRIORITY = [
     "string_functions",
     "union_all_slices",
     "vocab_overlap_hll_check",
-    "approx_distinct_parts",
-    "atomic_dml_mart_check",
-    "atomic_recognized_mart_check",
-    "batch_ivf_topk",
-    "bloom_blocklist_filter",
-    "bpe_subword_vocab",
-    "bpe_token_id_sequences",
-    "ccnet_perplexity_buckets",
-    "dsir_importance_weights",
-    "gopher_quality_flags",
-    "grouping_sets_counts",
-    "hamming_topk_signbit",
-    "hll_mergeable_user_counts",
-    "ivfpq_residual_topk",
-    "ivfpq_topk",
-    "ivfpq_topk_persisted",
-    "longest_repeat_spans_check",
-    "lsh_quality_keepers",
-    "media_adpcm_decode_check",
-    "media_dhash_near_dups",
-    "media_features",
-    "media_frame_samples",
-    "media_gif_decode_check",
-    "media_png_decode_check",
-    "media_ulaw_decode_check",
-    "minhash_lsh_candidates",
-    "normalized_dedup_keepers",
-    "packed_subword_sequences",
-    "pq_adc_topk",
-    "pq_adc_topk_persisted",
-    "pq_codes_profile",
-    "returned_top_customers_q10ish",
-    "sa_scrubbed_docs",
-    "shipping_priority_q3ish",
-    "span_scrubbed_docs",
-    "streaming_session_windows_mart_check",
-    "streaming_static_join_mart_check",
-    "subword_chunks",
-    "subword_sequences_mart_check",
-    "suffix_array_ranks_check",
-    "suffix_array_ranks_scaled",
-    "tokenizer_fertility_compare",
-    "unigram_encoded_docs",
-    "unigram_vocab_costs",
-    "unigram_word_segments",
+    "zorder_key_check",
 ]
 
 

@@ -318,6 +318,17 @@ HEADLINE = [
     "fim_transform_pairs",
     "kneser_ney_scores",
     "matryoshka_topk_check",
+    # round-12: the raw-web -> text pipeline head (single fused
+    # projection — its cost IS the regex engine), the SQL-surface
+    # recursive CTE (UnionLoop iteration), the built-in Datasketches
+    # row (two scans + constant-size buffer algebra), and the Bloom
+    # file-skipping probe (mart cached; the probe path is pure-Python
+    # file pruning + a one-file scan). The state-store reader and the
+    # TWS bootstrap stay out per the streaming-mart convention.
+    "html_extracted_text_check",
+    "recursive_cte_components_check",
+    "datasketches_hll_check",
+    "bloom_pruned_scan_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -349,7 +360,11 @@ SF1_SPOT = [
     # what the ratio certifies), and the two shingle-keyed span/novelty
     # passes whose shuffle volume tracks corpus tokens
     "bloom_blocklist_filter",
-    "near_dup_jaccard_pairs",
+    # near_dup_jaccard_pairs was DROPPED from the sf1 spot list in r12
+    # (VERDICT r11 #6): it is the documented exact all-pairs-within-
+    # block path (12.2x at 10x, quadratic-within-cap BY DESIGN) whose
+    # scale route is jaccard_verify_lsh below (1.9x) — paying 14 s per
+    # bench for a shape the docs already mark non-scale bought nothing
     "duplicate_span_stats",
     "cross_doc_novelty_hashed",
     # round-6: two corpus scans + bounded KxD collects per iteration —
