@@ -100,7 +100,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, which together form r13's window. Every query is also
 # covered each round by the full-catalog DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- new this round (6; VERDICT r11 #2-#5, #7, #8) ---
+    # --- new this round (7; VERDICT r11 #2-#5, #7, #8 + the WARC head) ---
+    "warc_html_pipeline_check",
     "html_extracted_text_check",
     "recursive_cte_components_check",
     "datasketches_hll_check",
@@ -149,16 +150,18 @@ _PRIORITY = [
     "sessionized_events",
     "sql_api_segment_revenue",
     "streaming_dedup_mart_check",
-    "streaming_merge_mart_check",
     "streaming_stripe_source_mart_check",
     "token_length_histogram",
     # --- below the 50-query window: oldest-first continuation ---
-    # media_mjpeg_decode_check is the ONE r6 query displaced by
-    # the six new entries (documented one-round slip): it
-    # composes the JPEG decoder that media_jpeg_decode_check
-    # re-verifies INSIDE the window, so it is the most
-    # redundantly-covered candidate; it leads r13's rotation,
-    # followed by the 38 round-7-stale queries.
+    # media_mjpeg_decode_check and streaming_merge_mart_check are the
+    # TWO r6 queries displaced by the seven new entries (documented
+    # one-round slip): the former composes the JPEG decoder that
+    # media_jpeg_decode_check re-verifies INSIDE the window, and the
+    # latter's readStream->foreachBatch merge machinery underlies
+    # every streaming mart query, including the two new in-window
+    # ones. Both lead r13's rotation, followed by the 38
+    # round-7-stale queries.
+    "streaming_merge_mart_check",
     "media_mjpeg_decode_check",
     "bloom_blocklist_filter_persisted",
     "bpe_merges_learned",

@@ -326,6 +326,10 @@ HEADLINE = [
     # file pruning + a one-file scan). The state-store reader and the
     # TWS bootstrap stay out per the streaming-mart convention.
     "html_extracted_text_check",
+    # ...and the bytes-on-disk layer beneath it: WARC shards written
+    # once by the executors (fixture cached), then the per-file-
+    # partitioned Python DataSource read + HTTP parse + extraction
+    "warc_html_pipeline_check",
     "recursive_cte_components_check",
     "datasketches_hll_check",
     "bloom_pruned_scan_check",

@@ -1742,14 +1742,11 @@ FROM k
     "One JVM-side projection - fuses into the scan, zero shuffle at "
     "any scale.",
 )
-def q_html_extracted_text_check(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from stripe_data_pipeline_spark.operators.html import extract_main_text
-
-    docs = read_table(spark, sf_dir, "documents")
+def _html_fixture_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, html): the synthetic per-doc page — MUST mirror
+    _HTML_FIXTURE_SQL expression-for-expression."""
     sid = F.col("doc_id").cast("string")
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.lit('<html><head><title>Doc '), sid, F.lit("</title>"),
@@ -1770,6 +1767,122 @@ def q_html_extracted_text_check(
             F.lit("</body></html>"),
         ).alias("html"),
     )
+
+
+def q_html_extracted_text_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.html import extract_main_text
+
+    pages = _html_fixture_pages(read_table(spark, sf_dir, "documents"))
     return extract_main_text(pages, "html").select(
+        "doc_id", "n_blocks", "n_blocks_kept", "main_text", "n_chars_kept"
+    )
+
+
+_WARC_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _cleanup_warc_fixture_cache() -> None:
+    import shutil
+
+    for p in _WARC_FIXTURE_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the synthetic crawl ONCE per sf_dir: 4 WARC shard
+    files written BY THE EXECUTORS (foreachPartition + TaskContext
+    partition id — at scale each task writes its shard to shared
+    storage; nothing corpus-sized crosses the driver), each framed by
+    sources/warc_source.write_warc_records with a warcinfo record the
+    consumer must skip."""
+    import atexit
+    import tempfile
+
+    root = _WARC_FIXTURE_CACHE.get(sf_dir)
+    if root is not None:
+        return root
+    if not _WARC_FIXTURE_CACHE:
+        atexit.register(_cleanup_warc_fixture_cache)
+    root = tempfile.mkdtemp(prefix="warc_fixture_")
+    pages = _html_fixture_pages(read_table(spark, sf_dir, "documents"))
+    rows = pages.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://corpus.example/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        "html",
+    ).repartition(4, "doc_id")
+
+    def write_shard(it) -> None:
+        import os as _os
+
+        from pyspark import TaskContext
+
+        from stripe_data_pipeline_spark.sources.warc_source import (
+            write_warc_records,
+        )
+
+        recs = [
+            {
+                "record_id": f"doc-{r['doc_id']}",
+                "target_uri": r["target_uri"],
+                "html": r["html"],
+            }
+            for r in it
+        ]
+        if recs:
+            pid = TaskContext.get().partitionId()
+            write_warc_records(
+                _os.path.join(root, f"shard-{pid:02d}.warc"), recs
+            )
+
+    rows.foreachPartition(write_shard)
+    _WARC_FIXTURE_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "warc_html_pipeline_check",
+    oracle=_html_oracle(),
+    doc="RAW-CRAWL INGESTION end-to-end (extends VERDICT r11 #2 to "
+    "the bytes-on-disk head): the synthetic crawl is FRAMED as "
+    "spec-shaped WARC/1.0 container files (ISO 28500 — CommonCrawl's "
+    "distribution unit) by the executors, read back through a custom "
+    "Spark 4 Python DataSource (sources/warc_source.py; ONE input "
+    "partition per WARC file, the real CC parallelization unit; "
+    "streaming record walk, constant memory), HTTP payloads parsed, "
+    "warcinfo records skipped, and the HTML main-content extractor "
+    "applied — the final text must bit-match the SAME DuckDB oracle "
+    "as html_extracted_text_check, proving the whole WARC -> record "
+    "-> HTTP -> HTML -> text path is lossless char-for-char.",
+)
+def q_warc_html_pipeline_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.html import extract_main_text
+    from stripe_data_pipeline_spark.sources.warc_source import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    fixture = _warc_fixture_dir(spark, sf_dir)
+    recs = (
+        spark.read.format("warcarchive")
+        .load(fixture)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            F.regexp_extract(F.col("target_uri"), r"doc/(\d+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("body").alias("html"),
+        )
+    )
+    return extract_main_text(recs, "html").select(
         "doc_id", "n_blocks", "n_blocks_kept", "main_text", "n_chars_kept"
     )

@@ -1,0 +1,61 @@
+"""WARC container framing (sources/warc_source.py) — spec walk,
+HTTP payload split, and crash-of-the-crawler robustness, all without
+a SparkSession (the DataSource read path calls exactly these)."""
+
+from __future__ import annotations
+
+from stripe_data_pipeline_spark.sources.warc_source import (
+    _http_parts,
+    parse_warc_file,
+    write_warc_records,
+)
+
+
+def _roundtrip(tmp_path, records):
+    p = str(tmp_path / "f.warc")
+    write_warc_records(p, records)
+    return p, list(parse_warc_file(p))
+
+
+def test_roundtrip_preserves_records_and_payloads(tmp_path):
+    recs = [
+        {"record_id": "doc-1", "target_uri": "http://x/doc/1",
+         "html": "<p>hello</p>"},
+        {"record_id": "doc-2", "target_uri": "http://x/doc/2",
+         # payload containing the record separator must NOT split the
+         # stream: framing is length-prefixed, not delimiter-based
+         "html": "<p>tricky\r\n\r\nWARC/1.0 lookalike</p>"},
+    ]
+    _, parsed = _roundtrip(tmp_path, recs)
+    assert [r["headers"]["warc-type"] for r in parsed] == [
+        "warcinfo", "response", "response",
+    ]
+    status, ctype, body = _http_parts(parsed[2]["payload"])
+    assert (status, ctype) == (200, "text/html")
+    assert body == recs[1]["html"]
+
+
+def test_truncated_file_yields_complete_prefix(tmp_path):
+    recs = [
+        {"record_id": f"doc-{i}", "target_uri": f"http://x/doc/{i}",
+         "html": f"<p>body {i}</p>"}
+        for i in range(3)
+    ]
+    p = str(tmp_path / "f.warc")
+    write_warc_records(p, recs)
+    data = open(p, "rb").read()
+    # cut mid-payload of the LAST record: the walk must yield every
+    # complete record and stop cleanly (truncated fetches are a fact
+    # of crawl life), never raise
+    open(p, "wb").write(data[: len(data) - 12])
+    parsed = list(parse_warc_file(p))
+    assert len(parsed) == 3  # warcinfo + 2 complete responses
+    assert _http_parts(parsed[2]["payload"])[2] == "<p>body 1</p>"
+
+
+def test_non_http_payload_is_passed_through(tmp_path):
+    p, parsed = _roundtrip(tmp_path, [])
+    info = parsed[0]
+    status, ctype, body = _http_parts(info["payload"])
+    assert status is None and ctype is None
+    assert "warc_source" in body
