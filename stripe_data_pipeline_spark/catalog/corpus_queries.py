@@ -1724,24 +1724,6 @@ FROM k
 """
 
 
-@register(
-    "html_extracted_text_check",
-    oracle=_html_oracle(),
-    doc="HTML MAIN-CONTENT EXTRACTION (VERDICT r11 #2) — the raw-web "
-    "-> text head of the pipeline every downstream text operator "
-    "presupposes (the trafilatura/jusText step): script/style/comment "
-    "removal, block segmentation at block-tag boundaries, tag "
-    "stripping, entity unescaping, whitespace collapse, and "
-    "link-density boilerplate drop (nav/footer blocks are ~100% "
-    "anchor text; prose is not). Inputs are synthetic per-doc HTML "
-    "pages built from documents.text with planted nav/footer "
-    "boilerplate, entities, comments and an in-prose link (the "
-    "pii_scrub prove-it pattern), so the oracle proves real "
-    "extraction char-for-char, not no-op parity. All regexes in the "
-    "Java/RE2-common subset; density test is integer arithmetic. "
-    "One JVM-side projection - fuses into the scan, zero shuffle at "
-    "any scale.",
-)
 def _html_fixture_pages(docs: DataFrame) -> DataFrame:
     """(doc_id, html): the synthetic per-doc page — MUST mirror
     _HTML_FIXTURE_SQL expression-for-expression."""
@@ -1769,6 +1751,25 @@ def _html_fixture_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+
+@register(
+    "html_extracted_text_check",
+    oracle=_html_oracle(),
+    doc="HTML MAIN-CONTENT EXTRACTION (VERDICT r11 #2) — the raw-web "
+    "-> text head of the pipeline every downstream text operator "
+    "presupposes (the trafilatura/jusText step): script/style/comment "
+    "removal, block segmentation at block-tag boundaries, tag "
+    "stripping, entity unescaping, whitespace collapse, and "
+    "link-density boilerplate drop (nav/footer blocks are ~100% "
+    "anchor text; prose is not). Inputs are synthetic per-doc HTML "
+    "pages built from documents.text with planted nav/footer "
+    "boilerplate, entities, comments and an in-prose link (the "
+    "pii_scrub prove-it pattern), so the oracle proves real "
+    "extraction char-for-char, not no-op parity. All regexes in the "
+    "Java/RE2-common subset; density test is integer arithmetic. "
+    "One JVM-side projection - fuses into the scan, zero shuffle at "
+    "any scale.",
+)
 def q_html_extracted_text_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -41,8 +41,8 @@ SCRIPT_RE = r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>"
 STYLE_RE = r"(?is)<style(?:\s[^>]*)?>.*?</style\s*>"
 COMMENT_RE = r"(?s)<!--.*?-->"
 BLOCK_SPLIT_RE = (
-    r"(?i)<(?:/p|/h[1-6]|/div|/li|/ul|/ol|/table|/tr|/td|/header|/footer"
-    r"|/nav|/section|/article|/blockquote|br\s*/?)\s*>"
+    r"(?i)<(?:/title|/p|/h[1-6]|/div|/li|/ul|/ol|/table|/tr|/td|/header"
+    r"|/footer|/nav|/section|/article|/blockquote|br\s*/?)\s*>"
 )
 ANCHOR_RE = r"(?is)<a(?:\s[^>]*)?>.*?</a\s*>"
 TAG_RE = r"(?s)<[^>]*>"
