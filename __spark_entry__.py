@@ -100,7 +100,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, which together form r13's window. Every query is also
 # covered each round by the full-catalog DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- new this round (7; VERDICT r11 #2-#5, #7, #8 + the WARC head) ---
+    # --- new this round (8; VERDICT r11 #2-#5, #7, #8 + the WARC head
+    # and the streaming change-feed source) ---
+    "streaming_cdf_source_mart_check",
     "warc_html_pipeline_check",
     "html_extracted_text_check",
     "recursive_cte_components_check",
@@ -111,7 +113,6 @@ _PRIORITY = [
     # --- the round-6-stale backlog (44 of 45; VERDICT r11 #1) ---
     "approx_percentile_prices",
     "array_agg_sorted",
-    "atomic_history_audit_check",
     "atomic_partition_evolution_check",
     "atomic_schema_evolution_mart_check",
     "atomic_time_travel_check",
@@ -153,15 +154,17 @@ _PRIORITY = [
     "streaming_stripe_source_mart_check",
     "token_length_histogram",
     # --- below the 50-query window: oldest-first continuation ---
-    # media_mjpeg_decode_check and streaming_merge_mart_check are the
-    # TWO r6 queries displaced by the seven new entries (documented
-    # one-round slip): the former composes the JPEG decoder that
-    # media_jpeg_decode_check re-verifies INSIDE the window, and the
-    # latter's readStream->foreachBatch merge machinery underlies
-    # every streaming mart query, including the two new in-window
-    # ones. Both lead r13's rotation, followed by the 38
-    # round-7-stale queries.
+    # media_mjpeg_decode_check, streaming_merge_mart_check and
+    # atomic_history_audit_check are the THREE r6 queries displaced by
+    # the eight new entries (documented one-round slip): the first
+    # composes the JPEG decoder media_jpeg_decode_check re-verifies
+    # INSIDE the window; the second's readStream->foreachBatch merge
+    # machinery underlies every streaming mart query including the
+    # three new in-window ones; the third's commit audit records are
+    # exercised by every atomic commit and pytest-pinned. All three
+    # lead r13's rotation, followed by the 38 round-7-stale queries.
     "streaming_merge_mart_check",
+    "atomic_history_audit_check",
     "media_mjpeg_decode_check",
     "bloom_blocklist_filter_persisted",
     "bpe_merges_learned",

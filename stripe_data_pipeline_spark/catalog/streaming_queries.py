@@ -3390,3 +3390,117 @@ def q_streaming_tws_bootstrap_mart_check(
         .cast("bigint")
         .alias("value_cents"),
     )
+
+
+def _materialized_cdf_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscribe a downstream consumer to the mislabel-correction
+    scenario THROUGH the streaming change-feed source: v1 merges the
+    first batch (buckets 40-59 mislabeled lang 'zz'), v2 merges the
+    correction; the stream drains both committed versions as
+    micro-batch offsets and appends the row-level feed to parquet.
+    The feed must equal the closed-form change set the oracle derives
+    from the bucket assignment — and, by construction of the source,
+    each version's slice bit-matches batch read_changes."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table
+    from stripe_data_pipeline_spark.operators.sampling import hash_bucket
+    from stripe_data_pipeline_spark.sources.manifest_cdf_source import (
+        register_manifest_cdf_source,
+    )
+
+    cache_key = f"{sf_dir}::cdf_source"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is not None:
+        return spark.read.parquet(os.path.join(root, "feed"))
+    if not _STREAM_MART_CACHE:
+        atexit.register(_cleanup_stream_cache)
+    root = tempfile.mkdtemp(prefix="stream_cdf_src_")
+    table = os.path.join(root, "table")
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        hash_bucket(F.col("doc_id"), 100, salt="ingest").alias("__b"),
+    )
+    day1 = (
+        feats.filter(F.col("__b") < 60)
+        .withColumn(
+            "lang",
+            F.when(F.col("__b") >= 40, F.lit("zz")).otherwise(F.col("lang")),
+        )
+        .drop("__b")
+    )
+    day2 = feats.filter(F.col("__b") >= 40).drop("__b")
+    for batch in (day1, day2):
+        MT.merge_upsert_atomic(
+            spark, table, batch, keys=["doc_id"], partition_by="lang"
+        )
+
+    register_manifest_cdf_source(spark)
+    (
+        spark.readStream.format("manifestcdf")
+        .option("path", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(root, "feed"))
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    _STREAM_MART_CACHE[cache_key] = root
+    return spark.read.parquet(os.path.join(root, "feed"))
+
+
+@register(
+    "streaming_cdf_source_mart_check",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens,
+           CAST(('0x' || substr(md5('ingest' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bkt
+    FROM documents
+)
+SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+       doc_id,
+       CASE WHEN bkt >= 40 THEN 'zz' ELSE lang END AS lang, n_tokens
+FROM b WHERE bkt < 60
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'delete', doc_id, 'zz', n_tokens
+FROM b WHERE bkt >= 40 AND bkt < 60
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'insert', doc_id, lang, n_tokens
+FROM b WHERE bkt >= 40
+""",
+    doc="STREAMING CHANGE-DATA-FEED SOURCE (the Delta 'stream from a "
+    "table's change feed' shape): spark.readStream.format("
+    "'manifestcdf') subscribes to the crash-atomic mart's row-level "
+    "changes — one committed VERSION per micro-batch offset, one "
+    "input partition per (version, touched partition key), the task "
+    "body a pure pyarrow/pandas old-vs-new dir multiset diff "
+    "(sources/manifest_cdf_source.py; executors never rescan "
+    "untouched dirs, exactly read_changes' manifest pruning). The "
+    "drained feed over the mislabel-correction scenario (v1 inserts "
+    "with buckets 40-59 mislabeled 'zz', v2 the delete+insert "
+    "correction wave) must equal the closed-form change set derived "
+    "from the bucket assignment. Crashed consumers resume at their "
+    "checkpointed version; MOR spans and schema changes fail loudly "
+    "(Delta's stop-the-stream behavior) — pytest-pinned.",
+)
+def q_streaming_cdf_source_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    feed = _materialized_cdf_feed(spark, sf_dir)
+    return feed.select(
+        "_commit_version", "_change_type", "doc_id", "lang", "n_tokens"
+    )

@@ -1,0 +1,98 @@
+"""Streaming change-feed source (sources/manifest_cdf_source.py):
+per-version parity with batch read_changes, resume-at-offset, and the
+fail-loudly guards (MOR spans, schema change under the stream)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark import manifest_table as MT
+from stripe_data_pipeline_spark.sources.manifest_cdf_source import (
+    ManifestCdfStreamReader,
+    register_manifest_cdf_source,
+)
+
+
+def _mk_table(spark, tmp_path) -> str:
+    root = str(tmp_path / "t")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "id long, part string, v double",
+    )
+    MT.merge_upsert_atomic(spark, root, v1, keys=["id"], partition_by="part")
+    v2 = spark.createDataFrame(
+        [(2, "b", 20.0), (4, "a", 4.0)], "id long, part string, v double"
+    )
+    MT.merge_upsert_atomic(spark, root, v2, keys=["id"], partition_by="part")
+    MT.delete_where(spark, root, F.col("id") == 1)  # v3
+    return root
+
+
+def _drain(spark, root, tmp_path, tag, **opts) -> "DataFrame":
+    sink = str(tmp_path / f"feed_{tag}")
+    reader = spark.readStream.format("manifestcdf").option("path", root)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(sink)
+
+
+def test_feed_matches_batch_read_changes_per_version(spark, tmp_path):
+    root = _mk_table(spark, tmp_path)
+    register_manifest_cdf_source(spark)
+    feed = _drain(spark, root, tmp_path, "all")
+    assert feed.count() == 7  # 3 inserts, update pair, 1 delete
+    for v in (2, 3):
+        batch = MT.read_changes(
+            spark, root, from_version=v - 1, to_version=v
+        ).withColumn("_commit_version", F.lit(v).cast("long"))
+        got = feed.filter(F.col("_commit_version") == v).select(*batch.columns)
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+    # startingVersion skips already-consumed history
+    tail = _drain(spark, root, tmp_path, "tail", startingVersion="3")
+    assert {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in tail.collect()
+    } == {(1, "delete", 3)}
+
+
+def test_mor_span_and_schema_change_fail_loudly(spark, tmp_path):
+    root = _mk_table(spark, tmp_path)
+    # schema change under the stream: the reader's declared schema is
+    # the v3 logical one; an added column must stop the plan
+    MT.merge_upsert_atomic(
+        spark,
+        root,
+        spark.createDataFrame([(9, "a", 9.0, "x")],
+                              "id long, part string, v double, extra string"),
+        keys=["id"],
+        partition_by="part",
+    )
+    from pyspark.sql import types as T
+
+    old_schema = T.StructType.fromJson(
+        __import__("json").loads(MT.read_manifest(root, 3)["schema"])
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    r = ManifestCdfStreamReader(old_schema, {"path": root})
+    with pytest.raises(ValueError, match="changed the table schema"):
+        r.partitions({"version": 3}, {"version": 4})
+    # MOR span: pending delete files refuse the stream
+    MT.delete_where_mor(spark, root, F.col("id") == 2, keys=["id"])
+    cur = T.StructType.fromJson(
+        __import__("json").loads(MT.read_manifest(root)["schema"])
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    r2 = ManifestCdfStreamReader(cur, {"path": root})
+    with pytest.raises(ValueError, match="merge-on-read"):
+        r2.partitions({"version": 4}, {"version": 5})
