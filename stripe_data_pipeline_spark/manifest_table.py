@@ -498,6 +498,18 @@ def _bloom_skips_file(
     return False
 
 
+def _bloom_rebuild(spark, root: str, staged: dict, m: dict | None) -> None:
+    """Rebuild bloom sidecars for freshly staged dirs when the table
+    DECLARES a bloom index (manifest bloom_cols, physical names) — so
+    OPTIMIZE/compaction, UPDATE, DELETE, repartition and apply_deletes
+    keep the index instead of silently shedding it (a dir without a
+    sidecar is only conservatively un-prunable, but a maintenance op
+    that quietly costs the table its file skipping is a regression)."""
+    cols = (m or {}).get("bloom_cols") or []
+    if cols and staged:
+        _write_bloom_sidecars(spark, root, staged, list(cols))
+
+
 def _load_bloom_sidecar(d: str) -> dict | None:
     try:
         with open(os.path.join(d, _BLOOM_SIDECAR)) as fh:
@@ -934,6 +946,7 @@ def _plan_merge(
             )
             plan["fstats_fresh"] = _file_stats(root, staged, stats_cols)
         if bloom_cols:
+            plan["bloom_cols"] = sorted(set(bloom_cols))
             _write_bloom_sidecars(spark, root, staged, bloom_cols)
         return plan
 
@@ -1001,11 +1014,17 @@ def _plan_merge(
             spark, root, staged, phys_pb, phys_stats_cols
         )
         plan["fstats_fresh"] = _file_stats(root, staged, phys_stats_cols)
-    if bloom_cols:
-        # sidecars key PHYSICAL names, like stats
-        _write_bloom_sidecars(
-            spark, root, staged, [mp.get(c, c) for c in bloom_cols]
-        )
+    # bloom index: the param (mapped to PHYSICAL names, like stats)
+    # unions with the table's standing declaration, and EVERY merge on
+    # a declaring table rebuilds its staged dirs' sidecars — once
+    # declared, the index survives all rewrites
+    eff_bloom = sorted(
+        {mp.get(c, c) for c in (bloom_cols or [])}
+        | set(base.get("bloom_cols") or [])
+    )
+    if eff_bloom:
+        plan["bloom_cols"] = eff_bloom
+        _write_bloom_sidecars(spark, root, staged, eff_bloom)
     return plan
 
 
@@ -1034,6 +1053,8 @@ def _commit_plan(
             manifest["file_stats"] = plan.get("fstats_fresh", {})
         if txn is not None:
             manifest["txns"] = {txn[0]: txn[1]}
+        if plan.get("bloom_cols"):
+            manifest["bloom_cols"] = list(plan["bloom_cols"])
         _commit(root, manifest, _fault)
         return
     # Untouched partitions keep their committed dirs; touched ones are
@@ -1074,6 +1095,8 @@ def _commit_plan(
             txns[txn[0]] = txn[1]
         manifest["txns"] = txns
     _carry_constraints(manifest, current)
+    if plan.get("bloom_cols"):
+        manifest["bloom_cols"] = list(plan["bloom_cols"])
     # the plan's mapping is authoritative (it may have minted physical
     # names for batch-added columns); _can_rebase refuses to commit a
     # plan across an intervening mapping change, so plan/current agree
@@ -1476,6 +1499,7 @@ def _compact_partition_locked(
     marker = f"-c{_cluster_spec_hash(cluster_by)}" if cluster_by else ""
     new_rel = f"{_PARTS}/{key}{marker}-{uuid.uuid4().hex[:8]}"
     os.replace(staging, os.path.join(root, new_rel))
+    _bloom_rebuild(spark, root, {key: new_rel}, m)
     new_parts = dict(m["parts"])
     new_parts[key] = new_rel
     manifest = {
@@ -1964,6 +1988,7 @@ def repartition_table(
         staged = _stage_versioned(
             df, root, new_partition_by, column_mapping=_mapping(m)
         )
+        _bloom_rebuild(spark, root, staged, m)
         manifest = {
             "version": int(m["version"]) + 1,
             "partition_by": new_partition_by,
@@ -2084,6 +2109,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
         staged = _stage_versioned(
             keep, root, partition_by, column_mapping=_mapping(m)
         )
+        _bloom_rebuild(spark, root, staged, m)
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
         }
@@ -2252,6 +2278,7 @@ def update_where(
         staged = _stage_versioned(
             updated, root, partition_by, column_mapping=_mapping(m)
         )
+        _bloom_rebuild(spark, root, staged, m)
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
         }
@@ -2374,6 +2401,11 @@ def _carry_constraints(manifest: dict, m: dict) -> dict:
     already passed)."""
     if m.get("constraints"):
         manifest["constraints"] = dict(m["constraints"])
+    if m.get("bloom_cols"):
+        # the bloom-index column declaration survives derived commits
+        # the same way; the rewriting op itself is responsible for
+        # rebuilding the rewritten dirs' sidecars (_bloom_rebuild)
+        manifest["bloom_cols"] = list(m["bloom_cols"])
     return manifest
 
 
@@ -2832,6 +2864,7 @@ def apply_deletes(
         staged = _stage_versioned(
             keep, root, partition_by, _fault, column_mapping=_mapping(m)
         )
+        _bloom_rebuild(spark, root, staged, m)
         new_parts = {
             k: v for k, v in m["parts"].items() if k not in touched_keys
         }

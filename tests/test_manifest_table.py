@@ -1016,3 +1016,45 @@ def test_bloom_skipping_survives_column_rename(spark, tmp_path):
         r["id"]
         for r in pruned.filter(F2.col("content_hash") == probe).collect()
     ] == [77]
+
+
+def test_bloom_index_survives_rewrites(spark, tmp_path):
+    """Once DECLARED (manifest bloom_cols), the index must survive
+    every rewriting op — compaction/OPTIMIZE, UPDATE, a second merge
+    that never re-passes bloom_cols — instead of silently shedding
+    sidecars and with them the file skipping."""
+    import hashlib
+
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F2.col("id"), F2.md5(F2.col("id").cast("string")).alias("key")
+    )
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(8), keys=["id"], bloom_cols=["key"]
+    )
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+
+    def pruned_files(probe_id: int) -> int:
+        probe = hashlib.md5(str(probe_id).encode()).hexdigest()
+        t = MT.read_table(spark, root, stats_filter={"key": (probe, probe)})
+        assert [r["id"] for r in t.filter(F2.col("key") == probe).collect()] \
+            == [probe_id]
+        return len(t.inputFiles())
+
+    # a second merge WITHOUT bloom_cols still rebuilds its staged dirs
+    more = spark.range(4000, 6000).select(
+        F2.col("id"), F2.md5(F2.col("id").cast("string")).alias("key")
+    )
+    MT.merge_upsert_atomic(spark, root, more.repartition(8), keys=["id"])
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+    full = len(MT.read_table(spark, root).inputFiles())
+    assert pruned_files(5000) < full
+    # UPDATE rewrites the touched dir WITH a fresh sidecar
+    MT.update_where(spark, root, F2.col("id") == -1, {"id": F2.col("id")})
+    # compaction/OPTIMIZE rebuilds too
+    MT.maintain(spark, root, target_rows_per_file=500,
+                max_files_per_partition=1, retain_history=0, grace_sec=0.0)
+    full = len(MT.read_table(spark, root).inputFiles())
+    assert full > 1 and pruned_files(123) < full
