@@ -409,6 +409,9 @@ SF1_SPOT = [
     # bigram shuffle tracks corpus tokens (4.4x at 10x)
     "sorted_neighborhood_pairs",
     "kneser_ney_scores",
+    # r12: the pipeline head must scan at corpus speed — the fused
+    # regex projection measured 7.5x at 10x data (pure scan growth)
+    "html_extracted_text_check",
     # r11 second batch (events now in the replication — sf_scale
     # builds newly-listed tables incrementally): the bitmap distinct
     # fold (4.2x at 10x — buckets grow with users), the hour-spine
