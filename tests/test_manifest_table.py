@@ -1058,3 +1058,34 @@ def test_bloom_index_survives_rewrites(spark, tmp_path):
                 max_files_per_partition=1, retain_history=0, grace_sec=0.0)
     full = len(MT.read_table(spark, root).inputFiles())
     assert full > 1 and pruned_files(123) < full
+
+
+def test_bloom_false_positive_rate_in_spec(spark, tmp_path):
+    """The sidecar's md5-position family must deliver roughly the
+    requested fpp: probing 2000 ABSENT keys against a 1%-fpp index
+    must skip the overwhelming majority of files (a broken hash
+    family degrades to keep-everything, which stays correct but
+    silently costs the skipping this index exists for)."""
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F2.col("id"), F2.md5(F2.col("id").cast("string")).alias("key")
+    )
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(8), keys=["id"], bloom_cols=["key"]
+    )
+    m = MT.read_manifest(root)
+    rel = next(iter(m["parts"].values()))
+    side = MT._load_bloom_sidecar(f"{root}/{rel}")
+    files = side["cols"]["key"]
+    n_files = len(files)
+    tested = kept = 0
+    for probe_i in range(2000):
+        probe = f"absent-{probe_i}"  # definitely not an md5 of 0..3999
+        for fname in files:
+            tested += 1
+            if not MT._bloom_skips_file(side, fname, {"key": probe}):
+                kept += 1
+    fp_rate = kept / tested
+    assert n_files >= 2 and fp_rate < 0.05, (n_files, fp_rate)

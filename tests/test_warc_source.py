@@ -59,3 +59,32 @@ def test_non_http_payload_is_passed_through(tmp_path):
     status, ctype, body = _http_parts(info["payload"])
     assert status is None and ctype is None
     assert "warc_source" in body
+
+
+def test_datasource_maps_one_partition_per_file(spark, tmp_path):
+    """The CommonCrawl parallelization contract: N WARC files -> N
+    input partitions, each yielding exactly its own records."""
+    from stripe_data_pipeline_spark.sources.warc_source import (
+        register_warc_source,
+    )
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    for shard in range(3):
+        write_warc_records(
+            str(d / f"s{shard}.warc"),
+            [
+                {"record_id": f"doc-{shard}-{i}",
+                 "target_uri": f"http://x/doc/{shard * 10 + i}",
+                 "html": f"<p>s{shard} r{i}</p>"}
+                for i in range(2)
+            ],
+        )
+    register_warc_source(spark)
+    df = spark.read.format("warcarchive").load(str(d))
+    assert df.rdd.getNumPartitions() == 3
+    resp = df.filter(df.warc_type == "response")
+    assert resp.count() == 6
+    assert df.filter(df.warc_type == "warcinfo").count() == 3
+    got = {r["record_id"] for r in resp.collect()}
+    assert got == {f"doc-{s}-{i}" for s in range(3) for i in range(2)}
