@@ -96,3 +96,19 @@ def test_mor_span_and_schema_change_fail_loudly(spark, tmp_path):
     r2 = ManifestCdfStreamReader(cur, {"path": root})
     with pytest.raises(ValueError, match="merge-on-read"):
         r2.partitions({"version": 4}, {"version": 5})
+
+
+def test_vacuumed_span_fails_loudly_not_silently_empty(spark, tmp_path):
+    """A consumer resuming below the vacuum horizon must get a clear
+    error (its span's manifests are gone), never a silently empty
+    batch — silent gaps in a change feed are data loss."""
+    root = _mk_table(spark, tmp_path)
+    from pyspark.sql import types as T
+
+    MT.vacuum(root, retain_history=0, grace_sec=0.0)  # history reaped
+    schema = T.StructType.fromJson(
+        __import__("json").loads(MT.read_manifest(root)["schema"])
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    r = ManifestCdfStreamReader(schema, {"path": root})
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        r.partitions({"version": 1}, {"version": 3})

@@ -317,3 +317,58 @@ def test_tws_map_and_list_state_profile(spark, tmp_path):
     assert got[1]["n_events"] == 6 and got[1]["n_types"] == 3
     assert got[1]["top_type"] == "click"  # 3 clicks > 2 views
     assert got[1]["recent_ids"] == "2,3,4,5,6"  # keep=5, id 1 aged out
+
+
+def test_statestore_reader_covers_map_and_list_state(spark, tmp_path):
+    """State introspection across the remaining variable types
+    (extending the driver's statestore_reader_check, which covers
+    ValueState): after draining the profile query, the MapState
+    counters and the ListState recents read back as DataFrames and
+    must equal what the processor emitted."""
+    from stripe_data_pipeline_spark.streaming.stateful import (
+        streaming_user_profile,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    inbox, ckpt = tmp_path / "in", tmp_path / "ck"
+    _write_ndjson(
+        inbox / "b1.json",
+        [_event(i, "2024-01-01T00:00:00Z", typ=t)
+         for i, t in [(1, "view"), (2, "view"), (3, "click")]],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(inbox))
+    rows: list = []
+    (
+        streaming_user_profile(stream, keep=5)
+        .writeStream.foreachBatch(lambda b, _id: rows.extend(b.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    counts = (
+        spark.read.format("statestore")
+        .option("stateVarName", "type_counts")
+        .load(str(ckpt))
+    )
+    got_counts = {
+        (r["key"]["user_id"], r["user_map_key"]["event_type"]):
+            r["user_map_value"]["cnt"]
+        for r in counts.collect()
+    }
+    assert got_counts == {(1, "view"): 2, (1, "click"): 1}
+    recents = (
+        spark.read.format("statestore")
+        .option("stateVarName", "recent")
+        .option("flattenCollectionTypes", "true")
+        .load(str(ckpt))
+    )
+    got_recent = sorted(
+        r["list_element"]["event_id"] for r in recents.collect()
+    )
+    assert got_recent == [1, 2, 3]
