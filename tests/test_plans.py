@@ -507,3 +507,11 @@ def test_html_extraction_is_single_projection(spark, sf_dir):
     p = plan(spark, sf_dir, "html_extracted_text_check")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_warc_pipeline_no_shuffle_past_the_source(spark, sf_dir):
+    """WARC -> HTML -> text must stay one projection pipeline over the
+    per-file DataSource scan: no Exchange anywhere (the parallelism
+    unit is the WARC file itself)."""
+    p = plan(spark, sf_dir, "warc_html_pipeline_check")
+    assert "Exchange" not in p
