@@ -112,3 +112,20 @@ def test_vacuumed_span_fails_loudly_not_silently_empty(spark, tmp_path):
     r = ManifestCdfStreamReader(schema, {"path": root})
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         r.partitions({"version": 1}, {"version": 3})
+
+
+def test_rename_under_the_stream_stops_loudly(spark, tmp_path):
+    """A metadata-only rename changes the logical name set, so a
+    stream declared under the old schema must stop with the
+    schema-change error (restart picks up the new names), never emit
+    rows under stale column names."""
+    root = _mk_table(spark, tmp_path)
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromJson(
+        __import__("json").loads(MT.read_manifest(root)["schema"])
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    MT.rename_column(spark, root, "v", "value_usd")  # v4
+    r = ManifestCdfStreamReader(schema, {"path": root})
+    with pytest.raises(ValueError, match="changed the table schema"):
+        r.partitions({"version": 3}, {"version": 4})

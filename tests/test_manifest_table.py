@@ -1089,3 +1089,53 @@ def test_bloom_false_positive_rate_in_spec(spark, tmp_path):
                 kept += 1
     fp_rate = kept / tested
     assert n_files >= 2 and fp_rate < 0.05, (n_files, fp_rate)
+
+
+def test_bloom_composes_with_occ_clone_and_time_travel(spark, tmp_path):
+    """The bloom declaration must ride through the OTHER commit
+    machinery: an OCC merge keeps declaration + sidecars, a zero-copy
+    clone prunes through the source's sidecars, and a time-travel
+    read of an old version prunes with that version's dirs."""
+    import hashlib
+
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 3000).select(
+        F2.col("id"), F2.md5(F2.col("id").cast("string")).alias("key")
+    )
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(8), keys=["id"], bloom_cols=["key"]
+    )
+    more = spark.range(3000, 4000).select(
+        F2.col("id"), F2.md5(F2.col("id").cast("string")).alias("key")
+    )
+    MT.merge_upsert_atomic(
+        spark, root, more.repartition(8), keys=["id"], concurrency="occ"
+    )
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+
+    def files_for(read_root, probe_id, **kw):
+        probe = hashlib.md5(str(probe_id).encode()).hexdigest()
+        t = MT.read_table(
+            spark, read_root, stats_filter={"key": (probe, probe)}, **kw
+        )
+        assert [r["id"] for r in t.collect() if r["key"] == probe] \
+            == [probe_id]
+        return len(t.inputFiles())
+
+    full = len(MT.read_table(spark, root).inputFiles())
+    assert files_for(root, 3500) < full  # OCC-staged dirs have sidecars
+    # time travel: v1's dirs keep their sidecars
+    full_v1 = len(MT.read_table(spark, root, version=1).inputFiles())
+    probe = hashlib.md5(b"77").hexdigest()
+    v1 = MT.read_table(
+        spark, root, version=1, stats_filter={"key": (probe, probe)}
+    )
+    assert 0 < len(v1.inputFiles()) < full_v1
+    # clone: points at the source's immutable dirs; sidecars travel
+    clone = str(tmp_path / "c")
+    MT.clone_table(root, clone)
+    assert files_for(clone, 123) < len(
+        MT.read_table(spark, clone).inputFiles()
+    )
