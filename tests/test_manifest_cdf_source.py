@@ -129,3 +129,39 @@ def test_rename_under_the_stream_stops_loudly(spark, tmp_path):
     r = ManifestCdfStreamReader(schema, {"path": root})
     with pytest.raises(ValueError, match="changed the table schema"):
         r.partitions({"version": 3}, {"version": 4})
+
+
+def test_cdf_feed_maintains_downstream_aggregate(spark, tmp_path):
+    """The canonical CDF consumer: a downstream SUM-per-group mart
+    maintained INCREMENTALLY from the feed (insert rows add, delete
+    rows subtract — update pairs net out), never rescanning the
+    source. After draining all versions the derived mart must equal
+    the batch aggregate of the current snapshot."""
+    root = _mk_table(spark, tmp_path)  # v1 inserts, v2 update+insert, v3 delete
+    register_manifest_cdf_source(spark)
+    agg: dict = {}
+
+    def fold(batch, _id):
+        for r in batch.collect():  # bounded: per-batch change rows
+            sign = 1 if r["_change_type"] == "insert" else -1
+            agg[r["part"]] = agg.get(r["part"], 0.0) + sign * r["v"]
+
+    (
+        spark.readStream.format("manifestcdf")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(tmp_path / "ck_agg"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    batch = {
+        r["part"]: r["s"]
+        for r in MT.read_table(spark, root)
+        .groupBy("part")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    }
+    got = {k: v for k, v in agg.items() if abs(v) > 1e-9}
+    assert got == batch
