@@ -1807,40 +1807,25 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     if not _WARC_FIXTURE_CACHE:
         atexit.register(_cleanup_warc_fixture_cache)
     root = tempfile.mkdtemp(prefix="warc_fixture_")
+    from stripe_data_pipeline_spark.sources.warc_source import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
     pages = _html_fixture_pages(read_table(spark, sf_dir, "documents"))
     rows = pages.select(
-        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
         F.concat(
             F.lit("http://corpus.example/doc/"),
             F.col("doc_id").cast("string"),
         ).alias("target_uri"),
         "html",
-    ).repartition(4, "doc_id")
-
-    def write_shard(it) -> None:
-        import os as _os
-
-        from pyspark import TaskContext
-
-        from stripe_data_pipeline_spark.sources.warc_source import (
-            write_warc_records,
-        )
-
-        recs = [
-            {
-                "record_id": f"doc-{r['doc_id']}",
-                "target_uri": r["target_uri"],
-                "html": r["html"],
-            }
-            for r in it
-        ]
-        if recs:
-            pid = TaskContext.get().partitionId()
-            write_warc_records(
-                _os.path.join(root, f"shard-{pid:02d}.warc"), recs
-            )
-
-    rows.foreachPartition(write_shard)
+    ).repartition(4, "record_id")
+    # the DataSource WRITER half: each task frames one shard, the
+    # driver's two-phase commit publishes tmp files as .warc atomically
+    rows.write.format("warcarchive").mode("overwrite").save(root)
     _WARC_FIXTURE_CACHE[sf_dir] = root
     return root
 

@@ -31,7 +31,9 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -157,7 +159,36 @@ class WarcReader(DataSourceReader):
             paths = [self._root]
         return [WarcFilePartition(p) for p in paths]
 
-    def read(self, partition: WarcFilePartition) -> Iterator[tuple]:
+    _ARROW_BATCH_ROWS = 256
+
+    def read(self, partition: WarcFilePartition):
+        """Yields pyarrow RecordBatches (the Python DataSource fast
+        path — HTML payloads are large strings, and Arrow batching
+        skips per-row pickling across the worker boundary)."""
+        import pyarrow as pa
+
+        cols: dict[str, list] = {
+            "record_id": [], "warc_type": [], "target_uri": [],
+            "http_status": [], "content_type": [], "body": [],
+        }
+
+        def flush():
+            batch = pa.RecordBatch.from_pydict(
+                {
+                    "record_id": pa.array(cols["record_id"], pa.string()),
+                    "warc_type": pa.array(cols["warc_type"], pa.string()),
+                    "target_uri": pa.array(cols["target_uri"], pa.string()),
+                    "http_status": pa.array(cols["http_status"], pa.int32()),
+                    "content_type": pa.array(
+                        cols["content_type"], pa.string()
+                    ),
+                    "body": pa.array(cols["body"], pa.string()),
+                }
+            )
+            for c in cols.values():
+                c.clear()
+            return batch
+
         for rec in parse_warc_file(partition.path):
             h = rec["headers"]
             rid = h.get("warc-record-id", "")
@@ -169,20 +200,83 @@ class WarcReader(DataSourceReader):
             else:
                 status, ctype = None, None
                 body = rec["payload"].decode("utf-8", "replace")
-            yield (
-                rid,
-                wtype,
-                h.get("warc-target-uri"),
-                status,
-                ctype,
-                body,
-            )
+            cols["record_id"].append(rid)
+            cols["warc_type"].append(wtype)
+            cols["target_uri"].append(h.get("warc-target-uri"))
+            cols["http_status"].append(status)
+            cols["content_type"].append(ctype)
+            cols["body"].append(body)
+            if len(cols["record_id"]) >= self._ARROW_BATCH_ROWS:
+                yield flush()
+        if cols["record_id"]:
+            yield flush()
+
+
+class WarcWriter(DataSourceWriter):
+    """``df.write.format("warcarchive").save(dir)`` — each task frames
+    its rows (record_id, target_uri, html) as one spec-shaped WARC
+    shard. Two-phase commit: tasks write ``.warc.tmp`` files and
+    return their paths as commit messages; the driver's commit()
+    renames every tmp to its final ``.warc`` name (readers glob only
+    ``.warc``, so a crashed write publishes NOTHING), and abort()
+    deletes the orphans — the same staged-invisible-until-commit
+    protocol the manifest table uses."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("warcarchive sink needs a path")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import uuid as _uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        recs = [
+            {
+                "record_id": str(r["record_id"]),
+                "target_uri": str(r["target_uri"]),
+                "html": str(r["html"]),
+            }
+            for r in iterator
+        ]
+        if not recs:
+            return WarcCommitMessage(tmp_path=None)
+        tmp = os.path.join(
+            self._dir, f"shard-{_uuid.uuid4().hex[:12]}.warc.tmp"
+        )
+        write_warc_records(tmp, recs)
+        return WarcCommitMessage(tmp_path=tmp)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".warc"):
+                    os.remove(os.path.join(self._dir, f))
+        for msg in messages:
+            if msg and msg.tmp_path:
+                os.replace(msg.tmp_path, msg.tmp_path[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg and msg.tmp_path:
+                try:
+                    os.remove(msg.tmp_path)
+                except OSError:
+                    pass
+
+
+@dataclass
+class WarcCommitMessage(WriterCommitMessage):
+    tmp_path: str | None
 
 
 class WarcDataSource(DataSource):
     """``spark.read.format("warcarchive").load(dir_or_file)`` —
     yields (record_id, warc_type, target_uri, http_status,
-    content_type, body) with one task per WARC file."""
+    content_type, body) with one task per WARC file, Arrow-batched;
+    ``df.write.format("warcarchive")`` frames rows back into shards
+    under a two-phase tmp-then-rename commit."""
 
     @classmethod
     def name(cls) -> str:
@@ -193,6 +287,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema: T.StructType) -> WarcReader:
         return WarcReader(self.options)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> WarcWriter:
+        return WarcWriter(self.options, overwrite)
 
 
 def register_warc_source(spark) -> None:

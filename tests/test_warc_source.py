@@ -88,3 +88,41 @@ def test_datasource_maps_one_partition_per_file(spark, tmp_path):
     assert df.filter(df.warc_type == "warcinfo").count() == 3
     got = {r["record_id"] for r in resp.collect()}
     assert got == {f"doc-{s}-{i}" for s in range(3) for i in range(2)}
+
+
+def test_writer_two_phase_commit_and_overwrite(spark, tmp_path):
+    """df.write.format('warcarchive'): tasks stage .warc.tmp shards,
+    commit publishes them as .warc (readers glob only .warc, so a
+    crashed write publishes nothing); mode('overwrite') replaces the
+    previous crawl atomically at commit."""
+    from stripe_data_pipeline_spark.sources.warc_source import (
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    d = str(tmp_path / "crawl")
+    df1 = spark.createDataFrame(
+        [(f"doc-{i}", f"http://x/doc/{i}", f"<p>v1 {i}</p>")
+         for i in range(6)],
+        "record_id string, target_uri string, html string",
+    ).repartition(3)
+    df1.write.format("warcarchive").mode("overwrite").save(d)
+    import os
+
+    names = sorted(os.listdir(d))
+    assert names and all(n.endswith(".warc") for n in names)  # no tmps
+    back = spark.read.format("warcarchive").load(d)
+    resp = back.filter(back.warc_type == "response")
+    assert resp.count() == 6
+    assert {r["body"] for r in resp.collect()} == {
+        f"<p>v1 {i}</p>" for i in range(6)
+    }
+    # overwrite replaces the old shards entirely
+    df2 = spark.createDataFrame(
+        [("doc-9", "http://x/doc/9", "<p>v2</p>")],
+        "record_id string, target_uri string, html string",
+    )
+    df2.write.format("warcarchive").mode("overwrite").save(d)
+    back2 = spark.read.format("warcarchive").load(d)
+    resp2 = back2.filter(back2.warc_type == "response").collect()
+    assert [r["body"] for r in resp2] == ["<p>v2</p>"]
