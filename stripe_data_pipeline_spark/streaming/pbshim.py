@@ -33,8 +33,16 @@ from pyspark.sql import SparkSession
 
 # pure-python protobuf 4.23.2 vendored by the google-cloud-sdk; its
 # internal imports use the cloudsdk.google.protobuf namespace, so the
-# zip carries the tree under BOTH names
-_VENDOR_SRC = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+# zip carries the tree under BOTH names. PBSHIM_VENDOR_SRC overrides
+# the default path (VERDICT r11 nit: hosts without the SDK can point
+# at any pure-python protobuf checkout; with neither, the shim
+# degrades explicitly — shim_available() False, and the
+# transformWithState operators raise their documented
+# ModuleNotFoundError instead of failing deep in the runner).
+_VENDOR_SRC = os.environ.get(
+    "PBSHIM_VENDOR_SRC",
+    "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf",
+)
 
 _RUNTIME_VERSION_SHIM = (
     "# shim for protobuf<5.27: pyspark's gencode imports this module\n"

@@ -67,3 +67,20 @@ def test_ensure_applies_pythonpath_and_is_idempotent(spark):
     pbshim.ensure_protobuf_runtime(spark)
     env2 = spark.sparkContext.environment.get("PYTHONPATH", "")
     assert env1 == env2  # no duplicate path entries
+
+
+def test_vendor_src_env_override(monkeypatch, tmp_path):
+    """PBSHIM_VENDOR_SRC points the shim at any pure-python protobuf
+    checkout; a bogus path degrades explicitly (shim_available False),
+    never deep in the JVM-launched runner."""
+    import importlib
+
+    from stripe_data_pipeline_spark.streaming import pbshim
+
+    monkeypatch.setenv("PBSHIM_VENDOR_SRC", str(tmp_path / "nope"))
+    mod = importlib.reload(pbshim)
+    try:
+        assert mod.shim_available() is False
+    finally:
+        monkeypatch.delenv("PBSHIM_VENDOR_SRC")
+        importlib.reload(pbshim)
