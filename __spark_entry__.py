@@ -100,8 +100,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, which together form r13's window. Every query is also
 # covered each round by the full-catalog DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- new this round (8; VERDICT r11 #2-#5, #7, #8 + the WARC head
-    # and the streaming change-feed source) ---
+    # --- new this round (11; VERDICT r11 #2-#5, #7, #8 + the WARC
+    # head, the streaming change-feed source, the two Spark-4
+    # SQL-surface rows — pipe syntax and Catalyst-inlined SQL UDFs —
+    # and the positional deletion-vector row) ---
+    "pos_delete_check",
+    "sql_pipe_syntax_check",
+    "sql_udf_check",
     "streaming_cdf_source_mart_check",
     "warc_html_pipeline_check",
     "html_extracted_text_check",
@@ -119,7 +124,6 @@ _PRIORITY = [
     "boilerplate_ngrams",
     "corpus_curation_funnel",
     "cross_doc_novelty",
-    "cross_doc_novelty_hashed",
     "dataset_split_assign",
     "decontaminated_train_docs",
     "deterministic_sample_docs",
@@ -133,13 +137,11 @@ _PRIORITY = [
     "embedding_near_dup_pairs",
     "embedding_quantize",
     "heldout_contamination",
-    "heldout_contamination_hashed",
     "incremental_doc_mart_check",
     "ivf_topk_persisted",
     "key_skew_report_events",
     "kmeans_cluster_profile",
     "lang_rebalanced_sample",
-    "media_alaw_decode_check",
     "media_jpeg_decode_check",
     "media_rle_bmp_decode_check",
     "per_group_sample_docs",
@@ -154,15 +156,25 @@ _PRIORITY = [
     "streaming_stripe_source_mart_check",
     "token_length_histogram",
     # --- below the 50-query window: oldest-first continuation ---
-    # media_mjpeg_decode_check, streaming_merge_mart_check and
-    # atomic_history_audit_check are the THREE r6 queries displaced by
-    # the eight new entries (documented one-round slip): the first
-    # composes the JPEG decoder media_jpeg_decode_check re-verifies
-    # INSIDE the window; the second's readStream->foreachBatch merge
+    # SIX r6 queries are displaced by the eleven new entries
+    # (documented one-round slip): cross_doc_novelty_hashed and
+    # heldout_contamination_hashed are output-hash twins of base
+    # variants that stay INSIDE the window (identical machinery, the
+    # hashed projection exists only for oracle comparison);
+    # media_mjpeg_decode_check composes the JPEG decoder
+    # media_jpeg_decode_check re-verifies INSIDE the window;
+    # media_alaw_decode_check's companding twin
+    # media_ulaw_decode_check holds a recent verdict and the shared
+    # G.711 scaffolding is pytest-pinned;
+    # streaming_merge_mart_check's readStream->foreachBatch merge
     # machinery underlies every streaming mart query including the
-    # three new in-window ones; the third's commit audit records are
-    # exercised by every atomic commit and pytest-pinned. All three
-    # lead r13's rotation, followed by the 38 round-7-stale queries.
+    # three new in-window ones; atomic_history_audit_check's commit
+    # audit records are exercised by every atomic commit and
+    # pytest-pinned. All six lead r13's rotation, followed by the 38
+    # round-7-stale queries.
+    "cross_doc_novelty_hashed",
+    "heldout_contamination_hashed",
+    "media_alaw_decode_check",
     "streaming_merge_mart_check",
     "atomic_history_audit_check",
     "media_mjpeg_decode_check",

@@ -333,6 +333,15 @@ HEADLINE = [
     "recursive_cte_components_check",
     "datasketches_hll_check",
     "bloom_pruned_scan_check",
+    # round-12 second batch: the two Spark-4 SQL-surface rows — pipe
+    # syntax (one-exchange aggregate, same plan as the ANSI text) and
+    # Catalyst-inlined SQL UDFs (one scan + one exchange) — plus the
+    # positional deletion-vector mart read (marts cached; the timed
+    # path is two manifest scans, one with the (file,row_idx)
+    # anti-join, and the grouped profile).
+    "sql_pipe_syntax_check",
+    "sql_udf_check",
+    "pos_delete_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

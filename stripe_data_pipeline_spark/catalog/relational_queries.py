@@ -4053,3 +4053,98 @@ def q_gap_filled_hourly_values(
         F.last("cents", ignorenulls=True).over(w).alias("cents_ffill"),
         "is_filled",
     )
+
+
+@register(
+    "sql_pipe_syntax_check",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 100.0 AS disc_revenue,
+       SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 10
+""",
+    doc="SQL pipe syntax (r12 — Spark 4's |> operator chain, the "
+    "SQL:2023-adjacent linear composition surface): the pricing-"
+    "summary shape written as FROM |> WHERE |> AGGREGATE..GROUP BY "
+    "|> WHERE(having) |> SELECT, proving the pipe parser "
+    "lowers to the identical Catalyst plan the ANSI oracle text "
+    "describes (same partial/final HashAggregate pair, same pushed "
+    "shipdate filter). avg_qty stays bit-exact cross-engine because "
+    "l_quantity is integral-valued: the partial sums are exact in "
+    "binary64 under any partitioning/accumulation order, so only the "
+    "final single division rounds. Money goes through integer cents "
+    "as everywhere (functions/money.py convention).",
+)
+def q_sql_pipe_syntax_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS disc_revenue,
+             AVG(l_quantity) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 10
+        |> SELECT l_returnflag, l_linestatus, n_rows, disc_revenue, avg_qty
+        """
+    )
+
+
+@register(
+    "sql_udf_check",
+    oracle="""
+SELECT CASE WHEN o_totalprice >= 200000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'mid'
+            ELSE 'small' END AS tier,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS DOUBLE) / 100.0 AS total_value
+FROM orders
+GROUP BY 1
+""",
+    doc="SQL scalar UDFs (r12 — CREATE TEMPORARY FUNCTION .. RETURN "
+    "expr, the Spark 4 SQL-UDF surface): a to_cents money helper and "
+    "an order_tier CASE classifier defined as catalog functions and "
+    "used in grouping + aggregation. Unlike Python UDFs these are "
+    "CATALYST-INLINED: the physical plan shows the CASE/FLOOR "
+    "expressions substituted into the Project inside WholeStageCodegen "
+    "— zero serialization boundary, identical cost to writing the "
+    "expression inline, so the abstraction is free at 100 TB. The "
+    "oracle inlines the same expressions textually (DuckDB macros "
+    "would be the dialect twin). Registration is idempotent "
+    "(CREATE OR REPLACE) so repeated catalog sweeps share a session.",
+)
+def q_sql_udf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION to_cents(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(FLOOR(x * 100.0 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(total DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN total >= 200000 THEN 'large' "
+        "WHEN total >= 50000 THEN 'mid' ELSE 'small' END"
+    )
+    return spark.sql(
+        """
+        SELECT order_tier(o_totalprice) AS tier,
+               COUNT(*) AS n_orders,
+               CAST(SUM(to_cents(o_totalprice)) AS DOUBLE) / 100.0
+                 AS total_value
+        FROM orders
+        GROUP BY order_tier(o_totalprice)
+        """
+    )

@@ -3504,3 +3504,98 @@ def q_streaming_cdf_source_mart_check(
     return feed.select(
         "_commit_version", "_change_type", "doc_id", "lang", "n_tokens"
     )
+
+
+def _pos_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the two POSITIONAL-delete marts and
+    return their parent dir: ``pending`` stops after two accumulated
+    delete_where_pos commits (v1 merge, v2+v3 tombstones),
+    ``materialized`` additionally runs apply_pos_deletes (v4)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#pos"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="pos_mart_")
+        ev = _rt(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        for name in ("pending", "materialized"):
+            mart = os.path.join(root, name)
+            MT.merge_upsert_atomic(
+                spark, mart, ev, keys=["event_id"], partition_by="event_type"
+            )
+            # two accumulating positional tombstone files; NO key
+            # columns involved — coordinates are (file, row_index)
+            n1 = MT.delete_where_pos(spark, mart, F.col("value") >= 250.0)
+            n2 = MT.delete_where_pos(spark, mart, F.col("user_id") % 97 == 0)
+            assert n1 > 0 and n2 > 0  # both must exercise real deletes
+        MT.apply_pos_deletes(spark, os.path.join(root, "materialized"))
+        _STREAM_MART_CACHE[cache_key] = root
+    return root
+
+
+@register(
+    "pos_delete_check",
+    oracle=f"""
+WITH agg AS (
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sum_usd_cents_sql("value")} AS total_value
+    FROM events
+    WHERE NOT (value >= 250 OR user_id % 97 = 0)
+    GROUP BY event_type
+)
+SELECT p.phase, a.event_type, a.n_events, a.n_users, a.total_value
+FROM agg a, (SELECT UNNEST(['pending', 'materialized']) AS phase) p
+""",
+    doc="POSITIONAL (row-index) merge-on-read deletes under the "
+    "driver oracle (r12 — the Delta deletion-vector / Iceberg "
+    "position-delete shape, complementing the equality-delete row "
+    "atomic_mor_delete_check): merge events into an atomic mart, "
+    "then TWO accumulating delete_where_pos commits (value >= 250, "
+    "then user_id % 97 = 0) — each writes one small (file, "
+    "row_index) tombstone file; NO key columns required, so this "
+    "works on keyless fact tables where equality deletes cannot be "
+    "expressed, and renames can never invalidate it (tombstones "
+    "store no column names). Read back in BOTH states: 'pending' "
+    "(scan-time anti-join on the _metadata file identity, before "
+    "the logical projection) and 'materialized' (after "
+    "apply_pos_deletes rewrote ONLY the partitions holding "
+    "tombstoned coordinates — read straight off the tombstones, no "
+    "data probe). Both phases must bit-match plain SQL with the "
+    "deletes restated as a filter. Lifecycle, refusal guards on "
+    "raw rewriters, CDF surfacing, clone travel, hostile partition "
+    "values and vacuum retention are pytest-pinned in "
+    "tests/test_pos_deletes.py.",
+)
+def q_pos_delete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    root = _pos_mart_root(spark, sf_dir)
+
+    def prof(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_usd_cents(F.col("value")).alias("total_value"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return prof(
+        MT.read_table(spark, os.path.join(root, "pending")), "pending"
+    ).unionByName(
+        prof(
+            MT.read_table(spark, os.path.join(root, "materialized")),
+            "materialized",
+        )
+    )

@@ -654,9 +654,12 @@ def read_table(
     # The scan uses PHYSICAL names and projects back to logical, so a
     # renamed column reads its original bytes and a dropped-then-readded
     # one reads NULL from old files (distinct physical name).
-    df = _to_logical(
-        spark.read.schema(_physical_schema(m)).parquet(*paths), m
+    # Positional tombstones anti-join FIRST (they need the scan's
+    # _metadata identity), equality keys after the logical projection.
+    raw = _apply_pos_delete_files(
+        spark, root, m, spark.read.schema(_physical_schema(m)).parquet(*paths)
     )
+    df = _to_logical(raw, m)
     return _apply_delete_files(spark, root, m, df)
 
 
@@ -908,9 +911,10 @@ def _read_at(
     paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
     if not paths:
         return spark.createDataFrame([], schema)
-    df = _to_logical(
-        spark.read.schema(_physical_schema(m)).parquet(*paths), m
+    raw = _apply_pos_delete_files(
+        spark, root, m, spark.read.schema(_physical_schema(m)).parquet(*paths)
     )
+    df = _to_logical(raw, m)
     return _apply_delete_files(spark, root, m, df)
 
 
@@ -1139,11 +1143,14 @@ def _can_rebase(
         # an intervening rename/drop changed the logical<->physical
         # binding the plan's staged files were written under
         return False
-    if current.get("deletes", []) != base.get("deletes", []):
-        # an intervening MOR delete / apply_deletes / restore changed
-        # the LOGICAL snapshot in a way the parts diff below cannot
-        # see — never rebase across it (defense in depth: the locked
-        # pending-deletes re-check already refuses the commit)
+    if current.get("deletes", []) != base.get("deletes", []) or current.get(
+        "pos_deletes", []
+    ) != base.get("pos_deletes", []):
+        # an intervening MOR delete (equality or positional) /
+        # apply / restore changed the LOGICAL snapshot in a way the
+        # parts diff below cannot see — never rebase across it
+        # (defense in depth: the locked pending-deletes re-check
+        # already refuses the commit)
         return False
     all_keys = set(base["parts"]) | set(current["parts"])
     delta = {
@@ -1339,6 +1346,7 @@ def compact_partition(
     m = read_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no MANIFEST at {root}")
+    _require_no_pending_pos_deletes(m, "compact_partition")
     key = (
         _FULL
         if m.get("partition_by") is None
@@ -1359,6 +1367,12 @@ def compact_partition(
         if current is None or current["parts"].get(key) != rel:
             shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
             return -1  # lost the race: dir superseded; retry next pass
+        if current.get("pos_deletes"):
+            # a positional delete landed between the pre-check and this
+            # commit; the dir is byte-identical but its (file, row_idx)
+            # tombstones would die with the reorder — discard and retry
+            shutil.rmtree(os.path.join(root, new_rel), ignore_errors=True)
+            return -1
         new_parts = dict(current["parts"])
         new_parts[key] = new_rel
         manifest = {
@@ -1456,6 +1470,7 @@ def _compact_partition_locked(
     m = read_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no MANIFEST at {root}")
+    _require_no_pending_pos_deletes(m, "compact_partition")
     key = _key or (
         _FULL
         if m.get("partition_by") is None
@@ -1706,12 +1721,14 @@ def read_changes(
     the old snapshot under the new schema would see).
 
     Each side is the snapshot's LOGICAL rows: pending merge-on-read
-    delete files are anti-joined per side (ADVICE r9, medium). A
-    ``delete_where_mor`` commit therefore surfaces as ``delete`` rows
-    even though no data dir changed, the later ``apply_deletes``
-    (a physical rewrite of rows already logically dead) surfaces as
-    an empty feed, and a restore that re-pends or clears delete files
-    shows the matching delete/insert rows. When only the delete list
+    delete files — equality keys AND positional (file, row_index)
+    tombstones — are applied per side (ADVICE r9, medium). A
+    ``delete_where_mor`` or ``delete_where_pos`` commit therefore
+    surfaces as ``delete`` rows even though no data dir changed, the
+    later ``apply_deletes`` / ``apply_pos_deletes`` (physical rewrites
+    of rows already logically dead) surface as empty feeds, and a
+    restore that re-pends or clears delete files shows the matching
+    delete/insert rows. When only the delete list
     changed, the unchanged dirs are scanned ONCE and filtered with
     semi-joins against the (broadcast-sized) key DELTA — never an
     all-rows exceptAll.
@@ -1761,17 +1778,24 @@ def read_changes(
             out.append(nk)
         return out
 
-    def scan(parts: dict[str, str]) -> DataFrame:
+    def scan(parts: dict[str, str], m_side: dict) -> DataFrame:
+        """Scan dirs under the NEWER schema, applying ``m_side``'s
+        positional tombstones (they reference files, not columns, so
+        the schema choice is irrelevant to them)."""
         paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
         if not paths:
             return spark.createDataFrame([], schema)
-        return _to_logical(
-            spark.read.schema(_physical_schema(m_new)).parquet(*paths), m_new
+        raw = _apply_pos_delete_files(
+            spark,
+            root,
+            m_side,
+            spark.read.schema(_physical_schema(m_new)).parquet(*paths),
         )
+        return _to_logical(raw, m_new)
 
-    new_df = _apply_delete_files(spark, root, m_new, scan(changed_new))
+    new_df = _apply_delete_files(spark, root, m_new, scan(changed_new, m_new))
     old_df = _apply_delete_files(
-        spark, root, m_old, scan(changed_old),
+        spark, root, m_old, scan(changed_old, m_old),
         df_keys=keys_in_new_logical(m_old),
     )
     cols = [f.name for f in schema.fields]
@@ -1784,13 +1808,41 @@ def read_changes(
     )
     old_rels = list(m_old.get("deletes") or [])
     new_rels = list(m_new.get("deletes") or [])
-    if old_rels != new_rels:
-        # the delete list moved between the snapshots, so UNCHANGED
+    old_pos = list(m_old.get("pos_deletes") or [])
+    new_pos = list(m_new.get("pos_deletes") or [])
+    if old_rels != new_rels or old_pos != new_pos:
+        # a delete list moved between the snapshots, so UNCHANGED
         # dirs (identical bytes) still changed logically
         unchanged = {
             k: v for k, v in new_parts.items() if old_parts.get(k) == v
         }
-        raw = scan(unchanged)
+        if old_pos != new_pos:
+            # positional tombstones moved (delete_where_pos inside the
+            # span, or a restore across one): take the general path —
+            # each side's FULLY-applied logical view of the unchanged
+            # dirs, diffed both ways. apply_pos_deletes itself rewrites
+            # every dir it touches, so its feed stays empty here.
+            old_l = _apply_delete_files(
+                spark, root, m_old, scan(unchanged, m_old),
+                df_keys=keys_in_new_logical(m_old),
+            )
+            new_l = _apply_delete_files(
+                spark, root, m_new, scan(unchanged, m_new)
+            )
+            return (
+                diff.unionByName(
+                    new_l.exceptAll(old_l).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+                .unionByName(
+                    old_l.exceptAll(new_l).withColumn(
+                        "_change_type", F.lit("delete")
+                    )
+                )
+                .select("_change_type", *cols)
+            )
+        raw = scan(unchanged, m_new)  # pos lists equal: side-agnostic
         # key identity is PHYSICAL (what the delete files store);
         # logical names may differ across a rename boundary
         old_keys_phys = [
@@ -2366,6 +2418,14 @@ def clone_table(
             os.path.join(src_abs, rel) for rel in m["deletes"]
         ]
         manifest["delete_keys"] = list(m["delete_keys"])
+    if m.get("pos_deletes"):
+        # positional tombstones travel too: they match on the
+        # parts/<dir>/<file> SUFFIX of the scanned path, which is
+        # identical whether the dir is resolved relative to the
+        # source or by the clone's absolute-path parts entries
+        manifest["pos_deletes"] = [
+            os.path.join(src_abs, rel) for rel in m["pos_deletes"]
+        ]
     with _writer_lock(dst_root):
         if read_manifest(dst_root) is not None:
             raise ValueError(f"{dst_root} already holds a table")
@@ -2389,8 +2449,13 @@ def clone_table(
 
 def _referenced_rels(m: dict) -> set[str]:
     """Every parts/-relative dir a manifest references: data parts
-    plus merge-on-read delete files (vacuum must spare both)."""
-    return set(m["parts"].values()) | set(m.get("deletes", []))
+    plus merge-on-read delete files — equality AND positional —
+    (vacuum must spare all three, restore checks all three exist)."""
+    return (
+        set(m["parts"].values())
+        | set(m.get("deletes", []))
+        | set(m.get("pos_deletes", []))
+    )
 
 
 def _carry_constraints(manifest: dict, m: dict) -> dict:
@@ -2617,6 +2682,10 @@ def rename_column(spark: SparkSession, root: str, old: str, new: str) -> None:
             manifest["delete_keys"] = [
                 new if k == old else k for k in m["delete_keys"]
             ]
+        if m.get("pos_deletes"):
+            # positional tombstones reference files, not columns —
+            # a rename carries them untouched
+            manifest["pos_deletes"] = list(m["pos_deletes"])
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2692,10 +2761,24 @@ def _carry_deletes(manifest: dict, m: dict) -> dict:
     logical rows, while OMITTING the list would resurrect every
     MOR-deleted row still physically present in the dirs the commit
     did not rewrite — and the then-orphaned delete files would be
-    vacuumed (ADVICE r9, high)."""
+    vacuumed (ADVICE r9, high).
+
+    POSITIONAL delete files (r12) ride along under a STRICTER rule:
+    a (file, row_index) tuple is only valid while that exact file is
+    referenced, so carrying is correct ONLY for commits that either
+    touch no data file (metadata ops: restore, constraints, renames,
+    partition drops) or whose rewriting scan already APPLIED the
+    positional deletes (_read_at does since r12 — delete_where /
+    repartition_table materialize them for the dirs they rewrite;
+    entries pointing at superseded rels then match nothing, entries
+    for untouched rels stay exact). Raw-scan rewriters that cannot
+    guarantee that (compact_partition, apply_deletes) REFUSE while
+    positional deletes are pending instead of carrying a lie."""
     if m.get("deletes"):
         manifest["deletes"] = list(m["deletes"])
         manifest["delete_keys"] = list(m["delete_keys"])
+    if m.get("pos_deletes"):
+        manifest["pos_deletes"] = list(m["pos_deletes"])
     return manifest
 
 
@@ -2733,6 +2816,248 @@ def _apply_delete_files(
     return df.join(dels, df_keys, "left_anti")
 
 
+_POS_REL = "__pos_rel"
+_POS_IDX = "__pos_idx"
+
+
+def _pos_identity(raw: DataFrame) -> DataFrame:
+    """Attach the stable file identity to a FRESH parquet file scan:
+    ``__pos_rel`` = the ``parts/<dir>/<file>`` suffix of
+    ``_metadata.file_path`` (percent-DEcoded so it equals the real
+    filesystem name), ``__pos_idx`` = ``_metadata.row_index``.
+
+    The suffix — not the absolute path — is the identity so that a
+    shallow CLONE reading the source's dirs by absolute path still
+    matches tombstones recorded at the source (dir names embed a
+    uuid4 hex8, so suffixes never collide across roots). Decoding:
+    Spark reports file_path as a Hadoop URI which percent-encodes
+    space/%%/non-ASCII but passes '+' through raw (verified
+    empirically on 4.1.2); url_decode() is form-decoding which would
+    eat a literal '+', so '+' is pre-escaped to %2B — the composition
+    is exact percent-decoding. Escaped partition VALUES are safe:
+    Hive path-escaping turns '/' into %2F at the FILESYSTEM level, so
+    the URI never gains a spurious separator and the [^/]+ components
+    of the suffix regex split correctly."""
+    suffix = F.regexp_extract(
+        F.col("_metadata.file_path"), r"(parts/[^/]+/[^/]+)$", 1
+    )
+    return raw.withColumns(
+        {
+            _POS_REL: F.url_decode(F.regexp_replace(suffix, r"\+", "%2B")),
+            _POS_IDX: F.col("_metadata.row_index"),
+        }
+    )
+
+
+def _pos_delete_df(spark: SparkSession, root: str, m: dict) -> DataFrame:
+    """The union of a snapshot's pending positional tombstones as a
+    two-column (rel, pos) DataFrame."""
+    rels = m["pos_deletes"]
+    return spark.read.parquet(*[os.path.join(root, r) for r in rels])
+
+
+def _apply_pos_delete_files(
+    spark: SparkSession, root: str, m: dict, raw: DataFrame
+) -> DataFrame:
+    """Anti-join a snapshot's pending POSITIONAL delete files onto a
+    fresh parquet file scan — must run BEFORE any projection (the
+    hidden ``_metadata`` column only resolves on the scan itself).
+    No-op (zero plan nodes) when the snapshot has no positional
+    deletes. The tombstone set is tiny next to the data (∝ deleted
+    rows, not table size), so AQE turns the anti-join into a
+    broadcast; the helper columns are dropped immediately, leaving
+    the physical schema unchanged for _to_logical."""
+    if not m.get("pos_deletes"):
+        return raw
+    dels = _pos_delete_df(spark, root, m).select(
+        F.col("rel").alias(_POS_REL), F.col("pos").alias(_POS_IDX)
+    )
+    return (
+        _pos_identity(raw)
+        .join(dels, [_POS_REL, _POS_IDX], "left_anti")
+        .drop(_POS_REL, _POS_IDX)
+    )
+
+
+def delete_where_pos(spark: SparkSession, root: str, predicate) -> int:
+    """POSITIONAL merge-on-read DELETE (the Delta deletion-vector /
+    Iceberg position-delete shape): mark the matching rows'
+    (file, row_index) coordinates in a small immutable tombstone file
+    under parts/ and commit a manifest that references it — no data
+    file is rewritten, and unlike delete_where_mor NO key columns are
+    required, so it works on KEYLESS fact tables (duplicate rows and
+    all) where equality deletes cannot even be expressed. Readers at
+    any version anti-join the coordinates at scan time (before the
+    logical projection, so column renames never invalidate them —
+    tombstones store no column names at all).
+
+    Repeated calls accumulate tombstone files; ``apply_pos_deletes``
+    materializes the backlog copy-on-write and clears them. Both
+    delete kinds may be pending at once (the scan applies positions
+    first, then equality keys). Writers that rewrite raw bytes
+    (merge/update/compact/apply_deletes) refuse while positions are
+    pending — a rewritten file invalidates its coordinates — while
+    delete_where/repartition_table (whose scans apply the positions)
+    remain available. Returns the number of rows marked deleted."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        parts = m["parts"]
+        paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
+        if not paths:
+            return 0
+        raw = _pos_identity(
+            spark.read.schema(_physical_schema(m)).parquet(*paths)
+        )
+        if m.get("pos_deletes"):
+            dels = _pos_delete_df(spark, root, m).select(
+                F.col("rel").alias(_POS_REL), F.col("pos").alias(_POS_IDX)
+            )
+            raw = raw.join(dels, [_POS_REL, _POS_IDX], "left_anti")
+        # logical projection WITH the identity columns appended
+        # (_to_logical alone would drop them under a column mapping),
+        # then the equality anti-join — so the predicate evaluates on
+        # exactly the rows a reader sees and already-deleted rows are
+        # never re-marked
+        mp = _mapping(m)
+        logical = StructType.fromJson(json.loads(m["schema"]))
+        projected = raw.select(
+            *[
+                F.col(mp.get(f.name, f.name)).alias(f.name)
+                for f in logical.fields
+            ],
+            F.col(_POS_REL),
+            F.col(_POS_IDX),
+        )
+        df = _apply_delete_files(spark, root, m, projected)
+        matches = (
+            df.filter(predicate)
+            .select(
+                F.col(_POS_REL).alias("rel"), F.col(_POS_IDX).alias("pos")
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = matches.count()
+        if n == 0:
+            return 0
+        rel = f"{_PARTS}/__POS_DELETES__-{uuid.uuid4().hex[:8]}"
+        staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+        matches.coalesce(1).write.mode("overwrite").parquet(staging)
+        os.replace(staging, os.path.join(root, rel))
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "pos_deletes": list(m.get("pos_deletes", [])) + [rel],
+            "operation": {"type": "delete_pos", "n_rows": int(n)},
+        }
+        if m.get("deletes"):
+            manifest["deletes"] = list(m["deletes"])
+            manifest["delete_keys"] = list(m["delete_keys"])
+        _carry_mapping(manifest, m)
+        for carry in ("txns", "constraints", "stats", "file_stats"):
+            if carry in m:
+                manifest[carry] = m[carry]
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return int(n)
+
+
+def apply_pos_deletes(spark: SparkSession, root: str, _fault=None) -> int:
+    """Materialize the pending positional deletes: rewrite ONLY the
+    partitions whose dirs hold tombstoned coordinates (read straight
+    off the tombstones' rel column — no data probe needed, unlike the
+    equality variant), drop emptied partitions, and commit with the
+    pos_deletes list cleared. Untouched partitions keep their dirs,
+    stats and bloom sidecars. Returns the rows physically removed."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        rels = m.get("pos_deletes") or []
+        if not rels:
+            return 0
+        partition_by = m.get("partition_by")
+        dels = _pos_delete_df(spark, root, m)
+        # tombstone rels name their dir directly: parts/<dir>/<file>
+        touched_dirs = {
+            r[0].rsplit("/", 1)[0].rsplit("/", 1)[-1]
+            for r in dels.select("rel").distinct().collect()
+        }
+        touched_keys = {
+            k
+            for k, prel in m["parts"].items()
+            if os.path.basename(prel) in touched_dirs
+        }
+        paths = [
+            os.path.join(root, m["parts"][k]) for k in sorted(touched_keys)
+        ]
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if paths:
+            raw = _pos_identity(
+                spark.read.schema(_physical_schema(m)).parquet(*paths)
+            )
+            d2 = dels.select(
+                F.col("rel").alias(_POS_REL), F.col("pos").alias(_POS_IDX)
+            )
+            n = raw.join(d2, [_POS_REL, _POS_IDX], "left_semi").count()
+            keep = _apply_delete_files(
+                spark,
+                root,
+                m,
+                _to_logical(
+                    raw.join(d2, [_POS_REL, _POS_IDX], "left_anti").drop(
+                        _POS_REL, _POS_IDX
+                    ),
+                    m,
+                ),
+            )
+        else:
+            n = 0
+            keep = spark.createDataFrame([], schema)
+        staged = _stage_versioned(
+            keep, root, partition_by, _fault, column_mapping=_mapping(m)
+        )
+        _bloom_rebuild(spark, root, staged, m)
+        new_parts = {
+            k: v for k, v in m["parts"].items() if k not in touched_keys
+        }
+        new_parts.update(staged)
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": partition_by,
+            "schema": m["schema"],
+            "parts": new_parts,
+            "operation": {
+                "type": "apply_pos_deletes",
+                "touched": sorted(touched_keys),
+                "n_rows": int(n),
+                "n_delete_files": len(rels),
+            },
+        }
+        # equality deletes (if also pending) stay pending: the rewrite
+        # above applied them only to the dirs it touched
+        if m.get("deletes"):
+            manifest["deletes"] = list(m["deletes"])
+            manifest["delete_keys"] = list(m["delete_keys"])
+        _carry_constraints(manifest, m)
+        _carry_mapping(manifest, m)
+        if "txns" in m:
+            manifest["txns"] = m["txns"]
+        for stat_key in ("stats", "file_stats"):
+            if stat_key in m:
+                manifest[stat_key] = {
+                    k: v
+                    for k, v in m[stat_key].items()
+                    if k in new_parts and k not in staged
+                }
+        _commit(root, manifest)
+        spark.catalog.refreshByPath(root)
+        return int(n)
+
+
 def _require_no_pending_deletes(m: dict | None, op: str) -> None:
     if m is not None and m.get("deletes"):
         raise ValueError(
@@ -2742,6 +3067,25 @@ def _require_no_pending_deletes(m: dict | None, op: str) -> None:
             "inserted key (the resurrection hazard Iceberg prevents "
             "with sequence numbers; this format prevents it by "
             "requiring materialization before the next upsert)."
+        )
+    _require_no_pending_pos_deletes(m, op)
+
+
+def _require_no_pending_pos_deletes(m: dict | None, op: str) -> None:
+    """Refuse data-REWRITING commits while positional deletes are
+    pending: a (file, row_index) tuple dies with the file it names,
+    so an op that rewrites raw bytes into new files (compaction
+    reorders rows; a merge rewrites whole partitions) would leave the
+    dead rows physically present with no entry pointing at them —
+    silent resurrection. Materialize with apply_pos_deletes() first.
+    Metadata-only commits and rewrites whose scan goes through
+    _read_at (which applies the positions) don't need this guard."""
+    if m is not None and m.get("pos_deletes"):
+        raise ValueError(
+            f"{op}: table has pending positional (row-index) deletes; "
+            "run apply_pos_deletes() first — rewriting or reorganizing "
+            "data files would orphan pending (file, row_index) "
+            "tombstones and resurrect the deleted rows."
         )
 
 
@@ -2801,6 +3145,10 @@ def delete_where_mor(
             "delete_keys": list(keys),
             "operation": {"type": "delete_mor", "n_keys": int(n)},
         }
+        if m.get("pos_deletes"):
+            # both tombstone kinds may be pending at once; no data file
+            # changed, so positional coordinates stay exact
+            manifest["pos_deletes"] = list(m["pos_deletes"])
         _carry_mapping(manifest, m)
         for carry in ("txns", "constraints", "stats", "file_stats"):
             if carry in m:
@@ -2823,6 +3171,10 @@ def apply_deletes(
         m = read_manifest(root)
         if m is None:
             raise FileNotFoundError(f"no MANIFEST at {root}")
+        # this rewrite scans RAW bytes (deleted rows intentionally
+        # still present for untouched keys) — positional tombstones
+        # on the rewritten dirs would be orphaned
+        _require_no_pending_pos_deletes(m, "apply_deletes")
         rels = m.get("deletes") or []
         if not rels:
             return 0

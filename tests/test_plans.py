@@ -515,3 +515,28 @@ def test_warc_pipeline_no_shuffle_past_the_source(spark, sf_dir):
     unit is the WARC file itself)."""
     p = plan(spark, sf_dir, "warc_html_pipeline_check")
     assert "Exchange" not in p
+
+
+def test_sql_udf_is_catalyst_inlined(spark, sf_dir):
+    """CREATE FUNCTION .. RETURN expr must inline into the JVM plan:
+    the CASE/FLOOR bodies appear as plain expressions (partial agg
+    over the substituted FLOOR, grouping on the substituted CASE) and
+    no Python evaluation node exists — the SQL-UDF abstraction costs
+    nothing at 100 TB, unlike a Python UDF doing the same math."""
+    p = plan(spark, sf_dir, "sql_udf_check")
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "CASE WHEN" in p  # order_tier body substituted
+    assert "FLOOR" in p  # to_cents body substituted
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+
+def test_pipe_syntax_lowers_to_the_ansi_plan(spark, sf_dir):
+    """The |> chain is surface syntax only: the executed plan has the
+    same shape as the ANSI text — shipdate filter pushed to the scan,
+    partial+final HashAggregate pair, no extra exchanges or
+    materialization between pipe stages."""
+    p = plan(spark, sf_dir, "sql_pipe_syntax_check")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert p.count("Exchange") == 1  # one shuffle: the group-by
