@@ -157,6 +157,18 @@ class ManifestCdfStreamReader(DataSourceStreamReader):
                         "delete files — drain them with apply_deletes or "
                         "read this span in batch via read_changes"
                     )
+                if m and m.get("pos_deletes"):
+                    # a delete_where_pos commit changes the LOGICAL rows
+                    # with zero parts-diff, which this source's per-dir
+                    # task decomposition cannot see — emitting an empty
+                    # batch would be silently wrong, so stop loudly
+                    # (same contract as equality deletes above)
+                    raise ValueError(
+                        "manifestcdf: span crosses pending positional "
+                        "(row-index) delete files — drain them with "
+                        "apply_pos_deletes or read this span in batch "
+                        "via read_changes"
+                    )
             if {f.name for f in _logical_fields(m_new)} != declared:
                 raise ValueError(
                     f"manifestcdf: version {v} changed the table schema "

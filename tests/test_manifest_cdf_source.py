@@ -165,3 +165,38 @@ def test_cdf_feed_maintains_downstream_aggregate(spark, tmp_path):
     }
     got = {k: v for k, v in agg.items() if abs(v) > 1e-9}
     assert got == batch
+
+
+def test_pos_delete_span_stops_the_stream_loudly(spark, tmp_path):
+    """A delete_where_pos commit changes logical rows with ZERO
+    parts-diff, which the source's per-dir task decomposition cannot
+    see — it must refuse the span (same contract as equality MOR
+    spans), never emit a silently empty batch."""
+    root = _mk_table(spark, tmp_path)
+    from pyspark.sql import types as T
+
+    MT.delete_where_pos(spark, root, F.col("id") == 2)  # v4
+    schema = T.StructType.fromJson(
+        __import__("json").loads(MT.read_manifest(root)["schema"])
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    r = ManifestCdfStreamReader(schema, {"path": root})
+    with pytest.raises(ValueError, match="positional"):
+        r.partitions({"version": 3}, {"version": 4})
+    MT.apply_pos_deletes(spark, root)  # v5
+    r2 = ManifestCdfStreamReader(schema, {"path": root})
+    # the span INTO the apply commit still refuses (its old side v4
+    # pends) — read it in batch via read_changes, like equality MOR
+    with pytest.raises(ValueError, match="positional"):
+        r2.partitions({"version": 4}, {"version": 5})
+    # past the materialization the stream resumes normally
+    MT.merge_upsert_atomic(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(77, "a", 7.0)], "id long, part string, v double"
+        ),
+        keys=["id"],
+        partition_by="part",
+    )  # v6
+    parts = r2.partitions({"version": 5}, {"version": 6})
+    assert parts  # the merged dir produces a diff task
