@@ -1,6 +1,9 @@
 """Streaming change-feed source (sources/manifest_cdf_source.py):
-per-version parity with batch read_changes, resume-at-offset, and the
-fail-loudly guards (MOR spans, schema change under the stream)."""
+per-version parity with batch read_changes, resume-at-offset, NATIVE
+merge-on-read DML replay (delete_where_mor / delete_where_pos spans
+emit the deleted rows; apply spans contribute zero tasks), and the
+fail-loudly guards (schema change, rewrites under pending tombstones,
+unreplayable tombstone transitions)."""
 
 from __future__ import annotations
 
@@ -68,7 +71,9 @@ def test_feed_matches_batch_read_changes_per_version(spark, tmp_path):
     } == {(1, "delete", 3)}
 
 
-def test_mor_span_and_schema_change_fail_loudly(spark, tmp_path):
+def test_schema_change_fails_loudly_and_eq_delete_streams_natively(
+    spark, tmp_path
+):
     root = _mk_table(spark, tmp_path)
     # schema change under the stream: the reader's declared schema is
     # the v3 logical one; an added column must stop the plan
@@ -88,14 +93,25 @@ def test_mor_span_and_schema_change_fail_loudly(spark, tmp_path):
     r = ManifestCdfStreamReader(old_schema, {"path": root})
     with pytest.raises(ValueError, match="changed the table schema"):
         r.partitions({"version": 3}, {"version": 4})
-    # MOR span: pending delete files refuse the stream
-    MT.delete_where_mor(spark, root, F.col("id") == 2, keys=["id"])
+    # an equality MOR commit streams NATIVELY: the span emits exactly
+    # the deleted rows, matching batch read_changes
+    MT.delete_where_mor(spark, root, F.col("id") == 2, keys=["id"])  # v5
     cur = T.StructType.fromJson(
         __import__("json").loads(MT.read_manifest(root)["schema"])
     ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
     r2 = ManifestCdfStreamReader(cur, {"path": root})
-    with pytest.raises(ValueError, match="merge-on-read"):
-        r2.partitions({"version": 4}, {"version": 5})
+    parts = r2.partitions({"version": 4}, {"version": 5})
+    rows = [t for p in parts for t in r2.read(p)]
+    # id=2 lives in part b after the v2 update: one delete row
+    assert len(rows) == 1
+    got = dict(zip([f.name for f in cur.fields], rows[0]))
+    assert (got["id"], got["_change_type"], got["_commit_version"]) == (
+        2, "delete", 5,
+    )
+    # apply_deletes: physical rewrite of logically-dead rows -> the
+    # span plans ZERO tasks (batch read_changes is empty for it too)
+    MT.apply_deletes(spark, root)  # v6
+    assert r2.partitions({"version": 5}, {"version": 6}) == []
 
 
 def test_vacuumed_span_fails_loudly_not_silently_empty(spark, tmp_path):
@@ -167,11 +183,16 @@ def test_cdf_feed_maintains_downstream_aggregate(spark, tmp_path):
     assert got == batch
 
 
-def test_pos_delete_span_stops_the_stream_loudly(spark, tmp_path):
-    """A delete_where_pos commit changes logical rows with ZERO
-    parts-diff, which the source's per-dir task decomposition cannot
-    see — it must refuse the span (same contract as equality MOR
-    spans), never emit a silently empty batch."""
+def test_pos_delete_streams_natively_across_the_full_lifecycle(
+    spark, tmp_path
+):
+    """A delete_where_pos commit (zero parts-diff) streams NATIVELY:
+    the span's tasks pyarrow-take exactly the tombstoned coordinates
+    — only for the dirs they touch — and emit them as delete rows;
+    the later apply_pos_deletes span plans ZERO tasks; an end-to-end
+    drain across the whole lifecycle bit-matches batch read_changes;
+    and the downstream stream keeps flowing through DML with no
+    restart."""
     root = _mk_table(spark, tmp_path)
     from pyspark.sql import types as T
 
@@ -180,15 +201,17 @@ def test_pos_delete_span_stops_the_stream_loudly(spark, tmp_path):
         __import__("json").loads(MT.read_manifest(root)["schema"])
     ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
     r = ManifestCdfStreamReader(schema, {"path": root})
-    with pytest.raises(ValueError, match="positional"):
-        r.partitions({"version": 3}, {"version": 4})
-    MT.apply_pos_deletes(spark, root)  # v5
-    r2 = ManifestCdfStreamReader(schema, {"path": root})
-    # the span INTO the apply commit still refuses (its old side v4
-    # pends) — read it in batch via read_changes, like equality MOR
-    with pytest.raises(ValueError, match="positional"):
-        r2.partitions({"version": 4}, {"version": 5})
-    # past the materialization the stream resumes normally
+    parts = r.partitions({"version": 3}, {"version": 4})
+    # id=2 lives only in part b (after the v2 update): exactly one
+    # dir task, not one per dir
+    assert len(parts) == 1
+    rows = [t for p in parts for t in r.read(p)]
+    assert len(rows) == 1
+    got = dict(zip([f.name for f in schema.fields], rows[0]))
+    assert (got["id"], got["v"], got["_change_type"]) == (2, 20.0, "delete")
+    MT.apply_pos_deletes(spark, root)  # v5: zero tasks
+    assert r.partitions({"version": 4}, {"version": 5}) == []
+    # ...and the stream keeps flowing through a later ordinary merge
     MT.merge_upsert_atomic(
         spark,
         root,
@@ -198,5 +221,35 @@ def test_pos_delete_span_stops_the_stream_loudly(spark, tmp_path):
         keys=["id"],
         partition_by="part",
     )  # v6
-    parts = r2.partitions({"version": 5}, {"version": 6})
-    assert parts  # the merged dir produces a diff task
+    assert r.partitions({"version": 5}, {"version": 6})
+    # end-to-end drain parity with batch read_changes per version
+    register_manifest_cdf_source(spark)
+    feed = _drain(spark, root, tmp_path, "poslife")
+    for v in (4, 5, 6):
+        batch = MT.read_changes(
+            spark, root, from_version=v - 1, to_version=v
+        ).withColumn("_commit_version", F.lit(v).cast("long"))
+        got_v = feed.filter(F.col("_commit_version") == v).select(
+            *batch.columns
+        )
+        assert got_v.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got_v).count() == 0
+
+
+def test_rewrite_under_pending_tombstones_refuses(spark, tmp_path):
+    """delete_where (CoW) is a legal WRITE under pending positional
+    tombstones, but the STREAM cannot replay a raw per-dir diff of it
+    (rows already logically dead would double-count) — that span must
+    refuse, batch read_changes remains the documented path."""
+    root = _mk_table(spark, tmp_path)
+    from pyspark.sql import types as T
+
+    MT.delete_where_pos(spark, root, F.col("id") == 2)  # v4: native
+    MT.delete_where(spark, root, F.col("id") == 3)  # v5: CoW rewrite
+    schema = T.StructType.fromJson(
+        __import__("json").loads(MT.read_manifest(root)["schema"])
+    ).add("_change_type", T.StringType()).add("_commit_version", T.LongType())
+    r = ManifestCdfStreamReader(schema, {"path": root})
+    assert r.partitions({"version": 3}, {"version": 4})  # native DML
+    with pytest.raises(ValueError, match="rewrites data dirs"):
+        r.partitions({"version": 4}, {"version": 5})
