@@ -2575,6 +2575,13 @@ def add_constraint(
             "operation": {"type": "add_constraint", "name": name},
         }
         _carry_deletes(manifest, m)
+        # metadata-only commit: the column mapping and the bloom-index
+        # declaration MUST ride along — omitting the mapping makes
+        # every renamed column read NULL from the physical files
+        # (r12 audit fix)
+        _carry_mapping(manifest, m)
+        if m.get("bloom_cols"):
+            manifest["bloom_cols"] = list(m["bloom_cols"])
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2601,6 +2608,9 @@ def drop_constraint(root: str, name: str) -> None:
         if existing:
             manifest["constraints"] = existing
         _carry_deletes(manifest, m)
+        _carry_mapping(manifest, m)  # r12 audit fix (see add_constraint)
+        if m.get("bloom_cols"):
+            manifest["bloom_cols"] = list(m["bloom_cols"])
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2686,6 +2696,11 @@ def rename_column(spark: SparkSession, root: str, old: str, new: str) -> None:
             # positional tombstones reference files, not columns —
             # a rename carries them untouched
             manifest["pos_deletes"] = list(m["pos_deletes"])
+        if m.get("bloom_cols"):
+            # bloom_cols are PHYSICAL names: renames never touch them
+            # (r12 audit fix — dropping the list silently disabled the
+            # standing bloom index after any rename)
+            manifest["bloom_cols"] = list(m["bloom_cols"])
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2745,6 +2760,10 @@ def drop_column(spark: SparkSession, root: str, name: str) -> None:
         _carry_deletes(manifest, m)
         if m.get("constraints"):
             manifest["constraints"] = dict(m["constraints"])
+        if m.get("bloom_cols"):
+            # physical names; the dropped column's filter entries are
+            # simply never consulted again (r12 audit fix)
+            manifest["bloom_cols"] = list(m["bloom_cols"])
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2957,7 +2976,7 @@ def delete_where_pos(spark: SparkSession, root: str, predicate) -> int:
             manifest["deletes"] = list(m["deletes"])
             manifest["delete_keys"] = list(m["delete_keys"])
         _carry_mapping(manifest, m)
-        for carry in ("txns", "constraints", "stats", "file_stats"):
+        for carry in ("txns", "constraints", "bloom_cols", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)
@@ -3150,7 +3169,7 @@ def delete_where_mor(
             # changed, so positional coordinates stay exact
             manifest["pos_deletes"] = list(m["pos_deletes"])
         _carry_mapping(manifest, m)
-        for carry in ("txns", "constraints", "stats", "file_stats"):
+        for carry in ("txns", "constraints", "bloom_cols", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)

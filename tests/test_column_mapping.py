@@ -469,3 +469,34 @@ def test_change_feed_refuses_span_crossing_delete_key_drop(spark, tmp_path):
     # and a span whose OLD side has no pending deletes crosses the
     # drop without needing key translation at all
     assert MT.read_changes(spark, root, v1, v_end).count() >= 0
+
+
+def test_mapping_survives_constraint_and_tombstone_commits(spark, tmp_path):
+    """r12 audit fix: add_constraint / drop_constraint /
+    delete_where_mor / delete_where_pos are metadata-or-tombstone
+    commits that must carry the column mapping — before the fix,
+    add_constraint after a rename DROPPED the mapping and every
+    renamed column read NULL from the physical files."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    MT.rename_column(spark, root, "amount", "value_usd")
+    MT.add_constraint(spark, root, "v_pos", "value_usd > 0")
+    m = MT.read_manifest(root)
+    assert m["column_mapping"] == {"value_usd": "amount"}
+    rows = {(r["id"], r["value_usd"])
+            for r in MT.read_table(spark, root).collect()}
+    assert rows == {(1, 10.0), (2, 20.0), (3, 30.0)}
+    MT.drop_constraint(root, "v_pos")
+    assert MT.read_manifest(root)["column_mapping"] == {
+        "value_usd": "amount"
+    }
+    MT.delete_where_mor(spark, root, F.col("id") == 3, keys=["id"])
+    assert MT.read_manifest(root)["column_mapping"] == {
+        "value_usd": "amount"
+    }
+    MT.apply_deletes(spark, root)
+    MT.delete_where_pos(spark, root, F.col("id") == 2)
+    m = MT.read_manifest(root)
+    assert m["column_mapping"] == {"value_usd": "amount"}
+    assert {(r["id"], r["value_usd"])
+            for r in MT.read_table(spark, root).collect()} == {(1, 10.0)}

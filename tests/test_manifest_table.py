@@ -1139,3 +1139,39 @@ def test_bloom_composes_with_occ_clone_and_time_travel(spark, tmp_path):
     assert files_for(clone, 123) < len(
         MT.read_table(spark, clone).inputFiles()
     )
+
+
+def test_bloom_declaration_survives_metadata_and_tombstone_commits(
+    spark, tmp_path
+):
+    """r12 audit fix: rename/drop_column, add/drop_constraint and both
+    tombstone writers (delete_where_mor / delete_where_pos) must carry
+    the bloom_cols DECLARATION — before the fix any of these commits
+    silently shed it, so the next rewrite stopped rebuilding sidecars
+    and file skipping degraded table-wide without an error."""
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 500).select(
+        F2.col("id"),
+        F2.md5(F2.col("id").cast("string")).alias("key"),
+        F2.lit(1.0).alias("extra"),
+    )
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(4), keys=["id"], bloom_cols=["key"]
+    )
+    MT.rename_column(spark, root, "key", "content_hash")
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]  # physical
+    MT.add_constraint(spark, root, "id_pos", "id >= 0")
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+    MT.drop_constraint(root, "id_pos")
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+    MT.delete_where_mor(spark, root, F2.col("id") == 3, keys=["id"])
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+    MT.apply_deletes(spark, root)
+    MT.delete_where_pos(spark, root, F2.col("id") == 4)
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+    MT.apply_pos_deletes(spark, root)
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+    MT.drop_column(spark, root, "extra")
+    assert MT.read_manifest(root)["bloom_cols"] == ["key"]
