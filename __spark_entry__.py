@@ -100,10 +100,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries, which together form r13's window. Every query is also
 # covered each round by the full-catalog DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- new this round (11; VERDICT r11 #2-#5, #7, #8 + the WARC
+    # --- new this round (12; VERDICT r11 #2-#5, #7, #8 + the WARC
     # head, the streaming change-feed source, the two Spark-4
     # SQL-surface rows — pipe syntax and Catalyst-inlined SQL UDFs —
-    # and the positional deletion-vector row) ---
+    # the positional deletion-vector row, and GENERATED ALWAYS AS
+    # columns) ---
+    "generated_column_check",
     "pos_delete_check",
     "sql_pipe_syntax_check",
     "sql_udf_check",
@@ -135,7 +137,6 @@ _PRIORITY = [
     "domain_capped_docs",
     "edit_distance_near_dups",
     "embedding_near_dup_pairs",
-    "embedding_quantize",
     "heldout_contamination",
     "incremental_doc_mart_check",
     "ivf_topk_persisted",
@@ -156,7 +157,7 @@ _PRIORITY = [
     "streaming_stripe_source_mart_check",
     "token_length_histogram",
     # --- below the 50-query window: oldest-first continuation ---
-    # SIX r6 queries are displaced by the eleven new entries
+    # SEVEN r6 queries are displaced by the twelve new entries
     # (documented one-round slip): cross_doc_novelty_hashed and
     # heldout_contamination_hashed are output-hash twins of base
     # variants that stay INSIDE the window (identical machinery, the
@@ -166,14 +167,17 @@ _PRIORITY = [
     # media_alaw_decode_check's companding twin
     # media_ulaw_decode_check holds a recent verdict and the shared
     # G.711 scaffolding is pytest-pinned;
+    # embedding_quantize's int8 quantize/dequantize kernel is composed
+    # and re-verified by quantized_topk INSIDE the window;
     # streaming_merge_mart_check's readStream->foreachBatch merge
     # machinery underlies every streaming mart query including the
     # three new in-window ones; atomic_history_audit_check's commit
     # audit records are exercised by every atomic commit and
-    # pytest-pinned. All six lead r13's rotation, followed by the 38
+    # pytest-pinned. All seven lead r13's rotation, followed by the 38
     # round-7-stale queries.
     "cross_doc_novelty_hashed",
     "heldout_contamination_hashed",
+    "embedding_quantize",
     "media_alaw_decode_check",
     "streaming_merge_mart_check",
     "atomic_history_audit_check",

@@ -342,6 +342,9 @@ HEADLINE = [
     "sql_pipe_syntax_check",
     "sql_udf_check",
     "pos_delete_check",
+    # ...and the generated-column mart read (mart cached; the timed
+    # path is one manifest scan + the grouped profile)
+    "generated_column_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -3599,3 +3599,90 @@ def q_pos_delete_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "materialized",
         )
     )
+
+
+def _generated_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the generated-column mart: merge the
+    EVEN-event_id half WITH the derived month column, declare it
+    GENERATED ALWAYS AS, then merge the ODD half WITHOUT the column —
+    the engine computes it and partitions identically (the canonical
+    derived-partition-column flow every ingestion pipeline needs)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#gen"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="gen_mart_")
+        mart = os.path.join(root, "t")
+        ev = _rt(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+        month = F.date_trunc("MONTH", F.col("ts")).cast("date")
+        MT.merge_upsert_atomic(
+            spark,
+            mart,
+            ev.filter(F.col("event_id") % 2 == 0).withColumn("month", month),
+            keys=["event_id"],
+            partition_by="month",
+        )
+        MT.set_generation_expr(
+            spark, mart, "month", "CAST(date_trunc('MONTH', ts) AS DATE)"
+        )
+        # the odd half OMITS month entirely: computed + partitioned by
+        # the declaration, not by the writer
+        MT.merge_upsert_atomic(
+            spark,
+            mart,
+            ev.filter(F.col("event_id") % 2 == 1),
+            keys=["event_id"],
+            partition_by="month",
+        )
+        _STREAM_MART_CACHE[cache_key] = root
+    return os.path.join(root, "t")
+
+
+@register(
+    "generated_column_check",
+    oracle=f"""
+SELECT CAST(date_trunc('MONTH', ts) AS DATE) AS month,
+       event_type,
+       COUNT(*) AS n_events,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="GENERATED ALWAYS AS columns under the driver oracle (r12 — "
+    "the Delta generated-columns shape): a mart partitioned by a "
+    "month column DECLARED as CAST(date_trunc('MONTH', ts) AS DATE). "
+    "Half the rows are merged with the column supplied (validated "
+    "against the expression — a conflicting value refuses before "
+    "staging), half WITHOUT it (computed by the engine at merge "
+    "entry, then partitioned by the computed value). The read-back "
+    "grouped profile must bit-match plain SQL computing the same "
+    "derivation inline — proving writer-independent partition layout, "
+    "the property that makes a declared derivation superior to "
+    "convention at 100 TB (no writer can mis-partition). Declaration "
+    "validation, update_where recomputation, rename-following "
+    "(literal-safe identifier rewrite), TOCTOU refusal and "
+    "derived-commit survival are pytest-pinned in "
+    "tests/test_generated_columns.py.",
+)
+def q_generated_column_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    mart = _generated_mart_root(spark, sf_dir)
+    return (
+        MT.read_table(spark, mart)
+        .groupBy("month", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_usd_cents(F.col("value")).alias("total_value"),
+        )
+    )

@@ -788,6 +788,13 @@ def merge_upsert_atomic(
         raise ValueError("txn_app and txn_version must be passed together")
     _m0 = read_manifest(root)
     _require_no_pending_deletes(_m0, "merge_upsert_atomic")
+    # GENERATED columns: compute the declared ones the batch omits and
+    # refuse conflicting supplied values — BEFORE constraint
+    # validation, so constraints over generated columns see the
+    # computed values. The locked/OCC commit re-checks the declaration
+    # didn't move meanwhile (same TOCTOU shape as constraints).
+    updates = _apply_generation(updates, _m0, "merge_upsert_atomic")
+    _gen0 = {} if _m0 is None else dict(_m0.get("generation") or {})
     # CHECK constraints: validate the BATCH before anything stages — a
     # violating merge fails with the table unchanged (kept rows were
     # validated when the constraint was added, so the batch is the
@@ -815,7 +822,7 @@ def merge_upsert_atomic(
             _merge_upsert_atomic_locked(
                 spark, root, updates, keys, partition_by, stats_cols, _fault,
                 txn=txn, validated_constraints=_validated_cons,
-                bloom_cols=bloom_cols,
+                bloom_cols=bloom_cols, validated_generation=_gen0,
             )
         return
     if concurrency != "occ":
@@ -855,6 +862,11 @@ def merge_upsert_atomic(
                     _revalidate_constraint_delta(
                         updates, _validated_cons, current,
                         "merge_upsert_atomic",
+                    )
+                    # likewise a generation declaration that moved in
+                    # — the staged rows were computed under _gen0
+                    _require_generation_unchanged(
+                        current, _gen0, "merge_upsert_atomic"
                     )
                 except ValueError:
                     for rel in plan["staged"].values():
@@ -1186,6 +1198,7 @@ def _merge_upsert_atomic_locked(
     txn: tuple[str, int] | None = None,
     validated_constraints: dict | None = None,
     bloom_cols: list[str] | None = None,
+    validated_generation: dict | None = None,
 ) -> None:
     current = read_manifest(root)
     # re-check INSIDE the lock: the entry pre-check ran unlocked, so a
@@ -1196,6 +1209,9 @@ def _merge_upsert_atomic_locked(
     # (ADVICE r10, medium)
     _revalidate_constraint_delta(
         updates, validated_constraints, current, "merge_upsert_atomic"
+    )
+    _require_generation_unchanged(
+        current, validated_generation, "merge_upsert_atomic"
     )
     if txn is not None and _txn_already_applied(current, *txn):
         return  # exactly-once: this epoch already committed
@@ -2297,6 +2313,30 @@ def update_where(
         unknown = set(set_exprs) - set(schema_cols)
         if unknown:
             raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        gen = m.get("generation") or {}
+        locked_cols = set(set_exprs) & set(gen)
+        if locked_cols:
+            raise ValueError(
+                f"update_where: {sorted(locked_cols)} are GENERATED "
+                "ALWAYS AS columns — update their source columns and "
+                "the engine recomputes them"
+            )
+        if partition_by in gen:
+            import re as _re
+
+            no_lit = _re.sub(r"'[^']*'", "''", gen[partition_by])
+            moving = {
+                c
+                for c in set_exprs
+                if _re.search(rf"\b{_re.escape(c)}\b", no_lit)
+            }
+            if moving:
+                raise ValueError(
+                    f"update_where: {sorted(moving)} feed the generated "
+                    f"partition column {partition_by!r}; recomputing it "
+                    "could move rows across partitions — use "
+                    "merge_upsert_atomic, which handles displacement"
+                )
         df = _read_at(spark, root, m)
         matches = df.filter(predicate)
         n = matches.count()
@@ -2322,6 +2362,14 @@ def update_where(
                 for c in schema_cols
             ]
         )
+        if gen:
+            # ALWAYS semantics: recompute generated columns from the
+            # post-SET sources (rows the predicate missed recompute to
+            # their existing value — the declaration invariant holds
+            # table-wide, so this is a no-op for them)
+            updated = updated.withColumns(
+                {c: F.expr(e) for c, e in gen.items()}
+            )
         # CHECK constraints: validate the post-update rows BEFORE
         # staging — a violating SET fails with the table unchanged
         _validate_constraints(
@@ -2471,6 +2519,10 @@ def _carry_constraints(manifest: dict, m: dict) -> dict:
         # the same way; the rewriting op itself is responsible for
         # rebuilding the rewritten dirs' sidecars (_bloom_rebuild)
         manifest["bloom_cols"] = list(m["bloom_cols"])
+    if m.get("generation"):
+        # GENERATED ALWAYS AS declarations are administrative metadata
+        # too: derived commits change no row, so the invariant holds
+        manifest["generation"] = dict(m["generation"])
     return manifest
 
 
@@ -2512,6 +2564,50 @@ def _validate_constraints(
                 f"{op}: rows violate CHECK constraint {name!r} "
                 f"({expression}); nothing was committed"
             )
+
+
+def _apply_generation(df: DataFrame, m: dict | None, op: str) -> DataFrame:
+    """Enforce GENERATED ALWAYS AS columns on a write batch (the
+    Delta generated-columns shape): a declared column ABSENT from the
+    batch is computed from its expression; a column the batch supplies
+    must MATCH the expression (null-safe, one limit-1 probe) or the
+    write refuses before anything stages — silently accepting a
+    conflicting value would break the invariant every reader and the
+    partition layout rely on."""
+    gen = {} if m is None else (m.get("generation") or {})
+    for col, expr in sorted(gen.items()):
+        if col in df.columns:
+            bad = df.filter(
+                ~F.col(col).eqNullSafe(F.expr(expr))
+            ).limit(1)
+            if bad.count():
+                raise ValueError(
+                    f"{op}: column {col!r} is GENERATED ALWAYS AS "
+                    f"({expr}) and the batch supplies a conflicting "
+                    "value — omit the column and let the engine "
+                    "compute it"
+                )
+        else:
+            df = df.withColumn(col, F.expr(expr))
+    return df
+
+
+def _require_generation_unchanged(
+    current: dict | None, validated: dict | None, op: str
+) -> None:
+    """In-lock TOCTOU guard (same shape as the constraint-delta
+    re-check): the batch had generation expressions applied from the
+    manifest sampled at entry; if a concurrent set_generation_expr /
+    drop_generation_expr landed since, the staged rows may be missing
+    or mis-computing a generated column — refuse, the caller retries
+    with the fresh declaration."""
+    cur = {} if current is None else (current.get("generation") or {})
+    if cur != (validated or {}):
+        raise ValueError(
+            f"{op}: generation expressions changed since the batch "
+            "was prepared — retry the write against the current "
+            "declaration"
+        )
 
 
 def _revalidate_constraint_delta(
@@ -2582,6 +2678,106 @@ def add_constraint(
         _carry_mapping(manifest, m)
         if m.get("bloom_cols"):
             manifest["bloom_cols"] = list(m["bloom_cols"])
+        for k in ("txns", "generation", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+
+
+def set_generation_expr(
+    spark: SparkSession, root: str, col: str, expr: str
+) -> None:
+    """Declare ``col`` GENERATED ALWAYS AS ``expr`` (the Delta
+    generated-columns shape) as a METADATA-ONLY commit: ``expr`` is a
+    SQL expression over the table's OTHER columns. The current rows
+    must already satisfy it (one null-safe validation scan — the
+    honest cost Delta also pays at ALTER time); afterwards every
+    merge batch that omits the column gets it COMPUTED, a batch that
+    supplies a conflicting value refuses before staging, update_where
+    recomputes it from the post-SET sources and refuses direct SETs.
+    The canonical use is a derived partition column (partition by
+    month computed from an event timestamp) — declare it once and
+    every writer, streaming or batch, partitions identically."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        schema_cols = [
+            f.name
+            for f in StructType.fromJson(json.loads(m["schema"])).fields
+        ]
+        if col not in schema_cols:
+            raise KeyError(
+                f"no column {col!r}; generated columns are declared on "
+                "existing columns (merge the column in first)"
+            )
+        import re as _re
+
+        # mask single-quoted literals so date_trunc('month', ...) does
+        # not false-positive a column named month
+        no_lit = _re.sub(r"'[^']*'", "''", expr)
+        if _re.search(rf"\b{_re.escape(col)}\b", no_lit):
+            raise ValueError(
+                f"generation expression for {col!r} references itself"
+            )
+        gen = dict(m.get("generation") or {})
+        if col in gen:
+            raise ValueError(
+                f"{col!r} already has a generation expression; "
+                "drop_generation_expr first"
+            )
+        bad = (
+            _read_at(spark, root, m)
+            .filter(~F.col(col).eqNullSafe(F.expr(expr)))
+            .limit(1)
+        )
+        if bad.count():
+            raise ValueError(
+                f"set_generation_expr: existing rows violate "
+                f"{col} = {expr}; nothing was committed"
+            )
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "operation": {"type": "set_generation", "column": col},
+        }
+        _carry_deletes(manifest, m)
+        _carry_mapping(manifest, m)
+        _carry_constraints(manifest, m)
+        manifest["generation"] = {**gen, col: expr}
+        for k in ("txns", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+
+
+def drop_generation_expr(root: str, col: str) -> None:
+    """Remove a GENERATED ALWAYS AS declaration — metadata-only; the
+    column keeps its values and becomes an ordinary column."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        gen = dict(m.get("generation") or {})
+        if col not in gen:
+            raise KeyError(f"no generation expression on {col!r}")
+        gen.pop(col)
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "operation": {"type": "drop_generation", "column": col},
+        }
+        _carry_deletes(manifest, m)
+        _carry_mapping(manifest, m)
+        _carry_constraints(manifest, m)
+        if gen:
+            manifest["generation"] = gen
+        else:
+            manifest.pop("generation", None)
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2611,7 +2807,7 @@ def drop_constraint(root: str, name: str) -> None:
         _carry_mapping(manifest, m)  # r12 audit fix (see add_constraint)
         if m.get("bloom_cols"):
             manifest["bloom_cols"] = list(m["bloom_cols"])
-        for k in ("txns", "stats", "file_stats"):
+        for k in ("txns", "generation", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
         _commit(root, manifest)
@@ -2619,17 +2815,24 @@ def drop_constraint(root: str, name: str) -> None:
 
 def _rename_idents_in_expr(expr: str, renames: dict[str, str]) -> str:
     """Word-boundary identifier substitution in a SQL expression —
-    how constraint expressions and clustering specs follow a column
-    rename. Textual by design (this format stores expressions as SQL
-    strings, like Delta); a string literal that happens to contain a
-    column name as a whole word would be rewritten too — the same
-    documented sharp edge other text-stored-expression systems carry."""
+    how constraint, generation and clustering expressions follow a
+    column rename. Textual by design (this format stores expressions
+    as SQL strings, like Delta), but SINGLE-QUOTED LITERALS are left
+    untouched (r12 fix: renaming a column to/from a word like
+    ``month`` must not rewrite ``date_trunc('month', ...)``'s unit
+    literal — that silently NULLed the expression)."""
     import re
 
-    out = expr
-    for old, new in renames.items():
-        out = re.sub(rf"\b{re.escape(old)}\b", new, out)
-    return out
+    # split into literal and non-literal chunks; substitute only
+    # outside the quotes ('' escapes stay intact inside a chunk)
+    chunks = re.split(r"('(?:[^']|'')*')", expr)
+    for i, chunk in enumerate(chunks):
+        if i % 2 == 1:  # a quoted literal — never rewritten
+            continue
+        for old, new in renames.items():
+            chunk = re.sub(rf"\b{re.escape(old)}\b", new, chunk)
+        chunks[i] = chunk
+    return "".join(chunks)
 
 
 def rename_column(spark: SparkSession, root: str, old: str, new: str) -> None:
@@ -2687,6 +2890,15 @@ def rename_column(spark: SparkSession, root: str, old: str, new: str) -> None:
                 name: _rename_idents_in_expr(e, {old: new})
                 for name, e in m["constraints"].items()
             }
+        if m.get("generation"):
+            # generation exprs are over LOGICAL names: rewrite the
+            # identifiers AND the declared column's own key
+            manifest["generation"] = {
+                (new if c == old else c): _rename_idents_in_expr(
+                    e, {old: new}
+                )
+                for c, e in m["generation"].items()
+            }
         if m.get("deletes"):
             manifest["deletes"] = list(m["deletes"])
             manifest["delete_keys"] = [
@@ -2739,6 +2951,14 @@ def drop_column(spark: SparkSession, root: str, name: str) -> None:
                 raise ValueError(
                     f"constraint {cname!r} references {name!r}; drop it first"
                 )
+        for gcol, e in (m.get("generation") or {}).items():
+            if gcol != name and re.search(
+                rf"\b{re.escape(name)}\b", re.sub(r"'[^']*'", "''", e)
+            ):
+                raise ValueError(
+                    f"generated column {gcol!r} is computed from "
+                    f"{name!r}; drop_generation_expr first"
+                )
         if name in (m.get("delete_keys") or []):
             raise ValueError(
                 f"{name!r} is a pending MOR delete key; apply_deletes first"
@@ -2764,6 +2984,12 @@ def drop_column(spark: SparkSession, root: str, name: str) -> None:
             # physical names; the dropped column's filter entries are
             # simply never consulted again (r12 audit fix)
             manifest["bloom_cols"] = list(m["bloom_cols"])
+        gen = {
+            c: e for c, e in (m.get("generation") or {}).items() if c != name
+        }
+        if gen:
+            # dropping a generated column drops its declaration with it
+            manifest["generation"] = gen
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2976,7 +3202,7 @@ def delete_where_pos(spark: SparkSession, root: str, predicate) -> int:
             manifest["deletes"] = list(m["deletes"])
             manifest["delete_keys"] = list(m["delete_keys"])
         _carry_mapping(manifest, m)
-        for carry in ("txns", "constraints", "bloom_cols", "stats", "file_stats"):
+        for carry in ("txns", "constraints", "bloom_cols", "generation", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)
@@ -3169,7 +3395,7 @@ def delete_where_mor(
             # changed, so positional coordinates stay exact
             manifest["pos_deletes"] = list(m["pos_deletes"])
         _carry_mapping(manifest, m)
-        for carry in ("txns", "constraints", "bloom_cols", "stats", "file_stats"):
+        for carry in ("txns", "constraints", "bloom_cols", "generation", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)
