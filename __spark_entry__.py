@@ -103,8 +103,9 @@ _PRIORITY = [
     # --- new this round (12; VERDICT r11 #2-#5, #7, #8 + the WARC
     # head, the streaming change-feed source, the two Spark-4
     # SQL-surface rows — pipe syntax and Catalyst-inlined SQL UDFs —
-    # the positional deletion-vector row, and GENERATED ALWAYS AS
-    # columns) ---
+    # the positional deletion-vector row, GENERATED ALWAYS AS columns,
+    # and robots.txt crawl filtering) ---
+    "robots_filtered_crawl_check",
     "generated_column_check",
     "pos_delete_check",
     "sql_pipe_syntax_check",
@@ -130,7 +131,6 @@ _PRIORITY = [
     "decontaminated_train_docs",
     "deterministic_sample_docs",
     "doc_chunks",
-    "doc_first_last_token",
     "doc_regex_tokens",
     "doc_repetition_metrics",
     "doc_tfidf_top_terms",
@@ -157,7 +157,7 @@ _PRIORITY = [
     "streaming_stripe_source_mart_check",
     "token_length_histogram",
     # --- below the 50-query window: oldest-first continuation ---
-    # SEVEN r6 queries are displaced by the twelve new entries
+    # EIGHT r6 queries are displaced by the thirteen new entries
     # (documented one-round slip): cross_doc_novelty_hashed and
     # heldout_contamination_hashed are output-hash twins of base
     # variants that stay INSIDE the window (identical machinery, the
@@ -169,15 +169,18 @@ _PRIORITY = [
     # G.711 scaffolding is pytest-pinned;
     # embedding_quantize's int8 quantize/dequantize kernel is composed
     # and re-verified by quantized_topk INSIDE the window;
+    # doc_first_last_token is a two-element projection over the same
+    # regex tokenizer doc_regex_tokens re-verifies INSIDE the window;
     # streaming_merge_mart_check's readStream->foreachBatch merge
     # machinery underlies every streaming mart query including the
     # three new in-window ones; atomic_history_audit_check's commit
     # audit records are exercised by every atomic commit and
-    # pytest-pinned. All seven lead r13's rotation, followed by the 38
+    # pytest-pinned. All eight lead r13's rotation, followed by the 38
     # round-7-stale queries.
     "cross_doc_novelty_hashed",
     "heldout_contamination_hashed",
     "embedding_quantize",
+    "doc_first_last_token",
     "media_alaw_decode_check",
     "streaming_merge_mart_check",
     "atomic_history_audit_check",

@@ -345,6 +345,9 @@ HEADLINE = [
     # ...and the generated-column mart read (mart cached; the timed
     # path is one manifest scan + the grouped profile)
     "generated_column_check",
+    # robots.txt crawl filter: JVM robots parse (5 bodies) + the
+    # broadcast longest-match decision over every corpus URL
+    "robots_filtered_crawl_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -1872,3 +1872,102 @@ def q_warc_html_pipeline_check(
     return extract_main_text(recs, "html").select(
         "doc_id", "n_blocks", "n_blocks_kept", "main_text", "n_chars_kept"
     )
+
+
+@register(
+    "robots_filtered_crawl_check",
+    oracle="""
+SELECT doc_id,
+       'site' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+       CASE doc_id % 3
+         WHEN 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+         ELSE '/public/doc/' || CAST(doc_id AS VARCHAR)
+       END AS path,
+       CASE
+         WHEN (doc_id % 5) % 2 = 0 THEN
+           -- even hosts carry a trainbot group that REPLACES '*':
+           -- Disallow /doc/ (spec 5) vs Allow /doc/2$ (spec 8)
+           CASE WHEN doc_id % 3 = 0 THEN doc_id = 2 ELSE TRUE END
+         ELSE
+           CASE doc_id % 3
+             -- Disallow /private/ (9) vs Allow /private/doc/1 (14)
+             WHEN 1 THEN CAST(doc_id AS VARCHAR) LIKE '1%'
+             -- Disallow /pub*c/doc/3 — wildcard prefix match
+             WHEN 2 THEN CAST(doc_id AS VARCHAR) NOT LIKE '3%'
+             ELSE TRUE
+           END
+       END AS allowed
+FROM documents
+""",
+    doc="robots.txt crawl filtering (r12 — the politeness head of the "
+    "raw-web pipeline, beside the WARC source and HTML extractor; RFC "
+    "9309 / Googlebot REP subset): per-host robots BODIES are parsed "
+    "with pure JVM ops (posexplode lines -> comment/blank strip -> "
+    "user-agent RUN association via two windows -> multi-agent groups "
+    "via collect_set+explode), the group exactly matching the agent "
+    "REPLACES '*' (no merging), and each crawl URL is decided by "
+    "LONGEST-MATCH specificity with Allow winning ties — '*' and '$' "
+    "pattern wildcards translate to an anchored regex. The decision "
+    "join BROADCASTS the rule relation and folds the verdict map-side "
+    "(max of a (spec, is_allow) struct — no window, one shuffle "
+    "total), so the same plan filters a full CommonCrawl URL list. "
+    "The fixture derives hosts/paths/robots deterministically from "
+    "doc_id, exercising group replacement (trainbot on even hosts), "
+    "tie-breaking ('/doc/2$' allow over '/doc/' disallow), prefix "
+    "precedence ('/private/doc/1' over '/private/') and a mid-pattern "
+    "wildcard ('/pub*c/doc/3'); the oracle states each decision "
+    "closed-form.",
+)
+def q_robots_filtered_crawl_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.robots import (
+        parse_robots,
+        robots_filter,
+        select_agent_rules,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"),
+        ).alias("host"),
+        F.concat(
+            F.element_at(
+                F.array(
+                    F.lit("/doc/"), F.lit("/private/doc/"),
+                    F.lit("/public/doc/"),
+                ),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    star_group = (
+        "# synthetic robots\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/doc/1\n"
+        "Disallow: /pub*c/doc/3\n"
+        "Disallow:\n"  # empty Disallow is a no-op allow-all marker
+    )
+    bot_group = (
+        "\nUser-agent: trainbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /doc/\n"
+        "Allow: /doc/2$\n"
+    )
+    hosts = urls.select("host").distinct().withColumn(
+        "h", F.regexp_extract("host", r"site(\d)", 1).cast("int")
+    )
+    robots = hosts.select(
+        "host",
+        F.when(
+            F.col("h") % 2 == 0, F.lit(star_group + bot_group)
+        ).otherwise(F.lit(star_group)).alias("body"),
+    )
+    rules = select_agent_rules(parse_robots(robots), "trainbot")
+    return robots_filter(urls, rules)
