@@ -1939,6 +1939,99 @@ def history(root: str) -> list[dict]:
     return out
 
 
+def table_detail(root: str) -> dict:
+    """DESCRIBE DETAIL (the Delta shape): one metadata-only dict for
+    the committed snapshot — version, partition spec, declared
+    features (constraints / generation / bloom index / column
+    mapping), pending tombstone counts, file/byte totals. Purely
+    manifest + footer-free filesystem metadata; zero Spark jobs."""
+    m = read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {root}")
+    n_files = 0
+    n_bytes = 0
+    for rel in m["parts"].values():
+        d = os.path.join(root, rel)
+        for fname in os.listdir(d):
+            if fname.endswith(".parquet"):
+                n_files += 1
+                n_bytes += os.path.getsize(os.path.join(d, fname))
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    return {
+        "version": int(m["version"]),
+        "partition_by": m.get("partition_by"),
+        "columns": [f.name for f in schema.fields],
+        "n_partitions": len(m["parts"]),
+        "n_files": n_files,
+        "n_bytes": n_bytes,
+        "constraints": dict(m.get("constraints") or {}),
+        "generation": dict(m.get("generation") or {}),
+        "bloom_cols": list(m.get("bloom_cols") or []),
+        "column_mapping": dict(_mapping(m)),
+        "n_pending_equality_delete_files": len(m.get("deletes") or []),
+        "n_pending_position_delete_files": len(m.get("pos_deletes") or []),
+        "committed_at_ms": m.get("committed_at_ms"),
+    }
+
+
+def files_df(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """The ``files`` metadata relation (the Iceberg ``.files`` /
+    Delta ``DESCRIBE DETAIL`` companion): one row per live data FILE
+    of a snapshot with its partition key, relpath, size and footer
+    row count plus the manifest's recorded per-file stats as a JSON
+    string. Driver-side metadata assembly (bounded by file count) —
+    usable from SQL via ``createOrReplaceTempView`` to answer "which
+    files would a compaction touch" without scanning data."""
+    import pyarrow.parquet as pq
+
+    m = read_manifest(root, version)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {root}")
+    fstats = m.get("file_stats", {})
+    rows = []
+    for key, rel in sorted(m["parts"].items()):
+        d = os.path.join(root, rel)
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            p = os.path.join(d, fname)
+            rows.append(
+                (
+                    key,
+                    f"{rel}/{fname}",
+                    int(os.path.getsize(p)),
+                    int(pq.read_metadata(p).num_rows),
+                    json.dumps(fstats.get(key, {}).get(fname))
+                    if fstats.get(key, {}).get(fname)
+                    else None,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "partition_key string, rel string, bytes bigint, "
+        "rows bigint, stats string",
+    )
+
+
+def history_df(spark: SparkSession, root: str) -> DataFrame:
+    """:func:`history` as a DataFrame — the DESCRIBE HISTORY surface,
+    queryable from SQL beside the data it describes."""
+    return spark.createDataFrame(
+        [
+            (
+                h["version"],
+                h["type"],
+                list(h["touched"]),
+                h["n_parts"],
+                h["committed_at_ms"],
+            )
+            for h in history(root)
+        ],
+        "version bigint, type string, touched array<string>, "
+        "n_parts bigint, committed_at_ms bigint",
+    )
+
+
 def version_as_of(root: str, ts_ms: int) -> int:
     """TIMESTAMP-AS-OF resolution (the Delta/Iceberg idiom): the
     highest retained version whose commit timestamp is <= ``ts_ms``.

@@ -1175,3 +1175,51 @@ def test_bloom_declaration_survives_metadata_and_tombstone_commits(
     assert MT.read_manifest(root)["bloom_cols"] == ["key"]
     MT.drop_column(spark, root, "extra")
     assert MT.read_manifest(root)["bloom_cols"] == ["key"]
+
+
+def test_metadata_tables_detail_files_history(spark, tmp_path):
+    """DESCRIBE DETAIL / files / history metadata relations (r12):
+    zero-data-read answers to 'what is this table' — declared
+    features, live files with footer row counts and recorded stats,
+    and the commit log as a SQL-queryable DataFrame."""
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, part string, v double",
+    )
+    MT.merge_upsert_atomic(
+        spark, root, df, keys=["id"], partition_by="part",
+        stats_cols=["id"], bloom_cols=["id"],
+    )
+    MT.add_constraint(spark, root, "v_pos", "v > 0")
+    MT.delete_where_pos(spark, root, F2.col("id") == 2)
+    d = MT.table_detail(root)
+    assert d["version"] == 3 and d["partition_by"] == "part"
+    assert d["columns"] == ["id", "part", "v"]
+    assert d["n_partitions"] == 2 and d["n_files"] >= 2 and d["n_bytes"] > 0
+    assert d["constraints"] == {"v_pos": "v > 0"}
+    assert d["bloom_cols"] == ["id"]
+    assert d["n_pending_position_delete_files"] == 1
+    assert d["n_pending_equality_delete_files"] == 0
+    f = MT.files_df(spark, root)
+    f.createOrReplaceTempView("t_files")
+    rowcounts = {
+        r["partition_key"]: r["n"]
+        for r in spark.sql(
+            "SELECT partition_key, SUM(rows) AS n FROM t_files "
+            "GROUP BY partition_key"
+        ).collect()
+    }
+    # files are RAW (tombstoned row still physically present)
+    assert rowcounts == {"a": 2, "b": 1}
+    assert all(
+        r["stats"] is not None for r in f.collect()
+    )  # recorded per-file stats surface as JSON
+    h = MT.history_df(spark, root)
+    assert [
+        (r["version"], r["type"]) for r in h.orderBy("version").collect()
+    ] == [(1, "initial"), (2, "add_constraint"), (3, "delete_pos")]
+    # time travel: files_df of v1 ignores later state
+    assert MT.files_df(spark, root, version=1).count() == f.count()
