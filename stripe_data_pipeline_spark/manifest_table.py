@@ -2092,11 +2092,20 @@ def maintain(
     the vacuum run as a single critical section, so a concurrent merge
     can neither interleave between compactions nor race the vacuum's
     unreferenced-dir sweep.
+
+    Refuses upfront while POSITIONAL tombstones are pending (r12) —
+    compaction reorders rows out from under (file, row_index)
+    coordinates; run apply_pos_deletes first (itself a maintenance
+    op), then this pass. Call :func:`vacuum` directly for a
+    sweep-only pass under a tombstone backlog.
     """
     with _writer_lock(root):
         m = read_manifest(root)
         if m is None:
             return {"compacted": [], "vacuumed": []}
+        # fail the whole pass upfront with the clear message, not
+        # mid-loop from the first compaction (r12)
+        _require_no_pending_pos_deletes(m, "maintain")
         compacted = []
         spec_hash = _cluster_spec_hash(cluster_by) if cluster_by else None
         for key, rel in sorted(m["parts"].items()):

@@ -291,3 +291,14 @@ def test_read_plan_shape_clean_vs_tombstoned(spark, tmp_path):
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" in p  # tombstones broadcast, data never shuffles
     assert "SortMergeJoin" not in p
+
+
+def test_maintain_refuses_upfront_under_pos_backlog(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    MT.delete_where_pos(spark, root, F.col("v") == 50.0)
+    with pytest.raises(ValueError, match="maintain.*positional"):
+        MT.maintain(spark, root, retain_history=0, grace_sec=0.0)
+    MT.apply_pos_deletes(spark, root)
+    out = MT.maintain(spark, root, retain_history=0, grace_sec=0.0)
+    assert "compacted" in out  # pass runs normally after the drain
