@@ -479,6 +479,11 @@ SF1_SPOT = [
     # md5 variant at sf1 — same plan, cheaper hash constant; keeping
     # BOTH in the gate makes the win (and any drift) measurable
     "winnowing_fingerprints_fast",
+    # r12 second batch: the robots decision must scale like a
+    # broadcast-filtered scan of the URL list — the rule relation is
+    # host-bounded, the verdict folds map-side, so the ratio
+    # certifies no URL-pair blowup hides in the regexp match
+    "robots_filtered_crawl_check",
 ]
 
 
