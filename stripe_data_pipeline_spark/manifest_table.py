@@ -139,9 +139,48 @@ def _writer_lock(root: str, stale_sec: float = 3600.0):
             os.remove(lock)
 
 
+# Protocol feature flags (the Delta reader/writer-features shape,
+# r12): every commit records which format features a READER must
+# understand to produce correct results — an engine build that
+# predates a feature must FAIL LOUDLY instead of silently misreading
+# (ignoring position-delete tombstones would resurrect deleted rows;
+# ignoring the column mapping would read NULLs for renamed columns).
+# Feature names are derived from manifest content at commit time, so
+# the set is always exact and needs no carry logic.
+_SUPPORTED_READER_FEATURES = {
+    "column-mapping",
+    "equality-deletes",
+    "position-deletes",
+}
+
+
+def _reader_features(manifest: dict) -> list[str]:
+    feats = []
+    if manifest.get("column_mapping"):
+        feats.append("column-mapping")
+    if manifest.get("deletes"):
+        feats.append("equality-deletes")
+    if manifest.get("pos_deletes"):
+        feats.append("position-deletes")
+    return feats
+
+
+def _check_reader_features(m: dict, root: str) -> dict:
+    unknown = set(m.get("reader_features") or []) - _SUPPORTED_READER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"table at {root} requires reader features "
+            f"{sorted(unknown)} this engine build does not support — "
+            "refusing to read rather than silently returning wrong "
+            "rows (upgrade the engine)"
+        )
+    return m
+
+
 def read_manifest(root: str, version: int | None = None) -> dict | None:
     """Committed snapshot (current, or a historical ``version`` for
-    time travel), or None for a missing/empty table."""
+    time travel), or None for a missing/empty table. Refuses loudly
+    when the snapshot declares reader features this build lacks."""
     if version is not None:
         current = read_manifest(root)
         if current is None or version > int(current["version"]):
@@ -149,10 +188,10 @@ def read_manifest(root: str, version: int | None = None) -> dict | None:
             # versions <= the committed pointer ever existed for readers
             raise FileNotFoundError(f"version {version} was never committed")
         with open(os.path.join(root, _HISTORY, f"v{version:08d}.json")) as f:
-            return json.load(f)
+            return _check_reader_features(json.load(f), root)
     try:
         with open(_manifest_path(root)) as f:
-            return json.load(f)
+            return _check_reader_features(json.load(f), root)
     except FileNotFoundError:
         return None
 
@@ -192,6 +231,11 @@ def _commit(root: str, manifest: dict, _fault=None) -> None:
     import time as _time
 
     manifest.setdefault("committed_at_ms", int(_time.time() * 1000))
+    feats = _reader_features(manifest)
+    if feats:
+        manifest["reader_features"] = feats
+    else:
+        manifest.pop("reader_features", None)
     hist_dir = os.path.join(root, _HISTORY)
     os.makedirs(hist_dir, exist_ok=True)
     with open(os.path.join(hist_dir, f"v{int(manifest['version']):08d}.json"), "w") as f:

@@ -1223,3 +1223,35 @@ def test_metadata_tables_detail_files_history(spark, tmp_path):
     ] == [(1, "initial"), (2, "add_constraint"), (3, "delete_pos")]
     # time travel: files_df of v1 ignores later state
     assert MT.files_df(spark, root, version=1).count() == f.count()
+
+
+def test_reader_feature_flags_recorded_and_enforced(spark, tmp_path):
+    """Protocol feature flags (r12, the Delta reader-features shape):
+    commits record exactly the features a reader needs; a manifest
+    declaring a feature this build lacks refuses loudly instead of
+    silently misreading."""
+    import json as _json
+
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)], "id long, part string, v double"
+    )
+    MT.merge_upsert_atomic(spark, root, df, keys=["id"], partition_by="part")
+    assert "reader_features" not in MT.read_manifest(root)
+    MT.rename_column(spark, root, "v", "amount")
+    MT.delete_where_pos(spark, root, F2.col("id") == 2)
+    m = MT.read_manifest(root)
+    assert m["reader_features"] == ["column-mapping", "position-deletes"]
+    MT.apply_pos_deletes(spark, root)
+    assert MT.read_manifest(root)["reader_features"] == ["column-mapping"]
+    # an unknown future feature refuses the read
+    p = os.path.join(root, "MANIFEST")
+    raw = _json.load(open(p))
+    raw["reader_features"] = ["column-mapping", "quantum-deletes"]
+    _json.dump(raw, open(p, "w"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantum-deletes"):
+        MT.read_manifest(root)
