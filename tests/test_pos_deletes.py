@@ -302,3 +302,32 @@ def test_maintain_refuses_upfront_under_pos_backlog(spark, tmp_path):
     MT.apply_pos_deletes(spark, root)
     out = MT.maintain(spark, root, retain_history=0, grace_sec=0.0)
     assert "compacted" in out  # pass runs normally after the drain
+
+
+def test_pos_deletes_compose_with_file_skipping(spark, tmp_path):
+    """The file-granular skipping path (stats_filter + bloom sidecars)
+    builds per-FILE scan paths; the positional anti-join must still
+    hide tombstoned rows there — and a point probe for a tombstoned
+    key must come back empty, not resurrect through the pruned scan."""
+    import hashlib
+
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        F2.col("id"),
+        (F2.col("id") % 10).alias("g"),
+        F2.md5(F2.col("id").cast("string")).alias("key"),
+    )
+    MT.merge_upsert_atomic(
+        spark, root, df.repartition(4), keys=["id"],
+        stats_cols=["id"], bloom_cols=["key"],
+    )
+    assert MT.delete_where_pos(spark, root, F2.col("g") == 3) == 100
+    live = hashlib.md5(b"500").hexdigest()
+    dead = hashlib.md5(b"503").hexdigest()  # g == 3
+    t = MT.read_table(spark, root, stats_filter={"key": (live, live)})
+    assert t.filter(F2.col("key") == live).count() == 1
+    assert len(t.inputFiles()) < 4  # skipping still prunes files
+    t2 = MT.read_table(spark, root, stats_filter={"key": (dead, dead)})
+    assert t2.filter(F2.col("key") == dead).count() == 0
