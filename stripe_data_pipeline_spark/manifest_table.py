@@ -3444,7 +3444,7 @@ def apply_pos_deletes(spark: SparkSession, root: str, _fault=None) -> int:
                     for k, v in m[stat_key].items()
                     if k in new_parts and k not in staged
                 }
-        _commit(root, manifest)
+        _commit(root, manifest, _fault)
         spark.catalog.refreshByPath(root)
         return int(n)
 

@@ -133,3 +133,60 @@ def test_occ_cross_process_writers_no_lost_updates(spark, tmp_path):
     assert leftovers == []
     spark.catalog.refreshByPath(root)
     assert MT.read_table(spark, root).count() == len(expected_ids)
+
+
+POS_WORKER = os.path.join(HERE, "proc_pos_worker.py")
+
+
+def test_pos_deletes_race_occ_merges_across_processes(tmp_path):
+    """A real-process deleter (delete_where_pos + apply_pos_deletes
+    rounds) races a real-process OCC merger on one table. Serializable
+    history invariants, checked by time travel over the commit log:
+    at every delete_pos version the marked rows are hidden; at every
+    apply version the visible rows equal its predecessor's (empty
+    logical delta); at every merge version the full 20-key batch is
+    present with one uniform val (merges refuse pending tombstones, so
+    no merge can have committed over a live tombstone)."""
+    import sys as _sys
+
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("pos-race-check", master="local[4]",
+                      shuffle_partitions=4)
+    root = str(tmp_path / "t")
+    seed = spark.createDataFrame(
+        [(i, -1) for i in range(20)], "id INT, val INT"
+    )
+    MT.merge_upsert_atomic(spark, root, seed, keys=["id"])
+    cmds = [
+        [_sys.executable, POS_WORKER, root, "deleter", "4"],
+        [_sys.executable, POS_WORKER, root, "merger", "4"],
+    ]
+    outs = _run_workers(cmds, timeout=420)
+    deleter = json.loads(outs[0].strip().splitlines()[-1])
+    assert sum(d["deleted"] for d in deleter) >= 2  # the race was real
+    hist = MT.history(root)
+    assert {h["type"] for h in hist} >= {"delete_pos", "merge"}
+    for h in hist:
+        v = h["version"]
+        t = MT.read_table(spark, root, version=v)
+        if h["type"] == "delete_pos":
+            assert t.filter(F.col("id") % 10 == 3).count() == 0
+            assert t.filter(F.col("id") % 10 != 3).count() == 18
+        elif h["type"] == "apply_pos_deletes":
+            prev = MT.read_table(spark, root, version=v - 1)
+            assert t.exceptAll(prev).count() == 0
+            assert prev.exceptAll(t).count() == 0
+        elif h["type"] == "merge" and v > 1:
+            assert t.count() == 20
+            assert t.select("val").distinct().count() == 1
+    # the final manifest is clean and writable
+    assert not MT.read_manifest(root).get("pos_deletes")
+    MT.merge_upsert_atomic(
+        spark,
+        root,
+        spark.createDataFrame([(99, 99)], "id INT, val INT"),
+        keys=["id"],
+    )

@@ -331,3 +331,54 @@ def test_pos_deletes_compose_with_file_skipping(spark, tmp_path):
     assert len(t.inputFiles()) < 4  # skipping still prunes files
     t2 = MT.read_table(spark, root, stats_filter={"key": (dead, dead)})
     assert t2.filter(F2.col("key") == dead).count() == 0
+
+
+class Kill(RuntimeError):
+    """Stands in for SIGKILL at a fault point (see
+    tests/test_manifest_table.py — same protocol boundaries)."""
+
+
+def _kill_at(point: str):
+    def fault(name: str):
+        if name == point:
+            raise Kill(point)
+
+    return fault
+
+
+@pytest.mark.parametrize(
+    "point", ["staged", "moved_one", "manifest_tmp_written"]
+)
+def test_apply_pos_deletes_crash_atomic(spark, tmp_path, point):
+    """apply_pos_deletes shares the manifest commit protocol: a crash
+    at any staging/move/tmp-write boundary leaves the table on the
+    complete OLD snapshot — tombstones still pending, every read
+    identical — and the retried apply lands cleanly."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    MT.delete_where_pos(spark, root, F.col("grp") == 3)
+    before = _vals(spark, root)
+    v = int(MT.read_manifest(root)["version"])
+    with pytest.raises(Kill):
+        MT.apply_pos_deletes(spark, root, _fault=_kill_at(point))
+    m = MT.read_manifest(root)
+    assert int(m["version"]) == v  # nothing committed
+    assert len(m["pos_deletes"]) == 1  # still pending
+    assert _vals(spark, root) == before  # reads unchanged
+    # the retry materializes normally
+    assert MT.apply_pos_deletes(spark, root) == 2
+    assert not MT.read_manifest(root).get("pos_deletes")
+    assert _vals(spark, root) == before
+
+
+def test_crash_after_commit_is_the_new_snapshot(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    MT.delete_where_pos(spark, root, F.col("grp") == 3)
+    before = _vals(spark, root)
+    with pytest.raises(Kill):
+        MT.apply_pos_deletes(spark, root, _fault=_kill_at("committed"))
+    m = MT.read_manifest(root)
+    assert not m.get("pos_deletes")  # commit landed before the crash
+    assert _vals(spark, root) == before
+    assert MT.apply_pos_deletes(spark, root) == 0  # idempotent no-op
