@@ -83,6 +83,54 @@ def write_ndjson(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+_CSV_OPTS = {
+    # RFC 4180-shaped dialect pinned on BOTH ends so the round trip is
+    # lossless: quote-doubling for embedded quotes (escape='"'), UTC
+    # microsecond timestamps, and an explicit null marker distinct
+    # from the empty string (CSV cannot otherwise tell NULL from '').
+    "header": "true",
+    "quote": '"',
+    "escape": '"',
+    "nullValue": "\\N",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # NTZ timestamps take their own option; both pin MICROSECOND
+    # fractions — the default 3-digit form silently truncates
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "dateFormat": "yyyy-MM-dd",
+}
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (the interchange format every partner export still
+    speaks): one dialect, pinned (see _CSV_OPTS), full overwrite.
+    Empty strings serialize as a QUOTED empty field (emptyValue='""')
+    so the reader can tell them from NULL (written unquoted \\N) —
+    the asymmetric-option pair that closes Spark CSV's classic
+    empty-vs-null round-trip hole."""
+    w = df.write.mode("overwrite").option("emptyValue", '""')
+    for k, v in _CSV_OPTS.items():
+        w = w.option(k, v)
+    w.csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """CSV scan with an EXPLICIT schema (inference is a full extra
+    pass at 100 TB and guesses types; the schema is the contract) and
+    the same pinned dialect as :func:`write_csv` — round-tripping any
+    supported table bit-exactly, including embedded delimiters,
+    quotes, newlines and NULL-vs-empty-string distinction. multiLine
+    handles quoted embedded newlines; at scale prefer exports without
+    them (multiLine scans cannot split files)."""
+    r = (
+        spark.read.schema(schema)
+        .option("multiLine", "true")
+        .option("emptyValue", "")
+    )
+    for k, v in _CSV_OPTS.items():
+        r = r.option(k, v)
+    return r.csv(path)
+
+
 def write_table(
     df: DataFrame,
     path: str,

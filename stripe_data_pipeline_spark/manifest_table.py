@@ -3270,7 +3270,12 @@ def _apply_pos_delete_files(
     )
 
 
-def delete_where_pos(spark: SparkSession, root: str, predicate) -> int:
+def delete_where_pos(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    partition_values: list | None = None,
+) -> int:
     """POSITIONAL merge-on-read DELETE (the Delta deletion-vector /
     Iceberg position-delete shape): mark the matching rows'
     (file, row_index) coordinates in a small immutable tombstone file
@@ -3289,12 +3294,24 @@ def delete_where_pos(spark: SparkSession, root: str, predicate) -> int:
     (merge/update/compact/apply_deletes) refuse while positions are
     pending — a rewritten file invalidates its coordinates — while
     delete_where/repartition_table (whose scans apply the positions)
-    remain available. Returns the number of rows marked deleted."""
+    remain available. Returns the number of rows marked deleted.
+
+    ``partition_values`` confines the MARKING SCAN to those partitions
+    (manifest-pruned, like read_table) — the 100 TB shape for a
+    targeted delete whose partition is known (a GDPR request keyed by
+    signup month): cost ∝ the named partitions, not the table. The
+    predicate is then only evaluated inside them by construction."""
     with _writer_lock(root):
         m = read_manifest(root)
         if m is None:
             raise FileNotFoundError(f"no MANIFEST at {root}")
         parts = m["parts"]
+        if partition_values is not None:
+            want = {
+                _spark_partition_dir_value(spark, v)
+                for v in partition_values
+            }
+            parts = {k: v for k, v in parts.items() if k in want}
         paths = [os.path.join(root, rel) for rel in sorted(parts.values())]
         if not paths:
             return 0

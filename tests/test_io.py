@@ -103,3 +103,41 @@ def test_json_quarantine_splits_good_and_malformed(spark, tmp_path):
     }
     assert all(r["source_file"].endswith("drop.json") for r in bad)
     assert good.columns == ["id", "created"]  # corrupt col dropped
+
+
+def test_csv_roundtrip_hostile_values_and_testdata(spark, sf_dir, tmp_path):
+    """CSV source/sink (r12): the pinned RFC 4180 dialect round-trips
+    bit-exactly — embedded delimiters/quotes/newlines, NULL vs empty
+    string, timestamps to the microsecond — and a real testdata table
+    survives a parquet -> CSV -> DataFrame trip with zero diff."""
+    from pyspark.sql import functions as F
+
+    from stripe_data_pipeline_spark.io import read_csv, read_table, write_csv
+
+    hostile = spark.createDataFrame(
+        [
+            (1, 'comma, "quoted", done', 1.5),
+            (2, "line\nbreak", -0.25),
+            (3, None, None),
+            (4, "", 0.0),
+            (5, "\\N literal backslash-N", 2.0),
+        ],
+        "id long, s string, v double",
+    )
+    p = str(tmp_path / "hostile")
+    write_csv(hostile, p)
+    back = read_csv(spark, p, hostile.schema)
+    assert back.exceptAll(hostile).count() == 0
+    assert hostile.exceptAll(back).count() == 0
+    r3 = back.filter("id = 3").collect()[0]
+    r4 = back.filter("id = 4").collect()[0]
+    assert r3["s"] is None and r4["s"] == ""  # NULL vs '' preserved
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    p2 = str(tmp_path / "events_csv")
+    write_csv(ev, p2)
+    back2 = read_csv(spark, p2, ev.schema)
+    assert back2.exceptAll(ev).count() == 0
+    assert ev.exceptAll(back2).count() == 0

@@ -382,3 +382,21 @@ def test_crash_after_commit_is_the_new_snapshot(spark, tmp_path):
     assert not m.get("pos_deletes")  # commit landed before the crash
     assert _vals(spark, root) == before
     assert MT.apply_pos_deletes(spark, root) == 0  # idempotent no-op
+
+
+def test_partition_targeted_pos_delete(spark, tmp_path):
+    """partition_values confines the marking scan manifest-side — the
+    GDPR shape: only the named partitions are read, the predicate only
+    applies inside them, other partitions' matching rows survive."""
+    root = str(tmp_path / "t")
+    _mk(spark, root)
+    n = MT.delete_where_pos(
+        spark, root, F.col("grp") == 1, partition_values=["a"]
+    )
+    assert n == 2  # b's grp=1 row is outside the named partition
+    assert [t for t in _vals(spark, root)] == [
+        ("a", 2, 20.0),
+        ("b", 1, 30.0),
+        ("b", 3, 40.0),
+        ("c", 3, 50.0),
+    ]
