@@ -166,3 +166,61 @@ def test_occ_merge_refuses_racing_declaration_change(
     # retried against the fresh declaration it lands
     MT.merge_upsert_atomic(spark, root, batch, keys=["id"])
     assert MT.read_table(spark, root).count() == 2
+
+
+def test_streaming_ingest_into_generated_partition_mart(spark, tmp_path):
+    """The canonical streaming-ingest composition: foreachBatch merges
+    into a mart whose partition column is GENERATED — every
+    micro-batch omits the column, the declaration computes and
+    partitions it identically, and the txn ledger keeps re-delivered
+    epochs exactly-once. No writer can mis-partition the mart."""
+    import os
+
+    src = str(tmp_path / "src")
+    rows = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}-1{i % 9}", float(i)) for i in range(30)],
+        "id long, d string, v double",
+    ).select("id", F.col("d").cast("date").alias("d"), "v")
+    rows.repartition(3).write.parquet(src)
+    mart = str(tmp_path / "mart")
+    seed = rows.limit(1).withColumn(
+        "month", F.expr("CAST(date_trunc('MONTH', d) AS DATE)")
+    )
+    MT.merge_upsert_atomic(spark, mart, seed, keys=["id"], partition_by="month")
+    MT.set_generation_expr(
+        spark, mart, "month", "CAST(date_trunc('MONTH', d) AS DATE)"
+    )
+
+    def sink(batch, epoch_id):
+        MT.merge_upsert_atomic(
+            spark, mart, batch, keys=["id"], partition_by="month",
+            txn_app="gen_ingest", txn_version=epoch_id,
+        )
+
+    (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = MT.read_table(spark, mart)
+    assert got.count() == 30
+    assert (
+        got.filter(
+            F.col("month") != F.expr("CAST(date_trunc('MONTH', d) AS DATE)")
+        ).count()
+        == 0
+    )
+    assert {"2024-01-01", "2024-02-01", "2024-03-01"} <= set(
+        MT.read_manifest(mart)["parts"]
+    )
+    # the declaration travels with a zero-copy clone
+    dst = str(tmp_path / "clone")
+    MT.clone_table(mart, dst)
+    assert MT.read_manifest(dst)["generation"] == {
+        "month": "CAST(date_trunc('MONTH', d) AS DATE)"
+    }
