@@ -85,106 +85,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-12 rotation (policy per VERDICT r5 #5 / r7 #8 / r11 #1,
-# enforced by tests/test_driver_contract.py): FIRST the 6 queries
-# with no prior driver verdict — HTML main-content extraction, the
-# SQL-surface recursive CTE, the built-in Datasketches row, the
-# per-file Bloom skipping check, the state-store reader, and the
-# transformWithState initial-state bootstrap (VERDICT r11 #2-#5, #7,
-# #8); THEN 44 of the 45 round-6-stale queries (the oldest backlog
-# the catalog carries — VERDICT r11 #1's named set is fully inside).
-# Six new entries displace exactly one backlog query
-# (media_mjpeg_decode_check, chosen because the JPEG decoder it
-# composes is re-verified in-window by media_jpeg_decode_check); it
-# leads the below-window continuation with the 38 round-7-stale
-# queries, which together form r13's window. Every query is also
-# covered each round by the full-catalog DuckDB sweep inside pytest.
+# Round-13 rotation (policy per VERDICT r5 #5 / r7 #8 / r11 #1 / r12 #1,
+# enforced by tests/test_driver_contract.py): the ENTIRE stale backlog
+# leads -- the 8 queries whose latest driver verdict is round 6 (they
+# were displaced twice; VERDICT r12 #1 says "do not displace any of the
+# 8 again"), then all 38 round-7-stale queries.  That fills 46 of the
+# 50 window slots; the remaining 4 go to the oldest round-8 queries,
+# displaced one-for-one by the new r13 catalog rows as they land (the
+# contract test pins never-verified queries inside the window).  Below
+# the window the list continues strictly oldest-verdict-first so future
+# rotations are mechanical.  Every query is additionally re-verified
+# each round by the full-catalog DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- new this round (12; VERDICT r11 #2-#5, #7, #8 + the WARC
-    # head, the streaming change-feed source, the two Spark-4
-    # SQL-surface rows — pipe syntax and Catalyst-inlined SQL UDFs —
-    # the positional deletion-vector row, GENERATED ALWAYS AS columns,
-    # and robots.txt crawl filtering) ---
-    "robots_filtered_crawl_check",
-    "generated_column_check",
-    "pos_delete_check",
-    "sql_pipe_syntax_check",
-    "sql_udf_check",
-    "streaming_cdf_source_mart_check",
-    "warc_html_pipeline_check",
-    "html_extracted_text_check",
-    "recursive_cte_components_check",
-    "datasketches_hll_check",
-    "bloom_pruned_scan_check",
-    "statestore_reader_check",
-    "streaming_tws_bootstrap_mart_check",
-    # --- the round-6-stale backlog (44 of 45; VERDICT r11 #1) ---
-    "approx_percentile_prices",
-    "array_agg_sorted",
-    "atomic_partition_evolution_check",
-    "atomic_schema_evolution_mart_check",
-    "atomic_time_travel_check",
-    "boilerplate_ngrams",
-    "corpus_curation_funnel",
-    "cross_doc_novelty",
-    "dataset_split_assign",
-    "decontaminated_train_docs",
-    "deterministic_sample_docs",
-    "doc_chunks",
-    "doc_regex_tokens",
-    "doc_repetition_metrics",
-    "doc_tfidf_top_terms",
-    "domain_capped_docs",
-    "edit_distance_near_dups",
-    "embedding_near_dup_pairs",
-    "heldout_contamination",
-    "incremental_doc_mart_check",
-    "ivf_topk_persisted",
-    "key_skew_report_events",
-    "kmeans_cluster_profile",
-    "lang_rebalanced_sample",
-    "media_jpeg_decode_check",
-    "media_rle_bmp_decode_check",
-    "per_group_sample_docs",
-    "pii_scrub",
-    "quantized_topk",
-    "recognized_revenue_mart_check",
-    "regional_revenue_q5ish",
-    "rollup_counts",
-    "sessionized_events",
-    "sql_api_segment_revenue",
-    "streaming_dedup_mart_check",
-    "streaming_stripe_source_mart_check",
-    "token_length_histogram",
-    # --- below the 50-query window: oldest-first continuation ---
-    # EIGHT r6 queries are displaced by the thirteen new entries
-    # (documented one-round slip): cross_doc_novelty_hashed and
-    # heldout_contamination_hashed are output-hash twins of base
-    # variants that stay INSIDE the window (identical machinery, the
-    # hashed projection exists only for oracle comparison);
-    # media_mjpeg_decode_check composes the JPEG decoder
-    # media_jpeg_decode_check re-verifies INSIDE the window;
-    # media_alaw_decode_check's companding twin
-    # media_ulaw_decode_check holds a recent verdict and the shared
-    # G.711 scaffolding is pytest-pinned;
-    # embedding_quantize's int8 quantize/dequantize kernel is composed
-    # and re-verified by quantized_topk INSIDE the window;
-    # doc_first_last_token is a two-element projection over the same
-    # regex tokenizer doc_regex_tokens re-verifies INSIDE the window;
-    # streaming_merge_mart_check's readStream->foreachBatch merge
-    # machinery underlies every streaming mart query including the
-    # three new in-window ones; atomic_history_audit_check's commit
-    # audit records are exercised by every atomic commit and
-    # pytest-pinned. All eight lead r13's rotation, followed by the 38
-    # round-7-stale queries.
-    "cross_doc_novelty_hashed",
-    "heldout_contamination_hashed",
-    "embedding_quantize",
-    "doc_first_last_token",
-    "media_alaw_decode_check",
-    "streaming_merge_mart_check",
+    # --- the 8 round-6-stale queries (VERDICT r12 #1: these LEAD) ---
     "atomic_history_audit_check",
+    "cross_doc_novelty_hashed",
+    "doc_first_last_token",
+    "embedding_quantize",
+    "heldout_contamination_hashed",
+    "media_alaw_decode_check",
     "media_mjpeg_decode_check",
+    "streaming_merge_mart_check",
+    # --- the 38 round-7-stale queries (VERDICT r12 #1) ---
     "bloom_blocklist_filter_persisted",
     "bpe_merges_learned",
     "conditional_functions",
@@ -223,6 +145,255 @@ _PRIORITY = [
     "union_all_slices",
     "vocab_overlap_hll_check",
     "zorder_key_check",
+    # --- window slots 47-50: the oldest round-8 queries. New r13
+    # catalog rows (expectation_quarantine_check, sql_scripting_check,
+    # url_canonical_dedup_check) displace the TAIL of these as they
+    # land (never-verified queries must sit inside the window; the
+    # contract test enforces it).
+    "approx_distinct_parts",
+    "atomic_dml_mart_check",
+    "atomic_recognized_mart_check",
+    "batch_ivf_topk",
+    # --- below the 50-query window: oldest-first continuation ---
+    "bloom_blocklist_filter",
+    "bpe_encoded_docs",
+    "bpe_subword_vocab",
+    "bpe_token_id_sequences",
+    "ccnet_perplexity_buckets",
+    "cms_merge_check",
+    "cms_token_estimates",
+    "dsir_importance_weights",
+    "gopher_quality_flags",
+    "grouping_sets_counts",
+    "hamming_topk_signbit",
+    "hll_mergeable_user_counts",
+    "ivfpq_residual_topk",
+    "ivfpq_topk",
+    "ivfpq_topk_persisted",
+    "longest_repeat_spans_check",
+    "lsh_quality_keepers",
+    "media_adpcm_decode_check",
+    "media_dhash_near_dups",
+    "media_features",
+    "media_frame_samples",
+    "media_gif_decode_check",
+    "media_png_decode_check",
+    "media_ulaw_decode_check",
+    "minhash_lsh_candidates",
+    "normalized_dedup_keepers",
+    "packed_subword_sequences",
+    "pagerank_customer_supplier",
+    "pq_adc_topk",
+    "pq_adc_topk_persisted",
+    "pq_codes_profile",
+    "returned_top_customers_q10ish",
+    "sa_scrubbed_docs",
+    "shipping_priority_q3ish",
+    "span_scrubbed_docs",
+    "streaming_session_windows_mart_check",
+    "streaming_static_join_mart_check",
+    "subword_chunks",
+    "subword_sequences_mart_check",
+    "suffix_array_ranks_check",
+    "suffix_array_ranks_scaled",
+    "tokenizer_fertility_compare",
+    "unigram_encoded_docs",
+    "unigram_vocab_costs",
+    "unigram_word_segments",
+    "unimax_lang_budgets",
+    "ann_recall_check",
+    "bleu_pair_scores",
+    "bpe_roundtrip_check",
+    "char_entropy_scores",
+    "cheapest_part_per_type_q2ish",
+    "customer_order_distribution_q13ish",
+    "discount_revenue_q6ish",
+    "disjunctive_parts_revenue_q19ish",
+    "hist_quantile_merge_check",
+    "hist_quantile_prices",
+    "idle_rich_customers_q22ish",
+    "important_nation_balances_q11ish",
+    "incremental_hist_mart_check",
+    "kmv_distinct_sketch_check",
+    "large_volume_orders_q18ish",
+    "linestatus_priority_q12ish",
+    "maxsim_late_interaction_topk",
+    "media_audio_features_check",
+    "media_spectral_hash_near_dups",
+    "nation_market_share_q8ish",
+    "nation_profit_q9ish",
+    "nation_volume_shipping_q7ish",
+    "parts_supplier_counts_q16ish",
+    "pmi_collocations",
+    "preference_pair_prep",
+    "priority_order_counts_q4ish",
+    "promo_part_suppliers_q20ish",
+    "promo_revenue_share_q14ish",
+    "rrf_hybrid_topk",
+    "segment_dedup_docs",
+    "semdedup_keepers",
+    "small_quantity_revenue_q17ish",
+    "sole_returning_supplier_q21ish",
+    "span_corruption_pairs",
+    "streaming_outer_join_mart_check",
+    "streaming_stateful_latest_mart_check",
+    "stupid_backoff_scores",
+    "top_supplier_revenue_q15ish",
+    "triangle_counts_supplier",
+    "weighted_sample_docs",
+    "wordpiece_encoded_docs",
+    "wordpiece_merges_learned",
+    "wordpiece_unk_stats",
+    "zipf_fit_tokens",
+    "active_periods_per_month_start",
+    "array_functions_check",
+    "atomic_clone_check",
+    "atomic_constraint_mart_check",
+    "atomic_mart_change_feed",
+    "atomic_merge_mart_check",
+    "atomic_mor_cdf_check",
+    "atomic_mor_delete_check",
+    "bm25_top_docs",
+    "bytebpe_encoded_docs",
+    "bytebpe_roundtrip_check",
+    "calendar_dim",
+    "column_null_audit",
+    "cosine_topk_bruteforce",
+    "cube_counts",
+    "curated_line_items",
+    "daily_value_anomalies",
+    "dedup_exact_keepers",
+    "deferred_by_customer_asof",
+    "deferred_total_asof",
+    "event_funnel_conversion",
+    "fx_literal_dim",
+    "hard_negatives_inbatch",
+    "hilbert_key_check",
+    "incremental_cms_mart_check",
+    "incremental_join_mart_check",
+    "incremental_kmv_mart_check",
+    "ivf_topk",
+    "label_propagation_communities",
+    "lateral_topk_per_order",
+    "map_functions_check",
+    "missing_period_end_threshold",
+    "orc_roundtrip_check",
+    "semantic_dedup_keepers",
+    "semantic_split_leakage",
+    "source_mix_plan",
+    "streaming_atomic_merge_mart_check",
+    "streaming_full_outer_join_mart_check",
+    "streaming_mor_delete_mart_check",
+    "streaming_windowed_counts_mart_check",
+    "streaming_wm_dedup_mart_check",
+    "textrank_keywords",
+    "token_rarity_scores",
+    "training_sequences_mart_check",
+    "user_rfm_features",
+    "variant_shredding_check",
+    "weekly_retention_cohorts",
+    "winnowing_fingerprints",
+    "winnowing_shared_pairs",
+    "asof_join_events_orders",
+    "atomic_column_rename_check",
+    "atomic_two_mart_txn_check",
+    "bitmap_exact_distinct_check",
+    "crypto_functions_check",
+    "customer_orders_left_join",
+    "customers_with_open_orders_semi",
+    "customers_without_orders_anti",
+    "dedup_clusters",
+    "dedup_exact_summary",
+    "dim_chain_join",
+    "doc_fingerprints",
+    "doc_lang_id",
+    "doc_quality_scores",
+    "doc_text_stats",
+    "doc_words_exploded_top20",
+    "embedding_lsh_near_dups",
+    "event_gaps",
+    "fim_transform_pairs",
+    "gap_filled_hourly_values",
+    "incremental_agg_mart_check",
+    "interleaved_training_order",
+    "jaccard_verify_lsh",
+    "kneser_ney_scores",
+    "label_centroids_applyinpandas",
+    "latest_event_per_user",
+    "matryoshka_topk_check",
+    "max_cursor",
+    "media_metadata",
+    "near_dup_jaccard_pairs",
+    "orders_high_watermark",
+    "orders_lineitem_join",
+    "orders_rename_cast",
+    "orders_status_filter",
+    "pandas_udf_normalize",
+    "pricing_summary",
+    "recognized_monthly_halfopen",
+    "recognized_quarter_calendar",
+    "revenue_trend_daily",
+    "scd2_customer_segments",
+    "simhash_signatures",
+    "sorted_neighborhood_pairs",
+    "stats_pruned_scan_check",
+    "streaming_tws_latest_mart_check",
+    "top20_orders",
+    "top3_orders_per_status",
+    "udtf_doc_chunks",
+    "url_functions_check",
+    "winnowing_fingerprints_fast",
+    "xml_shredding_check",
+    "approx_percentile_prices",
+    "array_agg_sorted",
+    "atomic_partition_evolution_check",
+    "atomic_schema_evolution_mart_check",
+    "atomic_time_travel_check",
+    "bloom_pruned_scan_check",
+    "boilerplate_ngrams",
+    "corpus_curation_funnel",
+    "cross_doc_novelty",
+    "dataset_split_assign",
+    "datasketches_hll_check",
+    "decontaminated_train_docs",
+    "deterministic_sample_docs",
+    "doc_chunks",
+    "doc_regex_tokens",
+    "doc_repetition_metrics",
+    "doc_tfidf_top_terms",
+    "domain_capped_docs",
+    "edit_distance_near_dups",
+    "embedding_near_dup_pairs",
+    "generated_column_check",
+    "heldout_contamination",
+    "html_extracted_text_check",
+    "incremental_doc_mart_check",
+    "ivf_topk_persisted",
+    "key_skew_report_events",
+    "kmeans_cluster_profile",
+    "lang_rebalanced_sample",
+    "media_jpeg_decode_check",
+    "media_rle_bmp_decode_check",
+    "per_group_sample_docs",
+    "pii_scrub",
+    "pos_delete_check",
+    "quantized_topk",
+    "recognized_revenue_mart_check",
+    "recursive_cte_components_check",
+    "regional_revenue_q5ish",
+    "robots_filtered_crawl_check",
+    "rollup_counts",
+    "sessionized_events",
+    "sql_api_segment_revenue",
+    "sql_pipe_syntax_check",
+    "sql_udf_check",
+    "statestore_reader_check",
+    "streaming_cdf_source_mart_check",
+    "streaming_dedup_mart_check",
+    "streaming_stripe_source_mart_check",
+    "streaming_tws_bootstrap_mart_check",
+    "token_length_histogram",
+    "warc_html_pipeline_check",
 ]
 
 
