@@ -54,9 +54,11 @@ HEADLINE = [
     "doc_repetition_metrics",
     "quantized_topk",
     # round-3 additions (unpinned until the next baseline refresh);
-    # heldout_contamination_hashed is the 8-byte-key scale path of
-    # heldout_contamination — benching both shows the hash swap's win
-    "heldout_contamination_hashed",
+    # heldout_contamination_hashed (the 8-byte-key scale twin of
+    # heldout_contamination) was DEMOTED to pytest-only coverage in
+    # r13 (VERDICT r12 #7): the hash-swap win it demonstrated has been
+    # on record since r3, both variants share every stage but the key
+    # projection, and the base variant keeps its pin.
     "domain_capped_docs",
     "cross_doc_novelty_hashed",
     "token_length_histogram",
@@ -196,11 +198,16 @@ HEADLINE = [
     # bounded top-100 retrieval stages + a 100-row fuse), the
     # deterministic fixed-grid quantile sketch, winnowing MOSS
     # fingerprints (w-bounded explode + one (doc,window) groupBy) and
-    # their capped overlap pairs, and two more TPC-H join shapes
+    # their capped overlap pairs, and two more TPC-H join shapes.
+    # winnowing_fingerprints (the md5 variant, 3.8s/bench) was DEMOTED
+    # to pytest-only coverage in r13 (VERDICT r12 #7): the xxhash64
+    # path winnowing_fingerprints_fast keeps both the sf0.1 and sf1
+    # pins, the md5-vs-xxhash win it existed to demonstrate has held
+    # for three straight rounds (35.9 vs 25.0 at sf1), and the plan
+    # shapes are identical per PLANS.md.
     "semdedup_keepers",
     "rrf_hybrid_topk",
     "hist_quantile_prices",
-    "winnowing_fingerprints",
     "winnowing_shared_pairs",
     "promo_revenue_share_q14ish",
     "large_volume_orders_q18ish",
@@ -238,9 +245,13 @@ HEADLINE = [
     # MaxMatch projections over DISTINCT words + a broadcast join-back
     # (the word-level shape). The three queries share one cached
     # tokenizer artifact per corpus dir, like the BPE family.
+    # wordpiece_unk_stats (2.6s/bench) was DEMOTED to pytest-only
+    # coverage in r13 (VERDICT r12 #7): it is a grouped profile over
+    # the SAME cached-tokenizer encode that wordpiece_encoded_docs
+    # times (which also carries the family's sf1 pin) — the bench
+    # learned nothing from timing the projection twice.
     "wordpiece_merges_learned",
     "wordpiece_encoded_docs",
-    "wordpiece_unk_stats",
     # round-9 fifth batch: graph depth (exactly-once wedge-close
     # triangle enumeration over the dim-bounded co-order supplier
     # graph; TextRank = the pagerank power iteration over the word
@@ -348,6 +359,16 @@ HEADLINE = [
     # robots.txt crawl filter: JVM robots parse (5 bodies) + the
     # broadcast longest-match decision over every corpus URL
     "robots_filtered_crawl_check",
+    # round-13: the expectations/quarantine ingest gate (marts cached
+    # via ARTIFACT_WARM; the timed path is the main-relation manifest
+    # scan, the quarantine-capture scan, and the two grouped profiles)
+    "expectation_quarantine_check",
+    # round-13 second batch: the SQL scripting surface (driver-side
+    # compound interpreter around two ordinary Catalyst plans) and the
+    # crawl-head URL canonicalizer (pure regex projection + one
+    # canonical-key groupBy)
+    "sql_scripting_check",
+    "url_canonical_dedup_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -456,12 +477,15 @@ SF1_SPOT = [
     "ccnet_perplexity_buckets",
     # r9: winnowing is the textbook corpus-linear shape (constant
     # w-factor explode + partial-combined groupBy) — the ratio
-    # certifies exactly that. semdedup_keepers stays OUT of this
-    # gate on purpose: at FIXED k its within-cluster pair work is
-    # quadratic in cluster size by design — the documented knob is
-    # K ~ corpus size (the paper runs 50k clusters for LAION), which
-    # the 10x replication can't exercise without retuning k.
-    "winnowing_fingerprints",
+    # certifies exactly that; since r13 the xxhash64 variant below
+    # carries the family's gate alone (the md5 variant was demoted
+    # from HEADLINE per VERDICT r12 #7, and this list may only name
+    # HEADLINE queries — the ratio denominator is the sf0.1 timing).
+    # semdedup_keepers stays OUT of this gate on purpose: at FIXED k
+    # its within-cluster pair work is quadratic in cluster size by
+    # design — the documented knob is K ~ corpus size (the paper runs
+    # 50k clusters for LAION), which the 10x replication can't
+    # exercise without retuning k.
     # r9 second batch: segment dedup's one-shuffle-on-the-segment-key
     # contract and span corruption's single-sort window stack are the
     # two new corpus-linear shapes — their ratios certify that the
@@ -485,6 +509,31 @@ SF1_SPOT = [
     # certifies no URL-pair blowup hides in the regexp match
     "robots_filtered_crawl_check",
 ]
+
+# Queries whose FIRST run builds a persisted artifact (an on-disk
+# index/blocklist/mart or a session-cached fixture) that every later
+# run reuses. They get ONE untimed warm run before the timed min-of-N
+# (VERDICT r12 #2): min-of-N alone cannot amortize a 10-19s artifact
+# build when external box load stretches all N runs — the r12 driver
+# bench flagged exactly these shapes (bloom_blocklist_filter_persisted
+# at sf0.1; pq_adc/ivfpq_topk_persisted at sf1) while standalone
+# re-measures cleared every pin. The warm run moves the build out of
+# the measurement entirely, so the pins time what they claim to time:
+# the steady-state probe/read path. Tokenizer-cached families (bpe_*,
+# unigram_*, wordpiece_*) stay OUT: their per-corpus train cost is
+# seconds, amortizes fine inside min-of-3, and has never flagged.
+ARTIFACT_WARM = {
+    "ivf_topk_persisted",  # centroid index build
+    "bloom_blocklist_filter_persisted",  # blocklist parquet build
+    "pq_adc_topk_persisted",  # PQ codebooks + codes build
+    "ivfpq_topk_persisted",  # IVF+PQ index build
+    "bloom_pruned_scan_check",  # bloom-indexed mart build
+    "pos_delete_check",  # positional-delete mart builds
+    "generated_column_check",  # generated-column mart build
+    "expectation_quarantine_check",  # quarantine mart builds
+    "warc_html_pipeline_check",  # WARC shard fixture write
+    "html_extracted_text_check",  # shares the WARC fixture
+}
 
 
 def load_baseline(path: str = BASELINE_PATH) -> dict | None:
@@ -577,6 +626,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
+        if name in ARTIFACT_WARM:
+            # One untimed run builds the persisted artifact (index /
+            # blocklist / mart / fixture) so the timed min-of-N below
+            # measures only the steady-state read path (VERDICT r12 #2).
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(runs_per_query):
             t0 = time.time()
@@ -599,6 +654,14 @@ def main() -> None:
             sf1_dir = ensure_scaled_dir(spark, base_dir=sf_dir)
             spot: dict[str, dict] = {}
             for name in SF1_SPOT:
+                if name in ARTIFACT_WARM:
+                    # Untimed artifact build at sf1 too — at 10x data
+                    # the index build is 10-19s, which min-of-2 cannot
+                    # amortize under load (the two r12 sf1 flags).
+                    QUERIES[name].fn(spark, sf1_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    spark.sparkContext._jvm.System.gc()
                 best = float("inf")
                 for _ in range(2):  # min-of-2: one warm pass absorbs the
                     # 10x-scan codegen/readahead cold start without
