@@ -3686,3 +3686,131 @@ def q_generated_column_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_usd_cents(F.col("value")).alias("total_value"),
         )
     )
+
+
+def _expectation_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the expectations mart: merge the
+    event_id%3==0 third as the ungated baseline, declare TWO
+    expectations — value_cap (value < 250, policy=quarantine) and
+    user_known (user_id % 53 <> 0, policy=drop) — then merge the
+    remaining two thirds through the gate. The gated merge's manifest
+    commit carries the admitted rows, the quarantine capture AND the
+    per-expectation audit counts in ONE version."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#expq"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="expq_mart_")
+        mart = os.path.join(root, "t")
+        ev = _rt(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        MT.merge_upsert_atomic(
+            spark,
+            mart,
+            ev.filter(F.col("event_id") % 3 == 0),
+            keys=["event_id"],
+            partition_by="event_type",
+        )
+        MT.set_expectation(mart, "value_cap", "value < 250", policy="quarantine")
+        MT.set_expectation(
+            mart, "user_known", "user_id % 53 <> 0", policy="drop"
+        )
+        MT.merge_upsert_atomic(
+            spark,
+            mart,
+            ev.filter(F.col("event_id") % 3 != 0),
+            keys=["event_id"],
+            partition_by="event_type",
+        )
+        # the gate must have actually fired on this data, and the
+        # commit audit must say so — a silently-empty gate would make
+        # the oracle comparison vacuous
+        audit = MT.read_manifest(mart)["operation"]["expectations"]
+        assert audit["value_cap"]["violations"] > 0
+        assert audit["user_known"]["violations"] > 0
+        _STREAM_MART_CACHE[cache_key] = root
+    return os.path.join(root, "t")
+
+
+@register(
+    "expectation_quarantine_check",
+    oracle=f"""
+WITH flags AS (
+    SELECT event_type, user_id, value,
+           NOT COALESCE(value < 250, TRUE) AS viol_q,
+           NOT COALESCE(user_id % 53 <> 0, TRUE) AS viol_d
+    FROM events
+    WHERE event_id % 3 <> 0
+),
+kept AS (
+    SELECT event_type, user_id, value FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_type, user_id, value
+    FROM flags WHERE NOT viol_q AND NOT viol_d
+),
+quar AS (SELECT event_type, user_id, value FROM flags WHERE viol_q)
+SELECT 'kept' AS phase, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM kept GROUP BY event_type
+UNION ALL
+SELECT 'quarantined' AS phase, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM quar GROUP BY event_type
+""",
+    doc="Declarative data-quality expectations with quarantine under "
+    "the driver oracle (r13, VERDICT r12 #3 — the DLT EXPECT ... ON "
+    "VIOLATION / dbt-test shape; completes the reference's "
+    "DECLARED-but-unenforced tests, "
+    "/root/reference/dbt/stripe/models/curated/schema.yml:4-19): a "
+    "mart ingests two thirds of events through a gate of value_cap "
+    "(value < 250 -> QUARANTINE) and user_known (user_id % 53 <> 0 "
+    "-> DROP). Violating rows route to a quarantine relation "
+    "committed atomically in the SAME manifest version as the "
+    "admitted rows (read_quarantine), with per-expectation violation "
+    "counts in the commit audit; NULL passes, only FALSE violates "
+    "(the CHECK truth table), and a row violating both policies "
+    "quarantines (preserving data wins). Both relations' grouped "
+    "profiles must bit-match plain SQL partitioning the same input "
+    "with the same predicates. Kill-tests at the commit boundary, "
+    "exactly-once replay reaping, OCC/TOCTOU refusal, derived-commit "
+    "carriers, restore/clone travel and vacuum retention are "
+    "pytest-pinned in tests/test_expectations.py. At 100 TB the gate "
+    "is one flag projection + one map-side count aggregate over the "
+    "batch — no extra shuffle; the capture write scales with "
+    "VIOLATING rows only.",
+)
+def q_expectation_quarantine_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    mart = _expectation_mart_root(spark, sf_dir)
+
+    def prof(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_usd_cents(F.col("value")).alias("total_value"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return prof(MT.read_table(spark, mart), "kept").unionByName(
+        prof(
+            MT.read_quarantine(spark, mart).select(
+                "event_type", "user_id", "value"
+            ),
+            "quarantined",
+        )
+    )

@@ -59,6 +59,7 @@ mixed) guarantee: see tests/test_manifest_table.py.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import shutil
@@ -839,6 +840,33 @@ def merge_upsert_atomic(
     # didn't move meanwhile (same TOCTOU shape as constraints).
     updates = _apply_generation(updates, _m0, "merge_upsert_atomic")
     _gen0 = {} if _m0 is None else dict(_m0.get("generation") or {})
+    # Expectations (r13): split the batch by the declared ingest gate
+    # BEFORE constraint validation — CHECK constraints are invariants
+    # over ADMITTED rows, so a row the gate drops or quarantines must
+    # not fail the batch on a constraint. The quarantine capture is
+    # staged now (invisible until a manifest references it); the
+    # locked/OCC commit re-checks the declaration didn't move
+    # meanwhile and reaps the staged dir on every refusal path.
+    _exp0 = {
+        k: dict(v)
+        for k, v in ({} if _m0 is None else _m0.get("expectations") or {}).items()
+    }
+    updates, _qinfo, _exp_audit = _enforce_expectations(
+        updates,
+        _exp0,
+        root,
+        "merge_upsert_atomic",
+        table_schema=None
+        if _m0 is None
+        else StructType.fromJson(json.loads(_m0["schema"])),
+    )
+
+    def _reap_quarantine() -> None:
+        if _qinfo:
+            shutil.rmtree(
+                os.path.join(root, _qinfo["rel"]), ignore_errors=True
+            )
+
     # CHECK constraints: validate the BATCH before anything stages — a
     # violating merge fails with the table unchanged (kept rows were
     # validated when the constraint was added, so the batch is the
@@ -848,26 +876,43 @@ def merge_upsert_atomic(
     _validated_cons = (
         {} if _m0 is None else dict(_m0.get("constraints") or {})
     )
-    _validate_constraints(
-        updates,
-        _validated_cons,
-        "merge_upsert_atomic",
-        table_schema=None
-        if _m0 is None
-        else StructType.fromJson(json.loads(_m0["schema"])),
-    )
+    try:
+        _validate_constraints(
+            updates,
+            _validated_cons,
+            "merge_upsert_atomic",
+            table_schema=None
+            if _m0 is None
+            else StructType.fromJson(json.loads(_m0["schema"])),
+        )
+    except ValueError:
+        _reap_quarantine()
+        raise
     if txn_app is not None and _txn_already_applied(
         read_manifest(root), txn_app, txn_version
     ):
+        # already-applied replay: its quarantine landed with the
+        # original commit — the fresh capture is a duplicate
+        _reap_quarantine()
         return  # cheap pre-check; the locked commit re-verifies
     txn = None if txn_app is None else (txn_app, int(txn_version))
     if concurrency == "fail":
-        with _writer_lock(root):
-            _merge_upsert_atomic_locked(
-                spark, root, updates, keys, partition_by, stats_cols, _fault,
-                txn=txn, validated_constraints=_validated_cons,
-                bloom_cols=bloom_cols, validated_generation=_gen0,
-            )
+        try:
+            with _writer_lock(root):
+                _merge_upsert_atomic_locked(
+                    spark, root, updates, keys, partition_by, stats_cols,
+                    _fault,
+                    txn=txn, validated_constraints=_validated_cons,
+                    bloom_cols=bloom_cols, validated_generation=_gen0,
+                    quarantine=_qinfo, expectations_audit=_exp_audit,
+                    validated_expectations=_exp0,
+                )
+        except ConcurrentWriterError:
+            # the lock itself was contended — nothing committed, the
+            # staged capture would orphan (the locked fn reaps its own
+            # refusal paths)
+            _reap_quarantine()
+            raise
         return
     if concurrency != "occ":
         raise ValueError(f"concurrency must be 'fail' or 'occ', got {concurrency!r}")
@@ -890,11 +935,13 @@ def merge_upsert_atomic(
                     # exactly as the pre-check would have (ADVICE r9)
                     for rel in plan["staged"].values():
                         shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                    _reap_quarantine()
                     _require_no_pending_deletes(current, "merge_upsert_atomic")
                 if txn is not None and _txn_already_applied(current, *txn):
                     # replay raced in meanwhile: discard the staging
                     for rel in plan["staged"].values():
                         shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
+                    _reap_quarantine()
                     return
                 try:
                     # a constraint added/redefined since the entry
@@ -912,11 +959,18 @@ def merge_upsert_atomic(
                     _require_generation_unchanged(
                         current, _gen0, "merge_upsert_atomic"
                     )
+                    # and the expectation gate: the batch was SPLIT
+                    # under _exp0 — a moved declaration means rows
+                    # were admitted/quarantined by a stale policy
+                    _require_expectations_unchanged(
+                        current, _exp0, "merge_upsert_atomic"
+                    )
                 except ValueError:
                     for rel in plan["staged"].values():
                         shutil.rmtree(
                             os.path.join(root, rel), ignore_errors=True
                         )
+                    _reap_quarantine()
                     raise
                 base_v = -1 if base is None else int(base["version"])
                 cur_v = -1 if current is None else int(current["version"])
@@ -926,17 +980,21 @@ def merge_upsert_atomic(
                     _commit_plan(
                         root, current, plan, partition_by, stats_cols, _fault,
                         txn=txn,
+                        quarantine=_qinfo, expectations_audit=_exp_audit,
                     )
                     spark.catalog.refreshByPath(root)
                     return
         except ConcurrentWriterError:
             pass  # lock contention: back off and retry the whole plan
         # conflict: the staged dirs were never referenced — reap them
-        # now instead of waiting for vacuum, then replan
+        # now instead of waiting for vacuum, then replan (the
+        # quarantine capture is snapshot-independent: it survives the
+        # retry and is referenced by whichever attempt commits)
         for rel in plan["staged"].values():
             shutil.rmtree(os.path.join(root, rel), ignore_errors=True)
         attempt += 1
         if attempt > max_retries:
+            _reap_quarantine()
             raise ConcurrentWriterError(
                 f"optimistic merge at {root} lost {attempt} commit races; "
                 "giving up"
@@ -1096,10 +1154,19 @@ def _commit_plan(
     stats_cols: list[str] | None,
     _fault=None,
     txn: tuple[str, int] | None = None,
+    quarantine: dict | None = None,
+    expectations_audit: dict | None = None,
 ) -> None:
     """Turn a staged plan into one manifest commit on top of
     ``current`` (== the plan's base in the locked path; possibly a
-    newer snapshot in an OCC rebase — caller must have validated)."""
+    newer snapshot in an OCC rebase — caller must have validated).
+
+    ``quarantine`` ({"rel", "count"}, r13) references the staged
+    quarantine dir IN THIS SAME COMMIT — admitted rows and their
+    rejected companions become visible atomically or not at all;
+    ``expectations_audit`` records per-expectation violation counts
+    in the operation line (zero-count entries included: the audit
+    proves enforcement ran)."""
     if current is None:
         manifest = {
             "version": 1,
@@ -1133,6 +1200,16 @@ def _commit_plan(
         # commit audit line (Delta-style operation info, no extra jobs)
         "operation": {"type": "merge", "touched": sorted(plan["staged"])},
     }
+    if expectations_audit:
+        manifest["operation"]["expectations"] = expectations_audit
+    _carry_quarantine(manifest, current)
+    if quarantine:
+        q = dict(manifest.get("quarantine") or {})
+        q[quarantine["rel"]] = {
+            "version": manifest["version"],
+            "count": int(quarantine["count"]),
+        }
+        manifest["quarantine"] = q
     if stats_cols:
         fresh = plan["staged"]
         stats = {
@@ -1243,27 +1320,52 @@ def _merge_upsert_atomic_locked(
     validated_constraints: dict | None = None,
     bloom_cols: list[str] | None = None,
     validated_generation: dict | None = None,
+    quarantine: dict | None = None,
+    expectations_audit: dict | None = None,
+    validated_expectations: dict | None = None,
 ) -> None:
     current = read_manifest(root)
-    # re-check INSIDE the lock: the entry pre-check ran unlocked, so a
-    # concurrent delete_where_mor may have committed since (ADVICE r9)
-    _require_no_pending_deletes(current, "merge_upsert_atomic")
-    # likewise for constraints added/redefined since the pre-check —
-    # only the delta re-validates, so the unchanged path stays free
-    # (ADVICE r10, medium)
-    _revalidate_constraint_delta(
-        updates, validated_constraints, current, "merge_upsert_atomic"
-    )
-    _require_generation_unchanged(
-        current, validated_generation, "merge_upsert_atomic"
-    )
+
+    def _reap() -> None:
+        # a refusal below means nothing commits this call — the staged
+        # quarantine capture would orphan; reap it here (before any
+        # commit attempt) so a refused merge leaves zero debris
+        if quarantine:
+            shutil.rmtree(
+                os.path.join(root, quarantine["rel"]), ignore_errors=True
+            )
+
+    try:
+        # re-check INSIDE the lock: the entry pre-check ran unlocked,
+        # so a concurrent delete_where_mor may have committed since
+        # (ADVICE r9)
+        _require_no_pending_deletes(current, "merge_upsert_atomic")
+        # likewise for constraints added/redefined since the pre-check
+        # — only the delta re-validates, so the unchanged path stays
+        # free (ADVICE r10, medium)
+        _revalidate_constraint_delta(
+            updates, validated_constraints, current, "merge_upsert_atomic"
+        )
+        _require_generation_unchanged(
+            current, validated_generation, "merge_upsert_atomic"
+        )
+        _require_expectations_unchanged(
+            current, validated_expectations, "merge_upsert_atomic"
+        )
+    except ValueError:
+        _reap()
+        raise
     if txn is not None and _txn_already_applied(current, *txn):
+        _reap()
         return  # exactly-once: this epoch already committed
     plan = _plan_merge(
         spark, root, current, updates, keys, partition_by, stats_cols, _fault,
         bloom_cols=bloom_cols,
     )
-    _commit_plan(root, current, plan, partition_by, stats_cols, _fault, txn=txn)
+    _commit_plan(
+        root, current, plan, partition_by, stats_cols, _fault, txn=txn,
+        quarantine=quarantine, expectations_audit=expectations_audit,
+    )
     spark.catalog.refreshByPath(root)
 
 
@@ -1446,6 +1548,7 @@ def compact_partition(
         # present), so pending MOR deletes must ride along
         _carry_deletes(manifest, current)
         _carry_constraints(manifest, current)
+        _carry_quarantine(manifest, current)
         _carry_mapping(manifest, current)
         if "txns" in current:
             manifest["txns"] = current["txns"]
@@ -1588,6 +1691,7 @@ def _compact_partition_locked(
     # rows are still physically in it, so the delete files must ride
     _carry_deletes(manifest, m)
     _carry_constraints(manifest, m)
+    _carry_quarantine(manifest, m)
     _carry_mapping(manifest, m)
     if "txns" in m:
         manifest["txns"] = m["txns"]  # exactly-once ledger carries over
@@ -2009,6 +2113,13 @@ def table_detail(root: str) -> dict:
         "n_files": n_files,
         "n_bytes": n_bytes,
         "constraints": dict(m.get("constraints") or {}),
+        "expectations": {
+            k: dict(v) for k, v in (m.get("expectations") or {}).items()
+        },
+        "n_quarantine_files": len(m.get("quarantine") or {}),
+        "n_quarantined_rows": sum(
+            int(v.get("count", 0)) for v in (m.get("quarantine") or {}).values()
+        ),
         "generation": dict(m.get("generation") or {}),
         "bloom_cols": list(m.get("bloom_cols") or []),
         "column_mapping": dict(_mapping(m)),
@@ -2211,6 +2322,7 @@ def repartition_table(
             "operation": {"type": "repartition", "touched": sorted(staged)},
         }
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
@@ -2273,6 +2385,7 @@ def delete_partitions(
         # MOR-deleted rows, so pending delete files must ride along
         _carry_deletes(manifest, m)
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
@@ -2341,6 +2454,7 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
         # anti-join is a no-op on the rewritten dirs)
         _carry_deletes(manifest, m)
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
@@ -2405,6 +2519,11 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
         # delete files too or those rows resurrect
         _carry_deletes(manifest, target)
         _carry_constraints(manifest, current)
+        # quarantine is TABLE STATE (like parts/deletes): restore
+        # rewinds it to the target snapshot's capture set — rows
+        # quarantined after the target version rewind with the merges
+        # that rejected them, and stay reachable through history
+        _carry_quarantine(manifest, target)
         # the mapping binds the TARGET's logical schema to its physical
         # files, so it restores with the schema; retired names are a
         # monotone safety set — union both sides so no future re-add
@@ -2537,6 +2656,7 @@ def update_where(
             "operation": {"type": "update", "touched": sorted(touched_keys)},
         }
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
@@ -2601,8 +2721,12 @@ def clone_table(
     if "file_stats" in m:
         manifest["file_stats"] = m["file_stats"]
     # CHECK constraints travel with the clone (its rows passed them at
-    # the source; future merges into the clone enforce them there)
+    # the source; future merges into the clone enforce them there);
+    # expectations ride in _carry_constraints the same way, and the
+    # quarantine capture travels by ABSOLUTE path like the parts —
+    # the clone's reads resolve the source's immutable dirs in place
     _carry_constraints(manifest, m)
+    _carry_quarantine(manifest, m, abs_base=src_abs)
     _carry_mapping(manifest, m)
     if m.get("deletes"):
         # pending merge-on-read deletes travel with the snapshot —
@@ -2649,6 +2773,9 @@ def _referenced_rels(m: dict) -> set[str]:
         set(m["parts"].values())
         | set(m.get("deletes", []))
         | set(m.get("pos_deletes", []))
+        # quarantine capture dirs (r13) are snapshot data too: vacuum
+        # must spare them, restore must verify they survived
+        | set(m.get("quarantine") or {})
     )
 
 
@@ -2669,6 +2796,48 @@ def _carry_constraints(manifest: dict, m: dict) -> dict:
         # GENERATED ALWAYS AS declarations are administrative metadata
         # too: derived commits change no row, so the invariant holds
         manifest["generation"] = dict(m["generation"])
+    if m.get("expectations"):
+        # declarative data-quality expectations (r13) are the same
+        # kind of administrative metadata as constraints: they gate
+        # future merge batches, so every derived commit carries them
+        manifest["expectations"] = {
+            k: dict(v) for k, v in m["expectations"].items()
+        }
+    return manifest
+
+
+def _carry_quarantine(
+    manifest: dict, m: dict | None, abs_base: str | None = None
+) -> dict:
+    """Carry the quarantine relation (r13) — the {rel: {version,
+    count}} map of parquet dirs holding rows REJECTED by
+    policy='quarantine' expectations — from snapshot ``m`` into a
+    derived ``manifest``. Unlike constraints this is DATA-bearing
+    metadata, so it follows the same carrier discipline as the MOR
+    delete lists: every commit that does not deliberately change the
+    quarantine set must re-point it or the captured rows silently
+    vanish (and vacuum would reap the then-orphaned dirs).
+    ``abs_base`` absolutizes the rels (clone_table, whose reader
+    resolves the SOURCE's immutable dirs by absolute path). NOT
+    carried inside _carry_constraints on purpose: clone and restore
+    need this distinction (restore follows the TARGET snapshot, like
+    parts — quarantine is table state, not an append-only ops log).
+
+    No reader feature flag: quarantine rows live OUTSIDE ``parts``,
+    so an engine build that predates the field still reads the main
+    relation correctly and merely cannot see the quarantine."""
+    if m and m.get("quarantine"):
+        q = {k: dict(v) for k, v in m["quarantine"].items()}
+        if abs_base is not None:
+            q = {
+                (
+                    rel
+                    if os.path.isabs(rel)
+                    else os.path.join(abs_base, rel)
+                ): info
+                for rel, info in q.items()
+            }
+        manifest["quarantine"] = q
     return manifest
 
 
@@ -2786,6 +2955,284 @@ def _revalidate_constraint_delta(
         )
 
 
+_EXPECTATION_POLICIES = ("fail", "drop", "quarantine")
+
+
+def _require_expectations_unchanged(
+    current: dict | None, validated: dict | None, op: str
+) -> None:
+    """In-lock TOCTOU guard (same shape as the generation-delta
+    re-check): the batch was split against the expectation
+    declarations sampled at entry; if a concurrent set_expectation /
+    drop_expectation landed since, the admitted rows were gated by a
+    stale policy — refuse, the caller retries against the fresh
+    declaration."""
+    cur = {} if current is None else (current.get("expectations") or {})
+    if cur != (validated or {}):
+        raise ValueError(
+            f"{op}: expectations changed since the batch was split — "
+            "retry the write against the current declaration"
+        )
+
+
+def _enforce_expectations(
+    updates: DataFrame,
+    exps: dict,
+    root: str,
+    op: str,
+    table_schema: StructType | None = None,
+) -> tuple[DataFrame, dict | None, dict]:
+    """Split a write batch by the declared expectations (the
+    DLT-style expect/drop/quarantine ingest gate, r13; completes the
+    reference's DECLARED-but-unimplemented dbt tests —
+    /root/reference/dbt/stripe/models/curated/schema.yml:4-19 — as
+    enforced write-path policy). Standard CHECK truth table per row
+    and expectation: NULL passes, only FALSE violates.
+
+    - ``fail``: any violating row refuses the WHOLE batch (atomic,
+      nothing staged) — the CHECK-constraint behavior, but declared
+      alongside the softer policies.
+    - ``drop``: violating rows are removed from the batch; the count
+      lands in the commit audit.
+    - ``quarantine``: violating rows are captured (with a
+      ``_violated`` array naming the expectations they failed) into a
+      parquet dir staged under parts/ — INVISIBLE until the SAME
+      manifest commit that publishes the admitted rows references it,
+      so batch + quarantine commit atomically or not at all. A row
+      violating both a drop- and a quarantine-policy expectation is
+      QUARANTINED (preserving data wins over discarding it).
+
+    Returns ``(admitted, quarantine_info|None, audit)`` where
+    ``quarantine_info`` = {"rel", "count"} for the staged (not yet
+    referenced) dir and ``audit`` = {name: {"policy", "violations"}}
+    for the commit's operation record. ONE Spark job computes every
+    violation count; the split itself is two filters over the same
+    flagged projection — all JVM-side, no Python in the row path."""
+    if not exps:
+        return updates, None, {}
+    bad = sorted(
+        n for n, s in exps.items()
+        if s.get("policy") not in _EXPECTATION_POLICIES
+    )
+    if bad:
+        raise ValueError(f"{op}: expectations {bad} have unknown policies")
+    batch_cols = list(updates.columns)
+    probe = updates
+    if table_schema is not None:
+        # evaluate expressions over table columns the batch omits as
+        # the typed NULLs the merged rows will actually hold — the
+        # _validate_constraints rule (schema-evolution batches)
+        missing = [
+            f for f in table_schema.fields if f.name not in set(batch_cols)
+        ]
+        if missing:
+            probe = probe.withColumns(
+                {f.name: F.lit(None).cast(f.dataType) for f in missing}
+            )
+    names = sorted(exps)
+    flag = {
+        n: f"_sdps_viol_{i}" for i, n in enumerate(names)
+    }  # positional flag names cannot collide with user columns
+    flagged = probe.withColumns(
+        {
+            flag[n]: ~F.coalesce(F.expr(exps[n]["expr"]), F.lit(True))
+            for n in names
+        }
+    )
+    counts_row = flagged.agg(
+        *[
+            F.sum(F.col(flag[n]).cast("long")).alias(flag[n])
+            for n in names
+        ]
+    ).collect()[0]
+    audit = {
+        n: {
+            "policy": exps[n]["policy"],
+            "violations": int(counts_row[flag[n]] or 0),
+        }
+        for n in names
+    }
+    failing = [
+        n for n in names
+        if exps[n]["policy"] == "fail" and audit[n]["violations"]
+    ]
+    if failing:
+        raise ValueError(
+            f"{op}: {audit[failing[0]]['violations']} rows violate "
+            f"expectation {failing[0]!r} ({exps[failing[0]]['expr']}) "
+            "with policy 'fail'; nothing was committed"
+        )
+    q_names = [n for n in names if exps[n]["policy"] == "quarantine"]
+    d_names = [n for n in names if exps[n]["policy"] == "drop"]
+    n_quar = sum(audit[n]["violations"] for n in q_names)
+    n_drop = sum(audit[n]["violations"] for n in d_names)
+    if not n_quar and not n_drop:
+        return updates, None, audit  # common path: zero extra staging
+    gate = [flag[n] for n in q_names + d_names]
+    admitted = flagged.filter(
+        ~F.coalesce(
+            functools.reduce(lambda a, b: a | b, [F.col(c) for c in gate]),
+            F.lit(False),
+        )
+    ).select(batch_cols)
+    qinfo = None
+    if n_quar:
+        quarantined = flagged.filter(
+            functools.reduce(
+                lambda a, b: a | b, [F.col(flag[n]) for n in q_names]
+            )
+        ).select(
+            *batch_cols,
+            F.array_compact(
+                F.array(
+                    *[
+                        F.when(F.col(flag[n]), F.lit(n))
+                        for n in q_names
+                    ]
+                )
+            ).alias("_violated"),
+        )
+        # stage exactly like data parts: write to .staging, fsync-free
+        # rename into parts/ — invisible until a manifest references
+        # the rel, reaped by vacuum's grace window after a crash
+        staging = os.path.join(root, f".staging-{uuid.uuid4().hex[:8]}")
+        quarantined.write.mode("overwrite").parquet(staging)
+        rel = f"{_PARTS}/q-{uuid.uuid4().hex[:8]}"
+        os.makedirs(os.path.join(root, _PARTS), exist_ok=True)
+        os.replace(staging, os.path.join(root, rel))
+        qinfo = {"rel": rel, "count": int(n_quar)}
+    return admitted, qinfo, audit
+
+
+def set_expectation(
+    root: str, name: str, expression: str, policy: str = "quarantine"
+) -> None:
+    """Declare a data-quality expectation (the DLT ``EXPECT ... ON
+    VIOLATION`` / dbt-test shape) as a METADATA-ONLY commit:
+    ``expression`` is a SQL boolean over the table's columns,
+    ``policy`` is ``fail`` | ``drop`` | ``quarantine``. Every later
+    ``merge_upsert_atomic`` batch is split by the declaration BEFORE
+    constraint validation (so CHECK constraints see only admitted
+    rows): fail refuses the batch, drop discards violating rows,
+    quarantine routes them — with a ``_violated`` audit column — to a
+    quarantine relation committed atomically in the SAME manifest
+    version as the admitted rows (read it back with
+    :func:`read_quarantine`). Per-expectation violation counts land
+    in the commit's operation audit, zero-violation entries included,
+    so the history records that enforcement RAN, not just that it
+    fired. Unlike :func:`add_constraint` this does NOT validate
+    existing rows — expectations gate FLOWING data (the DLT
+    semantics); use a CHECK constraint for a standing invariant."""
+    if policy not in _EXPECTATION_POLICIES:
+        raise ValueError(
+            f"policy must be one of {_EXPECTATION_POLICIES}, got {policy!r}"
+        )
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        exps = {k: dict(v) for k, v in (m.get("expectations") or {}).items()}
+        if name in exps:
+            raise ValueError(
+                f"expectation {name!r} already exists; drop_expectation first"
+            )
+        exps[name] = {"expr": expression, "policy": policy}
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "expectations": exps,
+            "operation": {
+                "type": "set_expectation",
+                "name": name,
+                "policy": policy,
+            },
+        }
+        _carry_deletes(manifest, m)
+        _carry_mapping(manifest, m)
+        _carry_quarantine(manifest, m)
+        if m.get("constraints"):
+            manifest["constraints"] = dict(m["constraints"])
+        if m.get("bloom_cols"):
+            manifest["bloom_cols"] = list(m["bloom_cols"])
+        for k in ("txns", "generation", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+
+
+def drop_expectation(root: str, name: str) -> None:
+    """Remove a declared expectation (metadata-only commit). Already-
+    quarantined rows are untouched — the quarantine relation is an
+    immutable capture of rejected batches, not a view."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        exps = {k: dict(v) for k, v in (m.get("expectations") or {}).items()}
+        if name not in exps:
+            raise KeyError(f"no expectation {name!r}")
+        del exps[name]
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "operation": {"type": "drop_expectation", "name": name},
+        }
+        if exps:
+            manifest["expectations"] = exps
+        _carry_deletes(manifest, m)
+        _carry_mapping(manifest, m)
+        _carry_quarantine(manifest, m)
+        if m.get("constraints"):
+            manifest["constraints"] = dict(m["constraints"])
+        if m.get("bloom_cols"):
+            manifest["bloom_cols"] = list(m["bloom_cols"])
+        for k in ("txns", "generation", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+
+
+def read_quarantine(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The quarantine relation of a snapshot: every row rejected by a
+    policy='quarantine' expectation, exactly as it arrived (the
+    BATCH's columns at capture time — later renames/drops on the main
+    table do not rewrite the capture), plus ``_violated``
+    (array<string> of the expectation names the row failed) and
+    ``_quarantined_at_version`` (the manifest version whose merge
+    rejected it). Entries with differing schemas (schema evolution
+    between batches) union by name with missing columns as NULLs."""
+    m = read_manifest(root, version)
+    if m is None:
+        raise FileNotFoundError(f"no MANIFEST at {root}")
+    q = m.get("quarantine") or {}
+    if not q:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        empty = spark.createDataFrame([], schema)
+        return empty.select(
+            "*",
+            F.lit(None).cast("array<string>").alias("_violated"),
+            F.lit(None).cast("bigint").alias("_quarantined_at_version"),
+        )
+    out = None
+    for rel, info in sorted(q.items(), key=lambda kv: int(kv[1]["version"])):
+        df = spark.read.parquet(os.path.join(root, rel)).withColumn(
+            "_quarantined_at_version",
+            F.lit(int(info["version"])).cast("bigint"),
+        )
+        out = (
+            df
+            if out is None
+            else out.unionByName(df, allowMissingColumns=True)
+        )
+    return out
+
+
 def add_constraint(
     spark: SparkSession, root: str, name: str, expression: str
 ) -> None:
@@ -2824,6 +3271,11 @@ def add_constraint(
         _carry_mapping(manifest, m)
         if m.get("bloom_cols"):
             manifest["bloom_cols"] = list(m["bloom_cols"])
+        if m.get("expectations"):
+            manifest["expectations"] = {
+                k: dict(v) for k, v in m["expectations"].items()
+            }
+        _carry_quarantine(manifest, m)
         for k in ("txns", "generation", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -2892,6 +3344,7 @@ def set_generation_expr(
         _carry_deletes(manifest, m)
         _carry_mapping(manifest, m)
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         manifest["generation"] = {**gen, col: expr}
         for k in ("txns", "stats", "file_stats"):
             if k in m:
@@ -2920,6 +3373,7 @@ def drop_generation_expr(root: str, col: str) -> None:
         _carry_deletes(manifest, m)
         _carry_mapping(manifest, m)
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         if gen:
             manifest["generation"] = gen
         else:
@@ -2953,6 +3407,11 @@ def drop_constraint(root: str, name: str) -> None:
         _carry_mapping(manifest, m)  # r12 audit fix (see add_constraint)
         if m.get("bloom_cols"):
             manifest["bloom_cols"] = list(m["bloom_cols"])
+        if m.get("expectations"):
+            manifest["expectations"] = {
+                k: dict(v) for k, v in m["expectations"].items()
+            }
+        _carry_quarantine(manifest, m)
         for k in ("txns", "generation", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -3054,6 +3513,18 @@ def rename_column(spark: SparkSession, root: str, old: str, new: str) -> None:
             # positional tombstones reference files, not columns —
             # a rename carries them untouched
             manifest["pos_deletes"] = list(m["pos_deletes"])
+        if m.get("expectations"):
+            # expectation exprs are over LOGICAL names, like
+            # constraints: rewrite identifiers (literal-safe)
+            manifest["expectations"] = {
+                name: {**spec, "expr": _rename_idents_in_expr(
+                    spec["expr"], {old: new}
+                )}
+                for name, spec in m["expectations"].items()
+            }
+        # the quarantine capture is immutable batch data keyed by dir,
+        # not by column names — a rename carries it untouched
+        _carry_quarantine(manifest, m)
         if m.get("bloom_cols"):
             # bloom_cols are PHYSICAL names: renames never touch them
             # (r12 audit fix — dropping the list silently disabled the
@@ -3097,6 +3568,15 @@ def drop_column(spark: SparkSession, root: str, name: str) -> None:
                 raise ValueError(
                     f"constraint {cname!r} references {name!r}; drop it first"
                 )
+        for ename, spec in (m.get("expectations") or {}).items():
+            if re.search(
+                rf"\b{re.escape(name)}\b",
+                re.sub(r"'[^']*'", "''", spec["expr"]),
+            ):
+                raise ValueError(
+                    f"expectation {ename!r} references {name!r}; "
+                    "drop_expectation first"
+                )
         for gcol, e in (m.get("generation") or {}).items():
             if gcol != name and re.search(
                 rf"\b{re.escape(name)}\b", re.sub(r"'[^']*'", "''", e)
@@ -3136,6 +3616,11 @@ def drop_column(spark: SparkSession, root: str, name: str) -> None:
         if gen:
             # dropping a generated column drops its declaration with it
             manifest["generation"] = gen
+        if m.get("expectations"):
+            manifest["expectations"] = {
+                k: dict(v) for k, v in m["expectations"].items()
+            }
+        _carry_quarantine(manifest, m)
         for k in ("txns", "stats", "file_stats"):
             if k in m:
                 manifest[k] = m[k]
@@ -3365,7 +3850,8 @@ def delete_where_pos(
             manifest["deletes"] = list(m["deletes"])
             manifest["delete_keys"] = list(m["delete_keys"])
         _carry_mapping(manifest, m)
-        for carry in ("txns", "constraints", "bloom_cols", "generation", "stats", "file_stats"):
+        _carry_quarantine(manifest, m)
+        for carry in ("txns", "constraints", "expectations", "bloom_cols", "generation", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)
@@ -3451,6 +3937,7 @@ def apply_pos_deletes(spark: SparkSession, root: str, _fault=None) -> int:
             manifest["deletes"] = list(m["deletes"])
             manifest["delete_keys"] = list(m["delete_keys"])
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
@@ -3558,7 +4045,8 @@ def delete_where_mor(
             # changed, so positional coordinates stay exact
             manifest["pos_deletes"] = list(m["pos_deletes"])
         _carry_mapping(manifest, m)
-        for carry in ("txns", "constraints", "bloom_cols", "generation", "stats", "file_stats"):
+        _carry_quarantine(manifest, m)
+        for carry in ("txns", "constraints", "expectations", "bloom_cols", "generation", "stats", "file_stats"):
             if carry in m:
                 manifest[carry] = m[carry]
         _commit(root, manifest)
@@ -3642,6 +4130,7 @@ def apply_deletes(
             },
         }
         _carry_constraints(manifest, m)
+        _carry_quarantine(manifest, m)
         _carry_mapping(manifest, m)
         if "txns" in m:
             manifest["txns"] = m["txns"]
