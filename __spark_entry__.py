@@ -145,11 +145,12 @@ _PRIORITY = [
     "union_all_slices",
     "vocab_overlap_hll_check",
     "zorder_key_check",
-    # --- window slots 47-50: the oldest round-8 queries. New r13
-    # catalog rows (expectation_quarantine_check, sql_scripting_check,
-    # url_canonical_dedup_check) displace the TAIL of these as they
-    # land (never-verified queries must sit inside the window; the
-    # contract test enforces it).
+    # --- window slots 47-50: the new r13 catalog rows (never-verified
+    # queries must sit inside the window; the contract test enforces
+    # it), then the oldest round-8 queries fill what's left.
+    "expectation_quarantine_check",
+    "sql_scripting_check",
+    "url_canonical_dedup_check",
     "approx_distinct_parts",
     "atomic_dml_mart_check",
     "atomic_recognized_mart_check",

@@ -1,0 +1,66 @@
+"""URL canonicalization unit pins (operators/urlnorm.py, r13) — the
+edge cases the driver-oracle query (url_canonical_dedup_check) does
+not synthesize: deeper dot-segment nesting vs the rounds bound,
+multiple adjacent tracking params, idempotence, and the documented
+non-goals staying untouched."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stripe_data_pipeline_spark.operators.urlnorm import canonicalize_url
+
+
+def _canon(spark, urls, rounds=4):
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    return [
+        r.c
+        for r in df.select(
+            canonicalize_url(F.col("raw"), rounds=rounds).alias("c")
+        ).collect()
+    ]
+
+
+def test_rules(spark):
+    cases = {
+        # scheme/host case + default port
+        "HTTPS://Shop.Example.COM:443/p/1": "https://shop.example.com/p/1",
+        "HTTP://a.example:80/x": "http://a.example/x",
+        # NON-default port survives
+        "https://a.example:8443/x": "https://a.example:8443/x",
+        # path case is PRESERVED (RFC 3986: paths are case-sensitive)
+        "https://a.example/Path/X": "https://a.example/Path/X",
+        # fragment
+        "https://a.example/x#frag?not-a-query": "https://a.example/x",
+        # dot segments, including trailing forms
+        "https://a.example/a/./b": "https://a.example/a/b",
+        "https://a.example/a/../b": "https://a.example/b",
+        "https://a.example/a/b/..": "https://a.example/a/",
+        "https://a.example/a/.": "https://a.example/a/",
+        # nested unwinding within the default rounds bound
+        "https://a.example/a/b/c/../../../d": "https://a.example/d",
+        # tracking params: leading, middle, trailing, entire query
+        "https://a.example/x?utm_source=s&id=1": "https://a.example/x?id=1",
+        "https://a.example/x?id=1&utm_medium=m&q=2":
+            "https://a.example/x?id=1&q=2",
+        "https://a.example/x?id=1&gclid=g": "https://a.example/x?id=1",
+        "https://a.example/x?fbclid=f": "https://a.example/x",
+        "https://a.example/x?utm_a=1&utm_b=2&msclkid=3":
+            "https://a.example/x",
+        # non-goals: encoding and param order untouched
+        "https://a.example/%41?b=2&a=1": "https://a.example/%41?b=2&a=1",
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+
+def test_idempotent_and_rounds_bound(spark):
+    urls = [
+        "HTTPS://A.Example:443/a/./b/../c?utm_x=1&id=2#f",
+        "https://a.example/" + "d/" * 6 + "../" * 6 + "end",
+    ]
+    once = _canon(spark, urls, rounds=8)
+    twice = _canon(spark, once, rounds=8)
+    assert once == twice  # canonical forms are fixed points
+    assert once[1] == "https://a.example/end"  # 6 levels within 8 rounds
