@@ -508,6 +508,11 @@ SF1_SPOT = [
     # host-bounded, the verdict folds map-side, so the ratio
     # certifies no URL-pair blowup hides in the regexp match
     "robots_filtered_crawl_check",
+    # r13: the crawl-frontier dedup must scale like a scan + one
+    # canonical-key groupBy — the ratio certifies the regex
+    # projection stays linear and no pairwise shape creeps in
+    # (unpinned until its first sf1 measurement lands)
+    "url_canonical_dedup_check",
 ]
 
 # Queries whose FIRST run builds a persisted artifact (an on-disk

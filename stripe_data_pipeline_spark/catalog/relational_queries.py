@@ -4172,11 +4172,15 @@ GROUP BY 1, 2
     "IF/ELSE branch, and a final multi-row SELECT whose result IS "
     "the script's value. Control flow runs DRIVER-SIDE over scalar "
     "variables only (org.apache.spark.sql.scripting interprets the "
-    "compound); every data-touching statement is still one ordinary "
-    "Catalyst plan, so at 100 TB the script costs exactly its "
-    "constituent queries — the scalar probe aggregate and the final "
-    "grouped scan — with zero per-row interpretation. The oracle "
-    "inlines the loop+branch algebraically (MAX/16, CASE).",
+    "compound EAGERLY at spark.sql() time); every data-touching "
+    "statement runs as its own ordinary Catalyst plan during "
+    "interpretation and the returned relation is the LAST "
+    "statement's materialized result (a LocalTableScan bounded by "
+    "the GROUP count — pinned in test_plans), so at 100 TB the "
+    "script costs exactly its constituent queries — the scalar probe "
+    "aggregate and the final grouped scan — with zero per-row "
+    "interpretation; keep final SELECTs aggregated, as here. The "
+    "oracle inlines the loop+branch algebraically (MAX/16, CASE).",
 )
 def q_sql_scripting_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stripe_data_pipeline_spark.io import register_views

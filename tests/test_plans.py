@@ -540,3 +540,45 @@ def test_pipe_syntax_lowers_to_the_ansi_plan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
     assert "partial_count" in p or "partial_sum" in p
     assert p.count("Exchange") == 1  # one shuffle: the group-by
+
+
+def test_sql_scripting_result_is_eager_local_relation(spark, sf_dir):
+    """BEGIN..END executes EAGERLY at spark.sql() time: each
+    statement (the scalar probe, the final grouped SELECT) runs as
+    its own ordinary Catalyst plan during interpretation, and the
+    returned relation is the LAST statement's materialized result —
+    a LocalTableScan bounded by the GROUP count, never raw rows.
+    Pin exactly that: local result, zero Python nodes, zero scans in
+    the returned plan (the data work already happened JVM-side)."""
+    p = plan(spark, sf_dir, "sql_scripting_check")
+    assert "LocalTableScan" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FileScan" not in p and "Exchange" not in p
+
+
+def test_url_canonicalize_is_jvm_projection_plus_one_exchange(
+    spark, sf_dir
+):
+    """The crawl-frontier dedup shape: canonicalization must fuse into
+    the scan as a regexp projection (zero Python), and the dedup is
+    exactly one shuffle on the canonical key with map-side partial
+    aggregation — linear in corpus size, no pairwise anything."""
+    p = plan(spark, sf_dir, "url_canonical_dedup_check")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "regexp_replace" in p  # the normalizer inlined, not opaque
+    assert "partial_count" in p or "partial_min" in p
+    assert p.count("Exchange") == 1  # the canonical-key group-by
+    assert "CartesianProduct" not in p
+
+
+def test_expectation_check_reads_have_no_python_and_no_bnlj(
+    spark, sf_dir
+):
+    """The quarantine-mart read-back: two manifest scans + grouped
+    profiles. No Python boundary, no nested-loop join — the gate's
+    cost lives at WRITE time (one flag-count aggregate per merge),
+    the read path is ordinary scans."""
+    p = plan(spark, sf_dir, "expectation_quarantine_check")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
