@@ -2075,15 +2075,19 @@ def history(root: str) -> list[dict]:
         with open(os.path.join(hist_dir, f)) as fh:
             m = json.load(fh)
         op = m.get("operation", {})
-        out.append(
-            {
-                "version": int(m["version"]),
-                "type": op.get("type", "unknown"),
-                "touched": op.get("touched", []),
-                "n_parts": len(m["parts"]),
-                "committed_at_ms": m.get("committed_at_ms"),
-            }
-        )
+        entry = {
+            "version": int(m["version"]),
+            "type": op.get("type", "unknown"),
+            "touched": op.get("touched", []),
+            "n_parts": len(m["parts"]),
+            "committed_at_ms": m.get("committed_at_ms"),
+        }
+        if op.get("expectations"):
+            # the ingest-gate audit (r13): per-expectation policy +
+            # violation counts of the merge that wrote this version —
+            # "how dirty was last night's feed" answered from metadata
+            entry["expectations"] = op["expectations"]
+        out.append(entry)
     return out
 
 
@@ -2179,11 +2183,14 @@ def history_df(spark: SparkSession, root: str) -> DataFrame:
                 list(h["touched"]),
                 h["n_parts"],
                 h["committed_at_ms"],
+                json.dumps(h["expectations"], sort_keys=True)
+                if h.get("expectations")
+                else None,
             )
             for h in history(root)
         ],
         "version bigint, type string, touched array<string>, "
-        "n_parts bigint, committed_at_ms bigint",
+        "n_parts bigint, committed_at_ms bigint, expectations string",
     )
 
 

@@ -85,6 +85,13 @@ def test_split_semantics_and_atomic_same_version_commit(spark, tmp_path):
     }
     d = MT.table_detail(root)
     assert d["n_quarantine_files"] == 1 and d["n_quarantined_rows"] == 3
+    # the audit is queryable over time: history()/history_df surface
+    # the gated merge's per-expectation counts ("how dirty was last
+    # night's feed" from pure metadata)
+    h = {e["version"]: e.get("expectations") for e in MT.history(root)}
+    assert h[4]["v_cap"]["violations"] == 3 and h[1] is None
+    hdf = MT.history_df(spark, root).filter("version = 4").collect()[0]
+    assert '"violations": 3' in hdf["expectations"]
     # time travel: the pre-gate snapshot has no quarantine
     assert _quar(spark, root, version=1) == []
 
