@@ -351,6 +351,29 @@ def test_schema_evolution_batch_omitting_gated_column(spark, tmp_path):
     assert _quar(spark, root) == []
 
 
+def test_quarantine_capture_unions_across_batch_schemas(spark, tmp_path):
+    """Two gated merges whose BATCHES carry different columns: each
+    capture stores the batch exactly as it arrived; read_quarantine
+    unions them by name with missing columns as NULLs."""
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
+    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 7, 9), keys=["k"])
+    # second gated batch adds an extra column (schema evolution)
+    MT.merge_upsert_atomic(
+        spark,
+        root,
+        _batch(spark, 9, 11).withColumn("src", F.lit("feed2")),
+        keys=["k"],
+    )
+    q = {
+        r.k: (r.src, r._quarantined_at_version)
+        for r in MT.read_quarantine(spark, root).collect()
+    }
+    assert q[7] == (None, 3) and q[8] == (None, 3)
+    assert q[9] == ("feed2", 4) and q[10] == ("feed2", 4)
+
+
 def test_set_expectation_validates_policy_and_duplicates(
     spark, tmp_path
 ):
