@@ -151,6 +151,7 @@ _PRIORITY = [
     "expectation_quarantine_check",
     "sql_scripting_check",
     "url_canonical_dedup_check",
+    "streaming_expectation_mart_check",
     "approx_distinct_parts",
     "atomic_dml_mart_check",
     "atomic_recognized_mart_check",

@@ -369,6 +369,10 @@ HEADLINE = [
     # canonical-key groupBy)
     "sql_scripting_check",
     "url_canonical_dedup_check",
+    # ...and the STREAMING-gated expectations mart (mart + checkpoint
+    # cached via ARTIFACT_WARM; timed path = the same two manifest
+    # scans + grouped profiles as the batch variant)
+    "streaming_expectation_mart_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -536,6 +540,7 @@ ARTIFACT_WARM = {
     "pos_delete_check",  # positional-delete mart builds
     "generated_column_check",  # generated-column mart build
     "expectation_quarantine_check",  # quarantine mart builds
+    "streaming_expectation_mart_check",  # streamed gated-mart build
     "warc_html_pipeline_check",  # WARC shard fixture write
     "html_extracted_text_check",  # shares the WARC fixture
 }

@@ -3814,3 +3814,154 @@ def q_expectation_quarantine_check(
             "quarantined",
         )
     )
+
+
+def _streaming_expectation_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the STREAMING-gated expectations mart:
+    seed the event_id%10==0 tenth as an ungated batch baseline,
+    declare the same two expectations the batch check uses, then
+    drain the REST of the events table through readStream →
+    foreachBatch → the gated merge_upsert_atomic with the txn ledger
+    (txn_app/epoch) — the production shape: every micro-batch is
+    split by the declaration, its rejects quarantined ATOMICALLY with
+    its admitted rows in that batch's own commit, and a crashed
+    batch's redelivery reaps its duplicate capture via exactly-once."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#sexp"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="sexp_mart_")
+        mart = os.path.join(root, "t")
+        cols = ["event_id", "event_type", "user_id", "value"]
+        MT.merge_upsert_atomic(
+            spark,
+            mart,
+            _rt(spark, sf_dir, "events")
+            .select(*cols)
+            .filter(F.col("event_id") % 10 == 0),
+            keys=["event_id"],
+            partition_by="event_type",
+        )
+        MT.set_expectation(mart, "value_cap", "value < 250", policy="quarantine")
+        MT.set_expectation(
+            mart, "user_known", "user_id % 53 <> 0", policy="drop"
+        )
+
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+        def gated_merge(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            MT.merge_upsert_atomic(
+                batch.sparkSession,
+                mart,
+                batch.select(*cols)
+                .filter(F.col("event_id") % 10 != 0)
+                .dropDuplicates(["event_id"]),
+                keys=["event_id"],
+                partition_by="event_type",
+                txn_app="sexp_stream",
+                txn_version=batch_id,
+            )
+
+        (
+            raw.writeStream.foreachBatch(gated_merge)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        # the gate must have fired on streamed data, and the commit
+        # audit must say so (vacuous-oracle guard, as in the batch mart)
+        audits = [
+            e["expectations"]
+            for e in MT.history(mart)
+            if e.get("expectations")
+        ]
+        assert audits and any(
+            a["value_cap"]["violations"] > 0 for a in audits
+        )
+        _STREAM_MART_CACHE[cache_key] = root
+    return os.path.join(root, "t")
+
+
+@register(
+    "streaming_expectation_mart_check",
+    oracle=f"""
+WITH flags AS (
+    SELECT event_type, user_id, value,
+           NOT COALESCE(value < 250, TRUE) AS viol_q,
+           NOT COALESCE(user_id % 53 <> 0, TRUE) AS viol_d
+    FROM events
+    WHERE event_id % 10 <> 0
+),
+kept AS (
+    SELECT event_type, user_id, value FROM events WHERE event_id % 10 = 0
+    UNION ALL
+    SELECT event_type, user_id, value
+    FROM flags WHERE NOT viol_q AND NOT viol_d
+),
+quar AS (SELECT event_type, user_id, value FROM flags WHERE viol_q)
+SELECT 'kept' AS phase, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM kept GROUP BY event_type
+UNION ALL
+SELECT 'quarantined' AS phase, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM quar GROUP BY event_type
+""",
+    doc="Expectations enforced INSIDE the streaming ingest path (r13 "
+    "— the composition of the §2.10 foreachBatch merge machinery "
+    "with the r13 quarantine gate, i.e. the DLT production shape): "
+    "a mart seeded with an ungated tenth, gated by value_cap "
+    "(quarantine) + user_known (drop), then the remaining events "
+    "stream through readStream → foreachBatch → the gated "
+    "merge_upsert_atomic under Trigger.AvailableNow with the txn "
+    "ledger, so each micro-batch's rejects commit atomically WITH "
+    "that batch's admitted rows and a redelivered epoch reaps its "
+    "duplicate capture (exactly-once, pinned in "
+    "tests/test_expectations.py). Kept + quarantined grouped "
+    "profiles must bit-match the batch SQL partitioning of the same "
+    "input — proving the streaming gate admits/rejects exactly what "
+    "the declaration says regardless of micro-batch boundaries.",
+)
+def q_streaming_expectation_mart_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    mart = _streaming_expectation_mart_root(spark, sf_dir)
+
+    def prof(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_usd_cents(F.col("value")).alias("total_value"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    return prof(MT.read_table(spark, mart), "kept").unionByName(
+        prof(
+            MT.read_quarantine(spark, mart).select(
+                "event_type", "user_id", "value"
+            ),
+            "quarantined",
+        )
+    )
