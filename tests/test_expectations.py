@@ -386,3 +386,36 @@ def test_set_expectation_validates_policy_and_duplicates(
         MT.set_expectation(root, "x", "v < 20")
     with pytest.raises(KeyError):
         MT.drop_expectation(root, "nope")
+
+
+def test_group_txn_members_enforce_their_own_gates(spark, tmp_path):
+    """Composition with multi-table transactions: group_merge_atomic
+    delegates to each member's gated merge, so a member's declaration
+    splits ITS batch (capture committed in the member's own manifest
+    version) while ungated members admit everything; the group
+    pointer pins both post-merge versions together."""
+    from stripe_data_pipeline_spark import table_group as TG
+
+    groot = str(tmp_path / "g")
+    ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
+    MT.merge_upsert_atomic(spark, ra, _batch(spark, 0, 2), keys=["k"])
+    MT.merge_upsert_atomic(spark, rb, _batch(spark, 0, 2), keys=["k"])
+    MT.set_expectation(rb, "v_cap", "v < 70", policy="quarantine")
+    TG.create_group(groot, {"a": ra, "b": rb})
+    TG.group_merge_atomic(
+        spark,
+        groot,
+        {
+            "a": {"updates": _batch(spark, 6, 9), "keys": ["k"]},
+            "b": {"updates": _batch(spark, 6, 9), "keys": ["k"]},
+        },
+        txn_app="g",
+        txn_version=1,
+    )
+    assert _kept(spark, ra) == [0, 1, 6, 7, 8]  # ungated member
+    assert _kept(spark, rb) == [0, 1, 6]  # 7,8 quarantined (v>=70)
+    assert [k for k, _, _ in _quar(spark, rb)] == [7, 8]
+    # the group view serves the SAME consistent cut
+    assert sorted(
+        r.k for r in TG.read_group_table(spark, groot, "b").collect()
+    ) == [0, 1, 6]
