@@ -3720,9 +3720,9 @@ def _expectation_mart_root(spark: SparkSession, sf_dir: str) -> str:
             keys=["event_id"],
             partition_by="event_type",
         )
-        MT.set_expectation(mart, "value_cap", "value < 250", policy="quarantine")
+        MT.set_expectation(spark, mart, "value_cap", "value < 250", policy="quarantine")
         MT.set_expectation(
-            mart, "user_known", "user_id % 53 <> 0", policy="drop"
+            spark, mart, "user_known", "user_id % 53 <> 0", policy="drop"
         )
         MT.merge_upsert_atomic(
             spark,
@@ -3850,9 +3850,9 @@ def _streaming_expectation_mart_root(spark: SparkSession, sf_dir: str) -> str:
             keys=["event_id"],
             partition_by="event_type",
         )
-        MT.set_expectation(mart, "value_cap", "value < 250", policy="quarantine")
+        MT.set_expectation(spark, mart, "value_cap", "value < 250", policy="quarantine")
         MT.set_expectation(
-            mart, "user_known", "user_id % 53 <> 0", policy="drop"
+            spark, mart, "user_known", "user_id % 53 <> 0", policy="drop"
         )
 
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema

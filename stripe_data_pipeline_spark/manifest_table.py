@@ -831,6 +831,13 @@ def merge_upsert_atomic(
     """
     if (txn_app is None) != (txn_version is None):
         raise ValueError("txn_app and txn_version must be passed together")
+    if concurrency not in ("fail", "occ"):
+        # validated BEFORE the expectation gate stages anything: the
+        # late check this replaces leaked the staged quarantine dir on
+        # a typo'd mode (r13 review)
+        raise ValueError(
+            f"concurrency must be 'fail' or 'occ', got {concurrency!r}"
+        )
     _m0 = read_manifest(root)
     _require_no_pending_deletes(_m0, "merge_upsert_atomic")
     # GENERATED columns: compute the declared ones the batch omits and
@@ -914,8 +921,6 @@ def merge_upsert_atomic(
             _reap_quarantine()
             raise
         return
-    if concurrency != "occ":
-        raise ValueError(f"concurrency must be 'fail' or 'occ', got {concurrency!r}")
     import time as _time
 
     attempt = 0
@@ -2594,13 +2599,10 @@ def update_where(
                 "the engine recomputes them"
             )
         if partition_by in gen:
-            import re as _re
-
-            no_lit = _re.sub(r"'[^']*'", "''", gen[partition_by])
             moving = {
                 c
                 for c in set_exprs
-                if _re.search(rf"\b{_re.escape(c)}\b", no_lit)
+                if _expr_references(gen[partition_by], c)
             }
             if moving:
                 raise ValueError(
@@ -2784,6 +2786,23 @@ def _referenced_rels(m: dict) -> set[str]:
         # must spare them, restore must verify they survived
         | set(m.get("quarantine") or {})
     )
+
+
+def _expr_references(expr: str, col: str) -> bool:
+    """Does a stored SQL expression reference ``col`` as an
+    identifier? Single-quoted literals are blanked first so
+    date_trunc('month', ...) never false-positives a column named
+    month. ONE definition on purpose (r13 review): the same
+    literal-blanking rule guards drop_column (constraints,
+    expectations, generation), the generation self-reference check
+    and update_where's generated-partition guard — a future fix to
+    the blanking rule (escaped quotes, double-quoted strings) must
+    land once, not four times."""
+    import re as _re
+
+    no_lit = _re.sub(r"'[^']*'", "''", expr)
+    return bool(_re.search(rf"\b{_re.escape(col)}\b", no_lit))
+
 
 
 def _carry_constraints(manifest: dict, m: dict) -> dict:
@@ -3036,16 +3055,48 @@ def _enforce_expectations(
             probe = probe.withColumns(
                 {f.name: F.lit(None).cast(f.dataType) for f in missing}
             )
+    reserved = [c for c in probe.columns if c.startswith("_sdps_viol_")]
+    if reserved:
+        # withColumns would silently OVERWRITE a same-named user
+        # column and the admitted select would then write flag
+        # booleans into it (r13 review) — refuse instead
+        raise ValueError(
+            f"{op}: batch columns {reserved} use the reserved "
+            "_sdps_viol_ prefix"
+        )
     names = sorted(exps)
-    flag = {
-        n: f"_sdps_viol_{i}" for i, n in enumerate(names)
-    }  # positional flag names cannot collide with user columns
+    flag = {n: f"_sdps_viol_{i}" for i, n in enumerate(names)}
     flagged = probe.withColumns(
         {
             flag[n]: ~F.coalesce(F.expr(exps[n]["expr"]), F.lit(True))
             for n in names
         }
     )
+    # persist for the counts->capture window: the audit counts and the
+    # quarantine capture must come from ONE materialization (not two
+    # independent recomputations of a possibly-expensive or — worse —
+    # non-deterministic batch; r13 review). The admitted rows are
+    # consumed later by the merge's own staging and recompute from
+    # source lineage as every merge batch always has.
+    flagged = flagged.persist()
+    try:
+        return _split_flagged(
+            updates, flagged, exps, flag, batch_cols, root, op
+        )
+    finally:
+        flagged.unpersist()
+
+
+def _split_flagged(
+    updates: DataFrame,
+    flagged: DataFrame,
+    exps: dict,
+    flag: dict,
+    batch_cols: list[str],
+    root: str,
+    op: str,
+) -> tuple[DataFrame, dict | None, dict]:
+    names = sorted(exps)
     counts_row = flagged.agg(
         *[
             F.sum(F.col(flag[n]).cast("long")).alias(flag[n])
@@ -3112,7 +3163,11 @@ def _enforce_expectations(
 
 
 def set_expectation(
-    root: str, name: str, expression: str, policy: str = "quarantine"
+    spark: SparkSession,
+    root: str,
+    name: str,
+    expression: str,
+    policy: str = "quarantine",
 ) -> None:
     """Declare a data-quality expectation (the DLT ``EXPECT ... ON
     VIOLATION`` / dbt-test shape) as a METADATA-ONLY commit:
@@ -3129,7 +3184,11 @@ def set_expectation(
     so the history records that enforcement RAN, not just that it
     fired. Unlike :func:`add_constraint` this does NOT validate
     existing rows — expectations gate FLOWING data (the DLT
-    semantics); use a CHECK constraint for a standing invariant."""
+    semantics); use a CHECK constraint for a standing invariant. The
+    EXPRESSION itself IS validated at declaration time (analysis
+    against the table schema on an empty relation — zero data scans):
+    a typo'd column would otherwise poison every later merge with an
+    AnalysisException until someone diagnoses it (r13 review)."""
     if policy not in _EXPECTATION_POLICIES:
         raise ValueError(
             f"policy must be one of {_EXPECTATION_POLICIES}, got {policy!r}"
@@ -3143,6 +3202,13 @@ def set_expectation(
             raise ValueError(
                 f"expectation {name!r} already exists; drop_expectation first"
             )
+        # analysis-only validation on an empty relation with the
+        # table's logical schema: resolves columns and types, runs no
+        # job, touches no data
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        spark.createDataFrame([], schema).filter(
+            F.coalesce(F.expr(expression), F.lit(True))
+        ).schema
         exps[name] = {"expr": expression, "policy": policy}
         manifest = {
             "version": int(m["version"]) + 1,
@@ -3316,12 +3382,7 @@ def set_generation_expr(
                 f"no column {col!r}; generated columns are declared on "
                 "existing columns (merge the column in first)"
             )
-        import re as _re
-
-        # mask single-quoted literals so date_trunc('month', ...) does
-        # not false-positive a column named month
-        no_lit = _re.sub(r"'[^']*'", "''", expr)
-        if _re.search(rf"\b{_re.escape(col)}\b", no_lit):
+        if _expr_references(expr, col):
             raise ValueError(
                 f"generation expression for {col!r} references itself"
             )
@@ -3568,26 +3629,19 @@ def drop_column(spark: SparkSession, root: str, name: str) -> None:
             raise ValueError(
                 f"cannot drop partition column {name!r}; repartition_table first"
             )
-        import re
-
         for cname, e in (m.get("constraints") or {}).items():
-            if re.search(rf"\b{re.escape(name)}\b", e):
+            if _expr_references(e, name):
                 raise ValueError(
                     f"constraint {cname!r} references {name!r}; drop it first"
                 )
         for ename, spec in (m.get("expectations") or {}).items():
-            if re.search(
-                rf"\b{re.escape(name)}\b",
-                re.sub(r"'[^']*'", "''", spec["expr"]),
-            ):
+            if _expr_references(spec["expr"], name):
                 raise ValueError(
                     f"expectation {ename!r} references {name!r}; "
                     "drop_expectation first"
                 )
         for gcol, e in (m.get("generation") or {}).items():
-            if gcol != name and re.search(
-                rf"\b{re.escape(name)}\b", re.sub(r"'[^']*'", "''", e)
-            ):
+            if gcol != name and _expr_references(e, name):
                 raise ValueError(
                     f"generated column {gcol!r} is computed from "
                     f"{name!r}; drop_generation_expr first"

@@ -5,30 +5,42 @@ and robots filtering (operators/robots.py): dedup
 ``http://x.example/b`` BEFORE fetch scheduling, so the frontier never
 re-crawls a page it already holds under a cosmetically different URL.
 
-Everything is a chain of JVM ``regexp_replace``/``regexp_extract``
-expressions in the Java/RE2-COMMON regex subset (no lookaround, no
-backreference matching — only capture-group SUBSTITUTION, which both
-engines support with their own replacement syntax), so the same rules
-are restatable in a DuckDB oracle and the whole normalizer runs at
-scan speed inside WholeStageCodegen: zero Python, zero shuffle, cost
-is one narrow projection per URL column at any corpus size.
+The normalizer SPLITS the URL into its RFC 3986 components (scheme,
+userinfo, host, port, path, query) with ``regexp_extract`` and
+normalizes each in isolation — the r13 code-review found that running
+the rules over the whole string lets them cross component boundaries
+(dot-segment removal rewriting ``?to=/a/../b`` query VALUES; a literal
+``&utm_source=`` inside a PATH — '&' is a legal path sub-delim —
+truncating the URL). Everything is JVM ``regexp_extract`` /
+``regexp_replace`` / ``lower`` / ``concat`` in the Java/RE2-COMMON
+regex subset (no lookaround; capture-group substitution only), so the
+whole normalizer runs at scan speed inside WholeStageCodegen: zero
+Python, zero shuffle, one narrow projection per URL column at any
+corpus size.
 
-Normalization rules (the RFC 3986 §6 + de-facto tracking-param set):
+Normalization rules (RFC 3986 §6 + the de-facto tracking-param set):
   1. strip the fragment (``#…`` — never sent to the server);
-  2. lowercase the scheme and authority (case-insensitive per RFC);
-  3. drop default ports (``https…:443``, ``http…:80``);
-  4. resolve ``/./`` and ``/seg/../`` dot-segments (bounded: ``rounds``
-     replacement passes, each pass resolving one nesting level — pass
-     a higher ``rounds`` for pathological ``a/b/c/../../../`` chains);
-  5. strip tracking query params (``utm_*``, ``fbclid``, ``gclid``,
-     ``msclkid``) and any delimiter debris they leave behind.
+  2. lowercase the scheme and HOST only (§6.2.2.1: scheme and host are
+     the case-insensitive components; userinfo, path and query are
+     case-sensitive and preserved);
+  3. drop default ports (``https…:443``, ``http…:80``) — port is
+     extracted AFTER the host split, so userinfo and bracketed IPv6
+     literals can't hide it;
+  4. resolve ``/./`` and ``/seg/../`` dot-segments in the PATH
+     (bounded: ``rounds`` replacement passes, each resolving one
+     nesting level — raise ``rounds`` for pathological
+     ``a/b/c/../../../`` chains), including segments in final
+     position (the path is isolated, so ``$`` anchors mean
+     end-of-path, not end-of-URL);
+  5. strip tracking params (``utm_*``, ``fbclid``, ``gclid``,
+     ``msclkid``) from the QUERY only, with delimiter repair.
 
 Deliberately NOT done (documented non-goals, matching the conservative
 canonicalizers in production crawlers): percent-encoding
 re-normalization (%41 -> A) — url_decode would also decode reserved
 characters and merge distinct URLs; query-param REORDERING — param
 order can be semantic; trailing-slash addition — ``/p`` and ``/p/``
-are distinct resources."""
+are distinct resources; empty-vs-'/' path equivalence."""
 
 from __future__ import annotations
 
@@ -38,41 +50,71 @@ from pyspark.sql import functions as F
 # the de-facto tracking parameters every crawler strips
 _TRACKING = "(utm_[a-z0-9]+|fbclid|gclid|msclkid)"
 
-# A real path segment: any run of non-delimiter chars EXCEPT exactly
-# "." or ".." — spelled as an alternation (starts with a non-dot; or
-# "." then a non-dot; or ".." then at least one more char) because the
+# A real path segment: any run of non-'/' chars EXCEPT exactly "." or
+# ".." — spelled as an alternation (starts with a non-dot; or "." then
+# a non-dot; or ".." then at least one more char) because the
 # RE2-common subset has no lookahead to say "not followed by". Without
 # this, "/../../" would match the unwind pattern with ".." itself as
 # the segment and chained parent references would unwind INTO each
-# other instead of consuming one real segment each.
-_SEG = "([^/.?#][^/?#]*|\\.[^/.?#][^/?#]*|\\.\\.[^/?#]+)"
+# other instead of consuming one real segment each. The path is
+# already isolated, so '?' and '#' need no exclusion here.
+_SEG = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
 
 
 def canonicalize_url(url: Column, rounds: int = 4) -> Column:
     """Canonical form of ``url`` as a pure JVM expression column."""
     u = F.trim(url)
-    # 1. fragment
+    # 1. fragment (first: '#' terminates every later component)
     u = F.regexp_replace(u, "#.*", "")
-    # 2. lowercase scheme://authority (path/query case is preserved —
-    #    paths are case-sensitive per RFC 3986)
-    head = F.lower(F.regexp_extract(u, "^([^/?#]*//[^/?#]*)", 1))
-    tail = F.regexp_replace(u, "^[^/?#]*//[^/?#]*", "")
-    u = F.concat(head, tail)
-    # 3. default ports ($1$2 capture substitution, no lookahead)
-    u = F.regexp_replace(u, "^(https://[^/?#:]*):443($|[/?#].*)", "$1$2")
-    u = F.regexp_replace(u, "^(http://[^/?#:]*):80($|[/?#].*)", "$1$2")
+
+    # --- component split (each extract anchored at ^; empty when the
+    # component is absent) ---
+    scheme = F.regexp_extract(u, "^([^:/?#]+)://", 1)
+    authority = F.regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1)
+    # userinfo keeps its case (§6.2.2.1 lowercases scheme+host only);
+    # '@' inside userinfo must be percent-encoded, so the first '@'
+    # ends it
+    userinfo = F.regexp_extract(authority, "^([^@]*@)", 1)
+    hostport = F.regexp_replace(authority, "^[^@]*@", "")
+    # the port is digits after the LAST ':' — for a bracketed IPv6
+    # literal ('[::1]:443') the pattern still lands on the real port,
+    # and a bare '[::1]' (no digits after its colons' ']') won't match
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.lower(F.regexp_replace(hostport, ":[0-9]+$", ""))
+    rest = F.regexp_replace(u, "^[^:/?#]+://[^/?#]*", "")
+    # for scheme-relative or pathological inputs, fall through intact
+    has_head = scheme != F.lit("")
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    query = F.regexp_extract(rest, "^[^?]*(\\?.*)", 1)  # incl. the '?'
+
+    # 3. default ports (port already isolated from userinfo/IPv6)
+    lscheme = F.lower(scheme)
+    keep_port = (
+        (port != F.lit(""))
+        & ~((lscheme == F.lit("https")) & (port == F.lit("443")))
+        & ~((lscheme == F.lit("http")) & (port == F.lit("80")))
+    )
+    portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+        F.lit("")
+    )
+
+    # 4. dot segments — PATH only, so '$' means end-of-path
     for _ in range(max(1, rounds)):
-        # 4. dot segments: /./ collapses; /seg/../ unwinds one level
-        u = F.regexp_replace(u, "/\\./", "/")
-        u = F.regexp_replace(u, f"/{_SEG}/\\.\\./", "/")
-        # 5. tracking param followed by another param: keep the
-        #    delimiter for the successor
-        u = F.regexp_replace(u, f"([?&]){_TRACKING}=[^&#]*&", "$1")
-    # trailing dot segments (path ends at the segment)
-    u = F.regexp_replace(u, "/\\.$", "/")
-    u = F.regexp_replace(u, f"/{_SEG}/\\.\\.$", "/")
-    # 5b. tracking param in final position: its own delimiter goes too
-    u = F.regexp_replace(u, f"[?&]{_TRACKING}=[^&#]*$", "")
-    # delimiter debris: a now-empty query
-    u = F.regexp_replace(u, "\\?$", "")
-    return u
+        path = F.regexp_replace(path, "/\\./", "/")
+        path = F.regexp_replace(path, f"/{_SEG}/\\.\\./", "/")
+    path = F.regexp_replace(path, "/\\.$", "/")
+    path = F.regexp_replace(path, f"/{_SEG}/\\.\\.$", "/")
+
+    # 5. tracking params — QUERY only (a literal '&utm_x=' in a PATH
+    # is a legal sub-delim sequence and must survive)
+    for _ in range(max(1, rounds)):
+        query = F.regexp_replace(
+            query, f"([?&]){_TRACKING}=[^&]*&", "$1"
+        )
+    query = F.regexp_replace(query, f"[?&]{_TRACKING}=[^&]*$", "")
+    query = F.regexp_replace(query, "\\?$", "")
+
+    return F.when(
+        has_head,
+        F.concat(lscheme, F.lit("://"), userinfo, host, portpart, path, query),
+    ).otherwise(u)

@@ -48,8 +48,8 @@ def _mk(spark, root):
     dropped; k=7's NULL g passes g_known (NULL passes, the CHECK
     truth table) but is quarantined by v_cap anyway."""
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
-    MT.set_expectation(root, "g_known", "g <> 1", policy="drop")
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, root, "g_known", "g <> 1", policy="drop")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 3, 10), keys=["k"])
 
 
@@ -99,7 +99,7 @@ def test_split_semantics_and_atomic_same_version_commit(spark, tmp_path):
 def test_null_passes_and_zero_violation_audit(spark, tmp_path):
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "g_known", "g <> 1", policy="quarantine")
+    MT.set_expectation(spark, root, "g_known", "g <> 1", policy="quarantine")
     # k=7 has NULL g: NULL passes (only FALSE violates)
     MT.merge_upsert_atomic(
         spark, root, _batch(spark, 6, 8), keys=["k"]
@@ -115,8 +115,8 @@ def test_null_passes_and_zero_violation_audit(spark, tmp_path):
 def test_fail_policy_refuses_whole_batch_without_debris(spark, tmp_path):
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
-    MT.set_expectation(root, "v_hard", "v < 90", policy="fail")
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, root, "v_hard", "v < 90", policy="fail")
     v = int(MT.read_manifest(root)["version"])
     with pytest.raises(ValueError, match="v_hard"):
         MT.merge_upsert_atomic(spark, root, _batch(spark, 3, 10), keys=["k"])
@@ -140,8 +140,8 @@ def test_quarantine_wins_over_drop(spark, tmp_path):
     # k=4 violates BOTH (g=1 drop, v=40>=35 quarantine): preserving
     # data wins — the row is quarantined, with only the quarantine
     # expectation in _violated (drop names aren't capture reasons)
-    MT.set_expectation(root, "v_cap", "v < 35", policy="quarantine")
-    MT.set_expectation(root, "g_known", "g <> 1", policy="drop")
+    MT.set_expectation(spark, root, "v_cap", "v < 35", policy="quarantine")
+    MT.set_expectation(spark, root, "g_known", "g <> 1", policy="drop")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 3, 5), keys=["k"])
     assert _kept(spark, root) == [0, 1, 2, 3]
     assert _quar(spark, root) == [(4, ("v_cap",), 4)]
@@ -150,7 +150,7 @@ def test_quarantine_wins_over_drop(spark, tmp_path):
 def test_occ_merge_carries_quarantine(spark, tmp_path):
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
     MT.merge_upsert_atomic(
         spark, root, _batch(spark, 3, 10), keys=["k"], concurrency="occ"
     )
@@ -163,7 +163,7 @@ def test_exactly_once_replay_does_not_duplicate_quarantine(
 ):
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
     for _ in range(2):  # at-least-once redelivery of the same epoch
         MT.merge_upsert_atomic(
             spark, root, _batch(spark, 3, 10), keys=["k"],
@@ -189,7 +189,7 @@ def test_kill_at_commit_boundary_is_atomic(spark, tmp_path, point):
     quarantined ones; the retry lands both in one version."""
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
     v = int(MT.read_manifest(root)["version"])
     with pytest.raises(Kill):
         MT.merge_upsert_atomic(
@@ -340,7 +340,7 @@ def test_schema_evolution_batch_omitting_gated_column(spark, tmp_path):
     _validate_constraints rule)."""
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 10", policy="quarantine")
+    MT.set_expectation(spark, root, "v_cap", "v < 10", policy="quarantine")
     MT.merge_upsert_atomic(
         spark,
         root,
@@ -357,7 +357,7 @@ def test_quarantine_capture_unions_across_batch_schemas(spark, tmp_path):
     unions them by name with missing columns as NULLs."""
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
-    MT.set_expectation(root, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 7, 9), keys=["k"])
     # second gated batch adds an extra column (schema evolution)
     MT.merge_upsert_atomic(
@@ -380,10 +380,10 @@ def test_set_expectation_validates_policy_and_duplicates(
     root = str(tmp_path / "t")
     MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
     with pytest.raises(ValueError, match="policy"):
-        MT.set_expectation(root, "x", "v < 10", policy="warn")
-    MT.set_expectation(root, "x", "v < 10")
+        MT.set_expectation(spark, root, "x", "v < 10", policy="warn")
+    MT.set_expectation(spark, root, "x", "v < 10")
     with pytest.raises(ValueError, match="already exists"):
-        MT.set_expectation(root, "x", "v < 20")
+        MT.set_expectation(spark, root, "x", "v < 20")
     with pytest.raises(KeyError):
         MT.drop_expectation(root, "nope")
 
@@ -400,7 +400,7 @@ def test_group_txn_members_enforce_their_own_gates(spark, tmp_path):
     ra, rb = str(tmp_path / "a"), str(tmp_path / "b")
     MT.merge_upsert_atomic(spark, ra, _batch(spark, 0, 2), keys=["k"])
     MT.merge_upsert_atomic(spark, rb, _batch(spark, 0, 2), keys=["k"])
-    MT.set_expectation(rb, "v_cap", "v < 70", policy="quarantine")
+    MT.set_expectation(spark, rb, "v_cap", "v < 70", policy="quarantine")
     TG.create_group(groot, {"a": ra, "b": rb})
     TG.group_merge_atomic(
         spark,
@@ -419,3 +419,53 @@ def test_group_txn_members_enforce_their_own_gates(spark, tmp_path):
     assert sorted(
         r.k for r in TG.read_group_table(spark, groot, "b").collect()
     ) == [0, 1, 6]
+
+
+def test_invalid_concurrency_refuses_before_staging(spark, tmp_path):
+    """r13 review: a typo'd concurrency mode must refuse BEFORE the
+    gate stages a capture — no quarantine debris on the refusal."""
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
+    with pytest.raises(ValueError, match="concurrency"):
+        MT.merge_upsert_atomic(
+            spark, root, _batch(spark, 3, 10), keys=["k"],
+            concurrency="occ_typo",
+        )
+    on_disk_q = [
+        d for d in os.listdir(os.path.join(root, "parts"))
+        if d.startswith("q-")
+    ]
+    assert on_disk_q == []  # nothing was staged, let alone leaked
+
+
+def test_set_expectation_validates_expression_at_declaration(
+    spark, tmp_path
+):
+    """r13 review: a typo'd column fails AT DECLARATION (analysis on
+    an empty relation, zero data scans) instead of poisoning every
+    later merge."""
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
+    with pytest.raises(Exception, match="valu"):
+        MT.set_expectation(spark, root, "typo", "valu < 70")
+    assert not MT.read_manifest(root).get("expectations")
+    # ...and merges still flow (the bad declaration never landed)
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 3, 5), keys=["k"])
+    assert _kept(spark, root) == [0, 1, 2, 3, 4]
+
+
+def test_reserved_flag_prefix_refuses_not_corrupts(spark, tmp_path):
+    """r13 review: a batch column named like an internal violation
+    flag would be silently overwritten by the gate — refuse loudly."""
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
+    with pytest.raises(ValueError, match="_sdps_viol_"):
+        MT.merge_upsert_atomic(
+            spark,
+            root,
+            _batch(spark, 3, 5).withColumn("_sdps_viol_0", F.lit(True)),
+            keys=["k"],
+        )
+    assert _kept(spark, root) == [0, 1, 2]

@@ -1,8 +1,11 @@
 """URL canonicalization unit pins (operators/urlnorm.py, r13) — the
 edge cases the driver-oracle query (url_canonical_dedup_check) does
-not synthesize: deeper dot-segment nesting vs the rounds bound,
-multiple adjacent tracking params, idempotence, and the documented
-non-goals staying untouched."""
+not synthesize: component isolation (the r13 code-review findings:
+dot-segments must not rewrite QUERY values, tracking-param stripping
+must not truncate a PATH containing a literal '&utm_...=', userinfo
+keeps its case, IPv6/userinfo can't hide a default port), deeper
+dot-segment nesting vs the rounds bound, idempotence, and the
+documented non-goals staying untouched."""
 
 from __future__ import annotations
 
@@ -55,12 +58,45 @@ def test_rules(spark):
         assert g == want, f"{raw!r}: {g!r} != {want!r}"
 
 
+def test_component_isolation(spark):
+    """The r13 code-review findings: every rule must stay inside its
+    RFC 3986 component."""
+    cases = {
+        # dot segments in QUERY VALUES are data, not path structure
+        "https://x.example/r?to=/a/../b": "https://x.example/r?to=/a/../b",
+        "https://x.example/r?p=/./x": "https://x.example/r?p=/./x",
+        # '&' is a legal PATH sub-delim: a literal '&utm_source=' in
+        # the path must survive; the QUERY's tracking param still goes
+        "https://x.example/a&utm_source=x/b":
+            "https://x.example/a&utm_source=x/b",
+        "https://x.example/a&utm_source=x/b?utm_source=y&id=1":
+            "https://x.example/a&utm_source=x/b?id=1",
+        # userinfo is CASE-SENSITIVE (only scheme+host lowercase)
+        "https://User@Host.Example/x": "https://User@host.example/x",
+        # default ports behind userinfo / IPv6 literals still drop
+        "https://u:p@host.example:443/x": "https://u:p@host.example/x",
+        "HTTP://[2001:DB8::1]:80/x": "http://[2001:db8::1]/x",
+        "https://[2001:db8::1]:8443/x": "https://[2001:db8::1]:8443/x",
+        # dot segments in FINAL position before a query resolve
+        "https://x.example/a/..?q=1": "https://x.example/?q=1",
+        "https://x.example/a/b/.?q=1": "https://x.example/a/b/?q=1",
+        # tracking param whose VALUE contains a path-ish string
+        "https://x.example/x?utm_source=/a/../b&id=2":
+            "https://x.example/x?id=2",
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, f"{raw!r}: {g!r} != {want!r}"
+
+
 def test_idempotent_and_rounds_bound(spark):
     urls = [
         "HTTPS://A.Example:443/a/./b/../c?utm_x=1&id=2#f",
         "https://a.example/" + "d/" * 6 + "../" * 6 + "end",
+        "https://u@h.example:8080/p/..?id=/x/../y&utm_a=1",
     ]
     once = _canon(spark, urls, rounds=8)
     twice = _canon(spark, once, rounds=8)
     assert once == twice  # canonical forms are fixed points
     assert once[1] == "https://a.example/end"  # 6 levels within 8 rounds
+    assert once[2] == "https://u@h.example:8080/?id=/x/../y"
