@@ -3733,10 +3733,18 @@ def _expectation_mart_root(spark: SparkSession, sf_dir: str) -> str:
         )
         # the gate must have actually fired on this data, and the
         # commit audit must say so — a silently-empty gate would make
-        # the oracle comparison vacuous
+        # the oracle comparison vacuous. RuntimeError, not assert:
+        # `python -O` strips asserts and the guard must survive it
+        # (ADVICE r13, low).
         audit = MT.read_manifest(mart)["operation"]["expectations"]
-        assert audit["value_cap"]["violations"] > 0
-        assert audit["user_known"]["violations"] > 0
+        if not (
+            audit["value_cap"]["violations"] > 0
+            and audit["user_known"]["violations"] > 0
+        ):
+            raise RuntimeError(
+                f"expectation mart gate never fired: {audit} — the "
+                "oracle comparison would be vacuous"
+            )
         _STREAM_MART_CACHE[cache_key] = root
     return os.path.join(root, "t")
 
@@ -3886,15 +3894,22 @@ def _streaming_expectation_mart_root(spark: SparkSession, sf_dir: str) -> str:
             .awaitTermination()
         )
         # the gate must have fired on streamed data, and the commit
-        # audit must say so (vacuous-oracle guard, as in the batch mart)
+        # audit must say so (vacuous-oracle guard, as in the batch
+        # mart; RuntimeError so `python -O` can't strip it — ADVICE
+        # r13, low)
         audits = [
             e["expectations"]
             for e in MT.history(mart)
             if e.get("expectations")
         ]
-        assert audits and any(
-            a["value_cap"]["violations"] > 0 for a in audits
-        )
+        if not (
+            audits
+            and any(a["value_cap"]["violations"] > 0 for a in audits)
+        ):
+            raise RuntimeError(
+                "streaming expectation gate never fired — the oracle "
+                "comparison would be vacuous"
+            )
         _STREAM_MART_CACHE[cache_key] = root
     return os.path.join(root, "t")
 

@@ -2420,7 +2420,13 @@ def delete_where(spark: SparkSession, root: str, predicate) -> int:
     is one filtered scan), drop fully-emptied partitions from the
     manifest, commit once. ``predicate`` is a Column. Returns rows
     deleted. At 100 TB the rewrite cost is proportional to the
-    touched partitions, same as a merge."""
+    touched partitions, same as a merge.
+
+    Declared expectations do NOT gate deletes (pinned scope, VERDICT
+    r13 #2a): a delete changes no surviving row's values, so it
+    cannot manufacture a violating row — removal only ever shrinks
+    the violation set. (update_where, which CAN manufacture one,
+    refuses; merge batches are split by the declared policy.)"""
     with _writer_lock(root):
         m = read_manifest(root)
         if m is None:
@@ -2500,7 +2506,11 @@ def restore_version(spark: SparkSession, root: str, version: int) -> None:
     with the documented Delta-shared caveat that restoring to a
     snapshot taken BEFORE a constraint was added can resurrect rows
     that predate it (restore stays metadata-only by design; run
-    add_constraint's validation manually when that matters)."""
+    add_constraint's validation manually when that matters).
+    Expectation DECLARATIONS survive from the current manifest the
+    same way — they gate future merge batches only, so restored rows,
+    like all standing data, were never gated — while the QUARANTINE
+    capture set is table state and rewinds with the target's parts."""
     with _writer_lock(root):
         current = read_manifest(root)
         target = read_manifest(root, version)
@@ -2570,7 +2580,17 @@ def update_where(
     displacement semantics. Refuses to run while merge-on-read
     deletes are pending (a SET could rewrite a key column into a
     deleted key, which the readers' anti-join would then mask).
-    Returns rows updated."""
+    Returns rows updated.
+
+    Declared EXPECTATIONS gate the rewrite (r14, VERDICT r13 #2a):
+    a SET producing rows that violate any declared expectation
+    REFUSES the whole update with the table unchanged, regardless of
+    the expectation's policy — drop/quarantine are flow policies for
+    incoming merge batches; a rewrite has no inflow to divert, and
+    silently breaking the invariant the table advertises in
+    table_detail() is the hole this closes. Only the post-SET
+    MATCHED rows are probed, so standing violations that predate the
+    declaration never block an unrelated update."""
     with _writer_lock(root):
         m = read_manifest(root)
         _require_no_pending_deletes(m, "update_where")
@@ -2628,14 +2648,13 @@ def update_where(
                 _spark_partition_dir_value(spark, v) for v in touched_vals
             }
             scoped = _read_at(spark, root, m, partition_values=touched_vals)
-        updated = scoped.select(
-            *[
-                F.when(predicate, set_exprs[c]).otherwise(F.col(c)).alias(c)
-                if c in set_exprs
-                else F.col(c)
-                for c in schema_cols
-            ]
-        )
+        post_set = [
+            F.when(predicate, set_exprs[c]).otherwise(F.col(c)).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in schema_cols
+        ]
+        updated = scoped.select(*post_set)
         if gen:
             # ALWAYS semantics: recompute generated columns from the
             # post-SET sources (rows the predicate missed recompute to
@@ -2649,6 +2668,21 @@ def update_where(
         _validate_constraints(
             updated, m.get("constraints"), "update_where"
         )
+        # Expectations gate the rewrite too (r14, VERDICT r13 #2a):
+        # probe ONLY the post-SET matched rows (same projection over
+        # `matches`, where the predicate is vacuously true), so a
+        # standing violation elsewhere in the table — expectations
+        # never validate existing rows — cannot refuse an unrelated
+        # update. Every policy behaves as `fail` on DML; see
+        # _validate_expectations_dml for why.
+        exps = m.get("expectations") or {}
+        if exps:
+            new_matches = matches.select(*post_set)
+            if gen:
+                new_matches = new_matches.withColumns(
+                    {c: F.expr(e) for c, e in gen.items()}
+                )
+            _validate_expectations_dml(new_matches, exps, "update_where")
         staged = _stage_versioned(
             updated, root, partition_by, column_mapping=_mapping(m)
         )
@@ -2984,6 +3018,40 @@ def _revalidate_constraint_delta(
 _EXPECTATION_POLICIES = ("fail", "drop", "quarantine")
 
 
+def _validate_expectations_dml(
+    df: DataFrame, exps: dict | None, op: str
+) -> None:
+    """DML-side expectation enforcement (r14, VERDICT r13 #2a): a
+    row-level REWRITE (update_where) must not manufacture rows that
+    violate a declared expectation — the table advertises the
+    declaration in table_detail(), so silently breaking it via a SET
+    is the same hole a CHECK constraint closes. On DML every policy
+    behaves as ``fail`` (refuse, table unchanged): ``drop`` and
+    ``quarantine`` are FLOW policies — they divert rows out of an
+    incoming batch, and a rewrite has no inflow to divert; deleting
+    or quarantining pre-existing rows because an UPDATE touched them
+    would be far more surprising than refusing. Same limit-1 probe
+    shape as _validate_constraints; the probe runs over the POST-SET
+    matched rows only, so pre-existing violations elsewhere in the
+    table (expectations never validate standing data) cannot fail an
+    unrelated update."""
+    if not exps:
+        return
+    for name, spec in sorted(exps.items()):
+        bad = df.filter(
+            ~F.coalesce(F.expr(spec["expr"]), F.lit(True))
+        ).limit(1)
+        if bad.count():
+            raise ValueError(
+                f"{op}: the update would produce rows violating "
+                f"expectation {name!r} ({spec['expr']}, policy "
+                f"{spec['policy']!r}); nothing was committed — "
+                "drop_expectation first, or route the change through "
+                "merge_upsert_atomic where the declared policy "
+                "applies to the incoming batch"
+            )
+
+
 def _require_expectations_unchanged(
     current: dict | None, validated: dict | None, op: str
 ) -> None:
@@ -3055,14 +3123,25 @@ def _enforce_expectations(
             probe = probe.withColumns(
                 {f.name: F.lit(None).cast(f.dataType) for f in missing}
             )
-    reserved = [c for c in probe.columns if c.startswith("_sdps_viol_")]
+    reserved = [
+        c
+        for c in probe.columns
+        if c.startswith("_sdps_viol_")
+        # the quarantine capture appends _violated, and read_quarantine
+        # appends _quarantined_at_version: a batch column with either
+        # name would collide (duplicate column on capture write /
+        # silently-overwritten column on read) — refuse up front
+        # (ADVICE r13, low)
+        or c in ("_violated", "_quarantined_at_version")
+    ]
     if reserved:
         # withColumns would silently OVERWRITE a same-named user
         # column and the admitted select would then write flag
         # booleans into it (r13 review) — refuse instead
         raise ValueError(
-            f"{op}: batch columns {reserved} use the reserved "
-            "_sdps_viol_ prefix"
+            f"{op}: batch columns {reserved} collide with the "
+            "expectation gate's reserved names (_sdps_viol_* flag "
+            "columns, _violated, _quarantined_at_version)"
         )
     names = sorted(exps)
     flag = {n: f"_sdps_viol_{i}" for i, n in enumerate(names)}
@@ -3304,6 +3383,65 @@ def read_quarantine(
             else out.unionByName(df, allowMissingColumns=True)
         )
     return out
+
+
+def clear_quarantine(root: str, before_version: int | None = None) -> int:
+    """Retention lifecycle for the quarantine relation (r14, VERDICT
+    r13 #3): quarantine captures accumulate for the life of the table
+    — once an operator has re-processed a capture (re-admitted the
+    fixable rows through a merge, or discarded them), this expires it
+    as a METADATA-ONLY commit that drops every capture whose
+    ``_quarantined_at_version`` is <= ``before_version`` (every
+    capture when None) from the NEW snapshot's quarantine map.
+    Returns the number of quarantined ROWS cleared.
+
+    Nothing is deleted here: the capture dirs stay on disk and every
+    RETAINED historical snapshot still references them, so time
+    travel (``read_quarantine(..., version=...)``) and
+    ``restore_version`` to a pre-clear snapshot keep working
+    unchanged — restore re-points the target's quarantine map, which
+    resurrects the cleared captures exactly like it resurrects the
+    target's parts. ``vacuum`` reaps a cleared capture's dir only
+    once NO retained manifest references it (quarantine rels are in
+    ``_referenced_rels``), the same retention rule as data parts.
+    The clear is audited in the commit's operation record (cleared
+    rel count, row count, the floor) and is itself time-travelable."""
+    with _writer_lock(root):
+        m = read_manifest(root)
+        if m is None:
+            raise FileNotFoundError(f"no MANIFEST at {root}")
+        q = {k: dict(v) for k, v in (m.get("quarantine") or {}).items()}
+        drop = {
+            rel: info
+            for rel, info in q.items()
+            if before_version is None or int(info["version"]) <= before_version
+        }
+        keep = {rel: info for rel, info in q.items() if rel not in drop}
+        cleared_rows = sum(int(info["count"]) for info in drop.values())
+        if not drop:
+            return 0  # nothing in scope: no empty commit
+        manifest = {
+            "version": int(m["version"]) + 1,
+            "partition_by": m.get("partition_by"),
+            "schema": m["schema"],
+            "parts": dict(m["parts"]),
+            "operation": {
+                "type": "clear_quarantine",
+                "before_version": before_version,
+                "cleared_rels": len(drop),
+                "cleared_rows": cleared_rows,
+            },
+        }
+        if keep:
+            manifest["quarantine"] = keep
+        _carry_deletes(manifest, m)
+        _carry_mapping(manifest, m)
+        _carry_constraints(manifest, m)
+        for k in ("txns", "stats", "file_stats"):
+            if k in m:
+                manifest[k] = m[k]
+        _commit(root, manifest)
+        return cleared_rows
 
 
 def add_constraint(
@@ -3846,7 +3984,10 @@ def delete_where_pos(
     (manifest-pruned, like read_table) — the 100 TB shape for a
     targeted delete whose partition is known (a GDPR request keyed by
     signup month): cost ∝ the named partitions, not the table. The
-    predicate is then only evaluated inside them by construction."""
+    predicate is then only evaluated inside them by construction.
+
+    Expectations do not gate positional deletes, same pinned scope
+    as delete_where: removal cannot manufacture a violating row."""
     with _writer_lock(root):
         m = read_manifest(root)
         if m is None:

@@ -31,7 +31,8 @@ Normalization rules (RFC 3986 §6 + the de-facto tracking-param set):
      nesting level — raise ``rounds`` for pathological
      ``a/b/c/../../../`` chains), including segments in final
      position (the path is isolated, so ``$`` anchors mean
-     end-of-path, not end-of-URL);
+     end-of-path, not end-of-URL) and root-anchored runs
+     (``/../a`` -> ``/a`` — RFC 3986 drops ``..`` with no parent);
   5. strip tracking params (``utm_*``, ``fbclid``, ``gclid``,
      ``msclkid``) from the QUERY only, with delimiter repair.
 
@@ -104,6 +105,14 @@ def canonicalize_url(url: Column, rounds: int = 4) -> Column:
         path = F.regexp_replace(path, f"/{_SEG}/\\.\\./", "/")
     path = F.regexp_replace(path, "/\\.$", "/")
     path = F.regexp_replace(path, f"/{_SEG}/\\.\\.$", "/")
+    # root-anchored '..' segments have no parent to unwind into —
+    # RFC 3986 remove_dot_segments DROPS them ('/../a' -> '/a'); the
+    # unwind pattern above requires a preceding real segment so it
+    # never fires at the root (ADVICE r13, low). One adjacent run, so
+    # a single pass each catches any depth; placed AFTER the bounded
+    # unwind because unwinds can surface new leading '/../' runs.
+    path = F.regexp_replace(path, "^/(\\.\\./)+", "/")
+    path = F.regexp_replace(path, "^/(\\.\\./)*\\.\\.$", "/")
 
     # 5. tracking params — QUERY only (a literal '&utm_x=' in a PATH
     # is a legal sub-delim sequence and must survive)

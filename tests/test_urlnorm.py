@@ -100,3 +100,25 @@ def test_idempotent_and_rounds_bound(spark):
     assert once == twice  # canonical forms are fixed points
     assert once[1] == "https://a.example/end"  # 6 levels within 8 rounds
     assert once[2] == "https://u@h.example:8080/?id=/x/../y"
+
+
+def test_root_anchored_dot_segments(spark):
+    """ADVICE r13 (low): '..' at the path ROOT has no parent — RFC
+    3986 remove_dot_segments drops it ('/../a' -> '/a'), including
+    runs surfaced by the bounded unwind itself."""
+    cases = {
+        "https://a.example/../x": "https://a.example/x",
+        "https://a.example/./../x": "https://a.example/x",
+        "https://a.example/../../x": "https://a.example/x",
+        "https://a.example/a/../../x": "https://a.example/x",
+        "https://a.example/a/b/../../../x": "https://a.example/x",
+        "https://a.example/..": "https://a.example/",
+        "https://a.example/../..": "https://a.example/",
+        "https://a.example/../x?p=/../q": "https://a.example/x?p=/../q",
+        # '..' as a QUERY value is data, not path structure
+        "https://a.example/x?up=..": "https://a.example/x?up=..",
+    }
+    got = _canon(spark, list(cases))
+    for (raw, want), g in zip(cases.items(), got):
+        assert g == want, f"{raw!r}: {g!r} != {want!r}"
+    assert _canon(spark, got) == got  # still a fixed point
