@@ -85,78 +85,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS run checks the first 50 entries of queries().
-# Round-13 rotation (policy per VERDICT r5 #5 / r7 #8 / r11 #1 / r12 #1,
-# enforced by tests/test_driver_contract.py): the ENTIRE stale backlog
-# leads -- the 8 queries whose latest driver verdict is round 6 (they
-# were displaced twice; VERDICT r12 #1 says "do not displace any of the
-# 8 again"), then all 38 round-7-stale queries.  That fills 46 of the
-# 50 window slots; the remaining 4 go to the oldest round-8 queries,
-# displaced one-for-one by the new r13 catalog rows as they land (the
-# contract test pins never-verified queries inside the window).  Below
-# the window the list continues strictly oldest-verdict-first so future
-# rotations are mechanical.  Every query is additionally re-verified
-# each round by the full-catalog DuckDB sweep inside pytest.
+# Round-14 rotation (policy per VERDICT r5 #5 / r11 #1 / r12 #1 / r13
+# #1, enforced by tests/test_driver_contract.py): after r13 the stale
+# backlog is EXACTLY one window — the 50 queries whose latest driver
+# verdict is round 8 fill slots 1-49 plus the displaced leader, with
+# the one new r14 catalog row (quarantine_lifecycle_check, never
+# verified, must sit inside the window) taking slot 50 and displacing
+# the youngest r8 entry (unimax_lang_budgets) to the top of the
+# continuation, where it LEADS the r15 window. Below the window the
+# list continues strictly oldest-verdict-first (r9, r10, r11, r12,
+# r13), so future rotations stay mechanical: move the just-verified
+# window to the bottom, keep new queries inside the first 50. Every
+# query is additionally re-verified each round by the full-catalog
+# DuckDB sweep inside pytest.
 _PRIORITY = [
-    # --- the 8 round-6-stale queries (VERDICT r12 #1: these LEAD) ---
-    "atomic_history_audit_check",
-    "cross_doc_novelty_hashed",
-    "doc_first_last_token",
-    "embedding_quantize",
-    "heldout_contamination_hashed",
-    "media_alaw_decode_check",
-    "media_mjpeg_decode_check",
-    "streaming_merge_mart_check",
-    # --- the 38 round-7-stale queries (VERDICT r12 #1) ---
-    "bloom_blocklist_filter_persisted",
-    "bpe_merges_learned",
-    "conditional_functions",
-    "containment_near_dups",
-    "corpus_mix_summary",
-    "custkey_set_ops",
-    "dataset_split_counts",
-    "date_functions",
-    "duplicate_span_stats",
-    "duplicate_span_stats_hashed",
-    "events_hourly_windows",
-    "events_in_list",
-    "events_rolling_hour_count",
-    "grouped_stats",
-    "heavy_hitter_tokens",
-    "json_extraction",
-    "lm_perplexity_scores",
-    "media_avi_decode_check",
-    "media_bmp_decode_check",
-    "media_jpeg_420_decode_check",
-    "media_jpeg_ac_decode_check",
-    "media_resize_check",
-    "media_wav_decode_check",
-    "nation_presence_full_join",
-    "near_dup_quality_keepers",
-    "order_value_ntiles",
-    "orders_star_plus",
-    "packed_sequences",
-    "pivot_qty_by_status",
-    "price_percentiles",
-    "quality_filtered_docs",
-    "running_value_per_user",
-    "salted_skew_join",
-    "streaming_interval_join_mart_check",
-    "string_functions",
-    "union_all_slices",
-    "vocab_overlap_hll_check",
-    "zorder_key_check",
-    # --- window slots 47-50: the new r13 catalog rows (never-verified
-    # queries must sit inside the window; the contract test enforces
-    # it), then the oldest round-8 queries fill what's left.
-    "expectation_quarantine_check",
-    "sql_scripting_check",
-    "url_canonical_dedup_check",
-    "streaming_expectation_mart_check",
+    # --- latest driver verdict: round 8 ---
     "approx_distinct_parts",
     "atomic_dml_mart_check",
     "atomic_recognized_mart_check",
     "batch_ivf_topk",
-    # --- below the 50-query window: oldest-first continuation ---
     "bloom_blocklist_filter",
     "bpe_encoded_docs",
     "bpe_subword_vocab",
@@ -202,7 +149,13 @@ _PRIORITY = [
     "unigram_encoded_docs",
     "unigram_vocab_costs",
     "unigram_word_segments",
+    # --- slot 50: the new r14 catalog row (never-verified rows
+    # must sit inside the window; the contract test enforces it) ---
+    "quarantine_lifecycle_check",
+    # --- below the 50-query window: displaced r8 leader, then the
+    # oldest-first continuation ---
     "unimax_lang_budgets",
+    # --- latest driver verdict: round 9 ---
     "ann_recall_check",
     "bleu_pair_scores",
     "bpe_roundtrip_check",
@@ -247,6 +200,7 @@ _PRIORITY = [
     "wordpiece_merges_learned",
     "wordpiece_unk_stats",
     "zipf_fit_tokens",
+    # --- latest driver verdict: round 10 ---
     "active_periods_per_month_start",
     "array_functions_check",
     "atomic_clone_check",
@@ -296,6 +250,7 @@ _PRIORITY = [
     "weekly_retention_cohorts",
     "winnowing_fingerprints",
     "winnowing_shared_pairs",
+    # --- latest driver verdict: round 11 ---
     "asof_join_events_orders",
     "atomic_column_rename_check",
     "atomic_two_mart_txn_check",
@@ -346,6 +301,7 @@ _PRIORITY = [
     "url_functions_check",
     "winnowing_fingerprints_fast",
     "xml_shredding_check",
+    # --- latest driver verdict: round 12 ---
     "approx_percentile_prices",
     "array_agg_sorted",
     "atomic_partition_evolution_check",
@@ -396,6 +352,57 @@ _PRIORITY = [
     "streaming_tws_bootstrap_mart_check",
     "token_length_histogram",
     "warc_html_pipeline_check",
+    # --- latest driver verdict: round 13 ---
+    "atomic_history_audit_check",
+    "cross_doc_novelty_hashed",
+    "doc_first_last_token",
+    "embedding_quantize",
+    "heldout_contamination_hashed",
+    "media_alaw_decode_check",
+    "media_mjpeg_decode_check",
+    "streaming_merge_mart_check",
+    "bloom_blocklist_filter_persisted",
+    "bpe_merges_learned",
+    "conditional_functions",
+    "containment_near_dups",
+    "corpus_mix_summary",
+    "custkey_set_ops",
+    "dataset_split_counts",
+    "date_functions",
+    "duplicate_span_stats",
+    "duplicate_span_stats_hashed",
+    "events_hourly_windows",
+    "events_in_list",
+    "events_rolling_hour_count",
+    "grouped_stats",
+    "heavy_hitter_tokens",
+    "json_extraction",
+    "lm_perplexity_scores",
+    "media_avi_decode_check",
+    "media_bmp_decode_check",
+    "media_jpeg_420_decode_check",
+    "media_jpeg_ac_decode_check",
+    "media_resize_check",
+    "media_wav_decode_check",
+    "nation_presence_full_join",
+    "near_dup_quality_keepers",
+    "order_value_ntiles",
+    "orders_star_plus",
+    "packed_sequences",
+    "pivot_qty_by_status",
+    "price_percentiles",
+    "quality_filtered_docs",
+    "running_value_per_user",
+    "salted_skew_join",
+    "streaming_interval_join_mart_check",
+    "string_functions",
+    "union_all_slices",
+    "vocab_overlap_hll_check",
+    "zorder_key_check",
+    "expectation_quarantine_check",
+    "sql_scripting_check",
+    "url_canonical_dedup_check",
+    "streaming_expectation_mart_check",
 ]
 
 

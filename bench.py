@@ -373,6 +373,10 @@ HEADLINE = [
     # cached via ARTIFACT_WARM; timed path = the same two manifest
     # scans + grouped profiles as the batch variant)
     "streaming_expectation_mart_check",
+    # round-14: the quarantine retention lifecycle (mart cached via
+    # ARTIFACT_WARM; timed path = main + surviving-capture manifest
+    # scans, two grouped profiles, and the metadata-only history read)
+    "quarantine_lifecycle_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -541,6 +545,7 @@ ARTIFACT_WARM = {
     "generated_column_check",  # generated-column mart build
     "expectation_quarantine_check",  # quarantine mart builds
     "streaming_expectation_mart_check",  # streamed gated-mart build
+    "quarantine_lifecycle_check",  # lifecycle mart build (r14)
     "warc_html_pipeline_check",  # WARC shard fixture write
     "html_extracted_text_check",  # shares the WARC fixture
 }

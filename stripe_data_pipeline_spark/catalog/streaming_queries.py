@@ -3980,3 +3980,156 @@ def q_streaming_expectation_mart_check(
             "quarantined",
         )
     )
+
+
+def _quarantine_lifecycle_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the quarantine LIFECYCLE mart (r14,
+    VERDICT r13 #3): seed an ungated third of events, declare the
+    quarantine gate, ingest the remaining two thirds as TWO gated
+    batches (two capture generations), then expire the FIRST
+    generation with clear_quarantine(before_version=...) — the
+    retention step a production ingest runs after an operator
+    re-processes a capture. The table ends holding: every admitted
+    row, ONLY the second generation's capture, and the clear's audit
+    record in history."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark import manifest_table as MT
+    from stripe_data_pipeline_spark.io import read_table as _rt
+
+    cache_key = sf_dir + "#qlife"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="qlife_mart_")
+        mart = os.path.join(root, "t")
+        ev = _rt(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id", "value"
+        )
+        slice_ = F.col("event_id") % 3
+        MT.merge_upsert_atomic(  # v1: ungated seed
+            spark, mart, ev.filter(slice_ == 0), keys=["event_id"],
+            partition_by="event_type",
+        )
+        MT.set_expectation(  # v2
+            spark, mart, "value_cap", "value < 250", policy="quarantine"
+        )
+        MT.merge_upsert_atomic(  # v3: first capture generation
+            spark, mart, ev.filter(slice_ == 1), keys=["event_id"],
+            partition_by="event_type",
+        )
+        MT.merge_upsert_atomic(  # v4: second capture generation
+            spark, mart, ev.filter(slice_ == 2), keys=["event_id"],
+            partition_by="event_type",
+        )
+        pre = MT.read_quarantine(spark, mart).count()
+        cleared = MT.clear_quarantine(mart, before_version=3)  # v5
+        post = MT.read_quarantine(spark, mart).count()
+        # vacuous-oracle guard (RuntimeError: survives python -O):
+        # both generations must have captured rows, the clear must
+        # have expired exactly the first, and time travel must still
+        # see the pre-clear set
+        pre_tt = MT.read_quarantine(spark, mart, version=4).count()
+        if not (cleared > 0 and post > 0 and pre == cleared + post
+                and pre_tt == pre):
+            raise RuntimeError(
+                f"lifecycle mart is vacuous: pre={pre} cleared={cleared} "
+                f"post={post} time_travel={pre_tt}"
+            )
+        _STREAM_MART_CACHE[cache_key] = root
+    return os.path.join(root, "t")
+
+
+@register(
+    "quarantine_lifecycle_check",
+    oracle=f"""
+WITH flags AS (
+    SELECT event_type, user_id, value,
+           CAST(event_id % 3 AS BIGINT) AS slice,
+           NOT COALESCE(value < 250, TRUE) AS viol
+    FROM events
+),
+kept AS (
+    SELECT event_type, user_id, value FROM flags
+    WHERE slice = 0 OR NOT viol
+),
+quar AS (
+    SELECT event_type, user_id, value FROM flags
+    WHERE slice = 2 AND viol
+)
+SELECT 'kept' AS phase, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM kept GROUP BY event_type
+UNION ALL
+SELECT 'quarantined' AS phase, event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value
+FROM quar GROUP BY event_type
+UNION ALL
+SELECT 'cleared' AS phase, 'ALL' AS event_type,
+       (SELECT COUNT(*) FROM flags WHERE slice = 1 AND viol) AS n_events,
+       CAST(1 AS BIGINT) AS n_users,
+       CAST(NULL AS DOUBLE) AS total_value
+""",
+    doc="Quarantine retention lifecycle (r14, VERDICT r13 #3): a "
+    "gated mart ingests two capture GENERATIONS (v3, v4), then "
+    "clear_quarantine(before_version=3) expires the first as a "
+    "metadata-only commit — the step an ingest pipeline runs after "
+    "an operator re-processes a capture, without which the "
+    "quarantine relation becomes its own retention problem at "
+    "production volume. The check compares three phases against "
+    "closed-form SQL: the admitted rows (every non-violating row "
+    "plus the ungated seed), the SURVIVING capture (generation two "
+    "ONLY — proving the floor expired exactly the first generation), "
+    "and the clear's own audit record (cleared row count + rel count "
+    "read back from history()), so the lifecycle is driver-verified "
+    "end to end. Time travel to the pre-clear snapshot and "
+    "restore/vacuum interactions are pytest-pinned in "
+    "tests/test_r14_seams.py. At 100 TB the clear is O(1) metadata — "
+    "no data is touched; capture dirs age out through vacuum's "
+    "ordinary retention rule once no retained snapshot references "
+    "them.",
+)
+def q_quarantine_lifecycle_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark import manifest_table as MT
+
+    mart = _quarantine_lifecycle_mart_root(spark, sf_dir)
+
+    def prof(df: DataFrame, phase: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            sum_usd_cents(F.col("value")).alias("total_value"),
+        ).select(F.lit(phase).alias("phase"), "*")
+
+    clear_ops = [
+        e for e in MT.history(mart) if e["type"] == "clear_quarantine"
+    ]
+    # literal SELECT (no FROM): Catalyst folds it to a LocalRelation,
+    # so the audit row rides as metadata — no Python RDD scan
+    audit = spark.sql(
+        "SELECT 'cleared' AS phase, 'ALL' AS event_type, "
+        f"CAST({int(clear_ops[0]['cleared_rows'])} AS BIGINT) AS n_events, "
+        f"CAST({int(clear_ops[0]['cleared_rels'])} AS BIGINT) AS n_users, "
+        "CAST(NULL AS DOUBLE) AS total_value"
+    )
+    return (
+        prof(MT.read_table(spark, mart), "kept")
+        .unionByName(
+            prof(
+                MT.read_quarantine(spark, mart).select(
+                    "event_type", "user_id", "value"
+                ),
+                "quarantined",
+            )
+        )
+        .unionByName(audit)
+    )

@@ -2092,6 +2092,13 @@ def history(root: str) -> list[dict]:
             # violation counts of the merge that wrote this version —
             # "how dirty was last night's feed" answered from metadata
             entry["expectations"] = op["expectations"]
+        if op.get("type") == "clear_quarantine":
+            # the retention audit (r14): what the clear expired —
+            # "which captures did maintenance retire" answered the
+            # same way
+            entry["cleared_rows"] = op.get("cleared_rows")
+            entry["cleared_rels"] = op.get("cleared_rels")
+            entry["before_version"] = op.get("before_version")
         out.append(entry)
     return out
 
@@ -2191,11 +2198,13 @@ def history_df(spark: SparkSession, root: str) -> DataFrame:
                 json.dumps(h["expectations"], sort_keys=True)
                 if h.get("expectations")
                 else None,
+                h.get("cleared_rows"),
             )
             for h in history(root)
         ],
         "version bigint, type string, touched array<string>, "
-        "n_parts bigint, committed_at_ms bigint, expectations string",
+        "n_parts bigint, committed_at_ms bigint, expectations string, "
+        "cleared_rows bigint",
     )
 
 

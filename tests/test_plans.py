@@ -582,3 +582,21 @@ def test_expectation_check_reads_have_no_python_and_no_bnlj(
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_quarantine_lifecycle_reads_have_no_python_and_no_bnlj(
+    spark, sf_dir
+):
+    """The lifecycle check's read path (r14): main + surviving-capture
+    manifest scans with grouped profiles, plus a 1-row LOCAL audit
+    relation from history() — metadata, zero Spark jobs. The clear
+    itself is a metadata-only commit, so nothing here may introduce a
+    Python boundary or a nested-loop join."""
+    p = plan(spark, sf_dir, "quarantine_lifecycle_check")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # the audit row rides as metadata: a folded literal relation
+    # (OneRowRelation or LocalTableScan), never a Python RDD scan
+    assert "OneRowRelation" in p or "LocalTableScan" in p
+    assert "ExistingRDD" not in p
