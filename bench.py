@@ -551,6 +551,33 @@ ARTIFACT_WARM = {
 }
 
 
+def measure_query_runs(
+    spark, name: str, sf_dir: str, runs: int
+) -> list[float]:
+    """THE measurement protocol — shared by the bench sweep (sf0.1
+    and the sf1 spot) and the standalone pin-adjudication tool
+    (tools/measure_quiet.py), so a pin re-measure is provably the
+    same procedure that produced the pin (r14 review): one UNTIMED
+    warm run for ARTIFACT_WARM queries (builds the persisted
+    artifact; VERDICT r12 #2), then ``runs`` timed full executions
+    via the noop sink — computes every output column, unlike count()
+    — with a System.gc() after each run to isolate queries from each
+    other's weak-ref-driven broadcast/shuffle cleanup debt. Returns
+    the per-run seconds; callers take the min (steady-state plan
+    cost, not cold-JIT/external-load noise)."""
+    fn = QUERIES[name].fn
+    if name in ARTIFACT_WARM:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.sparkContext._jvm.System.gc()
+    out: list[float] = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out.append(time.time() - t0)
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
 def load_baseline(path: str = BASELINE_PATH) -> dict | None:
     try:
         with open(path) as f:
@@ -640,23 +667,9 @@ def main() -> None:
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = QUERIES[name].fn
-        if name in ARTIFACT_WARM:
-            # One untimed run builds the persisted artifact (index /
-            # blocklist / mart / fixture) so the timed min-of-N below
-            # measures only the steady-state read path (VERDICT r12 #2).
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            spark.sparkContext._jvm.System.gc()
-        best = float("inf")
-        for _ in range(runs_per_query):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            # Isolate queries from each other's GC debt (broadcast/shuffle
-            # cleanup is weak-ref driven; lazy collection skews later
-            # timings).
-            spark.sparkContext._jvm.System.gc()
-        timings[name] = round(best, 3)
+        timings[name] = round(
+            min(measure_query_runs(spark, name, sf_dir, runs_per_query)), 3
+        )
 
     sf1_spot = None
     if (
@@ -669,25 +682,15 @@ def main() -> None:
             sf1_dir = ensure_scaled_dir(spark, base_dir=sf_dir)
             spot: dict[str, dict] = {}
             for name in SF1_SPOT:
-                if name in ARTIFACT_WARM:
-                    # Untimed artifact build at sf1 too — at 10x data
-                    # the index build is 10-19s, which min-of-2 cannot
-                    # amortize under load (the two r12 sf1 flags).
-                    QUERIES[name].fn(spark, sf1_dir).write.format(
-                        "noop"
-                    ).mode("overwrite").save()
-                    spark.sparkContext._jvm.System.gc()
-                best = float("inf")
-                for _ in range(2):  # min-of-2: one warm pass absorbs the
-                    # 10x-scan codegen/readahead cold start without
-                    # paying full min-of-N at this volume
-                    t0 = time.time()
-                    QUERIES[name].fn(spark, sf1_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    best = min(best, time.time() - t0)
-                    spark.sparkContext._jvm.System.gc()
-                sec = round(best, 3)
+                # min-of-2: one warm pass absorbs the 10x-scan
+                # codegen/readahead cold start without paying full
+                # min-of-N at this volume (ARTIFACT_WARM queries get
+                # their untimed build run first — at 10x data the
+                # index build is 10-19s, which min-of-2 cannot
+                # amortize under load; the two r12 sf1 flags)
+                sec = round(
+                    min(measure_query_runs(spark, name, sf1_dir, 2)), 3
+                )
                 spot[name] = {
                     "sec": sec,
                     "ratio_vs_sf0.1": round(sec / max(timings[name], 1e-3), 1),

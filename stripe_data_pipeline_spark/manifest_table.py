@@ -2199,12 +2199,14 @@ def history_df(spark: SparkSession, root: str) -> DataFrame:
                 if h.get("expectations")
                 else None,
                 h.get("cleared_rows"),
+                h.get("cleared_rels"),
+                h.get("before_version"),
             )
             for h in history(root)
         ],
         "version bigint, type string, touched array<string>, "
         "n_parts bigint, committed_at_ms bigint, expectations string, "
-        "cleared_rows bigint",
+        "cleared_rows bigint, cleared_rels bigint, before_version bigint",
     )
 
 
@@ -2678,15 +2680,16 @@ def update_where(
             updated, m.get("constraints"), "update_where"
         )
         # Expectations gate the rewrite too (r14, VERDICT r13 #2a):
-        # probe ONLY the post-SET matched rows (same projection over
-        # `matches`, where the predicate is vacuously true), so a
-        # standing violation elsewhere in the table — expectations
-        # never validate existing rows — cannot refuse an unrelated
-        # update. Every policy behaves as `fail` on DML; see
-        # _validate_expectations_dml for why.
+        # probe ONLY the post-SET matched rows — scoped to the
+        # PARTITION-PRUNED read the rewrite itself uses, not the full
+        # table (r14 review) — so a standing violation elsewhere in
+        # the table (expectations never validate existing rows) cannot
+        # refuse an unrelated update, and the probe costs one job over
+        # the touched partitions. Every policy behaves as `fail` on
+        # DML; see _validate_expectations_dml for why.
         exps = m.get("expectations") or {}
         if exps:
-            new_matches = matches.select(*post_set)
+            new_matches = scoped.filter(predicate).select(*post_set)
             if gen:
                 new_matches = new_matches.withColumns(
                     {c: F.expr(e) for c, e in gen.items()}
@@ -3039,18 +3042,28 @@ def _validate_expectations_dml(
     ``quarantine`` are FLOW policies — they divert rows out of an
     incoming batch, and a rewrite has no inflow to divert; deleting
     or quarantining pre-existing rows because an UPDATE touched them
-    would be far more surprising than refusing. Same limit-1 probe
-    shape as _validate_constraints; the probe runs over the POST-SET
-    matched rows only, so pre-existing violations elsewhere in the
-    table (expectations never validate standing data) cannot fail an
-    unrelated update."""
+    would be far more surprising than refusing. ONE aggregate job
+    computes every expectation's violation count (the merge gate's
+    shape, not N limit-1 probes — r14 review); the probe runs over
+    the POST-SET matched rows only, so pre-existing violations
+    elsewhere in the table (expectations never validate standing
+    data) cannot fail an unrelated update."""
     if not exps:
         return
-    for name, spec in sorted(exps.items()):
-        bad = df.filter(
-            ~F.coalesce(F.expr(spec["expr"]), F.lit(True))
-        ).limit(1)
-        if bad.count():
+    names = sorted(exps)
+    counts = df.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(exps[n]["expr"]), F.lit(True))).cast(
+                    "long"
+                )
+            ).alias(f"c{i}")
+            for i, n in enumerate(names)
+        ]
+    ).collect()[0]
+    for i, name in enumerate(names):
+        if int(counts[f"c{i}"] or 0):
+            spec = exps[name]
             raise ValueError(
                 f"{op}: the update would produce rows violating "
                 f"expectation {name!r} ({spec['expr']}, policy "
@@ -3294,6 +3307,23 @@ def set_expectation(
         # table's logical schema: resolves columns and types, runs no
         # job, touches no data
         schema = StructType.fromJson(json.loads(m["schema"]))
+        reserved = [
+            f.name
+            for f in schema.fields
+            if f.name.startswith("_sdps_viol_")
+            or f.name in ("_violated", "_quarantined_at_version")
+        ]
+        if reserved:
+            # refuse HERE, where the operator can still decline: the
+            # gate refuses these names on every batch, so declaring an
+            # expectation over a table already holding one would brick
+            # every subsequent merge (r14 review)
+            raise ValueError(
+                f"table columns {reserved} collide with the "
+                "expectation gate's reserved names (_sdps_viol_* , "
+                "_violated, _quarantined_at_version); rename_column "
+                "them before declaring expectations"
+            )
         spark.createDataFrame([], schema).filter(
             F.coalesce(F.expr(expression), F.lit(True))
         ).schema

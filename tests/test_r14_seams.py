@@ -411,3 +411,55 @@ def test_reserved_audit_columns_refuse_not_corrupt(spark, tmp_path):
     # and the refusals left no debris behind
     assert _quar_keys(spark, root) == []
     assert _kept(spark, root) == [0, 1, 2]
+
+
+def test_clear_quarantine_racing_occ_merge(spark, tmp_path):
+    """Newest-code race (the r11 lesson: audit code in its first
+    round): an OCC merge stages its batch + capture OUTSIDE the lock;
+    clear_quarantine commits in the window before the merge's
+    validate+commit. Whichever way the merge lands (rebase or
+    replan), the cleared captures must STAY cleared and the merge's
+    own fresh capture must be visible — _commit_plan carries the
+    quarantine map from the CURRENT (post-clear) snapshot, never from
+    the stale base."""
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 0, 3), keys=["k"])
+    MT.set_expectation(spark, root, "v_cap", "v < 70", policy="quarantine")
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 7, 9), keys=["k"])
+    assert _quar_keys(spark, root) == [7, 8]
+    fired = []
+
+    def interleave(point: str) -> None:
+        # _plan_merge staging runs outside the lock in OCC mode, so
+        # the clear can take the writer lock and commit right here
+        if point == "staged" and not fired:
+            fired.append(point)
+            assert MT.clear_quarantine(root) == 2
+
+    MT.merge_upsert_atomic(
+        spark, root, _batch(spark, 9, 11), keys=["k"],
+        concurrency="occ", _fault=interleave,
+    )
+    assert fired  # the race actually happened
+    assert _quar_keys(spark, root) == [9, 10]  # cleared stay cleared
+    assert _kept(spark, root) == [0, 1, 2]
+
+
+def test_set_expectation_refuses_reserved_table_columns(spark, tmp_path):
+    """r14 review: declaring an expectation on a table whose SCHEMA
+    already holds a reserved audit name would brick every later gated
+    merge (the gate refuses those names on each batch) — refuse at
+    declaration time instead, where the operator can still decline."""
+    root = str(tmp_path / "t")
+    MT.merge_upsert_atomic(
+        spark,
+        root,
+        _batch(spark, 0, 3).withColumn("_violated", F.lit("x")),
+        keys=["k"],
+    )  # legal: no declaration exists yet
+    with pytest.raises(ValueError, match="reserved"):
+        MT.set_expectation(spark, root, "v_cap", "v < 70")
+    # the table stays fully writable: no declaration was committed
+    MT.merge_upsert_atomic(spark, root, _batch(spark, 3, 5)
+                           .withColumn("_violated", F.lit("y")), keys=["k"])
+    assert _kept(spark, root) == [0, 1, 2, 3, 4]

@@ -5,11 +5,13 @@ Usage:
 
 Times each named catalog query at the given scale (default sf0.1;
 --sf1 uses the replicated /tmp/spark_graft_sf1 directory built by
-stripe_data_pipeline_spark.sf_scale.ensure_scaled_dir) as min-of-N
-noop-sink runs, with ARTIFACT_WARM queries getting one untimed warm
-run first — exactly the bench.py measurement protocol, isolated from
-the full headline sweep so a pin re-measure never fights the bench's
-own load.  Prints one JSON line per query and a final summary map.
+stripe_data_pipeline_spark.sf_scale.ensure_scaled_dir) by calling
+bench.measure_query_runs — the SAME function the bench sweep uses
+(warm run for ARTIFACT_WARM queries, noop sink, System.gc between
+runs), so the adjudication protocol cannot drift from what produced
+the pins — isolated from the full headline sweep so a pin re-measure
+never fights the bench's own load.  Prints one JSON line per query
+and a final summary map.
 
 This is the "re-run standalone" half of the regression-adjudication
 protocol documented in bench_baseline.json's _comment: an in-bench
@@ -24,12 +26,11 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import ARTIFACT_WARM  # noqa: E402
+from bench import measure_query_runs  # noqa: E402
 from stripe_data_pipeline_spark.catalog import QUERIES  # noqa: E402
 from stripe_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -55,16 +56,10 @@ def main() -> None:
         if name not in QUERIES:
             out[name] = {"error": "unknown query"}
             continue
-        fn = QUERIES[name].fn
-        if name in ARTIFACT_WARM:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            spark.sparkContext._jvm.System.gc()
-        runs = []
-        for _ in range(args.runs):
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(round(time.time() - t0, 3))
-            spark.sparkContext._jvm.System.gc()
+        runs = [
+            round(s, 3)
+            for s in measure_query_runs(spark, name, sf_dir, args.runs)
+        ]
         rec = {
             "min": min(runs),
             "runs": runs,
