@@ -377,6 +377,9 @@ HEADLINE = [
     # ARTIFACT_WARM; timed path = main + surviving-capture manifest
     # scans, two grouped profiles, and the metadata-only history read)
     "quarantine_lifecycle_check",
+    # ...and the crawl-frontier politeness scheduler (canonicalize
+    # projection + ONE host-partitioned window + the grouped profile)
+    "crawl_frontier_schedule_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -4348,3 +4348,101 @@ def q_url_canonical_dedup_check(
             F.min("raw_url").alias("keeper_raw"),
         )
     )
+
+
+@register(
+    "crawl_frontier_schedule_check",
+    oracle="""
+WITH u AS (
+    SELECT CAST(o_orderkey AS BIGINT) AS k,
+           'h' || CAST(o_orderkey % 7 AS VARCHAR) || '.shop.example'
+             AS host,
+           'https://h' || CAST(o_orderkey % 7 AS VARCHAR)
+             || '.shop.example/item/' || CAST(o_orderkey AS VARCHAR)
+             || '?ref=' || CAST(o_orderkey AS VARCHAR) AS url,
+           CAST(o_orderkey % 97 AS BIGINT) AS priority
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+r AS (
+    SELECT host, url, priority,
+           ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY priority DESC, url ASC
+           ) AS rk
+    FROM u
+)
+SELECT host,
+       CAST(FLOOR((rk - 1) / 20) AS BIGINT) AS fetch_cycle,
+       COUNT(*) AS n_urls,
+       MIN(priority) AS min_priority,
+       MAX(priority) AS max_priority,
+       MIN(url) AS first_url
+FROM r
+GROUP BY host, CAST(FLOOR((rk - 1) / 20) AS BIGINT)
+""",
+    doc="Crawl-frontier politeness scheduling (r14 — the last crawl-"
+    "head step after WARC ingest, HTML extraction, RFC 3986 "
+    "canonicalization/dedup and robots filtering; "
+    "operators/frontier.py): candidate URLs (messy odd-key variants "
+    "carry utm_ tracking params that canonicalize_url strips "
+    "in-chain) are partitioned by HOST, ranked by priority with a "
+    "deterministic URL tiebreak, and striped into fetch cycles of at "
+    "most 20 URLs per host — the Mercator-style per-host budget "
+    "(Heydon & Najork 1999) every production crawler enforces beside "
+    "robots crawl-delay. ONE window over ONE hash exchange on host — "
+    "at 100 TB that exchange is the host-locality partitioning the "
+    "fetch fleet needs anyway, and the cap itself bounds per-host "
+    "skew (a pathological host schedules <= cap URLs per cycle "
+    "however large its frontier share). The oracle restates the "
+    "canonical URL in closed form from the key (never "
+    "canonicalizes) and replays the schedule with plain ROW_NUMBER, "
+    "so budget arithmetic and rank determinism are proven "
+    "char-for-char.",
+)
+def q_crawl_frontier_schedule_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.frontier import (
+        schedule_frontier,
+    )
+    from stripe_data_pipeline_spark.operators.urlnorm import canonicalize_url
+
+    k = F.col("k")
+    kstr = k.cast("string")
+    host = F.concat(F.lit("h"), (k % 7).cast("string"), F.lit(".shop.example"))
+    # odd keys arrive messy (tracking param + uppercase scheme the
+    # canonicalizer must fix); even keys arrive clean — both collapse
+    # to the same closed form the oracle emits
+    raw = F.when(
+        k % 2 == 1,
+        F.concat(
+            F.lit("HTTPS://"), host, F.lit("/item/"), kstr,
+            F.lit("?utm_source=feed&ref="), kstr,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), host, F.lit("/item/"), kstr,
+            F.lit("?ref="), kstr,
+        )
+    )
+    frontier = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(F.col("o_orderkey").cast("bigint").alias("k"))
+        .select(
+            canonicalize_url(raw).alias("url"),
+            (k % 97).alias("priority"),
+        )
+    )
+    return (
+        schedule_frontier(
+            frontier, url_col="url", priority_col="priority",
+            per_host_per_cycle=20,
+        )
+        .groupBy("host", "fetch_cycle")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("priority").alias("min_priority"),
+            F.max("priority").alias("max_priority"),
+            F.min("url").alias("first_url"),
+        )
+    )

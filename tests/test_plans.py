@@ -600,3 +600,17 @@ def test_quarantine_lifecycle_reads_have_no_python_and_no_bnlj(
     # (OneRowRelation or LocalTableScan), never a Python RDD scan
     assert "OneRowRelation" in p or "LocalTableScan" in p
     assert "ExistingRDD" not in p
+
+
+def test_frontier_schedule_single_host_exchange(spark, sf_dir):
+    """The politeness scheduler (r14): canonicalization fuses into the
+    scan as a regexp projection (zero Python), the host window is the
+    ONLY shuffle, and the grouped profile reuses its partitioning
+    (host is a prefix of the grouping key) — one exchange total, the
+    host-locality layout a fetch fleet wants at 100 TB."""
+    p = plan(spark, sf_dir, "crawl_frontier_schedule_check")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "regexp_replace" in p  # canonicalizer inlined
+    assert "RunningWindowFunction" in p or "Window" in p
+    assert p.count("Exchange") == 1  # the host partition, reused
+    assert "CartesianProduct" not in p
