@@ -463,3 +463,37 @@ def test_set_expectation_refuses_reserved_table_columns(spark, tmp_path):
     MT.merge_upsert_atomic(spark, root, _batch(spark, 3, 5)
                            .withColumn("_violated", F.lit("y")), keys=["k"])
     assert _kept(spark, root) == [0, 1, 2, 3, 4]
+
+
+def test_clear_quarantine_respects_group_pin(spark, tmp_path):
+    """Composition with multi-table transactions: a member's
+    clear_quarantine advances the TABLE version but the GROUP pointer
+    still pins the pre-clear snapshot — the crash-consistent group
+    read must keep seeing the pre-clear quarantine, and vacuum_group
+    must spare the cleared capture dirs the pin still references."""
+    from stripe_data_pipeline_spark import table_group as TG
+
+    groot = str(tmp_path / "g")
+    ra = str(tmp_path / "a")
+    MT.merge_upsert_atomic(spark, ra, _batch(spark, 0, 3), keys=["k"])
+    MT.set_expectation(spark, ra, "v_cap", "v < 70", policy="quarantine")
+    TG.create_group(groot, {"a": ra})
+    TG.group_merge_atomic(
+        spark, groot, {"a": {"updates": _batch(spark, 7, 9), "keys": ["k"]}},
+    )  # pins the post-merge version (captures k=7,8)
+    pinned_v = TG.read_group(groot)["tables"]["a"]["version"]
+    assert MT.clear_quarantine(ra) == 2  # table-level maintenance
+    assert _quar_keys(spark, ra) == []  # current table snapshot: cleared
+    # the group-pinned snapshot predates the clear: quarantine intact
+    assert _quar_keys(spark, ra, version=pinned_v) == [7, 8]
+    removed = TG.vacuum_group(groot, grace_sec=0.0)
+    # the pinned snapshot's capture dirs survived the vacuum
+    assert _quar_keys(spark, ra, version=pinned_v) == [7, 8]
+    assert all("q-" not in rel for rels in removed.values() for rel in rels)
+    # re-pinning the group past the clear releases them
+    TG.group_merge_atomic(
+        spark, groot, {"a": {"updates": _batch(spark, 2, 3), "keys": ["k"]}},
+    )
+    removed = TG.vacuum_group(groot, grace_sec=0.0)
+    assert any("q-" in rel for rels in removed.values() for rel in rels)
+    assert _quar_keys(spark, ra) == []
