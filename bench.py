@@ -380,6 +380,10 @@ HEADLINE = [
     # ...and the crawl-frontier politeness scheduler (canonicalize
     # projection + ONE host-partitioned window + the grouped profile)
     "crawl_frontier_schedule_check",
+    # ...and the from-spec Avro OCF roundtrip (shards cached via
+    # ARTIFACT_WARM; the timed path is the Python-DataSource scan —
+    # one task per container file, Arrow-batched — plus the profile)
+    "avro_roundtrip_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -549,6 +553,7 @@ ARTIFACT_WARM = {
     "expectation_quarantine_check",  # quarantine mart builds
     "streaming_expectation_mart_check",  # streamed gated-mart build
     "quarantine_lifecycle_check",  # lifecycle mart build (r14)
+    "avro_roundtrip_check",  # avro shard write (r14)
     "warc_html_pipeline_check",  # WARC shard fixture write
     "html_extracted_text_check",  # shares the WARC fixture
 }

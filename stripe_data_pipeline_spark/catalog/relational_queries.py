@@ -4446,3 +4446,75 @@ def q_crawl_frontier_schedule_check(
             F.min("url").alias("first_url"),
         )
     )
+
+
+_AVRO_CACHE: dict[str, str] = {}
+
+
+def _cleanup_avro_cache() -> None:
+    import shutil
+
+    for p in _AVRO_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@register(
+    "avro_roundtrip_check",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sum_usd_cents_sql("value")} AS total_value,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT)
+           AS total_k,
+       MIN(ts) AS first_ts
+FROM events
+GROUP BY event_type
+""",
+    doc="Avro Object Container File round trip (r14 — closes the last "
+    "interchange gap beside parquet/ORC/CSV/NDJSON/XML/WARC; this "
+    "container lacks the spark-avro CONNECTOR and any python avro "
+    "lib, so sources/avro_source.py implements the PUBLIC Avro 1.12 "
+    "spec as a Spark 4 Python DataSource — the warc_source "
+    "precedent): the events table is written as deflate-compressed "
+    "OCF shards (one per task, staged-tmp two-phase commit) and read "
+    "back with the schema INFERRED from the file header "
+    "(long/string/double/local-timestamp-micros + nullable unions, "
+    "zigzag varints, block/sync framing all from spec); the per-type "
+    "aggregate over the Avro scan — including MIN(ts) through the "
+    "timestamp logical type — must bit-match plain SQL over the "
+    "original parquet. One input partition per container file, "
+    "Arrow-batched across the Python boundary; the full type-matrix "
+    "roundtrip (arrays, bytes, dates, nulls, both codecs) is "
+    "pytest-pinned in tests/test_avro.py.",
+)
+def q_avro_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.sources.avro_source import (
+        register_avro_source,
+    )
+
+    register_avro_source(spark)
+    avro_dir = _AVRO_CACHE.get(sf_dir)
+    if avro_dir is None:
+        if not _AVRO_CACHE:
+            atexit.register(_cleanup_avro_cache)
+        avro_dir = os.path.join(
+            tempfile.mkdtemp(prefix="avro_roundtrip_"), "events_avro"
+        )
+        read_table(spark, sf_dir, "events").write.format("avroocf").mode(
+            "overwrite"
+        ).save(avro_dir)
+        _AVRO_CACHE[sf_dir] = avro_dir
+    ev = spark.read.format("avroocf").load(avro_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        sum_usd_cents(F.col("value")).alias("total_value"),
+        F.sum(k).cast("bigint").alias("total_k"),
+        F.min("ts").alias("first_ts"),
+    )

@@ -1,0 +1,149 @@
+"""From-spec Avro OCF source/sink pins (sources/avro_source.py, r14)
+— the type matrix and failure modes the driver-oracle query
+(avro_roundtrip_check, events table) does not exercise: every
+supported type incl. arrays/bytes/dates/booleans, NULLs through the
+union path, both codecs, schema inference from the header, the
+two-phase commit's crash invisibility, and loud refusal of
+unsupported shapes (maps, snappy, non-nullable exotic unions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from stripe_data_pipeline_spark.sources.avro_source import (
+    avro_json_to_spark_schema,
+    parse_avro_file,
+    read_avro_header,
+    register_avro_source,
+    spark_schema_to_avro_json,
+    write_avro_file,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("flag", T.BooleanType(), True),
+        T.StructField("small", T.IntegerType(), True),
+        T.StructField("ratio", T.DoubleType(), True),
+        T.StructField("ratio32", T.FloatType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("day", T.DateType(), True),
+        T.StructField("at", T.TimestampNTZType(), True),
+        T.StructField("vec", T.ArrayType(T.FloatType(), True), True),
+    ]
+)
+
+_ROWS = [
+    (
+        1, True, -7, 2.5, 0.5, "héllo", bytearray(b"\x00\xff"),
+        dt.date(2024, 2, 29), dt.datetime(2024, 6, 1, 12, 34, 56, 789),
+        [1.0, -2.0, 0.0],
+    ),
+    (2, None, None, None, None, None, None, None, None, None),
+    (
+        -(2**62), False, 2**31 - 1, -0.0, 3.5, "", b"",
+        dt.date(1969, 12, 31), dt.datetime(1969, 12, 31, 23, 59, 59),
+        [],
+    ),
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_full_type_matrix_roundtrip(spark, tmp_path, codec):
+    df = spark.createDataFrame(
+        [Row(*r) for r in _ROWS], schema=_SCHEMA
+    )
+    register_avro_source(spark)
+    out = str(tmp_path / "t")
+    df.write.format("avroocf").option("codec", codec).mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("avroocf").load(out)  # schema INFERRED
+    assert back.schema == _SCHEMA
+    assert sorted(back.collect(), key=lambda r: r.id) == sorted(
+        df.collect(), key=lambda r: r.id
+    )
+
+
+def test_header_and_blocks_are_spec_shaped(tmp_path):
+    """White-box: magic, metadata map, sync framing — readable by the
+    module's own low-level parser without Spark in the loop."""
+    path = str(tmp_path / "x.avro")
+    sj = spark_schema_to_avro_json(
+        T.StructType([T.StructField("v", T.LongType(), True)])
+    )
+    n = write_avro_file(path, [(i,) for i in range(5000)], sj)
+    assert n == 5000
+    buf = open(path, "rb").read()
+    assert buf[:4] == b"Obj\x01"
+    meta, sync, pos = read_avro_header(buf)
+    assert meta["avro.codec"] == b"deflate"
+    assert len(sync) == 16 and pos > 20
+    assert avro_json_to_spark_schema(
+        meta["avro.schema"].decode()
+    ) == T.StructType([T.StructField("v", T.LongType(), True)])
+    # 5000 rows at 2000/block -> 3 blocks, every row survives
+    assert [r[0] for r in parse_avro_file(path)] == list(range(5000))
+
+
+def test_corrupt_sync_refuses(tmp_path):
+    path = str(tmp_path / "x.avro")
+    sj = spark_schema_to_avro_json(
+        T.StructType([T.StructField("v", T.LongType(), True)])
+    )
+    write_avro_file(path, [(1,), (2,)], sj, codec="null")
+    buf = bytearray(open(path, "rb").read())
+    buf[-1] ^= 0xFF  # flip a byte of the trailing sync marker
+    open(path, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="sync"):
+        list(parse_avro_file(path))
+
+
+def test_unsupported_shapes_refuse(spark, tmp_path):
+    register_avro_source(spark)
+    df = spark.createDataFrame(
+        [({"a": 1},)],
+        T.StructType(
+            [T.StructField(
+                "m", T.MapType(T.StringType(), T.LongType()), True
+            )]
+        ),
+    )
+    with pytest.raises(Exception, match="unsupported Spark type"):
+        df.write.format("avroocf").mode("overwrite").save(
+            str(tmp_path / "m")
+        )
+    df2 = spark.range(1)
+    with pytest.raises(Exception, match="codec"):
+        df2.write.format("avroocf").option("codec", "snappy").mode(
+            "overwrite"
+        ).save(str(tmp_path / "s"))
+
+
+def test_crash_leaves_nothing_published(spark, tmp_path):
+    """Two-phase commit: .tmp shards are invisible to the reader glob;
+    an aborted write publishes no .avro file."""
+    register_avro_source(spark)
+    out = str(tmp_path / "t")
+    spark.range(10).write.format("avroocf").mode("overwrite").save(out)
+    files = os.listdir(out)
+    assert files and all(f.endswith(".avro") for f in files)
+    # simulate a crashed task's leftover staging: the reader skips it
+    with open(os.path.join(out, "part-dead.avro.tmp"), "wb") as f:
+        f.write(b"garbage")
+    back = spark.read.format("avroocf").load(out)
+    assert back.count() == 10
+
+
+def test_overwrite_replaces_previous_shards(spark, tmp_path):
+    register_avro_source(spark)
+    out = str(tmp_path / "t")
+    spark.range(10).write.format("avroocf").mode("overwrite").save(out)
+    spark.range(3).write.format("avroocf").mode("overwrite").save(out)
+    assert spark.read.format("avroocf").load(out).count() == 3
