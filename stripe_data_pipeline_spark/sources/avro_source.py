@@ -40,7 +40,6 @@ uses (a crashed write publishes nothing)."""
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
@@ -385,9 +384,18 @@ def read_avro_header(buf: bytes) -> tuple[dict, bytes, int]:
 
 
 def parse_avro_file(path: str):
-    """Yield decoded row tuples from one container file."""
+    """Yield decoded row tuples from one container file. The file is
+    mmap'd, not slurped: the OS pages blocks in as the cursor walks
+    them and reclaims behind it, so a multi-GB shard decodes in
+    bounded memory (only the current block's decompressed bytes are
+    ever materialized)."""
+    import mmap
+
     with open(path, "rb") as f:
-        buf = f.read()
+        try:
+            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except ValueError:  # zero-length file
+            buf = b""
     meta, sync, pos = read_avro_header(buf)
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
@@ -419,47 +427,47 @@ def write_avro_file(
     schema = json.loads(schema_json)
     encoders = [_mk_encoder(f["type"]) for f in schema["fields"]]
     sync = os.urandom(16)
-    out = io.BytesIO()
-    out.write(_MAGIC)
-    out.write(_w_long(2))
-    out.write(_w_str("avro.schema"))
-    out.write(_w_bytes(schema_json.encode()))
-    out.write(_w_str("avro.codec"))
-    out.write(_w_bytes(codec.encode()))
-    out.write(b"\x00")
-    out.write(sync)
-
-    block: list[bytes] = []
-    n_in_block = 0
-    total = 0
-
-    def flush():
-        nonlocal n_in_block
-        if not n_in_block:
-            return
-        data = b"".join(block)
-        if codec == "deflate":
-            zo = zlib.compressobj(6, zlib.DEFLATED, -15)
-            data = zo.compress(data) + zo.flush()
-        out.write(_w_long(n_in_block))
-        out.write(_w_long(len(data)))
-        out.write(data)
+    with open(path, "wb") as out:
+        # blocks stream straight to disk as they fill — the writer
+        # holds one block of rows in memory, never the whole shard
+        out.write(_MAGIC)
+        out.write(_w_long(2))
+        out.write(_w_str("avro.schema"))
+        out.write(_w_bytes(schema_json.encode()))
+        out.write(_w_str("avro.codec"))
+        out.write(_w_bytes(codec.encode()))
+        out.write(b"\x00")
         out.write(sync)
-        block.clear()
-        n_in_block = 0
 
-    for row in rows:
-        parts: list[bytes] = []
-        for enc, v in zip(encoders, row):
-            enc(v, parts)
-        block.append(b"".join(parts))
-        n_in_block += 1
-        total += 1
-        if n_in_block >= _BLOCK_ROWS:
-            flush()
-    flush()
-    with open(path, "wb") as f:
-        f.write(out.getvalue())
+        block: list[bytes] = []
+        n_in_block = 0
+        total = 0
+
+        def flush():
+            nonlocal n_in_block
+            if not n_in_block:
+                return
+            data = b"".join(block)
+            if codec == "deflate":
+                zo = zlib.compressobj(6, zlib.DEFLATED, -15)
+                data = zo.compress(data) + zo.flush()
+            out.write(_w_long(n_in_block))
+            out.write(_w_long(len(data)))
+            out.write(data)
+            out.write(sync)
+            block.clear()
+            n_in_block = 0
+
+        for row in rows:
+            parts: list[bytes] = []
+            for enc, v in zip(encoders, row):
+                enc(v, parts)
+            block.append(b"".join(parts))
+            n_in_block += 1
+            total += 1
+            if n_in_block >= _BLOCK_ROWS:
+                flush()
+        flush()
     return total
 
 
