@@ -147,3 +147,46 @@ def test_overwrite_replaces_previous_shards(spark, tmp_path):
     spark.range(10).write.format("avroocf").mode("overwrite").save(out)
     spark.range(3).write.format("avroocf").mode("overwrite").save(out)
     assert spark.read.format("avroocf").load(out).count() == 3
+
+
+def test_foreign_writer_shapes_are_readable(tmp_path):
+    """Interop pins for files OTHER writers produce: a reversed
+    union order ([T, "null"] — the spec allows either) decodes
+    correctly, and an UNKNOWN logical type on a supported underlying
+    type reads as the underlying type (the spec's required fallback:
+    'ignore and use the underlying Avro type')."""
+    import json as _json
+
+    from stripe_data_pipeline_spark.sources.avro_source import (
+        _MAGIC, _w_bytes, _w_long, _w_str,
+    )
+
+    schema = _json.dumps({
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "v", "type": ["long", "null"]},  # reversed union
+            {"name": "t", "type": {"type": "long",
+                                   "logicalType": "time-micros"}},
+        ],
+    })
+    path = str(tmp_path / "foreign.avro")
+    sync = b"S" * 16
+    body = (
+        _w_long(0) + _w_long(7)      # row 1: union idx 0 = long 7
+        + _w_long(123)               # t
+        + _w_long(1) +               # row 2: union idx 1 = null
+        _w_long(456)                 # t
+    )
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(_w_long(2))
+        f.write(_w_str("avro.schema")); f.write(_w_bytes(schema.encode()))
+        f.write(_w_str("avro.codec")); f.write(_w_bytes(b"null"))
+        f.write(b"\x00"); f.write(sync)
+        f.write(_w_long(2)); f.write(_w_long(len(body)))
+        f.write(body); f.write(sync)
+    assert list(parse_avro_file(path)) == [(7, 123), (None, 456)]
+    # and schema inference maps the unknown logical type to long
+    sch = avro_json_to_spark_schema(schema)
+    assert sch["t"].dataType == T.LongType()
+    assert sch["v"].nullable is True
