@@ -88,13 +88,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-14 rotation (policy per VERDICT r5 #5 / r11 #1 / r12 #1 / r13
 # #1, enforced by tests/test_driver_contract.py): after r13 the stale
 # backlog is EXACTLY one window — the 50 queries whose latest driver
-# verdict is round 8 fill slots 1-47 plus the displaced leaders, with
-# the three new r14 catalog rows (avro_roundtrip_check,
-# crawl_frontier_schedule_check, quarantine_lifecycle_check — never
-# verified, must sit inside the window) taking slots 48-50 and
-# displacing the youngest r8 entries (unigram_vocab_costs,
-# unigram_word_segments, unimax_lang_budgets) to the top of the
-# continuation, where they LEAD the r15 window. Below the window the
+# verdict is round 8 fill slots 1-43 plus the displaced leaders, with
+# the seven new r14 catalog rows (arrow_ipc_roundtrip_check,
+# avro_roundtrip_check, crawl_frontier_schedule_check,
+# incremental_dedup_check, quarantine_lifecycle_check,
+# streaming_incremental_dedup_check, tfrecord_roundtrip_check —
+# never verified, must sit inside the window) taking slots 44-50 and
+# displacing the youngest r8 entries (suffix_array_ranks_check,
+# suffix_array_ranks_scaled, tokenizer_fertility_compare,
+# unigram_encoded_docs, unigram_vocab_costs, unigram_word_segments,
+# unimax_lang_budgets) to the top of the continuation, where they
+# LEAD the r15 window. Below the window the
 # list continues strictly oldest-verdict-first (r9, r10, r11, r12,
 # r13), so future rotations stay mechanical: move the just-verified
 # window to the bottom, keep new queries inside the first 50. Every
@@ -145,17 +149,21 @@ _PRIORITY = [
     "streaming_static_join_mart_check",
     "subword_chunks",
     "subword_sequences_mart_check",
+    # --- slots 44-50: the new r14 catalog rows (never-verified rows
+    # must sit inside the window; the contract test enforces it) ---
+    "arrow_ipc_roundtrip_check",
+    "avro_roundtrip_check",
+    "crawl_frontier_schedule_check",
+    "incremental_dedup_check",
+    "quarantine_lifecycle_check",
+    "streaming_incremental_dedup_check",
+    "tfrecord_roundtrip_check",
+    # --- below the 50-query window: displaced r8 leaders, then the
+    # oldest-first continuation ---
     "suffix_array_ranks_check",
     "suffix_array_ranks_scaled",
     "tokenizer_fertility_compare",
     "unigram_encoded_docs",
-    # --- slots 48-50: the new r14 catalog rows (never-verified rows
-    # must sit inside the window; the contract test enforces it) ---
-    "avro_roundtrip_check",
-    "crawl_frontier_schedule_check",
-    "quarantine_lifecycle_check",
-    # --- below the 50-query window: displaced r8 leaders, then the
-    # oldest-first continuation ---
     "unigram_vocab_costs",
     "unigram_word_segments",
     "unimax_lang_budgets",

@@ -384,6 +384,27 @@ HEADLINE = [
     # ARTIFACT_WARM; the timed path is the Python-DataSource scan —
     # one task per container file, Arrow-batched — plus the profile)
     "avro_roundtrip_check",
+    # ...and the from-spec TFRecord/tf.train.Example roundtrip (shards
+    # cached via ARTIFACT_WARM; the timed path is the Python-
+    # DataSource scan with CRC verification ON — one task per shard,
+    # the format has no sync markers — plus the grouped profile)
+    "tfrecord_roundtrip_check",
+    # ...and incremental dedup against the persisted MinHash-LSH index
+    # (two-batch run + planted dups built untimed via ARTIFACT_WARM;
+    # the timed path is the decisions-mart read — at production scale
+    # the decision cost itself is the batch-sized probe, not a rescan)
+    "incremental_dedup_check",
+    # ...and its streaming composition (index + two foreachBatch
+    # drains + redelivery proof built untimed via ARTIFACT_WARM; the
+    # timed path is the group-pinned decisions-table read — the same
+    # deliberate convention break as streaming_expectation_mart_check:
+    # the stream runs once in the warm, so the pin times the READ)
+    "streaming_incremental_dedup_check",
+    # ...and the Arrow IPC roundtrip (shards cached via ARTIFACT_WARM;
+    # the timed path is the zero-copy memory-mapped batch-range scan —
+    # footer-only planning, batches straight into Spark's Arrow
+    # ingestion — plus the Q1-style grouped profile)
+    "arrow_ipc_roundtrip_check",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")
@@ -554,6 +575,10 @@ ARTIFACT_WARM = {
     "streaming_expectation_mart_check",  # streamed gated-mart build
     "quarantine_lifecycle_check",  # lifecycle mart build (r14)
     "avro_roundtrip_check",  # avro shard write (r14)
+    "tfrecord_roundtrip_check",  # tfrecord shard write (r14)
+    "incremental_dedup_check",  # index build + two ingests (r14)
+    "streaming_incremental_dedup_check",  # streamed index build (r14)
+    "arrow_ipc_roundtrip_check",  # arrow shard write (r14)
     "warc_html_pipeline_check",  # WARC shard fixture write
     "html_extracted_text_check",  # shares the WARC fixture
 }

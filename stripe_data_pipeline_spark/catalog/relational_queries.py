@@ -4518,3 +4518,186 @@ def q_avro_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("total_k"),
         F.min("ts").alias("first_ts"),
     )
+
+
+_TFRECORD_CACHE: dict[str, str] = {}
+
+
+def _cleanup_tfrecord_cache() -> None:
+    import shutil
+
+    for p in _TFRECORD_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@register(
+    "tfrecord_roundtrip_check",
+    oracle="""
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT d.doc_id) AS n_ids,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+       CAST(SUM(COALESCE(len(e.embedding), 0)) AS BIGINT) AS total_dims,
+       CAST(MIN(e.embedding[1]) AS DOUBLE) AS min_first_dim,
+       CAST(SUM(e.label) AS BIGINT) AS total_label
+FROM documents d
+LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang
+""",
+    doc="TFRecord + tf.train.Example round trip (r14 — the canonical "
+    "training-data interchange format, from the PUBLIC specs since "
+    "this container has no tensorflow/protobuf-stub/crc32c lib; "
+    "sources/tfrecord_source.py implements the TFRecord framing "
+    "(uint64le length + masked-CRC32C per RFC 3720's Castagnoli "
+    "table + TensorFlow's documented mask) and the Example proto "
+    "over the protobuf wire format as a Spark 4 Python DataSource — "
+    "the avro_source/warc_source precedent): documents LEFT JOIN "
+    "embeddings is written as one Example per doc (text/lang/source "
+    "-> BytesList, doc_id/n_chars/label -> Int64List, the "
+    "array<float> embedding -> FloatList, NULL -> absent key) into "
+    "per-task .tfrecord shards (staged-tmp two-phase commit), read "
+    "back under an explicit schema with CRC verification ON, and "
+    "profiled per lang — counts, exact char totals, embedding "
+    "dimension totals and a float32-exact MIN(embedding[1]) must "
+    "bit-match plain SQL over the original parquet. One partition "
+    "per shard (the format has no sync markers — unsplittable by "
+    "design, TensorFlow parallelizes by shard too), Arrow-batched; "
+    "the full type matrix, golden wire bytes, packed+unpacked "
+    "decode, CRC corruption refusal and schema inference are "
+    "pytest-pinned in tests/test_tfrecord.py.",
+)
+def q_tfrecord_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from stripe_data_pipeline_spark.sources.tfrecord_source import (
+        register_tfrecord_source,
+    )
+
+    register_tfrecord_source(spark)
+    tf_dir = _TFRECORD_CACHE.get(sf_dir)
+    if tf_dir is None:
+        if not _TFRECORD_CACHE:
+            atexit.register(_cleanup_tfrecord_cache)
+        tf_dir = os.path.join(
+            tempfile.mkdtemp(prefix="tfrecord_roundtrip_"), "docs_tfrecord"
+        )
+        docs = read_table(spark, sf_dir, "documents")
+        emb = read_table(spark, sf_dir, "embeddings")
+        (
+            docs.join(emb, docs.doc_id == emb.vec_id, "left")
+            .select(
+                "doc_id", "text", "lang", "source", "n_chars", "embedding",
+                F.col("label").cast("long").alias("label"),
+            )
+            .write.format("tfrecord")
+            .mode("overwrite")
+            .save(tf_dir)
+        )
+        _TFRECORD_CACHE[sf_dir] = tf_dir
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType(), containsNull=False)
+            ),
+            T.StructField("label", T.LongType()),
+        ]
+    )
+    back = spark.read.format("tfrecord").schema(schema).load(tf_dir)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_ids"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.coalesce(F.size("embedding"), F.lit(0)))
+        .cast("bigint")
+        .alias("total_dims"),
+        F.min(F.element_at("embedding", 1))
+        .cast("double")
+        .alias("min_first_dim"),
+        F.sum("label").cast("bigint").alias("total_label"),
+    )
+
+
+_ARROW_IPC_CACHE: dict[str, str] = {}
+
+
+def _cleanup_arrow_ipc_cache() -> None:
+    import shutil
+
+    for p in _ARROW_IPC_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+@register(
+    "arrow_ipc_roundtrip_check",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       {sum_usd_cents_sql("l_extendedprice")} AS sum_price_usd,
+       MIN(l_shipdate) AS first_ship,
+       CAST(MAX(l_discount) AS DOUBLE) AS max_disc
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="Arrow IPC file (Feather V2) round trip (r14 — the "
+    "training-data ecosystem's native interchange format: HF "
+    "``datasets`` shards, Arrow-native tools; completes the "
+    "interchange set alongside parquet/ORC/CSV/NDJSON/XML/WARC/Avro/"
+    "TFRecord): lineitem is written to ``.arrow`` shards by the "
+    "sources/arrow_ipc_source.py Spark 4 Python DataSource "
+    "(DataSourceArrowWriter — the plan's output streams shard-ward "
+    "as Arrow batches with NO row materialization; staged-tmp "
+    "two-phase commit), read back with footer-inferred schema, and "
+    "profiled Q1-style per (returnflag, linestatus) — counts, exact "
+    "bigint quantity sums, integer-cents price sums, MIN(shipdate) "
+    "timestamp fidelity and MAX(discount) must bit-match plain SQL "
+    "over the original parquet. The read path is zero-copy: each "
+    "task memory-maps its batch RANGE (the IPC footer addresses "
+    "every record batch, so a single huge shard SPLITS at batch "
+    "granularity — partitions() is footer-only metadata I/O), and "
+    "stored batches pass straight into Spark's Arrow ingestion. "
+    "Type matrix, splitting, pruning, dictionary decode, "
+    "foreign-writer interop, compression codecs and crash "
+    "invisibility are pytest-pinned in tests/test_arrow_ipc.py.",
+)
+def q_arrow_ipc_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.sources.arrow_ipc_source import (
+        register_arrow_ipc_source,
+    )
+
+    register_arrow_ipc_source(spark)
+    arrow_dir = _ARROW_IPC_CACHE.get(sf_dir)
+    if arrow_dir is None:
+        if not _ARROW_IPC_CACHE:
+            atexit.register(_cleanup_arrow_ipc_cache)
+        arrow_dir = os.path.join(
+            tempfile.mkdtemp(prefix="arrow_ipc_roundtrip_"), "lineitem_arrow"
+        )
+        read_table(spark, sf_dir, "lineitem").write.format("arrowipc").mode(
+            "overwrite"
+        ).save(arrow_dir)
+        _ARROW_IPC_CACHE[sf_dir] = arrow_dir
+    back = spark.read.format("arrowipc").load(arrow_dir)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .cast("bigint")
+        .alias("sum_qty"),
+        sum_usd_cents(F.col("l_extendedprice")).alias("sum_price_usd"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_discount").cast("double").alias("max_disc"),
+    )

@@ -1714,7 +1714,13 @@ def _materialized_constrained_mart(
         raise AssertionError("violating merge was not refused")
     except ValueError:
         pass
-    assert int(MT.read_manifest(mart)["version"]) == v_before
+    if int(MT.read_manifest(mart)["version"]) != v_before:
+        # RuntimeError, not assert: `python -O` strips asserts and
+        # the atomicity guard must survive it (ADVICE r13, low)
+        raise RuntimeError(
+            "streaming mart builder: refused merge still advanced the "
+            "manifest version"
+        )
     MT.merge_upsert_atomic(
         spark, mart, rest, keys=["event_id"], partition_by="event_type"
     )
@@ -2758,7 +2764,11 @@ def _mor_mart_root(spark: SparkSession, sf_dir: str) -> str:
             n = MT.delete_where_mor(
                 spark, mart, F.col("value") >= 300.0, keys=["event_id"]
             )
-            assert n > 0  # the check must exercise a non-empty delete
+            if n <= 0:  # the check must exercise a non-empty delete
+                raise RuntimeError(
+                    "streaming MOR mart builder: delete_where_mor "
+                    "removed nothing — the check would be vacuous"
+                )
         MT.apply_deletes(spark, os.path.join(root, "materialized"))
         _STREAM_MART_CACHE[cache_key] = root
     return root
@@ -3160,7 +3170,8 @@ def _materialized_group_txn_marts(spark: SparkSession, sf_dir: str) -> str:
         n: TG.read_group_table(spark, group, n).count()
         for n in ("by_type", "by_user")
     }
-    assert torn == run1, f"torn group read: {torn} != {run1}"
+    if torn != run1:
+        raise RuntimeError(f"torn group read: {torn} != {run1}")
     # re-deliver the same run: by_type skips via its txn ledger,
     # by_user commits, the pointer lands
     TG.group_merge_atomic(
@@ -3536,7 +3547,11 @@ def _pos_mart_root(spark: SparkSession, sf_dir: str) -> str:
             # columns involved — coordinates are (file, row_index)
             n1 = MT.delete_where_pos(spark, mart, F.col("value") >= 250.0)
             n2 = MT.delete_where_pos(spark, mart, F.col("user_id") % 97 == 0)
-            assert n1 > 0 and n2 > 0  # both must exercise real deletes
+            if n1 <= 0 or n2 <= 0:  # both must exercise real deletes
+                raise RuntimeError(
+                    "positional-delete mart builder: a delete matched "
+                    "nothing — the check would be vacuous"
+                )
         MT.apply_pos_deletes(spark, os.path.join(root, "materialized"))
         _STREAM_MART_CACHE[cache_key] = root
     return root
@@ -4132,4 +4147,218 @@ def q_quarantine_lifecycle_check(
             )
         )
         .unionByName(audit)
+    )
+
+
+# ---------------------------------------------------------------------
+# streaming incremental dedup against the persisted LSH index (r14)
+# ---------------------------------------------------------------------
+
+
+def _streaming_incdedup_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the STREAMING incremental-dedup run:
+    index the base split batch-side, then drain two planted batches
+    through readStream → foreachBatch → ``ingest_batch(
+    record_decisions=True, txn_app=..., txn_version=batch_id)`` — the
+    production ingest shape where each micro-batch's per-doc
+    decisions, its keepers' signatures and their band rows become
+    visible in ONE atomic group commit, and a redelivered epoch skips
+    all three through the per-table txn ledger (a redelivery would
+    RECOMPUTE different decisions — its own keepers are in the index
+    by then, estimating 1.0 against themselves — which is exactly why
+    the stored decisions are the batch's truth and exactly-once must
+    cover them).
+
+    Two separate ``Trigger.AvailableNow`` drains over one checkpoint
+    pin the batch ORDER (batch2 must probe base+batch1-keepers — the
+    incremental property), independent of file-listing order. The
+    same planted splits as incremental_dedup_check, so the closed-form
+    oracle helpers replay identically."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.io import read_table as _rt
+    from stripe_data_pipeline_spark.operators import incdedup as I
+    from stripe_data_pipeline_spark import table_group as TG
+
+    cache_key = sf_dir + "#sincdedup"
+    root = _STREAM_MART_CACHE.get(cache_key)
+    if root is None:
+        if not _STREAM_MART_CACHE:
+            atexit.register(_cleanup_stream_cache)
+        root = tempfile.mkdtemp(prefix="sincdedup_")
+        idx = os.path.join(root, "idx")
+        in_dir = os.path.join(root, "in")
+        docs = _rt(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter(F.col("doc_id") % 4 < 2)
+        batch1 = docs.filter(F.col("doc_id") % 4 == 2).unionByName(
+            docs.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+            )
+        )
+        batch2 = docs.filter(F.col("doc_id") % 4 == 3).unionByName(
+            docs.filter(F.col("doc_id") % 40 == 2).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+        I.build_dedup_index(spark, idx, base, with_decisions=True)
+
+        last_epoch = {"id": -1}
+
+        def ingest(batch: DataFrame, batch_id: int) -> None:
+            if batch.isEmpty():
+                return
+            last_epoch["id"] = batch_id
+            I.ingest_batch(
+                batch.sparkSession,
+                idx,
+                batch.dropDuplicates(["doc_id"]),
+                record_decisions=True,
+                txn_app="incdedup_stream",
+                txn_version=batch_id,
+            )
+
+        def drain() -> None:
+            schema = "doc_id BIGINT, text STRING"
+            (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(in_dir)
+                .writeStream.foreachBatch(ingest)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        batch1.write.mode("append").parquet(in_dir)
+        drain()
+        batch2.write.mode("append").parquet(in_dir)
+        drain()
+
+        dec = TG.read_group_table(spark, idx, I.DECISIONS)
+        n_sigs = TG.read_group_table(spark, idx, I.SIGS).count()
+        n_dec = dec.count()
+        # vacuous-oracle guards (RuntimeError — `python -O` strips
+        # asserts): the planted dups must be caught, batch2 must catch
+        # a dup OF A BATCH1 DOC (the incremental append itself), and a
+        # redelivered last epoch must change nothing (exactly-once
+        # through the group txn ledger).
+        if dec.filter(F.col("is_dup") & (F.col("doc_id") >= 1000000)).count() == 0:
+            raise RuntimeError(
+                "streaming incdedup: planted near-dups caught nothing — "
+                "the check would be vacuous"
+            )
+        if (
+            dec.filter(F.col("is_dup") & (F.col("dup_of") % 4 == 2)).count()
+            == 0
+        ):
+            raise RuntimeError(
+                "streaming incdedup: no duplicate resolves to a batch1 "
+                "keeper — the incremental append is not being exercised"
+            )
+        I.ingest_batch(
+            spark,
+            idx,
+            batch2.dropDuplicates(["doc_id"]),
+            record_decisions=True,
+            txn_app="incdedup_stream",
+            txn_version=last_epoch["id"],
+        )
+        if (
+            TG.read_group_table(spark, idx, I.SIGS).count() != n_sigs
+            or TG.read_group_table(spark, idx, I.DECISIONS).count() != n_dec
+        ):
+            raise RuntimeError(
+                "streaming incdedup: a redelivered epoch mutated the "
+                "index — the txn ledger failed to skip it"
+            )
+        _STREAM_MART_CACHE[cache_key] = root
+    return os.path.join(root, "idx")
+
+
+def _streaming_incdedup_oracle() -> str:
+    from stripe_data_pipeline_spark.catalog.text_queries import (
+        _decisions_sql,
+        _sig_sql,
+    )
+
+    return (
+        """
+WITH base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 < 2
+),
+batch1 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz' FROM documents
+    WHERE doc_id % 40 = 0
+),
+batch2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 40 = 2
+),"""
+        + _sig_sql("base", "sig_base")
+        + ","
+        + _sig_sql("batch1", "sig_b1")
+        + ","
+        + _sig_sql("batch2", "sig_b2")
+        + ","
+        + _decisions_sql("sig_b1", "sig_base", "dec1")
+        + """,
+sig_i2 AS (
+    SELECT * FROM sig_base
+    UNION ALL
+    SELECT s.* FROM sig_b1 s JOIN dec1 d
+        ON d.doc_id = s.doc_id AND NOT d.is_dup
+),"""
+        + _decisions_sql("sig_b2", "sig_i2", "dec2")
+        + """
+SELECT doc_id, is_dup, n_dup_matches, dup_of, best_est FROM dec1
+UNION ALL
+SELECT doc_id, is_dup, n_dup_matches, dup_of, best_est FROM dec2
+"""
+    )
+
+
+@register(
+    "streaming_incremental_dedup_check",
+    oracle=_streaming_incdedup_oracle(),
+    doc="Incremental near-dup dedup running INSIDE the streaming "
+    "ingest path (r14 — the composition of operators/incdedup.py "
+    "with the §2.10 foreachBatch machinery, i.e. the shape a 100 TB "
+    "corpus actually ingests with: index once, probe per "
+    "micro-batch, append keepers): the base split is indexed as a "
+    "3-member transaction group (sigs + bands + DECISIONS), then two "
+    "planted batches drain through readStream → foreachBatch → "
+    "ingest_batch with the epoch id as txn_version, so each "
+    "micro-batch's per-doc decisions, keeper signatures and band "
+    "rows land in ONE atomic group commit — consumers act on the "
+    "decisions table while the next batch probes exactly the index "
+    "those decisions produced. Exactly-once is proven in-line: a "
+    "redelivered final epoch is skipped by the per-table txn ledger "
+    "(RuntimeError guard on any index mutation; a redelivery would "
+    "recompute DIFFERENT decisions — its keepers estimate 1.0 "
+    "against themselves — which is why the stored decisions are the "
+    "batch's truth). Two AvailableNow drains over one checkpoint pin "
+    "batch ORDER; batch2's planted copies of batch1 docs are "
+    "detectable ONLY through batch1's appended keepers, and a "
+    "vacuous run (nothing caught, or nothing resolving to a batch1 "
+    "keeper) refuses. The oracle replays signatures, banding, the "
+    "hot-bucket cap, both lookups AND the keeper append closed-form "
+    "in SQL — identical helper CTEs to incremental_dedup_check, so "
+    "the streaming path must reproduce the batch path bit-for-bit.",
+)
+def q_streaming_incremental_dedup_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stripe_data_pipeline_spark import table_group as TG
+    from stripe_data_pipeline_spark.operators import incdedup as I
+
+    idx = _streaming_incdedup_root(spark, sf_dir)
+    return TG.read_group_table(spark, idx, I.DECISIONS).select(
+        "doc_id", "is_dup", "n_dup_matches", "dup_of", "best_est"
     )

@@ -4015,3 +4015,251 @@ def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c12", p_kn.alias("p_kn"))
     )
+
+
+# ---------------------------------------------------------------------
+# incremental dedup against a persisted MinHash-LSH index (r14)
+# ---------------------------------------------------------------------
+
+
+def _sig_sql(src: str, out: str, num_hashes: int = 16) -> str:
+    """CTE pair computing the wide MinHash signature of relation
+    ``src(doc_id, text)`` — the generic form of _minhash_cands_cte's
+    sig stage (same md5-60-bit base hash, same coefficient literals
+    imported from the operator so they can never drift)."""
+    p = D._MINHASH_P
+    mins = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(D._perm_coeffs(num_hashes))
+    )
+    return f"""
+{out}_hb AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS h
+    FROM (
+        SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+             UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
+    )
+),
+{out} AS (
+    SELECT doc_id, {mins}
+    FROM {out}_hb GROUP BY doc_id
+)"""
+
+
+def _bands_sql(sig: str, out: str, num_hashes: int = 16, band_size: int = 4) -> str:
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{b * band_size + j} AS VARCHAR)"
+            for j in range(band_size)
+        )
+        + f" AS key FROM {sig}"
+        for b in range(num_hashes // band_size)
+    )
+    return f"{out} AS (\n{rows}\n)"
+
+
+def _decisions_sql(
+    batch_sig: str,
+    index_sig: str,
+    out: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int = 200,
+) -> str:
+    """CTE chain replaying operators/incdedup.py's lookup: band-key
+    probe with the lookup-time hot-bucket cap, exact k/num_hashes
+    Jaccard estimate, threshold 5e-1, earliest qualifying corpus doc
+    as dup_of."""
+    eq = " + ".join(
+        f"CAST(sb.mh_{i} = si.mh_{i} AS INT)" for i in range(num_hashes)
+    )
+    return (
+        _bands_sql(batch_sig, f"{out}_bb", num_hashes, band_size)
+        + ",\n"
+        + _bands_sql(index_sig, f"{out}_bi", num_hashes, band_size)
+        + f""",
+{out}_kept AS (
+    SELECT band, key FROM {out}_bi GROUP BY band, key
+    HAVING COUNT(*) <= {max_bucket}
+),
+{out}_est AS (
+    SELECT c.bid, c.iid, ({eq}) / 1.6e1 AS est
+    FROM (
+        SELECT DISTINCT b.doc_id AS bid, i.doc_id AS iid
+        FROM {out}_bb b
+        JOIN {out}_bi i ON b.band = i.band AND b.key = i.key
+        JOIN {out}_kept kp ON kp.band = b.band AND kp.key = b.key
+    ) c
+    JOIN {batch_sig} sb ON sb.doc_id = c.bid
+    JOIN {index_sig} si ON si.doc_id = c.iid
+),
+{out}_hits AS (
+    SELECT bid,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_matches,
+           MIN(iid) AS dup_of,
+           MAX(est) AS best_est
+    FROM {out}_est WHERE est >= 5e-1 GROUP BY bid
+),
+{out} AS (
+    SELECT s.doc_id,
+           h.bid IS NOT NULL AS is_dup,
+           COALESCE(h.n_dup_matches, 0) AS n_dup_matches,
+           h.dup_of,
+           h.best_est
+    FROM {batch_sig} s
+    LEFT JOIN {out}_hits h ON h.bid = s.doc_id
+)"""
+    )
+
+
+_INCDEDUP_ORACLE = (
+    """
+WITH base AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 < 2
+),
+batch1 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2
+    UNION ALL
+    SELECT doc_id + 1000000, text || ' zz' FROM documents
+    WHERE doc_id % 40 = 0
+),
+batch2 AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 4 = 3
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 40 = 2
+),"""
+    + _sig_sql("base", "sig_base")
+    + ","
+    + _sig_sql("batch1", "sig_b1")
+    + ","
+    + _sig_sql("batch2", "sig_b2")
+    + ","
+    + _decisions_sql("sig_b1", "sig_base", "dec1")
+    + """,
+sig_i2 AS (
+    SELECT * FROM sig_base
+    UNION ALL
+    SELECT s.* FROM sig_b1 s JOIN dec1 d
+        ON d.doc_id = s.doc_id AND NOT d.is_dup
+),"""
+    + _decisions_sql("sig_b2", "sig_i2", "dec2")
+    + """
+SELECT 1 AS batch_no, doc_id, is_dup,
+       n_dup_matches, dup_of, best_est
+FROM dec1
+UNION ALL
+SELECT 2 AS batch_no, doc_id, is_dup,
+       n_dup_matches, dup_of, best_est
+FROM dec2
+"""
+)
+
+
+_INCDEDUP_CACHE: dict[str, str] = {}
+
+
+def _cleanup_incdedup_cache() -> None:
+    import shutil
+
+    for p in _INCDEDUP_CACHE.values():
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _incdedup_mart_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build the two-batch incremental-dedup run once per sf_dir:
+    index the base split, ingest batch1 (with planted near-dups of
+    base docs), ingest batch2 (with planted copies of batch1 docs —
+    only detectable because batch1's keepers were APPENDED), land the
+    decisions as the mart. Prove-it guards refuse a vacuously-green
+    run: batch1 must catch >= 1 duplicate, and batch2 must catch >= 1
+    duplicate OF A BATCH1 DOC (the incremental property itself)."""
+    import atexit
+    import os
+    import tempfile
+
+    from stripe_data_pipeline_spark.operators import incdedup as I
+
+    mart = _INCDEDUP_CACHE.get(sf_dir)
+    if mart is not None:
+        return mart
+    if not _INCDEDUP_CACHE:
+        atexit.register(_cleanup_incdedup_cache)
+    work = tempfile.mkdtemp(prefix="incdedup_")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 4 < 2)
+    batch1 = docs.filter(F.col("doc_id") % 4 == 2).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    batch2 = docs.filter(F.col("doc_id") % 4 == 3).unionByName(
+        docs.filter(F.col("doc_id") % 40 == 2).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    idx = os.path.join(work, "idx")
+    I.build_dedup_index(spark, idx, base)
+    d1 = I.ingest_batch(spark, idx, batch1).withColumn(
+        "batch_no", F.lit(1)
+    )
+    d2 = I.ingest_batch(spark, idx, batch2).withColumn(
+        "batch_no", F.lit(2)
+    )
+    out = d1.unionByName(d2).select(
+        "batch_no", "doc_id", "is_dup", "n_dup_matches", "dup_of", "best_est"
+    )
+    mart = os.path.join(work, "decisions")
+    out.write.mode("overwrite").parquet(mart)
+    dec = spark.read.parquet(mart)
+    if dec.filter((F.col("batch_no") == 1) & F.col("is_dup")).count() == 0:
+        raise RuntimeError(
+            "incremental_dedup_check: planted batch1 near-dups caught "
+            "nothing — the check would be vacuous"
+        )
+    if (
+        dec.filter(
+            (F.col("batch_no") == 2)
+            & F.col("is_dup")
+            & (F.col("dup_of") % 4 == 2)  # a NATURAL batch1 doc
+        ).count()
+        == 0
+    ):
+        raise RuntimeError(
+            "incremental_dedup_check: no batch2 duplicate resolves to a "
+            "batch1 keeper — the incremental append is not being exercised"
+        )
+    _INCDEDUP_CACHE[sf_dir] = mart
+    return mart
+
+
+@register(
+    "incremental_dedup_check",
+    oracle=_INCDEDUP_ORACLE,
+    doc="Incremental near-dup dedup against a PERSISTED MinHash-LSH "
+    "index (r14, operators/incdedup.py) — the 100 TB ingest shape: "
+    "the corpus is indexed ONCE (signatures + band rows as a "
+    "transaction GROUP of two manifest tables, atomic multi-table "
+    "commits), and each new batch probes the index by band-key "
+    "equi-join (one shuffle of BATCH-sized band rows; lookup-time "
+    "hot-bucket cap; per-file key stats for index-side pruning), "
+    "estimates Jaccard as the exact matching fraction of the two "
+    "16-slot signatures, marks docs >= 0.5 as duplicates of the "
+    "earliest matching corpus doc, and APPENDS only the survivors' "
+    "signatures — so batch2 dedups against base+batch1-keepers "
+    "without rescanning any corpus text. The check replays a "
+    "two-batch run with planted near-dups (batch1 plants base-doc "
+    "variants; batch2 plants copies of batch1 docs, detectable ONLY "
+    "through the incremental append — a RuntimeError guard refuses "
+    "a vacuous run) and returns every per-doc decision; the oracle "
+    "replays signatures, banding, the cap, both lookups AND the "
+    "keeper append closed-form in SQL (same md5-60-bit base hash "
+    "and coefficient literals as the operator). Decisions are "
+    "MATERIALIZED before each append so a decision can never "
+    "observe the index state its own keepers created.",
+)
+def q_incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(_incdedup_mart_root(spark, sf_dir))
