@@ -88,13 +88,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-14 rotation (policy per VERDICT r5 #5 / r11 #1 / r12 #1 / r13
 # #1, enforced by tests/test_driver_contract.py): after r13 the stale
 # backlog is EXACTLY one window — the 50 queries whose latest driver
-# verdict is round 8 fill slots 1-43 plus the displaced leaders, with
-# the seven new r14 catalog rows (arrow_ipc_roundtrip_check,
+# verdict is round 8 fill slots 1-42 plus the displaced leaders, with
+# the eight new r14 catalog rows (arrow_ipc_roundtrip_check,
 # avro_roundtrip_check, crawl_frontier_schedule_check,
-# incremental_dedup_check, quarantine_lifecycle_check,
-# streaming_incremental_dedup_check, tfrecord_roundtrip_check —
-# never verified, must sit inside the window) taking slots 44-50 and
-# displacing the youngest r8 entries (suffix_array_ranks_check,
+# incremental_dedup_check, nb_quality_scores,
+# quarantine_lifecycle_check, streaming_incremental_dedup_check,
+# tfrecord_roundtrip_check — never verified, must sit inside the
+# window) taking slots 43-50 and displacing the youngest r8 entries
+# (subword_sequences_mart_check, suffix_array_ranks_check,
 # suffix_array_ranks_scaled, tokenizer_fertility_compare,
 # unigram_encoded_docs, unigram_vocab_costs, unigram_word_segments,
 # unimax_lang_budgets) to the top of the continuation, where they
@@ -148,18 +149,19 @@ _PRIORITY = [
     "streaming_session_windows_mart_check",
     "streaming_static_join_mart_check",
     "subword_chunks",
-    "subword_sequences_mart_check",
-    # --- slots 44-50: the new r14 catalog rows (never-verified rows
+    # --- slots 43-50: the new r14 catalog rows (never-verified rows
     # must sit inside the window; the contract test enforces it) ---
     "arrow_ipc_roundtrip_check",
     "avro_roundtrip_check",
     "crawl_frontier_schedule_check",
     "incremental_dedup_check",
+    "nb_quality_scores",
     "quarantine_lifecycle_check",
     "streaming_incremental_dedup_check",
     "tfrecord_roundtrip_check",
     # --- below the 50-query window: displaced r8 leaders, then the
     # oldest-first continuation ---
+    "subword_sequences_mart_check",
     "suffix_array_ranks_check",
     "suffix_array_ranks_scaled",
     "tokenizer_fertility_compare",

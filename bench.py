@@ -405,6 +405,10 @@ HEADLINE = [
     # footer-only planning, batches straight into Spark's Arrow
     # ingestion — plus the Q1-style grouped profile)
     "arrow_ipc_roundtrip_check",
+    # ...and the seed-supervised NB quality classifier (closed-form
+    # train = one token explode + one vocab groupBy; score = broadcast
+    # weight join + one per-doc integer-sum aggregate)
+    "nb_quality_scores",
 ]
 
 BASELINE_PATH = os.path.join(REPO, "bench_baseline.json")

@@ -4263,3 +4263,91 @@ def _incdedup_mart_root(spark: SparkSession, sf_dir: str) -> str:
 )
 def q_incremental_dedup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_incdedup_mart_root(spark, sf_dir))
+
+
+@register(
+    "nb_quality_scores",
+    oracle="""
+WITH seed AS (
+    SELECT doc_id, text, lang = 'en' AS is_pos
+    FROM documents WHERE doc_id % 3 = 0
+),
+stoks AS (
+    SELECT s.doc_id, s.is_pos, w.tok
+    FROM seed s, LATERAL UNNEST(string_split(lower(s.text), ' ')) AS w(tok)
+    WHERE w.tok <> ''
+),
+counts AS (
+    SELECT tok,
+           SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+           SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS c_neg
+    FROM stoks GROUP BY tok
+),
+tot AS (SELECT COUNT(*) AS v, SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg
+        FROM counts),
+w AS (
+    SELECT tok,
+           CAST(FLOOR((ln((CAST(c_pos AS DOUBLE) + 1.0)
+                           / CAST(n_pos + v AS DOUBLE))
+                       - ln((CAST(c_neg AS DOUBLE) + 1.0)
+                            / CAST(n_neg + v AS DOUBLE)))
+                      * 1e9 + 5e-1) AS BIGINT) AS w_fp
+    FROM counts, tot
+),
+consts AS (
+    SELECT
+        CAST(FLOOR(ln(CAST(n_neg + v AS DOUBLE)
+                      / CAST(n_pos + v AS DOUBLE)) * 1e9 + 5e-1)
+             AS BIGINT) AS unseen_fp,
+        (SELECT CAST(FLOOR((ln(CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+                                    AS DOUBLE))
+                            - ln(CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END)
+                                      AS DOUBLE))) * 1e9 + 5e-1) AS BIGINT)
+         FROM seed) AS prior_fp
+    FROM tot
+),
+atoks AS (
+    SELECT d.doc_id, w.tok
+    FROM documents d, LATERAL UNNEST(string_split(lower(d.text), ' ')) AS w(tok)
+    WHERE w.tok <> ''
+)
+SELECT a.doc_id,
+       COUNT(*) AS n_toks,
+       SUM(COALESCE(w.w_fp, c.unseen_fp)) + MIN(c.prior_fp) AS score_fp,
+       (SUM(COALESCE(w.w_fp, c.unseen_fp)) + MIN(c.prior_fp)) > 0 AS keep
+FROM atoks a
+LEFT JOIN w ON w.tok = a.tok
+CROSS JOIN consts c
+GROUP BY a.doc_id
+""",
+    doc="Seed-supervised Naive Bayes quality classifier (r14, "
+    "operators/nbquality.py) — the LEARNED quality-filter step of "
+    "the public CCNet / fastText / DataComp-baselines recipes, "
+    "complementing the repo's distribution-matching ops (DSIR "
+    "weights, CCNet perplexity buckets): a third of the corpus "
+    "(doc_id % 3 = 0) acts as the labeled seed (positive = the "
+    "target domain, here lang='en'), multinomial NB with Laplace "
+    "smoothing trains in ONE closed-form vocabulary aggregation "
+    "(weights = per-token log-likelihood ratios, bias = class "
+    "prior — exactly the linear shape fastText learns, no "
+    "SGD/iteration), then EVERY document scores via a broadcast "
+    "join of the vocab-bounded weight table onto its token stream "
+    "+ one per-doc integer-sum groupBy, with unseen tokens taking "
+    "the smoothed zero-count weight through the left join's "
+    "COALESCE. Weights are 1e-9 fixed-point at the VOCAB level "
+    "(FLOOR(x*1e9+0.5), the tfidf/bm25 idiom) so document scores "
+    "are order-invariant integer sums — bit-parity survives libm "
+    "ln() ULP and summation order. At 100 TB: train = one "
+    "token-explode + one vocab groupBy; score = scan-speed "
+    "broadcast join + one doc aggregate; driver holds 5 bounded "
+    "scalars, never data.",
+)
+def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stripe_data_pipeline_spark.operators import nbquality as NB
+
+    docs = read_table(spark, sf_dir, "documents")
+    seed = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_pos")
+    )
+    weights, unseen_fp, prior_fp = NB.train_nb_quality(seed, "is_pos")
+    return NB.score_nb_quality(docs, weights, unseen_fp, prior_fp)

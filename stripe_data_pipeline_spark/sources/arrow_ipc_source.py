@@ -38,6 +38,16 @@ parallelism is bounded by total batch count, not file count — a
 directory of a few thousand multi-GB HF-datasets shards fans out to
 full cluster width with zero rebalancing writes.
 
+Honest limitation (shared by every Spark 4 Python DataSource,
+including this repo's Avro/TFRecord/WARC sources): Catalyst does NOT
+push column pruning through the Python DataSource boundary — a plan's
+``Project`` above the ``BatchScan`` prunes after transfer, so a
+narrow projection over a wide stored schema should pass the narrow
+schema to ``.schema(...)`` explicitly, which this reader honors with
+a zero-copy column select before transfer. (For Arrow specifically
+the untrimmed transfer is cheap — the batches cross the boundary
+without decode — but the bytes still move.)
+
 Supported column types: the relational subset every table in this
 repo uses — bool / int8..int64 / float32 / float64 / string / binary
 / date32 / timestamp('us', tz or naive) / decimal128 / list<of

@@ -362,6 +362,155 @@ def _mk_encoder(at):
 # ---------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution") — reader != writer
+# ---------------------------------------------------------------------
+
+_PROMOTIONS = {
+    # (writer, reader) -> value adapter; the spec's promotion lattice
+    # restricted to this source's primitive subset
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _resolve_decoder(wt, rt):
+    """A decoder that reads WRITER-typed bytes and yields READER-typed
+    values, per the spec's resolution rules on this source's subset:
+    exact match, nullability widening/narrowing (narrowing errors only
+    on an actual null), primitive promotions (never across logical
+    types), arrays item-wise. Unresolvable pairs refuse loudly."""
+    if wt == rt:
+        return _mk_decoder(wt)
+    if isinstance(wt, list) or isinstance(rt, list):
+        w_nn = [x for x in wt if x != "null"] if isinstance(wt, list) else [wt]
+        r_nn = [x for x in rt if x != "null"] if isinstance(rt, list) else [rt]
+        if isinstance(wt, list) and (len(wt) > 2 or len(w_nn) != 1):
+            raise ValueError(f"avroocf: unsupported union {wt}")
+        if isinstance(rt, list) and (len(rt) > 2 or len(r_nn) != 1):
+            raise ValueError(f"avroocf: unsupported union {rt}")
+        inner = _resolve_decoder(w_nn[0], r_nn[0])
+        if not isinstance(wt, list):
+            return inner  # non-null writer into nullable reader
+        null_idx = wt.index("null")
+        r_nullable = isinstance(rt, list)
+
+        def dec_union(c: _Cursor):
+            if c.long() == null_idx:
+                if not r_nullable:
+                    raise ValueError(
+                        "avroocf: writer null cannot resolve into a "
+                        "non-nullable reader field"
+                    )
+                return None
+            return inner(c)
+
+        return dec_union
+    w_arr = isinstance(wt, dict) and wt.get("type") == "array"
+    r_arr = isinstance(rt, dict) and rt.get("type") == "array"
+    if w_arr or r_arr:
+        if not (w_arr and r_arr):
+            raise ValueError(f"avroocf: cannot resolve {wt} into {rt}")
+        item = _resolve_decoder(wt["items"], rt["items"])
+
+        def dec_array(c: _Cursor):
+            out = []
+            while True:
+                n = c.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    c.long()
+                    n = -n
+                for _ in range(n):
+                    out.append(item(c))
+
+        return dec_array
+
+    def norm(at):
+        if isinstance(at, dict):
+            return at.get("type"), at.get("logicalType")
+        return at, None
+
+    wb, wl = norm(wt)
+    rb, rl = norm(rt)
+    if wb == rb and wl == rl:
+        return _mk_decoder(wt)
+    if wl is None and rl is None and (wb, rb) in _PROMOTIONS:
+        adapt = _PROMOTIONS[(wb, rb)]
+        base = _mk_decoder(wt)
+        return lambda c: adapt(base(c))
+    raise ValueError(
+        f"avroocf: cannot resolve writer type {wt} into reader type {rt}"
+    )
+
+
+def _default_value(rf: dict):
+    """The value a reader field takes when the writer never wrote it:
+    its declared ``default`` (bytes defaults are ISO-8859-1 strings
+    per the spec), else null if nullable, else a loud error."""
+    t = rf["type"]
+    base = [x for x in t if x != "null"][0] if isinstance(t, list) else t
+    if "default" in rf:
+        d = rf["default"]
+        if d is not None and base == "bytes" and isinstance(d, str):
+            return d.encode("iso-8859-1")
+        if d is not None and base in ("float", "double"):
+            return float(d)
+        return d
+    if isinstance(t, list) and "null" in t:
+        return None
+    raise ValueError(
+        f"avroocf: reader field {rf['name']!r} is absent from the "
+        "writer schema and declares no default"
+    )
+
+
+def _mk_row_resolver(wsch: dict, rsch: dict):
+    """Row decoder for reader-schema reads: Avro binary carries fields
+    in WRITER order with no per-field tags, so every writer field must
+    be decoded to advance the cursor — name-matched ones through their
+    resolved decoder into the reader's slot, writer-only ones decoded
+    and discarded (the subset's skip). Reader-only fields fill from
+    defaults. Output tuples are in READER field order."""
+    r_fields = rsch["fields"]
+    r_index = {f["name"]: i for i, f in enumerate(r_fields)}
+    actions = []
+    for wf in wsch["fields"]:
+        i = r_index.get(wf["name"])
+        dec = (
+            _mk_decoder(wf["type"])
+            if i is None
+            else _resolve_decoder(wf["type"], r_fields[i]["type"])
+        )
+        actions.append((i, dec))
+    written = {f["name"] for f in wsch["fields"]}
+    fills = [
+        (i, _default_value(rf))
+        for i, rf in enumerate(r_fields)
+        if rf["name"] not in written
+    ]
+    n_out = len(r_fields)
+
+    def decode_row(b: _Cursor):
+        out = [None] * n_out
+        for i, dec in actions:
+            v = dec(b)
+            if i is not None:
+                out[i] = v
+        for i, v in fills:
+            out[i] = v
+        return tuple(out)
+
+    return decode_row
+
+
 def read_avro_header(buf: bytes) -> tuple[dict, bytes, int]:
     """Parse the OCF header: returns (metadata map, sync marker,
     position of the first block)."""
@@ -383,12 +532,19 @@ def read_avro_header(buf: bytes) -> tuple[dict, bytes, int]:
     return meta, sync, c.pos
 
 
-def parse_avro_file(path: str):
+def parse_avro_file(path: str, reader_schema_json: str | None = None):
     """Yield decoded row tuples from one container file. The file is
     mmap'd, not slurped: the OS pages blocks in as the cursor walks
     them and reclaims behind it, so a multi-GB shard decodes in
     bounded memory (only the current block's decompressed bytes are
-    ever materialized)."""
+    ever materialized).
+
+    ``reader_schema_json`` enables the spec's SCHEMA RESOLUTION: rows
+    come back in READER field order, name-matched fields promote per
+    the lattice, writer-only fields are skipped, reader-only fields
+    fill from defaults — so one read spans shards written by several
+    producer generations (the evolving-producer reality of a 100 TB
+    ingest). Without it, rows are writer-schema-shaped."""
     import mmap
 
     with open(path, "rb") as f:
@@ -401,7 +557,16 @@ def parse_avro_file(path: str):
     if codec not in ("null", "deflate"):
         raise ValueError(f"avroocf: unsupported codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode())
-    decoders = [_mk_decoder(f["type"]) for f in schema["fields"]]
+    if reader_schema_json is not None:
+        decode_row = _mk_row_resolver(
+            schema, json.loads(reader_schema_json)
+        )
+    else:
+        decoders = [_mk_decoder(f["type"]) for f in schema["fields"]]
+
+        def decode_row(b: _Cursor):
+            return tuple(d(b) for d in decoders)
+
     c = _Cursor(buf, pos)
     while not c.eof():
         n_rows = c.long()
@@ -413,7 +578,7 @@ def parse_avro_file(path: str):
             raise ValueError(f"avroocf: sync marker mismatch in {path}")
         b = _Cursor(data)
         for _ in range(n_rows):
-            yield tuple(d(b) for d in decoders)
+            yield decode_row(b)
 
 
 def write_avro_file(
@@ -536,8 +701,16 @@ class AvroReader(DataSourceReader):
                 c.clear()
             return batch
 
+        # resolve every file against the REQUESTED schema (the spec's
+        # reader-schema read): rows come back in reader order with
+        # promotions/skips/defaults applied, so a directory mixing
+        # producer generations — or an explicit subset/reordered
+        # schema — reads correctly (previously a subset schema would
+        # have zipped writer-order values into reader-order columns)
         n = 0
-        for row in parse_avro_file(partition.path):
+        for row in parse_avro_file(
+            partition.path, spark_schema_to_avro_json(self._schema)
+        ):
             for c, v in zip(cols, row):
                 c.append(v)
             n += 1

@@ -190,3 +190,182 @@ def test_foreign_writer_shapes_are_readable(tmp_path):
     sch = avro_json_to_spark_schema(schema)
     assert sch["t"].dataType == T.LongType()
     assert sch["v"].nullable is True
+
+
+# ---------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution", r14): reader !=
+# writer — the evolving-producer reality of a long-lived ingest
+# ---------------------------------------------------------------------
+
+
+def _write_two_col(spark, out):
+    df = spark.createDataFrame(
+        [Row(id=1, small=7, name="x"), Row(id=2, small=None, name=None)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("small", T.IntegerType(), True),
+                T.StructField("name", T.StringType(), True),
+            ]
+        ),
+    )
+    register_avro_source(spark)
+    df.write.format("avroocf").mode("overwrite").save(str(out))
+
+
+def test_subset_and_reordered_reader_schema(spark, tmp_path):
+    """A subset/reordered requested schema must bind columns BY NAME
+    (pre-resolution, writer-order values were zipped into reader-order
+    columns — a silent misalignment)."""
+    out = tmp_path / "t"
+    _write_two_col(spark, out)
+    want = T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("id", T.LongType(), True),
+        ]
+    )
+    got = sorted(
+        spark.read.format("avroocf").schema(want).load(str(out)).collect(),
+        key=lambda r: r.id,
+    )
+    assert [(r.name, r.id) for r in got] == [("x", 1), (None, 2)]
+
+
+def test_promotion_int_to_long_and_double(spark, tmp_path):
+    out = tmp_path / "t"
+    _write_two_col(spark, out)
+    want = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("small", T.DoubleType(), True),
+        ]
+    )
+    got = sorted(
+        spark.read.format("avroocf").schema(want).load(str(out)).collect(),
+        key=lambda r: r.id,
+    )
+    assert got[0].small == 7.0 and isinstance(got[0].small, float)
+    assert got[1].small is None
+
+
+def test_reader_only_field_fills_default_null(spark, tmp_path):
+    out = tmp_path / "t"
+    _write_two_col(spark, out)
+    want = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("added_later", T.StringType(), True),
+        ]
+    )
+    got = spark.read.format("avroocf").schema(want).load(str(out)).collect()
+    assert all(r.added_later is None for r in got)
+
+
+def test_reader_only_field_without_default_refuses(spark, tmp_path):
+    out = tmp_path / "t"
+    _write_two_col(spark, out)
+    want = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            # nullable=False -> plain avro type, no default
+            T.StructField("added_later", T.StringType(), False),
+        ]
+    )
+    with pytest.raises(Exception, match="declares no default"):
+        spark.read.format("avroocf").schema(want).load(str(out)).collect()
+
+
+def test_writer_null_into_non_nullable_reader_refuses(spark, tmp_path):
+    out = tmp_path / "t"
+    _write_two_col(spark, out)  # row 2 has name=NULL
+    want = T.StructType([T.StructField("name", T.StringType(), False)])
+    with pytest.raises(Exception, match="non-nullable reader field"):
+        spark.read.format("avroocf").schema(want).load(str(out)).collect()
+
+
+def test_mixed_producer_generations_in_one_directory(spark, tmp_path):
+    """Two files written by different producer generations (gen1 lacks
+    a column, gen2 widened a type) read under ONE reader schema."""
+    out = tmp_path / "t"
+    os.makedirs(out)
+    gen1 = spark.createDataFrame(
+        [Row(id=1, score=5)],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("score", T.IntegerType(), True),
+            ]
+        ),
+    )
+    gen2 = spark.createDataFrame(
+        [Row(id=2, score=9, tag="new")],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("score", T.LongType(), True),
+                T.StructField("tag", T.StringType(), True),
+            ]
+        ),
+    )
+    register_avro_source(spark)
+    gen1.coalesce(1).write.format("avroocf").mode("append").save(str(out))
+    gen2.coalesce(1).write.format("avroocf").mode("append").save(str(out))
+    want = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            T.StructField("score", T.LongType(), True),
+            T.StructField("tag", T.StringType(), True),
+        ]
+    )
+    got = sorted(
+        spark.read.format("avroocf").schema(want).load(str(out)).collect(),
+        key=lambda r: r.id,
+    )
+    assert [(r.id, r.score, r.tag) for r in got] == [
+        (1, 5, None),
+        (2, 9, "new"),
+    ]
+
+
+def test_resolution_primitives_pure_python(tmp_path):
+    """string<->bytes promotions + declared non-null defaults through
+    the raw parse path (no Spark types for these shapes)."""
+    import json as _json
+
+    w = _json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "s", "type": "string"},
+                {"name": "b", "type": "bytes"},
+                {"name": "gone", "type": "long"},
+            ],
+        }
+    )
+    path = str(tmp_path / "x.avro")
+    write_avro_file(path, iter([("héllo", b"\x01\x02", 42)]), w, codec="null")
+    r = _json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "b", "type": "string"},  # bytes -> string
+                {"name": "s", "type": "bytes"},  # string -> bytes
+                {"name": "n", "type": "long", "default": 3},
+            ],
+        }
+    )
+    rows = list(parse_avro_file(path, r))
+    assert rows == [("\x01\x02", "héllo".encode(), 3)]
+    # unresolvable: writer string into reader long
+    bad = _json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [{"name": "s", "type": "long"}],
+        }
+    )
+    with pytest.raises(ValueError, match="cannot resolve"):
+        list(parse_avro_file(path, bad))
