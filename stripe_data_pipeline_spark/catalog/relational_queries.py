@@ -4451,12 +4451,6 @@ def q_crawl_frontier_schedule_check(
 _AVRO_CACHE: dict[str, str] = {}
 
 
-def _cleanup_avro_cache() -> None:
-    import shutil
-
-    for p in _AVRO_CACHE.values():
-        shutil.rmtree(p, ignore_errors=True)
-
 
 @register(
     "avro_roundtrip_check",
@@ -4489,26 +4483,23 @@ GROUP BY event_type
     "pytest-pinned in tests/test_avro.py.",
 )
 def q_avro_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
+    from stripe_data_pipeline_spark.catalog.artifacts import cached_artifact
     from stripe_data_pipeline_spark.sources.avro_source import (
         register_avro_source,
     )
 
     register_avro_source(spark)
-    avro_dir = _AVRO_CACHE.get(sf_dir)
-    if avro_dir is None:
-        if not _AVRO_CACHE:
-            atexit.register(_cleanup_avro_cache)
-        avro_dir = os.path.join(
-            tempfile.mkdtemp(prefix="avro_roundtrip_"), "events_avro"
-        )
+
+    def build(work: str) -> str:
+        avro_dir = os.path.join(work, "events_avro")
         read_table(spark, sf_dir, "events").write.format("avroocf").mode(
             "overwrite"
         ).save(avro_dir)
-        _AVRO_CACHE[sf_dir] = avro_dir
+        return avro_dir
+
+    avro_dir = cached_artifact(_AVRO_CACHE, sf_dir, "avro_roundtrip_", build)
     ev = spark.read.format("avroocf").load(avro_dir)
     k = F.get_json_object("props", "$.k").cast("int")
     return ev.groupBy("event_type").agg(
@@ -4522,12 +4513,6 @@ def q_avro_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFRECORD_CACHE: dict[str, str] = {}
 
-
-def _cleanup_tfrecord_cache() -> None:
-    import shutil
-
-    for p in _TFRECORD_CACHE.values():
-        shutil.rmtree(p, ignore_errors=True)
 
 
 @register(
@@ -4567,24 +4552,19 @@ GROUP BY d.lang
     "pytest-pinned in tests/test_tfrecord.py.",
 )
 def q_tfrecord_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
+    from stripe_data_pipeline_spark.catalog.artifacts import cached_artifact
     from stripe_data_pipeline_spark.sources.tfrecord_source import (
         register_tfrecord_source,
     )
 
     register_tfrecord_source(spark)
-    tf_dir = _TFRECORD_CACHE.get(sf_dir)
-    if tf_dir is None:
-        if not _TFRECORD_CACHE:
-            atexit.register(_cleanup_tfrecord_cache)
-        tf_dir = os.path.join(
-            tempfile.mkdtemp(prefix="tfrecord_roundtrip_"), "docs_tfrecord"
-        )
+
+    def build(work: str) -> str:
+        tf_dir = os.path.join(work, "docs_tfrecord")
         docs = read_table(spark, sf_dir, "documents")
         emb = read_table(spark, sf_dir, "embeddings")
         (
@@ -4597,7 +4577,11 @@ def q_tfrecord_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mode("overwrite")
             .save(tf_dir)
         )
-        _TFRECORD_CACHE[sf_dir] = tf_dir
+        return tf_dir
+
+    tf_dir = cached_artifact(
+        _TFRECORD_CACHE, sf_dir, "tfrecord_roundtrip_", build
+    )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -4627,12 +4611,6 @@ def q_tfrecord_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARROW_IPC_CACHE: dict[str, str] = {}
 
-
-def _cleanup_arrow_ipc_cache() -> None:
-    import shutil
-
-    for p in _ARROW_IPC_CACHE.values():
-        shutil.rmtree(p, ignore_errors=True)
 
 
 @register(
@@ -4670,26 +4648,25 @@ GROUP BY l_returnflag, l_linestatus
     "invisibility are pytest-pinned in tests/test_arrow_ipc.py.",
 )
 def q_arrow_ipc_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
     import os
-    import tempfile
 
+    from stripe_data_pipeline_spark.catalog.artifacts import cached_artifact
     from stripe_data_pipeline_spark.sources.arrow_ipc_source import (
         register_arrow_ipc_source,
     )
 
     register_arrow_ipc_source(spark)
-    arrow_dir = _ARROW_IPC_CACHE.get(sf_dir)
-    if arrow_dir is None:
-        if not _ARROW_IPC_CACHE:
-            atexit.register(_cleanup_arrow_ipc_cache)
-        arrow_dir = os.path.join(
-            tempfile.mkdtemp(prefix="arrow_ipc_roundtrip_"), "lineitem_arrow"
-        )
+
+    def build(work: str) -> str:
+        arrow_dir = os.path.join(work, "lineitem_arrow")
         read_table(spark, sf_dir, "lineitem").write.format("arrowipc").mode(
             "overwrite"
         ).save(arrow_dir)
-        _ARROW_IPC_CACHE[sf_dir] = arrow_dir
+        return arrow_dir
+
+    arrow_dir = cached_artifact(
+        _ARROW_IPC_CACHE, sf_dir, "arrow_ipc_roundtrip_", build
+    )
     back = spark.read.format("arrowipc").load(arrow_dir)
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),

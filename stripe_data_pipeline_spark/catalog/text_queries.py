@@ -319,6 +319,46 @@ def q_near_dup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_sql(src: str, out: str, num_hashes: int = 16) -> str:
+    """CTE pair computing the wide MinHash signature of relation
+    ``src(doc_id, text)`` — the generic form of _minhash_cands_cte's
+    sig stage (same md5-60-bit base hash, same coefficient literals
+    imported from the operator so they can never drift)."""
+    p = D._MINHASH_P
+    mins = ",\n           ".join(
+        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
+        for i, (a, b) in enumerate(D._perm_coeffs(num_hashes))
+    )
+    return f"""
+{out}_hb AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS h
+    FROM (
+        SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+             UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
+    )
+),
+{out} AS (
+    SELECT doc_id, {mins}
+    FROM {out}_hb GROUP BY doc_id
+)"""
+
+
+def _bands_sql(sig: str, out: str, num_hashes: int = 16, band_size: int = 4) -> str:
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{b * band_size + j} AS VARCHAR)"
+            for j in range(band_size)
+        )
+        + f" AS key FROM {sig}"
+        for b in range(num_hashes // band_size)
+    )
+    return f"{out} AS (\n{rows}\n)"
+
+
+
 def _minhash_cands_cte(
     num_hashes: int = 16, band_size: int = 4, max_bucket: int = 200
 ) -> str:
@@ -326,38 +366,17 @@ def _minhash_cands_cte(
     candidate pairs BIT-FOR-BIT: same md5-60-bit base hash, same
     affine permutation coefficients (imported from the operator so
     they can never drift), same banding and hot-bucket cap. Ends with
-    a ``cand(doc_a, doc_b, n_shared_bands)`` CTE."""
-    p = D._MINHASH_P
-    mins = ",\n           ".join(
-        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
-        for i, (a, b) in enumerate(D._perm_coeffs(num_hashes))
-    )
-    band_rows = "\n    UNION ALL\n".join(
-        "    SELECT doc_id, {b} AS band, ".format(b=b)
-        + " || '_' || ".join(
-            f"CAST(mh_{b * band_size + j} AS VARCHAR)" for j in range(band_size)
-        )
-        + " AS key FROM sig"
-        for b in range(num_hashes // band_size)
-    )
-    return f"""
-WITH sh AS (
-    SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
-),
-hb AS (
-    SELECT doc_id,
-           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS h
-    FROM sh
-),
-sig AS (
-    SELECT doc_id, {mins}
-    FROM hb GROUP BY doc_id
-),
-bands AS (
-{band_rows}
-),
+    a ``cand(doc_a, doc_b, n_shared_bands)`` CTE.
+
+    Built on the SAME ``_sig_sql``/``_bands_sql`` generators the
+    incremental-dedup oracle uses (r14 review: the sig/band SQL is a
+    bit-parity contract and must have one source of truth)."""
+    return (
+        "\nWITH"
+        + _sig_sql("documents", "sig", num_hashes)
+        + ",\n"
+        + _bands_sql("sig", "bands", num_hashes, band_size)
+        + f""",
 kept AS (
     SELECT band, key FROM bands GROUP BY band, key HAVING COUNT(*) <= {max_bucket}
 ),
@@ -370,6 +389,7 @@ cand AS (
     GROUP BY 1, 2
 )
 """
+    )
 
 
 @register(
@@ -1875,7 +1895,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The WITH clause must carry RECURSIVE for the reach() closure, so the
 # generated minhash prefix gets the keyword patched in.
 _LSH_KEEPERS_SQL = _minhash_cands_cte().replace(
-    "WITH sh AS", "WITH RECURSIVE sh AS", 1
+    "\nWITH\n", "\nWITH RECURSIVE\n", 1
 ) + """,
 toksets AS (
     SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
@@ -4022,45 +4042,6 @@ def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
-def _sig_sql(src: str, out: str, num_hashes: int = 16) -> str:
-    """CTE pair computing the wide MinHash signature of relation
-    ``src(doc_id, text)`` — the generic form of _minhash_cands_cte's
-    sig stage (same md5-60-bit base hash, same coefficient literals
-    imported from the operator so they can never drift)."""
-    p = D._MINHASH_P
-    mins = ",\n           ".join(
-        f"MIN((h * {a} + {b}) % {p}) AS mh_{i}"
-        for i, (a, b) in enumerate(D._perm_coeffs(num_hashes))
-    )
-    return f"""
-{out}_hb AS (
-    SELECT doc_id,
-           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {p} AS h
-    FROM (
-        SELECT doc_id, array_to_string(toks[i : i + 2], ' ') AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
-             UNNEST(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(i)
-    )
-),
-{out} AS (
-    SELECT doc_id, {mins}
-    FROM {out}_hb GROUP BY doc_id
-)"""
-
-
-def _bands_sql(sig: str, out: str, num_hashes: int = 16, band_size: int = 4) -> str:
-    rows = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, "
-        + " || '_' || ".join(
-            f"CAST(mh_{b * band_size + j} AS VARCHAR)"
-            for j in range(band_size)
-        )
-        + f" AS key FROM {sig}"
-        for b in range(num_hashes // band_size)
-    )
-    return f"{out} AS (\n{rows}\n)"
-
-
 def _decisions_sql(
     batch_sig: str,
     index_sig: str,
@@ -4161,13 +4142,6 @@ FROM dec2
 _INCDEDUP_CACHE: dict[str, str] = {}
 
 
-def _cleanup_incdedup_cache() -> None:
-    import shutil
-
-    for p in _INCDEDUP_CACHE.values():
-        shutil.rmtree(p, ignore_errors=True)
-
-
 def _incdedup_mart_root(spark: SparkSession, sf_dir: str) -> str:
     """Build the two-batch incremental-dedup run once per sf_dir:
     index the base split, ingest batch1 (with planted near-dups of
@@ -4176,18 +4150,21 @@ def _incdedup_mart_root(spark: SparkSession, sf_dir: str) -> str:
     decisions as the mart. Prove-it guards refuse a vacuously-green
     run: batch1 must catch >= 1 duplicate, and batch2 must catch >= 1
     duplicate OF A BATCH1 DOC (the incremental property itself)."""
-    import atexit
+    from stripe_data_pipeline_spark.catalog.artifacts import cached_artifact
+
+    return cached_artifact(
+        _INCDEDUP_CACHE,
+        sf_dir,
+        "incdedup_",
+        lambda work: _build_incdedup_mart(spark, sf_dir, work),
+    )
+
+
+def _build_incdedup_mart(spark: SparkSession, sf_dir: str, work: str) -> str:
     import os
-    import tempfile
 
     from stripe_data_pipeline_spark.operators import incdedup as I
 
-    mart = _INCDEDUP_CACHE.get(sf_dir)
-    if mart is not None:
-        return mart
-    if not _INCDEDUP_CACHE:
-        atexit.register(_cleanup_incdedup_cache)
-    work = tempfile.mkdtemp(prefix="incdedup_")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = docs.filter(F.col("doc_id") % 4 < 2)
     batch1 = docs.filter(F.col("doc_id") % 4 == 2).unionByName(
@@ -4232,7 +4209,6 @@ def _incdedup_mart_root(spark: SparkSession, sf_dir: str) -> str:
             "incremental_dedup_check: no batch2 duplicate resolves to a "
             "batch1 keeper — the incremental append is not being exercised"
         )
-    _INCDEDUP_CACHE[sf_dir] = mart
     return mart
 
 
@@ -4310,15 +4286,24 @@ atoks AS (
     SELECT d.doc_id, w.tok
     FROM documents d, LATERAL UNNEST(string_split(lower(d.text), ' ')) AS w(tok)
     WHERE w.tok <> ''
+),
+scored AS (
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(COALESCE(w.w_fp, c.unseen_fp)) + MIN(c.prior_fp)
+                AS BIGINT) AS score_fp
+    FROM atoks a
+    LEFT JOIN w ON w.tok = a.tok
+    CROSS JOIN consts c
+    GROUP BY a.doc_id
 )
-SELECT a.doc_id,
-       COUNT(*) AS n_toks,
-       SUM(COALESCE(w.w_fp, c.unseen_fp)) + MIN(c.prior_fp) AS score_fp,
-       (SUM(COALESCE(w.w_fp, c.unseen_fp)) + MIN(c.prior_fp)) > 0 AS keep
-FROM atoks a
-LEFT JOIN w ON w.tok = a.tok
+SELECT d.doc_id,
+       COALESCE(s.n_toks, 0) AS n_toks,
+       COALESCE(s.score_fp, c.prior_fp) AS score_fp,
+       COALESCE(s.score_fp, c.prior_fp) > 0 AS keep
+FROM documents d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
 CROSS JOIN consts c
-GROUP BY a.doc_id
 """,
     doc="Seed-supervised Naive Bayes quality classifier (r14, "
     "operators/nbquality.py) — the LEARNED quality-filter step of "

@@ -220,6 +220,42 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """(id, band, key) rows from a wide ``mh_i`` signature frame —
+    '_'-joined mh values per band. The ONE banding construction
+    (r14 review): minhash_lsh_candidates and the incremental index
+    (operators/incdedup.py) both call this, so ad-hoc LSH keys and
+    persisted index keys can never drift apart."""
+    n_bands = num_hashes // band_size
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh_{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -240,27 +276,7 @@ def minhash_lsh_candidates(
     false collisions on high-self-similarity corpora).
     """
     sigs = minhash_signatures(df, id_col, num_hashes, k)
-    n_bands = num_hashes // band_size
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh_{b * band_size + j}")
-                                for j in range(band_size)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = band_rows(sigs, id_col, num_hashes, band_size)
     # Three consumers read this relation (bucket histogram + both join
     # sides); without materialization each re-runs the whole signature
     # pipeline. At corpus scale you'd land signatures in a table; the

@@ -21,15 +21,18 @@ work for O(batch) new data. The incremental shape inverts it:
   against base+batch1 without either rescan or torn index state
   (a crash mid-append leaves the group pointer on the old run).
 
-Scale shape: the probe is one shuffle of the BATCH's band rows
-against the index's bands table; the index side carries per-file
-min/max stats on ``key`` (stats_cols), so a clustered/OPTIMIZEd
-bands table file-prunes most of the index for a small batch — the
-same skipping machinery as bloom_pruned_scan/zorder. The lookup-time
-hot-bucket cap (index band keys held by more than ``max_bucket``
-docs are skipped) bounds candidate fan-out exactly like
-minhash_lsh_candidates' cap, evaluated against CURRENT index
-occupancy so it keeps holding as the index grows.
+Scale shape: the probe restricts the index scan to the BATCH's band
+keys first — one broadcast semi-join of a batch-sized key set — so
+every downstream step (the hot-bucket occupancy count, the candidate
+join, the signature compare) works on batch-proportional rows, never
+a full-index aggregate (r14 review fix). The index side additionally
+carries per-file min/max stats on ``key`` (stats_cols), so
+point-lookup consumers using ``read_group_table(stats_filter=...)``
+file-prune the bands table the same way bloom_pruned_scan/zorder do.
+The lookup-time hot-bucket cap (index band keys held by more than
+``max_bucket`` docs are skipped) bounds candidate fan-out exactly
+like minhash_lsh_candidates' cap, evaluated against CURRENT index
+occupancy of the probed keys so it keeps holding as the index grows.
 
 Semantics (documented, mirrored closed-form by the driver oracle):
 
@@ -61,44 +64,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stripe_data_pipeline_spark import table_group as TG
-from stripe_data_pipeline_spark.operators.dedup import minhash_signatures
+from stripe_data_pipeline_spark.operators.dedup import (
+    band_rows,
+    minhash_signatures,
+)
 
 SIGS, BANDS, DECISIONS = "sigs", "bands", "decisions"
-
-
-def band_rows(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    band_size: int = 4,
-) -> DataFrame:
-    """(id, band, key) rows from a wide mh_i signature frame — the
-    exact key construction of minhash_lsh_candidates (dedup.py:244):
-    '_'-joined mh values per band, so index keys and ad-hoc LSH keys
-    are interchangeable."""
-    n_bands = num_hashes // band_size
-    return sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh_{b * band_size + j}")
-                                for j in range(band_size)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
 
 
 def _index_parts(
@@ -193,18 +164,30 @@ def _decide(
     sigs_b, bands_b = _index_parts(batch, id_col, num_hashes, k, band_size)
     sigs_i = TG.read_group_table(spark, root, SIGS)
     bands_i = TG.read_group_table(spark, root, BANDS)
-    # lookup-time hot-bucket cap against current index occupancy
+    # Restrict the index scan to the BATCH's band keys FIRST (one
+    # broadcast semi of a batch-sized key set), then evaluate the
+    # hot-bucket cap on that slice only. Occupancy per surviving key
+    # is identical to a global count — every index row for a key is in
+    # the slice — but the probe's aggregate is now O(batch-keyed index
+    # rows), not a full-index shuffle per batch (r14 review: the
+    # previous global groupBy re-aggregated the whole bands table on
+    # every lookup, exactly the O(corpus)-per-batch regime this module
+    # exists to avoid, and scanned it twice at full width).
+    batch_keys = bands_b.select("band", "key").distinct()
+    hit = bands_i.join(
+        F.broadcast(batch_keys), ["band", "key"], "inner"
+    ).localCheckpoint(eager=True)  # two consumers: occupancy + join
     kept = (
-        bands_i.groupBy("band", "key")
+        hit.groupBy("band", "key")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") <= max_bucket)
         .drop("bucket_n")
     )
-    bands_i = bands_i.join(kept, ["band", "key"], "inner")
+    bands_hit = hit.join(kept, ["band", "key"], "inner")
     cand = (
         bands_b.alias("b")
         .join(
-            bands_i.alias("i"),
+            bands_hit.alias("i"),
             (F.col("b.band") == F.col("i.band"))
             & (F.col("b.key") == F.col("i.key")),
         )

@@ -123,10 +123,14 @@ def score_nb_quality(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, n_toks, score_fp, keep) for every document: score_fp =
-    prior + Σ w_fp over token OCCURRENCES (multinomial — repeats
-    count), an exact integer; keep = score_fp > 0 (the maximum-
-    a-posteriori decision at equal loss)."""
+    """(id, n_toks, score_fp, keep) for EVERY document — including
+    token-less ones (empty/whitespace text), which score exactly the
+    class prior via the left join back onto ``docs`` (r14 review: the
+    explode used to silently drop them from the output, so a pipeline
+    inner-joining docs to decisions lost them — neither kept nor
+    rejected). score_fp = prior + Σ w_fp over token OCCURRENCES
+    (multinomial — repeats count), an exact integer; keep =
+    score_fp > 0 (the maximum-a-posteriori decision at equal loss)."""
     toks = _tokens(docs, id_col, text_col)
     scored = toks.join(F.broadcast(weights), "tok", "left").groupBy(
         id_col
@@ -137,9 +141,15 @@ def score_nb_quality(
             + F.lit(prior_fp)
         ).alias("score_fp"),
     )
-    return scored.select(
-        id_col,
-        "n_toks",
-        "score_fp",
-        (F.col("score_fp") > 0).alias("keep"),
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_toks", F.lit(0)).cast("bigint").alias("n_toks"),
+            F.coalesce("score_fp", F.lit(prior_fp))
+            .cast("bigint")
+            .alias("score_fp"),
+        )
+        .withColumn("keep", F.col("score_fp") > 0)
     )

@@ -17,9 +17,12 @@ reimplementation:
 
 * **read**: each task memory-maps its file and yields the stored
   ``RecordBatch`` objects straight into Spark's Arrow ingestion path
-  — no row materialization, no Python-object decode, at most a
-  zero-copy cast when the stored schema is a (documented) widening
-  of the requested one;
+  — no row materialization, no Python-object decode; when a stored
+  column's type differs from the requested one it is aligned with a
+  column-wise ``pyarrow`` cast (zero-copy where Arrow allows, a
+  buffer rewrite otherwise, a loud ``ArrowInvalid`` when the cast is
+  meaningless) because Spark's ingestion consumes batches verbatim
+  and crashes on type mismatches;
 * **write**: ``DataSourceArrowWriter`` hands each task the plan's
   output as Arrow batches, which stream into one ``.arrow`` shard
   via ``pa.ipc.new_file`` under the same staged-``.tmp``-then-rename
@@ -149,6 +152,42 @@ def _arrow_to_spark(t) -> T.DataType:
     raise ValueError(f"arrowipc: unsupported column type {t}")
 
 
+def _spark_to_arrow(dt: T.DataType):
+    """The reader-side inverse of ``_arrow_to_spark`` — the Arrow type
+    Spark's ingestion expects for each requested Spark type."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_spark_to_arrow(dt.elementType))
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise ValueError(f"arrowipc: unsupported requested Spark type {dt}")
+
+
 @dataclass
 class ArrowIpcPartition(InputPartition):
     path: str
@@ -192,6 +231,9 @@ class ArrowIpcReader(DataSourceReader):
         import pyarrow as pa
 
         expect = {f.name for f in self._schema.fields}
+        want_types = {
+            f.name: _spark_to_arrow(f.dataType) for f in self._schema.fields
+        }
         with pa.memory_map(partition.path, "r") as mm:
             reader = pa.ipc.open_file(mm)
             stored = {f.name for f in reader.schema}
@@ -209,9 +251,15 @@ class ArrowIpcReader(DataSourceReader):
                     col = batch.column(batch.schema.get_field_index(name))
                     if pa.types.is_dictionary(col.type):
                         col = col.dictionary_decode()
+                    # Spark's Arrow ingestion does NOT cast — a stored
+                    # int32 under a requested LongType crashes its
+                    # column vector (r14 review, verified) — so align
+                    # types here; pyarrow casts zero-copy where it can
+                    # and raises ArrowInvalid loudly where it can't
+                    want = want_types[name]
+                    if col.type != want:
+                        col = col.cast(want)
                     cols.append(col)
-                # zero-copy column prune/reorder; Spark casts to the
-                # requested types on ingestion
                 yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
@@ -262,6 +310,18 @@ class ArrowIpcWriter(DataSourceArrowWriter):
                     writer = pa.ipc.new_file(tmp, batch.schema, options=opts)
                 writer.write_batch(batch)
                 n += batch.num_rows
+        except BaseException:
+            # a task that dies mid-write must not leak its staged
+            # shard: abort() only sees messages from COMPLETED tasks
+            # (r14 review)
+            if writer is not None:
+                writer.close()
+                writer = None
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            raise
         finally:
             if writer is not None:
                 writer.close()
@@ -272,13 +332,20 @@ class ArrowIpcWriter(DataSourceArrowWriter):
         return ArrowIpcCommitMessage(tmp_path=tmp)
 
     def commit(self, messages) -> None:
-        if self._overwrite:
-            for f in os.listdir(self._dir):
-                if f.endswith(".arrow"):
-                    os.remove(os.path.join(self._dir, f))
+        # publish the new shards FIRST, then clear stale ones: a
+        # driver crash mid-commit can then only expose old+new
+        # duplicates, never an empty dataset (delete-then-rename had
+        # a window that lost everything — r14 review)
+        published = set()
         for msg in messages:
             if msg and msg.tmp_path:
-                os.replace(msg.tmp_path, msg.tmp_path[: -len(".tmp")])
+                final = msg.tmp_path[: -len(".tmp")]
+                os.replace(msg.tmp_path, final)
+                published.add(os.path.basename(final))
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".arrow") and f not in published:
+                    os.remove(os.path.join(self._dir, f))
 
     def abort(self, messages) -> None:
         for msg in messages:

@@ -748,22 +748,38 @@ class AvroWriter(DataSourceWriter):
         tmp = os.path.join(
             self._dir, f"part-{uuid.uuid4().hex[:12]}.avro.tmp"
         )
-        n = write_avro_file(
-            tmp, iterator, self._schema_json, codec=self._codec
-        )
+        try:
+            n = write_avro_file(
+                tmp, iterator, self._schema_json, codec=self._codec
+            )
+        except BaseException:
+            # a task dying mid-write must not leak its staged shard:
+            # abort() only sees messages from COMPLETED tasks (r14
+            # review)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         if not n:
             os.remove(tmp)
             return AvroCommitMessage(tmp_path=None)
         return AvroCommitMessage(tmp_path=tmp)
 
     def commit(self, messages) -> None:
-        if self._overwrite:
-            for f in os.listdir(self._dir):
-                if f.endswith(".avro"):
-                    os.remove(os.path.join(self._dir, f))
+        # publish new shards FIRST, then clear stale ones: a driver
+        # crash mid-commit can then only expose old+new duplicates,
+        # never an empty dataset (r14 review)
+        published = set()
         for msg in messages:
             if msg and msg.tmp_path:
-                os.replace(msg.tmp_path, msg.tmp_path[: -len(".tmp")])
+                final = msg.tmp_path[: -len(".tmp")]
+                os.replace(msg.tmp_path, final)
+                published.add(os.path.basename(final))
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".avro") and f not in published:
+                    os.remove(os.path.join(self._dir, f))
 
     def abort(self, messages) -> None:
         for msg in messages:

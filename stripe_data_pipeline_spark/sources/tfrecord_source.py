@@ -558,31 +558,49 @@ class TFRecordWriter(DataSourceWriter):
             self._dir, f"part-{uuid.uuid4().hex[:12]}.tfrecord.tmp"
         )
         n = 0
-        with open(tmp, "wb") as out:
-            for row in iterator:
-                feats: dict[str, tuple[int, list]] = {}
-                for v, (name, dt, kind, is_array) in zip(row, self._plans):
-                    if v is None:
-                        continue  # null -> absent key
-                    vals = list(v) if is_array else [v]
-                    feats[name] = (
-                        kind, _to_feature_values(kind, dt, vals)
-                    )
-                write_record(out, encode_example(feats))
-                n += 1
+        try:
+            with open(tmp, "wb") as out:
+                for row in iterator:
+                    feats: dict[str, tuple[int, list]] = {}
+                    for v, (name, dt, kind, is_array) in zip(
+                        row, self._plans
+                    ):
+                        if v is None:
+                            continue  # null -> absent key
+                        vals = list(v) if is_array else [v]
+                        feats[name] = (
+                            kind, _to_feature_values(kind, dt, vals)
+                        )
+                    write_record(out, encode_example(feats))
+                    n += 1
+        except BaseException:
+            # a task dying mid-write must not leak its staged shard:
+            # abort() only sees messages from COMPLETED tasks (r14
+            # review)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         if not n:
             os.remove(tmp)
             return TFRecordCommitMessage(tmp_path=None)
         return TFRecordCommitMessage(tmp_path=tmp)
 
     def commit(self, messages) -> None:
-        if self._overwrite:
-            for f in os.listdir(self._dir):
-                if f.endswith(".tfrecord"):
-                    os.remove(os.path.join(self._dir, f))
+        # publish new shards FIRST, then clear stale ones: a driver
+        # crash mid-commit can then only expose old+new duplicates,
+        # never an empty dataset (r14 review)
+        published = set()
         for msg in messages:
             if msg and msg.tmp_path:
-                os.replace(msg.tmp_path, msg.tmp_path[: -len(".tmp")])
+                final = msg.tmp_path[: -len(".tmp")]
+                os.replace(msg.tmp_path, final)
+                published.add(os.path.basename(final))
+        if self._overwrite:
+            for f in os.listdir(self._dir):
+                if f.endswith(".tfrecord") and f not in published:
+                    os.remove(os.path.join(self._dir, f))
 
     def abort(self, messages) -> None:
         for msg in messages:

@@ -231,3 +231,75 @@ def test_empty_task_writes_no_shard(spark, tmp_path):
     shards = [f for f in os.listdir(out) if f.endswith(".arrow")]
     assert 0 < len(shards) <= 4
     assert spark.read.format("arrowipc").load(str(out)).count() == 4
+
+
+def test_requested_schema_with_promoted_types_casts(spark, tmp_path):
+    """An explicit schema whose types WIDEN the stored ones must cast
+    at the source instead of crashing Spark's Arrow ingestion (the
+    r14 review finding: stored int32 read as LongType raised
+    UnsupportedOperationException in ArrowColumnVector)."""
+    path = tmp_path / "narrow.arrow"
+    sch = pa.schema([("i", pa.int32()), ("f", pa.float32())])
+    with pa.ipc.new_file(str(path), sch) as w:
+        w.write_batch(
+            pa.record_batch(
+                [pa.array([1, 2], pa.int32()), pa.array([0.5, 1.5], pa.float32())],
+                schema=sch,
+            )
+        )
+    register_arrow_ipc_source(spark)
+    want = T.StructType(
+        [T.StructField("i", T.LongType()), T.StructField("f", T.DoubleType())]
+    )
+    got = sorted(
+        spark.read.format("arrowipc").schema(want).load(str(path)).collect()
+    )
+    assert [tuple(r) for r in got] == [(1, 0.5), (2, 1.5)]
+    # unresolvable cast still refuses loudly
+    bad = T.StructType([T.StructField("f", T.BinaryType())])
+    with pytest.raises(Exception):
+        spark.read.format("arrowipc").schema(bad).load(str(path)).collect()
+
+
+def test_overwrite_commit_renames_before_deleting(tmp_path, monkeypatch):
+    """The overwrite commit must publish the new shards BEFORE
+    removing the old ones, so a driver crash mid-commit can only show
+    a mix of old+new, never an empty dataset (the r14 review
+    finding: delete-then-rename lost everything in the window).
+    Drives commit() in-process — on a real run it executes in the
+    driver's Python worker, same code path."""
+    import stripe_data_pipeline_spark.sources.arrow_ipc_source as S
+
+    out = tmp_path / "t"
+    os.makedirs(out)
+    sch = pa.schema([("i", pa.int64())])
+
+    def shard(name, vals):
+        with pa.ipc.new_file(str(out / name), sch) as w:
+            w.write_batch(pa.record_batch([pa.array(vals)], schema=sch))
+
+    shard("part-old.arrow", [1, 2])
+    shard("part-new.arrow.tmp", [3])
+    writer = S.ArrowIpcWriter(
+        {"path": str(out)},
+        T.StructType([T.StructField("i", T.LongType())]),
+        overwrite=True,
+    )
+    # crash injection: die on the FIRST old-shard delete — the new
+    # shard must already be published by then
+    real_remove = S.os.remove
+
+    def dying_remove(p):
+        if str(p).endswith(".arrow"):
+            raise OSError("simulated crash during stale-shard cleanup")
+        return real_remove(p)
+
+    monkeypatch.setattr(S.os, "remove", dying_remove)
+    with pytest.raises(OSError, match="simulated crash"):
+        writer.commit(
+            [S.ArrowIpcCommitMessage(tmp_path=str(out / "part-new.arrow.tmp"))]
+        )
+    monkeypatch.undo()
+    published = sorted(f for f in os.listdir(out) if f.endswith(".arrow"))
+    # worst case after the crash: old+new both visible — NEVER empty
+    assert "part-new.arrow" in published and len(published) == 2

@@ -369,3 +369,55 @@ def test_resolution_primitives_pure_python(tmp_path):
     )
     with pytest.raises(ValueError, match="cannot resolve"):
         list(parse_avro_file(path, bad))
+
+
+def test_failed_write_does_not_leak_tmp_shard(tmp_path):
+    """A task dying mid-write removes its staged .tmp (abort() never
+    sees a message for it — r14 review)."""
+    import stripe_data_pipeline_spark.sources.avro_source as S
+
+    out = tmp_path / "t"
+    writer = S.AvroWriter(
+        {"path": str(out)},
+        T.StructType([T.StructField("i", T.LongType())]),
+        overwrite=False,
+    )
+
+    def rows():
+        yield (1,)
+        raise RuntimeError("task died")
+
+    with pytest.raises(RuntimeError, match="task died"):
+        writer.write(rows())
+    assert os.listdir(out) == []
+
+
+def test_overwrite_commit_renames_before_deleting(tmp_path, monkeypatch):
+    """Publish-then-clean ordering for the overwrite commit (r14
+    review; same protocol as the TFRecord/Arrow sinks)."""
+    import stripe_data_pipeline_spark.sources.avro_source as S
+
+    out = tmp_path / "t"
+    os.makedirs(out)
+    (out / "part-old.avro").write_bytes(b"")
+    (out / "part-new.avro.tmp").write_bytes(b"")
+    writer = S.AvroWriter(
+        {"path": str(out)},
+        T.StructType([T.StructField("i", T.LongType())]),
+        overwrite=True,
+    )
+    real_remove = S.os.remove
+
+    def dying_remove(p):
+        if str(p).endswith(".avro"):
+            raise OSError("simulated crash during stale-shard cleanup")
+        return real_remove(p)
+
+    monkeypatch.setattr(S.os, "remove", dying_remove)
+    with pytest.raises(OSError, match="simulated crash"):
+        writer.commit(
+            [S.AvroCommitMessage(tmp_path=str(out / "part-new.avro.tmp"))]
+        )
+    monkeypatch.undo()
+    published = sorted(f for f in os.listdir(out) if f.endswith(".avro"))
+    assert "part-new.avro" in published and len(published) == 2

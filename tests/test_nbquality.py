@@ -102,10 +102,24 @@ def test_single_class_seed_refuses_loudly(spark):
         NB.train_nb_quality(seed)
 
 
-def test_empty_text_docs_are_absent_from_scores(spark):
+def test_empty_text_docs_score_the_prior(spark):
+    """'for every document' means EVERY document: a token-less doc
+    (empty/whitespace text) still gets a decision row — n_toks 0,
+    score = the class prior — instead of silently vanishing from the
+    output (the r14 review finding: a pipeline inner-joining docs to
+    decisions would lose such docs, neither kept nor rejected)."""
     weights, unseen_fp, prior_fp = NB.train_nb_quality(_seed(spark))
     docs = spark.createDataFrame(
-        [(30, ""), (31, "good")], "doc_id long, text string"
+        [(30, ""), (31, "good"), (32, "   ")], "doc_id long, text string"
     )
-    got = NB.score_nb_quality(docs, weights, unseen_fp, prior_fp)
-    assert [r.doc_id for r in got.collect()] == [31]
+    got = {
+        r.doc_id: r
+        for r in NB.score_nb_quality(
+            docs, weights, unseen_fp, prior_fp
+        ).collect()
+    }
+    assert set(got) == {30, 31, 32}
+    for empty_id in (30, 32):
+        assert got[empty_id].n_toks == 0
+        assert got[empty_id].score_fp == prior_fp
+        assert got[empty_id].keep is (prior_fp > 0)

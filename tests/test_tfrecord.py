@@ -373,3 +373,57 @@ def test_malformed_wire_types_refused():
     # Int64List.value as fixed64 (tag 0x09)
     with pytest.raises(ValueError, match="Int64List.*wire type"):
         _decode_list(KIND_INT64, bytes.fromhex("090000000000000000"))
+
+
+def test_overwrite_commit_renames_before_deleting(tmp_path, monkeypatch):
+    """Publish-then-clean: a driver crash mid-overwrite-commit can
+    only expose old+new shards, never an empty dataset (r14 review —
+    delete-then-rename had a data-loss window). Drives commit()
+    in-process; the real run executes the same method driver-side."""
+    import stripe_data_pipeline_spark.sources.tfrecord_source as S
+
+    out = tmp_path / "t"
+    os.makedirs(out)
+    (out / "part-old.tfrecord").write_bytes(b"")
+    (out / "part-new.tfrecord.tmp").write_bytes(b"")
+    writer = S.TFRecordWriter(
+        {"path": str(out)},
+        T.StructType([T.StructField("i", T.LongType())]),
+        overwrite=True,
+    )
+    real_remove = S.os.remove
+
+    def dying_remove(p):
+        if str(p).endswith(".tfrecord"):
+            raise OSError("simulated crash during stale-shard cleanup")
+        return real_remove(p)
+
+    monkeypatch.setattr(S.os, "remove", dying_remove)
+    with pytest.raises(OSError, match="simulated crash"):
+        writer.commit(
+            [S.TFRecordCommitMessage(tmp_path=str(out / "part-new.tfrecord.tmp"))]
+        )
+    monkeypatch.undo()
+    published = sorted(f for f in os.listdir(out) if f.endswith(".tfrecord"))
+    assert "part-new.tfrecord" in published and len(published) == 2
+
+
+def test_failed_write_does_not_leak_tmp_shard(tmp_path):
+    """A task dying mid-write removes its staged .tmp (abort() never
+    sees a message for it — r14 review)."""
+    import stripe_data_pipeline_spark.sources.tfrecord_source as S
+
+    out = tmp_path / "t"
+    writer = S.TFRecordWriter(
+        {"path": str(out)},
+        T.StructType([T.StructField("i", T.LongType())]),
+        overwrite=False,
+    )
+
+    def rows():
+        yield (1,)
+        raise RuntimeError("task died")
+
+    with pytest.raises(RuntimeError, match="task died"):
+        writer.write(rows())
+    assert os.listdir(out) == []
