@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from stripe_data_pipeline_spark.catalog.registry import register
 from stripe_data_pipeline_spark.io import read_table
 from stripe_data_pipeline_spark.operators import multimodal as M
+from stripe_data_pipeline_spark.operators.partitioning import spread_scan
 
 
 @register(
@@ -90,7 +91,7 @@ def q_media_bmp_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -180,7 +181,7 @@ def q_media_rle_bmp_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -341,7 +342,7 @@ def q_media_png_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -401,7 +402,7 @@ def q_media_wav_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_samples long, sample_rate int, "
         "sample_sum long, sample_checksum long",
@@ -466,7 +467,7 @@ def q_media_resize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run, schema="doc_id long, width int, height int, resized_checksum long"
     )
 
@@ -535,7 +536,7 @@ def q_media_avi_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_frames int, width int, height int, "
         "frames_checksum long",
@@ -670,7 +671,7 @@ def q_media_jpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") % 3 == 0))
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -711,7 +712,7 @@ def _gif_body(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -801,7 +802,7 @@ def q_media_ulaw_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_samples bigint, sample_rate int, "
         "sample_sum long, sample_checksum long",
@@ -891,7 +892,7 @@ def q_media_alaw_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_samples bigint, sample_rate int, "
         "sample_sum long, sample_checksum long",
@@ -987,7 +988,7 @@ def q_media_mjpeg_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") % 7 == 0))
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_frames int, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -1066,7 +1067,7 @@ def q_media_adpcm_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = (read_table(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") % 3 == 0))
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_samples bigint, sample_rate int, "
         "seed_sum long, seed_checksum long, err_le_64 boolean",
@@ -1176,7 +1177,7 @@ def q_media_jpeg_ac_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 1)
     )
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -1287,7 +1288,7 @@ def q_media_jpeg_420_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id")
         .where(F.col("doc_id") % 3 == 2)
     )
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, width int, height int, "
         "pixel_sum long, pixel_checksum long",
@@ -1375,7 +1376,7 @@ def q_media_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "bands": bands_out})
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    bands = docs.mapInPandas(run, schema="doc_id long, bands array<int>")
+    bands = spread_scan(docs).mapInPandas(run, schema="doc_id long, bands array<int>")
     return M.dhash_near_dup_pairs(bands, max_hamming=4)
 
 
@@ -1486,7 +1487,7 @@ def q_media_spectral_hash_near_dups(
             yield pd.DataFrame({"doc_id": ids, "bands": bands_out})
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    bands = docs.mapInPandas(run, schema="doc_id long, bands array<int>")
+    bands = spread_scan(docs).mapInPandas(run, schema="doc_id long, bands array<int>")
     return M.dhash_near_dup_pairs(bands, max_hamming=4)
 
 
@@ -1566,7 +1567,7 @@ def q_media_audio_features_check(
             yield pd.DataFrame(out)
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    return docs.mapInPandas(
+    return spread_scan(docs).mapInPandas(
         run,
         schema="doc_id long, n_samples long, energy long, "
         "peak_abs long, zero_crossings long, silence_bp long",

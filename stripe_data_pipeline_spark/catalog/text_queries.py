@@ -3779,6 +3779,13 @@ WHERE mm2 > 0 AND t2 > 0
 )
 def q_bleu_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # r14 note: cands feeds three consumers, but do NOT localCheckpoint
+    # it — a checkpointed LogicalRDD loses size statistics and the
+    # planner stops broadcasting cands as the build side of the two
+    # (doc, gram) match joins, degrading them to sort-merge over the
+    # corpus-sized gram tables (measured 3.0 s -> 4.2 s A/B at sf0.1).
+    # The LSH pipeline below the bands checkpoint re-runs per consumer
+    # instead, which is the cheaper side of the trade.
     cands = D.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
     ws = F.filter(F.split("text", " "), lambda t: t != "")
     toks = docs.select("doc_id", ws.alias("ws"))

@@ -46,11 +46,30 @@ def connected_components(
     jobs. Extra rounds after convergence are label-stable no-ops, so
     correctness is unaffected.
     """
-    # undirected: materialize both directions once
-    fwd = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-    und = fwd.unionByName(
-        edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
-    ).distinct()
+    # undirected: materialize both directions once. r14 (guide §1.2
+    # "don't compute things twice"): both orientations are emitted
+    # from ONE pass via a 2-struct explode — the old unionByName put
+    # the whole upstream EDGE-PRODUCING plan into the tree twice, so
+    # callers whose edge builds are expensive (the blocked Jaccard
+    # self-join of near_dup_quality_keepers, the LSH-verify pipeline
+    # of lsh_quality_keepers) executed it twice before this
+    # checkpoint. Same trick graph.label_propagation already uses.
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("u"), F.col(src_col).alias("v")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+    )
     und = und.localCheckpoint(eager=True)
 
     labels = nodes.select(

@@ -101,6 +101,12 @@ def jaccard_candidate_pairs(
     block_sizes = base.groupBy("lang", "len_bucket").agg(
         F.count(F.lit(1)).alias("block_n")
     )
+    # r14 note: do NOT localCheckpoint ``base`` here, even though the
+    # self-join sides each embed their own tokenize pass — a
+    # checkpointed LogicalRDD loses its size statistics, the planner
+    # stops broadcasting the build side, and the block self-join
+    # degrades to a sort-merge over full token arrays (measured 8.7 s
+    # -> 33 s at sf0.1). The duplicate tokenize is the cheaper evil.
     base = base.join(
         block_sizes.filter(F.col("block_n") <= max_block),
         ["lang", "len_bucket"],

@@ -228,7 +228,14 @@ def triangle_counts(
     e = edges.select(
         F.col(src_col).cast("long").alias("a"),
         F.col(dst_col).cast("long").alias("b"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ r14 (guide §1.2 "don't compute things twice"): the edge list
+    # feeds FOUR subtrees below (e1, e2, the closing e3, and the
+    # degree count) — without the cut the caller's edge-producing
+    # plan (typically a distinct + self-join + groupBy over a fact
+    # table) is replicated once per subtree (the r14-before plan for
+    # triangle_counts_supplier carried 20 copies of the lineitem
+    # scan across 125 operators).
     wedge = e.alias("e1").join(
         e.alias("e2"), F.col("e1.b") == F.col("e2.a")
     )

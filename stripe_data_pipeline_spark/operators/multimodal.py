@@ -35,6 +35,8 @@ import hashlib
 from collections.abc import Iterator
 
 import numpy as np
+
+from stripe_data_pipeline_spark.operators.partitioning import spread_scan
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -1352,7 +1354,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return spread_scan(media).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 FRAMES_SCHEMA = T.StructType(
@@ -1440,7 +1442,7 @@ def sample_frames(media: DataFrame, every_k: int = 2, fake: bool = True) -> Data
                     )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+    return spread_scan(media).mapInPandas(run, schema=FRAMES_SCHEMA)
 
 
 def resize_media(
@@ -1471,7 +1473,7 @@ def resize_media(
                 }
             )
 
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+    return spread_scan(media).mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 # --- audio (RIFF/WAVE PCM): REAL pure-numpy decode, like BMP/PPM ---
@@ -1839,7 +1841,7 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    return spread_scan(media).mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -148,6 +148,71 @@ def _assign_codes(
     return emb.select(*cols).mapInPandas(run, schema=out_schema)
 
 
+def _assign_partial_sums(
+    emb: DataFrame, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """One fused Lloyd-update pass (r14, guide §2.3 "aggregate before
+    you shuffle" + §4.2): assign codes AND emit per-batch PARTIAL
+    centroid sums from inside the same Arrow mapInPandas — the rows
+    that leave Python are (sub, code, spos, s, n) partials, at most
+    m*ks*dsub per batch, instead of the full (vec_id, codes,
+    embedding) relation that :func:`_update_codebooks` then had to
+    posexplode into n*d rows and shuffle. Bit-identical to the
+    two-step path (pinned in tests/test_pq.py): the assignment is the
+    exact :func:`_assign_codes` numpy sequence, the summed term is
+    the same ``floor(v * 1e9 + 0.5)`` per-dimension long, and int64
+    sums are order-invariant so partial-then-global summation equals
+    the old global groupBy."""
+    import numpy as np  # noqa: F401 — worker-side import check
+    import pandas as pd  # noqa: F401
+
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            fv = np.floor(x * _MEAN_SCALE + 0.5).astype(np.int64)
+            recs = []
+            for j in range(m):
+                diff = x[:, j * dsub : (j + 1) * dsub, None] - books[j].T[None]
+                d = (
+                    np.floor(diff * diff * _DIST_SCALE + 0.5)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                cj = np.argmin(d, axis=1)
+                sub_fv = fv[:, j * dsub : (j + 1) * dsub]
+                for c in range(ks):
+                    mask = cj == c
+                    nc = int(mask.sum())
+                    if nc == 0:
+                        continue
+                    ssum = sub_fv[mask].sum(axis=0)
+                    for spos in range(dsub):
+                        recs.append((j, c, spos, int(ssum[spos]), nc))
+            yield pd.DataFrame(
+                recs, columns=["sub", "code", "spos", "s", "n"]
+            )
+
+    from stripe_data_pipeline_spark.operators.partitioning import (
+        spread_scan,
+    )
+
+    return spread_scan(emb.select("embedding")).mapInPandas(
+        run, schema="sub int, code int, spos int, s long, n long"
+    )
+
+
 def _update_codebooks(
     assigned: DataFrame, prev: list[list[list[float]]]
 ) -> list[list[list[float]]]:
@@ -219,8 +284,21 @@ def train_pq(
         for j in range(m)
     ]
     for _ in range(n_updates):
-        assigned = _assign_codes(emb, books)
-        books = _update_codebooks(assigned, books)
+        # fused assign+partial-sum pass (see _assign_partial_sums):
+        # one corpus scan whose Python->JVM output is m*ks*dsub
+        # partials per batch, not n rows + an n*d posexplode shuffle
+        rows = (
+            _assign_partial_sums(emb, books)
+            .groupBy("sub", "code", "spos")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        out = [[list(c) for c in cb] for cb in books]
+        for r in rows:
+            out[r["sub"]][r["code"]][r["spos"]] = (
+                float(r["s"]) / float(r["n"])
+            ) / _MEAN_SCALE
+        books = out
     return books
 
 
@@ -456,19 +534,51 @@ def ivfpq_residual_topk(
     is the fused per-subspace Lloyd over residuals (one corpus scan
     per iteration); the coarse centroid collect is K x d rows and
     the codebooks d x ks — both bounded by contract."""
-    from stripe_data_pipeline_spark.operators.similarity import (
-        _probe_labels,
-        centroids,
-    )
+    from stripe_data_pipeline_spark.operators.similarity import centroids
 
-    spark = emb.sparkSession
-    cents_df = centroids(emb)
-    cent_rows = cents_df.collect()
-    local_cents = spark.createDataFrame(
-        [(int(r["label"]), int(r["pos"]), float(r["c"])) for r in cent_rows],
-        "label int, pos int, c double",
+    cent_rows = centroids(emb).collect()
+    # r14 (guide §5 "the driver should do almost no data work" — and
+    # its converse: K x d rows ALREADY on the driver don't need a
+    # Spark job): the coarse probe used to round-trip the collected
+    # centroid rows back through createDataFrame + _probe_labels (a
+    # whole extra job per query). The fixed-point arithmetic is
+    # replayed in pure Python instead — integer sums of
+    # floor(c*q*1e12 + 0.5) are order-invariant and float division /
+    # sqrt are the same IEEE ops, so the probe picks identical labels.
+    import math
+
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["c"]
+        )
+    scored_labels = []
+    for label, comp in by_label.items():
+        dot_i = 0
+        sq_i = 0
+        for pos, c in comp.items():
+            qv = float(query_vec[pos])
+            dot_i += int(math.floor(c * qv * 1e12 + 0.5))
+            sq_i += int(math.floor(c * c * 1e12 + 0.5))
+        num = float(dot_i) / 1e12
+        den = math.sqrt(float(sq_i) / 1e12)
+        if den != 0.0:
+            score = num / den
+        elif num == 0.0:
+            score = float("nan")
+        else:
+            score = math.copysign(float("inf"), num)
+        scored_labels.append((label, score))
+    # Spark's DESC ordering treats NaN as the greatest value; replay
+    # that total order (NaN first, then score desc, ties label asc).
+    scored_labels.sort(
+        key=lambda t: (
+            0 if math.isnan(t[1]) else 1,
+            -t[1] if not math.isnan(t[1]) else 0.0,
+            t[0],
+        )
     )
-    labels = [int(x) for x in _probe_labels(local_cents, query_vec, nprobe)]
+    labels = [label for label, _ in scored_labels[:nprobe]]
     res = residual_embeddings(emb, cent_rows)
     books = train_pq(res, m=m, ks=ks, iters=iters)
     cands = res.filter(F.col("label").isin(labels))
@@ -482,33 +592,43 @@ def ivfpq_residual_topk(
         cent_arr.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
             r["c"]
         )
-    def _scored(label: int):
+    # ONE scan for all probed lists (r14, guide §1.2 "don't compute
+    # things twice"): the per-list ADC tables bake into a single
+    # map<label, m x ks table> literal and the fold picks its table by
+    # the row's label. The previous per-label filter + unionByName
+    # re-executed the encode (an Arrow mapInPandas pass) once PER
+    # PROBED LIST — nprobe full candidate encodes for one query. Rows
+    # and values are identical (same fold, same table per label; the
+    # final sort merges what the union merged).
+    tbl_entries: list = []
+    for label in labels:
         comp = cent_arr[label]
         q_res = [
             float(query_vec[i]) - comp[i] for i in range(len(query_vec))
         ]
         table = adc_table(q_res, books)
-        tbl = F.array(
-            *[
-                F.array(*[F.lit(int(v)).cast("long") for v in row])
-                for row in table
-            ]
+        tbl_entries.append(F.lit(label))
+        tbl_entries.append(
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)).cast("long") for v in row])
+                    for row in table
+                ]
+            )
         )
-        return codes.filter(F.col("label") == label).select(
-            "vec_id",
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.element_at(tbl, j + 1),
-                    F.element_at(F.col("codes"), j + 1) + 1,
+    tmap = F.create_map(*tbl_entries)
+    out = codes.select(
+        "vec_id",
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            + F.element_at(
+                F.element_at(
+                    F.element_at(tmap, F.col("label")), j + 1
                 ),
-            ).alias("adc_dist_fp"),
-        )
-
-    scored_parts = [_scored(label) for label in labels]
-    out = scored_parts[0]
-    for part in scored_parts[1:]:
-        out = out.unionByName(part)
+                F.element_at(F.col("codes"), j + 1) + 1,
+            ),
+        ).alias("adc_dist_fp"),
+    )
     return out.orderBy(F.asc("adc_dist_fp"), F.asc("vec_id")).limit(k)

@@ -38,11 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stripe_data_pipeline_spark.operators.kmeans import kmeans_assign
-from stripe_data_pipeline_spark.operators.similarity import (
-    _as_double,
-    _dot,
-    _norm,
-)
+from stripe_data_pipeline_spark.operators.similarity import _as_double
 
 
 def semdedup_flags(
@@ -74,38 +70,55 @@ def semdedup_flags(
         assigned = assign_clusters(emb, centroids)
     assigned = assigned.select("vec_id", "cluster", "dist_fp")
     e = _as_double(F.col("embedding"))
-    base = (
-        emb.select("vec_id", e.alias("e"), _norm(e).alias("nrm"))
-        .join(assigned, "vec_id")
-    )
-    a = base.alias("a")
-    b = base.alias("b")
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.vec_id") != F.col("b.vec_id"))
-            & (
-                (F.col("a.dist_fp") > F.col("b.dist_fp"))
-                | (
-                    (F.col("a.dist_fp") == F.col("b.dist_fp"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id"))
-                )
-            ),
+    base = emb.select("vec_id", e.alias("e")).join(assigned, "vec_id")
+
+    # r14 optimization (guide §4.2 "hand whole batches to vectorized
+    # native code"): the within-cluster domination used to be a JVM
+    # self-join — base shuffled on the cluster key TWICE, every
+    # candidate pair evaluating an INTERPRETED 64-term F.aggregate
+    # fold (higher-order functions don't enter whole-stage codegen),
+    # then a distinct + left join back. It is now ONE shuffle
+    # (groupBy cluster) into an Arrow applyInPandas that reproduces
+    # the exact IEEE sequence vectorized over the pair matrix:
+    # the left-fold dot ((0 + a1*b1) + a2*b2) + ... is accumulated
+    # DIMENSION BY DIMENSION (acc = acc + outer(x_i, x_i)), so every
+    # pair's value is the same double sequence the fold produced;
+    # nrm = sqrt(diag) is the same _norm(e) = sqrt(fold(e,e)); the
+    # cosine is dot / (na * nb) with the identical operation order.
+    # Bit-identical output pinned against the oracle replay and in
+    # tests/test_round9_ops.py. Scale shape unchanged: pair work
+    # stays confined to a cluster, and the paper's K ~ corpus-size
+    # contract bounds the per-group matrix.
+    thr = float(threshold)
+    id_field = emb.schema["vec_id"].dataType.simpleString()
+
+    def _flags(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["e"]]
         )
-        .filter(
-            _dot(F.col("a.e"), F.col("b.e"))
-            / (F.col("a.nrm") * F.col("b.nrm"))
-            >= F.lit(threshold)
+        ids = pdf["vec_id"].to_numpy()
+        dist = pdf["dist_fp"].to_numpy()
+        n, d = x.shape
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(d):
+            acc = acc + np.multiply.outer(x[:, i], x[:, i])
+        nrm = np.sqrt(np.diagonal(acc))
+        cos = acc / np.multiply.outer(nrm, nrm)
+        dominates = (dist[:, None] > dist[None, :]) | (
+            (dist[:, None] == dist[None, :]) & (ids[:, None] < ids[None, :])
         )
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        base.join(dominated.withColumn("_dom", F.lit(1)), "vec_id", "left")
-        .select(
-            "vec_id",
-            "cluster",
-            F.col("_dom").isNull().alias("kept"),
+        dominated = np.any(dominates & (cos >= thr), axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"],
+                "kept": ~dominated,
+            }
         )
+
+    return base.groupBy("cluster").applyInPandas(
+        _flags, schema=f"vec_id {id_field}, cluster int, kept boolean"
     )

@@ -727,14 +727,17 @@ def maxsim_topk(
     relevance is carried by individual tokens/passages rather than
     the pooled embedding.
 
-    Execution: the query vectors are PLAN LITERALS (bounded: |Q| x d
-    doubles), so per-row cosines are |Q| narrow JVM folds over one
-    corpus scan — no join, no Python; each cosine is floored to 1e-9
-    fixed point BEFORE aggregation so the per-group max and the
-    cross-query sum are order-invariant integers (the BM25 contract);
-    ONE groupBy(group) shuffle computes all |Q| maxes map-side-
-    partially, and the final score is a fixed |Q|-term addition tree.
-    Returns the top-``k`` (group, maxsim_fp)."""
+    Execution: the query vectors are closed over by one Arrow
+    mapInPandas pass (bounded: |Q| x d doubles) that computes every
+    per-row cosine vectorized — no join, one corpus scan; each cosine
+    is floored to 1e-9 fixed point BEFORE aggregation so the per-group
+    max and the cross-query sum are order-invariant integers (the
+    BM25 contract); ONE groupBy(group) shuffle computes all |Q| maxes
+    map-side-partially, and the final score is a fixed |Q|-term
+    addition tree. The numpy arithmetic replays the JVM fold's IEEE
+    sequence exactly (see the inline note), so results are
+    bit-identical to the previous expression path. Returns the
+    top-``k`` (group, maxsim_fp)."""
     from stripe_data_pipeline_spark.operators.partitioning import (
         spread_scan,
     )
@@ -742,17 +745,63 @@ def maxsim_topk(
     df = spread_scan(df)
     if exclude_ids:
         df = df.filter(~F.col("vec_id").isin(*exclude_ids))
-    emb = _as_double(F.col("embedding"))
-    cols = []
-    for j, qv in enumerate(query_vecs):
-        q = _lit_vec(qv)
-        cos = _dot(emb, q) / (_norm(emb) * _norm(q))
-        cols.append(
-            F.floor(cos * F.lit(1e9) + F.lit(0.5))
-            .cast("bigint")
-            .alias(f"c{j}")
-        )
-    scored = df.select(F.col(group_col).alias("g"), *cols)
+    # r14 (guide §4.2): the |Q| per-row cosines used to be |Q|
+    # INTERPRETED F.aggregate folds per row, each re-deriving
+    # _norm(emb) (HOFs don't enter whole-stage codegen and interpreted
+    # expressions get no common-subexpression elimination) — ~|Q| * 2d
+    # interpreted ops per row. One Arrow mapInPandas pass now computes
+    # every cosine vectorized with the IDENTICAL IEEE sequence: the
+    # left-fold dot ((0 + a1*b1) + a2*b2) + ... is accumulated
+    # dimension-by-dimension (acc = acc + x[:,i]*q_i), the norm
+    # sqrt(fold(e,e)) is computed ONCE per row and reused across all
+    # |Q| queries, the query-side norm is the same sequential Python
+    # fold Catalyst constant-folded, and the fixed-point term is the
+    # same floor(cos * 1e9 + 0.5) — so every c_j is bit-identical to
+    # the expression path (oracle replays unchanged).
+    import math
+
+    nqv = [[float(v) for v in qv] for qv in query_vecs]
+    qnorms = []
+    for qv in nqv:
+        acc = 0.0
+        for v in qv:
+            acc += v * v
+        qnorms.append(math.sqrt(acc))
+    nq = len(nqv)
+    g_field = df.schema[group_col].dataType.simpleString()
+    out_schema = ", ".join(
+        ["g " + g_field] + [f"c{j} long" for j in range(nq)]
+    )
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        q = np.asarray(nqv, dtype=np.float64)
+        qn = np.asarray(qnorms, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n, d = x.shape
+            nrm2 = np.zeros(n, dtype=np.float64)
+            for i in range(d):
+                nrm2 = nrm2 + x[:, i] * x[:, i]
+            nrm = np.sqrt(nrm2)
+            out = {"g": pdf[group_col]}
+            for j in range(nq):
+                dot = np.zeros(n, dtype=np.float64)
+                for i in range(d):
+                    dot = dot + x[:, i] * q[j, i]
+                cos = dot / (nrm * qn[j])
+                out[f"c{j}"] = np.floor(cos * 1e9 + 0.5).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    scored = df.select(group_col, "embedding").mapInPandas(
+        _score, schema=out_schema
+    )
     per = scored.groupBy("g").agg(
         *[F.max(f"c{j}").alias(f"m{j}") for j in range(len(query_vecs))]
     )

@@ -228,70 +228,114 @@ def _suffix_ranks_with_levels(
 ) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
     """Shared doubling loop. With ``keep_levels`` the per-level rank
     tables [(gap, ranks_at_gap), ...] are retained (each a
-    localCheckpoint leaf) for the LCP walk; otherwise they are
-    discarded as the loop advances."""
+    localCheckpoint leaf) for the LCP walk; otherwise the per-round
+    rank table stays a LAZY window over that round's checkpointed
+    pair table and is discarded as the loop advances.
+
+    Optimization-round shape (r14, guide §2.4 "remove shuffles
+    outright" + §1.2 "the distributed algorithm first"): the original
+    loop ran ~5 jobs per round (repartitionByRange boundary sampling,
+    the ranged localCheckpoint, a partition-size collect, the
+    join-back checkpoint, and a separate countDistinct termination
+    job). Prefix doubling only needs a dense rank over (r1, r2) where
+    r1 is the PREVIOUS round's dense rank — i.e. an integer whose
+    range [1..K_prev] the driver already knows. So the range
+    partitioning is a closed-form DETERMINISTIC bucket
+    ``(r1-1)*parts div K_prev`` (monotonic in r1, no sampling pass,
+    no nondeterministic boundary capture to pin), the global dense
+    rank is ``per-bucket dense_rank + per-bucket offset`` with the
+    offsets from ONE bucket-level countDistinct collect, and the
+    termination check is FREE: the offsets' total IS the number of
+    distinct (r1, r2) keys, which equals n exactly when all ranks are
+    distinct. 2 jobs per round instead of ~5, one materialization
+    instead of two, and no rangepartitioning exchange.
+
+    localCheckpoint (not cache) stays load-bearing: a cache prevents
+    re-EXECUTION but Catalyst still re-analyzes the full logical
+    tree, which roughly triples per round (paired references ranks
+    twice) — measured 2s -> 3s -> 21s -> 167s per round before the
+    lineage cut. Checkpointing truncates the plan to a leaf."""
     caches: list = []
-    positions = corpus_positions(df, text_col, id_col, caches=caches)
-    n = positions.count()
-    alphabet = _dense_ranks(
-        positions.select("ch").distinct(),
-        ["ch"],
-        parts=min(parts, 4),
-        caches=caches,
-    )
-    # localCheckpoint (not cache) per round: a cache prevents
-    # re-EXECUTION but Catalyst still re-analyzes the full logical
-    # tree, which roughly triples per round (paired references ranks
-    # twice, new_ranks references paired twice) — measured 2s -> 3s ->
-    # 21s -> 167s per round before the lineage cut. Checkpointing
-    # truncates the plan to a leaf, the same fix cluster.py's
-    # min-label-propagation loop uses.
-    ranks = (
-        positions.join(F.broadcast(alphabet), "ch")
-        .select("pos", F.col("__rank").cast("bigint").alias("rank"))
-        .localCheckpoint(eager=True)
-    )
-    for c in caches:  # ranks is materialized; release the builders
+    positions = corpus_positions(
+        df, text_col, id_col, caches=caches
+    ).localCheckpoint(eager=True)
+    for c in caches:  # positions is materialized; release the builders
         c.unpersist()
+    n = positions.count()
+    # Round 0: rank every position by its single character. The
+    # alphabet is bounded by contract (the original broadcast-join
+    # shape assumed the same), so collect it and bake the char->rank
+    # map into the plan as a literal — Python code-point order equals
+    # UTF-8 byte order equals Spark's UTF8String binary comparison,
+    # so the map IS the dense rank the old distributed pass computed.
+    chars = sorted(
+        r["ch"] for r in positions.select("ch").distinct().collect()
+    )
+    amap = (
+        F.create_map(
+            *[
+                x
+                for i, c in enumerate(chars)
+                for x in (F.lit(c), F.lit(i + 1))
+            ]
+        )
+        if chars
+        else F.create_map()
+    )
+    k_prev = max(len(chars), 1)
+    ranks = positions.select(
+        "pos", F.element_at(amap, F.col("ch")).cast("bigint").alias("rank")
+    )
     levels: list[tuple[int, DataFrame]] = [(1, ranks)]
     gap = 1
     rounds = 0
     while gap < n and rounds < max_rounds:
         rounds += 1
-        round_caches: list = []
-        a = ranks.alias("a")
         b = ranks.select(
             (F.col("pos") - gap).alias("pos"), F.col("rank").alias("r2")
-        ).alias("b")
+        )
         paired = (
-            a.join(b, "pos", "left")
+            ranks.select("pos", F.col("rank").alias("r1"))
+            .join(b, "pos", "left")
             .select(
                 "pos",
-                F.col("rank").alias("r1"),
+                "r1",
                 F.coalesce(F.col("r2"), F.lit(0)).alias("r2"),
+                F.expr(
+                    f"CAST(((r1 - 1) * {parts}) DIV {k_prev} AS INT)"
+                ).alias("__b"),
             )
-        )
-        keys = _dense_ranks(
-            paired.select("r1", "r2").distinct(),
-            ["r1", "r2"],
-            parts=parts,
-            caches=round_caches,
-        )
-        new_ranks = (
-            paired.join(keys, ["r1", "r2"])
-            .select("pos", F.col("__rank").cast("bigint").alias("rank"))
             .localCheckpoint(eager=True)
         )
-        n_distinct = new_ranks.agg(
-            F.countDistinct("rank").alias("d")
-        ).collect()[0]["d"]
-        for c in round_caches:  # new_ranks is materialized; release
-            c.unpersist()
+        sizes = sorted(
+            (int(r["__b"]), int(r["k"]))
+            for r in paired.groupBy("__b")
+            .agg(F.countDistinct("r1", "r2").alias("k"))
+            .collect()
+        )
+        offsets: list = []
+        acc = 0
+        for bid, kk in sizes:
+            offsets.extend([F.lit(bid), F.lit(acc)])
+            acc += kk
+        om = F.create_map(*offsets) if offsets else F.create_map()
+        w = Window.partitionBy("__b").orderBy("r1", "r2")
+        new_ranks = paired.select(
+            "pos",
+            (F.element_at(om, F.col("__b")) + F.dense_rank().over(w))
+            .cast("bigint")
+            .alias("rank"),
+        )
+        if keep_levels:
+            # the LCP walk probes every level twice; materialize each
+            # so the window runs once per round, not once per probe
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
+        k_prev = max(acc, 1)
         gap *= 2
         if keep_levels:
             levels.append((gap, ranks))
-        if n_distinct == n:
+        if acc == n:
             break
     out = ranks.select("pos", F.col("rank").alias("suffix_rank"))
     return out, (levels if keep_levels else [])
@@ -334,8 +378,16 @@ def _adjacent_lcp_pairs(
         final.select(F.col("pos").alias("pos_a"), "rank")
         .join(nxt, "rank")
         .select("pos_a", "pos_b", F.lit(0).cast("bigint").alias("lcp"))
-        .localCheckpoint(eager=True)
     )
+    # The walk stays LAZY end to end (r14, guide §2.4): each level's
+    # rank table is already a checkpoint leaf and ``pairs`` feeds
+    # FORWARD exactly once per level, so lineage grows linearly (two
+    # joins per level) — unlike the doubling loop's exponential
+    # self-reference there is nothing to cut, and the old per-level
+    # eager localCheckpoint cost one job + one full materialization
+    # per level (9 levels at the default walk_cap=256). All levels
+    # now execute inside the consumer's single job as pipelined
+    # stages.
     for gap, table in reversed(levels):
         if walk_cap is not None and gap > walk_cap:
             continue
@@ -345,7 +397,7 @@ def _adjacent_lcp_pairs(
         rb = table.select(
             F.col("pos").alias("__pb"), F.col("rank").alias("__rb")
         )
-        stepped = (
+        pairs = (
             pairs.join(
                 ra, pairs["pos_a"] + pairs["lcp"] == ra["__pa"], "left"
             )
@@ -362,7 +414,6 @@ def _adjacent_lcp_pairs(
                 .alias("lcp"),
             )
         )
-        pairs = stepped.localCheckpoint(eager=True)
     return pairs
 
 
@@ -463,7 +514,12 @@ def suffix_scrub_documents(
     pairs = _adjacent_lcp_pairs(
         df, text_col, id_col, parts, max_rounds, walk_cap=max_lcp
     )
-    hits = pairs.filter(F.col("lcp") >= min_len)
+    # The walk is lazy (see _adjacent_lcp_pairs) and ``hits`` fans out
+    # into BOTH unionByName branches below — materialize it once so
+    # the whole multi-level walk executes exactly once, not twice.
+    hits = pairs.filter(F.col("lcp") >= min_len).localCheckpoint(
+        eager=True
+    )
     spans = (
         hits.select(F.col("pos_a").alias("pos"), "lcp")
         .unionByName(hits.select(F.col("pos_b").alias("pos"), "lcp"))
@@ -513,12 +569,19 @@ def suffix_scrub_documents(
             ).alias("__l"),
         )
     )
-    covered = local.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("__s"), F.col("__s") + F.col("__l") - 1)
-        ).alias("t"),
-    ).distinct()
+    covered = (
+        local.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__s"), F.col("__s") + F.col("__l") - 1)
+            ).alias("t"),
+        )
+        .distinct()
+        # consumed twice (the per-doc coverage stats AND the rebuild's
+        # anti-join) — one materialization instead of re-running the
+        # bucketized range join + interval explode per consumer
+        .localCheckpoint(eager=True)
+    )
     stats = (
         covered.groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("dup_chars"))

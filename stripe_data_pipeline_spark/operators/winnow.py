@@ -243,7 +243,12 @@ def winnow_invariants(
         .cast("bigint")
         .alias("n_kgrams"),
     ).filter(F.col("n_kgrams") >= F.lit(w))
-    j = lens.join(per, id_col)
+    # r14: ``j`` feeds both the corpus-density scalar aggregate and
+    # the final per-doc projection — one materialization instead of
+    # re-running the selection + lag-window pipeline per consumer
+    # (the branches differ in pushed filters, so exchange reuse
+    # cannot dedupe them; see winnow_shared_pairs).
+    j = lens.join(per, id_col).localCheckpoint(eager=True)
     n_windows = F.col("n_kgrams") - F.lit(w - 1)
     # scalar corpus density (1 row) broadcast back onto every doc row
     corpus = j.agg(
@@ -297,9 +302,21 @@ def winnow_shared_pairs(
     to content rarer than the cap, which is the overlap that
     matters. Pair work is bounded by max_df^2 per hash.
     """
-    sel = winnow_select(
-        df, k=k, w=w, text_col=text_col, id_col=id_col
-    ).select(id_col, "h").distinct()
+    sel = (
+        winnow_select(df, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(id_col, "h")
+        .distinct()
+        # r14 (guide §1.2): three consumers below (the df-frequency
+        # aggregate and BOTH self-join sides) each embedded their own
+        # copy of the whole selection pipeline — and the copies are
+        # NOT exchange-reusable because filter pushdown differs per
+        # branch (the join sides carry IsNotNull(doc_id), the
+        # frequency side doesn't), so the k-gram hash pass ran ~3x.
+        # One materialization of the selected set (the "land
+        # signatures in a table" shape minhash_lsh_candidates already
+        # uses) runs it once.
+        .localCheckpoint(eager=True)
+    )
     # dfreq is corpus-scaled (one row per distinct selected hash) —
     # a plain key join, NOT a broadcast; AQE may still pick one when
     # the filtered side is genuinely small.

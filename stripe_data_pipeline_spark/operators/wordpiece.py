@@ -317,52 +317,62 @@ def encode_words_wordpiece(
     words: DataFrame, pieces: list[str], word_col: str = "word"
 ) -> DataFrame:
     """MaxMatch over a DISTINCT-word relation: (word, pieces
-    array<string>). The loop is unrolled to MAX_WORD_LEN JVM steps
-    (each consumes >= 1 char); words longer than MAX_WORD_LEN or
-    hitting an unmatchable position encode to [[UNK]] — BERT's
-    WordpieceTokenizer semantics exactly."""
-    w = words.select(
-        F.col(word_col).alias("word"),
-        F.col(word_col).alias("rest"),
-        F.array().cast("array<string>").alias("toks"),
-        F.lit(False).alias("dead"),
-    )
-    for step in range(1, MAX_WORD_LEN + 1):
-        cont = step > 1
-        # Two projections per step: the when-chain lands in its own
-        # Project as attribute _p, and the consumers below reference
-        # the attribute. CollapseProject keeps them separate (an
-        # expensive expression consumed 3x is never inlined), so each
-        # step's matcher is EVALUATED ONCE per row — a single fused
-        # select would duplicate the chain into every consumer and
-        # blow the expression tree up exponentially across steps.
-        w = w.withColumn("_p", _match_step(F.col("rest"), pieces, cont))
-        skip = (F.col("rest") == "") | F.col("_p").isNull()
-        blen = F.length("_p") - F.lit(2 if cont else 0)
-        w = w.select(
-            "word",
-            F.when(skip, F.col("rest"))
-            .otherwise(
-                F.col("rest").substr(blen + F.lit(1), F.lit(MAX_WORD_LEN))
+    array<string>). Words longer than MAX_WORD_LEN or hitting an
+    unmatchable position encode to [[UNK]] — BERT's
+    WordpieceTokenizer semantics exactly.
+
+    r14 (guide §4.2): the matcher used to be MAX_WORD_LEN unrolled
+    when-chains, each a ~|vocab|-branch string-startswith cascade —
+    16 x |pieces| branches evaluated per row, an expression tree big
+    enough to defeat codegen. The relation this runs on is
+    VOCABULARY-bounded (distinct words), not corpus-sized, so one
+    Arrow mapInPandas doing greedy longest-match against two hash
+    sets is strictly cheaper at every scale and produces the same
+    pieces: pure string logic, no floats, and the same semantics —
+    longest matching body of the right continuation class consumes
+    the head (ties impossible: bodies are unique within a class), an
+    unmatchable non-empty rest is [UNK] (the unrolled loop's `dead`
+    flag), over-length words are [UNK] (the unrolled loop computed
+    then discarded the pieces), and the empty word encodes to []
+    (zero full steps). Pinned behaviorally in tests/test_wordpiece.py
+    (longest-first, roundtrip, UNK cases) and end-to-end by the
+    wordpiece_* oracles, which replay the 16-step MaxMatch in SQL."""
+    starts = {p for p in pieces if not p.startswith("##")}
+    conts = {p[2:] for p in pieces if p.startswith("##")}
+
+    def _encode(word: str) -> list[str]:
+        if len(word) > MAX_WORD_LEN:
+            return [UNK]
+        rest = word
+        toks: list[str] = []
+        cont = False
+        while rest:
+            body = None
+            for ln in range(len(rest), 0, -1):
+                cand = rest[:ln]
+                if cand in (conts if cont else starts):
+                    body = cand
+                    break
+            if body is None:
+                return [UNK]
+            toks.append("##" + body if cont else body)
+            rest = rest[len(body) :]
+            cont = True
+        return toks
+
+    def _run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ws = pdf[word_col]
+            yield pd.DataFrame(
+                {"word": ws, "pieces": [_encode(w) for w in ws]}
             )
-            .alias("rest"),
-            F.when(skip, F.col("toks"))
-            .otherwise(F.concat("toks", F.array("_p")))
-            .alias("toks"),
-            (
-                F.col("dead") | ((F.col("rest") != "") & F.col("_p").isNull())
-            ).alias("dead"),
-        )
-    return w.select(
-        "word",
-        F.when(
-            (F.length("word") > MAX_WORD_LEN)
-            | F.col("dead")
-            | (F.col("rest") != ""),
-            F.array(F.lit(UNK)),
-        )
-        .otherwise(F.col("toks"))
-        .alias("pieces"),
+
+    return words.select(F.col(word_col)).mapInPandas(
+        _run, schema="word string, pieces array<string>"
     )
 
 
