@@ -3784,8 +3784,13 @@ def q_bleu_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # planner stops broadcasting cands as the build side of the two
     # (doc, gram) match joins, degrading them to sort-merge over the
     # corpus-sized gram tables (measured 3.0 s -> 4.2 s A/B at sf0.1).
-    # The LSH pipeline below the bands checkpoint re-runs per consumer
-    # instead, which is the cheaper side of the trade.
+    # The stats-preserving temp-parquet materialization
+    # (partitioning.materialize_stats) keeps the broadcast but was
+    # ALSO measured slower (3.42 -> 3.83 A/B min-of-5): the write +
+    # read-back jobs cost more than re-running the post-checkpoint
+    # half of the LSH pipeline per consumer. The re-run is the
+    # cheaper side of the trade; the signature stage itself is
+    # already single-executed via the bands checkpoint.
     cands = D.minhash_lsh_candidates(docs).select("doc_a", "doc_b")
     ws = F.filter(F.split("text", " "), lambda t: t != "")
     toks = docs.select("doc_id", ws.alias("ws"))

@@ -106,7 +106,14 @@ def jaccard_candidate_pairs(
     # checkpointed LogicalRDD loses its size statistics, the planner
     # stops broadcasting the build side, and the block self-join
     # degrades to a sort-merge over full token arrays (measured 8.7 s
-    # -> 33 s at sf0.1). The duplicate tokenize is the cheaper evil.
+    # -> 33 s at sf0.1). The stats-preserving temp-parquet
+    # materialization (partitioning.materialize_stats) keeps the
+    # broadcast but was ALSO measured slower here (alternating
+    # same-session A/B, min-of-4: 1.26 s plain vs 1.56 s
+    # materialized) — the token-array write+read outweighs the two
+    # saved tokenize scans. The duplicate tokenize is the cheaper
+    # evil at any scale where the token arrays are the bulk of the
+    # bytes.
     base = base.join(
         block_sizes.filter(F.col("block_n") <= max_block),
         ["lang", "len_bucket"],

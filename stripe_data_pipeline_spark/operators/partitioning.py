@@ -28,3 +28,16 @@ def spread_scan(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() >= p:
         return df
     return df.repartition(p)
+
+
+# r14 optimization round: a stats-PRESERVING materialization helper
+# (write the multi-consumer relation to a temp parquet, read it back —
+# keeps file-size statistics where localCheckpoint erases them, so
+# downstream auto-broadcasts survive) was prototyped here and measured
+# on both candidates from the round's backlog. It LOST both times at
+# bench scale — jaccard block relation 1.26 s plain vs 1.56 s
+# materialized (alternating same-session min-of-4), bleu cands
+# 3.42 -> 3.83 A/B min-of-5 — because the write + read-back jobs cost
+# more than the duplicated subtree they deduplicate. Not kept; the
+# in-code notes at those two sites record the numbers so the next
+# round doesn't re-try it blind.

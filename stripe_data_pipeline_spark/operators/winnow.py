@@ -109,6 +109,19 @@ def winnow_select(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
+    # Dedup of per-window argmins WITHOUT the distinct's second
+    # exchange (r14 optimization round): the windows selecting one
+    # fingerprint (pos, h) are CONTIGUOUS in window-start order — if
+    # windows p1 < p3 select q but p2 between them selects s != q,
+    # then struct_s < struct_q and s lies either in p1's window
+    # (s < q => s >= p2 > p1, s < q <= p1+w-1) or in p3's
+    # (s > q => s > q >= p3, s <= p2+w-1 <= p3+w-1), contradicting
+    # that p1/p3 picked q. So duplicates are ADJACENT and a lag
+    # filter over the SAME (doc, pos) partitioning/ordering the frame
+    # window already established removes them with zero additional
+    # Exchange or Sort (the old .distinct() re-shuffled the selected
+    # set on (doc, pos, h)).
+    wlag = Window.partitionBy(id_col).orderBy("pos")
     sel = (
         kg.withColumn(
             "m",
@@ -117,12 +130,13 @@ def winnow_select(
             ).over(frame),
         )
         .filter(F.col("pos") <= F.col("_L") - F.lit(w - 1))
+        .withColumn("_prev", F.lag("m").over(wlag))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("m")))
         .select(
             id_col,
             (-F.col("m.negpos")).alias("pos"),
             F.col("m.h").alias("h"),
         )
-        .distinct()
     )
     return sel
 

@@ -32,6 +32,41 @@ def test_no_edges_all_singletons(spark):
     assert got == {5: 5, 6: 6}
 
 
+def test_deep_chain_pointer_jump_fixpoint(spark):
+    """r14 optimization pin: the pointer-jump rounds (armed from round
+    3) must reach the same fixpoint as plain propagation on a
+    deep-diameter graph. A 24-node chain is diameter 23 — plain
+    propagation would need 23 rounds (within one of max_iterations);
+    the jump must collapse that to a handful AND still produce the
+    component min everywhere, including at the far end of the chain."""
+    n = 24
+    ids = list(range(1, n + 1))
+    got = _run(spark, ids, [(i, i + 1) for i in range(1, n)])
+    assert got == {i: 1 for i in ids}
+
+
+def test_pointer_jump_disabled_matches(spark):
+    """jump_from past max_iterations = plain propagation; both paths
+    must agree on a branchy multi-component graph."""
+    nodes = spark.createDataFrame(
+        [(n,) for n in range(1, 13)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 2), (2, 11), (3, 7), (7, 12), (4, 8)],
+        "doc_a long, doc_b long",
+    )
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges, jump_from=99).collect()
+    }
+    jumped = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges, jump_from=2).collect()
+    }
+    assert plain == jumped
+    assert jumped[11] == 1 and jumped[12] == 3 and jumped[8] == 4
+
+
 def test_spaced_convergence_checks_same_labels(spark):
     """check_every>1 (fewer driver convergence jobs at scale) must not
     change the fixpoint: extra propagation rounds are no-ops."""

@@ -163,6 +163,30 @@ from hypothesis import HealthCheck, given, settings  # noqa: E402
 from hypothesis import strategies as st  # noqa: E402
 
 
+def test_select_output_is_duplicate_free_without_distinct(spark):
+    """r14 optimization pin: winnow_select dedups the per-window
+    argmins with an adjacency lag filter instead of a distinct (the
+    windows selecting one fingerprint are contiguous, so duplicates
+    are adjacent). A long repeated run — where one minimal k-gram wins
+    MANY consecutive windows — must still yield exactly one row per
+    selected (doc, pos, h), and the set must match a plain distinct of
+    itself."""
+    from stripe_data_pipeline_spark.operators.winnow import winnow_select
+
+    texts = [
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # maximal tie pressure
+        "abcabcabcabcabcabcabcabc zzz abcabcabc",
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for fast in (False, True):
+        rows = winnow_select(df, k=K, w=W, fast=fast).collect()
+        tups = [(r["doc_id"], r["pos"], r["h"]) for r in rows]
+        assert len(tups) == len(set(tups)), "lag dedup left duplicates"
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     texts=st.lists(
