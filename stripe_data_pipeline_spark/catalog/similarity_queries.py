@@ -1500,8 +1500,6 @@ ORDER BY h.cluster
     "the window on cluster, both linear.",
 )
 def q_preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from stripe_data_pipeline_spark.operators.kmeans import assign_clusters
     from stripe_data_pipeline_spark.operators.text import with_quality_score
 
@@ -1519,39 +1517,32 @@ def q_preference_pair_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = assigned.join(q, assigned["vec_id"] == q["doc_id"]).select(
         "cluster", "doc_id", "q_bp"
     )
-    w_hi = Window.partitionBy("cluster").orderBy(
-        F.desc("q_bp"), F.asc("doc_id")
-    )
-    w_lo = Window.partitionBy("cluster").orderBy(
-        F.asc("q_bp"), F.desc("doc_id")
-    )
-    w_n = Window.partitionBy("cluster")
-    flagged = (
-        j.withColumn("rn_hi", F.row_number().over(w_hi))
-        .withColumn("rn_lo", F.row_number().over(w_lo))
-        .withColumn("n_in", F.count(F.lit(1)).over(w_n))
-    )
-    hi = flagged.filter(F.col("rn_hi") == 1).select(
-        "cluster",
-        F.col("doc_id").alias("chosen_id"),
-        F.col("q_bp").alias("chosen_q_bp"),
-        "n_in",
-    )
-    lo = flagged.filter(F.col("rn_lo") == 1).select(
-        F.col("cluster").alias("l_cluster"),
-        F.col("doc_id").alias("rejected_id"),
-        F.col("q_bp").alias("rejected_q_bp"),
+    # r14 optimization round: the per-cluster argmax/argmin used to be
+    # TWO rank windows + a count window + a hi/lo self-join — an
+    # exchange, two full partition sorts and a join for what is a
+    # partial-aggregable reduction (the near_dup_quality_keepers
+    # pattern this catalog already documents as the right shape).
+    # chosen = max(struct(q_bp, -doc_id)) replays (q DESC, id ASC);
+    # rejected = min(struct(q_bp, -doc_id)) replays (q ASC, id DESC);
+    # identical rows, one map-side-combined shuffle, no sort, no join.
+    agg = j.groupBy("cluster").agg(
+        F.max(
+            F.struct(F.col("q_bp"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("hi"),
+        F.min(
+            F.struct(F.col("q_bp"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("lo"),
+        F.count(F.lit(1)).alias("n_in"),
     )
     return (
-        hi.join(lo, hi["cluster"] == lo["l_cluster"])
-        .filter(F.col("n_in") >= 2)
+        agg.filter(F.col("n_in") >= 2)
         .select(
             "cluster",
-            "chosen_id",
-            "rejected_id",
-            "chosen_q_bp",
-            "rejected_q_bp",
-            (F.col("chosen_q_bp") - F.col("rejected_q_bp"))
+            (-F.col("hi.neg_id")).cast("bigint").alias("chosen_id"),
+            (-F.col("lo.neg_id")).cast("bigint").alias("rejected_id"),
+            F.col("hi.q_bp").alias("chosen_q_bp"),
+            F.col("lo.q_bp").alias("rejected_q_bp"),
+            (F.col("hi.q_bp") - F.col("lo.q_bp"))
             .cast("bigint")
             .alias("margin_bp"),
             F.col("n_in").cast("bigint").alias("n_in_cluster"),

@@ -694,6 +694,18 @@ def span_scrub_documents(
     bit-exactly (catalog: span_scrubbed_docs).
     """
     base, dup_pos = _dup_span_frames(df, n, text_col, id_col, hash_keys)
+    # r14 optimization round: dup_pos feeds FOUR branches below (the
+    # stats window/agg, the covered-position explode, and — through
+    # stats — both the trim filter and the untouched anti-join), and
+    # the branches are not exchange-reusable, so each re-ran the whole
+    # gram build + min/max-owner shuffle. One eager materialization of
+    # the (id, n_tokens, pos) relation — duplicated positions only,
+    # the SMALL subset by the operator's own premise — runs it once.
+    # Its consumers are window/aggregate/anti-join shapes whose
+    # strategies AQE re-derives from runtime shuffle sizes, so the
+    # checkpoint stats-loss trap (see jaccard_candidate_pairs) does
+    # not bite here.
+    dup_pos = dup_pos.localCheckpoint(eager=True)
     w = Window.partitionBy(id_col).orderBy("pos")
     covered_len = dup_pos.withColumn("__nxt", F.lead("pos").over(w)).select(
         id_col,

@@ -83,8 +83,22 @@ def _assign_codes_expr(
     )
 
 
+def _cent_matrix(cents: dict[int, list[float]]):
+    """(sorted label list -> index map, matrix of centroid rows) for
+    the fused residual subtraction inside the Arrow passes."""
+    import numpy as np
+
+    labels = sorted(cents)
+    idx = {label: i for i, label in enumerate(labels)}
+    mat = np.asarray([cents[label] for label in labels], dtype=np.float64)
+    return idx, mat
+
+
 def _assign_codes(
-    emb: DataFrame, codebooks: list[list[list[float]]], keep: tuple = ()
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    keep: tuple = (),
+    cents: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """Vectorized encode (VERDICT r7 #7): the m x ks sub-distance
     argmins run as numpy batch ops inside one Arrow-batched
@@ -118,6 +132,20 @@ def _assign_codes(
         "dists_fp", ArrayType(LongType())
     )
     cols = ["vec_id", "embedding", *keep]
+    # r14 optimization round: optional FUSED residual subtraction —
+    # when ``cents`` (label -> coarse centroid) is given, the rows
+    # arrive RAW and x - c(label) happens here as one vectorized numpy
+    # subtract, instead of an interpreted JVM zip_with projection over
+    # every corpus row feeding this pass (HOFs don't codegen). The
+    # elementwise IEEE double subtraction is the identical operation,
+    # so codes/dists are bit-unchanged (pinned in tests/test_r14_opt).
+    # NOTE: with cents set, the emitted ``embedding`` column is the
+    # RAW vector (callers of the fused path drop it).
+    cent_pack = None
+    if cents is not None:
+        if "label" not in cols:
+            raise ValueError("fused residual encode requires label in keep")
+        cent_pack = _cent_matrix(cents)
 
     def run(batches):
         import numpy as np
@@ -128,6 +156,9 @@ def _assign_codes(
             x = np.stack(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
+            if cent_pack is not None:
+                idx, mat = cent_pack
+                x = x - mat[[idx[int(l)] for l in pdf["label"]]]
             n = len(pdf)
             codes = np.empty((n, m), dtype=np.int32)
             dists = np.empty((n, m), dtype=np.int64)
@@ -149,7 +180,9 @@ def _assign_codes(
 
 
 def _assign_partial_sums(
-    emb: DataFrame, codebooks: list[list[list[float]]]
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    cents: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """One fused Lloyd-update pass (r14, guide §2.3 "aggregate before
     you shuffle" + §4.2): assign codes AND emit per-batch PARTIAL
@@ -170,6 +203,11 @@ def _assign_partial_sums(
     ks = len(codebooks[0])
     dsub = len(codebooks[0][0])
     books = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    # fused residual subtraction (see _assign_codes): raw rows in,
+    # x - c(label) as one numpy subtract — bit-identical to the JVM
+    # zip_with projection this replaces.
+    cent_pack = _cent_matrix(cents) if cents is not None else None
+    in_cols = ["embedding"] if cent_pack is None else ["label", "embedding"]
 
     def run(batches):
         import numpy as np
@@ -181,6 +219,9 @@ def _assign_partial_sums(
             x = np.stack(
                 [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
             )
+            if cent_pack is not None:
+                idx, mat = cent_pack
+                x = x - mat[[idx[int(l)] for l in pdf["label"]]]
             fv = np.floor(x * _MEAN_SCALE + 0.5).astype(np.int64)
             recs = []
             for j in range(m):
@@ -208,7 +249,7 @@ def _assign_partial_sums(
         spread_scan,
     )
 
-    return spread_scan(emb.select("embedding")).mapInPandas(
+    return spread_scan(emb.select(*in_cols)).mapInPandas(
         run, schema="sub int, code int, spos int, s long, n long"
     )
 
@@ -255,7 +296,11 @@ def _update_codebooks(
 
 
 def train_pq(
-    emb: DataFrame, m: int = 8, ks: int = 8, iters: int = 2
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 8,
+    iters: int = 2,
+    cents: dict[int, list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks from deterministic seeds
     (subspace j of vec_id 0..ks-1). ``iters`` COUNTS THE SEEDING PASS
@@ -265,10 +310,17 @@ def train_pq(
     ``iters=1`` returns the raw seeds. Pure function of the table —
     the oracle replays it."""
     n_updates = iters - 1  # the seeding pass is iteration 1
+    # With ``cents`` set the input rows are RAW vectors and training
+    # runs over residuals x - c(label), subtracted numpy-side in the
+    # fused partial-sum pass and Python-side for the ks seed rows —
+    # the same IEEE subtraction the JVM zip_with projection performed,
+    # so the books are bit-unchanged (pinned in tests/test_r14_opt).
+    seed_cols = ["vec_id"] if cents is None else ["vec_id", "label"]
     seeds = (
         emb.filter(F.col("vec_id") < ks)
         .select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            *seed_cols,
+            F.col("embedding").cast("array<double>").alias("e"),
         )
         .collect()
     )
@@ -278,7 +330,16 @@ def train_pq(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    by_id = {r["vec_id"]: [float(x) for x in r["e"]] for r in seeds}
+    if cents is None:
+        by_id = {r["vec_id"]: [float(x) for x in r["e"]] for r in seeds}
+    else:
+        by_id = {
+            r["vec_id"]: [
+                float(x) - c
+                for x, c in zip(r["e"], cents[int(r["label"])])
+            ]
+            for r in seeds
+        }
     books = [
         [by_id[k][j * dsub : (j + 1) * dsub] for k in range(ks)]
         for j in range(m)
@@ -288,7 +349,7 @@ def train_pq(
         # one corpus scan whose Python->JVM output is m*ks*dsub
         # partials per batch, not n rows + an n*d posexplode shuffle
         rows = (
-            _assign_partial_sums(emb, books)
+            _assign_partial_sums(emb, books, cents=cents)
             .groupBy("sub", "code", "spos")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
@@ -579,14 +640,24 @@ def ivfpq_residual_topk(
         )
     )
     labels = [label for label, _ in scored_labels[:nprobe]]
-    res = residual_embeddings(emb, cent_rows)
-    books = train_pq(res, m=m, ks=ks, iters=iters)
-    cands = res.filter(F.col("label").isin(labels))
+    # r14 optimization round: the residual projection is FUSED into
+    # the Arrow passes (train_pq's partial-sum scan and the candidate
+    # encode) via ``cents`` — the interpreted zip_with map-literal
+    # projection (residual_embeddings) evaluated x - c(label) over
+    # every corpus row TWICE (once per pass); the numpy subtract is
+    # the identical IEEE operation at C speed, so books and codes are
+    # bit-unchanged (tests/test_r14_opt.py pins the parity).
+    cent_map = {
+        label: [comp[i] for i in range(len(comp))]
+        for label, comp in by_label.items()
+    }
+    books = train_pq(emb, m=m, ks=ks, iters=iters, cents=cent_map)
+    cands = emb.filter(F.col("label").isin(labels))
     if exclude_id is not None:
         cands = cands.filter(F.col("vec_id") != exclude_id)
-    codes = _assign_codes(cands, books, keep=("label",)).select(
-        "vec_id", "label", "codes"
-    )
+    codes = _assign_codes(
+        cands, books, keep=("label",), cents=cent_map
+    ).select("vec_id", "label", "codes")
     cent_arr: dict[int, dict[int, float]] = {}
     for r in cent_rows:
         cent_arr.setdefault(int(r["label"]), {})[int(r["pos"])] = float(

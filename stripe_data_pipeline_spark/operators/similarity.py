@@ -89,36 +89,62 @@ def cosine_near_dup_pairs(
     the cap, re-quantize with more centroids (finer blocks) or band on
     quantized embedding prefixes — don't raise the cap.
 
-    Norms are precomputed per row so the pair stage evaluates exactly
-    one dot product; the repartition barrier before the threshold
-    filter keeps Catalyst from pushing the fold into the join
-    condition (same lesson as dedup.jaccard_candidate_pairs).
+    r14 optimization (guide §4.2, the semdedup treatment): the
+    per-block pair stage used to be a JVM self-join — base shuffled
+    twice, every candidate pair evaluating an INTERPRETED 2d-term
+    F.aggregate fold (HOFs don't enter whole-stage codegen), plus a
+    scalar-barrier repartition. It is now ONE shuffle (groupBy blk)
+    into an Arrow applyInPandas that reproduces the exact IEEE
+    sequence vectorized over the pair matrix: the left-fold dot
+    ((0 + a1*b1) + a2*b2) + ... is accumulated DIMENSION BY DIMENSION
+    (acc = acc + outer(x_i, x_i)), nrm = sqrt(diag) is the same
+    _norm fold, and the cosine divides by the na*nb product in the
+    same order — so every emitted value is bit-identical to the fold
+    the DuckDB oracles replay. Scale shape unchanged: pair work stays
+    confined to <= max_block rows per group.
     """
     emb = _as_double(F.col("embedding"))
     base = df.select(
-        "vec_id", F.col(block_col).alias("blk"), emb.alias("e"), _norm(emb).alias("nrm")
+        "vec_id", F.col(block_col).alias("blk"), emb.alias("e")
     )
     block_sizes = base.groupBy("blk").agg(F.count(F.lit(1)).alias("block_n"))
     base = base.join(
         block_sizes.filter(F.col("block_n") <= max_block), ["blk"], "inner"
     ).drop("block_n")
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    a = base.repartition(parallelism).alias("a")
-    b = base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-    stats = pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        _dot(F.col("a.e"), F.col("b.e")).alias("dot"),
-        (F.col("a.nrm") * F.col("b.nrm")).alias("nn"),
-    ).repartition(parallelism)
-    return (
-        stats.withColumn("cosine_sim", F.col("dot") / F.col("nn"))
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("vec_a", "vec_b", "cosine_sim")
+    thr = float(threshold)
+    id_field = df.schema["vec_id"].dataType.simpleString()
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "cosine_sim": []}
+            )
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["e"]])
+        ids = pdf["vec_id"].to_numpy()
+        acc = np.zeros((n, n), dtype=np.float64)
+        for i in range(x.shape[1]):
+            acc = acc + np.multiply.outer(x[:, i], x[:, i])
+        nrm = np.sqrt(np.diagonal(acc))
+        cos = acc / np.multiply.outer(nrm, nrm)
+        lower = ids[:, None] < ids[None, :]
+        # Spark orders NaN GREATER than any value, so a zero-norm
+        # pair's NaN cosine passes `>= threshold` there; replicate.
+        ai, bi = np.nonzero(lower & ((cos >= thr) | np.isnan(cos)))
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ai],
+                "vec_b": ids[bi],
+                "cosine_sim": cos[ai, bi],
+            }
+        )
+
+    return base.groupBy("blk").applyInPandas(
+        _pairs,
+        schema=f"vec_a {id_field}, vec_b {id_field}, cosine_sim double",
     )
 
 

@@ -86,6 +86,15 @@ def winnow_select(
     """
     from pyspark.sql import Window
 
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
+    # r14 optimization round (guide §2.5 input skew — the same fix the
+    # media codec family got): the k-gram explode + hash projection
+    # runs BEFORE the window's exchange, so on a single-file local
+    # scan the whole hash pass pinned to ONE core (measured 2.6 s
+    # single-core for the md5 stage alone; parallel ~0.2 s). A real
+    # many-file corpus scan passes through untouched.
+    df = spread_scan(df)
     n_kg = F.length(F.col(text_col)) - F.lit(k) + F.lit(1)
     kg = (
         df.select(

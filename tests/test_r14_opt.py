@@ -66,6 +66,50 @@ def test_train_pq_partial_sums_match_two_step_reference(spark):
     assert got_books == ref_books  # bit-exact floats, not approx
 
 
+def test_fused_residual_training_and_encode_match_zipwith_reference(spark):
+    """r14 optimization pin: ivfpq's residual subtraction is fused
+    into the Arrow passes (numpy x - c(label)) instead of the
+    interpreted zip_with projection (residual_embeddings). Books from
+    train_pq(raw, cents=...) and codes from _assign_codes(raw,
+    cents=...) must be BIT-identical to running both over the
+    zip_with-projected residual relation."""
+    from stripe_data_pipeline_spark.operators.pq import (
+        _assign_codes,
+        residual_embeddings,
+        train_pq,
+    )
+    from stripe_data_pipeline_spark.operators.similarity import centroids
+
+    emb = _emb_df(spark)
+    cent_rows = centroids(emb).collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r["label"]), {})[int(r["pos"])] = float(
+            r["c"]
+        )
+    cent_map = {
+        label: [comp[i] for i in range(len(comp))]
+        for label, comp in by_label.items()
+    }
+
+    res = residual_embeddings(emb, cent_rows)
+    ref_books = train_pq(res, m=4, ks=8, iters=2)
+    got_books = train_pq(emb, m=4, ks=8, iters=2, cents=cent_map)
+    assert got_books == ref_books  # bit-exact floats
+
+    ref_codes = {
+        r["vec_id"]: (list(r["codes"]), list(r["dists_fp"]))
+        for r in _assign_codes(res, ref_books, keep=("label",)).collect()
+    }
+    got_codes = {
+        r["vec_id"]: (list(r["codes"]), list(r["dists_fp"]))
+        for r in _assign_codes(
+            emb, got_books, keep=("label",), cents=cent_map
+        ).collect()
+    }
+    assert got_codes == ref_codes
+
+
 def test_maxsim_matches_expression_reference(spark):
     from stripe_data_pipeline_spark.operators.similarity import (
         _as_double,
