@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from stripe_data_pipeline_spark.catalog.registry import QUERIES, register
 from stripe_data_pipeline_spark.io import read_table
 from stripe_data_pipeline_spark.operators import corpus as C
+from stripe_data_pipeline_spark.operators.partitioning import spread_scan
 
 _BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
 
@@ -80,7 +81,11 @@ def q_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stripe_data_pipeline_spark.operators.udtfs import register_udtfs
 
     register_udtfs(spark)
-    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+    # r14 optimization round (guide §2.5): the Arrow UDTF evaluates in
+    # the scan's stage, so a single-file scan ran every chunk
+    # expansion in ONE Python worker (sf1 ratio 8x). Spread first; a
+    # many-file corpus passes through untouched.
+    spread_scan(read_table(spark, sf_dir, "documents")).createOrReplaceTempView(
         "__udtf_docs"
     )
     return spark.sql(
@@ -955,6 +960,11 @@ def q_bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stripe_data_pipeline_spark.operators.dedup import normalized_text
 
+    # r14 optimization round note: spreading this scan (guide §2.5)
+    # was measured and REVERTED — ``fp`` fans into the blocklist-build
+    # branch (a driver collect for the bloom bits) and the probe
+    # branch, so the spread round-robined the full text into both and
+    # cost 2.77 -> 3.44 s A/B at sf0.1 for only 12.3 -> 10.7 s at sf1.
     docs = read_table(spark, sf_dir, "documents")
     fp = docs.select("doc_id", F.md5(normalized_text()).alias("fingerprint"))
     bl = fp.filter(F.col("doc_id") % 10 == 0).select("fingerprint")
@@ -1775,7 +1785,14 @@ def q_html_extracted_text_check(
 ) -> DataFrame:
     from stripe_data_pipeline_spark.operators.html import extract_main_text
 
-    pages = _html_fixture_pages(read_table(spark, sf_dir, "documents"))
+    # r14 optimization round (guide §2.5): the fixture-build + the
+    # whole extraction regexp chain are one narrow projection with no
+    # exchange anywhere, so a single-file local scan pinned it all to
+    # one core (sf1 ratio 8.5x). A many-file crawl passes through
+    # spread_scan untouched — the no-shuffle-at-scale contract stands.
+    pages = _html_fixture_pages(
+        spread_scan(read_table(spark, sf_dir, "documents"))
+    )
     return extract_main_text(pages, "html").select(
         "doc_id", "n_blocks", "n_blocks_kept", "main_text", "n_chars_kept"
     )

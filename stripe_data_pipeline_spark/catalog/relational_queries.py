@@ -4285,6 +4285,7 @@ FROM ks WHERE k % 20 = 0
 def q_url_canonical_dedup_check(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
     from stripe_data_pipeline_spark.operators.urlnorm import canonicalize_url
 
     k = F.col("k")
@@ -4339,8 +4340,16 @@ def q_url_canonical_dedup_check(
             kstr,
         ).alias("raw_url")
     )
+    # r14 optimization round (guide §2.5): the canonicalizer's regexp
+    # chain evaluates BEFORE the dedup groupBy's exchange, so on the
+    # single-file local fixture the whole normalization pass ran on
+    # one core (sf1 11.3 s -> 2.9 s after the spread). Spread the
+    # union ONCE — spreading `ks` would duplicate the round-robin into
+    # both union branches — and a many-file production frontier scan
+    # passes through spread_scan untouched, keeping the documented
+    # one-keyed-shuffle scale shape.
     return (
-        pairs.unionAll(singles)
+        spread_scan(pairs.unionAll(singles))
         .withColumn("canonical_url", canonicalize_url(F.col("raw_url")))
         .groupBy("canonical_url")
         .agg(

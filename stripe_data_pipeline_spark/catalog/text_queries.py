@@ -2340,9 +2340,14 @@ FROM denc GROUP BY doc_id
 def q_unigram_encoded_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stripe_data_pipeline_spark.operators.unigram import SEP
 
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
     _, _, segs = _uni_trained(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
-    dtoks = docs.select(
+    # r14 optimization round (guide §2.5): split + explode + the join
+    # probe evaluate before the doc regroup's exchange — spread the
+    # single-file local scan first (many-file corpora pass through).
+    dtoks = spread_scan(docs).select(
         "doc_id",
         F.posexplode(
             F.filter(F.split("text", " "), lambda t: t != "")
@@ -3996,6 +4001,11 @@ WHERE CAST(('0x' || substr(md5(bc.w1 || ' ' || bc.w2), 1, 8)) AS BIGINT)
     "bounds the output.",
 )
 def q_kneser_ney_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 optimization round note: spreading this scan (guide §2.5)
+    # was measured TWICE and REVERTED — A/B 0.8-1.0 s -> 1.5-1.8 s at
+    # sf0.1 (for -25% at sf1): the bigram explode is cheap relative to
+    # the count groupBy, so the extra round-robin stage is pure
+    # overhead, unlike the tokenizer encodes' probe-heavy streams.
     t = read_table(spark, sf_dir, "documents").select(
         F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias(
             "toks"

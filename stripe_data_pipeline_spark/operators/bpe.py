@@ -568,10 +568,16 @@ def encode_documents_by_word(
     the per-occurrence cost to a plain hash join. Docs with zero
     eligible words drop (no occurrence rows), matching
     encode_documents' size filter."""
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
     words = encode_words_table(df, merges, text_col)
     if broadcast_words:
         words = F.broadcast(words)
-    occ = df.select(
+    # r14 optimization round (guide §2.5): the occurrence stream's
+    # split + explode + broadcast probe all evaluate BEFORE the doc
+    # regroup's exchange, so a single-file local scan pinned them to
+    # one core; spread first (a many-file corpus passes through).
+    occ = spread_scan(df).select(
         F.col(id_col), F.posexplode(clean_words(text_col)).alias("pos", "word")
     )
     return (

@@ -71,7 +71,15 @@ def connected_components(
         .select("p.u", "p.v")
         .distinct()
     )
-    und = und.localCheckpoint(eager=True)
+    # r14 optimization round (guide §2.4 "two operations keyed the
+    # same way can share one exchange"): every round joins und on
+    # ``v``, but the distinct leaves it hash-partitioned on (u, v) —
+    # so EVERY round re-shuffled the whole edge table. One re-key to
+    # ``v`` before the checkpoint (DataFrame.localCheckpoint preserves
+    # the output partitioning in the LogicalRDD) lets each round's
+    # join reuse the layout and shuffle only the node-sized label
+    # table.
+    und = und.repartition(F.col("v")).localCheckpoint(eager=True)
 
     labels = nodes.select(
         F.col(node_col).alias("u"), F.col(node_col).alias("label")

@@ -800,7 +800,10 @@ def segment_dedup_documents(
     state, no quadratic stage; a duplicated segment costs the same as
     a unique one.
     """
-    toks = df.select(
+    # r14 optimization round (guide §2.5): the tokenize + posexplode
+    # evaluate before the first exchange — spread a narrow local scan
+    # first (many-file corpora pass through untouched).
+    toks = _spread(df).select(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("__i", "__tok")
     )
     seg = (
@@ -875,7 +878,11 @@ def span_corruption_pairs(
     replays it bit-exactly.
     """
     w = Window.partitionBy(id_col).orderBy("__i")
-    toks = df.select(
+    # r14 optimization round (guide §2.5): tokenize + posexplode (and
+    # the md5 trigger projection) evaluate before the window exchange
+    # — spread a narrow local scan first (many-file corpora pass
+    # through untouched).
+    toks = _spread(df).select(
         F.col(id_col), F.posexplode(_tokens(text_col)).alias("__i0", "__tok")
     ).select(
         F.col(id_col), (F.col("__i0") + 1).alias("__i"), "__tok"

@@ -166,6 +166,13 @@ def label_propagation(
             ).alias("p")
         )
         .select("p.src", "p.dst")
+        # r14 optimization round (guide §2.4, the connected_components
+        # re-key): every round joins sym on ``src``, so materialize it
+        # ALREADY hash-partitioned by src (localCheckpoint preserves
+        # the partitioning) — each round then shuffles only the
+        # node-sized label vector, not the 2|E| edge rows. pagerank's
+        # ew gets this for free from its outdeg window partitioning.
+        .repartition(F.col("src"))
         .localCheckpoint(eager=True)
     )
     # every node has >= 1 neighbor by construction (each edge emits

@@ -450,6 +450,13 @@ def lm_doc_scores(
     Because the model is self-trained, every doc bigram exists in the
     table (count >= 1), so the joins are inner and lossless.
     """
+    # r14 optimization round note: spreading this scan (guide §2.5)
+    # was measured and REVERTED — ``toks`` fans into four branches
+    # (uni, doc_pairs, first, rest), so the spread added a round-robin
+    # exchange per branch and lm_perplexity_scores went 1.6 -> 2.2 s
+    # A/B (ccnet +0.6 s) for only -7% at sf1. The pre-exchange work
+    # here is a cheap split+explode, unlike the tokenizer encodes'
+    # probe-heavy occurrence streams where the same spread won 60%.
     toks = df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias(

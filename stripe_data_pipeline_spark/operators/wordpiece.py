@@ -386,11 +386,17 @@ def encode_documents_wordpiece(
     broadcast-join the occurrence stream back, one doc regroup —
     bpe.encode_documents_by_word's shape with the WordPiece matcher.
     Docs with zero eligible words drop (no occurrence rows)."""
+    from stripe_data_pipeline_spark.operators.partitioning import spread_scan
+
     words = df.select(
         F.explode(clean_words_wp(text_col)).alias("word")
     ).distinct()
     enc = F.broadcast(encode_words_wordpiece(words, pieces))
-    occ = df.select(
+    # r14 optimization round (guide §2.5): the occurrence stream's
+    # split + explode + broadcast probe all evaluate BEFORE the doc
+    # regroup's exchange, so a single-file local scan pinned them to
+    # one core; spread first (a many-file corpus passes through).
+    occ = spread_scan(df).select(
         F.col(id_col),
         F.posexplode(clean_words_wp(text_col)).alias("pos", "word"),
     )

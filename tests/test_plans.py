@@ -502,10 +502,14 @@ def test_recursive_cte_uses_union_loop(spark, sf_dir):
 
 
 def test_html_extraction_is_single_projection(spark, sf_dir):
-    """Main-content extraction must fuse into the scan: no shuffle,
-    no Python boundary — one narrow projection at any scale."""
+    """Main-content extraction must fuse into the scan: no KEYED
+    shuffle, no Python boundary — one narrow projection at any scale.
+    The r14 spread_scan adds a round-robin exchange on the
+    single-file fixture only (a many-file crawl passes through), so
+    the pin forbids hash/range exchanges rather than all exchanges."""
     p = plan(spark, sf_dir, "html_extracted_text_check")
-    assert "Exchange" not in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
@@ -567,7 +571,14 @@ def test_url_canonicalize_is_jvm_projection_plus_one_exchange(
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "regexp_replace" in p  # the normalizer inlined, not opaque
     assert "partial_count" in p or "partial_min" in p
-    assert p.count("Exchange") == 1  # the canonical-key group-by
+    # exactly ONE hash exchange (the canonical-key group-by); the
+    # r14 spread_scan adds at most one round-robin exchange of the
+    # raw urls on the single-file fixture only (a many-file frontier
+    # scan passes through with no extra exchange), so pin the keyed
+    # exchange counts instead of the raw count.
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Exchange rangepartitioning") == 0
+    assert p.count("Exchange RoundRobinPartitioning") <= 1
     assert "CartesianProduct" not in p
 
 
