@@ -2217,7 +2217,16 @@ def q_pagerank_customer_supplier(
     )
 
     li = read_table(spark, sf_dir, "lineitem")
-    o = read_table(spark, sf_dir, "orders")
+    # r15 (guide §3.1 "pick the join strategy deliberately"): at sf1
+    # the planner's size estimate auto-broadcast the projected orders
+    # side (1.5M rows / ~24 MB) and the per-run driver-side hash-
+    # relation build dominated the edge derivation — join+distinct
+    # measured 8.1 s broadcast vs 3.2 s shuffled-hash. Both sides of
+    # an orders x lineitem edge join are fact tables, so shuffled-hash
+    # is also the 100 TB-correct preference; the hint expresses
+    # exactly that without forbidding broadcast for genuinely tiny
+    # inputs elsewhere.
+    o = read_table(spark, sf_dir, "orders").hint("shuffle_hash")
     pairs = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
