@@ -927,12 +927,27 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = read_table(spark, sf_dir, "supplier")
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
-    return (
-        F.broadcast(r)
-        .join(n, n["n_regionkey"] == r["r_regionkey"])
+    # r15 (guide §3.1): hint the WHOLE dim chain broadcast, not just
+    # region — with only the leaf hinted, the planner's post-join size
+    # estimate ballooned and it SORT-MERGE-joined the 10k-row
+    # region x nation x supplier result against lineitem, shuffling
+    # and sorting the whole fact table on l_suppkey. It then
+    # auto-BROADCAST the 1.5M-row projected orders side, paying a
+    # slow driver-side hash-relation build per run; orders x lineitem
+    # is fact x fact, so shuffled-hash is the deliberate (and
+    # 100 TB-correct) strategy. Measured at sf1: 8.1 -> 4.0 s,
+    # plan SMJ(lineitem) -> BHJ(dims) and BHJ(orders) -> SHJ(orders);
+    # result row-identical.
+    dims = F.broadcast(
+        r.join(n, n["n_regionkey"] == r["r_regionkey"])
         .join(s, s["s_nationkey"] == n["n_nationkey"])
-        .join(li, li["l_suppkey"] == s["s_suppkey"])
-        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .select("r_name", "s_suppkey")
+    )
+    return (
+        li.join(dims, li["l_suppkey"] == dims["s_suppkey"])
+        .join(
+            o.hint("shuffle_hash"), o["o_orderkey"] == li["l_orderkey"]
+        )
         .groupBy(
             F.col("r_name").alias("region"),
             F.year("o_orderdate").alias("order_year"),
