@@ -19,10 +19,11 @@ def spread_scan(df: DataFrame) -> DataFrame:
     count reads >= defaultParallelism even when AQE will execute far
     fewer tasks, so the spread is skipped exactly when it is needed —
     and when a genuine barrier is the goal (e.g. pinning one
-    evaluation of an expensive expression, see jaccard_verify /
-    cosine_near_dup_pairs) use an unconditional ``repartition``
-    instead. For file-source leaves the count is the real split count
-    and the decision is sound.
+    evaluation of an expensive expression, see jaccard_verify; the
+    cosine pair stages moved to groupBy+applyInPandas in r14 and no
+    longer need one) use an unconditional ``repartition`` instead.
+    For file-source leaves the count is the real split count and the
+    decision is sound.
     """
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= p:

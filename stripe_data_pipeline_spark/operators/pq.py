@@ -158,7 +158,18 @@ def _assign_codes(
             )
             if cent_pack is not None:
                 idx, mat = cent_pack
-                x = x - mat[[idx[int(l)] for l in pdf["label"]]]
+                try:
+                    rows = [idx[int(l)] for l in pdf["label"]]
+                except KeyError as e:
+                    # precondition: cents must cover every label in the
+                    # batch (they come from centroids() over the same
+                    # table today) — fail with the offending label, not
+                    # a bare KeyError deep in the Arrow worker
+                    raise ValueError(
+                        f"residual encode: label {e.args[0]!r} has no "
+                        "centroid in cents"
+                    ) from e
+                x = x - mat[rows]
             n = len(pdf)
             codes = np.empty((n, m), dtype=np.int32)
             dists = np.empty((n, m), dtype=np.int64)
@@ -221,7 +232,18 @@ def _assign_partial_sums(
             )
             if cent_pack is not None:
                 idx, mat = cent_pack
-                x = x - mat[[idx[int(l)] for l in pdf["label"]]]
+                try:
+                    rows = [idx[int(l)] for l in pdf["label"]]
+                except KeyError as e:
+                    # precondition: cents must cover every label in the
+                    # batch (they come from centroids() over the same
+                    # table today) — fail with the offending label, not
+                    # a bare KeyError deep in the Arrow worker
+                    raise ValueError(
+                        f"residual encode: label {e.args[0]!r} has no "
+                        "centroid in cents"
+                    ) from e
+                x = x - mat[rows]
             fv = np.floor(x * _MEAN_SCALE + 0.5).astype(np.int64)
             recs = []
             for j in range(m):

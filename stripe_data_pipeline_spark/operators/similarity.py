@@ -87,7 +87,11 @@ def cosine_near_dup_pairs(
     ``max_bucket``. One hot cluster label at corpus scale would
     otherwise be an uncapped O(B²) self-join; when a corpus overflows
     the cap, re-quantize with more centroids (finer blocks) or band on
-    quantized embedding prefixes — don't raise the cap.
+    quantized embedding prefixes — don't raise the cap. Raising it is
+    also a MEMORY cliff, not just a compute one (ADVICE r14): the
+    Arrow pair stage below materializes an n×n float64 matrix plus d
+    outer-product temporaries per block (~8 MB at the default 1000;
+    quadratic beyond), where the old JVM join streamed pairs.
 
     r14 optimization (guide §4.2, the semdedup treatment): the
     per-block pair stage used to be a JVM self-join — base shuffled

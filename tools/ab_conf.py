@@ -43,6 +43,12 @@ def start(env_extra: dict, runs: int) -> subprocess.Popen:
         line = p.stdout.readline()
         if line.strip() == "READY":
             return p
+        if line == "" or p.poll() is not None:
+            # EOF: the runner died before READY (stderr goes to
+            # DEVNULL, so re-run it by hand to see the traceback)
+            raise RuntimeError(
+                f"runner session exited rc={p.poll()} before READY"
+            )
 
 
 def ask(p, name):
@@ -52,6 +58,11 @@ def ask(p, name):
         line = p.stdout.readline()
         if line.startswith("RESULT "):
             return json.loads(line[7:])
+        if line == "" or p.poll() is not None:
+            raise RuntimeError(
+                f"runner session died (rc={p.poll()}) while measuring "
+                f"{name!r}"
+            )
 
 
 def main():
