@@ -22,12 +22,46 @@ def con(sf_dir):
     return duck_con(sf_dir)
 
 
+# marked slow (r15, VERDICT r14 #2): ~16 min of the suite's ~30 — the
+# single reason the driver's pytest window truncated in r14. The sweep
+# duplicates the driver's own rotating 50-query oracle gate; it stays
+# the full-coverage backstop for the builder's closing run (-m "").
+@pytest.mark.slow
 @pytest.mark.parametrize("name", list(QUERIES))
 def test_full_catalog_oracle_parity(spark, con, sf_dir, name):
     errs = check_query(spark, con, QUERIES[name], sf_dir)
     assert not errs, errs
 
 
+# Fast sampled-parity smoke kept in the DEFAULT run: a deterministic
+# slice of cheap queries spanning the big families, so the oracle
+# comparison machinery (canonicalization, hashing, duck_con fixtures)
+# is still exercised inside the driver's window even though the full
+# sweep above is opt-in.
+_SMOKE = [
+    "pricing_summary",
+    "fx_literal_dim",
+    "calendar_dim",
+    "grouped_stats",
+    "heavy_hitter_tokens",
+    "gopher_quality_flags",
+    "events_in_list",
+    "url_functions_check",
+    "dataset_split_counts",
+    "doc_first_last_token",
+]
+
+
+@pytest.mark.parametrize("name", [q for q in _SMOKE if q in QUERIES])
+def test_sampled_oracle_parity_smoke(spark, con, sf_dir, name):
+    errs = check_query(spark, con, QUERIES[name], sf_dir)
+    assert not errs, errs
+
+
+# marked slow with the sweep above (pure-DuckDB, ~5 min at sf0.01): a
+# vacuous oracle can only be INTRODUCED by editing oracle SQL, which
+# the builder's closing -m "" run covers.
+@pytest.mark.slow
 def test_no_oracle_check_is_vacuous():
     """A 0-row oracle makes the driver's value-hash comparison pass on
     two empty relations — which is how a 5-token-slice bug hid in the
