@@ -623,16 +623,36 @@ def load_baseline(path: str = BASELINE_PATH) -> dict | None:
         return None
 
 
+def _cpu_scale(baseline: dict, cpus: int | None) -> float:
+    """Pin headroom multiplier for core-count-varying runs (VERDICT
+    r14 #2): every pin was measured at ``pinned_cpus`` (32); the
+    driver ALSO probes at a lower core count, where a genuinely
+    parallel query is legitimately up to pinned_cpus/cpus slower —
+    r14's 8-core probe tripped url_canonical's sf1 pin (9.34s vs a
+    4.0 pin set at 32 cores) for exactly that reason. Scale the
+    allowed threshold by the core ratio instead of skipping the gate
+    outright, so a low-core probe still catches order-of-magnitude
+    plan regressions. Never shrinks the headroom when run with MORE
+    cores than the pin (pins stay honest floors)."""
+    pinned_cpus = baseline.get("pinned_cpus")
+    if not pinned_cpus or not cpus:
+        return 1.0
+    return max(1.0, float(pinned_cpus) / float(cpus))
+
+
 def check_regressions(
-    timings: dict[str, float], baseline: dict | None
+    timings: dict[str, float], baseline: dict | None, cpus: int | None = None
 ) -> list[str]:
     """Regression guard: names of queries slower than
-    ``regression_factor`` x their pinned baseline seconds. Queries
-    without a pinned number (new this round) are skipped. Pure
-    function so tests can fire it with fabricated timings."""
+    ``regression_factor`` x their pinned baseline seconds (scaled by
+    the core ratio when the run uses fewer cpus than the pins were
+    measured at — see _cpu_scale). Queries without a pinned number
+    (new this round) are skipped. Pure function so tests can fire it
+    with fabricated timings."""
     if not baseline:
         return []
     factor = float(baseline.get("regression_factor", 2.0))
+    factor *= _cpu_scale(baseline, cpus)
     pinned = baseline.get("queries", {})
     return [
         name
@@ -642,7 +662,7 @@ def check_regressions(
 
 
 def check_sf1_regressions(
-    sf1_spot: dict | None, baseline: dict | None
+    sf1_spot: dict | None, baseline: dict | None, cpus: int | None = None
 ) -> list[str]:
     """sf1 linearity gate (VERDICT r6 #6): the sf1 spot used to be
     informational only, so superlinear drift at 10x data would never
@@ -658,6 +678,7 @@ def check_sf1_regressions(
             "sf1_regression_factor", baseline.get("regression_factor", 2.0)
         )
     )
+    factor *= _cpu_scale(baseline, cpus)
     pinned = baseline.get("sf1_queries", {})
     return [
         name
@@ -743,14 +764,17 @@ def main() -> None:
     # like-for-like as the headline set grows.
     r1_subset = round(sum(timings[n] for n in HEADLINE[:17] if n in timings), 3)
     baseline = load_baseline()
-    regressions = check_regressions(timings, baseline)
+    # defaultParallelism == the local[$SPARK_GRAFT_CPUS] core count —
+    # the same number the pins' _cpu_scale headroom is keyed on.
+    cpus = spark.sparkContext.defaultParallelism
+    regressions = check_regressions(timings, baseline, cpus)
     if regressions:
         factor = (baseline or {}).get("regression_factor", 2.0)
         print(
             f"bench REGRESSION (> {factor}x pinned baseline): {regressions}",
             file=sys.stderr,
         )
-    sf1_regressions = check_sf1_regressions(sf1_spot, baseline)
+    sf1_regressions = check_sf1_regressions(sf1_spot, baseline, cpus)
     if sf1_regressions:
         print(
             f"bench sf1 REGRESSION (superlinear drift at 10x): "

@@ -442,51 +442,81 @@ def lm_doc_scores(
     ln-parity pattern). Lower nll_fp/n_scored = more predictable
     text; the filterable artifact is (doc_id, n_scored, nll_fp).
 
-    Plan shape: two corpus token passes build the count tables
-    (partial-combined groupBys on token / token-pair keys), then doc
-    scoring is one pair-explode joined against the bigram and
-    prev-unigram counts plus a broadcast (N, V) singleton — linear
-    shuffles on corpus-proportional keys, no quadratic surface.
-    Because the model is self-trained, every doc bigram exists in the
-    table (count >= 1), so the joins are inner and lossless.
+    Plan shape (r15 optimization round, guide §1.2/§2.3 — VERDICT r14
+    #8): ONE corpus pass. A single explode emits, per doc, a sentinel
+    row (p=NULL, w=first token) plus one row per adjacent pair,
+    grouped into ``doc_tf = (doc, p, w, k)`` and materialized once
+    (eager localCheckpoint — the in-session analogue of the staging
+    table a real corpus pipeline would land; the r14 shape re-executed
+    the scan+split+explode subtree once per branch, 4 times). Every
+    model table then derives from doc_tf without touching text again:
+
+      uni(w)  = sum k over ALL rows — every token occurrence is either
+                first-of-doc (sentinel) or the second element of
+                exactly one adjacent pair, so the sum is the exact
+                occurrence count;
+      bi(p,w) = sum k over non-sentinel rows;
+      (N, V)  = from uni.
+
+    Scoring joins doc_tf back against bi/uni and weights each distinct
+    (doc,p,w)'s term by k: term_fp is a pure function of (p,w), so
+    ``sum(k * term_fp)`` replicates the old one-row-per-occurrence
+    integer sum exactly (integer multiply == repeated addition), and
+    ``n_scored = sum k`` likewise. Verified bit-identical on 50k sf1
+    docs and in tests. Because the model is self-trained, every doc
+    bigram exists in the table (count >= 1), so the joins are inner
+    and lossless.
+
+    (r14 note kept for the record: spreading this scan (guide §2.5)
+    was measured and REVERTED under the old 4-branch shape —
+    lm_perplexity_scores 1.6 -> 2.2 s A/B. With the single-pass shape
+    the scan feeds one explode and the question is moot.)
     """
-    # r14 optimization round note: spreading this scan (guide §2.5)
-    # was measured and REVERTED — ``toks`` fans into four branches
-    # (uni, doc_pairs, first, rest), so the spread added a round-robin
-    # exchange per branch and lm_perplexity_scores went 1.6 -> 2.2 s
-    # A/B (ccnet +0.6 s) for only -7% at sf1. The pre-exchange work
-    # here is a cheap split+explode, unlike the tokenizer encodes'
-    # probe-heavy occurrence streams where the same spread won 60%.
     toks = df.select(
         F.col(id_col),
         F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias(
             "t"
         ),
     ).filter(F.size("t") > 0)
-    uni = (
-        toks.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    stats = uni.agg(
-        F.sum("cu").alias("N"), F.count(F.lit(1)).alias("V")
-    )
     pairs_col = F.zip_with(
         F.slice(F.col("t"), 1, F.size("t") - 1),
         F.slice(F.col("t"), 2, F.size("t") - 1),
         lambda a, b: F.struct(a.alias("p"), b.alias("w")),
     )
-    doc_pairs = toks.select(
-        id_col, F.explode(pairs_col).alias("pw")
+    rows = toks.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit(None).cast("string").alias("p"),
+                        F.element_at("t", 1).alias("w"),
+                    )
+                ),
+                pairs_col,
+            )
+        ).alias("pw"),
     ).select(id_col, F.col("pw.p").alias("p"), F.col("pw.w").alias("w"))
-    bi = doc_pairs.groupBy("p", "w").agg(F.count(F.lit(1)).alias("cb"))
-    # first-token unigram term per doc
+    doc_tf = (
+        rows.groupBy(id_col, "p", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=True)
+    )
+    uni = doc_tf.groupBy("w").agg(F.sum("k").alias("cu"))
+    stats = uni.agg(F.sum("cu").alias("N"), F.count(F.lit(1)).alias("V"))
+    bi = (
+        doc_tf.filter(F.col("p").isNotNull())
+        .groupBy("p", "w")
+        .agg(F.sum("k").alias("cb"))
+    )
+    # first-token unigram term per doc (sentinel rows)
     first = (
-        toks.select(id_col, F.element_at("t", 1).alias("w"))
+        doc_tf.filter(F.col("p").isNull())
         .join(uni, "w")
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
+            F.col("k"),
             F.floor(
                 -F.log(
                     (F.col("cu") + 1).cast("double")
@@ -501,11 +531,13 @@ def lm_doc_scores(
     )
     # bigram terms: join pair counts + the PREVIOUS token's unigram
     rest = (
-        doc_pairs.join(bi, ["p", "w"])
+        doc_tf.filter(F.col("p").isNotNull())
+        .join(bi, ["p", "w"])
         .join(uni.select(F.col("w").alias("p"), F.col("cu").alias("cp")), "p")
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
+            F.col("k"),
             F.floor(
                 -F.log(
                     (F.col("cb") + 1).cast("double")
@@ -522,8 +554,8 @@ def lm_doc_scores(
         first.unionByName(rest)
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
-            F.sum("term_fp").cast("bigint").alias("nll_fp"),
+            F.sum("k").cast("bigint").alias("n_scored"),
+            F.sum(F.col("k") * F.col("term_fp")).cast("bigint").alias("nll_fp"),
         )
     )
 

@@ -110,3 +110,37 @@ def test_summary_line_fits_driver_tail_budget():
     assert len(summary["regressions"]) <= 10
     detail = json.loads(detail_line)
     assert set(detail["queries"]) == set(bench.HEADLINE)
+
+
+def test_cpu_scaled_gate_absorbs_low_core_probe():
+    """VERDICT r14 #2: pins are measured at pinned_cpus; a lower-core
+    driver probe gets pinned_cpus/cpus extra headroom (a parallel
+    query is legitimately that much slower), but an order-of-magnitude
+    regression still fires, and a >=pinned_cpus run gets NO extra
+    headroom."""
+    baseline = {
+        "regression_factor": 2.0,
+        "pinned_cpus": 32,
+        "queries": {"q": 1.0},
+        "sf1_regression_factor": 2.0,
+        "sf1_queries": {"q": 4.0},
+    }
+    # r14's real false flag shape: sf1 pin 4.0, 8-core reading 9.34s.
+    spot = {"queries": {"q": {"sec": 9.34, "ratio_vs_sf0.1": 3.6}}}
+    assert bench.check_sf1_regressions(spot, baseline, cpus=32) == ["q"]
+    assert bench.check_sf1_regressions(spot, baseline, cpus=8) == []
+    # an order-of-magnitude drift still fires even at 8 cores
+    bad = {"queries": {"q": {"sec": 40.0, "ratio_vs_sf0.1": 20.0}}}
+    assert bench.check_sf1_regressions(bad, baseline, cpus=8) == ["q"]
+    # sf0.1 gate: 3.5s vs pin 1.0 flags at 32 cores, not at 8
+    assert bench.check_regressions({"q": 3.5}, baseline, cpus=32) == ["q"]
+    assert bench.check_regressions({"q": 3.5}, baseline, cpus=8) == []
+    # more cores than the pin never TIGHTENS the gate
+    assert bench.check_regressions({"q": 1.9}, baseline, cpus=64) == []
+    # cpus unknown (None) keeps the unscaled legacy behavior
+    assert bench.check_regressions({"q": 3.5}, baseline) == ["q"]
+
+
+def test_shipped_baseline_records_pin_cpus():
+    baseline = bench.load_baseline()
+    assert baseline.get("pinned_cpus") == 32
